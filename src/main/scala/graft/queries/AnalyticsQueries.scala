@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Categorize
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDefs._
+
+/** Analytics surface (SURVEY.md §2.9 / A1-A6, A11): the downstream
+  * query capabilities the reference's BI layer implies. All shapes
+  * are shuffle-minimal: partial aggregation (map-side combine) is
+  * free with groupBy/agg; dims broadcast; windows partition on the
+  * natural key so one shuffle serves the whole window stage.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, Q] = Map(
+    // q18 — A1: pricing summary (TPC-H Q1 shape). One shuffle, exact
+    // decimal sums.
+    "q18_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          moneyAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // q19 — A2: exact distinct counts per segment.
+    "q19_distinct_counts" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // q20 — A3: rollup hierarchy (category ⊃ brand), null grouping
+    // keys coalesced to a sentinel for stable compare.
+    "q20_rollup_hierarchy" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_type", "p_brand")
+      val dim = Categorize.typeDimDF(s).select("p_type", "category")
+      // SQL surface: Dataset rollup-over-join trips a
+      // DetectAmbiguousSelfJoin false positive in Spark 4.1; the SQL
+      // path plans the identical Expand+Aggregate without the
+      // dataset-id bookkeeping.
+      p.join(broadcast(dim), Seq("p_type"), "left")
+        .createOrReplaceTempView("q20_base")
+      s.sql(
+        """SELECT coalesce(category, '(all)') AS category,
+          |       coalesce(p_brand, '(all)') AS brand,
+          |       count(*) AS n
+          |FROM q20_base
+          |GROUP BY ROLLUP(category, p_brand)
+          |ORDER BY category, brand""".stripMargin)
+    }),
+
+    // q21 — A4: top-3 parts by revenue within each brand; exact
+    // decimal revenue so rank order is bit-stable; ties broken by
+    // p_partkey.
+    "q21_topk_per_brand" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      val w = Window.partitionBy("p_brand").orderBy(col("rev").desc, col("p_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk").cast("long").as("rnk"), col("p_partkey"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy("p_brand", "rnk")
+    }),
+
+    // q22 — A5: daily trend over the event stream.
+    "q22_daily_trend" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+        .orderBy("day")
+    }),
+
+    // q23 — A6: running revenue total by order date (decimal-exact
+    // cumulative window).
+    "q23_running_total" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").cast("string").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("dec_daily"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("day"),
+          col("dec_daily").cast("double").as("daily"),
+          sum(col("dec_daily")).over(w).cast("double").as("cum"))
+        .orderBy("day")
+    }),
+
+    // q24 — A6: day-over-day delta via lag.
+    "q24_lag_delta" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").cast("string").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("dec_daily"))
+      val w = Window.orderBy("day")
+      daily.select(col("day"),
+          col("dec_daily").cast("double").as("daily"),
+          (col("dec_daily") - lag(col("dec_daily"), 1).over(w)).cast("double").as("delta"))
+        .orderBy("day")
+    }),
+
+    // q25 — A11: JSON props via from_json (schema'd, codegen'd) —
+    // oracle mirrors with a regex extract over the same payload.
+    "q25_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          (sum(col("k").cast("long")).cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // q26 — A5/A7 batch form: gap-based sessionization (30 min
+    // inactivity) — the batch-deterministic analogue of
+    // session_window. One shuffle on user_id serves both the window
+    // and the final aggregate.
+    "q26_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .withColumn("prev", lag(col("epoch_s"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("epoch_s") - col("prev") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q18_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${oraSum("l_quantity")} AS sum_qty,
+         |       ${oraSum("l_extendedprice")} AS sum_base,
+         |       ${oraSum("l_extendedprice*(1.0-l_discount)")} AS sum_disc,
+         |       ${oraAvg("l_quantity")} AS avg_qty,
+         |       COUNT(*) AS n
+         |FROM lineitem GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q19_distinct_counts" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q20_rollup_hierarchy" ->
+      """SELECT COALESCE(category, '(all)') AS category,
+        |       COALESCE(p_brand, '(all)') AS brand, COUNT(*) AS n
+        |FROM (
+        |  SELECT CASE WHEN p_type IN ('ECONOMY','PROMO') THEN 'Budget'
+        |              WHEN p_type IN ('SMALL','MEDIUM','STANDARD') THEN 'Mid'
+        |              WHEN p_type = 'LARGE' THEN 'Premium' END AS category,
+        |         p_brand
+        |  FROM part)
+        |GROUP BY ROLLUP(category, p_brand)
+        |ORDER BY 1, 2""".stripMargin,
+    "q21_topk_per_brand" ->
+      """SELECT p_brand, rnk, p_partkey, CAST(rev AS DOUBLE) AS revenue FROM (
+        |  SELECT p_brand, p_partkey, rev,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rnk
+        |  FROM (
+        |    SELECT p_brand, p_partkey,
+        |           SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS rev
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY 1, 2))
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q22_daily_trend" ->
+      s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n, ${oraSum("value")} AS total
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q23_running_total" ->
+      """SELECT day, CAST(dec_daily AS DOUBLE) AS daily,
+        |       CAST(SUM(dec_daily) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+        |FROM (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily
+        |  FROM orders GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "q24_lag_delta" ->
+      """SELECT day, CAST(dec_daily AS DOUBLE) AS daily,
+        |       CAST(dec_daily - lag(dec_daily, 1) OVER (ORDER BY day) AS DOUBLE) AS delta
+        |FROM (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily
+        |  FROM orders GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "q25_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q26_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN prev IS NULL OR epoch_s - prev > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_s,
+        |           lag(epoch_s, 1) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev
+        |    FROM (SELECT user_id, event_id,
+        |                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)))
+        |GROUP BY 1 ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl._
+import org.apache.spark.sql.functions._
+import QueryDefs._
+
+/** Parity queries for the reference's ETL operator surface
+  * (SURVEY.md §2.2-§2.8), exercised over the driver testdata so
+  * each has a DuckDB oracle. Each query names the §2 rows it
+  * covers.
+  */
+object EtlQueries {
+
+  val queries: Map[String, Q] = Map(
+    // q01 — M1/M2/M3 + A1 (flagship): revenue by mapped category.
+    // Broadcast dim join (scales: dim ≪ threshold, fact side never
+    // shuffles for the join; one hash-agg shuffle on `category`).
+    "q01_revenue_by_category" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val dim = Categorize.typeDimDF(s).select("p_type", "category")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(broadcast(dim), Seq("p_type"), "left")
+        .na.fill("Uncategorized", Seq("category"))
+        .groupBy("category")
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("category")
+    }),
+
+    // q02 — G1+G2+G3: split → explode → empty-filter, token counts.
+    "q02_token_explode" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .filter(trim(col("token")) =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
+    // q03 — R1/P5: case-insensitive size-token extract, ''→null,
+    // null-group retained.
+    "q03_size_extract" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(upper(Extract.extractOpt(col("p_name"), "(small|large|new|old)")).as("size_token"))
+        .groupBy("size_token").agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("size_token"))
+    }),
+
+    // q04 — R2: row-level hot/cold variation extract with null
+    // normalization.
+    "q04_variation_extract" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(Extract.extractOpt(col("p_name"), "(hot|cold)")).as("variation"))
+        .orderBy("p_partkey")
+    }),
+
+    // q05 — R3/F3: conditional (masked) extract — only for rows
+    // matching the target rlike.
+    "q05_flavor_conditional" -> ((s, dir) => {
+      val item = col("p_name")
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          when(item.rlike("(?i)(widget|gizmo)"),
+            upper(Extract.extractOpt(item, "(red|blue|hot|cold|small|large|new|old)")))
+            .as("flavor"))
+        .orderBy("p_partkey")
+    }),
+
+    // q06 — R5: escaped-paren extract over a constructed token.
+    "q06_spice_paren_extract" -> ((s, dir) => {
+      val tok = concat(lit("lot ("), col("p_size").cast("string"), lit("/4)"))
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          Extract.try_cast(Extract.extractOpt(tok, "\\((\\d+)/4\\)"), "int").as("spice"))
+        .orderBy("p_partkey")
+    }),
+
+    // q07 — R6: quantity extract `x<digits>` with default 1.0.
+    "q07_qty_extract_default" -> ((s, dir) => {
+      val withQty = concat(col("p_name"), lit(" x"), col("p_size").cast("string"))
+      val item = when(col("p_size") % 3 === 0, withQty).otherwise(col("p_name"))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), Extract.quantity(item).as("qty"))
+        .orderBy("p_partkey")
+    }),
+
+    // q08 — R7/R8/R9/R10: masked two-part rename, null-propagating
+    // concat, cleanup chain, literal correction.
+    "q08_two_part_rename" -> ((s, dir) => {
+      val item = col("p_name")
+      val isTarget = item.rlike("(?i)(widget|bolt|ring)")
+      val cat0 = upper(Extract.extractOpt(item, "(widget|bolt|ring)"))
+      val cat = when(cat0 === "BOLT", lit("BOLTS")).otherwise(cat0)
+      val flav = upper(Extract.extractOpt(item, "(red|blue|hot|cold|small|large|new|old)"))
+      val twoPart = concat(cat, lit(" - "), flav) // null-propagating (R8)
+      val cleaned = upper(Extract.cleanupItem(item))
+      val named = when(isTarget, twoPart).otherwise(cleaned)
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          regexp_replace(named, "RED", "CRIMSON").as("clean_item"))
+        .orderBy("p_partkey")
+    }),
+
+    // q09 — R13: thousand-separator strip + errors='coerce' cast.
+    "q09_numeric_coerce" -> ((s, dir) => {
+      val base = col("o_totalprice").cast("decimal(12,2)").cast("string")
+      val raw = when(col("o_orderkey") % 10 === 0, lit("N/A"))
+        .otherwise(concat(lit("1,"), base))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Extract.toNumber(raw).as("parsed"))
+        .orderBy("o_orderkey")
+    }),
+
+    // q10 — U1: payment-type when/otherwise chain (no UDF).
+    "q10_payment_type" -> ((s, dir) => {
+      val cash = when(col("o_orderstatus") === "F", lit("0.00"))
+        .when(col("o_orderstatus") === "O",
+          col("o_totalprice").cast("decimal(12,2)").cast("string"))
+        .otherwise(lit("-"))
+      val gcash = when(col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 0, lit("100"))
+        .otherwise(lit("-"))
+      Tables.orders(s, dir)
+        .select(PaymentType.paymentType(cash, gcash).as("payment_type"))
+        .groupBy("payment_type").agg(count(lit(1)).as("n"))
+        .orderBy("payment_type")
+    }),
+
+    // q11 — P5/M3: partial literal map, misses → 'Uncategorized'.
+    "q11_null_fill_uncategorized" -> ((s, dir) => {
+      val mapped = Categorize.mapLiteral(col("p_type"),
+        Map("ECONOMY" -> "Budget", "PROMO" -> "Budget", "LARGE" -> "Premium"),
+        lit("Uncategorized"))
+      Tables.part(s, dir)
+        .select(mapped.as("category"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .orderBy("category")
+    }),
+
+    // q12 — P6 (redesigned): footer drop by predicate, not position.
+    "q12_footer_drop" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val mx = o.agg(max("o_orderkey").as("max_key"))
+      o.join(broadcast(mx))
+        .filter(col("o_orderkey") =!= col("max_key"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+    }),
+
+    // q13/q14 — F5: validation / quarantine split. Same upstream
+    // expression, two pushed-down filters; quarantine rule mirrors
+    // the reference (null item OR negative amount).
+    "q13_valid_clean" -> ((s, dir) => f5(s, dir, clean = true)),
+    "q14_valid_quarantine" -> ((s, dir) => f5(s, dir, clean = false)),
+
+    // q15 — C1: unionByName across differently-ordered projections.
+    "q15_union_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("k"), lit("A").as("src"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(lit("B").as("src"), col("o_orderkey").as("k"))
+      a.unionByName(b).orderBy("src", "k")
+    }),
+
+    // q16 — C2/A8: exact dedup counts (business-key + content hash).
+    "q16_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        countDistinct(md5(col("text"))).as("n_hash"))
+    }),
+
+    // q17 — S4/C2: upsert latest-wins semantics — row_number over
+    // business key by recency, keep first (epoch-second tiebreak
+    // avoids the ns-vs-µs timestamp precision gap).
+    "q17_latest_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }))
+
+  private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("items", nullif(col("l_returnflag"), lit("N")))
+    val valid = Validate.validExpr(
+      items = col("items"), subCategory = col("l_linestatus"),
+      category = col("l_returnflag"), quantity = col("l_quantity"),
+      totalAmount = col("l_discount") - lit(0.05),
+      receivedAmount = col("l_tax"))
+    val split = Validate.split(li, valid)
+    val side = if (clean) split.clean else split.quarantine
+    side.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("amount"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q01_revenue_by_category" ->
+      """SELECT CASE WHEN p_type IN ('ECONOMY','PROMO') THEN 'Budget'
+        |            WHEN p_type IN ('SMALL','MEDIUM','STANDARD') THEN 'Mid'
+        |            WHEN p_type = 'LARGE' THEN 'Premium'
+        |            ELSE 'Uncategorized' END AS category,
+        |       CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY category""".stripMargin,
+    "q02_token_explode" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+        |) WHERE trim(token) <> '' GROUP BY token ORDER BY token""".stripMargin,
+    "q03_size_extract" ->
+      """SELECT upper(NULLIF(regexp_extract(p_name, '(?i)(small|large|new|old)', 1), '')) AS size_token,
+        |       COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY size_token NULLS FIRST""".stripMargin,
+    "q04_variation_extract" ->
+      """SELECT p_partkey,
+        |       upper(NULLIF(regexp_extract(p_name, '(?i)(hot|cold)', 1), '')) AS variation
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q05_flavor_conditional" ->
+      """SELECT p_partkey,
+        |       CASE WHEN regexp_matches(p_name, '(?i)(widget|gizmo)')
+        |            THEN upper(NULLIF(regexp_extract(p_name, '(?i)(red|blue|hot|cold|small|large|new|old)', 1), ''))
+        |       END AS flavor
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q06_spice_paren_extract" ->
+      """SELECT p_partkey,
+        |       TRY_CAST(NULLIF(regexp_extract('lot (' || CAST(p_size AS VARCHAR) || '/4)', '(?i)\((\d+)/4\)', 1), '') AS INTEGER) AS spice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q07_qty_extract_default" ->
+      """SELECT p_partkey,
+        |       COALESCE(TRY_CAST(NULLIF(regexp_extract(
+        |         CASE WHEN p_size % 3 = 0 THEN p_name || ' x' || CAST(p_size AS VARCHAR) ELSE p_name END,
+        |         '(?i)x\s*(\d+)', 1), '') AS DOUBLE), 1.0) AS qty
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q08_two_part_rename" ->
+      """SELECT p_partkey, replace(CASE WHEN regexp_matches(p_name, '(?i)(widget|bolt|ring)') THEN
+        |  (CASE WHEN upper(NULLIF(regexp_extract(p_name, '(?i)(widget|bolt|ring)', 1), '')) = 'BOLT' THEN 'BOLTS'
+        |        ELSE upper(NULLIF(regexp_extract(p_name, '(?i)(widget|bolt|ring)', 1), '')) END)
+        |  || ' - ' ||
+        |  upper(NULLIF(regexp_extract(p_name, '(?i)(red|blue|hot|cold|small|large|new|old)', 1), ''))
+        |ELSE upper(trim(regexp_replace(regexp_replace(p_name, '(?i)x\s*\d+', ''), '\s*\(.*\)', ''))) END,
+        |  'RED', 'CRIMSON') AS clean_item
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q09_numeric_coerce" ->
+      """SELECT o_orderkey,
+        |       TRY_CAST(replace(CASE WHEN o_orderkey % 10 = 0 THEN 'N/A'
+        |         ELSE '1,' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END, ',', '') AS DOUBLE) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q10_payment_type" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN '0.00'
+        |              WHEN o_orderstatus = 'O' THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |              ELSE '-' END AS cash,
+        |         CASE WHEN o_orderstatus = 'P' AND o_orderkey % 2 = 0 THEN '100' ELSE '-' END AS gcash
+        |  FROM orders)
+        |SELECT CASE WHEN cash IN ('0.00','0') THEN 'Free/Voucher/Discounted'
+        |            WHEN cash <> '-' THEN 'Cash'
+        |            WHEN gcash <> '-' THEN 'Gcash'
+        |            ELSE 'Credit / Debit' END AS payment_type,
+        |       COUNT(*) AS n
+        |FROM base GROUP BY 1 ORDER BY payment_type""".stripMargin,
+    "q11_null_fill_uncategorized" ->
+      """SELECT COALESCE(CASE WHEN p_type IN ('ECONOMY','PROMO') THEN 'Budget'
+        |                     WHEN p_type = 'LARGE' THEN 'Premium' END,
+        |                'Uncategorized') AS category,
+        |       COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY category""".stripMargin,
+    "q12_footer_drop" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM orders)""".stripMargin,
+    "q13_valid_clean" -> f5Sql(clean = true),
+    "q14_valid_quarantine" -> f5Sql(clean = false),
+    "q15_union_all" ->
+      """SELECT k, src FROM (
+        |  SELECT o_orderkey AS k, 'A' AS src FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 'B' AS src FROM orders WHERE o_orderstatus = 'F'
+        |) ORDER BY src, k""".stripMargin,
+    "q16_dedup_exact" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+        |       COUNT(DISTINCT md5(text)) AS n_hash
+        |FROM documents""".stripMargin,
+    "q17_latest_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
+
+  private def f5Sql(clean: Boolean): String = {
+    val valid =
+      """(NULLIF(l_returnflag, 'N') IS NOT NULL
+        | AND l_linestatus IS NOT NULL AND l_returnflag IS NOT NULL
+        | AND NOT COALESCE(l_quantity < 0, FALSE)
+        | AND NOT COALESCE((l_discount - 0.05) < 0, FALSE)
+        | AND NOT COALESCE(l_tax < 0, FALSE))""".stripMargin
+    val pred = if (clean) valid else s"NOT $valid"
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+       |FROM lineitem WHERE $pred
+       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+}
