@@ -1,0 +1,206 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * n-gram Jaccard (inverted index), MinHash+LSH (banded), SimHash.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - nothing here is all-pairs: exact dedup is a hash groupBy;
+  *    Jaccard candidates come from an inverted shingle index join;
+  *    MinHash candidates come from banded signature buckets — the
+  *    candidate set is the union of per-bucket pairs, never the
+  *    cartesian product;
+  *  - hot shingles can be capped (`maxDocFreq`) to bound join skew —
+  *    a shingle present in thousands of docs contributes quadratic
+  *    pairs but ~zero information;
+  *  - signatures/fingerprints are computed per-partition in one
+  *    projection (HOF expressions, no UDFs, no driver round-trips).
+  */
+object Dedup {
+
+  /** Exact dedup: first row per content hash (deterministic winner =
+    * min doc_id per md5). A groupBy-hash shuffle, the standard
+    * exact-dedup shape at any scale.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("__fp", md5(col(textCol)))
+      .groupBy("__fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__fp")
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). Docs
+    * shorter than n tokens yield no shingles.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * join docs that share a shingle, count the intersection, derive
+    * the union from per-doc shingle counts. Returns
+    * (id_i, id_j, inter, sz_union) with id_i < id_j — all-integer
+    * output so engine comparison is exact.
+    *
+    * @param maxDocFreq drop shingles appearing in more than this many
+    *   docs (0 = keep all). Bounds worst-case join skew at scale.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val shF =
+      if (maxDocFreq <= 0) sh
+      else {
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      }
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = shF.toDF("id_i", "shingle")
+    val b = shF.toDF("id_j", "shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_i") < col("id_j"))
+      .groupBy("id_i", "id_j")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_i", "sz_i"), Seq("id_i"))
+      .join(sizes.toDF("id_j", "sz_j"), Seq("id_j"))
+      .withColumn("sz_union", col("sz_i") + col("sz_j") - col("inter"))
+      .filter(col("inter").cast("double") / col("sz_union") >= threshold)
+      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
+  }
+
+  // --- MinHash + banded LSH ---
+
+  /** MinHash parameters: k seeded hash functions, banded b×r. */
+  final case class MinHashParams(numHashes: Int = 128, bands: Int = 16) {
+    require(numHashes % bands == 0)
+    val rowsPerBand: Int = numHashes / bands
+  }
+
+  /** MinHash signature per doc: for each seed k, the min of
+    * xxhash64(k, shingleHash) over the doc's shingles — a seeded
+    * hash family with no multiply (ANSI mode forbids wrap-around
+    * long arithmetic). One HOF projection over the collected
+    * shingle-hash list — no per-hash aggregate columns, no UDF.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, p: MinHashParams): DataFrame = {
+    val hashed = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .groupBy(idCol).agg(collect_list("h").as("hs"))
+    val seeds = array((0 until p.numHashes).map(lit): _*)
+    hashed.withColumn("sig",
+      transform(seeds, k =>
+        aggregate(col("hs"), lit(Long.MaxValue),
+          (acc, h) => least(acc, xxhash64(k, h)))))
+      .select(col(idCol), col("sig"))
+  }
+
+  /** Banded-LSH candidate pairs: hash each band's signature slice to
+    * a bucket, explode (band, bucket), pair docs within a bucket.
+    * Never all-pairs: cost is Σ_bucket |bucket|².
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, p: MinHashParams): DataFrame = {
+    val bandCols = array((0 until p.bands).map { bnd =>
+      xxhash64(lit(bnd), slice(col("sig"), bnd * p.rowsPerBand + 1, p.rowsPerBand))
+    }: _*)
+    val bands = sigs.select(col(idCol), posexplode(bandCols))
+      .toDF(idCol, "band", "bucket")
+    val l = bands.toDF("id_i", "band", "bucket")
+    val r = bands.toDF("id_j", "band", "bucket")
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_i") < col("id_j"))
+      .select("id_i", "id_j").distinct()
+  }
+
+  /** MinHash near-dup: banded candidates, then exact Jaccard
+    * verification on candidates only (same all-integer output as
+    * [[jaccardPairs]] so false positives are filtered out — LSH only
+    * prunes the pair space).
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      p: MinHashParams = MinHashParams()): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(docs, idCol, textCol, n, p), idCol, p)
+    val sets = shingles(docs, idCol, textCol, n)
+      .groupBy(idCol).agg(collect_set("shingle").as("set"))
+    cands
+      .join(sets.select(col(idCol).as("id_i"), col("set").as("set_i")), Seq("id_i"))
+      .join(sets.select(col(idCol).as("id_j"), col("set").as("set_j")), Seq("id_j"))
+      .withColumn("inter", size(array_intersect(col("set_i"), col("set_j"))).cast("long"))
+      .withColumn("sz_union", (size(col("set_i")) + size(col("set_j"))).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("sz_union") >= threshold)
+      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
+  }
+
+  // --- SimHash ---
+
+  /** Powers of two 2^0..2^63 as a literal array (variable-distance
+    * shifts are not expressible with functions.shiftleft/shiftright,
+    * which take literal distances — bit tests go through bitwiseAND
+    * with these masks instead).
+    */
+  private val pow2: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** 64-bit SimHash per doc over distinct word n-gram shingles
+    * (shingles, not unigrams: a small vocabulary makes unigram sets
+    * nearly identical across unrelated docs — order-sensitive
+    * shingles keep the signature discriminative). Sum ±1 votes per
+    * bit over shingle hashes, bit set iff vote > 0. Pure HOF fold;
+    * the final OR is a sum of distinct powers of two.
+    */
+  def simhash(text: Column, n: Int = 3): Column = {
+    val t = split(text, " ")
+    val toks = array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(acc, transform(pow2, p =>
+          when(xxhash64(t).bitwiseAND(p) =!= 0, 1L).otherwise(-1L)),
+          (a, v) => a + v))
+    aggregate(
+      zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, b) => acc + b)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
+    * the pigeonhole block trick: split the 64 bits into maxDist+1
+    * blocks; any pair within maxDist must agree exactly on ≥1 block,
+    * so candidates come from equi-joins on block values — never
+    * all-pairs.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val blockCols = array((0 until nBlocks).map { b =>
+      shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val blocks = withSig.select(col(idCol), col("sig"), posexplode(blockCols))
+      .toDF(idCol, "sig", "block", "bval")
+    val l = blocks.toDF("id_i", "sig_i", "block", "bval")
+    val r = blocks.toDF("id_j", "sig_j", "block", "bval")
+    l.join(r, Seq("block", "bval"))
+      .filter(col("id_i") < col("id_j"))
+      .select(col("id_i"), col("id_j"),
+        hamming(col("sig_i"), col("sig_j")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north star;
+  * no reference analogue — SURVEY.md §2.9). All pure Column
+  * expressions over `documents.text`: they run inside the scan
+  * projection, no shuffle, and scale linearly with input.
+  */
+object TextStats {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword split: word-boundary + punctuation aware regex
+    * (the container has no real tokenizer; this is the standard
+    * regex fallback counting sub-word units).
+    */
+  def subwordTokens(text: Column): Column =
+    split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def charCount(text: Column): Column = length(text)
+
+  /** Type-token ratio — vocabulary diversity (int/int division is
+    * double in both Spark and DuckDB).
+    */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - size(tokens(text)) + 1).cast("double") / size(tokens(text))
+
+  /** Stopword hit count for a language profile. */
+  def stopwordHits(text: Column, stops: Seq[String]): Column =
+    size(array_intersect(tokens(text),
+      array(stops.map(lit): _*))) // distinct stopwords present
+
+  /** n-gram-heuristic language ID: score a few language profiles by
+    * stopword presence, argmax with deterministic tie-break (profile
+    * order). Profiles are tiny literal arrays → stays in codegen.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "fast", "slow"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq.empty)
+
+  def langGuess(text: Column): Column = {
+    val scored = langProfiles.filter(_._2.nonEmpty).map { case (lang, stops) =>
+      (lang, stopwordHits(text, stops))
+    }
+    // argmax, first-wins on ties; all-zero ⇒ 'unknown'
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("unknown"))
+  }
+
+  /** Quality score in [0,1]: blend of vocabulary diversity, token
+    * shape, and length (heuristics a pretraining filter would use).
+    */
+  def qualityScoreRaw(text: Column): Column = {
+    val ttr = typeTokenRatio(text)
+    val lenOk = when(tokenCount(text).between(8, 256), 1.0).otherwise(0.0)
+    val wordShape = when(avgTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    ttr * 0.5 + lenOk * 0.25 + wordShape * 0.25
+  }
+
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Content fingerprint: md5 over punctuation-stripped, lowercased,
+    * whitespace-collapsed text (rolling-hash stand-in; md5 is
+    * available and identical in Spark and DuckDB).
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9 ]|\\s+", " ")))
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import QueryDefs._
+
+/** LLM-training-data-pipeline operators (north star): text analysis,
+  * dedup family, similarity search. Exact variants carry DuckDB
+  * oracles; the LSH/SimHash approximate variants are registered
+  * without oracles (rows-only driver check) and validated against
+  * their exact counterparts in ScalaTest.
+  */
+object LlmQueries {
+
+  val queries: Map[String, Q] = Map(
+    // q27 — A9: corpus stats per language.
+    "q27_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(t).cast("long")).as("sum_tokens"),
+          (sum(TextStats.tokenCount(t).cast("long")).cast("double") / count(lit(1))).as("avg_tokens"),
+          sum(TextStats.charCount(t).cast("long")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // q28 — A9: heuristic language-ID vs the labeled lang.
+    "q28_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextStats.langGuess(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    }),
+
+    // q29 — A9: quality-score histogram (decile buckets).
+    "q29_quality_hist" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(floor(TextStats.qualityScoreRaw(col("text")) * 10).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // q30 — A9/A8: content fingerprint dedup per source.
+    "q30_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(TextStats.fingerprint(col("text"))).as("n_fp"))
+        .orderBy("source")
+    }),
+
+    // q31 — A8: exact 3-gram Jaccard near-dup pairs (inverted
+    // shingle index — the scalable exact formulation).
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_i", "id_j")
+    }),
+
+    // q32 — A8: MinHash+banded-LSH near-dup with exact verification;
+    // identical output contract (and oracle) as q31 — LSH only
+    // prunes the pair space.
+    "q32_minhash_neardup" -> ((s, dir) => {
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_i", "id_j")
+    }),
+
+    // q33 — A8: SimHash near-dup (pigeonhole-blocked candidates).
+    // No SQL oracle (hash family not reproducible in DuckDB) —
+    // rows-only check here, validated in ScalaTest.
+    "q33_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_i", "id_j")
+    }),
+
+    // q34 — A10: brute-force cosine top-10 for 5 probe vectors
+    // (quantized-integer dot products — bit-exact scores).
+    "q34_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // q35 — A10: LSH-pruned ANN top-10 (rows-only; recall vs q34
+    // asserted in ScalaTest).
+    "q35_ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // q36 — A10: per-label embedding norm stats (exact integer
+    // norms; one deterministic division at the end).
+    "q36_embedding_norms" -> ((s, dir) => {
+      val n2 = Similarity.qnorm2(col("embedding"))
+      Tables.embeddings(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(n2).as("sum_n2"),
+          (sum(n2).cast("double") / lit(1000000000000.0) / count(lit(1))).as("avg_norm2"))
+        .orderBy("label")
+    }))
+
+  private val fpSql =
+    """md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]|\s+', ' ', 'g')))"""
+
+  private val jaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_i, id_j, CAST(inter AS BIGINT) AS inter,
+      |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS sz_union
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_i
+      |JOIN sizes sb ON sb.doc_id = id_j
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+      |ORDER BY id_i, id_j""".stripMargin
+
+  private val qiSql = (e: String) => s"CAST(round(CAST($e AS DOUBLE)*1000000.0) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q27_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |       COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q28_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','fast','slow'])) AS s_en,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','und','nicht'])) AS s_de,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','que','de'])) AS s_es,
+        |    len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','et','les'])) AS s_fr
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+        |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
+        |       WHEN s_de > s_en THEN 'de'
+        |       ELSE 'en' END AS guess,
+        |  COUNT(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+    "q29_quality_hist" ->
+      """WITH f AS (
+        |  SELECT CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+        |         len(string_split(text,' ')) AS ntok,
+        |         CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) AS awl
+        |  FROM documents)
+        |SELECT CAST(floor((ttr*0.5
+        |         + (CASE WHEN ntok BETWEEN 8 AND 256 THEN 1.0 ELSE 0.0 END)*0.25
+        |         + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)*0.25) * 10) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n
+        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q30_fingerprint" ->
+      s"""SELECT source, COUNT(*) AS n, COUNT(DISTINCT $fpSql) AS n_fp
+         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q31_ngram_jaccard" -> jaccardSql,
+    "q32_minhash_neardup" -> jaccardSql,
+    "q34_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |p AS (
+         |  SELECT query_id, e.vec_id AS cand_id,
+         |    SUM(${qiSql("qv[i]")} * ${qiSql("e.embedding[i]")}) AS dot,
+         |    SUM(${qiSql("qv[i]")} * ${qiSql("qv[i]")}) AS qn2,
+         |    SUM(${qiSql("e.embedding[i]")} * ${qiSql("e.embedding[i]")}) AS cn2
+         |  FROM q, embeddings e, range(1, 65) AS u(i)
+         |  WHERE e.vec_id <> query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rnk, cand_id, round(cos, 6) AS cosine FROM (
+         |  SELECT query_id, cand_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+         |                    cand_id) AS rn
+         |  FROM p)
+         |WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q36_embedding_norms" ->
+      s"""SELECT label, COUNT(*) AS n,
+         |       CAST(SUM(n2) AS BIGINT) AS sum_n2,
+         |       CAST(SUM(n2) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS avg_norm2
+         |FROM (
+         |  SELECT label, (SELECT SUM(${qiSql("embedding[i]")} * ${qiSql("embedding[i]")})
+         |                 FROM range(1, 65) AS u(i)) AS n2
+         |  FROM embeddings)
+         |GROUP BY 1 ORDER BY label""".stripMargin
+  )
+}
