@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E2: the reference's core transform (`main.py:95-407`) as one
+  * declarative Catalyst plan — header strip → split/explode/filter →
+  * regex extraction layer → clean-item rename → categorical
+  * broadcast joins → payment derivation → projection/rename →
+  * numeric coercion → validation split.
+  *
+  * Catalyst collapses the ~15 sequential projections into a single
+  * whole-stage-codegen'd stage over the scan; the only shuffle in
+  * the whole pipeline is the explode-free aggregation a caller adds
+  * afterwards (the dim joins broadcast).
+  *
+  * Divergences from the reference, by design (SURVEY.md §2.7):
+  *  - validation runs BEFORE the 'Uncategorized' fill, so
+  *    unmappable items quarantine (the README.md:117-119 reprocess
+  *    story) instead of being masked by the fill;
+  *  - the footer drop is predicate-based upstream (Pos synthesizes
+  *    no footer).
+  */
+object Transform {
+
+  /** Base-product dimension (M1/M2 folded): maps the product word
+    * extracted from an item to (sub_category, category).
+    */
+  val baseDim: Seq[(String, String, String)] = Seq(
+    ("spanish latte", "Latte", "Coffee"),
+    ("americano", "Brewed", "Coffee"),
+    ("mango lemonade", "Lemonade", "Beverages"),
+    ("cheese fries", "Fries", "Snacks"),
+    ("croissant", "Croissant", "Pastries"),
+    ("croffle", "Croffle", "Pastries"),
+    ("cookies", "Cookies", "Pastries"))
+
+  def baseDimDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    baseDim.toDF("base_product", "sub_category", "category")
+  }
+
+  val basePattern =
+    "(spanish latte|americano|mango lemonade|cheese fries|croissant|croffle|cookies|cookie)"
+
+  /** Raw POS frame → item-level fact frame (pre-validation). */
+  def transform(raw: DataFrame, dim: DataFrame): DataFrame = {
+    val stripped = Sanitize.stripHeaders(raw)
+    val exploded = ExplodeItems.explodeItems(stripped, "Products", "item")
+    val it = col("item")
+    val extracted = exploded
+      .withColumn("size", Extract.size(it))
+      .withColumn("variation", Extract.variation(it))
+      .withColumn("flavor", Extract.flavor(it))
+      .withColumn("sugar_level", Extract.sugarLevel(it))
+      .withColumn("spice_level", Extract.spiceLevel(it))
+      .withColumn("quantity", Extract.quantity(it))
+      .withColumn("clean_item", Extract.cleanItem(it))
+      .withColumn("base_product", {
+        val b = Extract.nullIfEmpty(lower(regexp_extract(it, s"(?i)$basePattern", 1)))
+        when(b === "cookie", "cookies").otherwise(b)
+      })
+    val mapped = Categorize.withCategories(extracted, dim, "base_product")
+    mapped
+      .filter(col("clean_item").isNotNull) // R12 (null-model form)
+      .select(
+        col("Order ID").as("order_id"),
+        initcap(col("clean_item")).as("items"), // R11
+        col("sub_category"), col("category"),
+        col("flavor"), col("variation"), col("size"),
+        col("quantity"),
+        col("sugar_level"), col("spice_level"),
+        Extract.toNumber(col("Product amount")).as("total_order_amount"), // R13+P4
+        Extract.toNumber(col("Received amount")).as("received_amount"),
+        col("Payment time").as("payment_time"),
+        PaymentType.paymentType(col("Cash"), col("Gcash")).as("payment_type"), // U1
+        col("Type/Channel").as("order_type")) // P4
+  }
+
+  final case class FactSplit(clean: DataFrame, quarantine: DataFrame)
+
+  /** Full E2+F5: transform then route every row to exactly one of
+    * clean (fact path, misses filled 'Uncategorized') or quarantine
+    * (kept raw for reprocessing).
+    */
+  def run(raw: DataFrame, dim: DataFrame): FactSplit = {
+    val fact = transform(raw, dim)
+    val valid = Validate.validExpr(
+      items = col("items"), subCategory = col("sub_category"),
+      category = col("category"), quantity = col("quantity"),
+      totalAmount = col("total_order_amount"),
+      receivedAmount = col("received_amount"))
+    val s = Validate.split(fact, valid)
+    FactSplit(Categorize.fillUncategorized(s.clean), s.quarantine)
+  }
+}

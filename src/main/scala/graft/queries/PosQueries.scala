@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.etl.{Pos, Transform}
+import org.apache.spark.sql.functions._
+import QueryDefs._
+
+/** End-to-end parity queries: the synthetic POS report (Pos) through
+  * the full E2 transform (Transform) — the reference pipeline
+  * `main.py:95-407` + F5 routing — checked against a DuckDB oracle
+  * that mirrors the entire dataflow (synthesis, explode, extraction,
+  * mapping, payment, coercion, validation) in SQL.
+  */
+object PosQueries {
+
+  val queries: Map[String, Q] = Map(
+    // q37 — E2 flagship: clean-path aggregate signature of the whole
+    // pipeline (any divergence in any operator shifts these groups).
+    "q37_pos_pipeline" -> ((s, dir) => {
+      val split = Transform.run(Pos.rawReport(s, dir), Transform.baseDimDF(s))
+      split.clean
+        .groupBy("category", "sub_category", "payment_type", "order_type")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("quantity")).as("sum_qty"),
+          moneySum(col("total_order_amount")).as("total"))
+        .orderBy("category", "sub_category", "payment_type", "order_type")
+    }),
+
+    // q38 — F5 quarantine path, row-level: unmapped items (null
+    // category) + negative amounts.
+    "q38_pos_quarantine" -> ((s, dir) => {
+      val split = Transform.run(Pos.rawReport(s, dir), Transform.baseDimDF(s))
+      split.quarantine
+        .select("order_id", "items", "sub_category", "category",
+          "quantity", "total_order_amount")
+        .orderBy("order_id", "items", "quantity")
+    }))
+
+  // ---- DuckDB mirror ----
+
+  private def ucfirst(x: String): String =
+    s"(upper(substr($x, 1, 1)) || lower(substr($x, 2)))"
+
+  private def ext(pat: String): String =
+    s"NULLIF(regexp_extract(item, '(?i)$pat', 1), '')"
+
+  private val grouped = (e: String) =>
+    s"regexp_replace(CAST(CAST($e AS DECIMAL(12,2)) AS VARCHAR), '^(\\d+)(\\d{3}\\.)', '\\1,\\2')"
+
+  private val pastryFlavorPat =
+    "(almond|choco mallows|cookies and cream|crushed oreo|dark chocolate|" +
+      "matcha|milky white chocolate|ube|biscoff|blueberry|butter cream|" +
+      "chocolate|ham & cheese|nutella|peanut butter|strawberry|tuna|plain)"
+
+  private val catExtract = ucfirst(s"lower(${ext("(croissant|croffle|cookies|cookie)")})")
+
+  private val pipelineSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    (CASE WHEN l_partkey % 41 = 0 THEN 'Mystery Box'
+       |          WHEN l_partkey % 4 = 0 THEN
+       |            list_extract(['Biscoff','Nutella','Ube','Almond','Matcha'], CAST(l_suppkey % 5 AS INT) + 1)
+       |            || ' ' ||
+       |            list_extract(['Croissant','Croffle','Cookie'], CAST(l_orderkey % 3 AS INT) + 1)
+       |          ELSE
+       |            list_extract(['Solo','Duo','Medio','Familia'], CAST(l_partkey % 4 AS INT) + 1)
+       |            || ' ' || (CASE WHEN l_suppkey % 2 = 0 THEN 'Hot' ELSE 'Cold' END)
+       |            || ' ' || list_extract(['Spanish Latte','Americano','Mango Lemonade','Cheese Fries'], CAST(l_suppkey % 4 AS INT) + 1)
+       |            || ' ' || (CASE WHEN l_partkey % 3 = 0
+       |                       THEN list_extract(['Sugar 20%','Sugar 50%','Sugar 75%','Sugar 100%'], CAST(l_partkey % 4 AS INT) + 1)
+       |                       ELSE list_extract(['Mild (1/4)','Regular (2/4)','Spicy (3/4)'], CAST(l_partkey % 3 AS INT) + 1) END)
+       |     END) || ' x' || CAST(l_linenumber AS VARCHAR) AS item
+       |  FROM lineitem),
+       |ord_items AS (
+       |  SELECT l_orderkey, string_agg(item, ',' ORDER BY l_linenumber) AS products
+       |  FROM li GROUP BY 1),
+       |raw AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id, products,
+       |    ${grouped("CASE WHEN o_orderkey % 97 = 0 THEN -1.0*o_totalprice ELSE o_totalprice END")} AS product_amount,
+       |    ${grouped("o_totalprice")} AS received_amount_s,
+       |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS payment_time,
+       |    CASE WHEN o_orderstatus = 'F' THEN '0.00'
+       |         WHEN o_orderstatus = 'O' THEN ${grouped("o_totalprice")}
+       |         ELSE '-' END AS cash,
+       |    CASE WHEN o_orderstatus = 'P' AND o_orderkey % 2 = 0
+       |         THEN ${grouped("o_totalprice")} ELSE '-' END AS gcash,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN 'Dine-in'
+       |         WHEN o_orderkey % 3 = 1 THEN 'Take-out'
+       |         ELSE 'Delivery' END AS order_type
+       |  FROM orders JOIN ord_items ON o_orderkey = l_orderkey),
+       |raw_items AS (
+       |  SELECT *, unnest(string_split(products, ',')) AS item0 FROM raw),
+       |expl AS (
+       |  SELECT * EXCLUDE (item0), trim(item0) AS item
+       |  FROM raw_items WHERE trim(item0) <> ''),
+       |ext AS (
+       |  SELECT order_id, product_amount, received_amount_s, payment_time,
+       |         cash, gcash, order_type, item,
+       |    ${ucfirst(s"lower(${ext("(solo|duo|medio|familia)")})")} AS size,
+       |    ${ucfirst(s"lower(${ext("(hot|cold)")})")} AS variation,
+       |    CASE WHEN regexp_matches(item, '(?i)(fries|lemonade)')
+       |         THEN ${ucfirst(s"lower(${ext("(cheese|bbq|sour cream|plain|mango)")})")} END AS flavor,
+       |    ${ext("(sugar 20%|sugar 50%|sugar 75%|sugar 100%)")} AS sugar_level,
+       |    ${ext("(mild \\(1/4\\)|regular \\(2/4\\)|spicy \\(3/4\\))")} AS spice_level,
+       |    COALESCE(TRY_CAST(${ext("x\\s*(\\d+)")} AS DOUBLE), 1.0) AS quantity,
+       |    CASE WHEN regexp_matches(item, '(?i)(croissant|croffle|cookies|cookie)') THEN
+       |      (CASE WHEN $catExtract = 'Cookie' THEN 'Cookies' ELSE $catExtract END)
+       |      || ' - ' ||
+       |      ${ucfirst(s"lower(regexp_replace(${ext(pastryFlavorPat)}, '(?i)\\s*cookie$$', ''))")}
+       |    ELSE trim(regexp_replace(regexp_replace(item, '(?i)x\\s*\\d+', '', 'g'), '\\s*\\(.*\\)', '', 'g')) END AS clean_item,
+       |    lower(${ext("(spanish latte|americano|mango lemonade|cheese fries|croissant|croffle|cookies|cookie)")}) AS base0
+       |  FROM expl),
+       |based AS (
+       |  SELECT *, CASE WHEN base0 = 'cookie' THEN 'cookies' ELSE base0 END AS base_product FROM ext),
+       |dim(base_product, sub_category, category) AS (VALUES
+       |  ('spanish latte','Latte','Coffee'), ('americano','Brewed','Coffee'),
+       |  ('mango lemonade','Lemonade','Beverages'), ('cheese fries','Fries','Snacks'),
+       |  ('croissant','Croissant','Pastries'), ('croffle','Croffle','Pastries'),
+       |  ('cookies','Cookies','Pastries')),
+       |fact AS (
+       |  SELECT order_id, clean_item AS items, d.sub_category, d.category,
+       |    flavor, variation, size, quantity, sugar_level, spice_level,
+       |    TRY_CAST(replace(product_amount, ',', '') AS DOUBLE) AS total_order_amount,
+       |    TRY_CAST(replace(received_amount_s, ',', '') AS DOUBLE) AS received_amount,
+       |    payment_time,
+       |    CASE WHEN cash IN ('0.00','0') THEN 'Free/Voucher/Discounted'
+       |         WHEN cash <> '-' THEN 'Cash'
+       |         WHEN gcash <> '-' THEN 'Gcash'
+       |         ELSE 'Credit / Debit' END AS payment_type,
+       |    order_type
+       |  FROM based b LEFT JOIN dim d ON b.base_product = d.base_product
+       |  WHERE clean_item IS NOT NULL),
+       |flagged AS (
+       |  SELECT *, (items IS NOT NULL AND sub_category IS NOT NULL AND category IS NOT NULL
+       |             AND NOT COALESCE(quantity < 0, FALSE)
+       |             AND NOT COALESCE(total_order_amount < 0, FALSE)
+       |             AND NOT COALESCE(received_amount < 0, FALSE)) AS valid
+       |  FROM fact)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // NOTE: pipelineSql is already margin-stripped — concatenate, do
+    // not re-apply stripMargin (it would eat the leading '|' of '||'
+    // continuation lines).
+    "q37_pos_pipeline" -> (pipelineSql + "\n" +
+      s"""SELECT category, sub_category, payment_type, order_type,
+         |       COUNT(*) AS n, ${oraSum("quantity")} AS sum_qty,
+         |       ${oraSum("total_order_amount")} AS total
+         |FROM flagged WHERE valid
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
+    "q38_pos_quarantine" -> (pipelineSql + "\n" +
+      """SELECT order_id, items, sub_category, category, quantity, total_order_amount
+        |FROM flagged WHERE NOT valid
+        |ORDER BY order_id, items, quantity""".stripMargin)
+  )
+}
