@@ -1,0 +1,151 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** S4/S5/S6/S8: sink layer. The reference upserts row-dict JSON over
+  * HTTP from driver memory (`main.py:27-59`) — its scalability
+  * cliff. Here the sink is a parquet-backed table (the offline
+  * stand-in for `INSERT … ON CONFLICT` / Delta `MERGE`): the merge
+  * is a distributed latest-wins dedup over (existing ∪ incoming),
+  * written by executors — nothing is ever collected to the driver.
+  * One parameterized writer serves both fact and quarantine
+  * (collapsing the reference's S4/S5 duplication).
+  */
+object Load {
+
+  /** NaN/±Inf → null for every float/double column (reference scrub
+    * `main.py:42-46`; Spark distinguishes null from NaN, external
+    * sinks want null).
+    */
+  def scrub(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          when(isnan(col(f.name)) || abs(col(f.name)) === Double.PositiveInfinity, lit(null))
+            .otherwise(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** P2 + scrub: the sink-side contract (`main.py:30,42-46`). */
+  def sinkReady(df: DataFrame): DataFrame = Sanitize.sanitizeHeaders(scrub(df))
+
+  /** S4: upsert into a parquet table — latest batch wins per business
+    * key. Reads the current table (if any), unions the incoming
+    * batch with a higher version, keeps row_number()=1 per key by
+    * (version desc), atomically swaps directories.
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, path: String,
+             keys: Seq[String]): Unit = {
+    val inc = sinkReady(incoming).withColumn("__v", lit(1L))
+    val merged =
+      if (tableExists(spark, path)) {
+        val cur = spark.read.parquet(path).withColumn("__v", lit(0L))
+        cur.unionByName(inc, allowMissingColumns = true)
+      } else inc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__v").desc)
+    val deduped = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__v", "__rn")
+    writeAtomic(spark, deduped, path)
+  }
+
+  /** S5: quarantine sink — same writer, append semantics
+    * (schema-on-read, constraint-free; `README.md:118`).
+    */
+  def appendQuarantine(incoming: DataFrame, path: String): Unit =
+    sinkReady(incoming).write.mode("append").parquet(path)
+
+  /** S6/J1: post-load normalization done in-Spark instead of a
+    * Postgres stored procedure (`main.py:479`, `README.md:91`):
+    * derive dimension tables from the fact's natural keys with
+    * stable hash surrogates (no driver-side sequence — xxhash64 of
+    * the natural key distributes and is idempotent across runs),
+    * then broadcast-join the fact to an all-integer star schema.
+    */
+  final case class Star(fact: DataFrame, dimItem: DataFrame, dimPayment: DataFrame,
+                        dimOrderType: DataFrame)
+
+  def normalizeStar(clean: DataFrame): Star = {
+    def dim(c: String, idName: String) =
+      clean.select(col(c)).distinct()
+        .select(xxhash64(col(c)).as(idName), col(c))
+    val dItem = dim("items", "item_id")
+    val dPay = dim("payment_type", "payment_type_id")
+    val dOt = dim("order_type", "order_type_id")
+    val fact = clean
+      .join(broadcast(dItem), Seq("items"))
+      .join(broadcast(dPay), Seq("payment_type"))
+      .join(broadcast(dOt), Seq("order_type"))
+      .select(col("order_id"), col("item_id"), col("payment_type_id"),
+        col("order_type_id"), col("quantity"), col("total_order_amount"),
+        col("received_amount"), col("payment_time"))
+    Star(fact, dItem, dPay, dOt)
+  }
+
+  /** S8: reprocess-quarantine — re-categorize quarantined rows
+    * against the (possibly updated) dimension, move now-valid rows
+    * to the fact table, rewrite quarantine with the remainder.
+    */
+  def reprocessQuarantine(spark: SparkSession, quarantinePath: String,
+                          factPath: String, dim: DataFrame,
+                          keys: Seq[String]): (Long, Long) = {
+    if (!tableExists(spark, quarantinePath)) return (0L, 0L)
+    val q = spark.read.parquet(quarantinePath)
+    // The match pattern comes from the dim's own keys, so adding a
+    // product to the dim is sufficient to promote its quarantined
+    // rows (the whole point of S8). Dims are broadcast-sized by
+    // definition; collecting the keys to build the alternation is a
+    // driver-side constant, not a data collect.
+    val dimKeys = dim.select("base_product").distinct()
+      .collect().map(_.getString(0))
+      .sortBy(-_.length) // longest-first, reference dict style
+      .map(java.util.regex.Pattern.quote)
+    val pattern = s"(?i)(${dimKeys.mkString("|")})"
+    val recat = q.drop("sub_category", "category")
+      .withColumn("base_product", {
+        val b = Extract.nullIfEmpty(lower(regexp_extract(col("items"), pattern, 1)))
+        when(b === "cookie", "cookies").otherwise(b)
+      })
+    val mapped = Categorize.withCategories(recat, dim, "base_product").drop("base_product")
+    val valid = Validate.validExpr(
+      items = col("items"), subCategory = col("sub_category"),
+      category = col("category"), quantity = col("quantity"),
+      totalAmount = col("total_order_amount"), receivedAmount = col("received_amount"))
+    val s = Validate.split(mapped, valid)
+    val promoted = Categorize.fillUncategorized(s.clean).cache()
+    val remaining = s.quarantine.cache()
+    val nPromoted = promoted.count()
+    val nRemaining = remaining.count()
+    if (nPromoted > 0) upsert(spark, promoted, factPath, keys)
+    writeAtomic(spark, remaining, quarantinePath)
+    promoted.unpersist(); remaining.unpersist()
+    (nPromoted, nRemaining)
+  }
+
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** Write-then-swap so readers never see a half-written table and
+    * the input path can be part of the plan being written.
+    */
+  def writeAtomic(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+}

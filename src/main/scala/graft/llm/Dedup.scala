@@ -60,6 +60,7 @@ object Dedup {
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
         sh.join(hot, Seq("shingle"), "left_anti")
+          .select(col(idCol), col("shingle")) // using-join puts the key first
       }
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = shF.toDF("id_i", "shingle")

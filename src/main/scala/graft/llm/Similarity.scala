@@ -64,7 +64,7 @@ object Similarity {
     * hyperplane dot products. Planes are a deterministic seeded
     * pseudo-random matrix, shipped as literal arrays (tiny).
     */
-  final case class RpLshParams(nBits: Int = 8, nTables: Int = 16, dim: Int = 64, seed: Long = 42L) {
+  final case class RpLshParams(nBits: Int = 6, nTables: Int = 24, dim: Int = 64, seed: Long = 42L) {
     private val rnd = new scala.util.Random(seed)
     /** planes(table)(bit)(component) ∈ {-1, +1} (Rademacher planes —
       * cheap and effective for cosine LSH). */

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.etl.{Load, Transform}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** S1/S7/A7: streaming ingest — the Spark-native form of the
+  * reference's Drive-folder scan → per-file transform → archive loop
+  * (`main.py:419-470`).
+  *
+  * The file source replaces the folder listing (S1); checkpointing
+  * makes each file processed exactly once across restarts;
+  * `cleanSource=archive` moves consumed files to the archive dir
+  * (S7) — and unlike the reference (which archives only when
+  * quarantine rows exist, `main.py:460-470`), every processed file
+  * archives, per the documented intent (`README.md:92`).
+  * `Trigger.AvailableNow` preserves the batch-cron operational model
+  * while keeping the pipeline restartable and incremental.
+  */
+object Ingest {
+
+  /** Raw POS report CSV schema (FIXTURES.md §A) — explicit, never
+    * inferred in production (SURVEY.md §1.3).
+    */
+  val rawSchema: StructType = StructType.fromDDL(
+    "`Order ID` STRING, `Products` STRING, `Product amount` STRING, " +
+      "`Received amount` STRING, `Payment time` STRING, `Cash` STRING, " +
+      "`Gcash` STRING, `Type/Channel` STRING")
+
+  /** Business key for upsert idempotency (FIXTURES.md §A). */
+  val factKeys: Seq[String] = Seq("order_id", "items", "payment_time")
+
+  /** Run one AvailableNow pass over the staging folder: transform
+    * each micro-batch (E2), route clean/quarantine (F5), upsert the
+    * fact table (S4), append quarantine (S5), archive consumed files
+    * (S7). Returns when all available files are processed.
+    */
+  def ingestAvailableNow(spark: SparkSession, stagingDir: String,
+                         archiveDir: String, checkpointDir: String,
+                         factPath: String, quarantinePath: String,
+                         dim: DataFrame): Unit = {
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("header", "true")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .csv(stagingDir)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val split = Transform.run(batch, dim)
+        Load.upsert(spark, split.clean, factPath, factKeys)
+        Load.appendQuarantine(split.quarantine, quarantinePath)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** A7: watermarked tumbling-window aggregation over an event
+    * stream — late data beyond the watermark is dropped, state is
+    * bounded. Caller attaches the sink (tests use format("memory")).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** C2/A8 streaming form: exactly-once-per-key within the watermark
+    * horizon — bounded-state streaming dedup on the business key.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.etl.{Extract, ExplodeItems, PaymentType, Sanitize}
+import org.apache.spark.sql.functions._
+
+/** R1-R13/G1-G3/U1/P1-P2 semantics against the reference's exact
+  * patterns and the adversarial inputs from FIXTURES.md §A
+  * (reference cites in graft.etl.Extract).
+  */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(items: String*)(c: org.apache.spark.sql.Column): Seq[Any] =
+    items.toDF("item").select(c.as("v")).collect().map(_.get(0)).toSeq
+
+  test("R1 size: case-insensitive, ''→null, title-cased") {
+    assert(one("SOLO hot latte", "duo croffle", "nothing here")(Extract.size(col("item")))
+      === Seq("Solo", "Duo", null))
+  }
+
+  test("R2 variation hot/cold") {
+    assert(one("Solo HOT latte", "cold brew", "croissant")(Extract.variation(col("item")))
+      === Seq("Hot", "Cold", null))
+  }
+
+  test("R3 flavor only extracted for fries/lemonade items") {
+    assert(one("Cheese Fries", "Mango Lemonade", "Cheese Croissant")(Extract.flavor(col("item")))
+      === Seq("Cheese", "Mango", null))
+  }
+
+  test("R4/R5 sugar and spice levels incl. escaped parens") {
+    assert(one("tea Sugar 50% x2", "wings Mild (1/4)", "plain")(Extract.sugarLevel(col("item")))
+      === Seq("Sugar 50%", null, null))
+    assert(one("wings MILD (1/4)", "wings Spicy (3/4)", "wings mild 1/4")(Extract.spiceLevel(col("item")))
+      === Seq("MILD (1/4)", "Spicy (3/4)", null))
+  }
+
+  test("R6 quantity: x<digits> with default 1.0") {
+    assert(one("latte x3", "latte X 12", "latte")(Extract.quantity(col("item")))
+      === Seq(3.0, 12.0, 1.0))
+  }
+
+  test("R7 pastry rename: two-part extract, Cookie→Cookies canonicalization") {
+    assert(one("Matcha Cookie x1")(Extract.pastryName(col("item")))
+      === Seq("Cookies - Matcha"))
+    assert(one("Biscoff CROFFLE")(Extract.pastryName(col("item")))
+      === Seq("Croffle - Biscoff"))
+    // trailing ' Cookie' stripped from flavor part before concat
+    assert(one("Cookies and Cream Cookie")(Extract.pastryFlavor(col("item")))
+      === Seq("Cookies And Cream"))
+  }
+
+  test("R8 concat is null-propagating (pandas NaN+str parity)") {
+    // unknown flavor ⇒ flavor part null ⇒ whole name null (concat, not concat_ws)
+    assert(one("Durian Croissant")(Extract.pastryName(col("item"))) === Seq(null))
+  }
+
+  test("R9 cleanup strips quantity suffix and parentheticals") {
+    assert(one("Solo Iced Tea (new recipe) x2", "Burger x 10")(Extract.cleanupItem(col("item")))
+      === Seq("Solo Iced Tea", "Burger"))
+  }
+
+  test("R10 literal corrections map (w/Popping)") {
+    assert(one("Soda w/Popping Pearls")(Extract.applyCorrections(col("item")))
+      === Seq("Soda w/ Popping Pearls"))
+  }
+
+  test("R13 numeric coercion: comma strip + errors='coerce'") {
+    assert(one("1,192.00", "73.5", "N/A", "12,345,678.99")(Extract.toNumber(col("item")))
+      === Seq(1192.0, 73.5, null, 1.234567899e7))
+  }
+
+  test("G1-G3 split/explode drops empty fragments from trailing commas") {
+    val df = Seq(("o1", "a x1,b x2,"), ("o2", ",,")).toDF("id", "Products")
+    val out = ExplodeItems.explodeItems(df, "Products", "item")
+      .select("id", "item").as[(String, String)].collect().toSeq
+    assert(out === Seq(("o1", "a x1"), ("o1", "b x2")))
+  }
+
+  test("U1 payment-type chain incl. missing-column defaults") {
+    val got = Seq(
+      ("0.00", "-"), ("0", "500"), ("250.00", "-"), ("-", "99.0"), ("-", "-"))
+      .toDF("cash", "gcash")
+      .select(PaymentType.paymentType(col("cash"), col("gcash")).as("p"))
+      .as[String].collect().toSeq
+    assert(got === Seq("Free/Voucher/Discounted", "Free/Voucher/Discounted",
+      "Cash", "Gcash", "Credit / Debit"))
+    // null columns take reference defaults Cash='0', Gcash='-'
+    val defaults = Seq(1).toDF("x")
+      .select(PaymentType.paymentType(lit(null), lit(null)).as("p"))
+      .as[String].collect().toSeq
+    assert(defaults === Seq("Free/Voucher/Discounted"))
+  }
+
+  test("P1/P2 header strip + sink sanitize") {
+    assert(Sanitize.sanitizeName(" Sub-Category ") === "sub_category")
+    assert(Sanitize.sanitizeName("Type/Channel") === "type_channel")
+    val df = Seq((1, 2)).toDF("  Order ID  ", "Product amount")
+    assert(Sanitize.sanitizeHeaders(df).columns.toSeq === Seq("order_id", "product_amount"))
+  }
+
+  test("P3 strict projection fails loudly on missing contract columns") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Sanitize.project(df, Seq("a", "missing"))
+    }
+    assert(Sanitize.project(df, Seq("a", "missing"), strict = false).columns.toSeq === Seq("a"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.etl.{ExplodeItems, Extract, Validate}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY.md §5.3): split∘explode round-trip,
+  * quarantine partition invariant, extraction totals. Uses a seeded
+  * manual sampler (the scalatest-scalacheck bridge isn't in the
+  * offline cache) so runs are deterministic.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 15)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val word = Gen.oneOf("Solo", "Duo", "latte", "croffle", "x2", "Mild")
+  private val item = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+  private val itemsList = Gen.listOfN(5, item)
+
+  test("explode(split(join(xs))) recovers the non-empty trimmed items") {
+    forAllSeeded(itemsList) { items =>
+      val clean = items.map(_.trim).filter(_.nonEmpty)
+      val df = Seq(Tuple1(clean.mkString(","))).toDF("Products")
+      val out = ExplodeItems.explodeItems(df, "Products", "item")
+        .select("item").as[String].collect().toSeq
+      assert(out === clean)
+    }
+  }
+
+  test("quarantine split is a partition for any data") {
+    forAllSeeded(Gen.listOfN(40, Gen.chooseNum(-100.0, 100.0)), n = 5) { amounts =>
+      val df = amounts.zipWithIndex.map { case (a, i) => (i.toString, a) }
+        .toDF("id", "amt")
+      val valid = !coalesce(col("amt") < 0, lit(false))
+      val s = Validate.split(df, valid)
+      assert(s.clean.count() + s.quarantine.count() === amounts.length.toLong)
+      assert(s.clean.filter(col("amt") < 0).count() === 0)
+      assert(s.quarantine.filter(col("amt") >= 0).count() === 0)
+    }
+  }
+
+  test("quantity extraction: default 1.0 exactly when no x<digits> token") {
+    forAllSeeded(itemsList, n = 10) { items =>
+      val df = items.toDF("item")
+        .select(col("item"), Extract.quantity(col("item")).as("q"))
+      val rows = df.as[(String, Double)].collect()
+      rows.foreach { case (s, q) =>
+        if ("(?i)x\\s*\\d+".r.findFirstIn(s).isDefined) assert(q >= 1.0)
+        else assert(q === 1.0)
+      }
+    }
+  }
+}

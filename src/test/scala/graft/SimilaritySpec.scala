@@ -1,0 +1,48 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** A10 similarity search: brute-force correctness properties and
+  * LSH recall against the brute-force ground truth.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+  private lazy val probes = emb.filter(col("vec_id") % 100 === 0)
+
+  test("brute top-k: k rows per query, self excluded, cosine in [-1,1], descending") {
+    val got = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.size === probes.count())
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length === 10)
+      assert(!rows.exists(_._3 == q), "self in neighbors")
+      assert(rows.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, "not descending")
+    }
+  }
+
+  test("identical vector has cosine ~1 at rank 1") {
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup)
+    val top = Similarity.bruteTopK(corpus, corpus.filter(col("vec_id") === 10000),
+        "vec_id", "embedding", 1)
+      .collect().head
+    assert(top.getLong(2) === 0L)
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN recall@10 against brute-force ground truth") {
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall too low (found ${lsh.size} pairs)")
+  }
+}
