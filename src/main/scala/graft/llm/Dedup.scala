@@ -53,7 +53,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = shingles(docs, idCol, textCol, n).cache()
     val shF =
       if (maxDocFreq <= 0) sh
       else {
@@ -129,8 +129,18 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       p: MinHashParams = MinHashParams()): DataFrame = {
-    val cands = minhashCandidates(minhashSignatures(docs, idCol, textCol, n, p), idCol, p)
-    val sets = shingles(docs, idCol, textCol, n)
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val hashed = sh
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .groupBy(idCol).agg(collect_list("h").as("hs"))
+    val seeds = array((0 until p.numHashes).map(lit): _*)
+    val sigs = hashed.withColumn("sig",
+      transform(seeds, k =>
+        aggregate(col("hs"), lit(Long.MaxValue),
+          (acc, h) => least(acc, xxhash64(k, h)))))
+      .select(col(idCol), col("sig"))
+    val cands = minhashCandidates(sigs, idCol, p)
+    val sets = sh
       .groupBy(idCol).agg(collect_set("shingle").as("set"))
     cands
       .join(sets.select(col(idCol).as("id_i"), col("set").as("set_i")), Seq("id_i"))
@@ -164,12 +174,15 @@ object Dedup {
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>")))
+    // hash once per shingle (hoisted out of the 64-bit vote lambda —
+    // xxhash64 inside the per-bit transform would run 64x per shingle)
+    val hs = transform(toks, t => xxhash64(t))
     val votes = aggregate(
-      toks,
+      hs,
       array_repeat(lit(0L), 64),
-      (acc, t) =>
+      (acc, h) =>
         zip_with(acc, transform(pow2, p =>
-          when(xxhash64(t).bitwiseAND(p) =!= 0, 1L).otherwise(-1L)),
+          when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)),
           (a, v) => a + v))
     aggregate(
       zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(0L)),
@@ -189,7 +202,10 @@ object Dedup {
                       maxDist: Int = 3): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
-    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+    // cache barrier: without it the simhash expression is inlined
+    // into every block column and into the post-join hamming — the
+    // signature would be recomputed per candidate pair.
+    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("sig")).cache()
     val blockCols = array((0 until nBlocks).map { b =>
       shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
     }: _*)

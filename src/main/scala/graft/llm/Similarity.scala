@@ -64,28 +64,49 @@ object Similarity {
     * hyperplane dot products. Planes are a deterministic seeded
     * pseudo-random matrix, shipped as literal arrays (tiny).
     */
-  final case class RpLshParams(nBits: Int = 6, nTables: Int = 24, dim: Int = 64, seed: Long = 42L) {
+  final case class RpLshParams(nBits: Int = 6, nTables: Int = 24, dim: Int = 64,
+                               nBase: Int = 48, seed: Long = 42L) {
     private val rnd = new scala.util.Random(seed)
-    /** planes(table)(bit)(component) ∈ {-1, +1} (Rademacher planes —
-      * cheap and effective for cosine LSH). */
-    val planes: Array[Array[Array[Int]]] =
-      Array.fill(nTables, nBits, dim)(if (rnd.nextBoolean()) 1 else -1)
+    /** base hyperplanes(bit)(component) ∈ {-1, +1} (Rademacher —
+      * cheap and effective for cosine LSH). Tables draw their bits
+      * from this shared pool, so the expensive projections are
+      * computed once per row, not once per (table, bit).
+      */
+    val planes: Array[Array[Int]] =
+      Array.fill(nBase, dim)(if (rnd.nextBoolean()) 1 else -1)
+    /** tableBits(table) = which base bits form that table's bucket. */
+    val tableBits: Array[Array[Int]] =
+      Array.fill(nTables)(rnd.shuffle((0 until nBase).toList).take(nBits).toArray)
   }
 
-  /** Per-table bucket ids for one vector. */
-  def buckets(vec: Column, p: RpLshParams): Column = {
-    val tableBuckets = (0 until p.nTables).map { t =>
-      val bits = (0 until p.nBits).map { b =>
-        val plane = p.planes(t)(b)
-        // signed sum of ±components — exact integer arithmetic
-        val s = aggregate(
-          zip_with(vec, array(plane.map(lit): _*), (x, c) => qi(x) * c),
-          lit(0L), (acc, v) => acc + v)
-        when(s > 0, lit(1L << b)).otherwise(0L)
-      }
-      bits.reduce(_ + _)
+  /** Add a per-table bucket-id array column: quantize once, project
+    * onto the shared hyperplane pool once (materialized as a real
+    * column — inlining the 48-projection expression into every
+    * table-bit reference would duplicate it ~150x), then assemble
+    * each table's bucket from its bit subset.
+    */
+  def withBuckets(df: DataFrame, vecCol: String, out: String,
+                  p: RpLshParams): DataFrame = {
+    val qv = transform(col(vecCol), x => qi(x))
+    val baseBits = (0 until p.nBase).map { b =>
+      val s = aggregate(
+        zip_with(col("__qv"), array(p.planes(b).map(lit): _*), (x, c) => x * c),
+        lit(0L), (acc, v) => acc + v)
+      when(s > 0, lit(1L)).otherwise(0L)
     }
-    array(tableBuckets: _*)
+    val tableBuckets = (0 until p.nTables).map { t =>
+      p.tableBits(t).zipWithIndex.map { case (b, j) =>
+        element_at(col("__bits"), b + 1) * lit(1L << j)
+      }.reduce(_ + _)
+    }
+    // cache barrier: CollapseProject would otherwise inline the
+    // 48-projection __bits expression into all nTables*nBits
+    // references (plan text grows to megabytes, eval cost x144).
+    val based = df.withColumn("__qv", qv)
+      .withColumn("__bits", array(baseBits: _*))
+      .drop("__qv")
+      .cache()
+    based.withColumn(out, array(tableBuckets: _*)).drop("__bits")
   }
 
   /** LSH-pruned cosine top-k: candidates share ≥1 bucket in ≥1
@@ -96,11 +117,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, p: RpLshParams = RpLshParams()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-        qnorm2(col(vecCol)).as("cn2"), posexplode(buckets(col(vecCol), p)))
+    val cand = withBuckets(corpus, vecCol, "__bk", p)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        qnorm2(col(vecCol)).as("cn2"), posexplode(col("__bk")))
       .toDF("cand_id", "cv", "cn2", "table", "bucket")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        qnorm2(col(vecCol)).as("qn2"), posexplode(buckets(col(vecCol), p)))
+    val q = withBuckets(queries, vecCol, "__bk", p)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        qnorm2(col(vecCol)).as("qn2"), posexplode(col("__bk")))
       .toDF("query_id", "qv", "qn2", "table", "bucket")
     val cands = cand.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))

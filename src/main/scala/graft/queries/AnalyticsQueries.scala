@@ -125,6 +125,18 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // q39 — A2: approximate distincts (HLL sketch) next to exact —
+    // the at-scale form (no oracle: sketch estimates are
+    // implementation-specific; the exact twin q19 is the checked one).
+    "q39_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
