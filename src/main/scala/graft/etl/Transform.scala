@@ -79,18 +79,26 @@ object Transform {
 
   final case class FactSplit(clean: DataFrame, quarantine: DataFrame)
 
-  /** Full E2+F5: transform then route every row to exactly one of
-    * clean (fact path, misses filled 'Uncategorized') or quarantine
-    * (kept raw for reprocessing).
-    */
-  def run(raw: DataFrame, dim: DataFrame): FactSplit = {
-    val fact = transform(raw, dim)
-    val valid = Validate.validExpr(
+  /** F5 validity over the fact-frame contract columns. */
+  def factValidity: org.apache.spark.sql.Column =
+    Validate.validExpr(
       items = col("items"), subCategory = col("sub_category"),
       category = col("category"), quantity = col("quantity"),
       totalAmount = col("total_order_amount"),
       receivedAmount = col("received_amount"))
-    val s = Validate.split(fact, valid)
+
+  /** Route an already-transformed fact frame (useful when the caller
+    * caches the fact and derives both sides from one materialization).
+    */
+  def route(fact: DataFrame): FactSplit = {
+    val s = Validate.split(fact, factValidity)
     FactSplit(Categorize.fillUncategorized(s.clean), s.quarantine)
   }
+
+  /** Full E2+F5: transform then route every row to exactly one of
+    * clean (fact path, misses filled 'Uncategorized') or quarantine
+    * (kept raw for reprocessing).
+    */
+  def run(raw: DataFrame, dim: DataFrame): FactSplit =
+    route(transform(raw, dim))
 }
