@@ -28,13 +28,21 @@ object Similarity {
   private def qi(x: Column): Column =
     round(x.cast("double") * lit(1000000.0), 0).cast("long")
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => qi(x) * qi(y)), lit(0L), (s, v) => s + v)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Expression (graft.functions.QDot); the HOF
+    * formulation (`aggregate(zip_with(...))`) computes the identical
+    * value but evaluates interpreted lambdas per element.
+    */
+  def qdot(a: Column, b: Column): Column = graft.functions.QVec.qdot64(a, b)
 
   /** Exact integer squared norm. */
-  def qnorm2(a: Column): Column =
-    aggregate(transform(a, x => qi(x) * qi(x)), lit(0L), (s, v) => s + v)
+  def qnorm2(a: Column): Column = graft.functions.QVec.qnorm2_64(a)
+
+  /** Reference HOF formulation, kept for cross-checking the native
+    * expression in tests.
+    */
+  def qdotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => qi(x) * qi(y)), lit(0L), (s, v) => s + v)
 
   /** Cosine similarity from exact integer parts (one IEEE division). */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
