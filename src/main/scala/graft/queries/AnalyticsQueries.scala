@@ -137,6 +137,29 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q40 — A5/A7: tumbling-window aggregation via window() — the
+    // batch-deterministic twin of the streaming windowedCounts
+    // (oracle: epoch-aligned hour buckets).
+    "q40_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // q41 — A2/set-ops: customers with no URGENT order (left_anti ≡
+    // NOT EXISTS) per market segment.
+    "q41_customers_no_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
@@ -213,6 +236,15 @@ object AnalyticsQueries {
         |       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q40_tumbling_window" ->
+      s"""SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+         |       event_type, COUNT(*) AS n, ${oraSum("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q41_customers_no_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q26_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (

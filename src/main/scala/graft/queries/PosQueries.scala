@@ -48,6 +48,23 @@ object PosQueries {
         .select("order_id", "items", "sub_category", "category",
           "quantity", "total_order_amount")
         .orderBy("order_id", "items", "quantity")
+    }),
+
+    // q42 — S6/J1: in-Spark star-schema normalization over the clean
+    // fact — all FKs must resolve, so the joined row count equals the
+    // fact count and dim cardinalities match the distincts.
+    "q42_star_schema" -> ((s, dir) => {
+      val star = graft.etl.Load.normalizeStar(split(s, dir).clean)
+      val joined = star.fact
+        .join(broadcast(star.dimItem), Seq("item_id"))
+        .join(broadcast(star.dimPayment), Seq("payment_type_id"))
+        .join(broadcast(star.dimOrderType), Seq("order_type_id"))
+      joined.agg(
+        count(lit(1)).as("n_fact"),
+        countDistinct(col("items")).as("n_items"),
+        countDistinct(col("payment_type")).as("n_payment_types"),
+        countDistinct(col("order_type")).as("n_order_types"),
+        moneySum(col("quantity")).as("sum_qty"))
     }))
 
   // ---- DuckDB mirror ----
@@ -164,6 +181,12 @@ object PosQueries {
     "q38_pos_quarantine" -> (pipelineSql + "\n" +
       """SELECT order_id, items, sub_category, category, quantity, total_order_amount
         |FROM flagged WHERE NOT valid
-        |ORDER BY order_id, items, quantity""".stripMargin)
+        |ORDER BY order_id, items, quantity""".stripMargin),
+    "q42_star_schema" -> (pipelineSql + "\n" +
+      s"""SELECT COUNT(*) AS n_fact, COUNT(DISTINCT items) AS n_items,
+         |       COUNT(DISTINCT payment_type) AS n_payment_types,
+         |       COUNT(DISTINCT order_type) AS n_order_types,
+         |       ${oraSum("quantity")} AS sum_qty
+         |FROM flagged WHERE valid""".stripMargin)
   )
 }
