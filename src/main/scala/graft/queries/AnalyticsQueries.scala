@@ -160,6 +160,19 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // q43 — A1/A2: exact percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`, identical linear interpolation).
+    "q43_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_quantity, 0.99)").as("p99_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
@@ -245,6 +258,20 @@ object AnalyticsQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       quantile_cont(l_quantity, 0.99) AS p99_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       quantile_cont(l_quantity, 0.99) AS p99_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q26_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (
