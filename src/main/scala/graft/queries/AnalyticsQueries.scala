@@ -173,6 +173,17 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q44 — A1/A3: pivoted revenue matrix (returnflag × linestatus)
+    // via the DataFrame pivot API with an explicit value list
+    // (deterministic columns); oracle = conditional aggregation.
+    "q44_pivot_matrix" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(moneySum(col("l_extendedprice")))
+        .orderBy("l_returnflag")
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
@@ -272,6 +283,12 @@ object AnalyticsQueries {
         |       quantile_cont(l_quantity, 0.99) AS p99_qty,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q44_pivot_matrix" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q26_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (
