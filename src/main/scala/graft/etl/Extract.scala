@@ -116,13 +116,21 @@ object Extract {
     */
   def titleCase(c: Column): Column = initcap(c)
 
-  /** Exact pandas `str.title()` semantics: uppercase after any
-    * non-alpha ("w/ popping"→"W/ Popping", "bbq"→"Bbq"). Pure
-    * Column expression built from regexp — no UDF: initcap after
-    * temporarily protecting intra-word apostrophes is not enough,
-    * so emulate via per-char logic only when golden tests demand.
-    * Default pipeline uses `titleCase` (initcap).
+  /** Exact pandas `str.title()` semantics (`main.py:385`): a letter
+    * is uppercased iff it follows a non-letter ("w/ popping" →
+    * "W/ Popping", "bbq" → "Bbq"), unlike `initcap` which splits on
+    * whitespace only and lowercases the rest. Pure Column
+    * expression, no UDF: zero-width split at every letter/non-letter
+    * boundary keeps the delimiters as tokens; ucfirst+lower of each
+    * token is exactly per-word title-casing.
     */
+  def pandasTitle(c: Column): Column =
+    array_join(
+      transform(
+        split(c, "(?<=[^A-Za-z])(?=[A-Za-z])|(?<=[A-Za-z])(?=[^A-Za-z])"),
+        t => concat(upper(substring(t, 1, 1)), lower(substring(t, 2, 1000000)))),
+      "")
+
   // R12: 'nan' filter is a null check in our model (main.py:384) —
   // we never materialize 'nan' strings; see Validate.notNan.
 

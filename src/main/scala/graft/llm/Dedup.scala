@@ -151,6 +151,33 @@ object Dedup {
       .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
   }
 
+  // --- Embedding-cosine near-dup ---
+
+  /** Embedding near-duplicate pairs: RP-LSH bucketed candidates
+    * (identical/near-identical vectors share every table's bucket, so
+    * recall at dedup-grade thresholds is ~1), exact quantized-cosine
+    * verification on candidates only. Returns (id_i, id_j, cosine).
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double,
+                        p: Similarity.RpLshParams = Similarity.RpLshParams()): DataFrame = {
+    val b = Similarity.withBuckets(corpus, vecCol, "__bk", p)
+      .select(col(idCol), col(vecCol),
+        Similarity.qnorm2(col(vecCol)).as("n2"), posexplode(col("__bk")))
+      .toDF(idCol, vecCol, "n2", "table", "bucket")
+    val l = b.toDF("id_i", "v_i", "n2_i", "table", "bucket")
+    val r = b.toDF("id_j", "v_j", "n2_j", "table", "bucket")
+    val cands = l.join(r, Seq("table", "bucket"))
+      .filter(col("id_i") < col("id_j"))
+      .select("id_i", "v_i", "n2_i", "id_j", "v_j", "n2_j")
+      .dropDuplicates("id_i", "id_j")
+    cands
+      .withColumn("cosine",
+        Similarity.cosine(Similarity.qdot(col("v_i"), col("v_j")), col("n2_i"), col("n2_j")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_i"), col("id_j"), round(col("cosine"), 6).as("cosine"))
+  }
+
   // --- SimHash ---
 
   /** Powers of two 2^0..2^63 as a literal array (variable-distance

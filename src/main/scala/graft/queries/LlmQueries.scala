@@ -76,6 +76,21 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q45 — A8/A10: embedding-cosine near-dup. The testdata
+    // embeddings are pure random (no natural pairs ≥ 0.95), so the
+    // query plants exact copies of every 5th vector (same construction
+    // in the oracle) — the LSH-candidate + exact-verify machinery must
+    // find precisely those pairs (identical vectors share all buckets,
+    // recall is structural, not probabilistic).
+    "q45_embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.95)
+        .orderBy("id_i", "id_j")
+    }),
+
     // q34 — A10: brute-force cosine top-10 for 5 probe vectors
     // (quantized-integer dot products — bit-exact scores).
     "q34_cosine_topk" -> ((s, dir) => {
@@ -164,6 +179,24 @@ object LlmQueries {
          |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
+    "q45_embedding_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |p AS (
+         |  SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+         |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS dot,
+         |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("a.embedding[i]")}) AS n2a,
+         |    SUM(${qiSql("b.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS n2b
+         |  FROM corpus a, corpus b, range(1, 65) AS u(i)
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id_i, id_j, round(cos, 6) AS cosine FROM (
+         |  SELECT id_i, id_j,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
+         |  FROM p)
+         |WHERE cos >= 0.95 ORDER BY id_i, id_j""".stripMargin,
     "q34_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
          |p AS (

@@ -99,6 +99,16 @@ class ExtractSpec extends SparkSpec {
     assert(Sanitize.sanitizeHeaders(df).columns.toSeq === Seq("order_id", "product_amount"))
   }
 
+  test("R11 pandasTitle: exact pandas str.title() vs initcap divergences") {
+    // pandas uppercases after ANY non-alpha; initcap only after spaces
+    assert(one("w/ popping pearls", "bbq wings", "mango-graham", "a1b2")(
+      graft.etl.Extract.pandasTitle(col("item")))
+      === Seq("W/ Popping Pearls", "Bbq Wings", "Mango-Graham", "A1B2"))
+    // initcap for contrast: keeps 'popping' after '/' lowercase start
+    assert(one("w/ popping")(initcap(col("item"))) === Seq("W/ Popping"))
+    assert(one("mango-graham")(initcap(col("item"))) === Seq("Mango-graham"))
+  }
+
   test("P3 strict projection fails loudly on missing contract columns") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[IllegalArgumentException] {
