@@ -161,17 +161,22 @@ object Dedup {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         p: Similarity.RpLshParams = Similarity.RpLshParams()): DataFrame = {
+    // candidate pairs on ids only (vectors through the bucket join
+    // would dominate shuffle cost); vectors re-attached afterwards
     val b = Similarity.withBuckets(corpus, vecCol, "__bk", p)
-      .select(col(idCol), col(vecCol),
-        Similarity.qnorm2(col(vecCol)).as("n2"), posexplode(col("__bk")))
-      .toDF(idCol, vecCol, "n2", "table", "bucket")
-    val l = b.toDF("id_i", "v_i", "n2_i", "table", "bucket")
-    val r = b.toDF("id_j", "v_j", "n2_j", "table", "bucket")
+      .select(col(idCol), posexplode(col("__bk")))
+      .toDF(idCol, "table", "bucket")
+    val l = b.toDF("id_i", "table", "bucket")
+    val r = b.toDF("id_j", "table", "bucket")
     val cands = l.join(r, Seq("table", "bucket"))
       .filter(col("id_i") < col("id_j"))
-      .select("id_i", "v_i", "n2_i", "id_j", "v_j", "n2_j")
+      .select("id_i", "id_j")
       .dropDuplicates("id_i", "id_j")
+    val vec = corpus.select(col(idCol), col(vecCol),
+      Similarity.qnorm2(col(vecCol)).as("n2"))
     cands
+      .join(vec.toDF("id_i", "v_i", "n2_i"), Seq("id_i"))
+      .join(vec.toDF("id_j", "v_j", "n2_j"), Seq("id_j"))
       .withColumn("cosine",
         Similarity.cosine(Similarity.qdot(col("v_i"), col("v_j")), col("n2_i"), col("n2_j")))
       .filter(col("cosine") >= threshold)

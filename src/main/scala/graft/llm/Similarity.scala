@@ -95,12 +95,12 @@ object Similarity {
     */
   def withBuckets(df: DataFrame, vecCol: String, out: String,
                   p: RpLshParams): DataFrame = {
-    val qv = transform(col(vecCol), x => qi(x))
+    // each base bit = sign of a native codegen'd quantized dot
+    // against a ±1 hyperplane shipped as a literal float array
+    // (sign(Σ qi(x)·(±1e6)) == sign of the ±1 projection)
     val baseBits = (0 until p.nBase).map { b =>
-      val s = aggregate(
-        zip_with(col("__qv"), array(p.planes(b).map(lit): _*), (x, c) => x * c),
-        lit(0L), (acc, v) => acc + v)
-      when(s > 0, lit(1L)).otherwise(0L)
+      val plane = array(p.planes(b).map(c => lit(c.toFloat)): _*)
+      when(graft.functions.QVec.qdot64(col(vecCol), plane) > 0, lit(1L)).otherwise(0L)
     }
     val tableBuckets = (0 until p.nTables).map { t =>
       p.tableBits(t).zipWithIndex.map { case (b, j) =>
@@ -110,10 +110,7 @@ object Similarity {
     // cache barrier: CollapseProject would otherwise inline the
     // 48-projection __bits expression into all nTables*nBits
     // references (plan text grows to megabytes, eval cost x144).
-    val based = df.withColumn("__qv", qv)
-      .withColumn("__bits", array(baseBits: _*))
-      .drop("__qv")
-      .cache()
+    val based = df.withColumn("__bits", array(baseBits: _*)).cache()
     based.withColumn(out, array(tableBuckets: _*)).drop("__bits")
   }
 
@@ -125,19 +122,26 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, p: RpLshParams = RpLshParams()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // candidate generation on ids only — shuffling 64-float vectors
+    // through the bucket join dominates cost otherwise; vectors are
+    // re-attached after pair dedup via broadcast lookups
     val cand = withBuckets(corpus, vecCol, "__bk", p)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-        qnorm2(col(vecCol)).as("cn2"), posexplode(col("__bk")))
-      .toDF("cand_id", "cv", "cn2", "table", "bucket")
+      .select(col(idCol).as("cand_id"), posexplode(col("__bk")))
+      .toDF("cand_id", "table", "bucket")
     val q = withBuckets(queries, vecCol, "__bk", p)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        qnorm2(col(vecCol)).as("qn2"), posexplode(col("__bk")))
-      .toDF("query_id", "qv", "qn2", "table", "bucket")
-    val cands = cand.join(broadcast(q), Seq("table", "bucket"))
+      .select(col(idCol).as("query_id"), posexplode(col("__bk")))
+      .toDF("query_id", "table", "bucket")
+    val pairs = cand.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "qv", "qn2", "cand_id", "cv", "cn2")
+      .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
-    val scored = cands
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      qnorm2(col(vecCol)).as("cn2"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      qnorm2(col(vecCol)).as("qn2"))
+    val scored = pairs
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("cand_id"))
       .withColumn("cos", cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
