@@ -4,7 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact,
-  * n-gram Jaccard (inverted index), MinHash+LSH (banded), SimHash.
+  * n-gram Jaccard (inverted index), MinHash+LSH (banded, Broder 1997
+  * "On the resemblance and containment of documents"; banding per
+  * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+  * SimHash (Charikar 2002 "Similarity estimation techniques from
+  * rounding algorithms"), embedding-cosine near-dup.
   *
   * Scale design (the part that matters at 100 TB):
   *  - nothing here is all-pairs: exact dedup is a hash groupBy;

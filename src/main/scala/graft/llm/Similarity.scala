@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
+  * ANN pruning uses random-hyperplane LSH (Charikar 2002); the
+  * multi-table bit-subset pool follows the standard LSH
+  * amplification construction (Indyk-Motwani 1998).
   *
   * Numeric design: components are quantized to int64 at 1e-6
   * resolution before any arithmetic. Integer dot products are exact
