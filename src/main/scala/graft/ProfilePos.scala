@@ -1,0 +1,34 @@
+package graft
+
+import graft.etl.{Pos, Transform}
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: stage-by-stage timing of the POS pipeline. */
+object ProfilePos {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    // warm
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    t("rawReport") { Pos.rawReport(spark, sfDir).count() }
+    t("rawReport(again)") { Pos.rawReport(spark, sfDir).count() }
+    t("transform") { Transform.transform(Pos.rawReport(spark, sfDir), Transform.baseDimDF(spark)).count() }
+    t("transform+agg") {
+      Transform.transform(Pos.rawReport(spark, sfDir), Transform.baseDimDF(spark))
+        .groupBy("category").count().count()
+    }
+    spark.stop()
+  }
+}

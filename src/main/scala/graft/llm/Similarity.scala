@@ -117,6 +117,55 @@ object Similarity {
     based.withColumn(out, array(tableBuckets: _*)).drop("__bits")
   }
 
+  /** IVF-flat parameters: coarse cells from deterministically
+    * sampled corpus vectors (a production pipeline would train
+    * k-means offline and broadcast the codebook — the sampled
+    * codebook keeps this self-contained and fully deterministic);
+    * queries probe the `nProbe` nearest cells.
+    */
+  final case class IvfParams(sampleMod: Int = 40, nProbe: Int = 8)
+
+  /** IVF-flat ANN top-k: assign every vector to its nearest sampled
+    * centroid (broadcast codebook scan — the standard IVF build),
+    * probe the query's nProbe nearest cells, exact re-rank within
+    * probed cells. Cost per query ≈ (nProbe / nCells) of the corpus
+    * instead of a full scan; recall grows with nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, p: IvfParams = IvfParams()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(pmod(col(idCol), lit(p.sampleMod)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
+        qnorm2(col(vecCol)).as("centn2"))
+    def nearestCells(df: DataFrame, outId: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(outId).orderBy(col("sim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), col(vecCol).as("v"), qnorm2(col(vecCol)).as("n2"))
+        .crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(qdot(col("v"), col("centv")), col("n2"), col("centn2")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select(col(outId), col("cent_id"))
+    }
+    val cells = nearestCells(corpus, "cand_id", 1)
+    val probes = nearestCells(queries, "query_id", p.nProbe)
+    val pairs = probes.join(cells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      qnorm2(col(vecCol)).as("cn2"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      qnorm2(col(vecCol)).as("qn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .withColumn("cos", cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("cand_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** LSH-pruned cosine top-k: candidates share ≥1 bucket in ≥1
     * table with the query; exact re-rank on the pruned set. Recall
     * < 1 by construction (tested against [[bruteTopK]]); cost scales

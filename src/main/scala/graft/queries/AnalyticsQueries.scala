@@ -184,6 +184,21 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q46 — A3: CUBE over order status × priority (all four
+    // grouping sets), null keys coalesced like q20.
+    "q46_cube_status" -> ((s, dir) => {
+      Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("q46_base")
+      s.sql(
+        s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+           |       coalesce(o_orderpriority, '(all)') AS priority,
+           |       count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM q46_base
+           |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin)
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
@@ -289,6 +304,14 @@ object AnalyticsQueries {
          |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
          |  CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
          |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q46_cube_status" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q26_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (

@@ -107,6 +107,14 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // q47 — A10: IVF-flat ANN top-10 (rows-only; recall vs brute
+    // asserted in ScalaTest — sampled codebook, nProbe cells).
+    "q47_ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {

@@ -37,6 +37,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("IVF ANN: correct shape, real pruning, nonzero recall") {
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // full top-10 per probe, no self-matches
+    assert(ivf.length === probes.count() * 10)
+    assert(!ivf.exists(p => p._1 == p._2))
+    // random 64-dim data is the worst case for IVF (neighbors don't
+    // concentrate in cells): require nonzero recall, not high recall
+    val recall = brute.count(ivf.toSet.contains).toDouble / brute.size
+    assert(recall > 0.1, s"IVF recall $recall")
+  }
+
   test("LSH ANN recall@10 against brute-force ground truth") {
     val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 10)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
