@@ -53,6 +53,22 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // q48 — A9 + custom-aggregate tier: top-5 tokens per language
+    // via a typed Aggregator[IN,BUF,OUT] (functions.TopKTokens,
+    // exposed through functions.udaf), result exploded to ranked
+    // rows with an exact window oracle.
+    "q48_top_tokens" -> ((s, dir) => {
+      val topk = udaf(graft.functions.TopKTokens(5))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang")
+        .agg(topk(col("token")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.token").as("token"), col("col.n").as("n"))
+        .orderBy("lang", "rnk")
+    }),
+
     // q31 — A8: exact 3-gram Jaccard near-dup pairs (inverted
     // shingle index — the scalable exact formulation).
     "q31_ngram_jaccard" -> ((s, dir) => {
@@ -185,6 +201,14 @@ object LlmQueries {
     "q30_fingerprint" ->
       s"""SELECT source, COUNT(*) AS n, COUNT(DISTINCT $fpSql) AS n_fp
          |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q48_top_tokens" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        |      FROM c)
+        |SELECT lang, CAST(rn AS BIGINT) AS rnk, tok AS token, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
     "q45_embedding_neardup" ->
