@@ -199,6 +199,19 @@ object AnalyticsQueries {
            |ORDER BY status, priority""".stripMargin)
     }),
 
+    // q49 — set-ops: customers with BOTH an urgent and a low
+    // priority order (two left_semi joins ≡ EXISTS ∩ EXISTS).
+    "q49_customers_both" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderpriority")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val low = o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .join(low, c("c_custkey") === low("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
@@ -312,6 +325,11 @@ object AnalyticsQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q49_customers_both" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '5-LOW')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q26_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (
