@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-quality regressions: the physical shapes SCALE.md promises.
+  * These assert on the optimized physical plan, not on timings, so
+  * they hold at any scale factor.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: dimension mapping is a broadcast join; scan is pruned") {
+    val p = plan("q01_revenue_by_category")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // projection pruning reaches the lineitem scan: no unused columns
+    assert(p.contains("l_extendedprice"))
+    assert(!p.contains("l_shipdate"), "scan reads columns the query never uses")
+  }
+
+  test("q18: aggregation is partial+final (map-side combine)") {
+    val p = plan("q18_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q21: top-k pushes a WindowGroupLimit below the shuffle") {
+    val p = plan("q21_topk_per_brand")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("no query plans a cartesian product except the broadcast-probe scans") {
+    // brute-force cosine (q34) broadcasts a 5-row probe set — that
+    // nested-loop join is the intended scan shape; everything else
+    // must be equi-join based.
+    val allowed = Set("q34_cosine_topk")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+  }
+}
