@@ -212,6 +212,43 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // q50 — A1 multi-way star join: revenue per region per year
+    // across customer⋈nation⋈region⋈orders⋈lineitem (dims broadcast,
+    // one fact shuffle; AQE handles join ordering).
+    "q50_region_year_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
+      val r = Tables.region(s, dir).select("r_regionkey", "r_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("region", "yr")
+    }),
+
+    // q51 — A4/A6: revenue share of each part within its brand —
+    // aggregate-then-window ratio (decimal-exact numerator and
+    // denominator, one deterministic division).
+    "q51_brand_share" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      val w = Window.partitionBy("p_brand")
+      rev.select(col("p_brand"), col("p_partkey"),
+          col("rev").cast("double").as("revenue"),
+          (col("rev").cast("double") / sum(col("rev")).over(w).cast("double")).as("share"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
     // q26 — A5/A7 batch form: gap-based sessionization (30 min
     // inactivity) — the batch-deterministic analogue of
     // session_window. One shuffle on user_id serves both the window
@@ -330,6 +367,24 @@ object AnalyticsQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '5-LOW')
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q50_region_year_revenue" ->
+      s"""SELECT r_name AS region, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |       ${oraSum("l_extendedprice*(1.0-l_discount)")} AS revenue, COUNT(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY region, yr""".stripMargin,
+    "q51_brand_share" ->
+      """SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE) AS share
+        |FROM (
+        |  SELECT p_brand, p_partkey,
+        |         SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     "q26_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM (
