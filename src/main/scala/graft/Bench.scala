@@ -12,11 +12,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-footer paths so the first timed
-    // query isn't charged ~5s of one-time session cost.
+    // Warm the JVM/codegen paths: run every query once at the
+    // smallest scale factor (identical plans → identical generated
+    // classes get JIT-compiled) so timed numbers reflect steady
+    // state, not first-execution compilation.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      SparkEntry.entry(spark).count()
+      val warmDir = "/root/testdata/sf0.001"
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
