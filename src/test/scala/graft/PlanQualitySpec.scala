@@ -28,6 +28,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("driver contract: every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+  }
+
   test("no query plans a cartesian product except the broadcast-probe scans") {
     // brute-force cosine (q34) broadcasts a 5-row probe set — that
     // nested-loop join is the intended scan shape; everything else
