@@ -24,9 +24,9 @@ object ProfilePos {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     t("rawReport") { Pos.rawReport(spark, sfDir).count() }
     t("rawReport(again)") { Pos.rawReport(spark, sfDir).count() }
-    t("transform") { Transform.transform(Pos.rawReport(spark, sfDir), Transform.baseDimDF(spark)).count() }
+    t("transform") { Transform.transform(Pos.rawReport(spark, sfDir), Transform.dimDF(spark)).count() }
     t("transform+agg") {
-      Transform.transform(Pos.rawReport(spark, sfDir), Transform.baseDimDF(spark))
+      Transform.transform(Pos.rawReport(spark, sfDir), Transform.dimDF(spark))
         .groupBy("category").count().count()
     }
     spark.stop()

@@ -61,18 +61,30 @@ object Extract {
   def isPastry(item: Column): Column =
     item.rlike("(?i)(croissant|croffle|cookies|cookie)")
 
-  private val pastryFlavors =
-    "(almond|choco mallows|cookies and cream|crushed oreo|dark chocolate|" +
-      "matcha|milky white chocolate|ube|biscoff|blueberry|butter cream|" +
-      "chocolate|ham & cheese|nutella|peanut butter|strawberry|tuna|plain)"
+  /** The reference's exact 18-entry flavor vocabulary
+    * (`main.py:146-153`), order preserved — the alternation order is
+    * load-bearing (specificity-first: 'Chip and Chunk Walnut' must
+    * win over 'Chip and Chunk' at the same match position).
+    */
+  val pastryFlavorList: Seq[String] = Seq(
+    "Chip and Chunk Walnut", "Nutella Pecan Cookie", "Red Velvet Cookie",
+    "Smores Cookie", "Almond Nutella", "Biscoff Cookie", "Strawberry Cream",
+    "Spam and Egg", "Chip and Chunk", "Biscoff", "Caramel", "Chocolate",
+    "Matcha", "Oreo", "Plain", "Smores", "Red Velvet", "Dubai")
 
-  /** Flavor part: 18-alternative list, longest-first (`main.py:146-153`),
-    * then strip a trailing ' Cookie' (`main.py:159-161`).
+  private val pastryFlavors =
+    pastryFlavorList.map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
+
+  /** Flavor part (`main.py:155-161`): case-insensitive extract that
+    * keeps the ORIGINAL matched casing (pandas `str.extract` parity —
+    * no title-casing here; the final Items title-case happens after
+    * the category map), then strips every `\s*Cookie` occurrence
+    * (pandas `str.replace` is global) and trims.
     */
   def pastryFlavor(item: Column): Column =
-    initcap(nullIfEmpty(regexp_replace(
+    trim(nullIfEmpty(regexp_replace(
       regexp_extract(item, s"(?i)$pastryFlavors", 1),
-      "(?i)\\s*cookie$", "")))
+      "(?i)\\s*cookie", "")))
 
   /** Category word, canonicalized Cookie→Cookies (`main.py:163-165`). */
   def pastryCategory(item: Column): Column = {
@@ -92,15 +104,18 @@ object Extract {
       regexp_replace(item, "(?i)x\\s*\\d+", ""),
       "\\s*\\(.*\\)", ""))
 
-  /** R10: literal corrections map (`main.py:177-182`). Small static
-    * map → `when` chain (no join needed at this cardinality).
+  /** R10: the reference's literal corrections dict (`main.py:177-182`).
+    * pandas `Series.replace(dict)` without regex replaces EXACT full
+    * values only — so this is an exact-match `when` chain, not a
+    * substring rewrite. Small static map (no join needed at this
+    * cardinality).
     */
   val corrections: Map[String, String] =
-    Map("w/Popping" -> "w/ Popping")
+    Map("Fruit Lemonade w/Popping Pearls" -> "Fruit Lemonade w/ Popping Pearls")
 
   def applyCorrections(c: Column, map: Map[String, String] = corrections): Column =
     map.foldLeft(c) { case (acc, (from, to)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+      when(acc === from, lit(to)).otherwise(acc)
     }
 
   /** Clean item name: pastry rename where masked, else cleanup

@@ -99,22 +99,18 @@ object Load {
                           keys: Seq[String]): (Long, Long) = {
     if (!tableExists(spark, quarantinePath)) return (0L, 0L)
     val q = spark.read.parquet(quarantinePath)
-    // The match pattern comes from the dim's own keys, so adding a
-    // product to the dim is sufficient to promote its quarantined
-    // rows (the whole point of S8). Dims are broadcast-sized by
-    // definition; collecting the keys to build the alternation is a
-    // driver-side constant, not a data collect.
-    val dimKeys = dim.select("base_product").distinct()
-      .collect().map(_.getString(0))
-      .sortBy(-_.length) // longest-first, reference dict style
-      .map(java.util.regex.Pattern.quote)
-    val pattern = s"(?i)(${dimKeys.mkString("|")})"
+    // Quarantined rows store the POST-title-case item (`main.py:385`
+    // runs before the fact select), while dim keys are the vendor's
+    // original casing — so the reprocess lookup title-cases the dim
+    // key to match. Adding a product to the dim is sufficient to
+    // promote its quarantined rows (the whole point of S8). Dims are
+    // broadcast-sized; the initcap projection stays on the dim side.
+    val dimT = dim.select(
+        initcap(col("clean_item")).as("items"),
+        col("sub_category"), col("category"))
+      .dropDuplicates("items")
     val recat = q.drop("sub_category", "category")
-      .withColumn("base_product", {
-        val b = Extract.nullIfEmpty(lower(regexp_extract(col("items"), pattern, 1)))
-        when(b === "cookie", "cookies").otherwise(b)
-      })
-    val mapped = Categorize.withCategories(recat, dim, "base_product").drop("base_product")
+    val mapped = recat.join(broadcast(dimT), Seq("items"), "left")
     val valid = Validate.validExpr(
       items = col("items"), subCategory = col("sub_category"),
       category = col("category"), quantity = col("quantity"),

@@ -23,27 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Transform {
 
-  /** Base-product dimension (M1/M2 folded): maps the product word
-    * extracted from an item to (sub_category, category).
+  /** The reference's real product dimension (M1+M2 folded, keyed on
+    * exact clean-item strings — see [[Categorize.referenceDim]]).
     */
-  val baseDim: Seq[(String, String, String)] = Seq(
-    ("spanish latte", "Latte", "Coffee"),
-    ("americano", "Brewed", "Coffee"),
-    ("mango lemonade", "Lemonade", "Beverages"),
-    ("cheese fries", "Fries", "Snacks"),
-    ("croissant", "Croissant", "Pastries"),
-    ("croffle", "Croffle", "Pastries"),
-    ("cookies", "Cookies", "Pastries"))
+  def dimDF(spark: SparkSession): DataFrame = Categorize.referenceDimDF(spark)
 
-  def baseDimDF(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    baseDim.toDF("base_product", "sub_category", "category")
-  }
-
-  val basePattern =
-    "(spanish latte|americano|mango lemonade|cheese fries|croissant|croffle|cookies|cookie)"
-
-  /** Raw POS frame → item-level fact frame (pre-validation). */
+  /** Raw POS frame → item-level fact frame (pre-validation).
+    *
+    * The dim join is on the EXACT `clean_item` string, pre-title-case
+    * — precisely the reference's `Clean_Item.map(dict)` at
+    * `main.py:356`, which runs before the `str.title()` at
+    * `main.py:385` (so "Biscoff tiramisu" maps, then displays
+    * title-cased).
+    */
   def transform(raw: DataFrame, dim: DataFrame): DataFrame = {
     val stripped = Sanitize.stripHeaders(raw)
     val exploded = ExplodeItems.explodeItems(stripped, "Products", "item")
@@ -56,11 +48,7 @@ object Transform {
       .withColumn("spice_level", Extract.spiceLevel(it))
       .withColumn("quantity", Extract.quantity(it))
       .withColumn("clean_item", Extract.cleanItem(it))
-      .withColumn("base_product", {
-        val b = Extract.nullIfEmpty(lower(regexp_extract(it, s"(?i)$basePattern", 1)))
-        when(b === "cookie", "cookies").otherwise(b)
-      })
-    val mapped = Categorize.withCategories(extracted, dim, "base_product")
+    val mapped = Categorize.withCategories(extracted, dim, "clean_item")
     mapped
       .filter(col("clean_item").isNotNull) // R12 (null-model form)
       .select(

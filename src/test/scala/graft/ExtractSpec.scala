@@ -45,9 +45,17 @@ class ExtractSpec extends SparkSpec {
       === Seq("Cookies - Matcha"))
     assert(one("Biscoff CROFFLE")(Extract.pastryName(col("item")))
       === Seq("Croffle - Biscoff"))
-    // trailing ' Cookie' stripped from flavor part before concat
-    assert(one("Cookies and Cream Cookie")(Extract.pastryFlavor(col("item")))
-      === Seq("Cookies And Cream"))
+    // ' Cookie' stripped from the flavor part before concat (the
+    // reference's replace is global + case-insensitive)
+    assert(one("Nutella Pecan Cookies x3")(Extract.pastryFlavor(col("item")))
+      === Seq("Nutella Pecan"))
+    // specificity order: 'Chip and Chunk Walnut' wins over 'Chip and Chunk'
+    assert(one("Chip and Chunk Walnut Cookies")(Extract.pastryFlavor(col("item")))
+      === Seq("Chip and Chunk Walnut"))
+    // pandas str.extract parity: the matched ORIGINAL casing is kept
+    // (title-casing happens later, after the dict map)
+    assert(one("biscoff croffle")(Extract.pastryFlavor(col("item")))
+      === Seq("biscoff"))
   }
 
   test("R8 concat is null-propagating (pandas NaN+str parity)") {
@@ -60,9 +68,10 @@ class ExtractSpec extends SparkSpec {
       === Seq("Solo Iced Tea", "Burger"))
   }
 
-  test("R10 literal corrections map (w/Popping)") {
-    assert(one("Soda w/Popping Pearls")(Extract.applyCorrections(col("item")))
-      === Seq("Soda w/ Popping Pearls"))
+  test("R10 literal corrections map is EXACT-match (pandas Series.replace parity)") {
+    assert(one("Fruit Lemonade w/Popping Pearls", "Soda w/Popping Pearls")(
+      Extract.applyCorrections(col("item")))
+      === Seq("Fruit Lemonade w/ Popping Pearls", "Soda w/Popping Pearls"))
   }
 
   test("R13 numeric coercion: comma strip + errors='coerce'") {

@@ -25,21 +25,21 @@ class IngestSpec extends SparkSpec {
     Files.createDirectories(Paths.get(staging))
 
     writeCsv(staging, "day1.csv", Seq(
-      """1,Solo Hot Spanish Latte x2,100.00,100.00,t1,100.00,-,Dine-in""",
+      """1,Spanish Latte (Solo) (Hot) x2,100.00,100.00,t1,100.00,-,Dine-in""",
       """2,Biscoff Croffle x1,50.00,50.00,t2,0.00,-,Take-out"""))
     Ingest.ingestAvailableNow(spark, staging, archive, checkpoint, fact, q,
-      Transform.baseDimDF(spark))
+      Transform.dimDF(spark))
     assert(spark.read.parquet(fact).count() === 2)
 
     // second pass with a new file: old file not reprocessed, new one is
     writeCsv(staging, "day2.csv", Seq(
-      """3,Duo Cold Americano x1,70.00,70.00,t3,-,70.00,Delivery"""))
+      """3,Americano (Duo) (Cold) x1,70.00,70.00,t3,-,70.00,Delivery"""))
     Ingest.ingestAvailableNow(spark, staging, archive, checkpoint, fact, q,
-      Transform.baseDimDF(spark))
+      Transform.dimDF(spark))
     val got = spark.read.parquet(fact).orderBy("order_id")
       .select("order_id", "items").as[(String, String)].collect().toSeq
-    assert(got === Seq(("1", "Solo Hot Spanish Latte"), ("2", "Croffle - Biscoff"),
-      ("3", "Duo Cold Americano")))
+    assert(got === Seq(("1", "Spanish Latte"), ("2", "Croffle - Biscoff"),
+      ("3", "Americano")))
 
     // archived: the file-source cleaner runs asynchronously after
     // each commit, so day1 must be archived by now (it was consumed a

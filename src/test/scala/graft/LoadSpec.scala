@@ -57,23 +57,23 @@ class LoadSpec extends SparkSpec {
     val factPath = base + "/fact"
     val qPath = base + "/quarantine"
     val raw = Seq(
-      ("1", "Solo Hot Spanish Latte x1", "100.00", "100.00", "t", "100.00", "-", "Dine-in"),
+      ("1", "Spanish Latte (Solo) (Hot) x1", "100.00", "100.00", "t", "100.00", "-", "Dine-in"),
       ("2", "Halo-Halo Special x1", "50.00", "50.00", "t", "50.00", "-", "Dine-in"))
       .toDF("Order ID", "Products", "Product amount", "Received amount",
         "Payment time", "Cash", "Gcash", "Type/Channel")
-    val split = Transform.run(raw, Transform.baseDimDF(spark))
+    val split = Transform.run(raw, Transform.dimDF(spark))
     Load.upsert(spark, split.clean, factPath, Seq("order_id", "items"))
     Load.appendQuarantine(split.quarantine, qPath)
     assert(spark.read.parquet(factPath).count() === 1)
     assert(spark.read.parquet(qPath).count() === 1)
     // dim unchanged → nothing promotes
     val (p0, r0) = Load.reprocessQuarantine(spark, qPath, factPath,
-      Transform.baseDimDF(spark), Seq("order_id", "items"))
+      Transform.dimDF(spark), Seq("order_id", "items"))
     assert(p0 === 0 && r0 === 1)
     // teach the dim the quarantined product → row promotes to fact
-    val dim2 = Transform.baseDimDF(spark)
-      .unionByName(Seq(("halo-halo", "Halo-Halo", "Desserts"))
-        .toDF("base_product", "sub_category", "category"))
+    val dim2 = Transform.dimDF(spark)
+      .unionByName(Seq(("Halo-Halo Special", "Ice Cream", "Desserts"))
+        .toDF("clean_item", "sub_category", "category"))
     val (p1, r1) = Load.reprocessQuarantine(spark, qPath, factPath, dim2,
       Seq("order_id", "items"))
     assert(p1 === 1 && r1 === 0)

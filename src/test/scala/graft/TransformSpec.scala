@@ -10,16 +10,17 @@ class TransformSpec extends SparkSpec {
   import spark.implicits._
 
   private val raw = Seq(
-    // order 1: two drinks + trailing comma; Cash used
-    ("1", "Solo Hot Spanish Latte Sugar 50% x2,Familia Cold Mango Lemonade,", "1,250.00", "1,250.00", "2026-01-01 10:00:00", "1250.00", "-", "Dine-in"),
-    // order 2: pastry + unmapped item; free voucher
+    // order 1: two drinks (real dict keys under paren modifiers, incl.
+    // the corrections entry) + trailing comma; Cash used
+    ("1", "Spanish Latte (Solo) (Hot) (Sugar 50%) x2,Fruit Lemonade w/Popping Pearls (Familia) (Cold),", "1,250.00", "1,250.00", "2026-01-01 10:00:00", "1250.00", "-", "Dine-in"),
+    // order 2: pastry rename + unmapped item; free voucher
     ("2", "Biscoff Croffle x1,UFO Catcher Prize", "300.00", "300.00", "2026-01-02 11:00:00", "0.00", "-", "Take-out"),
-    // order 3: negative amount → quarantine; Gcash
-    ("3", "Duo Hot Americano Mild (1/4)", "-80.00", "80.00", "2026-01-03 12:00:00", "-", "80.00", "Delivery")
+    // order 3: mapped item, negative amount → quarantine; Gcash
+    ("3", "Americano (Duo) (Hot) (Mild (1/4))", "-80.00", "80.00", "2026-01-03 12:00:00", "-", "80.00", "Delivery")
   ).toDF(" Order ID ", "Products", "Product amount", "Received amount",
     "Payment time", "Cash", "Gcash", "Type/Channel")
 
-  private lazy val split = Transform.run(raw, Transform.baseDimDF(spark))
+  private lazy val split = Transform.run(raw, Transform.dimDF(spark))
   private lazy val clean = split.clean.cache()
   private lazy val quarantine = split.quarantine.cache()
 
@@ -31,11 +32,12 @@ class TransformSpec extends SparkSpec {
       .orderBy("order_id", "items")
       .collect().map(_.toSeq).toSeq
     assert(rows === Seq(
-      Seq("1", "Familia Cold Mango Lemonade", "Lemonade", "Beverages",
-        "Familia", "Cold", "Mango", null, 1.0, 1250.0, "Cash", "Dine-in"),
-      Seq("1", "Solo Hot Spanish Latte Sugar 50%", "Latte", "Coffee",
+      // initcap runs AFTER the dict match: 'w/ Popping' displays 'W/'
+      Seq("1", "Fruit Lemonade W/ Popping Pearls", "Fruit Based", "Beverages",
+        "Familia", "Cold", null, null, 1.0, 1250.0, "Cash", "Dine-in"),
+      Seq("1", "Spanish Latte", "Coffee Based", "Beverages",
         "Solo", "Hot", null, "Sugar 50%", 2.0, 1250.0, "Cash", "Dine-in"),
-      Seq("2", "Croffle - Biscoff", "Croffle", "Pastries",
+      Seq("2", "Croffle - Biscoff", "Pastries", "Desserts",
         null, null, null, null, 1.0, 300.0, "Free/Voucher/Discounted", "Take-out")))
   }
 
@@ -44,13 +46,13 @@ class TransformSpec extends SparkSpec {
       .orderBy("order_id", "items").collect().map(_.toSeq).toSeq
     assert(q === Seq(
       Seq("2", "Ufo Catcher Prize", null, 300.0),
-      // R9 strips the "(1/4)" parenthetical but keeps the bare token
-      Seq("3", "Duo Hot Americano Mild", "Coffee", -80.0)))
+      // mapped fine (R9 strips all parentheticals) but amount < 0
+      Seq("3", "Americano", "Beverages", -80.0)))
   }
 
   test("F5 invariant on synthetic Pos frame: clean ⊎ quarantine = all, disjoint") {
-    val all = Transform.transform(Pos.rawReport(spark, sf), Transform.baseDimDF(spark))
-    val s = Transform.run(Pos.rawReport(spark, sf), Transform.baseDimDF(spark))
+    val all = Transform.transform(Pos.rawReport(spark, sf), Transform.dimDF(spark))
+    val s = Transform.run(Pos.rawReport(spark, sf), Transform.dimDF(spark))
     val total = all.count()
     val c = s.clean.count()
     val q = s.quarantine.count()
