@@ -19,19 +19,29 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       val warmDir = "/root/testdata/sf0.001"
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
-      }
+      if (warmDir != sfDir)
+        SparkEntry.queries.values.foreach { fn =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => }
+        }
     } catch { case _: Throwable => }
+    // Drop warmup materializations so timed runs derive everything
+    // themselves (no warm-cache carryover, and no stale footprint).
+    graft.queries.PosQueries.clearCache()
+    val errs = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          errs += name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

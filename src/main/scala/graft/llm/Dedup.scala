@@ -54,6 +54,11 @@ object Dedup {
     *
     * @param maxDocFreq drop shingles appearing in more than this many
     *   docs (0 = keep all). Bounds worst-case join skew at scale.
+    *   When set, the score is Jaccard over the RETAINED shingle
+    *   universe: numerator AND denominator both come from the
+    *   filtered set, so the ratio stays a true Jaccard of that
+    *   universe (mixing filtered intersections with unfiltered sizes
+    *   would deflate every pair whose overlap includes hot shingles).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
@@ -65,8 +70,9 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select("shingle")
         sh.join(hot, Seq("shingle"), "left_anti")
           .select(col(idCol), col("shingle")) // using-join puts the key first
+          .cache()
       }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val sizes = shF.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = shF.toDF("id_i", "shingle")
     val b = shF.toDF("id_j", "shingle")
     val inter = a.join(b, Seq("shingle"))

@@ -213,8 +213,10 @@ object AnalyticsQueries {
     }),
 
     // q50 — A1 multi-way star join: revenue per region per year
-    // across customer⋈nation⋈region⋈orders⋈lineitem (dims broadcast,
-    // one fact shuffle; AQE handles join ordering).
+    // across customer⋈nation⋈region⋈orders⋈lineitem. Only the
+    // FIXED-cardinality dims (nation=25, region=5) are broadcast;
+    // customer grows with scale factor, so orders⋈customer must stay
+    // a shuffle join (a customer broadcast OOMs long before 100 TB).
     "q50_region_year_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
@@ -222,7 +224,7 @@ object AnalyticsQueries {
       val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
       val r = Tables.region(s, dir).select("r_regionkey", "r_name")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name").as("region"), year(col("o_orderdate")).cast("long").as("yr"))
@@ -334,13 +336,6 @@ object AnalyticsQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
-    "q43_percentiles" ->
-      """SELECT l_returnflag,
-        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
-        |       quantile_cont(l_quantity, 0.99) AS p99_qty,
-        |       COUNT(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q43_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS p50_qty,

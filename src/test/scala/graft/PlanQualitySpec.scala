@@ -28,6 +28,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("q50: customer join shuffles; only fixed-size dims are broadcast") {
+    // With auto-broadcast off, only EXPLICIT hints survive — proving
+    // the hints sit on nation/region (fixed 25/5 rows) and NOT on
+    // customer, which grows with scale factor and must shuffle.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q50_region_year_revenue")
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 2,
+        s"expected exactly nation+region broadcast\n${p.take(3000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"customer/orders joins must be shuffle joins\n${p.take(3000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
