@@ -35,33 +35,102 @@ object Load {
   /** P2 + scrub: the sink-side contract (`main.py:30,42-46`). */
   def sinkReady(df: DataFrame): DataFrame = Sanitize.sanitizeHeaders(scrub(df))
 
-  /** S4: upsert into a parquet table — latest batch wins per business
-    * key. Reads the current table (if any), unions the incoming
-    * batch with a higher version, keeps row_number()=1 per key by
-    * (version desc), atomically swaps directories.
+  /** Number of hash-bucket partitions for upsert targets. Fixed and
+    * layout-stable: changing it on an existing table would reshuffle
+    * keys across partitions (a full rewrite), so it is a constant,
+    * not a per-call knob.
+    */
+  val UpsertBuckets = 64
+
+  /** Stable bucket of the business key — the fact table's partition
+    * column. Same key → same bucket forever, so an upsert touches
+    * exactly the partitions its incoming keys hash to.
+    */
+  def bucketOf(keys: Seq[String]): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys.map(col): _*), lit(UpsertBuckets.toLong))
+
+  /** S4: upsert into a bucket-partitioned parquet table — latest
+    * batch wins per business key. The table is partitioned by a
+    * stable hash bucket of the key, so a batch only READS and
+    * REWRITES the partitions its keys land in: cost is
+    * O(touched buckets / total buckets · table), not O(table) —
+    * at 100 TB an incremental batch touching 3 of 64 buckets reads
+    * ~5% of the table instead of all of it. Untouched partitions'
+    * files are never opened (asserted byte-identical in LoadSpec).
     */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
              keys: Seq[String]): Unit = {
-    val inc = sinkReady(incoming).withColumn("__v", lit(1L))
-    val merged =
-      if (tableExists(spark, path)) {
-        val cur = spark.read.parquet(path).withColumn("__v", lit(0L))
-        cur.unionByName(inc, allowMissingColumns = true)
-      } else inc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__v").desc)
-    val deduped = merged
+    val inc = sinkReady(incoming)
+      .withColumn("__bucket", bucketOf(keys))
+      .withColumn("__v", lit(1L))
+    if (!tableExists(spark, path)) {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+      val first = inc.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__v", "__rn")
+      val tmp = path + "__tmp"
+      first.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+      swap(spark, tmp, path)
+      return
+    }
+    // touched buckets: a bounded driver-side collect (≤ UpsertBuckets
+    // ints), the partition-pruning predicate for the read below
+    val touched = inc.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    // partition pruning: only the touched buckets' files are read
+    val cur = spark.read.parquet(path)
+      .filter(col("__bucket").isin(touched: _*))
+      .withColumn("__v", lit(0L))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    val merged = cur.unionByName(inc, allowMissingColumns = true)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__v", "__rn")
-    writeAtomic(spark, deduped, path)
+    // write merged buckets beside the table, then swap ONLY those
+    // partition directories — untouched buckets are never rewritten
+    val tmp = path + "__tmp"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$b")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
-  /** S5: quarantine sink — same writer, append semantics
-    * (schema-on-read, constraint-free; `README.md:118`).
+  private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+
+  /** Read an upsert table without its internal bucket column. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
+
+  /** S5: quarantine sink — append semantics (schema-on-read,
+    * constraint-free; `README.md:118`). The table is laid out as
+    * `__batch=<id>` partition directories so the streaming writer
+    * below can be replay-idempotent; the batch API appends into the
+    * `-1` partition.
     */
   def appendQuarantine(incoming: DataFrame, path: String): Unit =
-    sinkReady(incoming).write.mode("append").parquet(path)
+    sinkReady(incoming).write.mode("append").parquet(s"$path/__batch=-1")
+
+  /** S5, streaming form: idempotent per micro-batch — a replayed
+    * foreachBatch (crash after write, before the checkpoint commit)
+    * OVERWRITES its own `__batch=<id>` partition instead of
+    * double-appending, closing the at-least-once gap on the
+    * quarantine path (the fact path is key-idempotent already).
+    */
+  def appendQuarantineIdempotent(incoming: DataFrame, path: String,
+                                 batchId: Long): Unit =
+    sinkReady(incoming).write.mode("overwrite").parquet(s"$path/__batch=$batchId")
 
   /** S6/J1: post-load normalization done in-Spark instead of a
     * Postgres stored procedure (`main.py:479`, `README.md:91`):
@@ -98,7 +167,7 @@ object Load {
                           factPath: String, dim: DataFrame,
                           keys: Seq[String]): (Long, Long) = {
     if (!tableExists(spark, quarantinePath)) return (0L, 0L)
-    val q = spark.read.parquet(quarantinePath)
+    val q = spark.read.parquet(quarantinePath).drop("__batch")
     // Quarantined rows store the POST-title-case item (`main.py:385`
     // runs before the fact select), while dim keys are the vendor's
     // original casing — so the reprocess lookup title-cases the dim
@@ -121,7 +190,11 @@ object Load {
     val nPromoted = promoted.count()
     val nRemaining = remaining.count()
     if (nPromoted > 0) upsert(spark, promoted, factPath, keys)
-    writeAtomic(spark, remaining, quarantinePath)
+    // rewrite the remainder in the quarantine's __batch layout (the
+    // reprocessed survivors all land in the batch-API partition)
+    val tmp = quarantinePath + "__tmp"
+    remaining.write.mode("overwrite").parquet(tmp + "/__batch=-1")
+    swap(spark, tmp, quarantinePath)
     promoted.unpersist(); remaining.unpersist()
     (nPromoted, nRemaining)
   }

@@ -117,13 +117,29 @@ object Similarity {
     based.withColumn(out, array(tableBuckets: _*)).drop("__bits")
   }
 
-  /** IVF-flat parameters: coarse cells from deterministically
-    * sampled corpus vectors (a production pipeline would train
-    * k-means offline and broadcast the codebook — the sampled
-    * codebook keeps this self-contained and fully deterministic);
-    * queries probe the `nProbe` nearest cells.
+  /** IVF-flat parameters: a FIXED-size codebook of `nCells` coarse
+    * cells drawn as a deterministic uniform sample of corpus vectors
+    * (the `nCells` smallest `xxhash64(id)` values — size-independent
+    * of corpus rows, so the broadcast codebook and the O(N·nCells)
+    * assignment cost stay bounded at any scale; a production
+    * pipeline would train k-means offline and broadcast that
+    * codebook instead). Queries probe the `nProbe` nearest cells.
     */
-  final case class IvfParams(sampleMod: Int = 40, nProbe: Int = 8)
+  final case class IvfParams(nCells: Int = 64, nProbe: Int = 8)
+
+  /** Deterministic fixed-size codebook: the `nCells` corpus vectors
+    * with the smallest seeded id-hash. orderBy+limit plans as a
+    * distributed TakeOrdered (per-partition top-k, merged) — no
+    * global sort materialization.
+    */
+  def ivfCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
+        qnorm2(col(vecCol)).as("centn2"), xxhash64(col(idCol)).as("__h"))
+      .orderBy("__h", "cent_id")
+      .limit(nCells)
+      .drop("__h")
 
   /** IVF-flat ANN top-k: assign every vector to its nearest sampled
     * centroid (broadcast codebook scan — the standard IVF build),
@@ -134,9 +150,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, p: IvfParams = IvfParams()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.filter(pmod(col(idCol), lit(p.sampleMod)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
-        qnorm2(col(vecCol)).as("centn2"))
+    val cents = ivfCodebook(corpus, idCol, vecCol, p.nCells)
     def nearestCells(df: DataFrame, outId: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(outId).orderBy(col("sim").desc, col("cent_id"))
       df.select(col(idCol).as(outId), col(vecCol).as("v"), qnorm2(col(vecCol)).as("n2"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.{Load, Transform}
+import graft.etl.{Load, ParquetUpsertSink, Transform, UpsertSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -11,7 +11,11 @@ import org.apache.spark.sql.types.StructType
   * (`main.py:419-470`).
   *
   * The file source replaces the folder listing (S1); checkpointing
-  * makes each file processed exactly once across restarts;
+  * reads each file exactly once across restarts. foreachBatch
+  * delivery is at-least-once, so both sinks are made replay-safe:
+  * the fact upsert is key-idempotent and the quarantine write
+  * overwrites its own `__batch=<id>` partition — a replayed batch
+  * converges to the same table state (effectively-once end to end).
   * `cleanSource=archive` moves consumed files to the archive dir
   * (S7) — and unlike the reference (which archives only when
   * quarantine rows exist, `main.py:460-470`), every processed file
@@ -40,7 +44,19 @@ object Ingest {
   def ingestAvailableNow(spark: SparkSession, stagingDir: String,
                          archiveDir: String, checkpointDir: String,
                          factPath: String, quarantinePath: String,
-                         dim: DataFrame): Unit = {
+                         dim: DataFrame): Unit =
+    ingestAvailableNowTo(spark, stagingDir, archiveDir, checkpointDir,
+      new ParquetUpsertSink(spark, factPath), quarantinePath, dim)
+
+  /** Sink-agnostic form of the ingest loop: the fact target is any
+    * [[UpsertSink]] — parquet stand-in or a JDBC `INSERT … ON
+    * CONFLICT` / MERGE database — without touching transform or
+    * routing.
+    */
+  def ingestAvailableNowTo(spark: SparkSession, stagingDir: String,
+                           archiveDir: String, checkpointDir: String,
+                           factSink: UpsertSink, quarantinePath: String,
+                           dim: DataFrame): Unit = {
     val stream = spark.readStream
       .schema(rawSchema)
       .option("header", "true")
@@ -50,10 +66,10 @@ object Ingest {
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val split = Transform.run(batch, dim)
-        Load.upsert(spark, split.clean, factPath, factKeys)
-        Load.appendQuarantine(split.quarantine, quarantinePath)
+        factSink.upsert(split.clean, factKeys)
+        Load.appendQuarantineIdempotent(split.quarantine, quarantinePath, batchId)
       }
       .start()
     query.awaitTermination()

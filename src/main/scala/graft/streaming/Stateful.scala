@@ -9,24 +9,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State is one small tuple per key, so memory is bounded by
   * |distinct users|, not event volume; at scale the state store
   * shards with the shuffle partitioning on the group key.
+  *
+  * With `ttl` set, state carries a processing-time timeout: a key
+  * idle longer than the TTL has its state evicted (tombstone row,
+  * `expired = true`), so long-lived streams don't accumulate state
+  * for users that stopped appearing; a user seen again after
+  * eviction restarts from zero — the documented trade of bounded
+  * state for open-keyspace streams. TTL is OPT-IN because a pending
+  * processing-time timer keeps a `Trigger.AvailableNow` query alive
+  * until the timer fires — a cron-style batch run wants NoTimeout,
+  * a long-running continuous query wants a TTL.
   */
 object Stateful {
 
   final case class EventIn(user_id: Long, value: Double)
-  final case class UserAgg(user_id: Long, n_events: Long, total: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, total: Double, expired: Boolean)
 
-  def runningUserStats(events: DataFrame): Dataset[UserAgg] = {
+  def runningUserStats(events: DataFrame,
+                       ttl: Option[String] = None): Dataset[UserAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.selectExpr("user_id", "value").as[EventIn]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserAgg](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         (user: Long, rows: Iterator[EventIn], state: GroupState[(Long, Double)]) =>
-          var (n, total) = state.getOption.getOrElse((0L, 0.0))
-          rows.foreach { e => n += 1; total += e.value }
-          state.update((n, total))
-          Iterator(UserAgg(user, n, total))
+          if (state.hasTimedOut) {
+            // idle past TTL: emit a tombstone, drop the state
+            val (n, total) = state.get
+            state.remove()
+            Iterator(UserAgg(user, n, total, expired = true))
+          } else {
+            var (n, total) = state.getOption.getOrElse((0L, 0.0))
+            rows.foreach { e => n += 1; total += e.value }
+            state.update((n, total))
+            ttl.foreach(state.setTimeoutDuration)
+            Iterator(UserAgg(user, n, total, expired = false))
+          }
       }
   }
 }

@@ -22,12 +22,53 @@ class LoadSpec extends SparkSpec {
     Load.upsert(spark, v1, path, Seq("order_id", "items"))
     val v2 = Seq(("o1", "a", 9.0), ("o3", "c", 3.0)).toDF("Order ID", "Items", "Amount")
     Load.upsert(spark, v2, path, Seq("order_id", "items"))
-    val got = spark.read.parquet(path)
+    val got = Load.readTable(spark, path)
+      .select("order_id", "items", "amount")
       .orderBy("order_id").as[(String, String, Double)].collect().toSeq
     assert(got === Seq(("o1", "a", 9.0), ("o2", "b", 2.0), ("o3", "c", 3.0)))
     // idempotent: re-upserting the same batch changes nothing
     Load.upsert(spark, v2, path, Seq("order_id", "items"))
-    assert(spark.read.parquet(path).count() === 3)
+    assert(Load.readTable(spark, path).count() === 3)
+  }
+
+  test("upsert rewrites ONLY the partitions containing incoming keys") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val path = tmpDir("pruned") + "/t"
+    val keys = Seq("order_id", "items")
+    val v1 = (1 to 300).map(i => (s"o$i", s"i$i", 1.0))
+      .toDF("order_id", "items", "amount")
+    Load.upsert(spark, v1, path, keys)
+
+    def files(): Map[String, String] =
+      Files.walk(Paths.get(path)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val h = md.digest(Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+          Paths.get(path).relativize(p).toString -> h
+        }.toMap
+
+    val before = files()
+    val v2 = Seq(("o1", "i1", 9.0)).toDF("order_id", "items", "amount")
+    val touched = v2.select(Load.bucketOf(keys)).as[Long].head()
+    Load.upsert(spark, v2, path, keys)
+    val after = files()
+
+    def untouched(m: Map[String, String]) =
+      m.filterNot(_._1.startsWith(s"__bucket=$touched"))
+    // untouched partitions: the exact same files, byte for byte
+    assert(untouched(before) === untouched(after))
+    assert(untouched(before).nonEmpty)
+    // the touched partition was rewritten
+    assert(before.filter(_._1.startsWith(s"__bucket=$touched"))
+      !== after.filter(_._1.startsWith(s"__bucket=$touched")))
+    // and the merge semantics held
+    val t = Load.readTable(spark, path)
+    assert(t.count() === 300)
+    assert(t.filter(col("order_id") === "o1").select("amount")
+      .as[Double].head() === 9.0)
   }
 
   test("S6/J1 star normalization: all-integer fact, FK integrity") {

@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"IVF recall $recall")
   }
 
+  test("IVF codebook size is fixed — independent of corpus row count") {
+    val cb = Similarity.ivfCodebook(emb, "vec_id", "embedding", 64)
+    assert(cb.count() === 64)
+    // doubling the corpus must NOT grow the codebook (the round-2
+    // sampleMod design grew it as N/40 — the 100 TB killer)
+    val doubled = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
+    assert(Similarity.ivfCodebook(doubled, "vec_id", "embedding", 64).count() === 64)
+    // and the codebook is a deterministic function of the id set
+    val again = Similarity.ivfCodebook(emb, "vec_id", "embedding", 64)
+      .select("cent_id").as[Long].collect().toSeq
+    assert(again === cb.select("cent_id").as[Long].collect().toSeq)
+  }
+
   test("LSH ANN recall@10 against brute-force ground truth") {
     val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 10)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
