@@ -267,6 +267,37 @@ object AnalyticsQueries {
         .agg(sum(col("new_session")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // q53 — A5/A7: native session_window sessionization — the batch-
+    // deterministic twin of the streaming Ingest.sessionCounts. The
+    // ts is floored to seconds so the DuckDB lag-twin matches
+    // exactly. session_window starts a NEW session at gap >= 30 min
+    // (windows [start, last+gap) don't merge on touching bounds) —
+    // the oracle mirrors that rule, where q26's lag form uses >.
+    "q53_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("tsec"))
+        .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"),
+          max(col("n")).cast("long").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // q54 — A5: sliding-window aggregation — window(ts, 1h, 30m):
+    // every event lands in exactly two epoch-aligned hourly windows
+    // 30 minutes apart (the overlap structure the oracle rebuilds
+    // with a 2-row generator join).
+    "q54_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +421,35 @@ object AnalyticsQueries {
         |           lag(epoch_s, 1) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev
         |    FROM (SELECT user_id, event_id,
         |                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)))
-        |GROUP BY 1 ORDER BY user_id""".stripMargin
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q53_session_window" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events),
+        |marked AS (
+        |  SELECT user_id, epoch_s,
+        |         CASE WHEN lag(epoch_s) OVER w IS NULL
+        |               OR epoch_s - lag(epoch_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s)),
+        |sessions AS (
+        |  SELECT user_id,
+        |         SUM(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_s, new_session DESC
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(MAX(n) AS BIGINT) AS max_session_events
+        |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q54_sliding_window" ->
+      s"""SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+         |       COUNT(*) AS n, ${oraSum("value")} AS total
+         |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+         |               - k * INTERVAL '30 minutes' AS ws,
+         |             event_type, value
+         |      FROM events CROSS JOIN (VALUES (0), (1)) shifts(k))
+         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -88,6 +88,20 @@ object Ingest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** A5/A7: streaming session windows — per-user sessions that close
+    * when no event arrives within `gap`; the watermark bounds state
+    * (sessions older than it finalize and emit). Batch-deterministic
+    * twin: q53_session_window.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
   /** C2/A8 streaming form: exactly-once-per-key within the watermark
     * horizon — bounded-state streaming dedup on the business key.
     */

@@ -87,6 +87,28 @@ class IngestSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= batchTotal)
   }
 
+  test("A5 streaming: session_window sessions close at the watermark") {
+    val dir = tmpDir("session")
+    Tables.events(spark, sf).limit(300)
+      .write.mode("overwrite").parquet(dir + "/in")
+    val schema = spark.read.parquet(dir + "/in").schema
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+    val query = Ingest.sessionCounts(stream, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_out")
+      .option("checkpointLocation", dir + "/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val out = spark.table("session_out")
+    val emitted = out.agg(sum("n")).as[Long].head()
+    // append mode emits only watermark-closed sessions: something
+    // closes, nothing exceeds the input count
+    assert(emitted > 0 && emitted <= 300)
+    // a session's span is at least one gap long end-to-start
+    assert(out.filter(col("session_end") <= col("session_start")).count() === 0)
+  }
+
   test("C2 streaming: dropDuplicatesWithinWatermark dedups keys") {
     val dir = tmpDir("dedup")
     val ev = Tables.events(spark, sf).limit(100)
