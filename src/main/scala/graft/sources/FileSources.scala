@@ -38,6 +38,33 @@ object FileSources {
       .json(path)
   }
 
+  /** The pluggable raw-report source seam: the ingest layer reads
+    * the staging folder through this interface, so the CSV
+    * stand-in, the real in-repo .xlsx reader ([[Xlsx]]), or an
+    * external spark-excel datasource are interchangeable without
+    * touching transform/sink code.
+    */
+  trait RawSheetSource extends Serializable {
+    /** All staged sheets under `dir` as one raw frame with exactly
+      * the contract's columns (every cell a string).
+      */
+    def read(spark: SparkSession, dir: String, schema: StructType): DataFrame
+  }
+
+  /** CSV staging files (header row, permissive). */
+  object CsvSheetSource extends RawSheetSource {
+    def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+      spark.read.schema(schema).option("header", "true").csv(dir)
+  }
+
+  /** Real .xlsx workbooks — the named sheet of each (the reference's
+    * `sheet_name='Paid order list'`, `main.py:98`).
+    */
+  final case class XlsxSheetSource(sheetName: String) extends RawSheetSource {
+    def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+      Xlsx.readSheets(spark, dir, sheetName, schema).drop("_src_file")
+  }
+
   /** Split a permissive scan into (parsed, corrupt) — corrupt rows
     * keep their raw text for quarantine.
     */

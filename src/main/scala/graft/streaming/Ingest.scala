@@ -88,6 +88,29 @@ object Ingest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** One batch ingest pass through the pluggable sheet-source seam
+    * (S3): read every staged sheet via `source` (CSV stand-in or the
+    * real .xlsx reader), transform (E2), route (F5), upsert the
+    * fact (S4), append quarantine (S5). The streaming loop above
+    * covers incremental CSV; this covers formats Spark has no file
+    * stream for — the reference's daily-workbook cadence is a cron
+    * batch anyway (`main.py:419`).
+    */
+  def ingestBatch(spark: SparkSession, stagingDir: String,
+                  source: graft.sources.FileSources.RawSheetSource,
+                  factSink: UpsertSink, quarantinePath: String,
+                  dim: DataFrame): (Long, Long) = {
+    val raw = source.read(spark, stagingDir, rawSchema)
+    val split = Transform.run(raw, dim)
+    val clean = split.clean.cache()
+    val quarantine = split.quarantine.cache()
+    val (nc, nq) = (clean.count(), quarantine.count())
+    factSink.upsert(clean, factKeys)
+    Load.appendQuarantine(quarantine, quarantinePath)
+    clean.unpersist(); quarantine.unpersist()
+    (nc, nq)
+  }
+
   /** A5/A7: streaming session windows — per-user sessions that close
     * when no event arrives within `gap`; the watermark bounds state
     * (sessions older than it finalize and emit). Batch-deterministic

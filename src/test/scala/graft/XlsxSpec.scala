@@ -1,0 +1,178 @@
+package graft
+
+import graft.sources.Xlsx
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** S3 on a REAL .xlsx: the fixture is a genuine SpreadsheetML zip
+  * (two sheets, shared strings incl. a rich-text run, inline
+  * strings, numeric cells, a sparse row with a skipped column) built
+  * with ZipOutputStream — exactly the structure Excel emits.
+  */
+class XlsxSpec extends SparkSpec {
+
+  private def entry(z: ZipOutputStream, name: String, content: String): Unit = {
+    z.putNextEntry(new ZipEntry(name))
+    z.write(content.getBytes("UTF-8"))
+    z.closeEntry()
+  }
+
+  /** Minimal valid workbook: sheet1 = decoy, sheet2 = the target
+    * 'Paid order list' (matching the reference's sheet name,
+    * main.py:98).
+    */
+  private def workbookBytes(rows2: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entry(z, "[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry(z, "xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets>
+        |    <sheet name="Summary" sheetId="1" r:id="rId1"/>
+        |    <sheet name="Paid order list" sheetId="2" r:id="rId2"/>
+        |  </sheets>
+        |</workbook>""".stripMargin)
+    entry(z, "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    // shared strings: [0]=Order ID, [1]=Products, [2]=Amount,
+    // [3] is a RICH-TEXT run split across two <r><t> fragments
+    entry(z, "xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |  <si><t>Order ID</t></si>
+        |  <si><t>Products</t></si>
+        |  <si><t>Amount</t></si>
+        |  <si><r><t>Spanish Latte</t></r><r><t xml:space="preserve"> (Solo) (Hot)</t></r></si>
+        |</sst>""".stripMargin)
+    entry(z, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>decoy</t></is></c></row></sheetData>
+        |</worksheet>""".stripMargin)
+    entry(z, "xl/worksheets/sheet2.xml", rows2)
+    z.close()
+    bos.toByteArray
+  }
+
+  private val targetSheet =
+    """<?xml version="1.0"?>
+      |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |  <sheetData>
+      |    <row r="1">
+      |      <c r="A1" t="s"><v>0</v></c>
+      |      <c r="B1" t="s"><v>1</v></c>
+      |      <c r="C1" t="s"><v>2</v></c>
+      |    </row>
+      |    <row r="2">
+      |      <c r="A2"><v>1</v></c>
+      |      <c r="B2" t="s"><v>3</v></c>
+      |      <c r="C2"><v>123.45</v></c>
+      |    </row>
+      |    <row r="3">
+      |      <c r="A3"><v>2</v></c>
+      |      <c r="C3"><v>67.8</v></c>
+      |    </row>
+      |    <row r="4">
+      |      <c r="A4"><v>3</v></c>
+      |      <c r="B4" t="inlineStr"><is><t>Biscoff Croffle x2</t></is></c>
+      |      <c r="C4"><v>50</v></c>
+      |    </row>
+      |  </sheetData>
+      |</worksheet>""".stripMargin
+
+  test("parseSheet: sheet-by-name, shared/rich/inline strings, sparse cells") {
+    val rows = Xlsx.parseSheet(workbookBytes(targetSheet), "Paid order list")
+    assert(rows === Seq(
+      Seq(Some("Order ID"), Some("Products"), Some("Amount")),
+      Seq(Some("1"), Some("Spanish Latte (Solo) (Hot)"), Some("123.45")),
+      Seq(Some("2"), None, Some("67.8")), // B3 skipped → sparse None
+      Seq(Some("3"), Some("Biscoff Croffle x2"), Some("50"))))
+    // decoy sheet resolves independently
+    val decoy = Xlsx.parseSheet(workbookBytes(targetSheet), "Summary")
+    assert(decoy === Seq(Seq(Some("decoy"))))
+    // unknown sheet fails loudly, not silently empty
+    val e = intercept[RuntimeException] {
+      Xlsx.parseSheet(workbookBytes(targetSheet), "Nope")
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("readSheets: executor-side parse of a folder of workbooks") {
+    import org.apache.spark.sql.types.StructType
+    val dir = tmpDir("xlsx")
+    val bytes = workbookBytes(targetSheet)
+    Seq("day1.xlsx", "day2.xlsx").foreach { f =>
+      val out = new FileOutputStream(s"$dir/$f")
+      out.write(bytes); out.close()
+    }
+    val schema = StructType.fromDDL(
+      "`Order ID` STRING, `Products` STRING, `Amount` STRING")
+    val df = Xlsx.readSheets(spark, dir, "Paid order list", schema)
+    assert(df.count() === 6) // 3 data rows × 2 files
+    assert(df.columns.toSeq === Seq("_src_file", "Order ID", "Products", "Amount"))
+    val r1 = df.filter(df("Order ID") === "1").select("Products").distinct()
+    assert(r1.collect().map(_.getString(0)).toSeq === Seq("Spanish Latte (Solo) (Hot)"))
+    // sparse cell surfaces as null
+    assert(df.filter(df("Order ID") === "2")
+      .filter(df("Products").isNull).count() === 2)
+  }
+
+  test("S3 end-to-end: real .xlsx staging folder through the full pipeline") {
+    import graft.etl.{ParquetUpsertSink, Transform}
+    import graft.sources.FileSources.XlsxSheetSource
+    import graft.streaming.Ingest
+    val base = tmpDir("xlsx-e2e")
+    val staging = base + "/staging"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    // a workbook whose sheet carries the FULL raw-report contract
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="inlineStr"><is><t>Order ID</t></is></c>
+        |      <c r="B1" t="inlineStr"><is><t>Products</t></is></c>
+        |      <c r="C1" t="inlineStr"><is><t>Product amount</t></is></c>
+        |      <c r="D1" t="inlineStr"><is><t>Received amount</t></is></c>
+        |      <c r="E1" t="inlineStr"><is><t>Payment time</t></is></c>
+        |      <c r="F1" t="inlineStr"><is><t>Cash</t></is></c>
+        |      <c r="G1" t="inlineStr"><is><t>Gcash</t></is></c>
+        |      <c r="H1" t="inlineStr"><is><t>Type/Channel</t></is></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2"><v>1</v></c>
+        |      <c r="B2" t="inlineStr"><is><t>Spanish Latte (Solo) (Hot) x2,Biscoff Croffle</t></is></c>
+        |      <c r="C2"><v>300</v></c>
+        |      <c r="D2"><v>300</v></c>
+        |      <c r="E2" t="inlineStr"><is><t>2026-01-01 10:00:00</t></is></c>
+        |      <c r="F2"><v>300</v></c>
+        |      <c r="G2" t="inlineStr"><is><t>-</t></is></c>
+        |      <c r="H2" t="inlineStr"><is><t>Dine-in</t></is></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    val out = new FileOutputStream(s"$staging/day1.xlsx")
+    out.write(workbookSheet2Bytes(sheet)); out.close()
+
+    val factPath = base + "/fact"
+    val (nc, nq) = Ingest.ingestBatch(spark, staging,
+      XlsxSheetSource("Paid order list"),
+      new ParquetUpsertSink(spark, factPath), base + "/quar",
+      Transform.dimDF(spark))
+    assert((nc, nq) === ((2L, 0L)))
+    val items = graft.etl.Load.readTable(spark, factPath)
+      .select("items").orderBy("items")
+      .collect().map(_.getString(0)).toSeq
+    assert(items === Seq("Croffle - Biscoff", "Spanish Latte"))
+  }
+
+  private def workbookSheet2Bytes(sheet2: String): Array[Byte] =
+    workbookBytes(sheet2)
+}
