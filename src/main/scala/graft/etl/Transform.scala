@@ -47,7 +47,17 @@ object Transform {
       .withColumn("sugar_level", Extract.sugarLevel(it))
       .withColumn("spice_level", Extract.spiceLevel(it))
       .withColumn("quantity", Extract.quantity(it))
-      .withColumn("clean_item", Extract.cleanItem(it))
+      // clean_item is the one EXPENSIVE extract (nested rlike +
+      // alternation extracts + corrections) that downstream operators
+      // reference three ways: the R12 filter, the dim-join key, and
+      // the initcap display column. PushDownPredicates/CollapseProject
+      // substitute the full expression into each consumer — measured
+      // ~1.8x whole-pipeline cost at sf0.1. The no-op rand() guard
+      // marks the projection non-deterministic (value unchanged), so
+      // the optimizer keeps ONE evaluation per row and consumers
+      // reference the materialized attribute.
+      .withColumn("clean_item",
+        when(rand() >= -1d, Extract.cleanItem(it)))
     val mapped = Categorize.withCategories(extracted, dim, "clean_item")
     mapped
       .filter(col("clean_item").isNotNull) // R12 (null-model form)
