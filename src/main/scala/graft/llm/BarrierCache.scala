@@ -1,0 +1,37 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry for the plan-barrier caches the LSH/SimHash operators
+  * need (a `.cache()` stops CollapseProject from inlining an
+  * expensive projection into its many consumers, and dedupes
+  * computation across self-join branches).
+  *
+  * The caches are per-query scratch, but `unpersist` can't be called
+  * inline — the returned DataFrame is lazy and still references the
+  * cached plan. Instead every tracked cache is registered here and
+  * swept when the session constructs its NEXT llm query (by which
+  * point the prior query's result has been consumed; if a caller
+  * does hold an unconsumed frame, unpersist is still safe — Spark
+  * just recomputes). Bounds cache footprint to one query's barriers
+  * in long-lived sessions instead of accumulating forever.
+  */
+object BarrierCache {
+
+  private val tracked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, List[DataFrame]]
+
+  /** Cache `df` and register it for the session's next sweep. */
+  def track(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    tracked.synchronized {
+      tracked.put(s, df :: tracked.getOrElse(s, Nil))
+    }
+    df.cache()
+  }
+
+  /** Unpersist every barrier cache tracked for `s`. */
+  def sweep(s: SparkSession): Unit =
+    tracked.synchronized { tracked.remove(s) }
+      .foreach(_.foreach(_.unpersist()))
+}

@@ -62,15 +62,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sh = BarrierCache.track(shingles(docs, idCol, textCol, n))
     val shF =
       if (maxDocFreq <= 0) sh
       else {
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
-          .select(col(idCol), col("shingle")) // using-join puts the key first
-          .cache()
+        BarrierCache.track(
+          sh.join(hot, Seq("shingle"), "left_anti")
+            .select(col(idCol), col("shingle"))) // using-join puts the key first
       }
     val sizes = shF.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val a = shF.toDF("id_i", "shingle")
@@ -139,7 +139,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       p: MinHashParams = MinHashParams()): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sh = BarrierCache.track(shingles(docs, idCol, textCol, n))
     val hashed = sh
       .select(col(idCol), xxhash64(col("shingle")).as("h"))
       .groupBy(idCol).agg(collect_list("h").as("hs"))
@@ -247,7 +247,8 @@ object Dedup {
     // cache barrier: without it the simhash expression is inlined
     // into every block column and into the post-join hamming — the
     // signature would be recomputed per candidate pair.
-    val withSig = docs.select(col(idCol), simhash(col(textCol)).as("sig")).cache()
+    val withSig = BarrierCache.track(
+      docs.select(col(idCol), simhash(col(textCol)).as("sig")))
     val blockCols = array((0 until nBlocks).map { b =>
       shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
     }: _*)

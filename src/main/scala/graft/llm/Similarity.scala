@@ -113,7 +113,7 @@ object Similarity {
     // cache barrier: CollapseProject would otherwise inline the
     // 48-projection __bits expression into all nTables*nBits
     // references (plan text grows to megabytes, eval cost x144).
-    val based = df.withColumn("__bits", array(baseBits: _*)).cache()
+    val based = BarrierCache.track(df.withColumn("__bits", array(baseBits: _*)))
     based.withColumn(out, array(tableBuckets: _*)).drop("__bits")
   }
 
