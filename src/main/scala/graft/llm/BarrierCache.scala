@@ -20,14 +20,35 @@ object BarrierCache {
 
   private val tracked =
     scala.collection.concurrent.TrieMap.empty[SparkSession, List[DataFrame]]
+  private val lastScope =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
-  /** Cache `df` and register it for the session's next sweep. */
+  /** Cache `df` and register it for the session's next sweep.
+    * Spark's CacheManager dedupes semantically-equal plans, so two
+    * queries over the same inputs SHARE one materialization (e.g.
+    * the shingle index across the Jaccard and MinHash queries) —
+    * which is why eviction is scope-driven, not per-query.
+    */
   def track(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     tracked.synchronized {
       tracked.put(s, df :: tracked.getOrElse(s, Nil))
     }
     df.cache()
+  }
+
+  /** Evict the session's barrier caches when work moves to a new
+    * scope (data dir): within one scope, plan-identical caches are
+    * shared; across scopes they can never hit again and would
+    * accumulate forever. Unpersist of a still-referenced plan is
+    * safe — Spark just recomputes.
+    */
+  def sweepOnNewScope(s: SparkSession, scope: String): Unit = {
+    val stale = tracked.synchronized {
+      if (lastScope.put(s, scope).contains(scope)) Nil
+      else tracked.remove(s).getOrElse(Nil)
+    }
+    stale.foreach(_.unpersist())
   }
 
   /** Unpersist every barrier cache tracked for `s`. */

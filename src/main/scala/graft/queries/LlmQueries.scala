@@ -72,7 +72,7 @@ object LlmQueries {
     // q31 — A8: exact 3-gram Jaccard near-dup pairs (inverted
     // shingle index — the scalable exact formulation).
     "q31_ngram_jaccard" -> ((s, dir) => {
-      graft.llm.BarrierCache.sweep(s)
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .orderBy("id_i", "id_j")
     }),
@@ -81,7 +81,7 @@ object LlmQueries {
     // identical output contract (and oracle) as q31 — LSH only
     // prunes the pair space.
     "q32_minhash_neardup" -> ((s, dir) => {
-      graft.llm.BarrierCache.sweep(s)
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
         .orderBy("id_i", "id_j")
     }),
@@ -90,7 +90,7 @@ object LlmQueries {
     // No SQL oracle (hash family not reproducible in DuckDB) —
     // rows-only check here, validated in ScalaTest.
     "q33_simhash_neardup" -> ((s, dir) => {
-      graft.llm.BarrierCache.sweep(s)
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_i", "id_j")
     }),
@@ -102,7 +102,7 @@ object LlmQueries {
     // find precisely those pairs (identical vectors share all buckets,
     // recall is structural, not probabilistic).
     "q45_embedding_neardup" -> ((s, dir) => {
-      graft.llm.BarrierCache.sweep(s)
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val copies = emb.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
@@ -122,7 +122,7 @@ object LlmQueries {
     // q35 — A10: LSH-pruned ANN top-10 (rows-only; recall vs q34
     // asserted in ScalaTest).
     "q35_ann_lsh_topk" -> ((s, dir) => {
-      graft.llm.BarrierCache.sweep(s)
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rnk")
