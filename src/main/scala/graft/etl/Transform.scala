@@ -48,16 +48,14 @@ object Transform {
       .withColumn("spice_level", Extract.spiceLevel(it))
       .withColumn("quantity", Extract.quantity(it))
       // clean_item is the one EXPENSIVE extract (nested rlike +
-      // alternation extracts + corrections) that downstream operators
-      // reference three ways: the R12 filter, the dim-join key, and
-      // the initcap display column. PushDownPredicates/CollapseProject
-      // substitute the full expression into each consumer — measured
-      // ~1.8x whole-pipeline cost at sf0.1. The no-op rand() guard
-      // marks the projection non-deterministic (value unchanged), so
-      // the optimizer keeps ONE evaluation per row and consumers
-      // reference the materialized attribute.
-      .withColumn("clean_item",
-        when(rand() >= -1d, Extract.cleanItem(it)))
+      // alternation extracts + corrections), referenced by the R12
+      // filter, the dim-join key, and the initcap display column.
+      // Spark 4.1's optimizer keeps ONE evaluating node (verified
+      // A/B: a forced non-deterministic barrier changes nothing at
+      // steady state); PlanQualitySpec pins that node count so an
+      // optimizer/plan change can't silently re-inline the chain
+      // into every consumer.
+      .withColumn("clean_item", Extract.cleanItem(it))
     val mapped = Categorize.withCategories(extracted, dim, "clean_item")
     mapped
       .filter(col("clean_item").isNotNull) // R12 (null-model form)

@@ -44,6 +44,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("transform evaluates the clean_item chain in at most 2 plan nodes") {
+    import graft.etl.{Pos, Transform}
+    val df = Transform.transform(Pos.rawReport(spark, sf), Transform.dimDF(spark))
+    val opt = df.queryExecution.optimizedPlan
+    // The expensive R7-R10 chain has three consumers (R12 filter,
+    // dim-join key, initcap display column). The optimizer must keep
+    // it materialized in one Project (+ at most the pushed null
+    // filter) — if a plan change ever re-inlines it into every
+    // consumer this count jumps and the whole pipeline pays ~3x
+    // regex cost.
+    val nodes = opt.collect {
+      case p if p.expressions.mkString.contains("croissant|croffle") => p
+    }.size
+    assert(nodes <= 2, s"clean_item chain inlined into $nodes nodes\n${opt.toString.take(2000)}")
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
