@@ -54,9 +54,15 @@ object Xlsx {
   /** Named sheet of every .xlsx under `dir` as one DataFrame: first
     * row of each workbook is the header (validated identical across
     * workbooks), every cell a string + the source file path.
+    *
+    * With `skipCorrupt` (the reference's F1 behavior — an unreadable
+    * workbook is skipped, the rest of the day's files still load,
+    * `main.py:99-101`), files that fail to parse contribute zero
+    * rows; list them with [[corruptFiles]] for quarantine/alerting.
+    * With it off (default), a bad workbook fails the job loudly.
     */
   def readSheets(spark: SparkSession, dir: String, sheetName: String,
-                 schema: StructType): DataFrame = {
+                 schema: StructType, skipCorrupt: Boolean = false): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(dir)
       .select("path", "content")
@@ -65,20 +71,38 @@ object Xlsx {
     val expected = schema.fieldNames.toSeq
     val rows = files.rdd.flatMap { r =>
       val path = r.getString(0)
-      val rowsOfFile = parseSheet(r.getAs[Array[Byte]](1), sheetName)
-      if (rowsOfFile.isEmpty) Iterator.empty
-      else {
-        val header = rowsOfFile.head.map(_.getOrElse("").trim)
-        require(header == expected,
-          s"$path: sheet header $header != contract $expected")
-        rowsOfFile.iterator.drop(1).map { cells =>
-          val padded = (0 until n).map(i =>
-            cells.lift(i).flatten.orNull)
-          Row.fromSeq(path +: padded)
+      def parse(): Iterator[Row] = {
+        val rowsOfFile = parseSheet(r.getAs[Array[Byte]](1), sheetName)
+        if (rowsOfFile.isEmpty) Iterator.empty
+        else {
+          val header = rowsOfFile.head.map(_.getOrElse("").trim)
+          require(header == expected,
+            s"$path: sheet header $header != contract $expected")
+          rowsOfFile.iterator.drop(1).map { cells =>
+            val padded = (0 until n).map(i =>
+              cells.lift(i).flatten.orNull)
+            Row.fromSeq(path +: padded)
+          }
         }
       }
+      if (!skipCorrupt) parse()
+      else try parse() catch { case scala.util.control.NonFatal(_) => Iterator.empty }
     }
     spark.createDataFrame(rows, out)
+  }
+
+  /** Paths under `dir` whose named sheet fails to parse — the
+    * file-grained quarantine companion to `skipCorrupt` (metadata
+    * pass over the same binaryFile source, executor-side).
+    */
+  def corruptFiles(spark: SparkSession, dir: String, sheetName: String): Seq[String] = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(dir)
+      .select("path", "content")
+    files.rdd.flatMap { r =>
+      try { parseSheet(r.getAs[Array[Byte]](1), sheetName); None }
+      catch { case scala.util.control.NonFatal(_) => Some(r.getString(0)) }
+    }.collect().toSeq.sorted
   }
 
   // ---- SpreadsheetML parsing (pure JDK StAX) ----

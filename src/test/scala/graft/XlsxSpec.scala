@@ -124,6 +124,26 @@ class XlsxSpec extends SparkSpec {
       .filter(df("Products").isNull).count() === 2)
   }
 
+  test("F1: a corrupt workbook is skipped file-grained, good files still load") {
+    import org.apache.spark.sql.types.StructType
+    val dir = tmpDir("xlsx-corrupt")
+    val good = new FileOutputStream(s"$dir/good.xlsx")
+    good.write(workbookBytes(targetSheet)); good.close()
+    val bad = new FileOutputStream(s"$dir/bad.xlsx")
+    bad.write("this is not a zip archive".getBytes("UTF-8")); bad.close()
+    val schema = StructType.fromDDL(
+      "`Order ID` STRING, `Products` STRING, `Amount` STRING")
+    // strict mode fails the job loudly
+    intercept[org.apache.spark.SparkException] {
+      Xlsx.readSheets(spark, dir, "Paid order list", schema).count()
+    }
+    // F1 mode: the good workbook's rows survive, the bad one is listed
+    val df = Xlsx.readSheets(spark, dir, "Paid order list", schema, skipCorrupt = true)
+    assert(df.count() === 3)
+    val corrupt = Xlsx.corruptFiles(spark, dir, "Paid order list")
+    assert(corrupt.size === 1 && corrupt.head.endsWith("bad.xlsx"))
+  }
+
   test("S3 end-to-end: real .xlsx staging folder through the full pipeline") {
     import graft.etl.{ParquetUpsertSink, Transform}
     import graft.sources.FileSources.XlsxSheetSource
