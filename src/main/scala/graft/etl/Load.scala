@@ -87,9 +87,14 @@ object Load {
       .filter(col("__rn") === 1)
       .drop("__v", "__rn")
     // write merged buckets beside the table, then swap ONLY those
-    // partition directories — untouched buckets are never rewritten
+    // partition directories — untouched buckets are never rewritten.
+    // repartition on the bucket first: otherwise every shuffle task
+    // writes a sliver into every touched bucket dir (tasks × buckets
+    // small files per batch — the classic 100 TB small-files trap);
+    // this way each bucket gets one writer and one file per batch.
     val tmp = path + "__tmp"
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    merged.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.foreach { b =>
