@@ -99,7 +99,8 @@ object Ingest {
   def ingestBatch(spark: SparkSession, stagingDir: String,
                   source: graft.sources.FileSources.RawSheetSource,
                   factSink: UpsertSink, quarantinePath: String,
-                  dim: DataFrame): (Long, Long) = {
+                  dim: DataFrame,
+                  archiveDir: Option[String] = None): (Long, Long) = {
     val raw = source.read(spark, stagingDir, rawSchema)
     val split = Transform.run(raw, dim)
     val clean = split.clean.cache()
@@ -108,7 +109,28 @@ object Ingest {
     factSink.upsert(clean, factKeys)
     Load.appendQuarantine(quarantine, quarantinePath)
     clean.unpersist(); quarantine.unpersist()
+    // S7 for the batch path: move consumed staging files to the
+    // archive AFTER both sinks committed (crash before this point
+    // re-reads the files; the key-idempotent fact upsert converges,
+    // quarantine double-append is the known batch-API cost)
+    archiveDir.foreach(archiveStaged(spark, stagingDir, _))
     (nc, nq)
+  }
+
+  /** Move every file under `stagingDir` into `archiveDir` (driver-side
+    * rename — file COUNT is the daily-workbook cadence, not data
+    * volume; the bytes never move through the driver).
+    */
+  def archiveStaged(spark: SparkSession, stagingDir: String,
+                    archiveDir: String): Int = {
+    val staging = new org.apache.hadoop.fs.Path(stagingDir)
+    val archive = new org.apache.hadoop.fs.Path(archiveDir)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(archive)) fs.mkdirs(archive)
+    val files = fs.listStatus(staging).filter(_.isFile)
+    files.foreach(f =>
+      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(archive, f.getPath.getName)))
+    files.length
   }
 
   /** A5/A7: streaming session windows — per-user sessions that close

@@ -60,6 +60,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(nodes <= 2, s"clean_item chain inlined into $nodes nodes\n${opt.toString.take(2000)}")
   }
 
+  test("q53: sessions build inside one user_id hash partitioning") {
+    val p = plan("q53_session_window")
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+    // session assembly must not add a second data shuffle beyond the
+    // user partitioning (+ the output sort's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q54: sliding windows expand map-side with partial aggregation") {
+    val p = plan("q54_sliding_window")
+    assert(p.contains("Expand"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")

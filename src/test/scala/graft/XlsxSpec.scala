@@ -185,12 +185,15 @@ class XlsxSpec extends SparkSpec {
     val (nc, nq) = Ingest.ingestBatch(spark, staging,
       XlsxSheetSource("Paid order list"),
       new ParquetUpsertSink(spark, factPath), base + "/quar",
-      Transform.dimDF(spark))
+      Transform.dimDF(spark), archiveDir = Some(base + "/archive"))
     assert((nc, nq) === ((2L, 0L)))
     val items = graft.etl.Load.readTable(spark, factPath)
       .select("items").orderBy("items")
       .collect().map(_.getString(0)).toSeq
     assert(items === Seq("Croffle - Biscoff", "Spanish Latte"))
+    // S7: the consumed workbook moved staging -> archive
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(staging, "day1.xlsx")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base + "/archive", "day1.xlsx")))
   }
 
   private def workbookSheet2Bytes(sheet2: String): Array[Byte] =
