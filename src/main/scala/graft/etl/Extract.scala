@@ -43,17 +43,25 @@ object Extract {
     when(item.rlike("(?i)(fries|lemonade)"),
       initcap(extractOpt(item, "(cheese|bbq|sour cream|plain|mango)")))
 
-  /** R4: sugar level (`main.py:128-130`). */
+  /** R4: sugar level, title-cased like the reference's
+    * `.str.title()` — `initcap` coincides on this closed vocabulary
+    * (`main.py:128-130`).
+    */
   def sugarLevel(item: Column): Column =
-    extractOpt(item, "(sugar 20%|sugar 50%|sugar 75%|sugar 100%)")
+    initcap(extractOpt(item, "(sugar 20%|sugar 50%|sugar 75%|sugar 100%)"))
 
-  /** R5: spice level — escaped parens (`main.py:133-135`). */
+  /** R5: spice level — escaped parens, title-cased (`main.py:133-135`). */
   def spiceLevel(item: Column): Column =
-    extractOpt(item, "(mild \\(1/4\\)|regular \\(2/4\\)|spicy \\(3/4\\))")
+    initcap(extractOpt(item, "(mild \\(1/4\\)|regular \\(2/4\\)|spicy \\(3/4\\))"))
 
-  /** R6: quantity `x<digits>`, default 1.0 (`main.py:138`). */
+  /** R6: quantity `x<digits>`, default 1.0 (`main.py:138`). The
+    * reference's extract has NO re.I flag — lowercase `x` only
+    * ('Pizza X2' keeps quantity 1.0), unlike every other extract.
+    */
   def quantity(item: Column): Column =
-    coalesce(extractOpt(item, "x\\s*(\\d+)").cast("double"), lit(1.0))
+    coalesce(
+      nullIfEmpty(regexp_extract(item, "x\\s*(\\d+)", 1)).cast("double"),
+      lit(1.0))
 
   // --- R7: masked two-part pastry rename (main.py:140-165) ---
 
@@ -96,12 +104,13 @@ object Extract {
   def pastryName(item: Column): Column =
     concat(pastryCategory(item), lit(" - "), pastryFlavor(item))
 
-  /** R9: non-target cleanup — strip `x<qty>` suffix and any
-    * parenthetical, trim (`main.py:171-175`).
+  /** R9: non-target cleanup — strip `x<qty>` suffix (case-SENSITIVE,
+    * like the reference's unflagged replace) and any parenthetical,
+    * trim (`main.py:171-175`).
     */
   def cleanupItem(item: Column): Column =
     trim(regexp_replace(
-      regexp_replace(item, "(?i)x\\s*\\d+", ""),
+      regexp_replace(item, "x\\s*\\d+", ""),
       "\\s*\\(.*\\)", ""))
 
   /** R10: the reference's literal corrections dict (`main.py:177-182`).

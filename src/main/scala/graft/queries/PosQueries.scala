@@ -183,7 +183,8 @@ object PosQueries {
   private val cleanItemSql: String = correctionsSql(
     s"(CASE WHEN regexp_matches(item, '(?i)(croissant|croffle|cookies|cookie)') THEN " +
       s"(CASE WHEN $catExtract = 'Cookie' THEN 'Cookies' ELSE $catExtract END) || ' - ' || $flavorPart " +
-      s"ELSE trim(regexp_replace(regexp_replace(item, '(?i)x\\s*\\d+', '', 'g'), '\\s*\\(.*\\)', '', 'g')) END)")
+      // the quantity strip is case-SENSITIVE (reference replace has no re.I)
+      s"ELSE trim(regexp_replace(regexp_replace(item, 'x\\s*\\d+', '', 'g'), '\\s*\\(.*\\)', '', 'g')) END)")
 
   /** item → (extract columns + clean_item) SQL fragments, shared by
     * the synthetic pipeline and the q52 fixture oracle. Every
@@ -195,9 +196,9 @@ object PosQueries {
        |    ${ucfirst(s"lower(${ext("(hot|cold)")})")} AS variation,
        |    CASE WHEN regexp_matches(item, '(?i)(fries|lemonade)')
        |         THEN ${ucfirst(s"lower(${ext("(cheese|bbq|sour cream|plain|mango)")})")} END AS flavor,
-       |    ${ext("(sugar 20%|sugar 50%|sugar 75%|sugar 100%)")} AS sugar_level,
-       |    ${ext("(mild \\(1/4\\)|regular \\(2/4\\)|spicy \\(3/4\\))")} AS spice_level,
-       |    COALESCE(TRY_CAST(${ext("x\\s*(\\d+)")} AS DOUBLE), 1.0) AS quantity,
+       |    ${initcapSql(ext("(sugar 20%|sugar 50%|sugar 75%|sugar 100%)"))} AS sugar_level,
+       |    ${initcapSql(ext("(mild \\(1/4\\)|regular \\(2/4\\)|spicy \\(3/4\\))"))} AS spice_level,
+       |    COALESCE(TRY_CAST(NULLIF(regexp_extract(item, 'x\\s*(\\d+)', 1), '') AS DOUBLE), 1.0) AS quantity,
        |    $cleanItemSql AS clean_item""".stripMargin
 
   private val pipelineSql: String =

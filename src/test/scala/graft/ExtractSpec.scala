@@ -28,16 +28,22 @@ class ExtractSpec extends SparkSpec {
       === Seq("Cheese", "Mango", null))
   }
 
-  test("R4/R5 sugar and spice levels incl. escaped parens") {
+  test("R4/R5 sugar and spice levels incl. escaped parens, title-cased") {
     assert(one("tea Sugar 50% x2", "wings Mild (1/4)", "plain")(Extract.sugarLevel(col("item")))
       === Seq("Sugar 50%", null, null))
+    // case-insensitive match, title-cased output (pandas .str.title())
     assert(one("wings MILD (1/4)", "wings Spicy (3/4)", "wings mild 1/4")(Extract.spiceLevel(col("item")))
-      === Seq("MILD (1/4)", "Spicy (3/4)", null))
+      === Seq("Mild (1/4)", "Spicy (3/4)", null))
+    assert(one("tea SUGAR 100%")(Extract.sugarLevel(col("item")))
+      === Seq("Sugar 100%"))
   }
 
-  test("R6 quantity: x<digits> with default 1.0") {
-    assert(one("latte x3", "latte X 12", "latte")(Extract.quantity(col("item")))
+  test("R6 quantity: lowercase x<digits> only (reference extract has no re.I)") {
+    assert(one("latte x3", "latte x 12", "latte")(Extract.quantity(col("item")))
       === Seq(3.0, 12.0, 1.0))
+    // uppercase X is NOT a quantity token in the reference
+    assert(one("latte X2")(Extract.quantity(col("item")))
+      === Seq(1.0))
   }
 
   test("R7 pastry rename: two-part extract, Cookie→Cookies canonicalization") {
