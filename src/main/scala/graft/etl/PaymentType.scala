@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   *   Cash  != '-'                ⇒ 'Cash'
   *   Gcash != '-'                ⇒ 'Gcash'
   *   else                        ⇒ 'Credit / Debit'
-  * Missing columns default Cash='0', Gcash='-' (`main.py:360,366`).
+  * NULL values stringify: pandas `str(row.get('Cash', 0))` turns a
+  * NaN CELL into the string `'nan'`, which is ≠ '-' and so lands in
+  * the 'Cash' branch (and a NaN Gcash in 'Gcash') — mirrored here
+  * with a `'nan'` coalesce. A MISSING column defaults to `'0'`/`'-'`
+  * in the reference; in this engine the P3 contract projection
+  * guarantees both columns exist, so value semantics are the whole
+  * story (callers without the columns pass `lit("0")`/`lit("-")`).
   */
 object PaymentType {
   def paymentType(cash: Column, gcash: Column): Column = {
-    val c = coalesce(cash.cast("string"), lit("0"))
-    val g = coalesce(gcash.cast("string"), lit("-"))
+    val c = coalesce(cash.cast("string"), lit("nan"))
+    val g = coalesce(gcash.cast("string"), lit("nan"))
     when(c.isin("0.00", "0"), "Free/Voucher/Discounted")
       .when(c =!= "-", "Cash")
       .when(g =!= "-", "Gcash")

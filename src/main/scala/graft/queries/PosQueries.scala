@@ -260,9 +260,9 @@ object PosQueries {
        |    TRY_CAST(replace(product_amount, ',', '') AS DOUBLE) AS total_order_amount,
        |    TRY_CAST(replace(received_amount_s, ',', '') AS DOUBLE) AS received_amount,
        |    payment_time,
-       |    CASE WHEN cash IN ('0.00','0') THEN 'Free/Voucher/Discounted'
-       |         WHEN cash <> '-' THEN 'Cash'
-       |         WHEN gcash <> '-' THEN 'Gcash'
+       |    CASE WHEN COALESCE(cash, 'nan') IN ('0.00','0') THEN 'Free/Voucher/Discounted'
+       |         WHEN COALESCE(cash, 'nan') <> '-' THEN 'Cash'
+       |         WHEN COALESCE(gcash, 'nan') <> '-' THEN 'Gcash'
        |         ELSE 'Credit / Debit' END AS payment_type,
        |    order_type
        |  FROM ext e LEFT JOIN dim d ON e.clean_item = d.clean_item

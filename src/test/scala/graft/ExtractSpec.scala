@@ -92,7 +92,7 @@ class ExtractSpec extends SparkSpec {
     assert(out === Seq(("o1", "a x1"), ("o1", "b x2")))
   }
 
-  test("U1 payment-type chain incl. missing-column defaults") {
+  test("U1 payment-type chain incl. pandas NaN-stringification") {
     val got = Seq(
       ("0.00", "-"), ("0", "500"), ("250.00", "-"), ("-", "99.0"), ("-", "-"))
       .toDF("cash", "gcash")
@@ -100,11 +100,12 @@ class ExtractSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got === Seq("Free/Voucher/Discounted", "Free/Voucher/Discounted",
       "Cash", "Gcash", "Credit / Debit"))
-    // null columns take reference defaults Cash='0', Gcash='-'
-    val defaults = Seq(1).toDF("x")
+    // a NULL cell stringifies to 'nan' in the reference (str(NaN)),
+    // which is != '-' and so routes to 'Cash' — a quirk, preserved
+    val nulls = Seq(1).toDF("x")
       .select(PaymentType.paymentType(lit(null), lit(null)).as("p"))
       .as[String].collect().toSeq
-    assert(defaults === Seq("Free/Voucher/Discounted"))
+    assert(nulls === Seq("Cash"))
   }
 
   test("P1/P2 header strip + sink sanitize") {
