@@ -21,6 +21,15 @@ object TextStats {
     split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Non-empty subword count (empties appear at leading/trailing
+    * boundaries of the zero-width split). Equivalent closed form:
+    * #alphanumeric-runs + #non-alphanumeric-chars — which is how the
+    * RE2-bound DuckDB oracle mirrors it (RE2 has no lookarounds).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(subwordTokens(text), t => length(t) > 0))
+
   def charCount(text: Column): Column = length(text)
 
   /** Type-token ratio — vocabulary diversity (int/int division is

@@ -28,6 +28,22 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // q55 — A9: BPE-ish subword token counting per language — the
+    // second half of the north-star token-counting pair (q27 counts
+    // whitespace tokens). Ratio subword/word approximates tokens-per-
+    // word fertility, the metric LLM data pipelines budget on.
+    "q55_subword_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.subwordCount(t).cast("long")).as("sum_subwords"),
+          (sum(TextStats.subwordCount(t).cast("long")).cast("double") /
+            sum(TextStats.tokenCount(t).cast("long")).cast("double")).as("subwords_per_word"))
+        .orderBy("lang")
+    }),
+
     // q28 — A9: heuristic language-ID vs the labeled lang.
     "q28_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -175,6 +191,16 @@ object LlmQueries {
         |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
         |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         |       COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    // subword count mirrored WITHOUT lookarounds (RE2): non-empty
+    // zero-width-split tokens == alnum runs + non-alnum chars
+    "q55_subword_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+        |         + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS BIGINT) AS sum_subwords,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+        |         + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS DOUBLE)
+        |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS subwords_per_word
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q28_lang_id" ->
       """WITH scored AS (

@@ -53,4 +53,17 @@ class TextStatsSpec extends SparkSpec {
       .select(TextStats.subwordTokens(col("text"))).collect().head.getSeq[String](0)
     assert(toks === Seq("don", "'", "t", "-", "stop"))
   }
+
+  test("subwordCount equals alnum-runs + non-alnum-chars (the RE2 oracle form)") {
+    // edge shapes: leading/trailing punctuation, consecutive
+    // delimiters, pure punctuation, empty-ish strings
+    val cases = Seq("don't-stop", "!ab", "ab, cd", ",,", "plain", "a  b!")
+    val got = cases.toDF("text")
+      .select(TextStats.subwordCount(col("text")).as("sw"),
+        (size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+"), lit(0))) +
+          length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))).as("closed"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
 }
