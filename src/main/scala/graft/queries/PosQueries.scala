@@ -127,7 +127,11 @@ object PosQueries {
     // miss paths: dict miss, pastry dict miss, unknown flavor (null → dropped)
     "Mystery Box x9,Matcha Croissant,Durian Croffle x4",
     // milk-based single-word keys + hot tea
-    "Chocolate (Medio) (Cold) x6,Matcha (Solo) (Hot),Peppermint,Coke in Can")
+    "Chocolate (Medio) (Cold) x6,Matcha (Solo) (Hot),Peppermint,Coke in Can",
+    // case-sensitivity pins: uppercase X2 is NOT a quantity token and
+    // NOT stripped (dict miss keeps the row, unmapped); lowercase
+    // sugar token title-cases on extraction
+    "Oreo Milk X2 (Solo),Matcha (solo) (sugar 50%) x3")
 
   // ---- DuckDB mirror ----
 
