@@ -66,6 +66,20 @@ class IngestSpec extends SparkSpec {
     assert(corrupt.as[String].collect().toSeq === Seq("not_an_int,xxx,bad"))
   }
 
+  test("S3: permissive JSON capture routes malformed rows, keeps good ones") {
+    val dir = tmpDir("json")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a INT, b STRING")
+    Files.write(Paths.get(dir, "f.json"),
+      """{"a": 1, "b": "ok"}
+        |{"a": "not_an_int", "b": 42}
+        |{"a": 3, "b": "fine"}""".stripMargin.getBytes("UTF-8"))
+    val df = FileSources.jsonPermissive(spark, dir + "/f.json", schema)
+    val (parsed, corrupt) = FileSources.splitCorrupt(df)
+    assert(parsed.count() === 2)
+    assert(corrupt.as[String].collect().toSeq
+      === Seq("""{"a": "not_an_int", "b": 42}"""))
+  }
+
   test("A7: watermarked tumbling-window aggregation over a stream") {
     val dir = tmpDir("stream")
     Tables.events(spark, sf).limit(200)
