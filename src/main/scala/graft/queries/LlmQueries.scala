@@ -85,6 +85,23 @@ object LlmQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // q56 — A9 sketch tier: bounded-memory space-saving top-5 tokens
+    // per language (TopKTokensSketch). Rows-only by design (estimates
+    // carry error bounds, not reproducible in DuckDB); head agreement
+    // and bound soundness vs the exact q48 are pinned in
+    // TopKSketchSpec.
+    "q56_top_tokens_sketch" -> ((s, dir) => {
+      val topk = udaf(graft.functions.TopKTokensSketch(5, capacity = 256))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang")
+        .agg(topk(col("token")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.token").as("token"), col("col.est").as("est"), col("col.err").as("err"))
+        .orderBy("lang", "rnk")
+    }),
+
     // q31 — A8: exact 3-gram Jaccard near-dup pairs (inverted
     // shingle index — the scalable exact formulation).
     "q31_ngram_jaccard" -> ((s, dir) => {
