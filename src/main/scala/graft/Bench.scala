@@ -1,9 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark harness: one JSON line on stdout.
+  *
+  * Methodology (per round-3 verdict):
+  *   - warm every query once at sf0.001 so codegen/JIT cold-start is
+  *     paid before timing;
+  *   - then FULLY reset engine state (fact cache, barrier caches,
+  *     catalog cache, an explicit GC breather) so the first timed
+  *     query does not inherit warmup residue;
+  *   - time each query 3x and report the per-query MEDIAN (steady
+  *     state) plus the first run (cold: includes any shared-cache
+  *     materialization that query triggers);
+  *   - per-query gc_ms (JVM GC time during that query's 3 runs) and
+  *     storage_mb (cached-plan memory after it) so a regression is
+  *     attributable from the artifact alone.
+  *
+  * Queries deliberately run in sorted order WITHOUT cache clearing
+  * between them: shared materializations (POS fact, shingle index)
+  * amortizing across queries is the designed behavior, and the cold
+  * numbers show who paid for them.
+  */
 object Bench {
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+
+  private def storageMb(spark: SparkSession): Double =
+    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,7 +43,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths: run every query once at the
-    // smallest scale factor (identical plans → identical generated
+    // smallest scale factor (identical plans -> identical generated
     // classes get JIT-compiled) so timed numbers reflect steady
     // state, not first-execution compilation.
     try {
@@ -24,24 +54,38 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => }
         }
     } catch { case _: Throwable => }
-    // Drop warmup materializations so timed runs derive everything
-    // themselves (no warm-cache carryover, and no stale footprint).
+    // Full state reset: warmup leaves 56 executions of residue (fact
+    // cache, barrier caches, catalog cache, a grown heap) that the
+    // first timed query would otherwise pay for.
     graft.queries.PosQueries.clearCache()
+    graft.llm.BarrierCache.sweep(spark)
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(1000)
+    System.gc()
+
     val errs = scala.collection.mutable.ListBuffer.empty[String]
+    case class QStat(median: Double, cold: Double, gcMs: Long, storMb: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          errs += name
+      val gc0 = gcMillis()
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            if (!errs.contains(name)) errs += name
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      val median = times.sorted.apply(times.size / 2)
+      name -> QStat(median, times.head, gcMillis() - gc0, storageMb(spark))
+    }
+    def jmap(f: QStat => String) =
+      results.map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
     val errJson = errs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2.median).sum
+    val coldTotal = results.map(_._2.cold).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.median.toString)},"cold":${jmap(_.cold.toString)},"cold_total":$coldTotal,"gc_ms":${jmap(_.gcMs.toString)},"storage_mb":${jmap(s => f"${s.storMb}%.1f")},"iters":$iters,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,8 +36,19 @@ object Transform {
     * `main.py:385` (so "Biscoff tiramisu" maps, then displays
     * title-cased).
     */
+  /** The raw-sheet input contract (post-header-strip names): exactly
+    * the columns `transform` consumes. Enforced strictly at entry so
+    * schema drift fails with a contract error naming the missing
+    * columns, not a deep unresolved-attribute analysis error.
+    */
+  val rawContract: Seq[String] = Seq(
+    "Order ID", "Products", "Product amount", "Received amount",
+    "Payment time", "Cash", "Gcash", "Type/Channel")
+
   def transform(raw: DataFrame, dim: DataFrame): DataFrame = {
-    val stripped = Sanitize.stripHeaders(raw)
+    // P1 then P3 (strict): enforce + prune to the contract columns,
+    // so the scan reads only what the pipeline consumes.
+    val stripped = Sanitize.project(Sanitize.stripHeaders(raw), rawContract)
     val exploded = ExplodeItems.explodeItems(stripped, "Products", "item")
     val it = col("item")
     val extracted = exploded

@@ -46,23 +46,37 @@ case class TopKTokensSketch(k: Int, capacity: Int)
 
   override def merge(b1: mutable.HashMap[String, (Long, Long)],
                      b2: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
+    // Space-saving invariant: in a FULL buffer, any absent token's
+    // true count in that buffer's substream is <= the buffer's
+    // minimum estimate (it was evicted at or below it, or never
+    // entered). A token present in only one buffer may therefore
+    // have up to `floor(other)` uncounted occurrences in the other
+    // substream — credit it (to est AND err) or the documented
+    // `true <= est` upper bound breaks on multi-partition data.
+    def floor(b: mutable.HashMap[String, (Long, Long)]): Long =
+      if (b.size >= capacity) b.valuesIterator.map(_._1).min else 0L
+    val f1 = floor(b1)
+    val f2 = floor(b2)
+    val out = mutable.HashMap.empty[String, (Long, Long)]
+    b1.foreach { case (t, (n1, e1)) =>
+      b2.get(t) match {
+        case Some((n2, e2)) => out.update(t, (n1 + n2, e1 + e2))
+        case None => out.update(t, (n1 + f2, e1 + f2))
+      }
+    }
     b2.foreach { case (t, (n2, e2)) =>
-      b1.get(t) match {
-        case Some((n1, e1)) => b1.update(t, (n1 + n2, e1 + e2))
-        case None => b1.update(t, (n2, e2))
-      }
+      if (!b1.contains(t)) out.update(t, (n2 + f1, e2 + f1))
     }
-    if (b1.size > capacity) {
-      // keep the `capacity` largest estimates; survivors absorb the
-      // largest evicted estimate into their error bound
-      val sorted = b1.toSeq.sortBy { case (t, (n, _)) => (-n, t) }
-      val evictedMax = sorted.drop(capacity).headOption.map(_._2._1).getOrElse(0L)
-      b1.clear()
-      sorted.take(capacity).foreach { case (t, (n, e)) =>
-        b1.update(t, (n, math.min(e + evictedMax, n - 1L).max(e)))
-      }
+    if (out.size > capacity) {
+      // keep the `capacity` largest estimates; every entry has
+      // est >= f1 + f2, so the post-prune minimum still upper-bounds
+      // any absent token's combined true count — the invariant holds
+      // inductively for further merges.
+      val sorted = out.toSeq.sortBy { case (t, (n, _)) => (-n, t) }
+      out.clear()
+      sorted.take(capacity).foreach { case (t, v) => out.update(t, v) }
     }
-    b1
+    out
   }
 
   override def finish(b: mutable.HashMap[String, (Long, Long)]): Seq[TokenEstimate] =

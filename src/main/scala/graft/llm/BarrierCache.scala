@@ -45,14 +45,32 @@ object BarrierCache {
     */
   def sweepOnNewScope(s: SparkSession, scope: String): Unit = {
     val stale = tracked.synchronized {
+      dropStoppedSessions()
       if (lastScope.put(s, scope).contains(scope)) Nil
       else tracked.remove(s).getOrElse(Nil)
     }
     stale.foreach(_.unpersist())
   }
 
+  /** Drop registry entries for sessions whose SparkContext has
+    * stopped: their cached plans are already gone with the context,
+    * but the map entries would otherwise pin the session objects for
+    * the JVM's lifetime (long-lived processes that create many
+    * sessions). Called under `tracked.synchronized`.
+    */
+  private def dropStoppedSessions(): Unit = {
+    val dead = (tracked.keysIterator ++ lastScope.keysIterator)
+      .filter(_.sparkContext.isStopped).toSet
+    dead.foreach { s => tracked.remove(s); lastScope.remove(s) }
+  }
+
   /** Unpersist every barrier cache tracked for `s`. */
-  def sweep(s: SparkSession): Unit =
-    tracked.synchronized { tracked.remove(s) }
-      .foreach(_.foreach(_.unpersist()))
+  def sweep(s: SparkSession): Unit = {
+    val removed = tracked.synchronized {
+      dropStoppedSessions()
+      lastScope.remove(s)
+      tracked.remove(s)
+    }
+    removed.foreach(_.foreach(_.unpersist()))
+  }
 }

@@ -42,6 +42,32 @@ class TopKSketchSpec extends SparkSpec {
     assert(agg.merge(buf, buf2).size <= 32)
   }
 
+  test("merge keeps est upper bound when per-partition evictions happen") {
+    // distinct count (2000) >> capacity (48): every partition's
+    // reduce phase evicts constantly, so cross-partition merge must
+    // credit one-sided survivors with the other buffer's eviction
+    // floor — the case a no-eviction test can never trigger.
+    val heavy = (1 to 5).flatMap(i => Seq.fill(900 - 50 * i)(s"H$i"))
+    val noise = (1 to 2000).map(i => s"n${i % 997}_$i")
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(13))
+      .shuffle(heavy ++ noise)
+    val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val df = stream.toDF("token").repartition(8)
+    val sketch = udaf(TopKTokensSketch(5, capacity = 48))
+    val s = df.agg(sketch(col("token"))).as[Seq[(String, Long, Long)]].head()
+    // the five heavies are all above N/capacity -> guaranteed present
+    assert(s.map(_._1).toSet === (1 to 5).map(i => s"H$i").toSet)
+    s.foreach { case (t, est, err) =>
+      assert(truth(t) <= est, s"$t: est $est below true ${truth(t)} (merge lost mass)")
+      assert(truth(t) >= est - err, s"$t: lower bound est-err violated")
+    }
+    // sequential (single-buffer) run agrees on the same guarantee
+    val agg = TopKTokensSketch(5, capacity = 48)
+    var buf = agg.zero
+    stream.foreach(t => buf = agg.reduce(buf, t))
+    agg.finish(buf).foreach { te => assert(truth(te.token) <= te.est) }
+  }
+
   test("guaranteed presence: counts above N/capacity always survive") {
     // one heavy token in a sea of distincts — the Misra-Gries promise
     val heavy = Seq.fill(4000)("HEAVY")

@@ -68,6 +68,17 @@ class TransformSpec extends SparkSpec {
     assert(clean.filter(col("category").isNull || col("sub_category").isNull).count() === 0)
   }
 
+  test("P3 strict contract: missing input column fails with contract error") {
+    // drift (a renamed Products column) must fail at transform ENTRY
+    // with the contract message, not a deep unresolved-column error
+    val drifted = raw.withColumnRenamed("Products", "Items Sold")
+    val e = intercept[IllegalArgumentException] {
+      Transform.transform(drifted, Transform.dimDF(spark))
+    }
+    assert(e.getMessage.contains("contract violation"))
+    assert(e.getMessage.contains("Products"))
+  }
+
   test("validity expression treats null amounts as clean (pandas NaN<0 parity)") {
     val df = Seq(("i", "s", "c", null.asInstanceOf[java.lang.Double]))
       .toDF("items", "sub", "cat", "amt")
