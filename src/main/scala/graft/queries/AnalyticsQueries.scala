@@ -125,15 +125,27 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
-    // q39 — A2: approximate distincts (HLL sketch) next to exact —
-    // the at-scale form (no oracle: sketch estimates are
-    // implementation-specific; the exact twin q19 is the checked one).
+    // q39 — A2: approximate distincts (HLL sketch) next to exact,
+    // made oracle-checkable: raw sketch estimates are
+    // implementation-specific (DuckDB's HLL differs), so the output
+    // carries the exact counts plus deterministic flags that each
+    // estimate sits within 3·rsd of its exact twin (Spark's HLL is
+    // deterministic, so the flags are reproducible; a sketch
+    // regression flips them and fails the hash compare).
     "q39_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          col("n"),
+          (abs(col("__ao") - col("exact_orders")).cast("double") <=
+            col("exact_orders") * lit(0.15)).as("hll_orders_ok"),
+          (abs(col("__ap") - col("exact_parts")).cast("double") <=
+            col("exact_parts") * lit(0.06)).as("hll_parts_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -313,6 +325,13 @@ object AnalyticsQueries {
       """SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q39_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       COUNT(*) AS n,
+        |       TRUE AS hll_orders_ok, TRUE AS hll_parts_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q20_rollup_hierarchy" ->
       """SELECT COALESCE(category, '(all)') AS category,
         |       COALESCE(p_brand, '(all)') AS brand, COUNT(*) AS n

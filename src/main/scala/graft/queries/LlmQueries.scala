@@ -86,19 +86,31 @@ object LlmQueries {
     }),
 
     // q56 — A9 sketch tier: bounded-memory space-saving top-5 tokens
-    // per language (TopKTokensSketch). Rows-only by design (estimates
-    // carry error bounds, not reproducible in DuckDB); head agreement
-    // and bound soundness vs the exact q48 are pinned in
-    // TopKSketchSpec.
+    // per language (TopKTokensSketch), made oracle-checkable: rows
+    // are the EXACT top-5 head (the q48 contract) and `bound_ok`
+    // asserts, per token, the sketch invariant est - err ≤ true ≤ est
+    // AND that the token survived into the sketch's head at all —
+    // DuckDB emits the exact head + TRUE, so a sketch regression
+    // (lost mass, broken merge, head miss) flips the flag and fails
+    // the hash compare. Raw estimates stay covered by TopKSketchSpec.
     "q56_top_tokens_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val topk = udaf(graft.functions.TopKTokensSketch(5, capacity = 256))
-      Tables.documents(s, dir)
+      val toks = Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("lang")
-        .agg(topk(col("token")).as("top"))
-        .select(col("lang"), posexplode(col("top")))
-        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
-          col("col.token").as("token"), col("col.est").as("est"), col("col.err").as("err"))
+      val sk = toks
+        .groupBy("lang").agg(topk(col("token")).as("top"))
+        .select(col("lang"), explode(col("top")).as("e"))
+        .select(col("lang"), col("e.token").as("token"),
+          col("e.est").as("est"), col("e.err").as("err"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+      val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+      exact.join(sk, Seq("lang", "token"), "left")
+        .select(col("lang"), col("rnk"), col("token"), col("n"),
+          (col("est").isNotNull && col("est") >= col("n") &&
+            col("est") - col("err") <= col("n")).as("bound_ok"))
         .orderBy("lang", "rnk")
     }),
 
@@ -120,11 +132,22 @@ object LlmQueries {
     }),
 
     // q33 — A8: SimHash near-dup (pigeonhole-blocked candidates).
-    // No SQL oracle (hash family not reproducible in DuckDB) —
-    // rows-only check here, validated in ScalaTest.
+    // The hash family is not reproducible in DuckDB, so the query is
+    // made oracle-checkable STRUCTURALLY (the q45 construction):
+    // plant an exact copy of every 5th document — identical text ⇒
+    // identical signature ⇒ distance 0 ⇒ the pipeline (signature,
+    // block split, equi-join, hamming verify) must find precisely
+    // the planted pairs. A DuckDB oracle enumerates them; any miss
+    // is a hash/row mismatch. Organic near-dup behavior stays
+    // covered by DedupSpec.
     "q33_simhash_neardup" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.simhashNearDups(docs.unionByName(copies), "doc_id", "text", maxDist = 3)
+        .filter(col("id_j") - col("id_i") === 1000000)
+        .select(col("id_i"), col("id_j"), col("dist").cast("long").as("dist"))
         .orderBy("id_i", "id_j")
     }),
 
@@ -152,21 +175,36 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     }),
 
-    // q35 — A10: LSH-pruned ANN top-10 (rows-only; recall vs q34
-    // asserted in ScalaTest).
+    // q35 — A10: LSH-pruned ANN top-10, made oracle-checkable: the
+    // output rows are the EXACT brute-force top-10 (the q34
+    // contract, DuckDB-computable) carrying a deterministic
+    // `recall_ok` flag — the ANN twin runs in the same plan and the
+    // flag asserts its aggregate recall@10 ≥ threshold (everything
+    // is seeded, so the flag is reproducible; a recall regression
+    // flips it and the driver's hash check catches it). Tighter
+    // per-run recall floors stay in SimilaritySpec.
     "q35_ann_lsh_topk" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
-        .orderBy("query_id", "rnk")
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      annWithRecall(
+        Similarity.bruteTopK(emb, probes, "vec_id", "embedding", k = 10),
+        Similarity.lshTopK(emb, probes, "vec_id", "embedding", k = 10),
+        minRecall = 0.3)
     }),
 
-    // q47 — A10: IVF-flat ANN top-10 (rows-only; recall vs brute
-    // asserted in ScalaTest — sampled codebook, nProbe cells).
+    // q47 — A10: IVF-flat ANN top-10 (sampled codebook, nProbe
+    // cells), oracle-checkable the same way as q35. Random uniform
+    // embeddings are the worst case for coarse quantization (no
+    // cluster structure), so the floor is low — the flag guards
+    // "machinery broke", the spec guards the finer recall bar.
     "q47_ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 10)
-        .orderBy("query_id", "rnk")
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      annWithRecall(
+        Similarity.bruteTopK(emb, probes, "vec_id", "embedding", k = 10),
+        Similarity.ivfTopK(emb, probes, "vec_id", "embedding", k = 10),
+        minRecall = 0.05)
     }),
 
     // q36 — A10: per-label embedding norm stats (exact integer
@@ -180,6 +218,27 @@ object LlmQueries {
           (sum(n2).cast("double") / lit(1000000000000.0) / count(lit(1))).as("avg_norm2"))
         .orderBy("label")
     }))
+
+  /** Exact top-k rows + one deterministic aggregate `recall_ok`
+    * flag: the ANN twin's hit count over the exact set, thresholded.
+    * A constant-partition window keeps it one plan (the post-top-k
+    * frame is tiny — k rows per probe — so the single-partition
+    * window is trivially cheap).
+    */
+  private def annWithRecall(exact: org.apache.spark.sql.DataFrame,
+                            ann: org.apache.spark.sql.DataFrame,
+                            minRecall: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    val hits = ann.select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(hits, Seq("query_id", "cand_id"), "left")
+      .withColumn("recall_ok",
+        sum(coalesce(col("__hit"), lit(0L))).over(w) >=
+          count(lit(1)).over(w) * lit(minRecall))
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cosine"),
+        col("recall_ok"))
+      .orderBy("query_id", "rnk")
+  }
 
   private val fpSql =
     """md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]|\s+', ' ', 'g')))"""
@@ -200,6 +259,30 @@ object LlmQueries {
       |ORDER BY id_i, id_j""".stripMargin
 
   private val qiSql = (e: String) => s"CAST(round(CAST($e AS DOUBLE)*1000000.0) AS BIGINT)"
+
+  /** Exact brute-force cosine top-10 (q34's contract), with optional
+    * extra constant columns — shared by q34 and the ANN twins
+    * q35/q47, whose Spark side emits the same exact projection plus
+    * a recall flag.
+    */
+  private def bruteTopKSql(extraCols: String) =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |p AS (
+       |  SELECT query_id, e.vec_id AS cand_id,
+       |    SUM(${qiSql("qv[i]")} * ${qiSql("e.embedding[i]")}) AS dot,
+       |    SUM(${qiSql("qv[i]")} * ${qiSql("qv[i]")}) AS qn2,
+       |    SUM(${qiSql("e.embedding[i]")} * ${qiSql("e.embedding[i]")}) AS cn2
+       |  FROM q, embeddings e, range(1, 65) AS u(i)
+       |  WHERE e.vec_id <> query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rnk, cand_id, round(cos, 6) AS cosine$extraCols FROM (
+       |  SELECT query_id, cand_id,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+       |                    cand_id) AS rn
+       |  FROM p)
+       |WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q27_text_stats" ->
@@ -277,24 +360,29 @@ object LlmQueries {
          |         CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
          |  FROM p)
          |WHERE cos >= 0.95 ORDER BY id_i, id_j""".stripMargin,
-    "q34_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-         |p AS (
-         |  SELECT query_id, e.vec_id AS cand_id,
-         |    SUM(${qiSql("qv[i]")} * ${qiSql("e.embedding[i]")}) AS dot,
-         |    SUM(${qiSql("qv[i]")} * ${qiSql("qv[i]")}) AS qn2,
-         |    SUM(${qiSql("e.embedding[i]")} * ${qiSql("e.embedding[i]")}) AS cn2
-         |  FROM q, embeddings e, range(1, 65) AS u(i)
-         |  WHERE e.vec_id <> query_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, CAST(rn AS BIGINT) AS rnk, cand_id, round(cos, 6) AS cosine FROM (
-         |  SELECT query_id, cand_id,
-         |         CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
-         |                    cand_id) AS rn
-         |  FROM p)
-         |WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q34_cosine_topk" -> bruteTopKSql(""),
+    // q35/q47 emit the same exact projection; their ANN twin only
+    // drives the recall_ok flag, TRUE when healthy.
+    "q35_ann_lsh_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
+    "q47_ann_ivf_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
+    // q33: the planted exact copies are the full expected output —
+    // identical text must land at hamming distance 0.
+    "q33_simhash_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_i,
+        |       CAST(doc_id + 1000000 AS BIGINT) AS id_j,
+        |       CAST(0 AS BIGINT) AS dist
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY id_i""".stripMargin,
+    // q56: the exact head (q48's contract) + the sketch-invariant
+    // flag, TRUE when the sketch holds its documented bounds.
+    "q56_top_tokens_sketch" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, n,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+        |      FROM c)
+        |SELECT lang, CAST(rn AS BIGINT) AS rnk, tok AS token, CAST(n AS BIGINT) AS n,
+        |       TRUE AS bound_ok
+        |FROM r WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
     "q36_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS n,
          |       CAST(SUM(n2) AS BIGINT) AS sum_n2,
