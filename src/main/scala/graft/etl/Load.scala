@@ -60,6 +60,7 @@ object Load {
     */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
              keys: Seq[String]): Unit = {
+    recoverSwap(spark, path)
     val inc = sinkReady(incoming)
       .withColumn("__bucket", bucketOf(keys))
       .withColumn("__v", lit(1L))
@@ -95,23 +96,80 @@ object Load {
     val tmp = path + "__tmp"
     merged.repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    // Crash-safe swap: the old generation is MOVED ASIDE (a sibling
+    // dir, invisible to partition discovery), never deleted before
+    // every new bucket is in place — at no point does any step
+    // delete the only copy of a bucket, so a crash anywhere leaves a
+    // recoverable table ([[recoverSwap]]) and a foreachBatch replay
+    // converges instead of permanently losing the keys the incoming
+    // batch didn't carry. Reader-visible window per bucket is two
+    // metadata renames (not a recursive delete); a zero-window
+    // commit would need a manifest/generation pointer, which the
+    // plain-parquet read contract here deliberately avoids.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(asideDir(path))
+    fs.mkdirs(aside)
+    // phase 1: old generation aside
     touched.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (fs.exists(dst))
+        fs.rename(dst, new org.apache.hadoop.fs.Path(aside, s"__bucket=$b"))
     }
+    // phase 2: new generation in
+    touched.foreach { b =>
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$b")
+      if (fs.exists(src))
+        fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"))
+    }
+    // phase 3: the swap is complete — only now drop the old copies
+    fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  private def asideDir(path: String): String = path + "__swap"
+
+  /** Recover a table from a crash mid-[[upsert]] swap. For each
+    * bucket found aside: a missing table dir means the crash hit
+    * between the two renames — restore the old generation; a present
+    * table dir means the new generation already landed — keep it
+    * (re-running the same batch converges: latest-wins merge of
+    * (merged ∪ incoming) is idempotent). Leftover temp output is
+    * dropped either way. Called at every upsert entry, so the next
+    * batch — including a checkpoint replay of the crashed one —
+    * always starts from a complete table.
+    */
+  private[etl] def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(asideDir(path))
+    if (fs.exists(aside)) {
+      fs.listStatus(aside).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(path + "/" + st.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+      }
+      fs.delete(aside, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
+  }
+
+  /** Whole-table swap with the same never-delete-the-only-copy
+    * ordering as the bucket swap: old table aside → new in → drop
+    * aside; entry recovers a crashed predecessor (path missing but
+    * aside present → restore).
+    */
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
+    val prev = new org.apache.hadoop.fs.Path(path + "__prev")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.exists(p) && fs.exists(prev)) fs.rename(prev, p)
+    if (fs.exists(p)) {
+      fs.delete(prev, true)
+      fs.rename(p, prev)
+    }
     fs.rename(t, p)
+    fs.delete(prev, true)
   }
 
   /** Read an upsert table without its internal bucket column. */
@@ -216,10 +274,6 @@ object Load {
   def writeAtomic(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val tmp = path + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    swap(spark, tmp, path)
   }
 }

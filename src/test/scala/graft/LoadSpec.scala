@@ -71,6 +71,62 @@ class LoadSpec extends SparkSpec {
       .as[Double].head() === 9.0)
   }
 
+  test("upsert swap: crash before rename-in loses nothing; replay converges") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val path = tmpDir("crash1") + "/t"
+    val keys = Seq("order_id", "items")
+    val v1 = (1 to 300).map(i => (s"o$i", s"i$i", 1.0))
+      .toDF("order_id", "items", "amount")
+    Load.upsert(spark, v1, path, keys)
+    val v2 = Seq(("o1", "i1", 9.0)).toDF("order_id", "items", "amount")
+    val b = v2.select(Load.bucketOf(keys)).as[Long].head()
+    // simulate a crash between the swap's phase 1 (old gen moved
+    // aside) and phase 2 (new gen renamed in): the bucket is ABSENT
+    // from the table, its only copy lives in the aside dir
+    Files.createDirectories(Paths.get(path + "__swap"))
+    Files.move(Paths.get(s"$path/__bucket=$b"),
+      Paths.get(s"${path}__swap/__bucket=$b"))
+    // a checkpoint replay of the same batch must first restore the
+    // old generation, then merge — no key may be lost
+    Load.upsert(spark, v2, path, keys)
+    val t = Load.readTable(spark, path)
+    assert(t.count() === 300)
+    assert(t.filter(col("order_id") === "o1").select("amount").as[Double].head() === 9.0)
+    assert(!Files.exists(Paths.get(path + "__swap")))
+    assert(!Files.exists(Paths.get(path + "__tmp")))
+  }
+
+  test("upsert swap: crash after rename-in keeps new gen; replay idempotent") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val path = tmpDir("crash2") + "/t"
+    val keys = Seq("order_id", "items")
+    val v1 = (1 to 300).map(i => (s"o$i", s"i$i", 1.0))
+      .toDF("order_id", "items", "amount")
+    Load.upsert(spark, v1, path, keys)
+    val v2 = Seq(("o1", "i1", 9.0)).toDF("order_id", "items", "amount")
+    val b = v2.select(Load.bucketOf(keys)).as[Long].head()
+    // keep a copy of the OLD generation of the touched bucket
+    val oldCopy = Paths.get(tmpDir("crash2-old"), s"__bucket=$b")
+    Files.createDirectories(oldCopy.getParent)
+    Files.walk(Paths.get(s"$path/__bucket=$b")).iterator().asScala.toSeq.foreach { p =>
+      val rel = Paths.get(s"$path/__bucket=$b").relativize(p)
+      Files.copy(p, oldCopy.resolve(rel.toString), StandardCopyOption.REPLACE_EXISTING)
+    }
+    Load.upsert(spark, v2, path, keys) // completes: dst = new gen
+    // simulate a crash after phase 2 but before cleanup: the old
+    // generation is still sitting aside next to the committed new one
+    Files.createDirectories(Paths.get(path + "__swap"))
+    Files.move(oldCopy, Paths.get(s"${path}__swap/__bucket=$b"))
+    // replaying the same batch keeps the new generation (merge is
+    // idempotent) and clears the aside copy
+    Load.upsert(spark, v2, path, keys)
+    val t = Load.readTable(spark, path)
+    assert(t.count() === 300)
+    assert(t.filter(col("order_id") === "o1").select("amount").as[Double].head() === 9.0)
+    assert(!Files.exists(Paths.get(path + "__swap")))
+  }
+
   test("S6/J1 star normalization: all-integer fact, FK integrity") {
     val clean = Seq(
       ("1", "Latte", 2.0, 10.0, 10.0, "t1", "Cash", "Dine-in"),
