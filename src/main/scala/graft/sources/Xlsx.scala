@@ -23,8 +23,13 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
   * strings (`t="inlineStr"`), direct values (numeric / `t="str"`
   * formula results / booleans), sheet lookup by NAME through
   * workbook.xml + its rels part, sparse rows via the `r="D5"` cell
-  * reference. Not parsed (not in the reference's data): styles,
-  * number formats, merged cells, formulas themselves.
+  * reference, and styles.xml number formats far enough to detect
+  * DATE-formatted numeric cells and render their serial as an
+  * ISO-8601 string (what `pd.read_excel`/openpyxl yields for the
+  * reference's `Payment time`, `main.py:98,377` — without this a
+  * date cell surfaces as a raw serial like `45678.604` that the
+  * downstream contract would mis-parse). Not parsed (not in the
+  * reference's data): merged cells, formulas themselves.
   */
 object Xlsx {
 
@@ -34,7 +39,8 @@ object Xlsx {
   def parseSheet(bytes: Array[Byte], sheetName: String): Seq[Seq[Option[String]]] = {
     val parts = readParts(bytes,
       p => p == "xl/workbook.xml" || p == "xl/_rels/workbook.xml.rels" ||
-        p == "xl/sharedStrings.xml" || p.startsWith("xl/worksheets/sheet"))
+        p == "xl/sharedStrings.xml" || p == "xl/styles.xml" ||
+        p.startsWith("xl/worksheets/sheet"))
     val workbook = parts.getOrElse("xl/workbook.xml",
       sys.error("not an xlsx: missing xl/workbook.xml"))
     val rels = parts.getOrElse("xl/_rels/workbook.xml.rels",
@@ -48,7 +54,8 @@ object Xlsx {
       sys.error(s"worksheet part $sheetPath missing"))
     val shared = parts.get("xl/sharedStrings.xml")
       .map(sharedStrings).getOrElse(Vector.empty)
-    sheetRows(sheetXml, shared)
+    val ds = parts.get("xl/styles.xml").map(dateStyles).getOrElse(Set.empty)
+    sheetRows(sheetXml, shared, ds)
   }
 
   /** Named sheet of every .xlsx under `dir` as one DataFrame: first
@@ -91,16 +98,31 @@ object Xlsx {
     spark.createDataFrame(rows, out)
   }
 
-  /** Paths under `dir` whose named sheet fails to parse — the
-    * file-grained quarantine companion to `skipCorrupt` (metadata
-    * pass over the same binaryFile source, executor-side).
+  /** Paths under `dir` whose named sheet `readSheets` would skip —
+    * the file-grained quarantine companion to `skipCorrupt`
+    * (metadata pass over the same binaryFile source, executor-side).
+    * Runs the SAME validation as `readSheets`: parse AND (when a
+    * `schema` is given) the header-contract check — a workbook whose
+    * header drifted contributes zero rows under `skipCorrupt`, so it
+    * must appear in this listing, not vanish silently.
     */
-  def corruptFiles(spark: SparkSession, dir: String, sheetName: String): Seq[String] = {
+  def corruptFiles(spark: SparkSession, dir: String, sheetName: String,
+                   schema: StructType = null): Seq[String] = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(dir)
       .select("path", "content")
+    val expected = Option(schema).map(_.fieldNames.toSeq)
     files.rdd.flatMap { r =>
-      try { parseSheet(r.getAs[Array[Byte]](1), sheetName); None }
+      try {
+        val rows = parseSheet(r.getAs[Array[Byte]](1), sheetName)
+        expected.foreach { exp =>
+          rows.headOption.foreach { h =>
+            require(h.map(_.getOrElse("").trim) == exp,
+              s"${r.getString(0)}: sheet header != contract")
+          }
+        }
+        None
+      }
       catch { case scala.util.control.NonFatal(_) => Some(r.getString(0)) }
     }.collect().toSeq.sorted
   }
@@ -196,6 +218,79 @@ object Xlsx {
     } finally r.close()
   }
 
+  /** Built-in numFmtIds Excel defines as date/time formats
+    * (ECMA-376 §18.8.30: 14-22 dates/times, 27-36 locale dates,
+    * 45-47 durations rendered as times).
+    */
+  private val builtinDateFmtIds: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+
+  /** A format code is a date/time format iff it contains a y/m/d/h/s
+    * token outside quoted literals, backslash escapes, and [bracket]
+    * sections (colors/conditions — but elapsed-time [h]/[mm]/[ss]
+    * brackets DO mean time, so they are probed before the strip) —
+    * the openpyxl `is_date_format` approach.
+    */
+  private[graft] def isDateCode(code: String): Boolean = {
+    val cleaned = code
+      .replaceAll("\"[^\"]*\"", "") // quoted literals
+      .replaceAll("\\\\.", "")      // escaped single chars
+    if (cleaned.toLowerCase.matches(".*\\[(h+|m+|s+)\\].*")) return true // elapsed [h]/[mm]/[ss]
+    val noBrackets = cleaned.replaceAll("\\[[^\\]]*\\]", "") // colors/conditions
+    noBrackets.toLowerCase.exists(c => c == 'y' || c == 'm' || c == 'd' ||
+      c == 'h' || c == 's')
+  }
+
+  /** styles.xml → the set of cellXfs indices (a cell's `s` attribute)
+    * whose number format is a date/time format.
+    */
+  private[sources] def dateStyles(xml: Array[Byte]): Set[Int] = {
+    val r = newReader(xml)
+    val customDateIds = Set.newBuilder[Int]
+    val xfFmtIds = Vector.newBuilder[Int]
+    var inCellXfs = false
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+              val code = Option(r.getAttributeValue(null, "formatCode"))
+              if (id.isDefined && code.exists(isDateCode)) customDateIds += id.get
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmtIds += Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+      val custom = customDateIds.result()
+      xfFmtIds.result().zipWithIndex.collect {
+        case (fmt, i) if builtinDateFmtIds(fmt) || custom(fmt) => i
+      }.toSet
+    } finally r.close()
+  }
+
+  private val excelEpoch = java.time.LocalDate.of(1899, 12, 30)
+  private val isoFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Excel date serial → ISO-8601 string ("yyyy-MM-dd HH:mm:ss" —
+    * what `str(datetime)` prints, midnight included, matching the
+    * reference's pandas surface). Day 0 = 1899-12-30 (openpyxl's
+    * epoch, which also absorbs Excel's 1900 leap-year bug for
+    * serials ≥ 61); time of day is the fraction, rounded to the
+    * nearest second.
+    */
+  private[sources] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    excelEpoch.atStartOfDay.plusDays(days).plusSeconds(secs).format(isoFmt)
+  }
+
   /** "D5" → 0-based column 3. */
   private[sources] def colIndex(ref: String): Int = {
     var i = 0; var acc = 0
@@ -205,14 +300,17 @@ object Xlsx {
     acc - 1
   }
 
-  /** worksheet XML → rows of sparse string cells. */
-  private[sources] def sheetRows(xml: Array[Byte],
-                                 shared: Vector[String]): Seq[Seq[Option[String]]] = {
+  /** worksheet XML → rows of sparse string cells. Numeric cells
+    * whose style index is in `dateStyles` render as ISO-8601.
+    */
+  private[sources] def sheetRows(xml: Array[Byte], shared: Vector[String],
+                                 dateStyles: Set[Int] = Set.empty): Seq[Seq[Option[String]]] = {
     val r = newReader(xml)
     val rows = Seq.newBuilder[Seq[Option[String]]]
     var row: scala.collection.mutable.ArrayBuffer[Option[String]] = null
     var cellCol = -1
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     var text = new StringBuilder
     def endCell(): Unit = if (row != null && cellCol >= 0) {
@@ -221,6 +319,11 @@ object Xlsx {
         case "s" =>
           val idx = raw.trim
           if (idx.isEmpty) None else shared.lift(idx.toInt)
+        // untyped/numeric ("n") cell in a date-formatted style:
+        // stored value is a date serial — surface the ISO string the
+        // reference's pandas read yields, not the raw serial
+        case "" | "n" if dateStyles(cellStyle) && raw.nonEmpty =>
+          raw.toDoubleOption.map(serialToIso).orElse(Some(raw))
         case _ => if (raw.isEmpty) None else Some(raw)
       }
       while (row.length <= cellCol) row += None
@@ -237,6 +340,8 @@ object Xlsx {
               cellCol = if (ref != null) colIndex(ref)
                         else if (row == null) -1 else row.length
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .flatMap(_.toIntOption).getOrElse(-1)
               text = new StringBuilder
             case "v" | "t" => inV = true
             case _ =>

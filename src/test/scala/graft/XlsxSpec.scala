@@ -21,9 +21,10 @@ class XlsxSpec extends SparkSpec {
     * 'Paid order list' (matching the reference's sheet name,
     * main.py:98).
     */
-  private def workbookBytes(rows2: String): Array[Byte] = {
+  private def workbookBytes(rows2: String, styles: String = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
+    if (styles != null) entry(z, "xl/styles.xml", styles)
     entry(z, "[Content_Types].xml",
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
     entry(z, "xl/workbook.xml",
@@ -104,6 +105,59 @@ class XlsxSpec extends SparkSpec {
     assert(e.getMessage.contains("not found"))
   }
 
+  // style 0 = General, 1 = built-in datetime (22), 2 = money number
+  // format, 3 = a CUSTOM date format (id ≥ 164 via <numFmts>)
+  private val stylesXml =
+    """<?xml version="1.0"?>
+      |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |  <numFmts count="1">
+      |    <numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>
+      |  </numFmts>
+      |  <cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs>
+      |  <cellXfs count="4">
+      |    <xf numFmtId="0"/>
+      |    <xf numFmtId="22" applyNumberFormat="1"/>
+      |    <xf numFmtId="4" applyNumberFormat="1"/>
+      |    <xf numFmtId="164" applyNumberFormat="1"/>
+      |  </cellXfs>
+      |</styleSheet>""".stripMargin
+
+  test("date-formatted cells render ISO-8601; number formats stay raw") {
+    // serial 46023 = 2026-01-01 (epoch 1899-12-30); .4375 = 10:30:00
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" s="1"><v>46023.4375</v></c>
+        |      <c r="B1" s="3"><v>46023</v></c>
+        |      <c r="C1" s="2"><v>1250.5</v></c>
+        |      <c r="D1"><v>46023</v></c>
+        |      <c r="E1" t="s" s="1"><v>0</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    val rows = Xlsx.parseSheet(workbookBytes(sheet, stylesXml), "Paid order list")
+    assert(rows === Seq(Seq(
+      Some("2026-01-01 10:30:00"), // built-in datetime style
+      Some("2026-01-01 00:00:00"), // custom date format
+      Some("1250.5"),              // money number format: raw value
+      Some("46023"),               // unstyled numeric: raw value
+      Some("Order ID"))))          // date style on a STRING cell: untouched
+  }
+
+  test("isDateCode: y/m/d/h/s tokens outside quotes/brackets/escapes") {
+    import graft.sources.Xlsx.isDateCode
+    assert(isDateCode("yyyy-mm-dd"))
+    assert(isDateCode("hh:mm AM/PM"))
+    assert(isDateCode("[h]:mm:ss")) // elapsed time
+    assert(!isDateCode("#,##0.00"))
+    assert(!isDateCode("[Red]0.00"))      // 'd' only inside the color
+    assert(!isDateCode("0.00E+00"))
+    assert(!isDateCode("\"days\" 0.0"))   // tokens only inside quotes
+    assert(!isDateCode("General"))
+  }
+
   test("readSheets: executor-side parse of a folder of workbooks") {
     import org.apache.spark.sql.types.StructType
     val dir = tmpDir("xlsx")
@@ -142,6 +196,79 @@ class XlsxSpec extends SparkSpec {
     assert(df.count() === 3)
     val corrupt = Xlsx.corruptFiles(spark, dir, "Paid order list")
     assert(corrupt.size === 1 && corrupt.head.endsWith("bad.xlsx"))
+  }
+
+  test("date + money cells flow through the POS transform path") {
+    import graft.etl.Transform
+    import org.apache.spark.sql.types.StructType
+    val dir = tmpDir("xlsx-dates")
+    // Payment time as a DATE-STYLED serial, amounts as plain numeric
+    // cells — the shapes a real Excel export stores (not strings)
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="inlineStr"><is><t>Order ID</t></is></c>
+        |      <c r="B1" t="inlineStr"><is><t>Products</t></is></c>
+        |      <c r="C1" t="inlineStr"><is><t>Product amount</t></is></c>
+        |      <c r="D1" t="inlineStr"><is><t>Received amount</t></is></c>
+        |      <c r="E1" t="inlineStr"><is><t>Payment time</t></is></c>
+        |      <c r="F1" t="inlineStr"><is><t>Cash</t></is></c>
+        |      <c r="G1" t="inlineStr"><is><t>Gcash</t></is></c>
+        |      <c r="H1" t="inlineStr"><is><t>Type/Channel</t></is></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2"><v>1</v></c>
+        |      <c r="B2" t="inlineStr"><is><t>Spanish Latte (Solo) (Hot) x2</t></is></c>
+        |      <c r="C2" s="2"><v>300</v></c>
+        |      <c r="D2" s="2"><v>300</v></c>
+        |      <c r="E2" s="1"><v>46023.4375</v></c>
+        |      <c r="F2" s="2"><v>300</v></c>
+        |      <c r="G2" t="inlineStr"><is><t>-</t></is></c>
+        |      <c r="H2" t="inlineStr"><is><t>Dine-in</t></is></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    val out = new FileOutputStream(s"$dir/day.xlsx")
+    out.write(workbookBytes(sheet, stylesXml)); out.close()
+    val schema = StructType.fromDDL(
+      "`Order ID` STRING, `Products` STRING, `Product amount` STRING, " +
+        "`Received amount` STRING, `Payment time` STRING, `Cash` STRING, " +
+        "`Gcash` STRING, `Type/Channel` STRING")
+    val raw = Xlsx.readSheets(spark, dir, "Paid order list", schema).drop("_src_file")
+    val clean = Transform.run(raw, Transform.dimDF(spark)).clean
+    val row = clean.select("items", "payment_time", "total_order_amount",
+      "quantity", "payment_type").collect().map(_.toSeq).toSeq
+    assert(row === Seq(Seq(
+      "Spanish Latte", "2026-01-01 10:30:00", 300.0, 2.0, "Cash")))
+  }
+
+  test("corruptFiles lists header-drift workbooks, same check as readSheets") {
+    import org.apache.spark.sql.types.StructType
+    val dir = tmpDir("xlsx-drift")
+    val good = new FileOutputStream(s"$dir/good.xlsx")
+    good.write(workbookBytes(targetSheet)); good.close()
+    // parses fine, but the sheet header doesn't match the contract —
+    // readSheets(skipCorrupt) drops it, so the listing must show it
+    val drifted =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1"><c r="A1" t="inlineStr"><is><t>Renamed</t></is></c></row>
+        |    <row r="2"><c r="A2"><v>1</v></c></row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    val bad = new FileOutputStream(s"$dir/drift.xlsx")
+    bad.write(workbookBytes(drifted)); bad.close()
+    val schema = StructType.fromDDL(
+      "`Order ID` STRING, `Products` STRING, `Amount` STRING")
+    val df = Xlsx.readSheets(spark, dir, "Paid order list", schema, skipCorrupt = true)
+    assert(df.count() === 3) // only good.xlsx rows
+    val listed = Xlsx.corruptFiles(spark, dir, "Paid order list", schema)
+    assert(listed.size === 1 && listed.head.endsWith("drift.xlsx"))
+    // without a schema the parse-only check still passes drift.xlsx
+    assert(Xlsx.corruptFiles(spark, dir, "Paid order list").isEmpty)
   }
 
   test("S3 end-to-end: real .xlsx staging folder through the full pipeline") {
