@@ -46,6 +46,24 @@ object Dedup {
     docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** The shared near-dup working set: distinct shingles per doc,
+    * HASHED to int64 before the cache barrier. Every downstream use
+    * (inverted-index join, MinHash signatures, candidate-verify set
+    * intersection) operates on the hash, so the cached index, the
+    * shuffles, and the collected verify sets carry 8-byte longs
+    * instead of n-word strings — and because [[jaccardPairs]] and
+    * [[minhashNearDups]] construct the IDENTICAL plan, Spark's
+    * CacheManager gives both queries ONE materialization (asserted
+    * in DedupSpec). A 64-bit collision merging two distinct shingles
+    * is the standard, vanishingly-rare trade (same identity MinHash
+    * already relies on).
+    */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    BarrierCache.track(
+      shingles(docs, idCol, textCol, n)
+        .select(col(idCol), xxhash64(col("shingle")).as("h")))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     * join docs that share a shingle, count the intersection, derive
     * the union from per-doc shingle counts. Returns
@@ -62,20 +80,20 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sh = BarrierCache.track(shingles(docs, idCol, textCol, n))
+    val sh = hashedShingles(docs, idCol, textCol, n)
     val shF =
       if (maxDocFreq <= 0) sh
       else {
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select("shingle")
+        val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("h")
         BarrierCache.track(
-          sh.join(hot, Seq("shingle"), "left_anti")
-            .select(col(idCol), col("shingle"))) // using-join puts the key first
+          sh.join(hot, Seq("h"), "left_anti")
+            .select(col(idCol), col("h"))) // using-join puts the key first
       }
     val sizes = shF.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val a = shF.toDF("id_i", "shingle")
-    val b = shF.toDF("id_j", "shingle")
-    val inter = a.join(b, Seq("shingle"))
+    val a = shF.toDF("id_i", "h")
+    val b = shF.toDF("id_j", "h")
+    val inter = a.join(b, Seq("h"))
       .filter(col("id_i") < col("id_j"))
       .groupBy("id_i", "id_j")
       .agg(count(lit(1)).as("inter"))
@@ -139,10 +157,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       p: MinHashParams = MinHashParams()): DataFrame = {
-    val sh = BarrierCache.track(shingles(docs, idCol, textCol, n))
-    val hashed = sh
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
-      .groupBy(idCol).agg(collect_list("h").as("hs"))
+    // same plan as jaccardPairs' index — one shared materialization
+    val sh = hashedShingles(docs, idCol, textCol, n)
+    val hashed = sh.groupBy(idCol).agg(collect_list("h").as("hs"))
     val seeds = array((0 until p.numHashes).map(lit): _*)
     val sigs = hashed.withColumn("sig",
       transform(seeds, k =>
@@ -150,8 +167,10 @@ object Dedup {
           (acc, h) => least(acc, xxhash64(k, h)))))
       .select(col(idCol), col("sig"))
     val cands = minhashCandidates(sigs, idCol, p)
+    // verify sets are int64 shingle hashes — bounded payload per doc
+    // (8 bytes per distinct shingle, not the n-word string)
     val sets = sh
-      .groupBy(idCol).agg(collect_set("shingle").as("set"))
+      .groupBy(idCol).agg(collect_set("h").as("set"))
     cands
       .join(sets.select(col(idCol).as("id_i"), col("set").as("set_i")), Seq("id_i"))
       .join(sets.select(col(idCol).as("id_j"), col("set").as("set_j")), Seq("id_j"))

@@ -36,6 +36,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("jaccard and minhash share ONE cached shingle index by construction") {
+    graft.llm.BarrierCache.sweep(spark)
+    // materialize the Jaccard query first — it creates the barrier
+    // cache over the hashed shingle index
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count()
+    // the MinHash query's plan must pick up that SAME cache: its
+    // shingle index resolves to an InMemoryRelation (CacheManager
+    // plan-identity hit), in both consumers (signatures + verify sets)
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 0.8)
+    val imrs = mh.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imrs.size >= 2, s"expected >=2 InMemoryRelation reads, got ${imrs.size}")
+    // and a freshly-constructed index frame resolves to the cache too
+    val idx = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+    val idxImr = idx.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(idxImr.nonEmpty, "fresh hashedShingles plan did not hit the cache")
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("SimHash pairs are high-Jaccard (precision against exact pairs)") {
     val sim = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
       .select("id_i", "id_j").as[(Long, Long)].collect().toSet
