@@ -73,10 +73,21 @@ object Xlsx {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(dir)
       .select("path", "content")
+    sheetsOf(files, sheetName, schema, skipCorrupt)
+  }
+
+  /** Parse a `(path, content)` frame of workbook bytes (however it
+    * was sourced — batch binaryFile scan or a STREAMING micro-batch)
+    * into the named sheet's rows. Parsing runs executor-side in
+    * flatMap; headers are validated against the contract.
+    */
+  def sheetsOf(files: DataFrame, sheetName: String, schema: StructType,
+               skipCorrupt: Boolean = false): DataFrame = {
+    val spark = files.sparkSession
     val n = schema.length
     val out = StructType(StructField("_src_file", StringType) +: schema.fields.toIndexedSeq)
     val expected = schema.fieldNames.toSeq
-    val rows = files.rdd.flatMap { r =>
+    val rows = files.select("path", "content").rdd.flatMap { r =>
       val path = r.getString(0)
       def parse(): Iterator[Row] = {
         val rowsOfFile = parseSheet(r.getAs[Array[Byte]](1), sheetName)

@@ -88,6 +88,48 @@ object Ingest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** The binaryFile source's fixed schema (file streams require an
+    * explicit schema).
+    */
+  private val binaryFileSchema: StructType = StructType.fromDDL(
+    "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+
+  /** S1/S3/S7 for WORKBOOKS, streaming form: Spark has no xlsx file
+    * stream, but `binaryFile` is a regular file-stream format — so
+    * staged workbooks flow through the same checkpointed,
+    * exactly-once-per-file, archive-on-consume loop as the CSV path,
+    * and each micro-batch's workbook bytes parse executor-side
+    * ([[graft.sources.Xlsx.sheetsOf]]) before the usual transform →
+    * route → idempotent sinks. Corrupt workbooks are skipped
+    * file-grained (F1), matching the batch path.
+    */
+  def ingestXlsxAvailableNow(spark: SparkSession, stagingDir: String,
+                             archiveDir: String, checkpointDir: String,
+                             factSink: UpsertSink, quarantinePath: String,
+                             dim: DataFrame,
+                             sheetName: String = "Paid order list"): Unit = {
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.xlsx")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .load(stagingDir)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val raw = graft.sources.Xlsx
+          .sheetsOf(batch, sheetName, rawSchema, skipCorrupt = true)
+          .drop("_src_file")
+        val split = Transform.run(raw, dim)
+        factSink.upsert(split.clean, factKeys)
+        Load.appendQuarantineIdempotent(split.quarantine, quarantinePath, batchId)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** One batch ingest pass through the pluggable sheet-source seam
     * (S3): read every staged sheet via `source` (CSV stand-in or the
     * real .xlsx reader), transform (E2), route (F5), upsert the

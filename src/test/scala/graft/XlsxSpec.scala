@@ -325,4 +325,77 @@ class XlsxSpec extends SparkSpec {
 
   private def workbookSheet2Bytes(sheet2: String): Array[Byte] =
     workbookBytes(sheet2)
+
+  private def contractSheet(orderId: Int, products: String, amount: String): String =
+    s"""<?xml version="1.0"?>
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+       |  <sheetData>
+       |    <row r="1">
+       |      <c r="A1" t="inlineStr"><is><t>Order ID</t></is></c>
+       |      <c r="B1" t="inlineStr"><is><t>Products</t></is></c>
+       |      <c r="C1" t="inlineStr"><is><t>Product amount</t></is></c>
+       |      <c r="D1" t="inlineStr"><is><t>Received amount</t></is></c>
+       |      <c r="E1" t="inlineStr"><is><t>Payment time</t></is></c>
+       |      <c r="F1" t="inlineStr"><is><t>Cash</t></is></c>
+       |      <c r="G1" t="inlineStr"><is><t>Gcash</t></is></c>
+       |      <c r="H1" t="inlineStr"><is><t>Type/Channel</t></is></c>
+       |    </row>
+       |    <row r="2">
+       |      <c r="A2"><v>$orderId</v></c>
+       |      <c r="B2" t="inlineStr"><is><t>$products</t></is></c>
+       |      <c r="C2"><v>$amount</v></c>
+       |      <c r="D2"><v>$amount</v></c>
+       |      <c r="E2" t="inlineStr"><is><t>2026-01-0$orderId 10:00:00</t></is></c>
+       |      <c r="F2"><v>$amount</v></c>
+       |      <c r="G2" t="inlineStr"><is><t>-</t></is></c>
+       |      <c r="H2" t="inlineStr"><is><t>Dine-in</t></is></c>
+       |    </row>
+       |  </sheetData>
+       |</worksheet>""".stripMargin
+
+  test("A7/S3 streaming: xlsx workbooks through the checkpointed file stream") {
+    import graft.etl.ParquetUpsertSink
+    import graft.etl.Transform
+    import graft.streaming.Ingest
+    val base = tmpDir("xlsx-stream")
+    val staging = base + "/staging"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    def put(name: String, sheet: String): Unit = {
+      val out = new FileOutputStream(s"$staging/$name")
+      out.write(workbookBytes(sheet)); out.close()
+    }
+    put("day1.xlsx", contractSheet(1, "Spanish Latte (Solo) (Hot) x2", "250"))
+    put("day2.xlsx", contractSheet(2, "Biscoff Croffle", "150"))
+    val factPath = base + "/fact"
+    def run(): Unit = Ingest.ingestXlsxAvailableNow(spark, staging,
+      base + "/archive", base + "/ckpt",
+      new ParquetUpsertSink(spark, factPath), base + "/quar",
+      Transform.dimDF(spark))
+    run()
+    val items = graft.etl.Load.readTable(spark, factPath)
+      .select("items").orderBy("items").collect().map(_.getString(0)).toSeq
+    assert(items === Seq("Croffle - Biscoff", "Spanish Latte"))
+    // incremental: a NEW workbook in a second AvailableNow pass adds
+    // only its rows (checkpoint skips the consumed ones)
+    put("day3.xlsx", contractSheet(3, "Americano (Duo) (Hot)", "120"))
+    run()
+    val after = graft.etl.Load.readTable(spark, factPath)
+      .select("items").orderBy("items").collect().map(_.getString(0)).toSeq
+    assert(after === Seq("Americano", "Croffle - Biscoff", "Spanish Latte"))
+    // S7: the source's cleaner archives consumed workbooks; it runs
+    // asynchronously after each commit (same poll as IngestSpec) —
+    // day1/day2 were consumed a full query ago, so they must land
+    var archived = 0L
+    var tries = 0
+    while (archived < 2 && tries < 20) {
+      Thread.sleep(250)
+      val a = java.nio.file.Paths.get(base + "/archive")
+      archived = if (java.nio.file.Files.exists(a))
+        java.nio.file.Files.walk(a).filter(p =>
+          p.toString.endsWith(".xlsx")).count()
+      else 0L
+      tries += 1
+    }
+    assert(archived >= 2, s"expected >=2 archived workbooks, saw $archived")
+  }
 }
