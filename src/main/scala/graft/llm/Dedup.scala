@@ -140,8 +140,12 @@ object Dedup {
     val bandCols = array((0 until p.bands).map { bnd =>
       xxhash64(lit(bnd), slice(col("sig"), bnd * p.rowsPerBand + 1, p.rowsPerBand))
     }: _*)
-    val bands = sigs.select(col(idCol), posexplode(bandCols))
-      .toDF(idCol, "band", "bucket")
+    // cache barrier: both sides of the bucket self-join otherwise
+    // re-derive the banded frame — including the full signature
+    // computation upstream of it — once per branch
+    val bands = BarrierCache.track(
+      sigs.select(col(idCol), posexplode(bandCols))
+        .toDF(idCol, "band", "bucket"))
     val l = bands.toDF("id_i", "band", "bucket")
     val r = bands.toDF("id_j", "band", "bucket")
     l.join(r, Seq("band", "bucket"))
@@ -168,9 +172,10 @@ object Dedup {
       .select(col(idCol), col("sig"))
     val cands = minhashCandidates(sigs, idCol, p)
     // verify sets are int64 shingle hashes — bounded payload per doc
-    // (8 bytes per distinct shingle, not the n-word string)
-    val sets = sh
-      .groupBy(idCol).agg(collect_set("h").as("set"))
+    // (8 bytes per distinct shingle, not the n-word string); barrier:
+    // the id_i and id_j attach joins both consume this aggregation
+    val sets = BarrierCache.track(
+      sh.groupBy(idCol).agg(collect_set("h").as("set")))
     cands
       .join(sets.select(col(idCol).as("id_i"), col("set").as("set_i")), Seq("id_i"))
       .join(sets.select(col(idCol).as("id_j"), col("set").as("set_j")), Seq("id_j"))
@@ -191,10 +196,12 @@ object Dedup {
                         threshold: Double,
                         p: Similarity.RpLshParams = Similarity.RpLshParams()): DataFrame = {
     // candidate pairs on ids only (vectors through the bucket join
-    // would dominate shuffle cost); vectors re-attached afterwards
-    val b = Similarity.withBuckets(corpus, vecCol, "__bk", p)
-      .select(col(idCol), posexplode(col("__bk")))
-      .toDF(idCol, "table", "bucket")
+    // would dominate shuffle cost); vectors re-attached afterwards.
+    // Barrier: both self-join branches consume the bucket frame.
+    val b = BarrierCache.track(
+      Similarity.withBuckets(corpus, vecCol, "__bk", p)
+        .select(col(idCol), posexplode(col("__bk")))
+        .toDF(idCol, "table", "bucket"))
     val l = b.toDF("id_i", "table", "bucket")
     val r = b.toDF("id_j", "table", "bucket")
     val cands = l.join(r, Seq("table", "bucket"))
