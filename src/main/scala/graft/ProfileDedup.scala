@@ -27,13 +27,7 @@ object ProfileDedup {
     val sh = Dedup.hashedShingles(docs, "doc_id", "text", 3)
     t("shingle index")(sh.count())
     t("shingle index(2)")(sh.count())
-    val hashed = sh.groupBy("doc_id").agg(collect_list("h").as("hs"))
-    val seeds = array((0 until p.numHashes).map(lit): _*)
-    val sigs = hashed.withColumn("sig",
-      transform(seeds, k =>
-        aggregate(col("hs"), lit(Long.MaxValue),
-          (acc, h) => least(acc, xxhash64(k, h)))))
-      .select(col("doc_id"), col("sig"))
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", p)
     t("signatures")(sigs.count())
     val cands = Dedup.minhashCandidates(sigs, "doc_id", p)
     t("sig+candidates")(cands.count())

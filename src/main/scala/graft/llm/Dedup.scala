@@ -113,17 +113,16 @@ object Dedup {
     val rowsPerBand: Int = numHashes / bands
   }
 
-  /** MinHash signature per doc: for each seed k, the min of
-    * xxhash64(k, shingleHash) over the doc's shingles — a seeded
-    * hash family with no multiply (ANSI mode forbids wrap-around
-    * long arithmetic). One HOF projection over the collected
-    * shingle-hash list — no per-hash aggregate columns, no UDF.
+  /** MinHash signature per doc from a hashed-shingle index
+    * (`(id, h)` rows, e.g. [[hashedShingles]]): for each seed k, the
+    * min of xxhash64(k, h) over the doc's shingles — a seeded hash
+    * family with no multiply (ANSI mode forbids wrap-around long
+    * arithmetic). One HOF projection over the collected shingle-hash
+    * list — no per-hash aggregate columns, no UDF.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, p: MinHashParams): DataFrame = {
-    val hashed = shingles(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
-      .groupBy(idCol).agg(collect_list("h").as("hs"))
+  def minhashSignatures(hashedIdx: DataFrame, idCol: String,
+                        p: MinHashParams): DataFrame = {
+    val hashed = hashedIdx.groupBy(idCol).agg(collect_list("h").as("hs"))
     val seeds = array((0 until p.numHashes).map(lit): _*)
     hashed.withColumn("sig",
       transform(seeds, k =>
@@ -163,13 +162,7 @@ object Dedup {
                       p: MinHashParams = MinHashParams()): DataFrame = {
     // same plan as jaccardPairs' index — one shared materialization
     val sh = hashedShingles(docs, idCol, textCol, n)
-    val hashed = sh.groupBy(idCol).agg(collect_list("h").as("hs"))
-    val seeds = array((0 until p.numHashes).map(lit): _*)
-    val sigs = hashed.withColumn("sig",
-      transform(seeds, k =>
-        aggregate(col("hs"), lit(Long.MaxValue),
-          (acc, h) => least(acc, xxhash64(k, h)))))
-      .select(col(idCol), col("sig"))
+    val sigs = minhashSignatures(sh, idCol, p)
     val cands = minhashCandidates(sigs, idCol, p)
     // verify sets are int64 shingle hashes — bounded payload per doc
     // (8 bytes per distinct shingle, not the n-word string); barrier:
