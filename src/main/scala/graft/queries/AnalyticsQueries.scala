@@ -185,6 +185,34 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q57 — A2 sketch tier: approximate percentiles (Greenwald-Khanna
+    // sketch via approx_percentile — the bounded-memory, mergeable
+    // at-scale form of q43) with the q39-style self-check: output is
+    // the exact percentiles plus deterministic flags that each sketch
+    // estimate lands within tolerance (the sketch picks a real data
+    // value, so an exact interpolated percentile can differ by up to
+    // one unit plus the rank error).
+    "q57_approx_percentiles" -> ((s, dir) => {
+      def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        abs(approx.cast("double") - exact) <= greatest(lit(1.0), exact * lit(0.05))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_quantity, 0.99)").as("p99_qty"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("__a90"),
+          expr("approx_percentile(l_quantity, 0.99, 10000)").as("__a99"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+          col("p99_qty"), col("n"),
+          ok(col("__a50"), col("p50_qty")).as("sketch_p50_ok"),
+          ok(col("__a90"), col("p90_qty")).as("sketch_p90_ok"),
+          ok(col("__a99"), col("p99_qty")).as("sketch_p99_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // q44 — A1/A3: pivoted revenue matrix (returnflag × linestatus)
     // via the DataFrame pivot API with an explicit value list
     // (deterministic columns); oracle = conditional aggregation.
@@ -392,6 +420,15 @@ object AnalyticsQueries {
         |       quantile_cont(l_quantity, 0.9) AS p90_qty,
         |       quantile_cont(l_quantity, 0.99) AS p99_qty,
         |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q57_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       quantile_cont(l_quantity, 0.99) AS p99_qty,
+        |       COUNT(*) AS n,
+        |       TRUE AS sketch_p50_ok, TRUE AS sketch_p90_ok,
+        |       TRUE AS sketch_p99_ok
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q44_pivot_matrix" ->
       s"""SELECT l_returnflag,
