@@ -142,6 +142,7 @@ object Load {
   private[etl] def recoverSwap(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPrev(fs, path)
     val aside = new org.apache.hadoop.fs.Path(asideDir(path))
     if (fs.exists(aside)) {
       fs.listStatus(aside).foreach { st =>
@@ -151,6 +152,16 @@ object Load {
       fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
+  }
+
+  /** Restore a table whose whole-table [[swap]] crashed between the
+    * aside rename and the new-generation rename (path missing, old
+    * generation parked at `__prev`).
+    */
+  private def recoverPrev(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(path + "__prev")
+    if (!fs.exists(p) && fs.exists(prev)) fs.rename(prev, p)
   }
 
   /** Whole-table swap with the same never-delete-the-only-copy
@@ -163,7 +174,7 @@ object Load {
     val t = new org.apache.hadoop.fs.Path(tmp)
     val prev = new org.apache.hadoop.fs.Path(path + "__prev")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) && fs.exists(prev)) fs.rename(prev, p)
+    recoverPrev(fs, path)
     if (fs.exists(p)) {
       fs.delete(prev, true)
       fs.rename(p, prev)
@@ -229,6 +240,9 @@ object Load {
   def reprocessQuarantine(spark: SparkSession, quarantinePath: String,
                           factPath: String, dim: DataFrame,
                           keys: Seq[String]): (Long, Long) = {
+    // a crashed predecessor may have left the table parked at __prev
+    // — without this, the exists check below would silently no-op
+    recoverSwap(spark, quarantinePath)
     if (!tableExists(spark, quarantinePath)) return (0L, 0L)
     val q = spark.read.parquet(quarantinePath).drop("__batch")
     // Quarantined rows store the POST-title-case item (`main.py:385`

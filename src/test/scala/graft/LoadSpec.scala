@@ -127,6 +127,25 @@ class LoadSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(path + "__swap")))
   }
 
+  test("whole-table swap: crash leaving table at __prev recovers on next op") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpDir("crash3") + "/t"
+    val keys = Seq("order_id", "items")
+    val v1 = Seq(("o1", "a", 1.0), ("o2", "b", 2.0)).toDF("order_id", "items", "amount")
+    Load.upsert(spark, v1, path, keys)
+    // simulate a crash between swap's aside rename and the new-gen
+    // rename: the only copy of the table is parked at __prev
+    Files.move(Paths.get(path), Paths.get(path + "__prev"))
+    // the next upsert recovers it and merges normally
+    val v2 = Seq(("o1", "a", 9.0)).toDF("order_id", "items", "amount")
+    Load.upsert(spark, v2, path, keys)
+    val got = Load.readTable(spark, path)
+      .select("order_id", "amount").orderBy("order_id")
+      .as[(String, Double)].collect().toSeq
+    assert(got === Seq(("o1", 9.0), ("o2", 2.0)))
+    assert(!Files.exists(Paths.get(path + "__prev")))
+  }
+
   test("S6/J1 star normalization: all-integer fact, FK integrity") {
     val clean = Seq(
       ("1", "Latte", 2.0, 10.0, 10.0, "t1", "Cash", "Dine-in"),
