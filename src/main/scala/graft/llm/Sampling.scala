@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data builds (the reference has
+  * no sampling; this is part of the LLM-pipeline tier — corpus
+  * mixing with per-source weights is how training mixtures are
+  * specified, and at 100 TB the sample must be REPRODUCIBLE: a
+  * rebuild, an incremental top-up, or an audit has to select exactly
+  * the same rows).
+  *
+  * Spark's `df.sample`/`rand(seed)` are partition-order dependent —
+  * a repartition or file-split change silently yields a different
+  * sample. Keying the decision on a pure integer function of the row
+  * ID makes the sample a property of the DATA: engine-independent
+  * (reproducible in plain SQL), partitioning-independent, and stable
+  * under incremental appends (old rows never change membership).
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0,1) from an integer id: Knuth
+    * multiplicative hashing on the low 31 bits (2654435761 =
+    * ⌊2³²/φ⌋; products stay under 2⁶³, so ANSI mode never overflows).
+    * For ids wider than 31 bits, pre-fold with xxhash64 — at the cost
+    * of SQL reproducibility.
+    */
+  def uniform(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(1L << 31)) * lit(2654435761L), lit(1L << 32))
+      .cast("double") / lit(4294967296.0)
+
+  /** Weighted corpus mix: keep each row with its group's fraction
+    * (deterministic per row id). Groups absent from `weights` drop.
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weights: Map[String, Double]): DataFrame = {
+    val fracs = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(uniform(col(idCol)) <
+      coalesce(element_at(fracs, col(groupCol)), lit(0.0)))
+  }
+}

@@ -207,6 +207,27 @@ object LlmQueries {
         minRecall = 0.05)
     }),
 
+    // q58 — LLM-pipeline tier: deterministic weighted corpus mixing
+    // (graft.llm.Sampling). The sample membership is a pure integer
+    // function of doc_id, so the EXACT same rows select in DuckDB —
+    // full oracle, no tolerance flags — and a 100 TB rebuild or
+    // incremental top-up reproduces the mixture bit-for-bit (unlike
+    // rand()/df.sample, which shift with partitioning).
+    "q58_weighted_sample" -> ((s, dir) => {
+      val w = Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.3, "zh" -> 1.0)
+      val docs = Tables.documents(s, dir)
+      val sampled = graft.llm.Sampling.weightedSample(docs, "doc_id", "lang", w)
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(sampled.groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(TextStats.tokenCount(col("text")).cast("long")).as("sampled_tokens")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("lang")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {
@@ -340,6 +361,26 @@ object LlmQueries {
         |      FROM c)
         |SELECT lang, CAST(rn AS BIGINT) AS rnk, tok AS token, CAST(n AS BIGINT) AS n
         |FROM r WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
+    // the sampler is plain integer arithmetic — DuckDB reproduces
+    // membership exactly (same Knuth multiplicative hash)
+    "q58_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT lang, text,
+        |    CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS uni
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, COUNT(*) AS n_sampled,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sampled_tokens
+        |  FROM u
+        |  WHERE uni < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+        |                        WHEN 'es' THEN 0.5 WHEN 'fr' THEN 0.3
+        |                        WHEN 'zh' THEN 1.0 ELSE 0.0 END
+        |  GROUP BY 1)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |       COALESCE(ANY_VALUE(s.n_sampled), 0) AS n_sampled,
+        |       COALESCE(ANY_VALUE(s.sampled_tokens), 0) AS sampled_tokens
+        |FROM documents d LEFT JOIN s ON d.lang = s.lang
+        |GROUP BY 1 ORDER BY d.lang""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
     "q45_embedding_neardup" ->
