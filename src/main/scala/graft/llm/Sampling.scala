@@ -25,9 +25,33 @@ object Sampling {
     * For ids wider than 31 bits, pre-fold with xxhash64 — at the cost
     * of SQL reproducibility.
     */
-  def uniform(id: Column): Column =
-    pmod(pmod(id.cast("long"), lit(1L << 31)) * lit(2654435761L), lit(1L << 32))
+  def uniform(id: Column): Column = mulHash(id, 2654435761L)
+
+  /** A second deterministic uniform from a different multiplier
+    * (xxhash PRIME32_2), for decisions that must not correlate with
+    * [[uniform]]'s (e.g. holdout split after sampling). Both are
+    * linear in the id, so this is decorrelation-in-practice, not
+    * independence — a production build wanting provable independence
+    * would salt a full 64-bit hash instead (losing plain-SQL
+    * reproducibility).
+    */
+  def uniformSplit(id: Column): Column = mulHash(id, 2246822519L)
+
+  private def mulHash(id: Column, mult: Long): Column =
+    pmod(pmod(id.cast("long"), lit(1L << 31)) * lit(mult), lit(1L << 32))
       .cast("double") / lit(4294967296.0)
+
+  /** Deterministic train/validation/test assignment from the row id:
+    * the same row lands in the same split on every rebuild and under
+    * any partitioning.
+    */
+  def splitOf(id: Column, trainFrac: Double = 0.9,
+              valFrac: Double = 0.05): Column = {
+    val u = uniformSplit(id)
+    when(u < trainFrac, "train")
+      .when(u < trainFrac + valFrac, "val")
+      .otherwise("test")
+  }
 
   /** Weighted corpus mix: keep each row with its group's fraction
     * (deterministic per row id). Groups absent from `weights` drop.

@@ -228,6 +228,31 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // q59 — LLM-pipeline tier, composition flagship: build a training
+    // shard end-to-end — quality filter (q29's score) → exact
+    // content dedup (q30's fingerprint, min doc_id wins) → weighted
+    // language mix (q58's sampler) → deterministic train/val/test
+    // split. Every stage is exact, so the whole composition carries
+    // a full hash oracle.
+    "q59_training_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.3, "zh" -> 1.0)
+      val docs = Tables.documents(s, dir)
+      val quality = docs.filter(TextStats.qualityScoreRaw(col("text")) >= 0.5)
+      val deduped = quality
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(TextStats.fingerprint(col("text")))
+            .orderBy("doc_id")))
+        .filter(col("__rn") === 1)
+      val sampled = graft.llm.Sampling.weightedSample(deduped, "doc_id", "lang", w)
+      sampled
+        .withColumn("split", graft.llm.Sampling.splitOf(col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("lang", "split")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {
@@ -381,6 +406,37 @@ object LlmQueries {
         |       COALESCE(ANY_VALUE(s.sampled_tokens), 0) AS sampled_tokens
         |FROM documents d LEFT JOIN s ON d.lang = s.lang
         |GROUP BY 1 ORDER BY d.lang""".stripMargin,
+    // q59: every stage mirrored exactly — q29's quality formula,
+    // q30's fingerprint, q58's sampler, the split hash
+    "q59_training_shard" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, text,
+         |    len(string_split(text,' ')) AS ntok,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+         |    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) AS awl
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text FROM f
+         |  WHERE ttr*0.5 + (CASE WHEN ntok BETWEEN 8 AND 256 THEN 1.0 ELSE 0.0 END)*0.25
+         |      + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)*0.25 >= 0.5),
+         |d AS (
+         |  SELECT doc_id, lang, text,
+         |         row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         |  FROM q),
+         |s AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)/4294967296.0 AS uni,
+         |    CAST(((doc_id % 2147483648) * 2246822519) % 4294967296 AS DOUBLE)/4294967296.0 AS uni2
+         |  FROM d WHERE rn = 1),
+         |k AS (
+         |  SELECT lang, text,
+         |    CASE WHEN uni2 < 0.9 THEN 'train' WHEN uni2 < 0.95 THEN 'val' ELSE 'test' END AS split
+         |  FROM s
+         |  WHERE uni < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+         |                        WHEN 'fr' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.0 END)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         |FROM k GROUP BY 1,2 ORDER BY lang, split""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
     "q45_embedding_neardup" ->
