@@ -114,20 +114,37 @@ object Load {
     touched.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(s"$path/__bucket=$b")
       if (fs.exists(dst))
-        fs.rename(dst, new org.apache.hadoop.fs.Path(aside, s"__bucket=$b"))
+        renameOrAbort(fs, dst, new org.apache.hadoop.fs.Path(aside, s"__bucket=$b"))
     }
     // phase 2: new generation in
     touched.foreach { b =>
       val src = new org.apache.hadoop.fs.Path(s"$tmp/__bucket=$b")
       if (fs.exists(src))
-        fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"))
+        renameOrAbort(fs, src, new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"))
     }
-    // phase 3: the swap is complete — only now drop the old copies
+    // phase 3: the swap is complete — only now drop the old copies.
+    // (Reached only if every rename above succeeded: Hadoop rename
+    // reports most failures by returning false, not throwing, and an
+    // unconditional delete after a silent rename failure would drop
+    // the only remaining copy of that bucket.)
     fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   private def asideDir(path: String): String = path + "__swap"
+
+  /** Rename that refuses to be ignored: Hadoop `FileSystem.rename`
+    * signals most failures (missing source, existing destination,
+    * permission) by returning FALSE rather than throwing, and every
+    * swap here deletes the moved-aside copy afterwards — so a silent
+    * rename failure must abort the swap (leaving the aside/__prev
+    * dirs in place for [[recoverSwap]]) before any delete runs.
+    */
+  private[etl] def renameOrAbort(fs: org.apache.hadoop.fs.FileSystem,
+                                 src: org.apache.hadoop.fs.Path,
+                                 dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst (swap aborted; run recovery)")
 
   /** Recover a table from a crash mid-[[upsert]] swap. For each
     * bucket found aside: a missing table dir means the crash hit
@@ -147,7 +164,7 @@ object Load {
     if (fs.exists(aside)) {
       fs.listStatus(aside).foreach { st =>
         val dst = new org.apache.hadoop.fs.Path(path + "/" + st.getPath.getName)
-        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+        if (!fs.exists(dst)) renameOrAbort(fs, st.getPath, dst)
       }
       fs.delete(aside, true)
     }
@@ -161,7 +178,7 @@ object Load {
   private def recoverPrev(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val prev = new org.apache.hadoop.fs.Path(path + "__prev")
-    if (!fs.exists(p) && fs.exists(prev)) fs.rename(prev, p)
+    if (!fs.exists(p) && fs.exists(prev)) renameOrAbort(fs, prev, p)
   }
 
   /** Whole-table swap with the same never-delete-the-only-copy
@@ -177,9 +194,9 @@ object Load {
     recoverPrev(fs, path)
     if (fs.exists(p)) {
       fs.delete(prev, true)
-      fs.rename(p, prev)
+      renameOrAbort(fs, p, prev)
     }
-    fs.rename(t, p)
+    renameOrAbort(fs, t, p)
     fs.delete(prev, true)
   }
 

@@ -88,14 +88,19 @@ object LlmQueries {
     // q56 — A9 sketch tier: bounded-memory space-saving top-5 tokens
     // per language (TopKTokensSketch), made oracle-checkable: rows
     // are the EXACT top-5 head (the q48 contract) and `bound_ok`
-    // asserts, per token, the sketch invariant est - err ≤ true ≤ est
-    // AND that the token survived into the sketch's head at all —
-    // DuckDB emits the exact head + TRUE, so a sketch regression
-    // (lost mass, broken merge, head miss) flips the flag and fails
-    // the hash compare. Raw estimates stay covered by TopKSketchSpec.
+    // asserts, per token, the sketch invariant est - err ≤ true ≤ est.
+    // Head membership is only REQUIRED above the space-saving
+    // survival guarantee (count > N/capacity, N = tokens in the
+    // lang): below it a near-tied head token can legitimately miss
+    // the sketch's top-5, so est-null there is accepted rather than
+    // flipping the flag on a data refresh. DuckDB emits the exact
+    // head + TRUE, so a real sketch regression (lost mass, broken
+    // merge, a guaranteed-survivor missing) still fails the hash
+    // compare. Raw estimates stay covered by TopKSketchSpec.
     "q56_top_tokens_sketch" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val topk = udaf(graft.functions.TopKTokensSketch(5, capacity = 256))
+      val capacity = 256
+      val topk = udaf(graft.functions.TopKTokensSketch(5, capacity))
       val toks = Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       val sk = toks
@@ -104,13 +109,16 @@ object LlmQueries {
         .select(col("lang"), col("e.token").as("token"),
           col("e.est").as("est"), col("e.err").as("err"))
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
-      val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val counts = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val exact = counts
         .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("lang")))
         .filter(col("rnk") <= 5)
       exact.join(sk, Seq("lang", "token"), "left")
         .select(col("lang"), col("rnk"), col("token"), col("n"),
-          (col("est").isNotNull && col("est") >= col("n") &&
-            col("est") - col("err") <= col("n")).as("bound_ok"))
+          (when(col("est").isNotNull,
+            col("est") >= col("n") && col("est") - col("err") <= col("n"))
+            .otherwise(col("n") <= col("tot") / capacity)).as("bound_ok"))
         .orderBy("lang", "rnk")
     }),
 

@@ -127,10 +127,13 @@ object Xlsx {
       try {
         val rows = parseSheet(r.getAs[Array[Byte]](1), sheetName)
         expected.foreach { exp =>
-          rows.headOption.foreach { h =>
-            require(h.map(_.getOrElse("").trim) == exp,
-              s"${r.getString(0)}: sheet header != contract")
-          }
+          // An empty parsed sheet contributes zero rows under
+          // skipCorrupt just like a header drift does, so under a
+          // schema contract it must surface here, not vanish.
+          require(rows.nonEmpty,
+            s"${r.getString(0)}: empty sheet under a header contract")
+          require(rows.head.map(_.getOrElse("").trim) == exp,
+            s"${r.getString(0)}: sheet header != contract")
         }
         None
       }
