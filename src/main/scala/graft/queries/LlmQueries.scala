@@ -159,6 +159,22 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q60 — A8, cluster tier: near-dup pairs (q31's exact edge set)
+    // clustered into duplicate groups via distributed connected
+    // components (large-star/small-star — O(log n) shuffle rounds,
+    // no driver-side graph). component = min doc_id reachable =
+    // the canonical document a 100 TB dedup keeps.
+    "q60_neardup_clusters" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      graft.llm.Cluster.connectedComponents(pairs, "id_i", "id_j")
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"),
+          (col("id") === col("component")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // q45 — A8/A10: embedding-cosine near-dup. The testdata
     // embeddings are pure random (no natural pairs ≥ 0.95), so the
     // query plants exact copies of every 5th vector (same construction
@@ -447,6 +463,27 @@ object LlmQueries {
          |FROM k GROUP BY 1,2 ORDER BY lang, split""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
+    // q60: transitive closure of the q31 edge set — min reachable id
+    // per node via a recursive CTE (the oracle-side equivalent of
+    // the distributed star rounds).
+    "q60_neardup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (SELECT id_i, id_j FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_i JOIN sizes sb ON sb.doc_id = id_j
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |sym AS (SELECT id_i AS a, id_j AS b FROM edges UNION SELECT id_j, id_i FROM edges),
+        |reach AS (
+        |  SELECT a AS id, a AS comp FROM sym
+        |  UNION
+        |  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
+        |       id = MIN(comp) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q45_embedding_neardup" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
