@@ -42,6 +42,35 @@ object TextStats {
   def avgTokenLen(text: Column): Column =
     (length(text) - size(tokens(text)) + 1).cast("double") / size(tokens(text))
 
+  /** Adjacent word bigrams as an array (n_tok - 1 entries; empty for
+    * single-token docs). Pure per-row HOF — no explode, no shuffle:
+    * the scale-friendly form of repetition analysis (a groupBy over
+    * (doc, ngram) would shuffle the whole corpus).
+    */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    val n1 = greatest(size(t) - 1, lit(0))
+    // zip_with pads to the LONGER array (nulls), so both sides must
+    // be sliced to exactly n-1 entries.
+    zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  def distinctBigramCount(text: Column): Column =
+    size(array_distinct(bigrams(text)))
+
+  /** Highest single-token occurrence count in the doc (Gopher-style
+    * "top word mass" numerator). O(distinct · n) per row via HOFs —
+    * bounded by doc length, still projection-only.
+    */
+  def topTokenCount(text: Column): Column = {
+    val t = tokens(text)
+    coalesce(
+      array_max(transform(array_distinct(t),
+        d => size(filter(t, x => x === d)))),
+      lit(0))
+  }
+
   /** Stopword hit count for a language profile. */
   def stopwordHits(text: Column, stops: Seq[String]): Column =
     size(array_intersect(tokens(text),

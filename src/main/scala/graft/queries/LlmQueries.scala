@@ -175,6 +175,70 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q61 — LLM-pipeline tier: PII scrub (graft.llm.Pii). The
+    // synthetic corpus carries no natural PII, so the query PLANTS
+    // emails/phones/IPs by a pure doc_id rule (the q33/q45 planted
+    // construction, mirrored in the oracle) — the detector and the
+    // redactor must then find and mask exactly those. Counts,
+    // redacted-doc tally, and the redaction length delta are all
+    // integers, so the oracle compare is exact.
+    "q61_pii_scrub" -> ((s, dir) => {
+      import graft.llm.Pii
+      val planted = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), (col("doc_id") % 100).cast("string")))
+            .otherwise(lit(""))))
+      val t = col("t")
+      planted
+        .select(col("lang"),
+          Pii.emailCount(t).cast("long").as("ne"),
+          Pii.phoneCount(t).cast("long").as("np"),
+          Pii.ipCount(t).cast("long").as("ni"),
+          (length(t) - length(Pii.redact(t))).cast("long").as("delta"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ne").as("n_emails"),
+          sum("np").as("n_phones"),
+          sum("ni").as("n_ips"),
+          sum((col("ne") + col("np") + col("ni") > 0).cast("long")).as("n_redacted_docs"),
+          sum("delta").as("chars_delta"))
+        .orderBy("lang")
+    }),
+
+    // q62 — A9, quality tier: Gopher-style repetition signals per
+    // language — duplicate-token and duplicate-bigram mass plus the
+    // top-token concentration, with >20% flags. Everything is
+    // integer sums and integer threshold comparisons (mass > 0.2 ⇔
+    // 5·count > total), so the oracle compare is exact; the Spark
+    // side stays a pure per-row HOF projection (no explode shuffle).
+    "q62_repetition_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextStats.tokenCount(t).cast("long").as("ntok"),
+          size(array_distinct(TextStats.tokens(t))).cast("long").as("ndis"),
+          greatest(TextStats.tokenCount(t) - 1, lit(0)).cast("long").as("nbig"),
+          TextStats.distinctBigramCount(t).cast("long").as("ndisbi"),
+          TextStats.topTokenCount(t).cast("long").as("maxc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("sum_tokens"),
+          sum("ndis").as("sum_distinct_tokens"),
+          sum("nbig").as("sum_bigrams"),
+          sum("ndisbi").as("sum_distinct_bigrams"),
+          sum((col("maxc") * 5 > col("ntok")).cast("long")).as("n_flagged_top"),
+          sum(((col("nbig") - col("ndisbi")) * 5 > col("nbig")).cast("long")).as("n_flagged_rep"))
+        .orderBy("lang")
+    }),
+
     // q45 — A8/A10: embedding-cosine near-dup. The testdata
     // embeddings are pure random (no natural pairs ≥ 0.95), so the
     // query plants exact copies of every 5th vector (same construction
@@ -463,6 +527,57 @@ object LlmQueries {
          |FROM k GROUP BY 1,2 ORDER BY lang, split""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
+    // q61: the same planted construction + the same RE2-safe
+    // patterns; DuckDB counts via regexp_extract_all and redacts
+    // with the 'g' flag.
+    "q61_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT lang, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |    len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS np,
+        |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        |    length(t) - length(
+        |      regexp_replace(regexp_replace(regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS delta
+        |  FROM p)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+        |  CAST(SUM(np) AS BIGINT) AS n_phones,
+        |  CAST(SUM(ni) AS BIGINT) AS n_ips,
+        |  CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted_docs,
+        |  CAST(SUM(delta) AS BIGINT) AS chars_delta
+        |FROM c GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q62: bigram distincts and top-token counts via explode (the
+    // oracle only needs correctness, not the HOF projection shape).
+    "q62_repetition_stats" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, lang, len(t) AS ntok, len(list_distinct(t)) AS ndis,
+        |                GREATEST(len(t) - 1, 0) AS nbig FROM d),
+        |bi AS (SELECT doc_id, COUNT(DISTINCT g) AS ndisbi FROM (
+        |         SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |         FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2))
+        |       GROUP BY 1),
+        |tp AS (SELECT doc_id, MAX(c) AS maxc FROM (
+        |         SELECT doc_id, COUNT(*) AS c
+        |         FROM (SELECT doc_id, unnest(t) AS tok FROM d) GROUP BY doc_id, tok)
+        |       GROUP BY 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(ndis) AS BIGINT) AS sum_distinct_tokens,
+        |  CAST(SUM(nbig) AS BIGINT) AS sum_bigrams,
+        |  CAST(SUM(COALESCE(ndisbi, 0)) AS BIGINT) AS sum_distinct_bigrams,
+        |  CAST(SUM(CASE WHEN maxc * 5 > ntok THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_top,
+        |  CAST(SUM(CASE WHEN (nbig - COALESCE(ndisbi, 0)) * 5 > nbig THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_rep
+        |FROM base LEFT JOIN bi USING (doc_id) LEFT JOIN tp USING (doc_id)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     // q60: transitive closure of the q31 edge set — min reachable id
     // per node via a recursive CTE (the oracle-side equivalent of
     // the distributed star rounds).

@@ -54,6 +54,20 @@ class TextStatsSpec extends SparkSpec {
     assert(toks === Seq("don", "'", "t", "-", "stop"))
   }
 
+  test("bigrams: adjacent pairs; singleton and repeated docs") {
+    val got = Seq("a b c b c", "solo").toDF("text")
+      .select(TextStats.bigrams(col("text")).as("b"),
+        TextStats.distinctBigramCount(col("text")).as("d"),
+        TextStats.topTokenCount(col("text")).as("m"))
+      .collect()
+    assert(got(0).getSeq[String](0) === Seq("a b", "b c", "c b", "b c"))
+    assert(got(0).getInt(1) === 3) // "b c" repeats
+    assert(got(0).getInt(2) === 2) // b (and c) occur twice
+    assert(got(1).getSeq[String](0) === Seq.empty)
+    assert(got(1).getInt(1) === 0)
+    assert(got(1).getInt(2) === 1)
+  }
+
   test("subwordCount equals alnum-runs + non-alnum-chars (the RE2 oracle form)") {
     // edge shapes: leading/trailing punctuation, consecutive
     // delimiters, pure punctuation, empty-ish strings
