@@ -239,6 +239,44 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // q63 — LLM-pipeline tier: benchmark decontamination. Docs with
+    // doc_id % 23 == 0 stand in for the eval suite; any other doc
+    // sharing a word 4-gram with them is flagged as contaminated and
+    // counted per language. The eval side broadcasts (it is tiny by
+    // construction at any corpus scale), so the corpus pays one scan
+    // and no shingle shuffle.
+    "q63_decontaminate" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val train = docs.filter(col("doc_id") % 23 =!= 0)
+      val cont = graft.llm.Decontaminate.contaminated(train, bench, "doc_id", "text", n = 4)
+        .withColumn("c", lit(1L))
+      train.join(cont, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
+    // q64 — LLM-pipeline tier: sequence packing into 4096-token
+    // training shards (graft.llm.Packing — distributed two-pass
+    // prefix sum, NO single-partition window). Shard stats are all
+    // integers; the oracle mirrors with a plain window cumsum, which
+    // the distributed offsets must equal exactly.
+    "q64_sequence_packing" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val packed = graft.llm.Packing.packShards(
+        Tables.documents(s, dir), "doc_id", TextStats.tokenCount(col("text")),
+        budget = 4096L)
+      packed.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("shard")
+    }),
+
     // q45 — A8/A10: embedding-cosine near-dup. The testdata
     // embeddings are pure random (no natural pairs ≥ 0.95), so the
     // query plants exact copies of every 5th vector (same construction
@@ -578,6 +616,30 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN (nbig - COALESCE(ndisbi, 0)) * 5 > nbig THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_rep
         |FROM base LEFT JOIN bi USING (doc_id) LEFT JOIN tp USING (doc_id)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q63: same 4-gram shingling in string form (hash-equality in
+    // Spark ≡ string-equality modulo xxhash64 collisions, the same
+    // trade q31/q32 already rely on).
+    "q63_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM idx),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench))
+        |SELECT lang, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM documents WHERE doc_id % 23 <> 0
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q64: single-window cumsum form of the same packing.
+    "q64_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |        SUM(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
+        |      FROM d)
+        |SELECT CAST(start // 4096 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     // q60: transitive closure of the q31 edge set — min reachable id
     // per node via a recursive CTE (the oracle-side equivalent of
     // the distributed star rounds).

@@ -1,0 +1,41 @@
+package graft
+
+import graft.llm.Decontaminate
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: overlap semantics + broadcast plan. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+
+  test("flags exactly the docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"), // shares "alpha beta gamma delta"
+      (2L, "alpha beta gamma x delta"),   // longest shared run is 3 < 4
+      (3L, "unrelated words only here"),
+      (4L, "beta gamma delta epsilon z")  // shares the tail 4-gram
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.contaminated(train, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 4L))
+  }
+
+  test("docs shorter than n never match; empty benchmark flags nothing") {
+    val train = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(train, bench, "doc_id", "text", n = 4).isEmpty)
+    val noBench = bench.filter(col("doc_id") < 0L)
+    val t2 = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(t2, noBench, "doc_id", "text", n = 4).isEmpty)
+  }
+
+  test("the benchmark side broadcasts (corpus shingles never shuffle)") {
+    graft.llm.BarrierCache.sweep(spark)
+    val train = Tables.documents(spark, sf).filter(col("doc_id") % 23 =!= 0)
+    val b = Tables.documents(spark, sf).filter(col("doc_id") % 23 === 0)
+    val plan = Decontaminate.contaminated(train, b, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    graft.llm.BarrierCache.sweep(spark)
+  }
+}
