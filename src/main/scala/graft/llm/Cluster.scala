@@ -42,17 +42,20 @@ object Cluster {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // Lazy localCheckpoint: the signature aggregate right after is
+    // the round's ONLY action — it materializes the checkpoint as a
+    // side effect, so each star round costs one job, not two.
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var sig = signature(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val s2 = signature(e)
       converged = s2 == sig
       sig = s2
