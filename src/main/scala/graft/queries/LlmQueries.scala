@@ -277,6 +277,45 @@ object LlmQueries {
         .orderBy("shard")
     }),
 
+    // q65 — composition flagship v2: the full curation funnel a
+    // training build runs, every stage exact and already verified
+    // standalone — quality filter (q29) → exact content dedup (q30,
+    // min id wins) → NEAR-dup clustering keep-canonical (q31 pairs +
+    // q60 components) → benchmark decontamination (q63) → weighted
+    // language mix (q58) → sequence packing into 4096-token shards
+    // (q64). Output is per-shard integer stats; the oracle mirrors
+    // the whole funnel in one SQL (recursive CTE + window cumsum).
+    "q65_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val w = Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.3, "zh" -> 1.0)
+      val docs = Tables.documents(s, dir)
+      val quality = docs.filter(TextStats.qualityScoreRaw(col("text")) >= 0.5)
+      val exactDeduped = quality
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(TextStats.fingerprint(col("text"))).orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__rn")
+      val pairs = Dedup.jaccardPairs(exactDeduped, "doc_id", "text", n = 3, threshold = 0.8)
+      val dropNonCanonical = graft.llm.Cluster.connectedComponents(pairs, "id_i", "id_j")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val canonical = exactDeduped.join(dropNonCanonical, Seq("doc_id"), "left_anti")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val contaminated = graft.llm.Decontaminate.contaminated(
+        canonical.filter(col("doc_id") % 23 =!= 0), bench, "doc_id", "text", n = 4)
+      val clean = canonical.filter(col("doc_id") % 23 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = graft.llm.Sampling.weightedSample(clean, "doc_id", "lang", w)
+      graft.llm.Packing.packShards(mixed, "doc_id",
+          TextStats.tokenCount(col("text")), budget = 4096L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("shard")
+    }),
+
     // q45 — A8/A10: embedding-cosine near-dup. The testdata
     // embeddings are pure random (no natural pairs ≥ 0.95), so the
     // query plants exact copies of every 5th vector (same construction
@@ -630,6 +669,64 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
         |FROM documents WHERE doc_id % 23 <> 0
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q65: the whole funnel in one SQL — q29's quality formula, q30's
+    // fingerprint dedup, q31's pair edges closed transitively
+    // (recursive CTE), q63's 4-gram contamination, q58's sampler,
+    // q64's window-cumsum packing.
+    "q65_curation_funnel" ->
+      s"""WITH RECURSIVE
+         |f AS (
+         |  SELECT doc_id, lang, text,
+         |    len(string_split(text,' ')) AS ntok,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+         |    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) AS awl
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text FROM f
+         |  WHERE ttr*0.5 + (CASE WHEN ntok BETWEEN 8 AND 256 THEN 1.0 ELSE 0.0 END)*0.25
+         |      + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)*0.25 >= 0.5),
+         |x AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM x),
+         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+         |sh3 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh3 GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+         |       FROM sh3 a JOIN sh3 b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |edges AS (SELECT id_i, id_j FROM pr
+         |  JOIN sizes sa ON sa.doc_id = id_i JOIN sizes sb ON sb.doc_id = id_j
+         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+         |sym AS (SELECT id_i AS a, id_j AS b FROM edges UNION SELECT id_j, id_i FROM edges),
+         |reach AS (
+         |  SELECT a AS id, a AS comp FROM sym
+         |  UNION
+         |  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id),
+         |noncanon AS (SELECT id FROM (SELECT id, MIN(comp) AS c FROM reach GROUP BY id) WHERE id <> c),
+         |canon AS (SELECT * FROM x WHERE doc_id NOT IN (SELECT id FROM noncanon)),
+         |btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 23 = 0),
+         |bsh AS (SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
+         |        FROM (SELECT t, unnest(range(1, len(t) - 2)) AS i FROM btoks WHERE len(t) >= 4)),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM canon WHERE doc_id % 23 <> 0),
+         |csh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+         |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM ctoks WHERE len(t) >= 4)),
+         |cont AS (SELECT DISTINCT doc_id FROM csh WHERE g IN (SELECT g FROM bsh)),
+         |clean AS (SELECT * FROM canon
+         |          WHERE doc_id % 23 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |mixed AS (
+         |  SELECT doc_id, lang, text FROM clean
+         |  WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+         |      < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+         |                  WHEN 'fr' THEN 0.3 WHEN 'zh' THEN 1.0 ELSE 0.0 END),
+         |packed AS (
+         |  SELECT doc_id, len(string_split(text,' ')) AS tok,
+         |    SUM(len(string_split(text,' '))) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - len(string_split(text,' ')) AS start
+         |  FROM mixed)
+         |SELECT CAST(start // 4096 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM packed GROUP BY 1 ORDER BY shard""".stripMargin,
     // q64: single-window cumsum form of the same packing.
     "q64_sequence_packing" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
