@@ -196,4 +196,38 @@ object Ingest {
                            watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Document curation as a STREAMING pass: quality filter, exact
+    * content dedup, and PII redaction lifted unchanged into
+    * Structured Streaming over a folder of JSON-lines document
+    * files. The filter and redaction are stateless projections (they
+    * lift for free); the dedup is streaming `dropDuplicates` keyed
+    * on the content fingerprint, whose state lives in the checkpoint
+    * — so a document seen in ANY earlier pass stays deduped in every
+    * later one, and replays are exactly-once.
+    *
+    * State note: fingerprint-dedup state grows with distinct content
+    * forever by design (content dedup has no time horizon). At
+    * 100 TB, bound it with RocksDB state-store + a periodic
+    * compaction job, or switch to [[dedupWithinWatermark]] semantics
+    * when an ingest-time horizon is acceptable.
+    */
+  def curateDocsAvailableNow(spark: SparkSession, stagingDir: String,
+                             checkpointDir: String, outPath: String): Unit = {
+    import graft.llm.{Pii, TextStats}
+    val schema = StructType.fromDDL("doc_id LONG, text STRING, lang STRING")
+    val curated = spark.readStream.schema(schema).json(stagingDir)
+      .filter(TextStats.qualityScoreRaw(col("text")) >= 0.5)
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .withColumn("text", Pii.redact(col("text")))
+      .drop("fp")
+    val q = curated.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outPath)
+      .start()
+    q.awaitTermination()
+  }
 }

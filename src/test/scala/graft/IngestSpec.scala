@@ -142,4 +142,37 @@ class IngestSpec extends SparkSpec {
     // far fewer than the 100 input rows, at least the 5 distinct keys
     assert(n >= 5 && n < 100)
   }
+
+  test("A7/A9: streaming curation pass — quality + dedup + PII across runs") {
+    val base = tmpDir("curate")
+    val staging = base + "/staging"; val chk = base + "/chk"; val out = base + "/out"
+    Files.createDirectories(Paths.get(staging))
+    def doc(id: Long, text: String, lang: String = "en") =
+      s"""{"doc_id":$id,"text":"$text","lang":"$lang"}"""
+    val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    // pass 1: one good doc, one low-quality (degenerate repetition), one PII doc
+    Files.write(Paths.get(staging, "b1.json"), Seq(
+      doc(1, good),
+      doc(2, "spam spam spam spam spam spam spam"), // 7 tokens: misses the length band, ttr ~0.14 -> score < 0.5
+      doc(3, good + " contact admin@site.org now please and thank you kindly")
+    ).mkString("\n").getBytes("UTF-8"))
+    Ingest.curateDocsAvailableNow(spark, staging, chk, out)
+    val p1 = spark.read.parquet(out)
+    assert(p1.count() === 2) // low-quality dropped
+    assert(p1.filter(col("text").contains("admin@site.org")).isEmpty)
+    assert(p1.filter(col("text").contains("<EMAIL>")).count() === 1)
+
+    // pass 2: an exact duplicate of doc 1 (new id) + a fresh doc —
+    // dedup state persists in the checkpoint across passes
+    Files.write(Paths.get(staging, "b2.json"), Seq(
+      doc(10, good),
+      doc(11, "a genuinely new document with plenty of varied words in it today")
+    ).mkString("\n").getBytes("UTF-8"))
+    Ingest.curateDocsAvailableNow(spark, staging, chk, out)
+    val p2 = spark.read.parquet(out)
+    assert(p2.count() === 3) // duplicate content suppressed across runs
+    assert(p2.filter(col("doc_id") === 10L).isEmpty)
+    assert(p2.filter(col("doc_id") === 11L).count() === 1)
+  }
 }
