@@ -215,4 +215,21 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Symmetric per-vector int8 quantization: scale each vector by
+    * 127/max|v_i| and round — the standard 4× memory shrink before
+    * an ANN index is built (int8 dot products then run in SIMD
+    * integer units; scores rescale by the two stored scales). Pure
+    * per-row HOF projection: no shuffle, partition-parallel, exactly
+    * what a 100 TB re-quantization pass needs. A zero vector (no
+    * max) quantizes to all zeros. By construction every |q_i| ≤ 127
+    * and the max |q_i| is exactly 127 for any nonzero vector — q66
+    * emits those invariants as driver-checked columns.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = lit(127.0) / maxAbs
+    when(maxAbs > 0.0, transform(vec, x => round(x.cast("double") * scale).cast("int")))
+      .otherwise(transform(vec, x => lit(0)))
+  }
 }

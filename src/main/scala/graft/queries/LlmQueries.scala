@@ -418,6 +418,29 @@ object LlmQueries {
         .orderBy("lang", "split")
     }),
 
+    // q66 — A10 storage tier: symmetric int8 embedding quantization
+    // (the 4× shrink before ANN indexing). Emits per-label integer
+    // sums over the quantized domain plus the structural invariants
+    // (every |q_i| ≤ 127, per-vector max exactly 127) as counted
+    // violations — n_bad must be 0, and any quantizer drift flips
+    // integer sums, failing the hash compare.
+    "q66_int8_quantize" -> ((s, dir) => {
+      val qv = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, dir)
+        .select(col("label"), qv.as("q"))
+        .select(col("label"),
+          aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("sq"),
+          size(filter(col("q"), v => abs(v) === 127)).cast("long").as("sat"),
+          (size(filter(col("q"), v => abs(v) > 127)) === 0 &&
+            array_max(transform(col("q"), v => abs(v))) === 127).as("ok"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("sq").as("sum_q"),
+          sum("sat").as("n_sat"),
+          sum((!col("ok")).cast("long")).as("n_bad"))
+        .orderBy("label")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {
@@ -799,6 +822,25 @@ object LlmQueries {
         |SELECT lang, CAST(rn AS BIGINT) AS rnk, tok AS token, CAST(n AS BIGINT) AS n,
         |       TRUE AS bound_ok
         |FROM r WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
+    // q66: same quantizer in DuckDB list lambdas (round parity at
+    // exact .5 products is the same trade the qi() machinery of
+    // q34/q36/q45 already relies on).
+    "q66_int8_quantize" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+        |      (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))) AS INT)) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, list_sum(qv) AS sq,
+        |    len(list_filter(qv, v -> abs(v) = 127)) AS sat,
+        |    (len(list_filter(qv, v -> abs(v) > 127)) = 0
+        |      AND list_max(list_transform(qv, v -> abs(v))) = 127) AS ok
+        |  FROM q)
+        |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(sq) AS BIGINT) AS sum_q,
+        |  CAST(SUM(sat) AS BIGINT) AS n_sat,
+        |  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
     "q36_embedding_norms" ->
       s"""SELECT label, COUNT(*) AS n,
          |       CAST(SUM(n2) AS BIGINT) AS sum_n2,

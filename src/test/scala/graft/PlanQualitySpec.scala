@@ -74,6 +74,15 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q61/q62: curation scrubs stay scan-projection + one aggregation") {
+    Seq("q61_pii_scrub", "q62_repetition_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join\n${p.take(2000)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost its partial (map-side) aggregation\n${p.take(2000)}")
+    }
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")

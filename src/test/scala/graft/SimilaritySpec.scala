@@ -73,4 +73,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = brute.count(lsh.contains).toDouble / brute.size
     assert(recall >= 0.5, s"ANN recall $recall too low (found ${lsh.size} pairs)")
   }
+
+  test("int8 quantization: invariants + half-step reconstruction bound") {
+    val rows = emb.select(col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val q = r.getSeq[Int](1)
+      assert(q.size === v.size)
+      assert(q.forall(x => math.abs(x) <= 127))
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      assert(q.map(math.abs).max === 127)
+      // dequantized values sit within half a quantization step
+      v.zip(q).foreach { case (x, qx) =>
+        assert(math.abs(x.toDouble - qx * maxAbs / 127.0) <= maxAbs / 254.0 + 1e-9)
+      }
+    }
+    // zero vector quantizes to zeros, not NaN/error
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding"))).head().getSeq[Int](0)
+    assert(z === Seq(0, 0, 0))
+  }
 }
