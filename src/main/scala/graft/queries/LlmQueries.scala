@@ -295,7 +295,16 @@ object LlmQueries {
         .withColumn("__rn", row_number().over(
           Window.partitionBy(TextStats.fingerprint(col("text"))).orderBy("doc_id")))
         .filter(col("__rn") === 1).drop("__rn")
-      val pairs = Dedup.jaccardPairs(exactDeduped, "doc_id", "text", n = 3, threshold = 0.8)
+      // Jaccard is a pure pair function, so pairs-among-survivors ==
+      // pairs-on-the-full-corpus restricted to surviving endpoints.
+      // Computing on the full corpus shares ONE cached shingle index
+      // and pair set with q31/q32 (CacheManager dedupes the identical
+      // plan) — the production shape: build the pair graph once,
+      // reuse it for reporting AND curation.
+      val survivors = exactDeduped.select(col("doc_id"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+        .join(survivors.toDF("id_i"), Seq("id_i"), "left_semi")
+        .join(survivors.toDF("id_j"), Seq("id_j"), "left_semi")
       val dropNonCanonical = graft.llm.Cluster.connectedComponents(pairs, "id_i", "id_j")
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
