@@ -307,4 +307,54 @@ object Load {
     df.write.mode("overwrite").parquet(tmp)
     swap(spark, tmp, path)
   }
+
+  /** Training-shard dataset writer: `shard=N` directory partitioning
+    * plus a `_MANIFEST.json` commit marker (per-shard doc/token
+    * counts, derived by RE-READING what actually landed on disk, not
+    * from the input plan). The manifest is written inside the temp
+    * dataset BEFORE the atomic whole-dir swap, so its presence IS
+    * the commit point: [[readSharded]] refuses a dataset without
+    * one, which makes a crashed or half-copied write unreadable
+    * instead of silently short.
+    *
+    * Driver memory holds one manifest row per shard — fine for the
+    * ~1e5 shards a sane token budget yields at 100 TB (pick budgets
+    * that keep shards in the hundreds of MB, not the KB of the q64
+    * demo scale).
+    */
+  def writeSharded(spark: SparkSession, df: DataFrame, shardCol: String,
+                   tokCol: Option[String], path: String): Unit = {
+    val tmp = path + "__tmp"
+    df.write.mode("overwrite").partitionBy(shardCol).parquet(tmp)
+    val landed = spark.read.parquet(tmp)
+    val stats = tokCol match {
+      case Some(t) => landed.groupBy(shardCol)
+        .agg(count(lit(1)).as("n_docs"), sum(col(t)).as("n_tokens"))
+      case None => landed.groupBy(shardCol)
+        .agg(count(lit(1)).as("n_docs"), lit(null).cast("long").as("n_tokens"))
+    }
+    val rows = stats.orderBy(shardCol).collect().map { r =>
+      val toks = if (r.isNullAt(2)) "null" else r.getLong(2).toString
+      s"""{"shard":${r.get(0)},"n_docs":${r.getLong(1)},"n_tokens":$toks}"""
+    }
+    val manifest = new org.apache.hadoop.fs.Path(tmp, "_MANIFEST.json")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // JSON-lines (one shard per line): streamable, appendable in
+    // spirit, and directly readable by spark.read.json
+    val out = fs.create(manifest, true)
+    try out.write(rows.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    swap(spark, tmp, path)
+  }
+
+  /** Read a [[writeSharded]] dataset, enforcing the manifest commit
+    * marker.
+    */
+  def readSharded(spark: SparkSession, path: String): DataFrame = {
+    val manifest = new org.apache.hadoop.fs.Path(path, "_MANIFEST.json")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(manifest),
+      s"$path has no _MANIFEST.json — uncommitted or partial shard dataset")
+    spark.read.parquet(path)
+  }
 }

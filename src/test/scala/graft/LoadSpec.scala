@@ -196,4 +196,44 @@ class LoadSpec extends SparkSpec {
     assert(spark.read.parquet(factPath).count() === 2)
     assert(spark.read.parquet(qPath).count() === 0)
   }
+
+  test("shard writer: manifest commit marker, stats from disk, atomic rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("shards")
+    val out = base + "/shards"
+    val docs = Tables.documents(spark, sf)
+    val packed = graft.llm.Packing.packShards(docs, "doc_id",
+        size(split(col("text"), " ")), budget = 4096L)
+      .join(docs.select("doc_id", "lang", "text"), Seq("doc_id"))
+    graft.llm.BarrierCache.sweep(spark)
+
+    Load.writeSharded(spark, packed, "shard", Some("tok"), out)
+    val back = Load.readSharded(spark, out)
+    assert(back.count() === packed.count())
+    // manifest agrees with what a reader sees per shard (read via
+    // FS: underscore-prefixed files are hidden from Spark's file
+    // index by design, so the parquet reader skips it)
+    val manifestLines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8").split("\n").toSeq
+    val observed = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("tok").as("t"))
+      .select(col("shard").cast("long"), col("n"), col("t"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val expected = observed.map { case (s, n, t) =>
+      s"""{"shard":$s,"n_docs":$n,"n_tokens":$t}"""
+    }
+    assert(manifestLines === expected)
+
+    // rewriting in place swaps atomically and stays readable
+    Load.writeSharded(spark, packed.filter(col("shard") === 0), "shard", Some("tok"), out)
+    assert(Load.readSharded(spark, out).select("shard").distinct().count() === 1)
+
+    // a dataset without the commit marker is refused
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_MANIFEST.json"), false)
+    val err = intercept[IllegalArgumentException] { Load.readSharded(spark, out) }
+    assert(err.getMessage.contains("_MANIFEST.json"))
+  }
 }
