@@ -97,12 +97,18 @@ object Dedup {
       .filter(col("id_i") < col("id_j"))
       .groupBy("id_i", "id_j")
       .agg(count(lit(1)).as("inter"))
-    inter
+    // The pair RESULT is tiny (near-dup pairs, not candidates) while
+    // the inverted-index self-join above is the expensive part —
+    // cache the result so every consumer of the same pair graph
+    // (reporting q31, clustering q60, the q65 curation funnel, and
+    // repeated executions within one session) shares ONE run of the
+    // join instead of re-paying Σdf² each time.
+    BarrierCache.track(inter
       .join(sizes.toDF("id_i", "sz_i"), Seq("id_i"))
       .join(sizes.toDF("id_j", "sz_j"), Seq("id_j"))
       .withColumn("sz_union", col("sz_i") + col("sz_j") - col("inter"))
       .filter(col("inter").cast("double") / col("sz_union") >= threshold)
-      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
+      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union")))
   }
 
   // --- MinHash + banded LSH ---

@@ -57,6 +57,13 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("hot-node star graph (worst-case degree skew) converges in few rounds") {
+    // one node adjacent to 5000 others — the degree-skew shape that
+    // stresses the groupBy(u) in the star steps
+    val e = (1L to 5000L).map(i => (0L, i))
+    assert(cc(e) === (0L to 5000L).map(_ -> 0L))
+  }
+
   test("clusters the corpus near-dup pairs with min-id canonicals") {
     val pairs = graft.llm.Dedup.jaccardPairs(
       Tables.documents(spark, sf), "doc_id", "text", n = 3, threshold = 0.8)
