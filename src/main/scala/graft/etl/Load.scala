@@ -357,4 +357,35 @@ object Load {
       s"$path has no _MANIFEST.json — uncommitted or partial shard dataset")
     spark.read.parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet table into
+    * ⌈bytes/targetBytes⌉ files via the atomic swap. Incremental
+    * ingest (streaming micro-batches, per-day upserts) accretes
+    * thousands of KB-size files whose open/footer cost eventually
+    * dominates scans; periodic compaction is standard table
+    * maintenance at scale. Data is preserved exactly — only the
+    * file layout changes.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    writeAtomic(spark, spark.read.parquet(path).repartition(nFiles), path)
+  }
+
+  /** Range-clustered write: range-partition on `byCol` and sort
+    * within partitions, so every output file covers a DISJOINT key
+    * range and its parquet min/max statistics actually prune — a
+    * point or range predicate on `byCol` then opens O(1) of the
+    * files instead of all of them. This is the layout lever for
+    * 100 TB scan-heavy tables (cheap Z-order stand-in for a single
+    * clustering key).
+    */
+  def writeClustered(spark: SparkSession, df: DataFrame, byCol: String,
+                     numFiles: Int, path: String): Unit =
+    writeAtomic(spark,
+      df.repartitionByRange(numFiles, col(byCol)).sortWithinPartitions(byCol),
+      path)
 }

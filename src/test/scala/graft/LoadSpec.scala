@@ -236,4 +236,43 @@ class LoadSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] { Load.readSharded(spark, out) }
     assert(err.getMessage.contains("_MANIFEST.json"))
   }
+
+  test("compaction shrinks the file count and preserves data exactly") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("compact") + "/t"
+    // simulate micro-batch accretion: 40 tiny files
+    Tables.documents(spark, sf).repartition(40)
+      .write.mode("overwrite").parquet(path)
+    def files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    def checksum() = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    val before = checksum()
+    assert(files === 40)
+    Load.compact(spark, path, targetBytes = 512L * 1024)
+    assert(files < 40, s"still $files files")
+    val after = checksum()
+    assert(after === before)
+  }
+
+  test("range-clustered write yields disjoint per-file key ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("clustered") + "/t"
+    Load.writeClustered(spark, Tables.documents(spark, sf), "doc_id", 8, path)
+    val ranges = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("doc_id"), max("doc_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $hi >= $lo")
+    }
+    // and the data survives intact
+    assert(spark.read.parquet(path).count() === Tables.documents(spark, sf).count())
+  }
 }
