@@ -42,6 +42,29 @@ class PackingSpec extends SparkSpec {
     graft.llm.BarrierCache.sweep(spark)
   }
 
+  test("packing invariants: totals preserved, shard fill bounded") {
+    graft.llm.BarrierCache.sweep(spark)
+    val docs = Tables.documents(spark, sf)
+    val budget = 2000L
+    val packed = Packing.packShards(docs, "doc_id",
+      size(split(col("text"), " ")), budget)
+    val stats = packed.groupBy("shard")
+      .agg(sum("tok").as("t"), max("tok").as("mx"), min("start").as("lo"))
+      .collect()
+    // every token is packed exactly once
+    val total = stats.map(_.getLong(1)).sum
+    assert(total === docs.select(sum(size(split(col("text"), " ")))).head().getLong(0))
+    // a shard never exceeds budget by more than one document's tail
+    // (docs are atomic: the one straddling the boundary overflows)
+    stats.foreach { r =>
+      assert(r.getLong(1) <= budget + r.getLong(2), r.toString)
+    }
+    // shard ids are dense from 0
+    val ids = stats.map(_.get(0).toString.toLong).sorted
+    assert(ids === (0L until ids.length).toArray)
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("empty input packs to nothing") {
     val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Packing.packShards(df, "doc_id", size(split(col("text"), " ")), 10L).isEmpty)
