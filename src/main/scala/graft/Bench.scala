@@ -108,6 +108,10 @@ object Bench {
       name -> QStat(median, cold, gcMillis() - gc0, storageMb(spark))
     }
     val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    // duplicate short keys would silently drop a query from the
+    // parsed artifact (JSON keeps the last key) — fail loudly instead
+    require(shortKey.values.toSet.size == results.size,
+      s"non-unique short query keys: ${shortKey.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }}")
     def jmap(key: String => String)(f: QStat => String) =
       results.map { case (k, s) => "\"" + key(k) + "\":" + f(s) }.mkString("{", ",", "}")
     val errJson = errs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

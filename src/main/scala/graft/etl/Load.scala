@@ -325,18 +325,28 @@ object Load {
   def writeSharded(spark: SparkSession, df: DataFrame, shardCol: String,
                    tokCol: Option[String], path: String): Unit = {
     val tmp = path + "__tmp"
-    df.write.mode("overwrite").partitionBy(shardCol).parquet(tmp)
-    val landed = spark.read.parquet(tmp)
-    val stats = tokCol match {
-      case Some(t) => landed.groupBy(shardCol)
-        .agg(count(lit(1)).as("n_docs"), sum(col(t)).as("n_tokens"))
-      case None => landed.groupBy(shardCol)
-        .agg(count(lit(1)).as("n_docs"), lit(null).cast("long").as("n_tokens"))
-    }
-    val rows = stats.orderBy(shardCol).collect().map { r =>
-      val toks = if (r.isNullAt(2)) "null" else r.getLong(2).toString
-      s"""{"shard":${r.get(0)},"n_docs":${r.getLong(1)},"n_tokens":$toks}"""
-    }
+    // An empty frame writes no partition files, which would make the
+    // stats re-read below unreadable — commit a schema-bearing empty
+    // dataset (shard column as a plain column) with an empty
+    // manifest instead of crashing mid-write.
+    val empty = df.isEmpty
+    if (empty) df.write.mode("overwrite").parquet(tmp)
+    else df.write.mode("overwrite").partitionBy(shardCol).parquet(tmp)
+    val rows =
+      if (empty) Array.empty[String]
+      else {
+        val landed = spark.read.parquet(tmp)
+        val stats = tokCol match {
+          case Some(t) => landed.groupBy(shardCol)
+            .agg(count(lit(1)).as("n_docs"), sum(col(t)).as("n_tokens"))
+          case None => landed.groupBy(shardCol)
+            .agg(count(lit(1)).as("n_docs"), lit(null).cast("long").as("n_tokens"))
+        }
+        stats.orderBy(shardCol).collect().map { r =>
+          val toks = if (r.isNullAt(2)) "null" else r.getLong(2).toString
+          s"""{"shard":${r.get(0)},"n_docs":${r.getLong(1)},"n_tokens":$toks}"""
+        }
+      }
     val manifest = new org.apache.hadoop.fs.Path(tmp, "_MANIFEST.json")
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // JSON-lines (one shard per line): streamable, appendable in
@@ -348,9 +358,12 @@ object Load {
   }
 
   /** Read a [[writeSharded]] dataset, enforcing the manifest commit
-    * marker.
+    * marker. Recovers a table parked mid-swap (crash between the two
+    * renames) first — a committed previous generation at `__prev` is
+    * one rename away, not corrupt.
     */
   def readSharded(spark: SparkSession, path: String): DataFrame = {
+    recoverSwap(spark, path)
     val manifest = new org.apache.hadoop.fs.Path(path, "_MANIFEST.json")
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(manifest),
@@ -365,11 +378,26 @@ object Load {
     * dominates scans; periodic compaction is standard table
     * maintenance at scale. Data is preserved exactly — only the
     * file layout changes.
+    *
+    * Flat tables only, enforced: a partition-directory layout
+    * (`name=value` dirs — the upsert's `__bucket=`, quarantine's
+    * `__batch=`, shard datasets' `shard=`) flattens into data
+    * columns under a plain read and a `_MANIFEST.json` commit marker
+    * would be silently dropped by the rewrite — both would corrupt
+    * the table's contract, so compact refuses them (compact inside
+    * one partition directory instead, or rewrite via
+    * [[writeSharded]]).
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverSwap(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+    require(!entries.exists(_.getPath.getName == "_MANIFEST.json"),
+      s"$path is a manifest-committed shard dataset — rewrite via writeSharded")
+    require(!entries.exists(s => s.isDirectory && s.getPath.getName.contains("=")),
+      s"$path has partition directories — compact each partition dir, not the root")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     writeAtomic(spark, spark.read.parquet(path).repartition(nFiles), path)

@@ -33,6 +33,9 @@ object Packing {
   /** Per-doc global start offset (tokens before this doc in id
     * order) and shard assignment `start div budget`.
     * Output: (idCol, tok, start, shard).
+    *
+    * Precondition: ids are unique (they order the global token
+    * layout); duplicate ids have no defined packing order.
     */
   def packShards(docs: DataFrame, idCol: String, tokExpr: Column,
                  budget: Long, numParts: Int = 0): DataFrame = {
@@ -56,7 +59,12 @@ object Packing {
     val offDf = spark.createDataFrame(
       exclusive.toSeq.map { case (pid, off) => (pid, off) })
       .toDF("__pid", "__off")
+    // ROWS frame, not the orderBy default RANGE: RANGE sums all
+    // ORDER-BY peers, so duplicate ids would double-count into every
+    // tied row's offset. Ids are required unique (doc ids are); with
+    // ROWS the frame matches the oracle's cumsum exactly.
     val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.join(broadcast(offDf), Seq("__pid"))
       .withColumn("start", sum("tok").over(w) + col("__off") - col("tok"))
       .withColumn("shard", expr(s"start div ${budget}L"))

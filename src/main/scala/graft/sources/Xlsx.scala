@@ -91,16 +91,18 @@ object Xlsx {
       val path = r.getString(0)
       def parse(): Iterator[Row] = {
         val rowsOfFile = parseSheet(r.getAs[Array[Byte]](1), sheetName)
-        if (rowsOfFile.isEmpty) Iterator.empty
-        else {
-          val header = rowsOfFile.head.map(_.getOrElse("").trim)
-          require(header == expected,
-            s"$path: sheet header $header != contract $expected")
-          rowsOfFile.iterator.drop(1).map { cells =>
-            val padded = (0 until n).map(i =>
-              cells.lift(i).flatten.orNull)
-            Row.fromSeq(path +: padded)
-          }
+        // An empty parsed sheet is a contract violation like header
+        // drift (corruptFiles applies the same rule): under
+        // skipCorrupt it quarantines, otherwise it fails loudly —
+        // never a silent zero-row load.
+        require(rowsOfFile.nonEmpty, s"$path: empty sheet under a header contract")
+        val header = rowsOfFile.head.map(_.getOrElse("").trim)
+        require(header == expected,
+          s"$path: sheet header $header != contract $expected")
+        rowsOfFile.iterator.drop(1).map { cells =>
+          val padded = (0 until n).map(i =>
+            cells.lift(i).flatten.orNull)
+          Row.fromSeq(path +: padded)
         }
       }
       if (!skipCorrupt) parse()

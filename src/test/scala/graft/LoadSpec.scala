@@ -237,6 +237,41 @@ class LoadSpec extends SparkSpec {
     assert(err.getMessage.contains("_MANIFEST.json"))
   }
 
+  test("shard writer: empty input commits an empty dataset; reader recovers __prev") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = tmpDir("shards-edge") + "/t"
+    val none = Seq.empty[(Long, Long, String)].toDF("doc_id", "tok", "text")
+      .withColumn("shard", lit(0L))
+    Load.writeSharded(spark, none, "shard", Some("tok"), out)
+    assert(Load.readSharded(spark, out).count() === 0)
+    // crash-sim: table parked at __prev (swap died between renames)
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + "__prev")))
+    assert(Load.readSharded(spark, out).count() === 0) // recovered, not rejected
+  }
+
+  test("compact refuses partition-dir layouts and manifest datasets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = tmpDir("compact-guard")
+    // partition-directory table (the quarantine/upsert layout)
+    val pdir = base + "/pdir"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$pdir/__batch=1")
+    val e1 = intercept[IllegalArgumentException] { Load.compact(spark, pdir) }
+    assert(e1.getMessage.contains("partition directories"))
+    // manifest-committed shard dataset
+    val sh = base + "/sh"
+    val packed = graft.llm.Packing.packShards(Tables.documents(spark, sf),
+      "doc_id", size(split(col("text"), " ")), budget = 4096L)
+    graft.llm.BarrierCache.sweep(spark)
+    Load.writeSharded(spark, packed, "shard", Some("tok"), sh)
+    val e2 = intercept[IllegalArgumentException] { Load.compact(spark, sh) }
+    assert(e2.getMessage.contains("manifest-committed"))
+  }
+
   test("compaction shrinks the file count and preserves data exactly") {
     import org.apache.spark.sql.functions._
     val path = tmpDir("compact") + "/t"

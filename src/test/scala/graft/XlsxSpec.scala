@@ -271,6 +271,31 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.corruptFiles(spark, dir, "Paid order list").isEmpty)
   }
 
+  test("empty sheet under a contract: loud in strict mode, listed under skipCorrupt") {
+    import org.apache.spark.sql.types.StructType
+    val dir = tmpDir("xlsx-empty")
+    val empty =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData/>
+        |</worksheet>""".stripMargin
+    val f = new FileOutputStream(s"$dir/empty.xlsx")
+    f.write(workbookBytes(empty)); f.close()
+    val schema = StructType.fromDDL(
+      "`Order ID` STRING, `Products` STRING, `Amount` STRING")
+    // strict: fails loudly, never a silent zero-row load
+    val e = intercept[org.apache.spark.SparkException] {
+      Xlsx.readSheets(spark, dir, "Paid order list", schema).count()
+    }
+    assert(e.getMessage.contains("empty sheet") ||
+      e.getCause != null && e.getCause.getMessage.contains("empty sheet"))
+    // skipCorrupt: dropped AND surfaced by the quarantine listing
+    assert(Xlsx.readSheets(spark, dir, "Paid order list", schema,
+      skipCorrupt = true).count() === 0)
+    val listed = Xlsx.corruptFiles(spark, dir, "Paid order list", schema)
+    assert(listed.size === 1 && listed.head.endsWith("empty.xlsx"))
+  }
+
   test("S3 end-to-end: real .xlsx staging folder through the full pipeline") {
     import graft.etl.{ParquetUpsertSink, Transform}
     import graft.sources.FileSources.XlsxSheetSource
