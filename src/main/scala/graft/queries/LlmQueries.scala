@@ -291,10 +291,13 @@ object LlmQueries {
       val w = Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.3, "zh" -> 1.0)
       val docs = Tables.documents(s, dir)
       val quality = docs.filter(TextStats.qualityScoreRaw(col("text")) >= 0.5)
-      val exactDeduped = quality
+      // barrier: three consumers (two survivor semi-joins + the
+      // canonical keep) would each re-run the quality filter and the
+      // fingerprint window without it
+      val exactDeduped = graft.llm.BarrierCache.track(quality
         .withColumn("__rn", row_number().over(
           Window.partitionBy(TextStats.fingerprint(col("text"))).orderBy("doc_id")))
-        .filter(col("__rn") === 1).drop("__rn")
+        .filter(col("__rn") === 1).drop("__rn"))
       // Jaccard is a pure pair function, so pairs-among-survivors ==
       // pairs-on-the-full-corpus restricted to surviving endpoints.
       // Computing on the full corpus shares ONE cached shingle index
