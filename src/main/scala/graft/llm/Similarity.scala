@@ -65,10 +65,14 @@ object Similarity {
     val scored = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cos", cosine(qdot(col("qv"), col("cv")), col("qn2"), col("cn2")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    // barrier: the result is k rows per probe while the scan above
+    // reads the whole corpus — the exact-top-k query and both ANN
+    // twins (whose recall flags join against this exact frame) build
+    // the identical plan, so one materialization serves all three.
+    BarrierCache.track(scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("cand_id"), round(col("cos"), 6).as("cosine"))
+        col("cand_id"), round(col("cos"), 6).as("cosine")))
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of
