@@ -478,13 +478,17 @@ object AnalyticsQueries {
         |    FROM (SELECT user_id, event_id,
         |                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)))
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Spark session_window's gap boundary is INCLUSIVE: an event
+    // exactly `gap` after the previous one still MERGES (verified
+    // empirically; sf0.1 has exact-1800s gaps that exposed it), so a
+    // new session starts strictly beyond the gap.
     "q53_session_window" ->
       """WITH base AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events),
         |marked AS (
         |  SELECT user_id, epoch_s,
         |         CASE WHEN lag(epoch_s) OVER w IS NULL
-        |               OR epoch_s - lag(epoch_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |               OR epoch_s - lag(epoch_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s)),
         |sessions AS (
         |  SELECT user_id,
