@@ -29,7 +29,8 @@ case class TopKTokens(k: Int) extends Aggregator[String, mutable.HashMap[String,
   }
 
   override def finish(b: mutable.HashMap[String, Long]): Seq[TokenCount] =
-    b.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+    b.toSeq.sortBy { case (t, n) => (-n, t) }(
+        Ordering.Tuple2(Ordering.Long, TokenOrder.utf8)).take(k)
       .map { case (t, n) => TokenCount(t, n) }
 
   override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
@@ -40,3 +41,17 @@ case class TopKTokens(k: Int) extends Aggregator[String, mutable.HashMap[String,
 }
 
 case class TokenCount(token: String, n: Long)
+
+/** Tie-break ordering for token strings: UTF-8 byte order (= code
+  * POINT order), matching Spark SQL's UTF8String comparison and
+  * DuckDB's binary collation. Java's String.compareTo sorts by
+  * UTF-16 code UNITS, which disagrees for supplementary-plane
+  * characters vs U+E000..U+FFFF — a latent divergence between an
+  * aggregator-side sort and a `ORDER BY n DESC, token` oracle.
+  */
+object TokenOrder {
+  val utf8: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}

@@ -72,7 +72,8 @@ case class TopKTokensSketch(k: Int, capacity: Int)
       // est >= f1 + f2, so the post-prune minimum still upper-bounds
       // any absent token's combined true count — the invariant holds
       // inductively for further merges.
-      val sorted = out.toSeq.sortBy { case (t, (n, _)) => (-n, t) }
+      val sorted = out.toSeq.sortBy { case (t, (n, _)) => (-n, t) }(
+        Ordering.Tuple2(Ordering.Long, TokenOrder.utf8))
       out.clear()
       sorted.take(capacity).foreach { case (t, v) => out.update(t, v) }
     }
@@ -80,7 +81,8 @@ case class TopKTokensSketch(k: Int, capacity: Int)
   }
 
   override def finish(b: mutable.HashMap[String, (Long, Long)]): Seq[TokenEstimate] =
-    b.toSeq.sortBy { case (t, (n, _)) => (-n, t) }.take(k)
+    b.toSeq.sortBy { case (t, (n, _)) => (-n, t) }(
+        Ordering.Tuple2(Ordering.Long, TokenOrder.utf8)).take(k)
       .map { case (t, (n, e)) => TokenEstimate(t, n, e) }
 
   override def bufferEncoder: Encoder[mutable.HashMap[String, (Long, Long)]] =

@@ -114,7 +114,13 @@ object Dedup {
   // --- MinHash + banded LSH ---
 
   /** MinHash parameters: k seeded hash functions, banded b×r. */
-  final case class MinHashParams(numHashes: Int = 128, bands: Int = 16) {
+  /** 32 bands × 4 rows (not 16×8): at the 0.8 threshold the
+    * per-pair candidate-miss probability is (1−0.8⁴)³² ≈ 5e-8
+    * versus ≈5% for 16×8 — the exact-verify stage prunes the extra
+    * low-similarity candidates, so banding wider buys near-certain
+    * recall at the threshold for a bounded verify cost.
+    */
+  final case class MinHashParams(numHashes: Int = 128, bands: Int = 32) {
     require(numHashes % bands == 0)
     val rowsPerBand: Int = numHashes / bands
   }

@@ -312,9 +312,10 @@ object AnalyticsQueries {
     // q53 — A5/A7: native session_window sessionization — the batch-
     // deterministic twin of the streaming Ingest.sessionCounts. The
     // ts is floored to seconds so the DuckDB lag-twin matches
-    // exactly. session_window starts a NEW session at gap >= 30 min
-    // (windows [start, last+gap) don't merge on touching bounds) —
-    // the oracle mirrors that rule, where q26's lag form uses >.
+    // exactly. session_window's gap boundary is INCLUSIVE: an event
+    // exactly 30 min after the previous one still MERGES (verified
+    // empirically), so the oracle starts a new session only at
+    // gap > 30 min — the same rule as q26's lag form.
     "q53_session_window" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("user_id"),
@@ -400,11 +401,19 @@ object AnalyticsQueries {
         |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily
         |  FROM orders GROUP BY 1)
         |ORDER BY day""".stripMargin,
+    // real JSON parsing, not a regex: json_type gates to integer
+    // values (from_json(k INT) nulls floats) and the INTEGER
+    // TRY_CAST nulls 32-bit overflow exactly like Spark's IntegerType
     "q25_json_props" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-        |       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+      """WITH j AS (
+        |  SELECT event_type,
+        |    TRY_CAST(CASE WHEN json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+        |      THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q40_tumbling_window" ->
       s"""SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
          |       event_type, COUNT(*) AS n, ${oraSum("value")} AS total
@@ -476,7 +485,7 @@ object AnalyticsQueries {
         |    SELECT user_id, event_id, epoch_s,
         |           lag(epoch_s, 1) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev
         |    FROM (SELECT user_id, event_id,
-        |                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)))
+        |                 epoch_ns(ts) // 1000000000 AS epoch_s FROM events)))
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
     // Spark session_window's gap boundary is INCLUSIVE: an event
     // exactly `gap` after the previous one still MERGES (verified
@@ -484,7 +493,7 @@ object AnalyticsQueries {
     // new session starts strictly beyond the gap.
     "q53_session_window" ->
       """WITH base AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events),
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
         |marked AS (
         |  SELECT user_id, epoch_s,
         |         CASE WHEN lag(epoch_s) OVER w IS NULL

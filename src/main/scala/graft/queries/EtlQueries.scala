@@ -237,7 +237,7 @@ object EtlQueries {
       """SELECT p_partkey,
         |       COALESCE(TRY_CAST(NULLIF(regexp_extract(
         |         CASE WHEN p_size % 3 = 0 THEN p_name || ' x' || CAST(p_size AS VARCHAR) ELSE p_name END,
-        |         '(?i)x\s*(\d+)', 1), '') AS DOUBLE), 1.0) AS qty
+        |         'x\s*(\d+)', 1), '') AS DOUBLE), 1.0) AS qty
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q08_two_part_rename" ->
       """SELECT p_partkey, replace(CASE WHEN regexp_matches(p_name, '(?i)(widget|bolt|ring)') THEN
@@ -245,7 +245,7 @@ object EtlQueries {
         |        ELSE upper(NULLIF(regexp_extract(p_name, '(?i)(widget|bolt|ring)', 1), '')) END)
         |  || ' - ' ||
         |  upper(NULLIF(regexp_extract(p_name, '(?i)(red|blue|hot|cold|small|large|new|old)', 1), ''))
-        |ELSE upper(trim(regexp_replace(regexp_replace(p_name, '(?i)x\s*\d+', ''), '\s*\(.*\)', ''))) END,
+        |ELSE upper(trim(regexp_replace(regexp_replace(p_name, 'x\s*\d+', '', 'g'), '\s*\(.*\)', '', 'g'))) END,
         |  'RED', 'CRIMSON') AS clean_item
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q09_numeric_coerce" ->

@@ -131,8 +131,10 @@ object LlmQueries {
     }),
 
     // q32 — A8: MinHash+banded-LSH near-dup with exact verification;
-    // identical output contract (and oracle) as q31 — LSH only
-    // prunes the pair space.
+    // same output contract (and oracle) as q31 — LSH prunes the pair
+    // space, and at 32×4 banding the candidate-miss probability at
+    // the 0.8 threshold is ≈5e-8 (see MinHashParams), so equality
+    // with the exact oracle holds in practice at any data refresh.
     "q32_minhash_neardup" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
@@ -330,7 +332,8 @@ object LlmQueries {
 
     // q45 — A8/A10: embedding-cosine near-dup. The testdata
     // embeddings are pure random (no natural pairs ≥ 0.95), so the
-    // query plants exact copies of every 5th vector (same construction
+    // query plants exact copies of every 5th vector at id+1e7 (headroom
+    // far beyond any scale tier, like q33; same construction
     // in the oracle) — the LSH-candidate + exact-verify machinery must
     // find precisely those pairs (identical vectors share all buckets,
     // recall is structural, not probabilistic).
@@ -338,7 +341,7 @@ object LlmQueries {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val copies = emb.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 10000000).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDups(emb.unionByName(copies), "vec_id", "embedding",
           threshold = 0.95)
         .orderBy("id_i", "id_j")
@@ -444,7 +447,8 @@ object LlmQueries {
           aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("sq"),
           size(filter(col("q"), v => abs(v) === 127)).cast("long").as("sat"),
           (size(filter(col("q"), v => abs(v) > 127)) === 0 &&
-            array_max(transform(col("q"), v => abs(v))) === 127).as("ok"))
+            (array_max(transform(col("q"), v => abs(v))) === 127 ||
+              array_max(transform(col("q"), v => abs(v))) === 0)).as("ok"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           sum("sq").as("sum_q"),
@@ -797,7 +801,7 @@ object LlmQueries {
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
          |p AS (
          |  SELECT a.vec_id AS id_i, b.vec_id AS id_j,
          |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS dot,
@@ -840,14 +844,16 @@ object LlmQueries {
     "q66_int8_quantize" ->
       """WITH q AS (
         |  SELECT label,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
-        |      (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))) AS INT)) AS qv
+        |    CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+        |      THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+        |        (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))) AS INT))
+        |      ELSE list_transform(embedding, x -> 0) END AS qv
         |  FROM embeddings),
         |s AS (
         |  SELECT label, list_sum(qv) AS sq,
         |    len(list_filter(qv, v -> abs(v) = 127)) AS sat,
         |    (len(list_filter(qv, v -> abs(v) > 127)) = 0
-        |      AND list_max(list_transform(qv, v -> abs(v))) = 127) AS ok
+        |      AND list_max(list_transform(qv, v -> abs(v))) IN (127, 0)) AS ok
         |  FROM q)
         |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(sq) AS BIGINT) AS sum_q,
         |  CAST(SUM(sat) AS BIGINT) AS n_sat,
