@@ -339,6 +339,82 @@ object AnalyticsQueries {
         .select(col("window.start").cast("string").as("window_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // q67 — S4 extension: SCD2 history from the event change log
+    // (graft.etl.Scd2) — each user's event_type stream collapses to
+    // versioned status intervals; consecutive repeats merge. One
+    // shuffle on user_id serves both window passes.
+    "q67_scd2_history" -> ((s, dir) => {
+      val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type").as("status"), unix_timestamp(col("ts")).as("epoch_s"))
+      graft.etl.Scd2.fromChangeLog(log, Seq("user_id"), "epoch_s",
+          Seq("epoch_s", "event_id"), Seq("status"))
+        .select(col("user_id"), col("status"), col("valid_from").as("valid_from_s"),
+          col("valid_to").as("valid_to_s"), col("version"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // q68 — as-of join (graft.operators.AsOfJoin): each click gets
+    // the most recent purchase of the same user at-or-before it —
+    // union-and-forward-fill, one shuffle, no range explosion. The
+    // purchase_s payload column doubles as a self-check (must be
+    // <= click_s).
+    "q68_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_timestamp(col("ts")).as("epoch_s"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("epoch_s"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("epoch_s"),
+          col("epoch_s").as("purchase_s"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          "epoch_s", Seq("event_id"), Seq("purchase_s", "purchase_value"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("epoch_s").as("click_s"), col("purchase_s"), col("purchase_value"))
+        .orderBy("click_id")
+    }),
+
+    // q69 — range join (graft.operators.RangeJoin): cross-user pairs
+    // of overlapping session intervals via hour-bucketed equi-join +
+    // exact overlap refine — no BroadcastNestedLoopJoin, no
+    // post-join distinct (first-shared-bucket dedup). Sessions are
+    // the q26 gaps-and-islands construction.
+    "q69_range_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+      val sess = graft.llm.BarrierCache.track(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("epoch_s"))
+          .withColumn("prev", lag(col("epoch_s"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev").isNull || col("epoch_s") - col("prev") > 1800, 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("new_session"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min("epoch_s").as("start_s"), max("epoch_s").as("end_s")))
+      val a = sess.select(col("user_id").as("u1"), col("start_s").as("s1"),
+        col("end_s").as("e1"))
+      val b = sess.select(col("user_id").as("u2"), col("start_s").as("s2"),
+        col("end_s").as("e2"))
+      graft.operators.RangeJoin.overlapJoin(a, b, "s1", "e1", "s2", "e2",
+          bucketWidth = 3600L)
+        .filter(col("u1") < col("u2"))
+        .groupBy("u1", "u2")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("u1", "u2")
+    }),
+
+    // q71 — skew path (graft.operators.Skew): explicit two-phase
+    // salted aggregation, result identical to the plain groupBy
+    // (quantities are integer-valued doubles, sums exact in any
+    // order). Driver-checks the operator AQE can't always save.
+    "q71_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAggregate(
+          Tables.lineitem(s, dir).select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity", salts = 8)
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -519,6 +595,77 @@ object AnalyticsQueries {
          |               - k * INTERVAL '30 minutes' AS ws,
          |             event_type, value
          |      FROM events CROSS JOIN (VALUES (0), (1)) shifts(k))
-         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // SCD2: change points (vs previous observation), then lead() for
+    // the validity interval — same two-window shape as the engine.
+    "q67_scd2_history" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type AS status,
+        |         epoch_ns(ts) // 1000000000 AS epoch_s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, status, epoch_s, event_id,
+        |         (row_number() OVER w = 1
+        |          OR status IS DISTINCT FROM lag(status) OVER w) AS chg
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)),
+        |chgp AS (SELECT user_id, status, epoch_s, event_id FROM marked WHERE chg)
+        |SELECT user_id, status, epoch_s AS valid_from_s,
+        |       lead(epoch_s) OVER w2 AS valid_to_s,
+        |       CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |       lead(epoch_s) OVER w2 IS NULL AS is_current
+        |FROM chgp WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_s, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // as-of: the same union-and-forward-fill the engine runs — build
+    // rows (side 0) sort before probes at equal times, ties by
+    // event_id so the latest same-second purchase wins.
+    "q68_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         epoch_ns(ts) // 1000000000 AS s
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, event_id, s, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS ps, CAST(NULL AS DOUBLE) AS pv
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, event_id, s, 0, s, value
+        |  FROM e WHERE event_type = 'purchase'),
+        |f AS (
+        |  SELECT user_id, event_id, s, side,
+        |         last_value(ps IGNORE NULLS) OVER w AS purchase_s,
+        |         last_value(pv IGNORE NULLS) OVER w AS purchase_value
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY s, side, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS click_id, user_id, s AS click_s,
+        |       purchase_s, purchase_value
+        |FROM f WHERE side = 1 ORDER BY click_id""".stripMargin,
+    // range join: DuckDB's IEJoin handles the inequality pair join
+    // directly; the engine's bucketed equi-join must produce the
+    // identical pair set.
+    "q69_range_join" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS epoch_s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, epoch_s,
+        |         CASE WHEN lag(epoch_s) OVER w IS NULL
+        |               OR epoch_s - lag(epoch_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)),
+        |summed AS (
+        |  SELECT user_id, epoch_s,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(epoch_s) AS start_s, MAX(epoch_s) AS end_s
+        |  FROM summed GROUP BY 1, 2)
+        |SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_overlaps
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+        |GROUP BY 1, 2 ORDER BY u1, u2""".stripMargin,
+    "q71_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_l_quantity,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }

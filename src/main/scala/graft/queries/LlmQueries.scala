@@ -457,6 +457,25 @@ object LlmQueries {
         .orderBy("label")
     }),
 
+    // q70 — decontamination for a bench side too big to broadcast
+    // exactly: Bloom-filter pre-prune (no false negatives) + exact
+    // shuffled semi-join clears the ~1% false positives. Result is
+    // row-identical to q63 — same oracle.
+    "q70_decontaminate_bloom" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val train = docs.filter(col("doc_id") % 23 =!= 0)
+      val cont = graft.llm.Decontaminate.contaminatedBloom(train, bench,
+          "doc_id", "text", n = 4, expectedItems = 1L << 20, fpp = 0.01)
+        .withColumn("c", lit(1L))
+      train.join(cont, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce(col("c"), lit(0L))).as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {
@@ -698,6 +717,19 @@ object LlmQueries {
     // Spark ≡ string-equality modulo xxhash64 collisions, the same
     // trade q31/q32 already rely on).
     "q63_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM idx),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench))
+        |SELECT lang, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM documents WHERE doc_id % 23 <> 0
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q70 == q63 by construction (bloom prune is lossless after the
+    // exact verify) — the oracle is the same contamination count.
+    "q70_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM idx),

@@ -29,6 +29,23 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.contaminated(t2, noBench, "doc_id", "text", n = 4).isEmpty)
   }
 
+  test("bloom-pruned variant is row-identical to the exact form") {
+    graft.llm.BarrierCache.sweep(spark)
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val b = docs.filter(col("doc_id") % 23 === 0)
+    val exact = Decontaminate.contaminated(train, b, "doc_id", "text", n = 4)
+      .as[Long].collect().sorted.toSeq
+    // tiny capacity + high fpp floods the prune with false positives;
+    // the exact verify stage must still clear every one of them
+    val bloom = Decontaminate.contaminatedBloom(train, b, "doc_id", "text",
+        n = 4, expectedItems = 64L, fpp = 0.5)
+      .as[Long].collect().sorted.toSeq
+    assert(bloom === exact)
+    assert(exact.nonEmpty, "construction should plant real contamination")
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("the benchmark side broadcasts (corpus shingles never shuffle)") {
     graft.llm.BarrierCache.sweep(spark)
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 23 =!= 0)

@@ -1,0 +1,73 @@
+package graft
+
+import graft.etl.Scd2
+import org.apache.spark.sql.functions._
+
+/** SCD2 change-log collapse: versioning, consecutive-repeat merge,
+  * null-attribute handling, interval chaining, plan shape.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts, status) change log with repeats and a null status
+  private lazy val log = Seq(
+    ("a", 10L, Some("new")),
+    ("a", 20L, Some("new")),      // repeat — collapses into v1
+    ("a", 30L, Some("active")),
+    ("a", 40L, None),             // null is a real value change
+    ("a", 50L, None),             // repeated null — collapses
+    ("a", 60L, Some("active")),   // re-activation opens a NEW version
+    ("b", 15L, Some("new"))
+  ).toDF("k", "ts", "status")
+
+  private def history =
+    Scd2.fromChangeLog(log, Seq("k"), "ts", Seq("ts"), Seq("status"))
+
+  test("collapses repeats, versions change points, chains intervals") {
+    val rows = history
+      .select("k", "status", "valid_from", "valid_to", "version", "is_current")
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(rows === Seq(
+      ("a", Some("new"), 10L, Some(30L), 1L, false),
+      ("a", Some("active"), 30L, Some(40L), 2L, false),
+      ("a", None, 40L, Some(60L), 3L, false),
+      ("a", Some("active"), 60L, None, 4L, true),
+      ("b", Some("new"), 15L, None, 1L, true)))
+  }
+
+  test("validity intervals tile each key's timeline with no gaps") {
+    val byKey = history.select("k", "valid_from", "valid_to", "version")
+      .collect()
+      .groupBy(_.getString(0))
+    byKey.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(prev.get(2) === next.getLong(1),
+            "valid_to must equal the next version's valid_from")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(2) && sorted.count(_.isNullAt(2)) === 1,
+        "exactly one open (current) version per key")
+    }
+  }
+
+  test("multi-attribute tracking: any attr change opens a version") {
+    val two = Seq(
+      ("k", 1L, "x", 1), ("k", 2L, "x", 2), ("k", 3L, "x", 2), ("k", 4L, "y", 2)
+    ).toDF("k", "ts", "a1", "a2")
+    val h = Scd2.fromChangeLog(two, Seq("k"), "ts", Seq("ts"), Seq("a1", "a2"))
+    assert(h.count() === 3) // ts=1 (a2=1), ts=2 (a2=2), ts=4 (a1=y)
+  }
+
+  test("plan: one exchange serves both window passes") {
+    val p = history.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n === 1, s"SCD2 must shuffle the change log exactly once, saw $n in:\n${p.take(2000)}")
+  }
+}
