@@ -197,6 +197,34 @@ object Ingest {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** A7: stream-stream interval join — each click pairs with the
+    * same user's purchases that follow it within `within`. Both
+    * sides carry watermarks AND the join condition bounds event time
+    * on both sides, which is what lets Spark expire join state: a
+    * buffered click can be dropped once the purchase-side watermark
+    * passes `click_ts + within`, so state is O(watermark horizon),
+    * not O(stream). Batch-equivalent semantics asserted in
+    * IngestSpec against the same join run as a plain batch query.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermark: String = "30 minutes",
+                        within: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .drop("p_user_id")
+  }
+
   /** Document curation as a STREAMING pass: quality filter, exact
     * content dedup, and PII redaction lifted unchanged into
     * Structured Streaming over a folder of JSON-lines document

@@ -123,6 +123,37 @@ class IngestSpec extends SparkSpec {
     assert(out.filter(col("session_end") <= col("session_start")).count() === 0)
   }
 
+  test("A7: stream-stream interval join equals the batch join") {
+    val dir = tmpDir("ssjoin")
+    val ev = Tables.events(spark, sf).limit(400)
+    ev.write.mode("overwrite").parquet(dir + "/in")
+    val schema = spark.read.parquet(dir + "/in").schema
+    def streamSide(t: String) = spark.readStream.schema(schema)
+      .parquet(dir + "/in").filter(col("event_type") === t)
+    val query = Ingest.clickPurchaseJoin(
+        streamSide("click"), streamSide("purchase"),
+        watermark = "10 minutes", within = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .option("checkpointLocation", dir + "/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val batchEv = spark.read.parquet(dir + "/in")
+    def batchSide(t: String) = batchEv.filter(col("event_type") === t)
+    val expected = Ingest.clickPurchaseJoin(
+        batchSide("click"), batchSide("purchase"))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.table("ssjoin_out")
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // AvailableNow drains the source fully, so every pair emits —
+    // inner stream-stream join output equals the batch join exactly
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture slice should contain joinable pairs")
+  }
+
   test("C2 streaming: dropDuplicatesWithinWatermark dedups keys") {
     val dir = tmpDir("dedup")
     val ev = Tables.events(spark, sf).limit(100)
