@@ -476,6 +476,33 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // q72 — the shard-partial sketch pattern: per-(lang,source)
+    // HLL sketches (what a 100 TB pipeline would PERSIST per shard)
+    // merge at query time into per-lang distinct estimates without
+    // re-touching raw data. merge_consistent pins the mergeability
+    // guarantee (union-of-partials == direct sketch, both
+    // deterministic); hll_ok pins the accuracy envelope vs the exact
+    // count — a sketch regression flips a flag and fails the hash.
+    "q72_hll_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val partials = docs.groupBy("lang", "source")
+        .agg(hll_sketch_agg(col("doc_id"), 12).as("sk"),
+          count(lit(1)).as("n"))
+      val merged = partials.groupBy("lang")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+            .as("est_docs"),
+          sum("n").as("n_docs"))
+      val direct = docs.groupBy("lang")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"), 12)).as("est_direct"),
+          countDistinct(col("doc_id")).as("exact_docs"))
+      merged.join(direct, Seq("lang"))
+        .select(col("lang"), col("exact_docs"), col("n_docs"),
+          (col("est_docs") === col("est_direct")).as("merge_consistent"),
+          (abs(col("est_docs") - col("exact_docs")).cast("double") <=
+            col("exact_docs") * lit(0.05)).as("hll_ok"))
+        .orderBy("lang")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {
@@ -727,6 +754,12 @@ object LlmQueries {
         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
         |FROM documents WHERE doc_id % 23 <> 0
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q72: exact side + literal-true flags, per the q39 approximate
+    // contract (SURVEY §6.2) — the flags are Spark-side self-checks.
+    "q72_hll_shards" ->
+      """SELECT lang, COUNT(DISTINCT doc_id) AS exact_docs, COUNT(*) AS n_docs,
+        |       TRUE AS merge_consistent, TRUE AS hll_ok
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     // q70 == q63 by construction (bloom prune is lossless after the
     // exact verify) — the oracle is the same contamination count.
     "q70_decontaminate_bloom" ->

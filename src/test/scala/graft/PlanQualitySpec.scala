@@ -83,6 +83,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q67: SCD2 history costs exactly one data shuffle") {
+    val p = plan("q67_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q68: as-of join plans as union+window — no join node, one shuffle") {
+    val p = plan("q68_asof_join")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q69: range join never degrades to a nested loop") {
+    val p = plan("q69_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
