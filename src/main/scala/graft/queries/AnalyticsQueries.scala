@@ -415,6 +415,20 @@ object AnalyticsQueries {
           Tables.lineitem(s, dir).select("l_returnflag", "l_quantity"),
           Seq("l_returnflag"), "l_quantity", salts = 8)
         .orderBy("l_returnflag")
+    }),
+
+    // q73 — wide→long reshaping (pandas melt / SQL UNPIVOT): native
+    // Dataset.unpivot, a pure per-row expansion — no shuffle beyond
+    // the upstream aggregation.
+    "q73_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(moneySum(col("l_quantity")).as("qty"),
+          moneySum(col("l_extendedprice")).as("price"),
+          moneySum(col("l_discount")).as("discount"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("discount")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -666,6 +680,21 @@ object AnalyticsQueries {
     "q71_salted_agg" ->
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_l_quantity,
         |       COUNT(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // portable long-form mirror (UNION ALL rather than UNPIVOT, which
+    // DuckDB spells differently per version)
+    "q73_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |         ${oraSum("l_quantity")} AS qty,
+         |         ${oraSum("l_extendedprice")} AS price,
+         |         ${oraSum("l_discount")} AS discount
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'price', price FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'discount', discount FROM wide
+         |ORDER BY l_returnflag, metric""".stripMargin
   )
 }
