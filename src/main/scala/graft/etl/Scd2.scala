@@ -50,11 +50,10 @@ object Scd2 {
       .withColumn("__chg", col("__rn") === 1 || attrChanged)
       .filter(col("__chg"))
       .drop("__rn", "__chg")
-    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
     changes
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
-      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("is_current", col("valid_to").isNull)
   }
 }

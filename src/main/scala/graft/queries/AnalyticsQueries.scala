@@ -381,6 +381,7 @@ object AnalyticsQueries {
     // post-join distinct (first-shared-bucket dedup). Sessions are
     // the q26 gaps-and-islands construction.
     "q69_range_join" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
       val sess = graft.llm.BarrierCache.track(
         Tables.events(s, dir)

@@ -556,6 +556,23 @@ object LlmQueries {
 
   private val qiSql = (e: String) => s"CAST(round(CAST($e AS DOUBLE)*1000000.0) AS BIGINT)"
 
+  /** Shared by q63 and q70: the bloom variant is contractually
+    * row-identical to the exact form, so both keys map to ONE oracle
+    * definition — a fix to the contamination semantics can't miss
+    * one of them.
+    */
+  private val contaminationSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM idx),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0),
+      |cont AS (SELECT DISTINCT doc_id FROM sh
+      |         WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench))
+      |SELECT lang, COUNT(*) AS n_train,
+      |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM documents WHERE doc_id % 23 <> 0
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** Exact brute-force cosine top-10 (q34's contract), with optional
     * extra constant columns — shared by q34 and the ANN twins
     * q35/q47, whose Spark side emits the same exact projection plus
@@ -743,17 +760,7 @@ object LlmQueries {
     // q63: same 4-gram shingling in string form (hash-equality in
     // Spark ≡ string-equality modulo xxhash64 collisions, the same
     // trade q31/q32 already rely on).
-    "q63_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM idx),
-        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0),
-        |cont AS (SELECT DISTINCT doc_id FROM sh
-        |         WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench))
-        |SELECT lang, COUNT(*) AS n_train,
-        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
-        |FROM documents WHERE doc_id % 23 <> 0
-        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q63_decontaminate" -> contaminationSql,
     // q72: exact side + literal-true flags, per the q39 approximate
     // contract (SURVEY §6.2) — the flags are Spark-side self-checks.
     "q72_hll_shards" ->
@@ -761,18 +768,8 @@ object LlmQueries {
         |       TRUE AS merge_consistent, TRUE AS hll_ok
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     // q70 == q63 by construction (bloom prune is lossless after the
-    // exact verify) — the oracle is the same contamination count.
-    "q70_decontaminate_bloom" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 4),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g FROM idx),
-        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0),
-        |cont AS (SELECT DISTINCT doc_id FROM sh
-        |         WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench))
-        |SELECT lang, COUNT(*) AS n_train,
-        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
-        |FROM documents WHERE doc_id % 23 <> 0
-        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // exact verify) — one shared oracle definition.
+    "q70_decontaminate_bloom" -> contaminationSql,
     // q65: the whole funnel in one SQL — q29's quality formula, q30's
     // fingerprint dedup, q31's pair edges closed transitively
     // (recursive CTE), q63's 4-gram contamination, q58's sampler,

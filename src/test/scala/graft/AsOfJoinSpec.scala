@@ -56,9 +56,9 @@ class AsOfJoinSpec extends SparkSpec {
       .select("pid", "bt", "v").orderBy("pid")
       .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
     // reference: per probe row, the max-(t, bid) build row at or before
+    val bRows = b.as[(String, Long, Long, Double)].collect().toSeq
     val slow = p.as[(String, Long, Long)].collect().toSeq.map { case (k, t, pid) =>
-      val cands = b.as[(String, Long, Long, Double)].collect().toSeq
-        .filter { case (bk, bt, _, _) => bk == k && bt <= t }
+      val cands = bRows.filter { case (bk, bt, _, _) => bk == k && bt <= t }
       if (cands.isEmpty) (pid, None, None)
       else {
         val best = cands.maxBy { case (_, bt, bid, _) => (bt, bid) }
