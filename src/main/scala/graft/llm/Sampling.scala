@@ -63,4 +63,31 @@ object Sampling {
     df.filter(uniform(col(idCol)) <
       coalesce(element_at(fracs, col(groupCol)), lit(0.0)))
   }
+
+  /** Fixed-SIZE weight-proportional sample: the `k` rows per group
+    * with the smallest priority key, where a row of integer weight w
+    * gets key = min of w deterministic uniforms (md5 of "id:j",
+    * compared as fixed-width hex — string order == numeric order).
+    * P(row holds the group minimum) = w/Σw, the exponential-race /
+    * A-Res selection scheme restricted to integer weights so the
+    * whole decision stays transcendental-free: exact, reproducible
+    * in plain SQL, partitioning- and append-stable like every
+    * sampler here. Cost: one scan (the w md5s run in an array HOF)
+    * + one per-group top-k window (WindowGroupLimit pushes the limit
+    * below the shuffle). Output adds `rnk` (1..k).
+    */
+  def weightedBottomK(df: DataFrame, idCol: String, groupCol: String,
+                      weight: Column, k: Int): DataFrame = {
+    require(k > 0)
+    val priority = array_min(transform(
+      sequence(lit(0L), weight.cast("long") - 1),
+      j => md5(concat(col(idCol).cast("string"), lit(":"), j.cast("string"))
+        .cast("binary"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__pri"), col(idCol))
+    df.withColumn("__pri", priority)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .drop("__pri")
+  }
 }

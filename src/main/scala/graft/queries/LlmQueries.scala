@@ -503,6 +503,18 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // q74 — fixed-size weight-proportional sampling (A-Res with
+    // integer weights, min-of-w md5 uniforms): the exact 3-doc
+    // sample per lang, reproducible in plain SQL — the fixed-COUNT
+    // complement of q58's fixed-fraction mixing.
+    "q74_weighted_topk_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("wt", lit(1L) + pmod(col("doc_id"), lit(5L)))
+      graft.llm.Sampling.weightedBottomK(docs, "doc_id", "lang", col("wt"), k = 3)
+        .select(col("lang"), col("doc_id"), col("wt"), col("rnk"))
+        .orderBy("lang", "rnk")
+    }),
+
     // q36 — A10: per-label embedding norm stats (exact integer
     // norms; one deterministic division at the end).
     "q36_embedding_norms" -> ((s, dir) => {
@@ -770,6 +782,19 @@ object LlmQueries {
     // q70 == q63 by construction (bloom prune is lossless after the
     // exact verify) — one shared oracle definition.
     "q70_decontaminate_bloom" -> contaminationSql,
+    // q74: identical min-of-w md5 keys — hex strings compare the
+    // same in both engines, so selection is bit-identical.
+    "q74_weighted_topk_sample" ->
+      """WITH w AS (SELECT doc_id, lang, 1 + doc_id % 5 AS wt FROM documents),
+        |e AS (SELECT doc_id, lang, wt, unnest(range(0, wt)) AS j FROM w),
+        |u AS (SELECT doc_id, lang, wt,
+        |        MIN(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))) AS ukey
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT lang, doc_id, wt, rnk FROM (
+        |  SELECT lang, doc_id, wt,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY ukey, doc_id) AS BIGINT) AS rnk
+        |  FROM u)
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
     // q65: the whole funnel in one SQL — q29's quality formula, q30's
     // fingerprint dedup, q31's pair edges closed transitively
     // (recursive CTE), q63's 4-gram contamination, q58's sampler,

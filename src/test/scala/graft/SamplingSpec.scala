@@ -40,6 +40,27 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(fA - 0.5) < 0.06, s"fraction $fA drifted from 0.5")
   }
 
+  test("weightedBottomK: exact size, partition-invariant, weight-biased") {
+    // 29 groups (coprime with the 5 weight classes, so weights VARY
+    // within each group — i%30 would freeze one weight per group)
+    val df = (1 to 2900).map(i => (i.toLong, s"g${i % 29}")).toDF("id", "g")
+      .withColumn("wt", lit(1L) + pmod(col("id"), lit(5L)))
+    def pick(parts: Int) =
+      Sampling.weightedBottomK(df.repartition(parts), "id", "g", col("wt"), k = 2)
+        .select("g", "id", "rnk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sel = pick(1)
+    assert(sel === pick(17), "repartition changed the weighted sample")
+    assert(sel.size === 29 * 2, "every group must yield exactly k rows")
+    // selection probability ∝ weight: the selected rows' mean weight
+    // must sit well above the population mean of 3 (E[w|top-1] =
+    // Σw²/Σw ≈ 3.67 for weights 1..5). Deterministic data + md5 ⇒
+    // this is a fixed number, the margin just documents the bias.
+    val meanSel = Sampling.weightedBottomK(df, "id", "g", col("wt"), k = 2)
+      .agg(avg("wt")).head().getDouble(0)
+    assert(meanSel > 3.2, s"selected mean weight $meanSel shows no weight bias")
+  }
+
   test("uniform() covers [0,1) roughly uniformly") {
     val u = (1L to 10000L).toDF("id")
       .select(Sampling.uniform(col("id")).as("u"))
