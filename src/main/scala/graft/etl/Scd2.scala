@@ -56,4 +56,57 @@ object Scd2 {
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incremental SCD2: fold a NEW batch of observations into an
+    * existing history without recomputing it — at 100 TB the history
+    * is the big table and a day's change log is tiny, so the batch
+    * cost must be O(batch + touched keys' current rows), never
+    * O(history). Requires append-only time: every batch observation
+    * of a key orders after that key's last change point.
+    *
+    * Mechanics: each touched key's CURRENT row re-enters change
+    * detection as a synthetic leading observation, so "batch repeats
+    * the current attrs" collapses (no new version) exactly like
+    * consecutive repeats inside [[fromChangeLog]]. The local chain's
+    * synthetic head then *is* the adjusted current row (its lead()
+    * closed valid_to if anything followed), and the rest are new
+    * versions renumbered from the key's version counter.
+    * Equivalence with a full [[fromChangeLog]] over the concatenated
+    * log is pinned in Scd2Spec.
+    */
+  def applyBatch(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                 tsCol: String, orderCols: Seq[String],
+                 attrs: Seq[String]): DataFrame = {
+    val logCols = batch.columns.toSeq
+    val affected = batch.select(keys.map(col): _*).distinct()
+    val currTouched = history.filter(col("is_current"))
+      .join(affected, keys, "left_semi")
+    val synth = currTouched.select(logCols.map(col): _*)
+      .withColumn("__synth", lit(1))
+    val local = fromChangeLog(
+      synth.unionByName(batch.withColumn("__synth", lit(0))),
+      keys, tsCol, orderCols, attrs)
+    val base = currTouched
+      .select((keys.map(col) :+ col("version").as("__basev")): _*)
+    val joined = local.join(base, keys, "left")
+    val outCols = (logCols.filterNot(_ == "__synth") ++
+      Seq("valid_from", "valid_to", "version", "is_current")).map(col)
+    // the synthetic head, re-stamped with its original version, is
+    // the touched key's current row after the batch (valid_to closed
+    // by the local lead() iff a new version followed)
+    val adjustedCurrent = joined.filter(col("__synth") === 1)
+      .withColumn("version", col("__basev"))
+      .select(outCols: _*)
+    val additions = joined.filter(col("__synth") === 0)
+      .withColumn("version",
+        col("version") + when(col("__basev").isNotNull, col("__basev") - 1)
+          .otherwise(lit(0L)))
+      .select(outCols: _*)
+    val untouched = history.join(affected, keys, "left_anti")
+    val closedHistory = history.filter(!col("is_current"))
+      .join(affected, keys, "left_semi")
+    untouched.unionByName(closedHistory)
+      .unionByName(adjustedCurrent)
+      .unionByName(additions)
+  }
 }

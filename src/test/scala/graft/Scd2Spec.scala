@@ -65,6 +65,47 @@ class Scd2Spec extends SparkSpec {
     assert(h.count() === 3) // ts=1 (a2=1), ts=2 (a2=2), ts=4 (a1=y)
   }
 
+  test("applyBatch folds batches into history == full recompute") {
+    val fullLog = Seq(
+      ("a", 10L, Some("new")), ("a", 20L, Some("active")),
+      ("b", 15L, Some("new")),
+      // batch 2: a repeats (no new version), b changes, c appears
+      ("a", 30L, Some("active")), ("b", 35L, Some("idle")), ("c", 32L, Some("new")),
+      // batch 3: a re-activates via null, c repeats, d appears
+      ("a", 40L, None), ("c", 45L, Some("new")), ("d", 41L, Some("new"))
+    )
+    def df(rows: Seq[(String, Long, Option[String])]) =
+      rows.toDF("k", "ts", "status")
+    val batches = Seq(fullLog.take(3), fullLog.slice(3, 6), fullLog.drop(6))
+    val incremental = batches.tail.foldLeft(
+      Scd2.fromChangeLog(df(batches.head), Seq("k"), "ts", Seq("ts"), Seq("status"))
+        .localCheckpoint(true)) { (h, b) =>
+      Scd2.applyBatch(h, df(b), Seq("k"), "ts", Seq("ts"), Seq("status"))
+        .localCheckpoint(true)
+    }
+    val full = Scd2.fromChangeLog(df(fullLog), Seq("k"), "ts", Seq("ts"), Seq("status"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "status", "valid_from", "valid_to", "version", "is_current")
+        .orderBy("k", "version").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getBoolean(5)))
+        .toSeq
+    assert(rows(incremental) === rows(full))
+  }
+
+  test("applyBatch with only repeated observations changes nothing") {
+    val h0 = Scd2.fromChangeLog(
+      Seq(("k", 1L, "x")).toDF("k", "ts", "status"),
+      Seq("k"), "ts", Seq("ts"), Seq("status")).localCheckpoint(true)
+    val h1 = Scd2.applyBatch(h0,
+      Seq(("k", 2L, "x"), ("k", 3L, "x")).toDF("k", "ts", "status"),
+      Seq("k"), "ts", Seq("ts"), Seq("status"))
+    val got = h1.select("k", "status", "valid_from", "valid_to", "version", "is_current")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.isNullAt(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === Seq(("k", "x", 1L, true, 1L, true)))
+  }
+
   test("plan: one exchange serves both window passes") {
     val p = history.queryExecution.executedPlan.toString
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
