@@ -476,30 +476,35 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
-    // q72 — the shard-partial sketch pattern: per-(lang,source)
-    // HLL sketches (what a 100 TB pipeline would PERSIST per shard)
-    // merge at query time into per-lang distinct estimates without
-    // re-touching raw data. merge_consistent pins the mergeability
-    // guarantee (union-of-partials == direct sketch, both
-    // deterministic); hll_ok pins the accuracy envelope vs the exact
-    // count — a sketch regression flips a flag and fails the hash.
+    // q72 — the shard-partial sketch pattern: per-shard HLL sketches
+    // (what a 100 TB pipeline would PERSIST) merge at query time
+    // into per-lang distinct estimates without re-touching raw data.
+    // Two independent shardings both merge within the accuracy
+    // envelope of the exact count — the flags a sketch regression
+    // would flip. The union estimate is NOT sharding-invariant
+    // bit-for-bit (sparse partials union exactly; dense ones
+    // estimate via slot-max + composite estimator), so the contract
+    // is per-sharding determinism + the envelope, never equality
+    // across granularities.
     "q72_hll_shards" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val partials = docs.groupBy("lang", "source")
-        .agg(hll_sketch_agg(col("doc_id"), 12).as("sk"),
-          count(lit(1)).as("n"))
-      val merged = partials.groupBy("lang")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
-            .as("est_docs"),
-          sum("n").as("n_docs"))
-      val direct = docs.groupBy("lang")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"), 12)).as("est_direct"),
-          countDistinct(col("doc_id")).as("exact_docs"))
-      merged.join(direct, Seq("lang"))
+      def mergedBy(shard: org.apache.spark.sql.Column, out: String) =
+        docs.groupBy(col("lang"), shard.as("__shard"))
+          .agg(hll_sketch_agg(col("doc_id"), 12).as("sk"))
+          .groupBy("lang")
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as(out))
+      val bySource = mergedBy(col("source"), "est_a")
+      val byMod = mergedBy(pmod(col("doc_id"), lit(7L)), "est_b")
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("exact_docs"),
+          count(lit(1)).as("n_docs"))
+      def ok(est: String) =
+        abs(col(est) - col("exact_docs")).cast("double") <=
+          col("exact_docs") * lit(0.05)
+      exact.join(bySource, Seq("lang")).join(byMod, Seq("lang"))
         .select(col("lang"), col("exact_docs"), col("n_docs"),
-          (col("est_docs") === col("est_direct")).as("merge_consistent"),
-          (abs(col("est_docs") - col("exact_docs")).cast("double") <=
-            col("exact_docs") * lit(0.05)).as("hll_ok"))
+          ok("est_a").as("hll_source_ok"), ok("est_b").as("hll_mod_ok"))
         .orderBy("lang")
     }),
 
@@ -777,7 +782,7 @@ object LlmQueries {
     // contract (SURVEY §6.2) — the flags are Spark-side self-checks.
     "q72_hll_shards" ->
       """SELECT lang, COUNT(DISTINCT doc_id) AS exact_docs, COUNT(*) AS n_docs,
-        |       TRUE AS merge_consistent, TRUE AS hll_ok
+        |       TRUE AS hll_source_ok, TRUE AS hll_mod_ok
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     // q70 == q63 by construction (bloom prune is lossless after the
     // exact verify) — one shared oracle definition.
