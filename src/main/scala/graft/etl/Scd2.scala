@@ -62,7 +62,13 @@ object Scd2 {
     * is the big table and a day's change log is tiny, so the batch
     * cost must be O(batch + touched keys' current rows), never
     * O(history). Requires append-only time: every batch observation
-    * of a key orders after that key's last change point.
+    * of a key must order after ALL previously applied observations
+    * of that key — not merely after its last change point. Collapsed
+    * repeats are not retained in the history, so a batch row slotted
+    * between a key's last change point and a later collapsed repeat
+    * cannot be detected and would silently diverge from the full
+    * rebuild; the standard CDC contract (batches consumed in
+    * observation order) satisfies the requirement by construction.
     *
     * Mechanics: each touched key's CURRENT row re-enters change
     * detection as a synthetic leading observation, so "batch repeats
@@ -72,23 +78,45 @@ object Scd2 {
     * closed valid_to if anything followed), and the rest are new
     * versions renumbered from the key's version counter.
     * Equivalence with a full [[fromChangeLog]] over the concatenated
-    * log is pinned in Scd2Spec.
+    * log is pinned in Scd2Spec. All key comparisons are null-safe —
+    * a null business key forms one chain, as in [[fromChangeLog]].
+    * History is read ONCE: a broadcast mark-join against the batch's
+    * (tiny) key set classifies every row as untouched / closed /
+    * current-of-touched in a single pass.
     */
   def applyBatch(history: DataFrame, batch: DataFrame, keys: Seq[String],
                  tsCol: String, orderCols: Seq[String],
                  attrs: Seq[String]): DataFrame = {
     val logCols = batch.columns.toSeq
-    val affected = batch.select(keys.map(col): _*).distinct()
-    val currTouched = history.filter(col("is_current"))
-      .join(affected, keys, "left_semi")
+    // null-SAFE key match: Seq-based equi-joins drop null keys, but
+    // the window logic chains them — the joins must agree with it
+    val affected = batch
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }: _*)
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val keyMatch = keys.zipWithIndex
+      .map { case (k, i) => col(k) <=> col(s"__k$i") }
+      .reduce(_ && _)
+    val affectedCols = keys.indices.map(i => s"__k$i") :+ "__hit"
+    val marked = history.join(broadcast(affected), keyMatch, "left")
+    // one history pass: untouched keys and already-closed versions
+    // pass through verbatim; only touched keys' current rows re-enter
+    // change detection
+    val retained = marked
+      .filter(col("__hit").isNull || !col("is_current"))
+      .drop(affectedCols: _*)
+    val currTouched = marked
+      .filter(col("__hit") === 1 && col("is_current"))
+      .drop(affectedCols: _*)
     val synth = currTouched.select(logCols.map(col): _*)
       .withColumn("__synth", lit(1))
     val local = fromChangeLog(
       synth.unionByName(batch.withColumn("__synth", lit(0))),
       keys, tsCol, orderCols, attrs)
-    val base = currTouched
-      .select((keys.map(col) :+ col("version").as("__basev")): _*)
-    val joined = local.join(base, keys, "left")
+    val base = currTouched.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") } :+
+        col("version").as("__basev"): _*)
+    val joined = local.join(broadcast(base), keyMatch, "left")
     val outCols = (logCols.filterNot(_ == "__synth") ++
       Seq("valid_from", "valid_to", "version", "is_current")).map(col)
     // the synthetic head, re-stamped with its original version, is
@@ -102,10 +130,7 @@ object Scd2 {
         col("version") + when(col("__basev").isNotNull, col("__basev") - 1)
           .otherwise(lit(0L)))
       .select(outCols: _*)
-    val untouched = history.join(affected, keys, "left_anti")
-    val closedHistory = history.filter(!col("is_current"))
-      .join(affected, keys, "left_semi")
-    untouched.unionByName(closedHistory)
+    retained.select(outCols: _*)
       .unionByName(adjustedCurrent)
       .unionByName(additions)
   }

@@ -35,7 +35,12 @@ object ZOrder {
     val buckets = cols.zip(bounds).map { case (c, (lo, hi)) =>
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       val scaled = floor((c.cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble))
-      coalesce(greatest(lit(0L), least(lit(maxBucket), scaled.cast("long"))), lit(0L))
+      // clamp in DOUBLE space and squash NaN before the long cast —
+      // ANSI mode throws on cast(NaN/overflow as long), so a single
+      // rogue value must not abort a whole-table rewrite
+      val clamped = greatest(lit(0.0), least(lit(maxBucket.toDouble),
+        when(isnan(scaled), lit(0.0)).otherwise(scaled)))
+      coalesce(clamped.cast("long"), lit(0L))
     }
     (0 until bits).foldLeft(lit(0L)) { case (acc, b) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (bucket, c)) =>
@@ -46,13 +51,22 @@ object ZOrder {
     }
   }
 
-  /** Per-column (min, max) for the quantization — one aggregate job. */
+  /** Per-column (min, max) for the quantization — one aggregate job.
+    * NaNs are excluded from the bounds (Spark's max would otherwise
+    * return NaN and poison every bucket); an empty or all-null/NaN
+    * column degenerates to (0, 1), which buckets its rows to 0.
+    */
   def columnBounds(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c")))
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      val clean = when(isnan(v), lit(null)).otherwise(v)
+      Seq(min(clean).as(s"__lo_$c"), max(clean).as(s"__hi_$c"))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      if (row.isNullAt(2 * i)) (0.0, 1.0)
+      else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
   }
 
   /** Z-order-clustered atomic rewrite: range-shuffle on the z-value

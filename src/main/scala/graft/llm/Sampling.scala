@@ -72,9 +72,17 @@ object Sampling {
     * A-Res selection scheme restricted to integer weights so the
     * whole decision stays transcendental-free: exact, reproducible
     * in plain SQL, partitioning- and append-stable like every
-    * sampler here. Cost: one scan (the w md5s run in an array HOF)
+    * sampler here. Cost: one scan (the w md5s run in an array HOF —
+    * keep weights small integers, the per-row array is w elements)
     * + one per-group top-k window (WindowGroupLimit pushes the limit
     * below the shuffle). Output adds `rnk` (1..k).
+    *
+    * Rows with null or non-positive weight hold no ticket and are
+    * EXCLUDED (a group of only such rows yields no sample) — the
+    * same rows a DuckDB `range(0, wt)` mirror drops. Without the
+    * guard, Spark's descending-default `sequence(0, -1)` would hand
+    * weight-0 rows two draws, and null priorities would sort first,
+    * outranking every real candidate.
     */
   def weightedBottomK(df: DataFrame, idCol: String, groupCol: String,
                       weight: Column, k: Int): DataFrame = {
@@ -85,7 +93,8 @@ object Sampling {
         .cast("binary"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("__pri"), col(idCol))
-    df.withColumn("__pri", priority)
+    df.filter(coalesce(weight.cast("long"), lit(0L)) >= 1L)
+      .withColumn("__pri", priority)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .drop("__pri")

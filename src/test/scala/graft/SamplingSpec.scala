@@ -61,6 +61,18 @@ class SamplingSpec extends SparkSpec {
     assert(meanSel > 3.2, s"selected mean weight $meanSel shows no weight bias")
   }
 
+  test("weightedBottomK excludes null and non-positive weights") {
+    val df = Seq[(Long, String, java.lang.Long)](
+      (1L, "g", 3L), (2L, "g", 0L), (3L, "g", -2L), (4L, "g", null),
+      (5L, "h", null), (6L, "h", 0L))
+      .toDF("id", "g", "wt")
+    val got = Sampling.weightedBottomK(df, "id", "g", col("wt"), k = 2)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // only the one positively-weighted row holds a ticket; group h
+    // (no eligible rows) yields nothing rather than null-priority picks
+    assert(got === Seq(("g", 1L)))
+  }
+
   test("uniform() covers [0,1) roughly uniformly") {
     val u = (1L to 10000L).toDF("id")
       .select(Sampling.uniform(col("id")).as("u"))

@@ -93,6 +93,27 @@ class Scd2Spec extends SparkSpec {
     assert(rows(incremental) === rows(full))
   }
 
+  test("applyBatch chains a null business key like fromChangeLog") {
+    val log1 = Seq((Option.empty[String], 1L, "x"), (Some("k"), 2L, "y"))
+      .toDF("k", "ts", "status")
+    val log2 = Seq((Option.empty[String], 5L, "z"))
+      .toDF("k", "ts", "status")
+    val h0 = Scd2.fromChangeLog(log1, Seq("k"), "ts", Seq("ts"), Seq("status"))
+      .localCheckpoint(true)
+    val inc = Scd2.applyBatch(h0, log2, Seq("k"), "ts", Seq("ts"), Seq("status"))
+    val full = Scd2.fromChangeLog(log1.unionByName(log2),
+      Seq("k"), "ts", Seq("ts"), Seq("status"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("k", "status", "valid_from", "valid_to", "version", "is_current")
+      .orderBy(col("k").asc_nulls_first, col("version")).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(rows(inc) === rows(full))
+    // exactly one current row for the null-key chain, version 2
+    assert(rows(inc).count(r => r._1.isEmpty && r._6) === 1)
+  }
+
   test("applyBatch with only repeated observations changes nothing") {
     val h0 = Scd2.fromChangeLog(
       Seq(("k", 1L, "x")).toDF("k", "ts", "status"),

@@ -22,12 +22,26 @@ class ZOrderSpec extends SparkSpec {
     assert(zs === Seq(0L, 10L, 5L, 15L))
   }
 
-  test("nulls and out-of-bounds values clamp instead of crashing") {
+  test("nulls, NaN, and out-of-bounds values clamp instead of crashing") {
+    // ANSI mode throws on cast(NaN/overflow as long) — the clamp
+    // must happen in double space or one rogue row kills the rewrite
     val df = Seq[(java.lang.Double, java.lang.Double)](
-      (null, 5.0), (-100.0, 5.0), (100.0, 5.0)).toDF("x", "y")
+      (null, 5.0), (-100.0, 5.0), (100.0, 5.0),
+      (Double.NaN, 5.0), (1e300, 5.0), (-1e300, 5.0)).toDF("x", "y")
     val zs = df.select(ZOrder.zValue(Seq(col("x"), col("y")),
         Seq((0.0, 10.0), (0.0, 10.0)), 4)).as[Long].collect()
-    assert(zs.length === 3 && zs.forall(z => z >= 0L))
+    assert(zs.length === 6 && zs.forall(z => z >= 0L))
+  }
+
+  test("empty and all-null/NaN inputs degenerate instead of crashing") {
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(ZOrder.columnBounds(empty, Seq("x", "y")) === Seq((0.0, 1.0), (0.0, 1.0)))
+    val allBad = Seq[(java.lang.Double, java.lang.Double)](
+      (null, Double.NaN), (Double.NaN, null)).toDF("x", "y")
+    assert(ZOrder.columnBounds(allBad, Seq("x", "y")) === Seq((0.0, 1.0), (0.0, 1.0)))
+    val dir = tmpDir("zempty") + "/t"
+    ZOrder.writeZOrdered(spark, empty, Seq("x", "y"), bits = 4, numFiles = 2, dir)
+    assert(spark.read.parquet(dir).count() === 0L)
   }
 
   test("a 2D box predicate prunes z-ordered files better than 1D-sorted") {
