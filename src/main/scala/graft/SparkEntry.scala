@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.queries ++ AnalyticsQueries.queries ++ LlmQueries.queries ++ PosQueries.queries
+    EtlQueries.queries ++ AnalyticsQueries.queries ++ LlmQueries.queries ++
+      PosQueries.queries ++ TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EtlQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++ PosQueries.oracles
+    EtlQueries.oracles ++ AnalyticsQueries.oracles ++ LlmQueries.oracles ++
+      PosQueries.oracles ++ TimeSeriesQueries.oracles
 }

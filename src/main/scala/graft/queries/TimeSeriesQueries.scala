@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Resample
+import graft.operators.QCut
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDefs._
+
+/** Time-series / BI parity tier: the pandas capabilities the
+  * reference stack implies beyond plain aggregation — `resample`
+  * with gap fill, `ffill` interpolation, cohort retention, funnel
+  * conversion, `qcut` segmentation, `describe`. Every query keeps
+  * the scale rules: no single-partition windows (qcut replaces
+  * global-sort ntile with threshold classification), spines
+  * broadcast, per-key grids distribute with their keys, and all
+  * sums/stddevs go through exact decimals so the DuckDB hash
+  * compare is bit-stable.
+  */
+object TimeSeriesQueries {
+
+  val queries: Map[String, Q] = Map(
+    // q75 — pandas resample('D').sum() parity: daily order revenue
+    // with every calendar day in the span present, gaps zero-filled
+    // (graft.etl.Resample.calendarFill — broadcast spine join; the
+    // testdata really has 6 missing days in a 2405-day span).
+    "q75_resample_gapfill" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__dec"),
+          count(lit(1)).as("n"))
+      Resample.calendarFill(daily, "day",
+          Map("__dec" -> lit(0).cast("decimal(18,4)"), "n" -> lit(0L)))
+        .select(col("day").cast("string").as("day"),
+          col("__dec").cast("double").as("total"), col("n"))
+        .orderBy("day")
+    }),
+
+    // q76 — pandas groupby().resample('D').asfreq() + ffill(): each
+    // user's daily click value on that user's full activity grid,
+    // absent days forward-filled from the most recent present day
+    // (Resample.gridFill + Resample.ffill; `gap` marks filled rows).
+    // The first grid day per user is present by construction, so no
+    // leading nulls survive.
+    "q76_forward_fill" -> ((s, dir) => {
+      val perDay = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(max(col("value")).as("v"))
+      val grid = Resample.gridFill(perDay, Seq("user_id"), "day")
+        .withColumn("gap", col("v").isNull)
+      Resample.ffill(grid, Seq("user_id"), Seq("day"), Seq("v"))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("v").as("v_filled"), col("gap"))
+        .orderBy("user_id", "day")
+    }),
+
+    // q77 — cohort retention: users grouped by first-activity week,
+    // distinct actives per (cohort, week offset). Weeks are Monday-
+    // truncated on both engines; the cohort week comes from a window
+    // min so the whole query is ONE shuffle on user_id plus the final
+    // aggregate.
+    "q77_cohort_retention" -> ((s, dir) => {
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+        .withColumn("cohort_week",
+          min(col("week")).over(Window.partitionBy("user_id")))
+      wk.groupBy(col("cohort_week").cast("string").as("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").cast("long").as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "offset_wk")
+    }),
+
+    // q78 — ordered funnel (signup → click → purchase): a user
+    // converts a stage only with an event at-or-after the previous
+    // stage's conversion time. Three chained window minima over ONE
+    // user_id partitioning (one shuffle), then a global count row —
+    // no per-user collect, no self-joins.
+    "q78_funnel_stages" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("s"))
+      val staged = e
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("s"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("s") >= col("t1"),
+            col("s"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("s") >= col("t2"),
+            col("s"))).over(w))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      staged.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_after_signup"),
+        count(col("t3")).as("n_purchase_after_click"),
+        (count(col("t2")).cast("double") / count(col("t1"))).as("click_rate"),
+        (count(col("t3")).cast("double") / count(col("t2"))).as("purchase_rate"))
+    }),
+
+    // q79 — RFM segmentation via qcut (graft.operators.QCut): exact
+    // quartile thresholds + map-side classification — the scale-safe
+    // replacement for ntile's single-partition global sort. Tiles
+    // are by VALUE (1 = lowest quartile): recency counts days since
+    // the customer's last order vs the dataset's last day.
+    "q79_rfm_segments" -> ((s, dir) => {
+      val per = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("mon"))
+      val ref = per.agg(max(col("last_day")).as("ref_day"))
+      val rfm = per.crossJoin(broadcast(ref))
+        .withColumn("recency_d", datediff(col("ref_day"), col("last_day")).cast("long"))
+        .withColumn("mon_d", col("mon").cast("double"))
+      val tiled = Seq(("recency_d", "r_tile"), ("freq", "f_tile"), ("mon_d", "m_tile"))
+        .foldLeft(rfm) { case (df, (v, b)) => QCut.qcut(df, col(v), 4, b) }
+      tiled.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_tile", "f_tile", "m_tile")
+    }),
+
+    // q80 — pandas describe() parity per return flag: count, mean,
+    // std, min, quartiles, max. The stddev is NOT Spark's stddev
+    // (float merge order varies); it's the exact-decimal moments
+    // formula — decimal sum and sum-of-squares, then one fixed
+    // sequence of IEEE double ops identical on both engines.
+    "q80_describe_stats" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+      def stdOf(ss: String, sm: String) =
+        sqrt((col(ss).cast("double") -
+          col(sm).cast("double") * col(sm).cast("double") / col("n")) /
+          (col("n") - 1))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("__qs"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("__qss"),
+          min(col("l_quantity")).as("qty_min"),
+          expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+          expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+          expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+          max(col("l_quantity")).as("qty_max"),
+          sum(dec(col("l_extendedprice"))).as("__ps"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("__pss"))
+        .select(col("l_returnflag"), col("n"),
+          (col("__qs").cast("double") / col("n")).as("qty_mean"),
+          stdOf("__qss", "__qs").as("qty_std"),
+          col("qty_min"), col("qty_p25"), col("qty_p50"), col("qty_p75"),
+          col("qty_max"),
+          (col("__ps").cast("double") / col("n")).as("price_mean"),
+          stdOf("__pss", "__ps").as("price_std"))
+        .orderBy("l_returnflag")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q75_resample_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |           CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+        |           CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+        |           INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT CAST(s.day AS VARCHAR) AS day,
+        |       CAST(COALESCE(dec_daily, 0) AS DOUBLE) AS total,
+        |       COALESCE(n, 0) AS n
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY day""".stripMargin,
+    "q76_forward_fill" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM per GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.day, p.v
+        |  FROM spine s LEFT JOIN per p ON s.user_id = p.user_id AND s.day = p.day)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |       v IS NULL AS gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q77_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week, MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM wk)
+        |SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+        |       date_diff('day', cohort_week, week) // 7 AS offset_wk,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, offset_wk""".stripMargin,
+    "q78_funnel_stages" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS s FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_type, s,
+        |         MIN(CASE WHEN event_type = 'signup' THEN s END)
+        |           OVER (PARTITION BY user_id) AS t1
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND s >= t1 THEN s END)
+        |              OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND s >= t2 THEN s END)
+        |              OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |per AS (
+        |  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |  FROM s3 GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |       COUNT(t1) AS n_signup,
+        |       COUNT(t2) AS n_click_after_signup,
+        |       COUNT(t3) AS n_purchase_after_click,
+        |       CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) AS click_rate,
+        |       CAST(COUNT(t3) AS DOUBLE) / COUNT(t2) AS purchase_rate
+        |FROM per""".stripMargin,
+    "q79_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        |         COUNT(*) AS freq,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', last_day, (SELECT MAX(last_day) FROM per)) AS recency_d,
+        |         freq, CAST(mon AS DOUBLE) AS mon_d
+        |  FROM per),
+        |q AS (
+        |  SELECT quantile_cont(recency_d, 0.25) AS r1, quantile_cont(recency_d, 0.50) AS r2,
+        |         quantile_cont(recency_d, 0.75) AS r3,
+        |         quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.50) AS f2,
+        |         quantile_cont(freq, 0.75) AS f3,
+        |         quantile_cont(mon_d, 0.25) AS m1, quantile_cont(mon_d, 0.50) AS m2,
+        |         quantile_cont(mon_d, 0.75) AS m3
+        |  FROM r),
+        |b AS (
+        |  SELECT CAST(1 + CAST(recency_d > r1 AS INT) + CAST(recency_d > r2 AS INT)
+        |           + CAST(recency_d > r3 AS INT) AS BIGINT) AS r_tile,
+        |         CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+        |           + CAST(freq > f3 AS INT) AS BIGINT) AS f_tile,
+        |         CAST(1 + CAST(mon_d > m1 AS INT) + CAST(mon_d > m2 AS INT)
+        |           + CAST(mon_d > m3 AS INT) AS BIGINT) AS m_tile
+        |  FROM r CROSS JOIN q)
+        |SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_customers
+        |FROM b GROUP BY 1, 2, 3 ORDER BY r_tile, f_tile, m_tile""".stripMargin,
+    "q80_describe_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qs,
+        |         -- the DECIMAL(19,4) operand forces int128 storage: DuckDB's
+        |         -- int64-backed DECIMAL(18)*DECIMAL(18) multiply overflows on
+        |         -- price-scale squares (the values are exact either way)
+        |         SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS qss,
+        |         MIN(l_quantity) AS qty_min,
+        |         quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |         quantile_cont(l_quantity, 0.50) AS qty_p50,
+        |         quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |         MAX(l_quantity) AS qty_max,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS pss
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       CAST(qs AS DOUBLE) / n AS qty_mean,
+        |       sqrt((CAST(qss AS DOUBLE) - CAST(qs AS DOUBLE) * CAST(qs AS DOUBLE) / n) / (n - 1)) AS qty_std,
+        |       qty_min, qty_p25, qty_p50, qty_p75, qty_max,
+        |       CAST(ps AS DOUBLE) / n AS price_mean,
+        |       sqrt((CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / n) / (n - 1)) AS price_std
+        |FROM a ORDER BY l_returnflag""".stripMargin
+  )
+}
