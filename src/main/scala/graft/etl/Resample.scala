@@ -76,6 +76,39 @@ object Resample {
     }
   }
 
+  /** Linear interpolation (pandas `interpolate(method='linear')` on
+    * the interior): each null in `valueCol` between two non-null
+    * neighbors (within its key, positions from numeric `posCol`)
+    * takes the straight-line value between them; leading/trailing
+    * nulls — no neighbor on one side — STAY null (compose with
+    * [[ffill]]/[[bfill]] to extend the edges).
+    *
+    * Two windows over the SAME key partitioning (forward + backward
+    * frame), so the whole fill is one shuffle; the arithmetic is a
+    * fixed sequence of IEEE double ops, reproducible across engines.
+    */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String], posCol: String,
+                        valueCol: String): DataFrame = {
+    val fwd = Window.partitionBy(keyCols.map(col): _*).orderBy(col(posCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(keyCols.map(col): _*).orderBy(col(posCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val knownPos = when(v.isNotNull, col(posCol))
+    val out = df
+      .withColumn("__pv", last(v, ignoreNulls = true).over(fwd))
+      .withColumn("__pt", last(knownPos, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(bwd))
+      .withColumn("__nt", first(knownPos, ignoreNulls = true).over(bwd))
+      .withColumn(valueCol,
+        when(v.isNotNull, v)
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col(posCol).cast("double") - col("__pt").cast("double")) /
+              (col("__nt").cast("double") - col("__pt").cast("double"))))
+    out.drop("__pv", "__pt", "__nv", "__nt")
+  }
+
   /** Backward-fill (pandas `bfill`): nulls take the NEXT non-null
     * value within the key. Same single-shuffle shape as [[ffill]]
     * (the reversed frame reuses the same hash partitioning, so the

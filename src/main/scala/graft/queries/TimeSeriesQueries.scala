@@ -124,6 +124,52 @@ object TimeSeriesQueries {
         .orderBy("r_tile", "f_tile", "m_tile")
     }),
 
+    // q81 — pandas interpolate(method='linear'): the q76 grid with
+    // gaps LINEARLY interpolated between the neighboring present
+    // days instead of step-filled (Resample.interpolateLinear — two
+    // window frames over one user_id shuffle). Every user's grid
+    // edge days are present by construction, so no nulls survive.
+    "q81_interpolate" -> ((s, dir) => {
+      val perDay = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(max(col("value")).as("v"))
+      val grid = Resample.gridFill(perDay, Seq("user_id"), "day")
+        .withColumn("gap", col("v").isNull)
+        .withColumn("pos", unix_date(col("day")))
+      Resample.interpolateLinear(grid, Seq("user_id"), "pos", "v")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("v").as("v_interp"), col("gap"))
+        .orderBy("user_id", "day")
+    }),
+
+    // q82 — pandas rolling(7).mean() + pct_change() over the
+    // zero-filled daily revenue calendar (composes q75's
+    // calendarFill): the rolling mean divides an exact decimal
+    // frame-sum by the frame count, so segment-tree vs sliding
+    // summation order can't drift the hash. The global day window is
+    // post-aggregation (|days| rows, bounded by wall-clock) — the
+    // one place a single-partition window is the RIGHT plan.
+    "q82_rolling_mean" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__dec"),
+          count(lit(1)).as("n"))
+      val filled = Resample.calendarFill(daily, "day",
+        Map("__dec" -> lit(0).cast("decimal(18,4)"), "n" -> lit(0L)))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      val w1 = Window.orderBy("day")
+      filled.select(col("day").cast("string").as("day"),
+          col("__dec").cast("double").as("total"),
+          (sum(col("__dec")).over(w7).cast("double") /
+            count(lit(1)).over(w7)).as("roll7_mean"),
+          when(lag(col("__dec"), 1).over(w1) =!= 0,
+            col("__dec").cast("double") /
+              lag(col("__dec"), 1).over(w1).cast("double") - 1)
+            .as("pct_change"))
+        .orderBy("day")
+    }),
+
     // q80 — pandas describe() parity per return flag: count, mean,
     // std, min, quartiles, max. The stddev is NOT Spark's stddev
     // (float merge order varies); it's the exact-decimal moments
@@ -257,6 +303,61 @@ object TimeSeriesQueries {
         |  FROM r CROSS JOIN q)
         |SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_customers
         |FROM b GROUP BY 1, 2, 3 ORDER BY r_tile, f_tile, m_tile""".stripMargin,
+    "q81_interpolate" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM per GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.day, p.v,
+        |         date_diff('day', DATE '1970-01-01', s.day) AS pos
+        |  FROM spine s LEFT JOIN per p ON s.user_id = p.user_id AND s.day = p.day),
+        |f AS (
+        |  SELECT user_id, day, v, pos,
+        |         last_value(v IGNORE NULLS) OVER wf AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS pt,
+        |         first_value(v IGNORE NULLS) OVER wb AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wb AS nt
+        |  FROM j
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wb AS (PARTITION BY user_id ORDER BY pos
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |            THEN pv + (nv - pv) * (CAST(pos AS DOUBLE) - CAST(pt AS DOUBLE))
+        |                   / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))
+        |       END AS v_interp,
+        |       v IS NULL AS gap
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    "q82_rolling_mean" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |           CAST((SELECT MIN(day) FROM daily) AS TIMESTAMP),
+        |           CAST((SELECT MAX(day) FROM daily) AS TIMESTAMP),
+        |           INTERVAL 1 DAY)) AS DATE) AS day),
+        |filled AS (
+        |  SELECT s.day, COALESCE(dec_daily, 0) AS dec_daily
+        |  FROM spine s LEFT JOIN daily d ON s.day = d.day)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(dec_daily AS DOUBLE) AS total,
+        |       CAST(SUM(dec_daily) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS roll7_mean,
+        |       CASE WHEN lag(dec_daily, 1) OVER (ORDER BY day) <> 0
+        |            THEN CAST(dec_daily AS DOUBLE)
+        |                   / CAST(lag(dec_daily, 1) OVER (ORDER BY day) AS DOUBLE) - 1
+        |       END AS pct_change
+        |FROM filled
+        |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q80_describe_stats" ->
       """WITH a AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

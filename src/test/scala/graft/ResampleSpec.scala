@@ -48,6 +48,29 @@ class ResampleSpec extends SparkSpec {
       Some(2.0), Some(2.0)))
   }
 
+  test("interpolateLinear fills interior gaps; edges stay null") {
+    val df = Seq(
+      ("a", 0L, None), ("a", 1L, Some(10.0)), ("a", 2L, None),
+      ("a", 3L, None), ("a", 4L, Some(40.0)), ("a", 5L, None),
+      ("b", 1L, Some(7.0)))
+      .toDF("k", "t", "v")
+    val got = Resample.interpolateLinear(df, Seq("k"), "t", "v")
+      .orderBy("k", "t").select("v").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    // interior gap at t=2,3 interpolates 10→40 over positions 1..4;
+    // the leading t=0 and trailing t=5 have one-sided neighbors only
+    assert(got === Seq(None, Some(10.0), Some(20.0), Some(30.0),
+      Some(40.0), None, Some(7.0)))
+  }
+
+  test("interpolateLinear respects uneven position spacing") {
+    val df = Seq(("a", 0L, Some(0.0)), ("a", 10L, None), ("a", 40L, Some(80.0)))
+      .toDF("k", "t", "v")
+    val got = Resample.interpolateLinear(df, Seq("k"), "t", "v")
+      .filter(col("t") === 10L).select("v").as[Double].head()
+    assert(got === 20.0) // 0 + 80 * (10/40)
+  }
+
   test("ffill result is partitioning-invariant") {
     val df = Seq.tabulate(200) { i =>
       ("k" + i % 7, i.toLong, if (i % 3 == 0) Some(i.toDouble) else None)
