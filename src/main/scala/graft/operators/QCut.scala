@@ -27,22 +27,39 @@ object QCut {
     * exact k-quantile thresholds: bucket = 1 + |{i : v > q_i}| for
     * the k-1 interior quantiles. Null values get a null bucket.
     */
-  def qcut(df: DataFrame, valueCol: Column, k: Int, bucketCol: String): DataFrame = {
+  def qcut(df: DataFrame, valueCol: Column, k: Int, bucketCol: String): DataFrame =
+    qcutMany(df, Seq((valueCol, bucketCol)), k)
+
+  /** [[qcut]] over several columns at once — ONE threshold aggregate
+    * computes every column's k-1 quantiles in a single scan of `df`
+    * (chained single-column qcuts would each re-scan), then one
+    * broadcast of the 1-row threshold frame serves all the map-side
+    * classifications.
+    */
+  def qcutMany(df: DataFrame, cuts: Seq[(Column, String)], k: Int): DataFrame = {
     require(k >= 2, s"qcut needs k >= 2, got $k")
+    require(cuts.nonEmpty, "qcut needs at least one (value, bucket) pair")
     val qs = (1 until k).map(i => i.toDouble / k)
-    def thresholdAggs = qs.zipWithIndex.map { case (q, i) =>
-      expr(s"percentile(__qcut_v, $q)").as(s"__q$i")
+    val withV = cuts.zipWithIndex.foldLeft(df) { case (d, ((v, _), c)) =>
+      d.withColumn(s"__qcut_v$c", v)
+    }
+    val thresholdAggs = cuts.indices.flatMap { c =>
+      qs.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile(__qcut_v$c, $q)").as(s"__q${c}_$i")
+      }
     }
     // the thresholds frame is ONE row — broadcast it to every task
     // and classify map-side
-    val withV = df.withColumn("__qcut_v", valueCol)
     val joined = withV.crossJoin(broadcast(
-      withV.select(col("__qcut_v")).agg(thresholdAggs.head, thresholdAggs.tail: _*)))
-    val bucket = (0 until k - 1).foldLeft(lit(1L)) { case (acc, i) =>
-      acc + when(col("__qcut_v") > col(s"__q$i"), 1L).otherwise(0L)
+      withV.select(cuts.indices.map(c => col(s"__qcut_v$c")): _*)
+        .agg(thresholdAggs.head, thresholdAggs.tail: _*)))
+    val bucketed = cuts.zipWithIndex.foldLeft(joined) { case (d, ((_, b), c)) =>
+      val bucket = (0 until k - 1).foldLeft(lit(1L)) { case (acc, i) =>
+        acc + when(col(s"__qcut_v$c") > col(s"__q${c}_$i"), 1L).otherwise(0L)
+      }
+      d.withColumn(b, when(col(s"__qcut_v$c").isNotNull, bucket))
     }
-    joined
-      .withColumn(bucketCol, when(col("__qcut_v").isNotNull, bucket))
-      .drop((0 until k - 1).map(i => s"__q$i") :+ "__qcut_v": _*)
+    bucketed.drop(cuts.indices.flatMap(c =>
+      (0 until k - 1).map(i => s"__q${c}_$i") :+ s"__qcut_v$c"): _*)
   }
 }

@@ -430,6 +430,21 @@ object AnalyticsQueries {
           Array(col("qty"), col("price"), col("discount")),
           "metric", "value")
         .orderBy("l_returnflag", "metric")
+    }),
+
+    // q84 — A4/A6: percent_rank + cume_dist of customers by account
+    // balance within their market segment (pandas rank(pct=True)).
+    // The custkey tiebreak makes the ordering total, so both stats
+    // derive from integer ranks — bit-stable doubles. Partitioned
+    // window: one shuffle on the segment, no global sort.
+    "q84_pct_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -696,6 +711,13 @@ object AnalyticsQueries {
          |SELECT l_returnflag, 'price', price FROM wide
          |UNION ALL
          |SELECT l_returnflag, 'discount', discount FROM wide
-         |ORDER BY l_returnflag, metric""".stripMargin
+         |ORDER BY l_returnflag, metric""".stripMargin,
+    "q84_pct_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin
   )
 }

@@ -184,6 +184,28 @@ object EtlQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .orderBy("user_id")
+    }),
+
+    // q83 — snapshot reconciliation (graft.etl.Reconcile.diff): one
+    // full-outer key join classifies every order key across two
+    // planted table versions (every 97th key absent from prev =
+    // added; every 89th absent from cur = removed; every 7th price-
+    // bumped = changed). Output aggregates per status with the exact
+    // decimal sum of the price deltas.
+    "q83_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val prev = o.filter(col("o_orderkey") % 97 =!= 0)
+      val cur = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      graft.etl.Reconcile.diff(prev, cur, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice_cur") - col("o_totalprice_prev")).as("price_delta"))
+        .orderBy("diff_status")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -292,7 +314,26 @@ object EtlQueries {
         |  SELECT user_id, event_id, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q83_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |prev AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 89 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |              WHEN c.o_orderkey IS NULL THEN 'removed'
+        |              WHEN p.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |                OR p.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_status,
+        |         c.o_totalprice - p.o_totalprice AS delta
+        |  FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey)
+        |SELECT diff_status, COUNT(*) AS n,
+        |       CAST(SUM(CAST(delta AS DECIMAL(18,4))) AS DOUBLE) AS price_delta
+        |FROM d GROUP BY 1 ORDER BY diff_status""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

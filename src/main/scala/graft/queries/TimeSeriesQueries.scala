@@ -117,8 +117,9 @@ object TimeSeriesQueries {
       val rfm = per.crossJoin(broadcast(ref))
         .withColumn("recency_d", datediff(col("ref_day"), col("last_day")).cast("long"))
         .withColumn("mon_d", col("mon").cast("double"))
-      val tiled = Seq(("recency_d", "r_tile"), ("freq", "f_tile"), ("mon_d", "m_tile"))
-        .foldLeft(rfm) { case (df, (v, b)) => QCut.qcut(df, col(v), 4, b) }
+      val tiled = QCut.qcutMany(rfm,
+        Seq((col("recency_d"), "r_tile"), (col("freq"), "f_tile"),
+          (col("mon_d"), "m_tile")), 4)
       tiled.groupBy("r_tile", "f_tile", "m_tile")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r_tile", "f_tile", "m_tile")

@@ -32,6 +32,16 @@ class QCutSpec extends SparkSpec {
     assert(vals.count(_.isEmpty) === a.count(_.isEmpty), "null v must give null bucket")
   }
 
+  test("qcutMany matches chained single-column qcuts in one scan") {
+    val df = Seq.tabulate(100)(i => ((i * 7 % 53).toDouble, (i * 11 % 31).toDouble))
+      .toDF("x", "y")
+    val many = QCut.qcutMany(df, Seq((col("x"), "bx"), (col("y"), "by")), 4)
+      .orderBy("x", "y").select("bx", "by").collect().map(_.toSeq).toSeq
+    val chained = QCut.qcut(QCut.qcut(df, col("x"), 4, "bx"), col("y"), 4, "by")
+      .orderBy("x", "y").select("bx", "by").collect().map(_.toSeq).toSeq
+    assert(many === chained)
+  }
+
   test("plan: no single-partition window — classification is map-side") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val plan = QCut.qcut(df, col("v"), 4, "b")
