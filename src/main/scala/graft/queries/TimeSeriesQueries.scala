@@ -108,11 +108,16 @@ object TimeSeriesQueries {
     // are by VALUE (1 = lowest quartile): recency counts days since
     // the customer's last order vs the dataset's last day.
     "q79_rfm_segments" -> ((s, dir) => {
-      val per = Tables.orders(s, dir)
+      // the per-customer aggregate feeds the RFM frame, the global
+      // reference day, AND the quantile thresholds — without a
+      // barrier, each branch re-scans and re-shuffles orders (8
+      // parquet scans observed); with it, orders is read once
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val per = graft.llm.BarrierCache.track(Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate").cast("date")).as("last_day"),
           count(lit(1)).as("freq"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).as("mon"))
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("mon")))
       val ref = per.agg(max(col("last_day")).as("ref_day"))
       val rfm = per.crossJoin(broadcast(ref))
         .withColumn("recency_d", datediff(col("ref_day"), col("last_day")).cast("long"))
