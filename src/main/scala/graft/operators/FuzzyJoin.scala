@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string-match join (entity resolution): all (probe, build)
+  * pairs within Levenshtein distance `maxDist`. The naive form is a
+  * cross join with an edit-distance predicate — O(|A|·|B|) string
+  * comparisons, a BroadcastNestedLoopJoin at plan level, and dead at
+  * scale. This is the n-gram-blocked form:
+  *
+  *   1. each side explodes into its distinct character trigrams;
+  *   2. candidates come from a plain shuffled equi-join on the gram;
+  *   3. one aggregate dedups the (probe, build) candidate pairs;
+  *   4. `levenshtein` verifies the exact distance per pair once.
+  *
+  * Blocking is LOSSLESS: one edit changes at most 3 trigrams, so a
+  * string of length > 3d + 2 within distance d of its partner keeps
+  * at least one unchanged trigram, which the partner necessarily
+  * contains as a substring and therefore lists (position shifts
+  * don't matter — the join is on gram VALUE). Strings at or below
+  * the 3d + 2 bound carry a shared `__short` sentinel block instead
+  * of (for the boundary band up to 3d + 2 + d: in addition to)
+  * their grams — a short string's partner within d is itself at
+  * most 3d + 2 + d long, so every such pair meets in the sentinel.
+  * The sentinel block is exhaustive among near-empty strings only —
+  * cheap after the length filter any real pipeline applies first.
+  *
+  * Cost at 100 TB: Σ|gram bucket|² candidate pairs (the same model
+  * as MinHash-LSH banding) + one shuffle to dedup them; the expensive
+  * `levenshtein` runs once per DISTINCT candidate pair, never per
+  * shared gram. Hot grams (stop-word fragments) inflate buckets —
+  * at corpus scale feed pre-normalized keys (lowercased, squeezed
+  * whitespace) and let AQE's skew split handle residual heat.
+  */
+object FuzzyJoin {
+
+  /** Pairs `(idL, sL, idR, sR, dist)` with
+    * `levenshtein(sL, sR) <= maxDist`. Both inputs need (id, string)
+    * columns; ids must be unique per side. Null/empty strings never
+    * match (no grams, not even short-block membership).
+    */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+           right: DataFrame, rightId: String, rightStr: String,
+           maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val shortBound = 3 * maxDist + 2
+    // grams as VALUES (array_distinct: one candidate row per shared
+    // gram value, deduped again after the join anyway); strings too
+    // short for the pigeonhole guarantee share one sentinel block
+    def grams(df: DataFrame, id: String, s: String, gc: String) = {
+      val g = array_distinct(expr(
+        s"transform(sequence(1, length($s) - 2), i -> substring($s, i, 3))"))
+      val blocks = when(length(col(s)) <= shortBound, array(lit("__short")))
+        .when(length(col(s)) <= shortBound + maxDist,
+          concat(g, array(lit("__short"))))
+        .otherwise(g)
+      df.filter(col(s).isNotNull && length(col(s)) > 0)
+        .select(col(id), col(s), explode(blocks).as(gc))
+    }
+    val l = grams(left, leftId, leftStr, "__g")
+    val r = grams(right, rightId, rightStr, "__rg")
+    l.join(r, col("__g") === col("__rg"))
+      .groupBy(col(leftId), col(leftStr), col(rightId), col(rightStr))
+      .agg(count(lit(1)).as("__shared"))
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .filter(col("dist") <= maxDist)
+      .drop("__shared")
+  }
+}

@@ -206,6 +206,31 @@ object EtlQueries {
         .agg(count(lit(1)).as("n"),
           moneySum(col("o_totalprice_cur") - col("o_totalprice_prev")).as("price_delta"))
         .orderBy("diff_status")
+    }),
+
+    // q85 — fuzzy entity resolution (graft.operators.FuzzyJoin):
+    // every 50th part name, corrupted by dropping its first
+    // character, is matched back against the catalog within edit
+    // distance 1 via the trigram-blocked join (the oracle brute-
+    // forces the same pairs). Best match per probe by (dist, name,
+    // key) — deterministic under duplicate catalog names.
+    "q85_fuzzy_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val part = Tables.part(s, dir).select("p_partkey", "p_name")
+      val probes = part.filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          expr("substring(p_name, 2)").as("probe_name"))
+      val names = part
+        .select(col("p_partkey").as("build_key"), col("p_name").as("build_name"))
+      val matched = graft.operators.FuzzyJoin.join(
+        probes, "probe_key", "probe_name", names, "build_key", "build_name",
+        maxDist = 1)
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dist"), col("build_name"), col("build_key"))
+      matched.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("probe_key"), col("probe_name"),
+          col("build_name").as("best_name"), col("dist").cast("long").as("dist"))
+        .orderBy("probe_key")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -333,7 +358,25 @@ object EtlQueries {
         |  FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey)
         |SELECT diff_status, COUNT(*) AS n,
         |       CAST(SUM(CAST(delta AS DECIMAL(18,4))) AS DOUBLE) AS price_delta
-        |FROM d GROUP BY 1 ORDER BY diff_status""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    // brute-force mirror: the blocked join must find exactly the
+    // pairs an exhaustive levenshtein scan finds
+    "q85_fuzzy_match" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_key, substr(p_name, 2) AS probe_name
+        |  FROM part WHERE p_partkey % 50 = 0),
+        |names AS (SELECT p_partkey AS build_key, p_name AS build_name FROM part),
+        |cand AS (
+        |  SELECT probe_key, probe_name, build_key, build_name,
+        |         levenshtein(probe_name, build_name) AS dist
+        |  FROM probes CROSS JOIN names)
+        |SELECT probe_key, probe_name, build_name AS best_name,
+        |       CAST(dist AS BIGINT) AS dist
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_key
+        |            ORDER BY dist, build_name, build_key) AS rn
+        |  FROM cand WHERE dist <= 1)
+        |WHERE rn = 1 ORDER BY probe_key""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {
