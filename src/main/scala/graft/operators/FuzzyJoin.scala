@@ -60,11 +60,14 @@ object FuzzyJoin {
     }
     val l = grams(left, leftId, leftStr, "__g")
     val r = grams(right, rightId, rightStr, "__rg")
+    // the 3-arg levenshtein early-terminates the DP above the bound
+    // (returns -1), so each candidate pair costs O(len·maxDist), not
+    // O(len²) — the verify step is the hot loop at scale
     l.join(r, col("__g") === col("__rg"))
       .groupBy(col(leftId), col(leftStr), col(rightId), col(rightStr))
       .agg(count(lit(1)).as("__shared"))
-      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr), maxDist))
+      .filter(col("dist") >= 0)
       .drop("__shared")
   }
 }

@@ -445,6 +445,45 @@ object AnalyticsQueries {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // q86 — A3 completion: explicit GROUPING SETS (the two 1-D
+    // margins + grand total — the shape ROLLUP/CUBE can't express)
+    // with grouping() flags disambiguating real nulls from margin
+    // rows. SQL route like q20/q46 (Expand+Aggregate, one shuffle).
+    "q86_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("q86_base")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |       coalesce(o_orderpriority, '(all)') AS priority,
+          |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+          |       count(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM q86_base
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_priority, status, priority""".stripMargin)
+    }),
+
+    // q87 — A5/A6: RANGE-frame calendar window — the true 7-calendar-
+    // day mean over the SPARSE daily series (missing days shrink the
+    // frame), where q82's ROWS frame needed the gap-filled spine.
+    // The frame key is the epoch-day ordinal; decimal frame sums keep
+    // the engines' differing window summation strategies bit-equal.
+    "q87_range_frame" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__dec"))
+        .withColumn("pos", unix_date(col("day")))
+      val w = Window.orderBy("pos").rangeBetween(-6, 0)
+      daily.select(col("day").cast("string").as("day"),
+          col("__dec").cast("double").as("total"),
+          (sum(col("__dec")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("cal7_mean"),
+          count(lit(1)).over(w).as("days_present"))
+        .orderBy("day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -718,6 +757,32 @@ object AnalyticsQueries {
         |       cume_dist() OVER w AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_mktsegment, c_custkey""".stripMargin
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q86_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+    "q87_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, dec_daily,
+        |         date_diff('day', DATE '1970-01-01', day) AS pos
+        |  FROM daily)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(dec_daily AS DOUBLE) AS total,
+        |       CAST(SUM(dec_daily) OVER w AS DOUBLE) / COUNT(*) OVER w AS cal7_mean,
+        |       COUNT(*) OVER w AS days_present
+        |FROM p
+        |WINDOW w AS (ORDER BY pos RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin
   )
 }
