@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * comparisons, a BroadcastNestedLoopJoin at plan level, and dead at
   * scale. This is the n-gram-blocked form:
   *
-  *   1. each side explodes into its distinct character trigrams;
-  *   2. candidates come from a plain shuffled equi-join on the gram;
-  *   3. one aggregate dedups the (probe, build) candidate pairs;
-  *   4. `levenshtein` verifies the exact distance per pair once.
+  *   1. each side dedups to its DISTINCT strings — real entity
+  *      tables repeat values heavily (the testdata's part table has
+  *      20 000 rows over 64 names), and the quadratic candidate
+  *      stage must scale with unique strings, not rows;
+  *   2. each distinct string explodes into its character trigrams;
+  *   3. candidates come from a plain shuffled equi-join on the gram;
+  *   4. one aggregate dedups the (string, string) candidate pairs
+  *      and `levenshtein` verifies each distance exactly once;
+  *   5. verified string pairs re-attach both sides' ids by plain
+  *      equi-joins (the only stages proportional to row count).
   *
   * Blocking is LOSSLESS: one edit changes at most 3 trigrams, so a
   * string of length > 3d + 2 within distance d of its partner keeps
@@ -48,26 +54,32 @@ object FuzzyJoin {
     // grams as VALUES (array_distinct: one candidate row per shared
     // gram value, deduped again after the join anyway); strings too
     // short for the pigeonhole guarantee share one sentinel block
-    def grams(df: DataFrame, id: String, s: String, gc: String) = {
+    def grams(df: DataFrame, s: String, gc: String) = {
       val g = array_distinct(expr(
         s"transform(sequence(1, length($s) - 2), i -> substring($s, i, 3))"))
       val blocks = when(length(col(s)) <= shortBound, array(lit("__short")))
         .when(length(col(s)) <= shortBound + maxDist,
           concat(g, array(lit("__short"))))
         .otherwise(g)
-      df.filter(col(s).isNotNull && length(col(s)) > 0)
-        .select(col(id), col(s), explode(blocks).as(gc))
+      df.select(col(s), explode(blocks).as(gc))
     }
-    val l = grams(left, leftId, leftStr, "__g")
-    val r = grams(right, rightId, rightStr, "__rg")
+    def distinctStrs(df: DataFrame, s: String) =
+      df.filter(col(s).isNotNull && length(col(s)) > 0)
+        .select(col(s)).distinct()
+    val l = grams(distinctStrs(left, leftStr), leftStr, "__g")
+    val r = grams(distinctStrs(right, rightStr), rightStr, "__rg")
     // the 3-arg levenshtein early-terminates the DP above the bound
     // (returns -1), so each candidate pair costs O(len·maxDist), not
     // O(len²) — the verify step is the hot loop at scale
-    l.join(r, col("__g") === col("__rg"))
-      .groupBy(col(leftId), col(leftStr), col(rightId), col(rightStr))
+    val pairs = l.join(r, col("__g") === col("__rg"))
+      .groupBy(col(leftStr), col(rightStr))
       .agg(count(lit(1)).as("__shared"))
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr), maxDist))
       .filter(col("dist") >= 0)
       .drop("__shared")
+    pairs
+      .join(left.select(col(leftId), col(leftStr)), Seq(leftStr))
+      .join(right.select(col(rightId), col(rightStr)), Seq(rightStr))
+      .select(col(leftId), col(leftStr), col(rightId), col(rightStr), col("dist"))
   }
 }

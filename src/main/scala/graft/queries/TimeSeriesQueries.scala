@@ -180,13 +180,17 @@ object TimeSeriesQueries {
     // std, min, quartiles, max. The stddev is NOT Spark's stddev
     // (float merge order varies); it's the exact-decimal moments
     // formula — decimal sum and sum-of-squares, then one fixed
-    // sequence of IEEE double ops identical on both engines.
+    // sequence of IEEE double ops identical on both engines. The std
+    // is rounded to 4 decimals: the sum-of-squares decimal exceeds
+    // 2^53, and DuckDB's int128-backed decimal→double DOUBLE-ROUNDS
+    // (int→double, then the scale division) where Spark converts in
+    // one rounding — a last-ulp divergence seen at sf0.001.
     "q80_describe_stats" -> ((s, dir) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
       def stdOf(ss: String, sm: String) =
-        sqrt((col(ss).cast("double") -
+        round(sqrt((col(ss).cast("double") -
           col(sm).cast("double") * col(sm).cast("double") / col("n")) /
-          (col("n") - 1))
+          (col("n") - 1)), 4)
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
@@ -382,10 +386,10 @@ object TimeSeriesQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |       CAST(qs AS DOUBLE) / n AS qty_mean,
-        |       sqrt((CAST(qss AS DOUBLE) - CAST(qs AS DOUBLE) * CAST(qs AS DOUBLE) / n) / (n - 1)) AS qty_std,
+        |       round(sqrt((CAST(qss AS DOUBLE) - CAST(qs AS DOUBLE) * CAST(qs AS DOUBLE) / n) / (n - 1)), 4) AS qty_std,
         |       qty_min, qty_p25, qty_p50, qty_p75, qty_max,
         |       CAST(ps AS DOUBLE) / n AS price_mean,
-        |       sqrt((CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / n) / (n - 1)) AS price_std
+        |       round(sqrt((CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / n) / (n - 1)), 4) AS price_std
         |FROM a ORDER BY l_returnflag""".stripMargin
   )
 }
