@@ -100,6 +100,19 @@ class PlanQualitySpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q75: the calendar spine joins as a broadcast, never a shuffle") {
+    val p = plan("q75_resample_gapfill")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q79: the customer aggregate materializes once for all branches") {
+    graft.llm.BarrierCache.sweep(spark)
+    val p = plan("q79_rfm_segments")
+    assert(p.contains("InMemoryTableScan"),
+      s"per-customer frame must come from the barrier cache\n${p.take(2000)}")
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
