@@ -17,7 +17,16 @@ import org.apache.spark.sql.types.DecimalType
   *    (Spark `nullIfEmpty`, DuckDB `NULLIF(...,'')`);
   *  - event timestamps are ns-precision in parquet; Spark truncates
   *    to µs, so queries only emit derived values (date_trunc/epoch),
-  *    never the raw ts.
+  *    never the raw ts;
+  *  - decimal→double casts are only engine-identical while the
+  *    decimal's unscaled value fits 2^53 (Spark rounds once, DuckDB's
+  *    int128 decimals round twice) — plain money sums are safe,
+  *    but second-moment sums (sum of squares) must round their
+  *    derived stat to a fixed decimal place on both engines (q80);
+  *  - derived doubles that ARE emitted come from one identical
+  *    sequence of IEEE ops on exactly-equal inputs (interpolation,
+  *    rates, ratios) — never from engine-internal float aggregation
+  *    (stddev/avg over doubles, window float sums).
   */
 object QueryDefs {
   type Q = (SparkSession, String) => DataFrame
