@@ -60,6 +60,19 @@ object LlmQueries {
         .orderBy("bucket")
     }),
 
+    // q88 — document chunking (graft.llm.Chunking): overlapping
+    // 32-token windows stepping by 24 — the context-window split
+    // feeding training/retrieval pipelines. Shuffle-free per-row
+    // expansion (plan pinned in ChunkingSpec); the oracle rebuilds
+    // the identical windows with list slicing.
+    "q88_chunking" -> ((s, dir) => {
+      graft.llm.Chunking.chunk(Tables.documents(s, dir), col("text"),
+          size = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // q30 — A9/A8: content fingerprint dedup per source.
     "q30_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -615,6 +628,21 @@ object LlmQueries {
        |WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q88_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS ntok FROM t),
+        |k AS (SELECT doc_id, toks, ntok,
+        |        CASE WHEN ntok <= 32 THEN 0
+        |             ELSE CAST(ceil((ntok - 32) / 24.0) AS BIGINT) END AS kmax
+        |      FROM n),
+        |c AS (SELECT doc_id, toks, ntok,
+        |             unnest(generate_series(0, kmax)) AS ci FROM k)
+        |SELECT doc_id, ci AS chunk_id,
+        |       array_to_string(toks[ci*24+1 : ci*24+32], ' ') AS chunk_text,
+        |       LEAST(32, ntok - ci*24) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q27_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
