@@ -484,6 +484,61 @@ object AnalyticsQueries {
             count(lit(1)).over(w)).as("cal7_mean"),
           count(lit(1)).over(w).as("days_present"))
         .orderBy("day")
+    }),
+
+    // q91 — market-basket co-occurrence: brand pairs bought in the
+    // same order, with lift = P(a,b)/(P(a)P(b)). The distinct
+    // (order, brand) projection bounds the self-join at C(|brands|,2)
+    // pairs per order (25 brands ⇒ ≤300), the join co-partitions on
+    // the order key (one shuffle), and the brand totals re-attach as
+    // ≤25-row broadcasts — the shape survives any order count. Lift
+    // is one IEEE division of exact long products (< 2^53), so no
+    // rounding is needed for oracle parity.
+    "q91_basket_lift" -> ((s, dir) => {
+      val part = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val ob = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val pairs = ob
+        .join(ob.select(col("okey"), col("brand").as("brand_b")), "okey")
+        .filter(col("brand") < col("brand_b"))
+        .groupBy(col("brand").as("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val tot = ob.groupBy("brand").agg(count(lit(1)).as("nb"))
+      pairs
+        .join(broadcast(tot.select(col("brand").as("brand_a"), col("nb").as("n_a"))), "brand_a")
+        .join(broadcast(tot.select(col("brand").as("brand_b"), col("nb").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(ob.agg(countDistinct("okey").as("__n"))))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("__n")).cast("double") / (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy(col("n_ab").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    }),
+
+    // q92 — robust outlier detection per return flag: median/MAD on
+    // exact price cents (decimal→long, so the two percentile passes
+    // interpolate over integers and land on exact half-cent doubles —
+    // bit-equal across engines; q80 precedent). The |x−med| > 3·MAD
+    // flag compares exact doubles, no rounding. Scale: the exact
+    // percentile buffers per-group values — swap approx_percentile in
+    // at 100 TB; the two-pass median→MAD structure (3-row broadcast
+    // re-attach each pass) is the part that carries over.
+    "q92_robust_outliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000).cast("long").as("c"))
+      val med = li.groupBy("flag").agg(expr("percentile(c, 0.5)").as("med"))
+      val j = li.join(broadcast(med), "flag")
+        .withColumn("ad", abs(col("c") - col("med")))
+      val mad = j.groupBy("flag").agg(expr("percentile(ad, 0.5)").as("mad"))
+      j.join(broadcast(mad), "flag")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("median_cents"),
+          min(col("mad")).as("mad_cents"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("pct_outliers", col("n_outliers").cast("double") / col("n"))
+        .orderBy("flag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -783,6 +838,37 @@ object AnalyticsQueries {
         |       COUNT(*) OVER w AS days_present
         |FROM p
         |WINDOW w AS (ORDER BY pos RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    "q91_basket_lift" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+        |  FROM ob a JOIN ob b USING (okey) WHERE a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY 1),
+        |tn AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob)
+        |SELECT brand_a, brand_b, n_ab, ta.nb AS n_a, tb.nb AS n_b,
+        |       CAST(n_ab * n_orders AS DOUBLE) / (ta.nb * tb.nb) AS lift
+        |FROM pairs JOIN tot ta ON ta.brand = brand_a
+        |           JOIN tot tb ON tb.brand = brand_b
+        |           CROSS JOIN tn
+        |ORDER BY n_ab DESC, brand_a, brand_b LIMIT 20""".stripMargin,
+    "q92_robust_outliers" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c
+        |  FROM lineitem),
+        |med AS (SELECT flag, quantile_cont(c, 0.5) AS med FROM li GROUP BY 1),
+        |j AS (SELECT li.flag AS flag, c, med, abs(c - med) AS ad
+        |      FROM li JOIN med USING (flag)),
+        |mad AS (SELECT flag, quantile_cont(ad, 0.5) AS mad FROM j GROUP BY 1)
+        |SELECT j.flag AS flag, COUNT(*) AS n, MIN(med) AS median_cents,
+        |       MIN(mad) AS mad_cents,
+        |       CAST(SUM(CASE WHEN ad > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(CAST(SUM(CASE WHEN ad > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS pct_outliers
+        |FROM j JOIN mad USING (flag)
+        |GROUP BY 1 ORDER BY flag""".stripMargin
   )
 }

@@ -231,6 +231,33 @@ object EtlQueries {
         .select(col("probe_key"), col("probe_name"),
           col("build_name").as("best_name"), col("dist").cast("long").as("dist"))
         .orderBy("probe_key")
+    }),
+
+    // q90 — end-to-end entity resolution: q85's trigram-blocked fuzzy
+    // join produces the match edges, connected components folds them
+    // into entity clusters (the composition a dedup pipeline actually
+    // runs: block → match → cluster → canonical id). Probe nodes are
+    // offset into a disjoint id space so the graph keeps probes and
+    // catalog entries distinct; the cluster id is the minimum member
+    // (always a catalog key — probes sit above the offset). The
+    // oracle re-derives the same clusters with a recursive min-label
+    // CTE over the brute-force edge set (q60 precedent).
+    "q90_entity_clusters" -> ((s, dir) => {
+      val part = Tables.part(s, dir).select("p_partkey", "p_name")
+      val probes = part.filter(col("p_partkey") % 50 === 0)
+        .select((col("p_partkey") + lit(10000000L)).as("probe_key"),
+          expr("substring(p_name, 2)").as("probe_name"))
+      val names = part
+        .select(col("p_partkey").as("build_key"), col("p_name").as("build_name"))
+      val edges = graft.operators.FuzzyJoin.join(
+          probes, "probe_key", "probe_name", names, "build_key", "build_name",
+          maxDist = 1)
+        .select(col("probe_key").as("src"), col("build_key").as("dst"))
+      graft.llm.Cluster.connectedComponents(edges, "src", "dst")
+        .groupBy(col("component").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("id") >= 10000000L, 1L).otherwise(0L)).as("n_probes"))
+        .orderBy("cluster_id")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -376,7 +403,31 @@ object EtlQueries {
         |  SELECT *, row_number() OVER (PARTITION BY probe_key
         |            ORDER BY dist, build_name, build_key) AS rn
         |  FROM cand WHERE dist <= 1)
-        |WHERE rn = 1 ORDER BY probe_key""".stripMargin
+        |WHERE rn = 1 ORDER BY probe_key""".stripMargin,
+    // brute-force fuzzy edges -> recursive min-label components: the
+    // blocked join + star-contraction pipeline must produce exactly
+    // these clusters
+    "q90_entity_clusters" ->
+      """WITH RECURSIVE
+        |probes AS (
+        |  SELECT p_partkey + 10000000 AS pk, substr(p_name, 2) AS pn
+        |  FROM part WHERE p_partkey % 50 = 0),
+        |names AS (SELECT p_partkey AS bk, p_name AS bn FROM part),
+        |pairs AS (
+        |  SELECT pk, bk FROM probes CROSS JOIN names
+        |  WHERE levenshtein(pn, bn) <= 1),
+        |edges AS (SELECT pk AS a, bk AS b FROM pairs
+        |          UNION SELECT bk, pk FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |walk(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node),
+        |comp AS (SELECT node, MIN(lab) AS cluster_id FROM walk GROUP BY node)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |       COUNT(*) AS n_members,
+        |       CAST(SUM(CASE WHEN node >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_probes
+        |FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

@@ -73,6 +73,18 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // q89 — BM25 lexical retrieval (graft.llm.Relevance): top-15
+    // documents for a 3-term query. One corpus scan (tf/dl in the
+    // scan projection), 1-row stats broadcast, TakeOrdered top-k —
+    // the lexical sibling of the q34 embedding search. k1/b are
+    // binary-exact doubles so the oracle's literals parse identical.
+    "q89_bm25_search" -> ((s, dir) => {
+      graft.llm.Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("vector", "filter", "merge"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // q30 — A9/A8: content fingerprint dedup per source.
     "q30_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -643,6 +655,36 @@ object LlmQueries {
         |       array_to_string(toks[ci*24+1 : ci*24+32], ' ') AS chunk_text,
         |       LEAST(32, ntok - ci*24) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // BM25 mirror: identical IEEE op sequence term-for-term (see
+    // Relevance.bm25 scaladoc); the only transcendental is ln, score
+    // rounded to 6 on both engines (q80 rounding budget).
+    "q89_bm25_search" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'vector')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'filter')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'merge')) AS BIGINT) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM base)
+        |SELECT doc_id, dl AS doc_len,
+        |       round(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+        |           * (CAST(tf0 AS DOUBLE) * 2.25)
+        |           / (CAST(tf0 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |       + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+        |           * (CAST(tf1 AS DOUBLE) * 2.25)
+        |           / (CAST(tf1 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |       + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+        |           * (CAST(tf2 AS DOUBLE) * 2.25)
+        |           / (CAST(tf2 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))), 6) AS score
+        |FROM base CROSS JOIN stats
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q27_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
