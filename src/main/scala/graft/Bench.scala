@@ -89,7 +89,12 @@ object Bench {
 
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     case class QStat(median: Double, cold: Double, gcMs: Long, storMb: Double)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only: regex filter to time a subset (bisecting order-
+    // dependent effects); the driver never sets it
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       val gc0 = gcMillis()
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -48,6 +48,10 @@ object PosQueries {
       }
     }
 
+  /** Dev/profiling hook: the cached pipeline routes for a dir. */
+  private[graft] def routes(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Transform.FactSplit = split(s, dir)
+
   /** Test/bench hook: drop and unpersist every cached fact. */
   def clearCache(): Unit = factCache.synchronized {
     factCache.keysIterator.toList
