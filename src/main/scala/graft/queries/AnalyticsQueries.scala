@@ -539,6 +539,36 @@ object AnalyticsQueries {
           sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
         .withColumn("pct_outliers", col("n_outliers").cast("double") / col("n"))
         .orderBy("flag")
+    }),
+
+    // q94 — winsorized statistics per return flag: clip prices at
+    // P05/P95 and report the clipped-tail counts and winsorized mean.
+    // The mean is NOT a float sum over clipped values (order-
+    // dependent): the mid-range sum is an exact long, the two tails
+    // contribute n_clip·percentile as two fixed-order IEEE products —
+    // one deterministic expression on both engines (q43 pins the
+    // interpolated-percentile parity this leans on).
+    "q94_winsorized_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000).cast("long").as("c"))
+      val pct = li.groupBy("flag").agg(
+        expr("percentile(c, 0.05)").as("p05"),
+        expr("percentile(c, 0.95)").as("p95"))
+      li.join(broadcast(pct), "flag")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") < col("p05"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("c") > col("p95"), 1L).otherwise(0L)).as("n_clip_high"),
+          sum(when(col("c") >= col("p05") && col("c") <= col("p95"), col("c"))
+            .otherwise(0L)).as("__mid"),
+          min(col("p05")).as("p05_cents"),
+          min(col("p95")).as("p95_cents"))
+        .select(col("flag"), col("n"), col("n_clip_low"), col("n_clip_high"),
+          col("p05_cents"), col("p95_cents"),
+          ((col("__mid").cast("double") +
+            col("n_clip_low") * col("p05_cents") +
+            col("n_clip_high") * col("p95_cents")) / col("n")).as("win_mean_cents"))
+        .orderBy("flag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -869,6 +899,25 @@ object AnalyticsQueries {
         |       CAST(SUM(CASE WHEN ad > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       CAST(CAST(SUM(CASE WHEN ad > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS pct_outliers
         |FROM j JOIN mad USING (flag)
-        |GROUP BY 1 ORDER BY flag""".stripMargin
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
+    "q94_winsorized_stats" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c
+        |  FROM lineitem),
+        |pct AS (SELECT flag, quantile_cont(c, 0.05) AS p05,
+        |               quantile_cont(c, 0.95) AS p95
+        |        FROM li GROUP BY 1),
+        |a AS (
+        |  SELECT li.flag AS flag, COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN c < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        |         CAST(SUM(CASE WHEN c > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        |         CAST(SUM(CASE WHEN c >= p05 AND c <= p95 THEN c ELSE 0 END) AS BIGINT) AS mid,
+        |         MIN(p05) AS p05_cents, MIN(p95) AS p95_cents
+        |  FROM li JOIN pct USING (flag) GROUP BY 1)
+        |SELECT flag, n, n_clip_low, n_clip_high, p05_cents, p95_cents,
+        |       (CAST(mid AS DOUBLE) + n_clip_low * p05_cents
+        |        + n_clip_high * p95_cents) / n AS win_mean_cents
+        |FROM a ORDER BY flag""".stripMargin
   )
 }

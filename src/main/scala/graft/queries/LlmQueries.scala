@@ -85,6 +85,34 @@ object LlmQueries {
         .limit(15)
     }),
 
+    // q95 — TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df). The inverted shape (explode → (doc,term) counts →
+    // df agg → term-keyed join) is the posting-list pipeline BM25's
+    // scan form avoids — both shapes belong in the library; the df
+    // side joins by term (vocabulary can exceed broadcast size at
+    // corpus scale, so no forced broadcast), and the per-doc top-k is
+    // a WindowGroupLimit, not a global sort. Ranking orders by the
+    // ROUNDED score (ties broken by term) so both engines cut the
+    // same top-3.
+    "q95_tfidf_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "tok")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .withColumn("score", round(col("tf").cast("double") *
+          log(col("__n").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rank"),
+          col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // q30 — A9/A8: content fingerprint dedup per source.
     "q30_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -685,6 +713,20 @@ object LlmQueries {
         |           / (CAST(tf2 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))), 6) AS score
         |FROM base CROSS JOIN stats
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q95_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok, COUNT(*) AS tf
+        |      FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+        |d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT doc_id, tok, tf, df,
+        |             round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df), 6) AS score
+        |      FROM t JOIN d USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score DESC, tok) AS rn FROM s)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df, score
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q27_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,

@@ -211,6 +211,28 @@ object TimeSeriesQueries {
           (col("__ps").cast("double") / col("n")).as("price_mean"),
           stdOf("__pss", "__ps").as("price_std"))
         .orderBy("l_returnflag")
+    }),
+
+    // q93 — time-series anomaly flag: each day's revenue against the
+    // mean of its trailing 28 calendar days (RANGE frame ending at
+    // 1 PRECEDING, so a spike never dilutes its own baseline; sparse
+    // days shrink the frame, q87 machinery). Exact decimal frame
+    // sums; the flag is one compare against 1.5× the baseline mean
+    // (1.5 binary-exact), coalesced false while no baseline exists.
+    "q93_spike_days" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("__dec"))
+        .withColumn("pos", unix_date(col("day")))
+      val w = Window.orderBy("pos").rangeBetween(-28, -1)
+      daily.select(col("day").cast("string").as("day"),
+          col("__dec").cast("double").as("total"),
+          count(lit(1)).over(w).as("n_baseline"),
+          (sum(col("__dec")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("baseline_mean"))
+        .withColumn("is_spike",
+          coalesce(col("total") > lit(1.5) * col("baseline_mean"), lit(false)))
+        .orderBy("day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +412,25 @@ object TimeSeriesQueries {
         |       qty_min, qty_p25, qty_p50, qty_p75, qty_max,
         |       CAST(ps AS DOUBLE) / n AS price_mean,
         |       round(sqrt((CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / n) / (n - 1)), 4) AS price_std
-        |FROM a ORDER BY l_returnflag""".stripMargin
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q93_spike_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS dec_daily
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, dec_daily,
+        |         date_diff('day', DATE '1970-01-01', day) AS pos
+        |  FROM daily)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(dec_daily AS DOUBLE) AS total,
+        |       COUNT(*) OVER w AS n_baseline,
+        |       CAST(SUM(dec_daily) OVER w AS DOUBLE) / COUNT(*) OVER w AS baseline_mean,
+        |       COALESCE(CAST(dec_daily AS DOUBLE) >
+        |                1.5 * (CAST(SUM(dec_daily) OVER w AS DOUBLE) / COUNT(*) OVER w),
+        |                FALSE) AS is_spike
+        |FROM p
+        |WINDOW w AS (ORDER BY pos RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+        |ORDER BY day""".stripMargin
   )
 }
