@@ -569,6 +569,35 @@ object AnalyticsQueries {
             col("n_clip_low") * col("p05_cents") +
             col("n_clip_high") * col("p95_cents")) / col("n")).as("win_mean_cents"))
         .orderBy("flag")
+    }),
+
+    // q96 — graph centrality over the trade network: 5 PageRank
+    // iterations on the supplier-nation → customer-nation flow graph
+    // (graft.operators.PageRank — exact pico-unit integer arithmetic,
+    // so the DuckDB recursive CTE replays it bit-for-bit; float
+    // PageRank could never hash-match). The edge derivation is the
+    // expensive part (4-table join), so it materializes once behind a
+    // barrier cache; each iteration is then a ≤(25²+25)-row join.
+    "q96_trade_pagerank" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val nation = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val edges = graft.llm.BarrierCache.track(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct())
+      graft.operators.PageRank.ranks(edges, "src", "dst",
+          nation.select(col("nk")), iters = 5)
+        .join(broadcast(nation), col("node") === col("nk"))
+        .select(col("n_name"), col("node"), col("rank_pico"))
+        .orderBy(col("rank_pico").desc, col("node"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -918,6 +947,39 @@ object AnalyticsQueries {
         |SELECT flag, n, n_clip_low, n_clip_high, p05_cents, p95_cents,
         |       (CAST(mid AS DOUBLE) + n_clip_low * p05_cents
         |        + n_clip_high * p95_cents) / n AS win_mean_cents
-        |FROM a ORDER BY flag""".stripMargin
+        |FROM a ORDER BY flag""".stripMargin,
+    // exact-integer PageRank replay: pico-unit ranks, floor division,
+    // zero-weight self edges keep every nation in each step
+    "q96_trade_pagerank" ->
+      """WITH RECURSIVE
+        |realE AS (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
+        |                  CAST(c_nationkey AS BIGINT) AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |deg AS (SELECT src, COUNT(*) AS degs FROM realE GROUP BY 1),
+        |ee AS (
+        |  SELECT r.src, r.dst, CAST(1 AS BIGINT) AS w, d.degs
+        |  FROM realE r JOIN deg d USING (src)
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM nation),
+        |pr(it, node, r) AS (
+        |  SELECT 0, CAST(n_nationkey AS BIGINT), CAST(1000000000000 AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT p.it + 1, e.dst,
+        |         CAST(150000000000 + 85 * SUM(e.w * (p.r // e.degs)) // 100 AS BIGINT)
+        |  FROM pr p JOIN ee e ON e.src = p.node
+        |  WHERE p.it < 5
+        |  GROUP BY p.it, e.dst)
+        |SELECT n_name, node, r AS rank_pico
+        |FROM pr JOIN nation ON CAST(n_nationkey AS BIGINT) = node
+        |WHERE it = 5
+        |ORDER BY rank_pico DESC, node""".stripMargin
   )
 }
