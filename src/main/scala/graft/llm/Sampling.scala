@@ -99,4 +99,24 @@ object Sampling {
       .filter(col("rnk") <= k)
       .drop("__pri")
   }
+
+  /** Exact-K-per-stratum deterministic sample: the k rows of each
+    * group with the smallest [[uniform]] hash (id tiebreak). Unlike
+    * fraction sampling this guarantees the per-stratum COUNT — the
+    * shape training-data mixes are specified in ("20k docs per
+    * language"), and unlike `ORDER BY rand()` it is reproducible,
+    * append-stable for surviving rows' ranks relative to each other,
+    * and partitioning-independent. One per-group window whose limit
+    * pushes below the shuffle (WindowGroupLimit): each map task
+    * forwards at most k rows per group, so the shuffle carries
+    * O(tasks·k·groups), not the corpus. Output adds `rnk` (1..k).
+    */
+  def stratifiedK(df: DataFrame, idCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(uniform(col(idCol)), col(idCol))
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -598,6 +598,28 @@ object AnalyticsQueries {
         .join(broadcast(nation), col("node") === col("nk"))
         .select(col("n_name"), col("node"), col("rank_pico"))
         .orderBy(col("rank_pico").desc, col("node"))
+    }),
+
+    // q99 — key-skew diagnostics: per-customer order-count profile
+    // (max, p50/p99, max/mean ratio) — the measurement that decides
+    // when operators/Skew's salting is warranted. Two aggregations:
+    // per-key counts (shuffle on the key being profiled — unavoidable
+    // and exactly the shuffle under diagnosis), then a single-row
+    // reduce. The exact percentile over per-key counts buffers one
+    // long per key; at 100 TB profile a hash-sample of keys or swap
+    // approx_percentile — the report's contract is unchanged.
+    "q99_skew_report" -> ((s, dir) => {
+      val per = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      per.agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("total"),
+          max(col("n")).as("max_per_key"),
+          expr("percentile(n, 0.5)").as("p50_per_key"),
+          expr("percentile(n, 0.99)").as("p99_per_key"))
+        .select(col("n_keys"), col("total"), col("max_per_key"),
+          col("p50_per_key"), col("p99_per_key"),
+          (col("max_per_key").cast("double") /
+            (col("total").cast("double") / col("n_keys"))).as("skew_ratio"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -980,6 +1002,17 @@ object AnalyticsQueries {
         |SELECT n_name, node, r AS rank_pico
         |FROM pr JOIN nation ON CAST(n_nationkey AS BIGINT) = node
         |WHERE it = 5
-        |ORDER BY rank_pico DESC, node""".stripMargin
+        |ORDER BY rank_pico DESC, node""".stripMargin,
+    "q99_skew_report" ->
+      """WITH per AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys,
+        |       CAST(SUM(n) AS BIGINT) AS total,
+        |       MAX(n) AS max_per_key,
+        |       quantile_cont(n, 0.5) AS p50_per_key,
+        |       quantile_cont(n, 0.99) AS p99_per_key,
+        |       CAST(MAX(n) AS DOUBLE) /
+        |         (CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*)) AS skew_ratio
+        |FROM per""".stripMargin
   )
 }

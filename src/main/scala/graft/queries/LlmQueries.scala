@@ -113,6 +113,17 @@ object LlmQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // q97 — exact-K stratified sampling (Sampling.stratifiedK): the
+    // 20 lowest-hash docs per language — the "N docs per stratum"
+    // contract fraction sampling can't guarantee. WindowGroupLimit
+    // keeps the shuffle at O(tasks·k·strata); the oracle replays the
+    // same integer hash and window.
+    "q97_stratified_sample" -> ((s, dir) => {
+      graft.llm.Sampling.stratifiedK(Tables.documents(s, dir), "doc_id", "lang", k = 20)
+        .select(col("lang"), col("rnk").as("rank"), col("doc_id"))
+        .orderBy("lang", "rank")
+    }),
+
     // q30 — A9/A8: content fingerprint dedup per source.
     "q30_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -784,6 +795,17 @@ object LlmQueries {
         |FROM r WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
     // the sampler is plain integer arithmetic — DuckDB reproduces
     // membership exactly (same Knuth multiplicative hash)
+    "q97_stratified_sample" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id,
+        |    CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS uni
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY uni, doc_id) AS rnk
+        |  FROM u)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rnk <= 20 ORDER BY lang, rank""".stripMargin,
     "q58_weighted_sample" ->
       """WITH u AS (
         |  SELECT lang, text,

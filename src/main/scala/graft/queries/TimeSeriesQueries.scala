@@ -233,6 +233,30 @@ object TimeSeriesQueries {
         .withColumn("is_spike",
           coalesce(col("total") > lit(1.5) * col("baseline_mean"), lit(false)))
         .orderBy("day")
+    }),
+
+    // q98 — pandas corr()/regression parity per return flag: Pearson
+    // correlation and OLS slope of price on quantity from exact
+    // decimal moments (q80's discipline: one decimal-sum pass, then
+    // one fixed IEEE op sequence, rounded to 6 — never Spark's
+    // float-merge corr). One shuffle, five decimal sums.
+    "q98_correlation" -> ((s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+      def d(n: String) = col(n).cast("double")
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("__sx"),
+          sum(dec(col("l_extendedprice"))).as("__sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("__sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("__syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("__sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * d("__sxy") - d("__sx") * d("__sy")) /
+            (sqrt(col("n") * d("__sxx") - d("__sx") * d("__sx")) *
+             sqrt(col("n") * d("__syy") - d("__sy") * d("__sy"))), 6).as("corr"),
+          round((col("n") * d("__sxy") - d("__sx") * d("__sy")) /
+            (col("n") * d("__sxx") - d("__sx") * d("__sx")), 6).as("beta"))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +455,23 @@ object TimeSeriesQueries {
         |                FALSE) AS is_spike
         |FROM p
         |WINDOW w AS (ORDER BY pos RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    // the DECIMAL(19,4) operand on each product forces int128 (q80)
+    "q98_correlation" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |         SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS syy,
+        |         SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |              sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr,
+        |       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta
+        |FROM a ORDER BY l_returnflag""".stripMargin
   )
 }

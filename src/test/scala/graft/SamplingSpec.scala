@@ -73,6 +73,34 @@ class SamplingSpec extends SparkSpec {
     assert(got === Seq(("g", 1L)))
   }
 
+  test("stratifiedK keeps exactly k per stratum, short strata intact") {
+    val df = ((1L to 100L).map((_, "big")) ++ (101L to 103L).map((_, "small")))
+      .toDF("id", "g")
+    val got = Sampling.stratifiedK(df, "id", "g", k = 10)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got === Map("big" -> 10L, "small" -> 3L))
+    // ranks are dense 1..k
+    val ranks = Sampling.stratifiedK(df, "id", "g", k = 10)
+      .filter(col("g") === "big").select("rnk").as[Long].collect().sorted
+    assert(ranks === (1L to 10L).toArray)
+  }
+
+  test("stratifiedK is deterministic under repartitioning") {
+    val df = (1L to 500L).map(i => (i, (i % 7).toString)).toDF("id", "g")
+    def pick(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedK(d, "id", "g", k = 5)
+        .select("g", "rnk", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pick(df) === pick(df.repartition(13)))
+  }
+
+  test("stratifiedK pushes the limit below the shuffle (WindowGroupLimit)") {
+    val df = (1L to 500L).map(i => (i, (i % 7).toString)).toDF("id", "g")
+    val plan = Sampling.stratifiedK(df, "id", "g", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("uniform() covers [0,1) roughly uniformly") {
     val u = (1L to 10000L).toDF("id")
       .select(Sampling.uniform(col("id")).as("u"))
