@@ -113,6 +113,49 @@ class PlanQualitySpec extends SparkSpec {
     graft.llm.BarrierCache.sweep(spark)
   }
 
+  test("q91: pair self-join shuffles on the order key; only totals broadcast") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q91_basket_lift")
+      // the two ≤25-row brand totals carry explicit hints; the
+      // distinct (order, brand) self-join must stay a shuffle join —
+      // it grows with the fact table
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 2,
+        s"expected exactly the two brand-total broadcasts\n${p.take(3000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"order-key self-join must shuffle\n${p.take(3000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q92: median and MAD re-attach as broadcasts, never shuffles") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q92_robust_outliers")
+      // the med-attach appears twice (the |x−med| branch feeding the
+      // MAD aggregate, and the final pass) plus the mad-attach: three
+      // broadcast joins, zero shuffle joins
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 3,
+        s"expected the 3-row med(×2)+mad broadcasts\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"stat re-attach must never shuffle\n${p.take(3000)}")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q95: per-doc top-3 pushes a WindowGroupLimit below the shuffle") {
+    val p = plan("q95_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q96: the edge derivation materializes once behind the barrier cache") {
+    val p = plan("q96_trade_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      s"PageRank iterations must read cached edges, not replay the 4-table join\n${p.take(3000)}")
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
