@@ -25,6 +25,47 @@ object Stateful {
   final case class EventIn(user_id: Long, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, total: Double, expired: Boolean)
 
+  final case class Reading(key: Long, seq: Long, cents: Long)
+  final case class Alert(key: Long, seq: Long, cents: Long, n_baseline: Long,
+                         baseline_mean_cents: Double, is_spike: Boolean)
+
+  /** Streaming spike alerting — the continuous sibling of the batch
+    * q93 detector: each reading compares against `factor` × the
+    * running mean of every EARLIER reading of its key (a reading
+    * never dilutes its own baseline), with the baseline carried as
+    * exact integer state (n, Σcents) so the only float op is one
+    * division per reading — bit-stable across batch slicings,
+    * restarts, and partitionings like the batch twin.
+    *
+    * Rows inside a micro-batch fold in `seq` order (the handler
+    * sorts its group's slice), and state persists across batches via
+    * the checkpoint, so feeding the same readings as one batch or
+    * many yields identical alerts (StatefulSpec pins this). Memory:
+    * two longs per key, sharded with the state store; the per-batch
+    * sort is per-key-per-batch, not global.
+    */
+  def spikeAlerts(readings: DataFrame, factor: Double = 1.5): Dataset[Alert] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings.selectExpr("key", "seq", "cents").as[Reading]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), Alert](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Reading], state: GroupState[(Long, Long)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_.seq).map { r =>
+            val mean = if (n > 0) sum.toDouble / n else 0.0
+            val spike = n > 0 && r.cents > factor * mean
+            val alert = Alert(key, r.seq, r.cents, n, mean, spike)
+            n += 1
+            sum += r.cents
+            alert
+          }
+          state.update((n, sum))
+          out.iterator
+      }
+  }
+
   def runningUserStats(events: DataFrame,
                        ttl: Option[String] = None): Dataset[UserAgg] = {
     val spark = events.sparkSession

@@ -92,4 +92,57 @@ class StatefulSpec extends SparkSpec {
       awaitRow((1L, 1L, 5.0, false))
     } finally q.stop()
   }
+
+  test("spike alerts match the batch fold and are batch-slicing invariant") {
+    // readings: key 1 flat then a spike; key 2 always flat
+    val readings = Seq(
+      (1L, 1L, 1000L), (1L, 2L, 1100L), (1L, 3L, 900L),
+      (1L, 4L, 5000L), // > 1.5 * mean(1000,1100,900)=1000 -> spike
+      (1L, 5L, 1000L), // baseline now includes the spike; 1000 is quiet
+      (2L, 1L, 500L), (2L, 2L, 600L))
+    // reference: plain Scala fold of the same contract
+    val expected = readings.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      var n = 0L; var sum = 0L
+      rs.sortBy(_._2).map { case (_, seq, cents) =>
+        val mean = if (n > 0) sum.toDouble / n else 0.0
+        val row = (k, seq, cents, n, mean, n > 0 && cents > 1.5 * mean)
+        n += 1; sum += cents
+        row
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(expected.count(_._6) === 1, "construction: exactly the one planted spike")
+
+    def run(slices: Seq[Seq[(Long, Long, Long)]]): Seq[(Long, Long, Long, Long, Double, Boolean)] = {
+      val base = tmpDir("spikes")
+      val in = base + "/in"; val chk = base + "/chk"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double, Boolean)]
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, seq BIGINT, cents BIGINT")
+      slices.foreach { slice =>
+        slice.toDF("key", "seq", "cents").write.mode("append").parquet(in)
+        val q = Stateful.spikeAlerts(spark.readStream.schema(schema).parquet(in))
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.Alert], _: Long) =>
+            buf.synchronized {
+              buf ++= b.collect().map(a =>
+                (a.key, a.seq, a.cents, a.n_baseline, a.baseline_mean_cents, a.is_spike))
+            }
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      buf.sortBy(r => (r._1, r._2)).toSeq
+    }
+
+    // one batch vs. three restarted batches: identical alerts, both
+    // equal to the reference fold (state restored via checkpoint)
+    val oneShot = run(Seq(readings))
+    val sliced = run(Seq(readings.take(3), readings.slice(3, 5), readings.drop(5)))
+    assert(oneShot === expected)
+    assert(sliced === expected)
+  }
 }
