@@ -73,4 +73,13 @@ object Relevance {
     joined.select(col(idCol), col("__dl").as("doc_len"),
       round(perTerm.reduceLeft(_ + _), 6).as("score"))
   }
+
+  /** One Reciprocal-Rank-Fusion contribution: `1/(c + rank)`, 0 when
+    * the document is absent from this ranking. The division is the
+    * only float op (integer add first), so fused scores are
+    * bit-identical across engines.
+    */
+  def rrfTerm(rank: org.apache.spark.sql.Column, c: Long = 60L): org.apache.spark.sql.Column =
+    when(rank.isNotNull, lit(1.0) / (lit(c) + rank).cast("double"))
+      .otherwise(lit(0.0))
 }

@@ -124,6 +124,47 @@ object LlmQueries {
         .orderBy("lang", "rank")
     }),
 
+    // q100 — hybrid retrieval via Reciprocal Rank Fusion: the q89
+    // BM25 ranking and a classic TF-IDF vector-space ranking of the
+    // SAME 3-term query, each truncated to its top-50 (TakeOrdered —
+    // no global ranking; the 50-row window is a constant-size frame),
+    // fused by rrf = Σ 1/(60+rank) over the union. Absent-from-one-
+    // list docs contribute 0 from that list (standard truncated RRF).
+    // All inputs to the fusion are small ints, each contribution one
+    // IEEE division — no rounding needed for parity.
+    "q100_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("vector", "filter", "merge")
+      val docs = Tables.documents(s, dir)
+      // list A: BM25 (q89 scorer)
+      val wA = Window.orderBy(col("score").desc, col("doc_id"))
+      val listA = graft.llm.Relevance.bm25(docs, "doc_id", "text", terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(wA).cast("long").as("ra"))
+      // list B: TF-IDF query score — tf(t,d)·ln(N/df(t)) summed over
+      // the query terms (q95's weighting, query-scoped)
+      val toks = TextStats.tokens(col("text"))
+      val tfCols = terms.indices.map { i =>
+        size(filter(toks, t => t === lit(terms(i)))).cast("long").as(s"__tf$i") }
+      val base = docs.select((col("doc_id") +: tfCols): _*)
+      val aggs = count(lit(1)).as("__n") +:
+        terms.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+      val stats = base.agg(aggs.head, aggs.tail: _*)
+      val per = terms.indices.map { i =>
+        col(s"__tf$i").cast("double") *
+          log(col("__n").cast("double") / col(s"__df$i")) }
+      val wB = Window.orderBy(col("score").desc, col("doc_id"))
+      val listB = base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(per.reduceLeft(_ + _), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(wB).cast("long").as("rb"))
+      listA.join(listB, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("ra"), col("rb"),
+          (graft.llm.Relevance.rrfTerm(col("ra")) +
+            graft.llm.Relevance.rrfTerm(col("rb"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // q30 — A9/A8: content fingerprint dedup per source.
     "q30_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -738,6 +779,54 @@ object LlmQueries {
         |                ORDER BY score DESC, tok) AS rn FROM s)
         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df, score
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // truncated-RRF mirror: both scorers' exact CTEs, rank windows
+    // over the LIMIT-50 lists, integer adds inside the one division
+    "q100_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'vector')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'filter')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'merge')) AS BIGINT) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM base),
+        |bm AS (
+        |  SELECT doc_id,
+        |       round(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+        |           * (CAST(tf0 AS DOUBLE) * 2.25)
+        |           / (CAST(tf0 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |       + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+        |           * (CAST(tf1 AS DOUBLE) * 2.25)
+        |           / (CAST(tf1 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |       + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+        |           * (CAST(tf2 AS DOUBLE) * 2.25)
+        |           / (CAST(tf2 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))), 6) AS score
+        |  FROM base CROSS JOIN stats),
+        |la AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS ra
+        |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50)),
+        |tfidf AS (
+        |  SELECT doc_id,
+        |         round(CAST(tf0 AS DOUBLE) * ln(CAST(n AS DOUBLE) / df0)
+        |             + CAST(tf1 AS DOUBLE) * ln(CAST(n AS DOUBLE) / df1)
+        |             + CAST(tf2 AS DOUBLE) * ln(CAST(n AS DOUBLE) / df2), 6) AS score
+        |  FROM base CROSS JOIN stats),
+        |lb AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+        |  FROM (SELECT * FROM tfidf ORDER BY score DESC, doc_id LIMIT 50)),
+        |f AS (
+        |  SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id, ra, rb,
+        |         COALESCE(1.0 / CAST(60 + ra AS DOUBLE), 0.0)
+        |           + COALESCE(1.0 / CAST(60 + rb AS DOUBLE), 0.0) AS rrf
+        |  FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
+        |SELECT doc_id, ra, rb, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q27_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
