@@ -18,7 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only: regex filter to dump a subset while iterating on new
+    // queries; the driver never sets it
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER").map(_.r)
+    SparkEntry.queries
+      .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

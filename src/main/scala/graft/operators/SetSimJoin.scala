@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join via prefix filtering (the AllPairs /
+  * PPJoin candidate scheme): all pairs of sets with Jaccard ≥ τ,
+  * with no approximation anywhere — the lossless sibling of the
+  * MinHash-LSH path ([[graft.llm.Dedup.minhashNearDups]]) and of
+  * the hot-shingle-capped inverted index
+  * ([[graft.llm.Dedup.jaccardPairs]] with `maxDocFreq`).
+  *
+  * Prefix-filter principle: order every set by a global total order
+  * (ascending document frequency, rarest first — ties by element).
+  * If J(A,B) ≥ τ = num/den, then A and B must share at least one
+  * element among their first `|A| − ⌈τ·|A|⌉ + 1` (resp. B's)
+  * elements in that order. So the candidate join runs ONLY over the
+  * short rare-element prefixes, never the full posting lists — the
+  * frequent elements (the join-skew killers at corpus scale) are
+  * exactly the ones the prefixes exclude.
+  *
+  * τ is taken as a RATIONAL num/den and every bound is integer
+  * arithmetic: a float ⌈τ·|A|⌉ that rounds up one too far would
+  * SHORTEN the prefix and silently drop true pairs; integer ceil
+  * `(num·sz + den − 1) div den` cannot.
+  *
+  * Cost at scale: df-rank + prefix selection is one window keyed by
+  * set id; the candidate self-join touches Σ|prefix|² per element
+  * (bounded because prefixes hold only rare elements); verification
+  * joins each DISTINCT candidate pair back to the two full posting
+  * lists — O(|A|+|B|) per candidate, shuffled by id, never a
+  * cross-join. Same output contract as [[graft.llm.Dedup.jaccardPairs]]:
+  * `(id_i, id_j, inter, sz_union)`, all integers.
+  */
+object SetSimJoin {
+
+  /** @param postings DISTINCT `(idCol, elemCol)` rows (one row per
+    *   set member; callers dedup, e.g. [[graft.llm.Dedup.hashedShingles]]).
+    * @param num,den   Jaccard threshold τ = num/den (0 < num ≤ den).
+    */
+  def jaccardJoin(postings: DataFrame, idCol: String, elemCol: String,
+                  num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"need 0 < num/den <= 1, got $num/$den")
+    // postings feed df-rank, sizes, and both verify branches; the
+    // prefix feeds both sides of the candidate self-join — barrier
+    // caches keep each derivation single-run (CacheManager also
+    // dedupes the self-join branches against ONE materialization)
+    val post = graft.llm.BarrierCache.track(
+      postings.select(col(idCol).as("__id"), col(elemCol).as("__e")))
+    val sizes = graft.llm.BarrierCache.track(
+      post.groupBy("__id").agg(count(lit(1)).as("__sz")))
+    val dfreq = post.groupBy("__e").agg(count(lit(1)).as("__df"))
+    // global order (df, elem) ascending; prefix length
+    // p = sz - ceil(tau*sz) + 1, all-integer ceil
+    val ranked = post.join(dfreq, "__e")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__e"))))
+      .join(sizes, "__id")
+    val prefix = graft.llm.BarrierCache.track(ranked
+      .filter(col("__rn") <= col("__sz") -
+        expr(s"(${num}L * __sz + ${den - 1}L) div ${den}L") + 1)
+      .select(col("__id"), col("__e"), col("__sz")))
+    // candidates: share a prefix element + size-compatibility
+    // (den*min >= num*max, else Jaccard < tau even at full overlap)
+    val cand = prefix.toDF("id_i", "__e", "sz_i")
+      .join(prefix.toDF("id_j", "__e", "sz_j"), Seq("__e"))
+      .filter(col("id_i") < col("id_j") &&
+        lit(den.toLong) * least(col("sz_i"), col("sz_j")) >=
+          lit(num.toLong) * greatest(col("sz_i"), col("sz_j")))
+      .select("id_i", "id_j").distinct()
+    // verify: exact intersection via the full posting lists
+    val inter = cand
+      .join(post.toDF("id_i", "__e"), Seq("id_i"))
+      .join(post.toDF("id_j", "__e"), Seq("id_j", "__e"))
+      .groupBy("id_i", "id_j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_i", "sz_i"), Seq("id_i"))
+      .join(sizes.toDF("id_j", "sz_j"), Seq("id_j"))
+      .withColumn("sz_union", col("sz_i") + col("sz_j") - col("inter"))
+      // integer form of inter/union >= num/den: no float compare
+      .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("sz_union"))
+      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
+  }
+}

@@ -620,6 +620,85 @@ object AnalyticsQueries {
           col("p50_per_key"), col("p99_per_key"),
           (col("max_per_key").cast("double") /
             (col("total").cast("double") / col("n_keys"))).as("skew_ratio"))
+    }),
+
+    // q103 — exact triangle counting (operators.Triangles) on the
+    // co-purchase graph: parts appearing in the same URGENT order are
+    // linked; triangles measure basket-community density (the graph
+    // tier's third primitive after PageRank q96 and connected
+    // components q60). The degree-oriented wedge join bounds work at
+    // Σ outdeg² ~ O(m^1.5) even on power-law graphs; the oracle
+    // counts the same triangles orientation-free via a<b<c.
+    "q103_triangle_count" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(urgent, Seq("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_partkey").distinct()
+      val edges = li.toDF("ok", "u")
+        .join(li.toDF("ok", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select("u", "v").distinct()
+      graft.operators.Triangles.countTriangles(edges, "u", "v")
+    }),
+
+    // q104 — last-touch attribution: each purchase event is credited
+    // to the user's most recent PRIOR non-purchase event, via the
+    // as-of join (operators.AsOfJoin — one union + one window
+    // shuffle, no range explosion; q68's operator applied as a BI
+    // composition). event_id is the order axis (monotone with ts,
+    // exact in both engines); purchases with no prior touch fall in
+    // the 'none' bucket. Revenue sums are exact decimal.
+    "q104_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "value")
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("touch_type"))
+      graft.operators.AsOfJoin.asOf(purchases, touches,
+          Seq("user_id"), "event_id", Seq(), Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy("touch_type")
+    }),
+
+    // q105 — distribution drift report: order-value histogram of a
+    // baseline year vs the next, over ten equal-width bins fixed by
+    // the BASELINE's [min, max] — the data-quality check a training
+    // pipeline runs between corpus snapshots. All binning is exact
+    // integer price units (the q92 decimal→long idiom; clamp +
+    // truncating div on non-negative offsets, identical in both
+    // engines); the
+    // single-row bounds frame broadcasts; shares are one IEEE
+    // division each, rounded. abs-share-delta is the reported drift
+    // contribution (the PSI numerator without the engine-varying ln).
+    "q105_drift_report" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        year(col("o_orderdate")).as("y"),
+        (col("o_totalprice").cast("decimal(18,4)") * 10000).cast("long").as("c"))
+        .filter(col("y").isin(1995, 1996))
+      val bounds = o.filter(col("y") === 1995)
+        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+          count(lit(1)).as("n_a"))
+      val nB = o.filter(col("y") === 1996).agg(count(lit(1)).as("n_b"))
+      o.crossJoin(broadcast(bounds)).crossJoin(broadcast(nB))
+        .withColumn("cc", least(greatest(col("c"), col("lo")), col("hi")))
+        .withColumn("bin", least(
+          expr("(cc - lo) div (greatest((hi - lo) div 10, 1))"), lit(9L)))
+        .groupBy("bin")
+        .agg(sum(when(col("y") === 1995, 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("y") === 1996, 1L).otherwise(0L)).as("cnt_b"),
+          min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+        .select(col("bin"), col("cnt_a"), col("cnt_b"),
+          round(col("cnt_a") / col("n_a"), 6).as("share_a"),
+          round(col("cnt_b") / col("n_b"), 6).as("share_b"),
+          round(abs(col("cnt_a") / col("n_a") - col("cnt_b") / col("n_b")), 6)
+            .as("share_delta"))
+        .orderBy("bin")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1013,6 +1092,72 @@ object AnalyticsQueries {
         |       quantile_cont(n, 0.99) AS p99_per_key,
         |       CAST(MAX(n) AS DOUBLE) /
         |         (CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*)) AS skew_ratio
-        |FROM per""".stripMargin
+        |FROM per""".stripMargin,
+    // orientation-free triangle enumeration (a<b<c) counts the same
+    // set the degree-oriented wedge join counts
+    "q103_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE o_orderpriority = '1-URGENT')),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |vs AS (SELECT COUNT(DISTINCT x) AS n_vertices FROM
+        |        (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+        |es AS (SELECT COUNT(*) AS n_edges FROM e),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+        |       CAST(n_edges AS BIGINT) AS n_edges,
+        |       CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM vs, es, tri""".stripMargin,
+    // union-and-forward-fill replayed in SQL: build rows (side 0)
+    // sort before the probe at equal order keys; IGNORE NULLS fills
+    // the latest touch forward into each purchase row
+    "q104_attribution" ->
+      s"""WITH tagged AS (
+         |  SELECT user_id, event_id, 1 AS side,
+         |         CAST(NULL AS VARCHAR) AS touch_type, value
+         |  FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, event_id, 0 AS side, event_type, NULL
+         |  FROM events WHERE event_type <> 'purchase'),
+         |filled AS (
+         |  SELECT side, value,
+         |         last_value(touch_type IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY event_id, side
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t
+         |  FROM tagged)
+         |SELECT COALESCE(t, 'none') AS touch_type, COUNT(*) AS n_purchases,
+         |       ${oraSum("value")} AS total_value
+         |FROM filled WHERE side = 1
+         |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "q105_drift_report" ->
+      """WITH o AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)),
+        |bounds AS (SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n_a
+        |           FROM o WHERE y = 1995),
+        |nb AS (SELECT COUNT(*) AS n_b FROM o WHERE y = 1996),
+        |binned AS (
+        |  SELECT y, LEAST((LEAST(GREATEST(c, lo), hi) - lo)
+        |                    // GREATEST((hi - lo) // 10, 1), 9) AS bin,
+        |         n_a, n_b
+        |  FROM o CROSS JOIN bounds CROSS JOIN nb),
+        |g AS (
+        |  SELECT bin,
+        |         CAST(SUM(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |         CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b,
+        |         MIN(n_a) AS n_a, MIN(n_b) AS n_b
+        |  FROM binned GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, cnt_a, cnt_b,
+        |       round(CAST(cnt_a AS DOUBLE) / n_a, 6) AS share_a,
+        |       round(CAST(cnt_b AS DOUBLE) / n_b, 6) AS share_b,
+        |       round(abs(CAST(cnt_a AS DOUBLE) / n_a
+        |                 - CAST(cnt_b AS DOUBLE) / n_b), 6) AS share_delta
+        |FROM g ORDER BY bin""".stripMargin
   )
 }

@@ -186,6 +186,32 @@ object EtlQueries {
         .orderBy("user_id")
     }),
 
+    // q106 — CDC change-log apply (graft.etl.Cdc): events replayed
+    // as an upsert/delete feed (an 'error' event tombstones the
+    // user), INCREMENTALLY — the log is split into three event_id
+    // ranges and folded batch-by-batch through Cdc.mergeBatch.
+    // Retained tombstones make the fold order-insensitive, so the
+    // result must equal the oracle's one-shot full-log replay
+    // (CdcSpec proves the invariant on random splits). This is the
+    // delete-capable generalization of the S4 upsert sink's
+    // latest-wins semantics (the reference has no delete path).
+    "q106_cdc_apply" -> ((s, dir) => {
+      val log = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      val batches = Seq(
+        log.filter(col("event_id") % 3 === 0),
+        log.filter(col("event_id") % 3 === 1),
+        log.filter(col("event_id") % 3 === 2))
+      val folded = batches.tail.foldLeft(
+        Cdc.state(batches.head, Seq("user_id"), Seq("event_id"))) {
+        (st, b) => Cdc.mergeBatch(st, b, Seq("user_id"), Seq("event_id"))
+      }
+      Cdc.snapshot(folded, "op", deleteOp = "D")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
     // q83 — snapshot reconciliation (graft.etl.Reconcile.diff): one
     // full-outer key join classifies every order key across two
     // planted table versions (every 97th key absent from prev =
@@ -367,6 +393,13 @@ object EtlQueries {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // one-shot full-log replay: the incremental fold must match it
+    "q106_cdc_apply" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "q83_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |prev AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),

@@ -73,6 +73,19 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // q101 — duplicated n-gram SPAN coverage (graft.llm.Spans): the
+    // substring-level dedup signal from the training-data-dedup
+    // literature — per document, the maximal token runs covered by
+    // an 8-gram that repeats ANYWHERE in the corpus, so curation can
+    // cut boilerplate spans instead of whole documents. Postings →
+    // repeated-hash aggregate → equi-join → one gaps-and-islands
+    // window per doc; the oracle replays the identical algebra over
+    // shingle strings (Spark hashes them — q31's 64-bit trade).
+    "q101_dup_spans" -> ((s, dir) => {
+      graft.llm.Spans.dupSpanReport(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // q89 — BM25 lexical retrieval (graft.llm.Relevance): top-15
     // documents for a 3-term query. One corpus scan (tf/dl in the
     // scan projection), 1-row stats broadcast, TakeOrdered top-k —
@@ -243,6 +256,22 @@ object LlmQueries {
     "q32_minhash_neardup" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("id_i", "id_j")
+    }),
+
+    // q102 — A8: exact Jaccard set-similarity join via PREFIX
+    // FILTERING (operators.SetSimJoin) — the LOSSLESS candidate
+    // scheme (AllPairs/PPJoin): candidates come only from the short
+    // rarest-element prefixes, so the hot-shingle join skew q31
+    // bounds with maxDocFreq never forms in the first place, and
+    // unlike MinHash (q32) there is no residual miss probability.
+    // Same 3-gram universe, threshold (0.8 = 4/5, all-integer
+    // bounds) and output contract as q31 — all three share ONE
+    // cached hashed-shingle index and one oracle.
+    "q102_prefix_jaccard" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val post = Dedup.hashedShingles(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      graft.operators.SetSimJoin.jaccardJoin(post, "doc_id", "h", num = 4, den = 5)
         .orderBy("id_i", "id_j")
     }),
 
@@ -946,6 +975,45 @@ object LlmQueries {
          |FROM k GROUP BY 1,2 ORDER BY lang, split""".stripMargin,
     "q31_ngram_jaccard" -> jaccardSql,
     "q32_minhash_neardup" -> jaccardSql,
+    // the prefix-filter join is lossless, so it answers to the same
+    // exhaustive-join oracle as q31/q32
+    "q102_prefix_jaccard" -> jaccardSql,
+    // identical postings/repeated/islands algebra over shingle
+    // STRINGS; islands merge overlapping-or-adjacent [s, s+7] runs
+    "q101_dup_spans" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |         array_to_string(a[i:i+7], ' ') AS sh
+        |  FROM (SELECT doc_id, a,
+        |          unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i
+        |        FROM docs)),
+        |rep AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) > 1),
+        |hits AS (SELECT doc_id, s FROM pos JOIN rep USING (sh)),
+        |isl AS (
+        |  SELECT doc_id, s,
+        |         MAX(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT doc_id, s,
+        |         SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM isl),
+        |spans AS (SELECT doc_id, run, MIN(s) AS s0, MAX(s + 7) AS e0
+        |          FROM isl2 GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+        |               CAST(COUNT(*) AS BIGINT) AS n_spans
+        |        FROM spans GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |       COALESCE(a.n_spans, 0) AS n_spans,
+        |       round(COALESCE(a.dup_tokens, 0) /
+        |             CAST(len(string_split(d.text, ' ')) AS DOUBLE), 6) AS dup_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q61: the same planted construction + the same RE2-safe
     // patterns; DuckDB counts via regexp_extract_all and redacts
     // with the 'g' flag.

@@ -156,6 +156,30 @@ class PlanQualitySpec extends SparkSpec {
       s"PageRank iterations must read cached edges, not replay the 4-table join\n${p.take(3000)}")
   }
 
+  test("q101: span islands cost one data shuffle; the repeated-set join broadcasts") {
+    val p = plan("q101_dup_spans")
+    // data exchanges: repeated-shingle agg, the doc-keyed window
+    // sort, the final orderBy — the two Window nodes (running max +
+    // island sum) must share the one sort, never add a fourth
+    val dataEx = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(dataEx <= 3, s"expected <=3 data exchanges, got $dataEx\n${p.take(3000)}")
+    assert("Window".r.findAllIn(p).size >= 2)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q103: wedge join and closure stay equi-joins over the edge set") {
+    val p = plan("q103_triangle_count")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // nested loops only combine the three 1-row summary frames
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"nested-loop joins beyond the 1-row combines: $bnlj")
+  }
+
+  test("q106: the CDC rank-1 cut pushes below the shuffle (WindowGroupLimit)") {
+    val p = plan("q106_cdc_apply")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
