@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the
+  * perplexity-style quality signal LLM data pipelines use to filter
+  * documents (KenLM-filtering in the CCNet/Gopher lineage): train
+  * add-one-smoothed bigram statistics ON the corpus itself, then
+  * score every document by its average token log-probability. Low
+  * scores flag text whose local token transitions the corpus has
+  * never seen (gibberish, encoding damage); anomalously HIGH scores
+  * flag boilerplate (transitions the corpus has memorized).
+  *
+  * Determinism contract (QueryDefs): a per-doc float sum of ln's
+  * would be IEEE-order-dependent and could never hash-match another
+  * engine, so each bigram's log-probability is computed by ONE
+  * identical op sequence — integer counts → one division → ln →
+  * scale by 1e9 → round — and materialized as a LONG. The per-doc
+  * aggregation then sums integers (exact, order-independent); the
+  * reported average divides once at the end.
+  *
+  * Scale shape: bigram extraction is a projection+generate (no
+  * shuffle); the model "training" is two map-side-partial hash
+  * aggregates (traffic = |bigram vocab| and |unigram vocab|); scoring
+  * re-joins the bigram stream to the two count tables by token key —
+  * vocabulary tables can exceed broadcast size at corpus scale, so
+  * nothing forces a broadcast; |V| is a 1-row broadcast.
+  */
+object LangModel {
+
+  /** `(id, w1, w2)` — consecutive token pairs per document. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bi = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.select(col(idCol), explode(bi).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** Per-document add-one bigram LM score:
+    * `(id, n_bigrams, sum_lp9, avg_logprob)` where
+    * `sum_lp9 = Σ round(1e9 · ln((C(w1,w2)+1)/(C(w1·)+|V|)))` (exact
+    * long) and `avg_logprob = sum_lp9 / 1e9 / n_bigrams` rounded to
+    * 6 places. Documents with fewer than 2 tokens are absent.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = BarrierCache.track(bigrams(docs, idCol, textCol))
+    val cg = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val cp = big.groupBy("w1").agg(count(lit(1)).as("pc"))
+    val v = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    big
+      .join(cg, Seq("w1", "w2"))
+      .join(cp, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp9",
+        round(log((col("cnt") + 1).cast("double") /
+          (col("pc") + col("v")).cast("double")) * 1e9).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("sum_lp9"))
+      .withColumn("avg_logprob",
+        round(col("sum_lp9").cast("double") / 1e9 / col("n_bigrams"), 6))
+  }
+}

@@ -86,6 +86,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q107 — corpus-trained bigram LM scoring (graft.llm.LangModel):
+    // the perplexity-style quality filter (KenLM lineage) — each doc
+    // scored by its average add-one-smoothed bigram log-probability
+    // under statistics trained on the corpus itself. Every bigram's
+    // ln is one identical op sequence scaled to an exact LONG, so
+    // the per-doc sum is order-independent integer arithmetic — the
+    // only way a float LM score can hash-match across engines.
+    "q107_bigram_lm" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      graft.llm.LangModel.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // q89 — BM25 lexical retrieval (graft.llm.Relevance): top-15
     // documents for a 3-term query. One corpus scan (tf/dl in the
     // scan projection), 1-row stats broadcast, TakeOrdered top-k —
@@ -978,6 +991,29 @@ object LlmQueries {
     // the prefix-filter join is lossless, so it answers to the same
     // exhaustive-join oracle as q31/q32
     "q102_prefix_jaccard" -> jaccardSql,
+    // identical count model + the same single ln/round op sequence
+    // per bigram; integer sums, one division at the end
+    "q107_bigram_lm" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |big AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM (SELECT doc_id, a,
+        |          unnest(generate_series(1, greatest(len(a) - 1, 0))) AS i
+        |        FROM docs)),
+        |cg AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+        |cp AS (SELECT w1, COUNT(*) AS pc FROM big GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |lp AS (
+        |  SELECT doc_id,
+        |         CAST(round(ln(CAST(cnt + 1 AS DOUBLE) /
+        |                       CAST(pc + v AS DOUBLE)) * 1e9) AS BIGINT) AS lp9
+        |  FROM big JOIN cg USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(lp9) AS BIGINT) AS sum_lp9,
+        |       round(CAST(CAST(SUM(lp9) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*), 6)
+        |         AS avg_logprob
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // identical postings/repeated/islands algebra over shingle
     // STRINGS; islands merge overlapping-or-adjacent [s, s+7] runs
     "q101_dup_spans" ->

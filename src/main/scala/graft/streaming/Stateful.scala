@@ -66,6 +66,43 @@ object Stateful {
       }
   }
 
+  final case class Change(k: Long, ver: Long, op: String, payload: String)
+  final case class KeyState(k: Long, ver: Long, op: String, payload: String)
+
+  /** Streaming CDC apply — the continuous sibling of
+    * [[graft.etl.Cdc]]: per key, keep the highest-version change
+    * seen so far and emit the key's resolved state whenever it
+    * CHANGES. Tombstones stay IN state (exactly the batch
+    * invariant): a late change versioned before a delete cannot
+    * resurrect the key, across any micro-batch slicing. Feeding the
+    * same log as one batch or many yields the same final state as
+    * `Cdc.state` over the whole log (StatefulSpec pins this);
+    * consumers filter `op != deleteOp` for the live view, as with
+    * `Cdc.snapshot`. Memory: one resolved row per key, sharded with
+    * the state store on the group key.
+    */
+  def cdcResolved(changes: DataFrame): Dataset[KeyState] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.selectExpr("k", "ver", "op", "payload").as[Change]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[(Long, String, String), KeyState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[Change], state: GroupState[(Long, String, String)]) =>
+          val cur = state.getOption
+          val best = rows.foldLeft(cur) { (acc, r) =>
+            if (acc.exists(_._1 >= r.ver)) acc
+            else Some((r.ver, r.op, r.payload))
+          }
+          best match {
+            case Some(b) if !cur.contains(b) =>
+              state.update(b)
+              Iterator(KeyState(k, b._1, b._2, b._3))
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   def runningUserStats(events: DataFrame,
                        ttl: Option[String] = None): Dataset[UserAgg] = {
     val spark = events.sparkSession

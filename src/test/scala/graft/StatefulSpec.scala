@@ -145,4 +145,55 @@ class StatefulSpec extends SparkSpec {
     assert(oneShot === expected)
     assert(sliced === expected)
   }
+
+  test("streaming CDC state equals the batch replay under any slicing") {
+    val rnd = new scala.util.Random(17)
+    // random upsert/delete log over 12 keys, unique versions
+    val log = (1L to 120L).map { v =>
+      (rnd.nextInt(12).toLong, v,
+        if (rnd.nextDouble() < 0.25) "D" else "U", s"p$v")
+    }
+    // batch truth: etl.Cdc over the full log, tombstones retained
+    val batch = graft.etl.Cdc.state(
+        log.toDF("k", "ver", "op", "payload"), Seq("k"), Seq("ver"))
+      .select("k", "ver", "op", "payload")
+      .as[(Long, Long, String, String)].collect().toSet
+
+    def run(slices: Seq[Seq[(Long, Long, String, String)]]): Set[(Long, Long, String, String)] = {
+      val base = tmpDir("cdc")
+      val in = base + "/in"; val chk = base + "/chk"
+      Files.createDirectories(Paths.get(in))
+      // last emitted resolved row per key wins (Update-mode stream)
+      val last = scala.collection.mutable.Map.empty[Long, (Long, Long, String, String)]
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, ver BIGINT, op STRING, payload STRING")
+      slices.foreach { slice =>
+        slice.toDF("k", "ver", "op", "payload").write.mode("append").parquet(in)
+        val q = Stateful.cdcResolved(spark.readStream.schema(schema).parquet(in))
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.KeyState], _: Long) =>
+            last.synchronized {
+              b.collect().foreach(s => last(s.k) = (s.k, s.ver, s.op, s.payload))
+            }
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      last.values.toSet
+    }
+
+    // one shot, and a deliberately NON-chronological 3-batch split
+    // (late data lands in the last batch) — both must equal batch
+    val oneShot = run(Seq(log))
+    val shuffled = rnd.shuffle(log)
+    val sliced = run(Seq(shuffled.take(40), shuffled.slice(40, 80), shuffled.drop(80)))
+    assert(oneShot === batch)
+    assert(sliced === batch)
+    // live view: tombstoned keys disappear exactly as in Cdc.snapshot
+    assert(oneShot.filter(_._3 != "D").map(_._1) ===
+      batch.filter(_._3 != "D").map(_._1))
+  }
 }
