@@ -92,25 +92,39 @@ object Bench {
     // dev-only: regex filter to time a subset (bisecting order-
     // dependent effects); the driver never sets it
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
-      .map { case (name, fn) =>
+    // ROUND-ROBIN passes (q1..qN, repeated `iters` times), not
+    // back-to-back iterations per query: a transient slow window on
+    // the host (or a GC storm) then lands on DIFFERENT queries in
+    // different passes and the per-query median rejects it, where
+    // three consecutive runs would all absorb it. Pass 1 plays the
+    // cold role (shared-cache materializations are paid in query
+    // order, same as before); later passes are steady state.
+    val runLog = scala.collection.mutable.Map.empty[String, Vector[(Boolean, Double)]]
+      .withDefaultValue(Vector.empty)
+    val gcLog = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val storLog = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to iters; (name, fn) <- queries) {
       val gc0 = gcMillis()
-      val runs = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-              if (!errs.contains(name)) errs += name
-              false
-          }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            if (!errs.contains(name)) errs += name
+            false
+        }
+      runLog(name) = runLog(name) :+ ((ok, (System.nanoTime() - t0) / 1e9))
+      gcLog(name) += gcMillis() - gc0
+      storLog(name) = storageMb(spark)
+    }
+    val results = queries.map { case (name, _) =>
+      val runs = runLog(name)
       val good = runs.collect { case (true, t) => t }.sorted
       val median = if (good.nonEmpty) good(good.size / 2) else Double.NaN
-      val cold = if (runs.head._1) runs.head._2 else Double.NaN
-      name -> QStat(median, cold, gcMillis() - gc0, storageMb(spark))
+      val cold = if (runs.nonEmpty && runs.head._1) runs.head._2 else Double.NaN
+      name -> QStat(median, cold, gcLog(name), storLog(name))
     }
     val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     // duplicate short keys would silently drop a query from the
