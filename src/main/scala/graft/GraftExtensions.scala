@@ -18,5 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QDot].getName, "qdot64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         QDot(exprs(0), exprs(1))))
+    // declarative HOF dot products silently upgrade to the codegen'd
+    // expression (observation-equivalent; see RewriteQuantizedDot)
+    e.injectOptimizerRule(_ => graft.functions.RewriteQuantizedDot)
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{QDotStrict, RewriteQuantizedDot}
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** The HOF→native optimizer rule: it must FIRE on the declarative
+  * quantized-dot shape, must NOT fire on lookalikes, and the rewrite
+  * must be observation-equivalent on every input class (well-formed,
+  * ragged, null-holed, empty, null) — the soundness bar for an
+  * always-on optimizer rule.
+  */
+class RewriteQuantizedDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteQuantizedDot
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteQuantizedDot)
+  }
+
+  private val edgeRows: Seq[(Option[Seq[Option[Float]]], Option[Seq[Option[Float]]])] = Seq(
+    (Some(Seq(Some(1.5f), Some(-2.25f))), Some(Seq(Some(3.0f), Some(0.5f)))), // well-formed
+    (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(2.0f)))),               // ragged
+    (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),         // null element
+    (Some(Seq.empty), Some(Seq.empty)),                                        // empty
+    (None, Some(Seq(Some(1.0f)))))                                             // null array
+
+  test("rule fires: the optimized plan carries qdot64_strict, not a HOF") {
+    withRule {
+      val df = Tables.embeddings(spark, sf)
+        .select(Similarity.qdotHof(col("embedding"), col("embedding")).as("d"))
+      val opt = df.queryExecution.optimizedPlan
+      val fired = opt.expressions.exists(_.exists(_.isInstanceOf[QDotStrict]))
+      assert(fired, s"expected QDotStrict in\n$opt")
+      assert(!opt.toString.contains("aggregate("), s"HOF survived in\n$opt")
+    }
+  }
+
+  test("rewrite is observation-equivalent on every input class") {
+    val df = edgeRows.toDF("a", "b")
+    val hof = df.select(Similarity.qdotHof(col("a"), col("b"))).collect().map(_.get(0))
+    val rewritten = withRule {
+      df.select(Similarity.qdotHof(col("a"), col("b"))).collect().map(_.get(0))
+    }
+    assert(rewritten.toSeq === hof.toSeq)
+    // construction check: the edge classes behave as documented
+    assert(hof(1) == null && hof(2) == null && hof(4) == null, hof.toSeq)
+    assert(hof(3) === 0L)
+  }
+
+  test("rule does not fire on a lookalike with a different scale") {
+    withRule {
+      val other = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b,
+            (x, y) => (round(x.cast("double") * lit(1000.0), 0).cast("long")) *
+              (round(y.cast("double") * lit(1000.0), 0).cast("long"))),
+          lit(0L), (s, v) => s + v)
+      val df = Tables.embeddings(spark, sf).select(other(col("embedding"), col("embedding")).as("d"))
+      val opt = df.queryExecution.optimizedPlan
+      assert(!opt.expressions.exists(_.exists(_.isInstanceOf[QDotStrict])),
+        s"rule must not match a 1e3-scale aggregation\n$opt")
+    }
+  }
+
+  test("rewritten result equals the corpus-wide HOF values bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf)
+    val pair = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 11).select(col("embedding").as("b"))))
+    val plain = pair.select(col("vec_id"), Similarity.qdotHof(col("a"), col("b")).as("d"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val fast = withRule {
+      pair.select(col("vec_id"), Similarity.qdotHof(col("a"), col("b")).as("d"))
+        .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    }
+    assert(fast === plain)
+  }
+}
