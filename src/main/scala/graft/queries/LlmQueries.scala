@@ -99,6 +99,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q108 — per-document curation FEATURE STORE: the wide artifact
+    // a pipeline materializes once and filters on repeatedly — the
+    // scan-projection signals (tokens, quality blend, PII counts,
+    // content fingerprint) joined with the three corpus-aggregate
+    // signals: fingerprint copy count (exact-dup pressure), q101's
+    // duplicated-span fraction, and q107's bigram-LM score. Four
+    // doc-keyed joins over co-partitioned aggregates; every float
+    // follows its source query's determinism contract.
+    "q108_doc_features" -> ((s, dir) => {
+      import graft.llm.Pii
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      val t = col("text")
+      val base = docs.select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(t).cast("long").as("n_tokens"),
+        TextStats.qualityScore(t).as("quality"),
+        (Pii.emailCount(t) + Pii.phoneCount(t) + Pii.ipCount(t))
+          .cast("long").as("n_pii"),
+        TextStats.fingerprint(t).as("fp"))
+      val fpCounts = base.groupBy("fp").agg(count(lit(1)).as("n_fp_copies"))
+      val spans = graft.llm.Spans.dupSpanReport(docs, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("dup_frac"))
+      val lm = graft.llm.LangModel.bigramLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob"))
+      base.join(fpCounts, Seq("fp"))
+        .join(spans, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+          col("n_pii"), col("n_fp_copies"), col("dup_frac"), col("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // q89 — BM25 lexical retrieval (graft.llm.Relevance): top-15
     // documents for a 3-term query. One corpus scan (tf/dl in the
     // scan projection), 1-row stats broadcast, TakeOrdered top-k —
@@ -991,6 +1023,62 @@ object LlmQueries {
     // the prefix-filter join is lossless, so it answers to the same
     // exhaustive-join oracle as q31/q32
     "q102_prefix_jaccard" -> jaccardSql,
+    // the q101 + q107 CTEs re-assembled around the scan-projection
+    // features; float expressions repeat their source query's exact
+    // op sequences
+    "q108_doc_features" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
+         |      + (CASE WHEN len(string_split(text,' ')) BETWEEN 8 AND 256 THEN 1.0 ELSE 0.0 END) * 0.25
+         |      + (CASE WHEN CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |       + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+         |       + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_pii,
+         |    $fpSql AS fp
+         |  FROM documents),
+         |fpc AS (SELECT fp, COUNT(*) AS n_fp_copies FROM base GROUP BY 1),
+         |pos AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s, array_to_string(a[i:i+7], ' ') AS sh
+         |  FROM (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 7, 0))) AS i FROM docs)),
+         |rep AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) > 1),
+         |hits AS (SELECT doc_id, s FROM pos JOIN rep USING (sh)),
+         |isl AS (
+         |  SELECT doc_id, s, MAX(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM hits),
+         |isl2 AS (
+         |  SELECT doc_id, s, SUM(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM isl),
+         |spans AS (SELECT doc_id, run, MIN(s) AS s0, MAX(s + 7) AS e0 FROM isl2 GROUP BY 1, 2),
+         |spanagg AS (SELECT doc_id, CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens
+         |            FROM spans GROUP BY 1),
+         |big AS (
+         |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+         |  FROM (SELECT doc_id, a, unnest(generate_series(1, greatest(len(a) - 1, 0))) AS i FROM docs)),
+         |cg AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+         |cp AS (SELECT w1, COUNT(*) AS pc FROM big GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+         |       (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |lp AS (
+         |  SELECT doc_id, CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(pc + v AS DOUBLE)) * 1e9) AS BIGINT) AS lp9
+         |  FROM big JOIN cg USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v),
+         |lm AS (
+         |  SELECT doc_id, round(CAST(CAST(SUM(lp9) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*), 6) AS avg_logprob
+         |  FROM lp GROUP BY 1)
+         |SELECT b.doc_id, b.lang, b.n_tokens, b.quality, b.n_pii,
+         |       fpc.n_fp_copies,
+         |       round(COALESCE(sa.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac,
+         |       lm.avg_logprob
+         |FROM base b
+         |JOIN fpc USING (fp)
+         |LEFT JOIN spanagg sa ON sa.doc_id = b.doc_id
+         |LEFT JOIN lm ON lm.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     // identical count model + the same single ln/round op sequence
     // per bigram; integer sums, one division at the end
     "q107_bigram_lm" ->
