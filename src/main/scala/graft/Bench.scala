@@ -117,7 +117,12 @@ object Bench {
         }
       runLog(name) = runLog(name) :+ ((ok, (System.nanoTime() - t0) / 1e9))
       gcLog(name) += gcMillis() - gc0
-      storLog(name) = storageMb(spark)
+      // pass-1 snapshot only: caches accumulate monotonically within
+      // a run (BarrierCache sweeps on scope change, never mid-run),
+      // so a later-pass snapshot would show every query the same
+      // global footprint; after pass 1 the value still attributes
+      // "cache growth up to and including this query"
+      if (!storLog.contains(name)) storLog(name) = storageMb(spark)
     }
     val results = queries.map { case (name, _) =>
       val runs = runLog(name)

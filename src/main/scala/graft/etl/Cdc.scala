@@ -32,11 +32,22 @@ object Cdc {
 
   /** Resolved per-key state including tombstones: the latest
     * (by `orderCols`, descending, per `keyCols`) change row per key.
+    *
+    * `orderCols` should totally order a key's changes (CDC feeds
+    * carry a position/LSN that does); if a feed nonetheless delivers
+    * two changes with EQUAL versions, the tie breaks
+    * deterministically over the remaining columns (sorted by name,
+    * descending) — an arbitrary row_number pick would make the
+    * incremental fold depend on how the log was batched, silently
+    * breaking the fold == one-shot-replay invariant on conflicted
+    * feeds.
     */
   def state(log: DataFrame, keyCols: Seq[String],
             orderCols: Seq[String]): DataFrame = {
+    val tieCols = log.columns.toSeq
+      .filterNot((keyCols ++ orderCols).contains).sorted
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col(_).desc): _*)
+      .orderBy((orderCols ++ tieCols).map(col(_).desc): _*)
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

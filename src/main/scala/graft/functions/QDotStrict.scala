@@ -44,9 +44,9 @@ case class QDotStrict(left: Expression, right: Expression)
     var i = 0
     while (i < x.numElements()) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val qx = Math.round(x.getFloat(i).toDouble * 1000000.0)
-      val qy = Math.round(y.getFloat(i).toDouble * 1000000.0)
-      acc += qx * qy
+      val qx = QMath.quantize(x.getFloat(i).toDouble * 1000000.0)
+      val qy = QMath.quantize(y.getFloat(i).toDouble * 1000000.0)
+      acc = QMath.mulAdd(acc, qx, qy)
       i += 1
     }
     acc
@@ -65,8 +65,9 @@ case class QDotStrict(left: Expression, right: Expression)
          |  boolean $bad = false;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-         |    $acc += java.lang.Math.round((double) $a.getFloat($i) * 1000000.0)
-         |          * java.lang.Math.round((double) $b.getFloat($i) * 1000000.0);
+         |    $acc = graft.functions.QMath.mulAdd($acc,
+         |      graft.functions.QMath.quantize((double) $a.getFloat($i) * 1000000.0),
+         |      graft.functions.QMath.quantize((double) $b.getFloat($i) * 1000000.0));
          |  }
          |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}

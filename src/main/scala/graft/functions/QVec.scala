@@ -19,10 +19,12 @@ import org.apache.spark.sql.{Column, SparkSession}
   * codegen'd loop over the unboxed float arrays — the preferred
   * extension tier after built-ins (custom Expression > UDF).
   *
-  * Rounding: Math.round == BigDecimal HALF_UP for every non-midpoint
-  * value, and exact decimal midpoints (x·10⁶ = k+0.5) are not
-  * representable in binary floats, so this matches functions.round
-  * bit-for-bit on all reachable inputs.
+  * Rounding and errors are [[QMath.quantize]]'s: HALF_UP away from
+  * zero (midpoints ARE reachable — a float mantissa ×10⁶ has ≤38
+  * significant bits, so x·10⁶ = k+0.5 occurs, where `Math.round`'s
+  * half-toward-+∞ would diverge from Spark's and DuckDB's `round`
+  * on negatives), and NaN/±Inf/overflow throw as ANSI arithmetic
+  * does.
   */
 case class QDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,9 +49,9 @@ case class QDot(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val qx = Math.round(x.getFloat(i).toDouble * 1000000.0)
-        val qy = Math.round(y.getFloat(i).toDouble * 1000000.0)
-        acc += qx * qy
+        val qx = QMath.quantize(x.getFloat(i).toDouble * 1000000.0)
+        val qy = QMath.quantize(y.getFloat(i).toDouble * 1000000.0)
+        acc = QMath.mulAdd(acc, qx, qy)
       }
       i += 1
     }
@@ -68,9 +70,9 @@ case class QDot(left: Expression, right: Expression)
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    long $qx = java.lang.Math.round((double) $a.getFloat($i) * 1000000.0);
-         |    long $qy = java.lang.Math.round((double) $b.getFloat($i) * 1000000.0);
-         |    $acc += $qx * $qy;
+         |    long $qx = graft.functions.QMath.quantize((double) $a.getFloat($i) * 1000000.0);
+         |    long $qy = graft.functions.QMath.quantize((double) $b.getFloat($i) * 1000000.0);
+         |    $acc = graft.functions.QMath.mulAdd($acc, $qx, $qy);
          |  }
          |}
          |${ev.value} = $acc;

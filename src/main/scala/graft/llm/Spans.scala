@@ -59,7 +59,10 @@ object Spans {
     */
   def dupSpanReport(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    val pos = positionedShingles(docs, idCol, textCol, n)
+    // two consumers (the repeated-shingle aggregate and the hit
+    // join) — barrier-cache so the tokenize+shingle+hash projection
+    // over the whole corpus runs once, not twice
+    val pos = BarrierCache.track(positionedShingles(docs, idCol, textCol, n))
     val repeated = pos.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1).select("h")
     val hits = pos.join(repeated, Seq("h")).select(col(idCol), col("start"))

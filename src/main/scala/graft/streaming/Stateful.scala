@@ -74,7 +74,9 @@ object Stateful {
     * seen so far and emit the key's resolved state whenever it
     * CHANGES. Tombstones stay IN state (exactly the batch
     * invariant): a late change versioned before a delete cannot
-    * resurrect the key, across any micro-batch slicing. Feeding the
+    * resurrect the key, across any micro-batch slicing. Equal-version
+    * conflicts break deterministically by (op, payload) descending —
+    * the same rule `Cdc.state` applies — so feeding the
     * same log as one batch or many yields the same final state as
     * `Cdc.state` over the whole log (StatefulSpec pins this);
     * consumers filter `op != deleteOp` for the live view, as with
@@ -90,9 +92,14 @@ object Stateful {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (k: Long, rows: Iterator[Change], state: GroupState[(Long, String, String)]) =>
           val cur = state.getOption
+          // same winner rule as Cdc.state: version first, then the
+          // remaining columns (op, payload — name-sorted) as a
+          // deterministic tie-break, so a conflicted feed resolves
+          // identically here and in the batch replay
           val best = rows.foldLeft(cur) { (acc, r) =>
-            if (acc.exists(_._1 >= r.ver)) acc
-            else Some((r.ver, r.op, r.payload))
+            val cand = (r.ver, r.op, r.payload)
+            if (acc.exists(a => Ordering[(Long, String, String)].gteq(a, cand))) acc
+            else Some(cand)
           }
           best match {
             case Some(b) if !cur.contains(b) =>

@@ -38,12 +38,28 @@ class CdcSpec extends SparkSpec {
     assert(snap(folded) === Set.empty)
   }
 
+  test("equal-version conflicts resolve deterministically and fold-invariantly") {
+    // ties break over the remaining columns (op, payload) DESC:
+    // key 1: ("U","a") beats ("D","") -> survives; key 2: "y" beats "x"
+    val rows = Seq((1L, 5L, "U", "a"), (1L, 5L, "D", ""),
+      (2L, 3L, "U", "x"), (2L, 3L, "U", "y"))
+    val oneShot = snap(Cdc.state(df(rows), Seq("k"), Seq("ver")))
+    assert(oneShot === Set((1L, 5L, "a"), (2L, 3L, "y")))
+    // conflicting rows split across batches must agree
+    val folded = Cdc.mergeBatch(
+      Cdc.state(df(Seq(rows(1), rows(3))), Seq("k"), Seq("ver")),
+      df(Seq(rows(0), rows(2))), Seq("k"), Seq("ver"))
+    assert(snap(folded) === oneShot)
+  }
+
   test("fold over arbitrary seeded splits equals one-shot replay") {
     val rnd = new scala.util.Random(23)
+    // versions drawn from a small range so same-key ties occur —
+    // the fold must stay deterministic through the tie-break
     val log = (1L to 300L).map { i =>
       val k = rnd.nextInt(20).toLong
       val op = if (rnd.nextDouble() < 0.25) "D" else "U"
-      (k, i, op, s"p$i")
+      (k, rnd.nextInt(60).toLong, op, s"p$i")
     }
     val oneShot = snap(Cdc.state(df(log), Seq("k"), Seq("ver")))
     for (trial <- 1 to 4) {

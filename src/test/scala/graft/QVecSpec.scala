@@ -23,6 +23,20 @@ class QVecSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("negative exact midpoints round HALF_UP, agreeing with the HOF") {
+    // -0.0234375f * 1e6 = -23437.5 exactly (24-bit mantissa × 10⁶
+    // fits 38 bits): away-from-zero gives -23438; Math.round's
+    // half-toward-+∞ would give -23437 and diverge from both the
+    // HOF and the DuckDB oracle's round()
+    val df = Seq((Seq(-0.0234375f), Seq(2.0f))).toDF("a", "b")
+    val (native, hof) = df.select(
+        QVec.qdot64(col("a"), col("b")).as("n"),
+        Similarity.qdotHof(col("a"), col("b")).as("h"))
+      .as[(Long, Long)].head()
+    assert(native === -23438L * 2000000L)
+    assert(native === hof)
+  }
+
   test("QDot is callable from SQL after registration") {
     QVec.register(spark)
     emb.createOrReplaceTempView("qvec_emb")

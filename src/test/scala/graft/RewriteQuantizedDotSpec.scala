@@ -26,7 +26,10 @@ class RewriteQuantizedDotSpec extends SparkSpec {
     (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(2.0f)))),               // ragged
     (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),         // null element
     (Some(Seq.empty), Some(Seq.empty)),                                        // empty
-    (None, Some(Seq(Some(1.0f)))))                                             // null array
+    (None, Some(Seq(Some(1.0f)))),                                             // null array
+    // NEGATIVE EXACT MIDPOINT: -0.0234375f·10⁶ = -23437.5 exactly;
+    // HALF_UP (away from zero) must give -23438 on both paths
+    (Some(Seq(Some(-0.0234375f))), Some(Seq(Some(1.0f)))))
 
   test("rule fires: the optimized plan carries qdot64_strict, not a HOF") {
     withRule {
@@ -49,6 +52,24 @@ class RewriteQuantizedDotSpec extends SparkSpec {
     // construction check: the edge classes behave as documented
     assert(hof(1) == null && hof(2) == null && hof(4) == null, hof.toSeq)
     assert(hof(3) === 0L)
+    assert(hof(5) === -23438L * 1000000L, "negative midpoint must round away from zero")
+  }
+
+  test("overflow fails loudly on both the HOF and the rewritten path") {
+    // qx = qy = 4e9; qx*qy = 1.6e19 > Long.MaxValue — ANSI Multiply
+    // throws on the HOF path, QMath.mulAdd throws on the native path
+    val df = Seq((Seq(4000.0f), Seq(4000.0f))).toDF("a", "b")
+    val plain = intercept[Throwable] {
+      df.select(Similarity.qdotHof(col("a"), col("b"))).collect()
+    }
+    val fast = intercept[Throwable] {
+      withRule { df.select(Similarity.qdotHof(col("a"), col("b"))).collect() }
+    }
+    def arithmetic(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[ArithmeticException])
+    assert(arithmetic(plain), s"HOF path: $plain")
+    assert(arithmetic(fast), s"rewritten path: $fast")
   }
 
   test("rule does not fire on a lookalike with a different scale") {

@@ -148,10 +148,11 @@ class StatefulSpec extends SparkSpec {
 
   test("streaming CDC state equals the batch replay under any slicing") {
     val rnd = new scala.util.Random(17)
-    // random upsert/delete log over 12 keys, unique versions
-    val log = (1L to 120L).map { v =>
-      (rnd.nextInt(12).toLong, v,
-        if (rnd.nextDouble() < 0.25) "D" else "U", s"p$v")
+    // random upsert/delete log over 12 keys; versions drawn small so
+    // same-key conflicts occur and exercise the shared tie-break
+    val log = (1L to 120L).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong,
+        if (rnd.nextDouble() < 0.25) "D" else "U", s"p$i")
     }
     // batch truth: etl.Cdc over the full log, tombstones retained
     val batch = graft.etl.Cdc.state(
