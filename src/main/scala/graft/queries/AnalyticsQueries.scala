@@ -644,6 +644,71 @@ object AnalyticsQueries {
       graft.operators.Triangles.countTriangles(edges, "u", "v")
     }),
 
+    // q109 — event-flow Markov transition matrix: per user (ordered
+    // by event_id), count cur→next event-type transitions and the
+    // conditional probability P(next|cur) — the flow-analysis view
+    // behind funnel/journey dashboards. One lead() window per user +
+    // one pair aggregate; p is one IEEE division on integer counts,
+    // rounded (QueryDefs discipline).
+    "q109_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("next", lead(col("cur"), 1).over(w))
+        .filter(col("next").isNotNull)
+        .groupBy("cur", "next").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("cur").agg(sum(col("n")).as("tot"))
+      pairs.join(totals, Seq("cur"))
+        .select(col("cur"), col("next"), col("n"),
+          round(col("n") / col("tot"), 6).as("p"))
+        .orderBy("cur", "next")
+    }),
+
+    // q110 — graph degree profile + assortativity for the q103
+    // co-purchase graph: degree moments over the symmetrized edge
+    // list (both endpoint orders), Pearson over integer degree pairs
+    // with q98's exact discipline — integer sums < 2^53 are exact
+    // doubles, so the one fixed IEEE sequence reproduces in DuckDB.
+    // Negative assortativity = hubs link to leaves (the shape that
+    // makes degree-orientation matter in q103).
+    "q110_degree_profile" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(urgent, Seq("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_partkey").distinct()
+      val edges = graft.llm.BarrierCache.track(li.toDF("ok", "u")
+        .join(li.toDF("ok", "v"), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select("u", "v").distinct())
+      val deg = graft.llm.BarrierCache.track(
+        edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d")))
+      val sym = edges.join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+        .select(col("du").as("a"), col("dv").as("b"))
+        .unionAll(edges.join(deg.toDF("u", "du"), Seq("u"))
+          .join(deg.toDF("v", "dv"), Seq("v"))
+          .select(col("dv").as("a"), col("du").as("b")))
+      val m = sym.agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sx"), sum(col("a") * col("a")).as("sxx"),
+        sum(col("a") * col("b")).as("sxy"))
+      deg.agg(count(lit(1)).as("n_vertices"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"),
+          sum(col("d")).as("sum_deg"))
+        .crossJoin(broadcast(m))
+        .select(col("n_vertices"), expr("n div 2").as("n_edges"),
+          col("min_deg"), col("max_deg"),
+          round(col("sum_deg") / col("n_vertices"), 6).as("mean_deg"),
+          round((col("n") * col("sxy") - col("sx") * col("sx")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("sxx") - col("sx") * col("sx"))),
+            6).as("assortativity"))
+    }),
+
     // q104 — last-touch attribution: each purchase event is credited
     // to the user's most recent PRIOR non-purchase event, via the
     // as-of join (operators.AsOfJoin — one union + one window
@@ -1113,6 +1178,51 @@ object AnalyticsQueries {
         |       CAST(n_edges AS BIGINT) AS n_edges,
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM vs, es, tri""".stripMargin,
+    "q109_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next
+        |  FROM events),
+        |c AS (SELECT cur, next, COUNT(*) AS n FROM p WHERE next IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT cur, next, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM c JOIN t USING (cur) ORDER BY cur, next""".stripMargin,
+    // same symmetrized-moment algebra; the sqrt-times-sqrt
+    // denominator repeats the Spark op sequence verbatim
+    "q110_degree_profile" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE o_orderpriority = '1-URGENT')),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x, COUNT(*) AS d FROM
+        |         (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |sym AS (
+        |  SELECT du.d AS a, dv.d AS b
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+        |  UNION ALL
+        |  SELECT dv.d, du.d
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |m AS (SELECT COUNT(*) AS n,
+        |             CAST(SUM(a) AS BIGINT) AS sx,
+        |             CAST(SUM(a * a) AS BIGINT) AS sxx,
+        |             CAST(SUM(a * b) AS BIGINT) AS sxy
+        |      FROM sym),
+        |dm AS (SELECT COUNT(*) AS n_vertices, MIN(d) AS min_deg,
+        |              MAX(d) AS max_deg, CAST(SUM(d) AS BIGINT) AS sum_deg
+        |       FROM deg)
+        |SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+        |       CAST(n // 2 AS BIGINT) AS n_edges,
+        |       min_deg, max_deg,
+        |       round(CAST(sum_deg AS DOUBLE) / n_vertices, 6) AS mean_deg,
+        |       round(CAST(n * sxy - sx * sx AS DOUBLE) /
+        |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(n * sxx - sx * sx AS DOUBLE))), 6)
+        |         AS assortativity
+        |FROM dm CROSS JOIN m""".stripMargin,
     // union-and-forward-fill replayed in SQL: build rows (side 0)
     // sort before the probe at equal order keys; IGNORE NULLS fills
     // the latest touch forward into each purchase row
