@@ -142,7 +142,18 @@ object Bench {
     val total = results.map(_._2.median).filterNot(_.isNaN).sum
     val coldTotal = results.map(_._2.cold).filterNot(_.isNaN).sum
     val detail = s"""{"metric":"detail","median":${jmap(identity)(s => num(s.median))},"cold":${jmap(identity)(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(identity)(_.gcMs.toString)},"storage_mb":${jmap(identity)(s => num(s.storMb))},"iters":$iters,"sf":"$sfDir"}"""
-    val headline = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(shortKey)(s => num(s.median))},"iters":$iters,"errors":$errJson,"sf":"$sfDir"}"""
+    // the driver reads only the last ~2000 chars of stdout and sbt
+    // appends its own "[success] Total time ..." line (~80 chars)
+    // after ours — if the per-query map has grown past the window,
+    // degrade to 2-decimal values rather than let the artifact
+    // silently record `parsed: null` (round 4's failure mode)
+    def headlineWith(fmt: Double => String) =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(shortKey)(s => fmt(s.median))},"iters":$iters,"errors":$errJson,"sf":"$sfDir"}"""
+    def num2(d: Double): String =
+      if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val full = headlineWith(s => num(s))
+    val headline = if (full.length <= 1850) full else headlineWith(num2)
     spark.stop()
     println(detail)
     println(headline)
