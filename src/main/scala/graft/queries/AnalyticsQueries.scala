@@ -644,6 +644,27 @@ object AnalyticsQueries {
       graft.operators.Triangles.countTriangles(edges, "u", "v")
     }),
 
+    // q111 — rolling active users (DAU / trailing-7-day WAU): the
+    // engagement staple. The scalable WAU form is contribution
+    // explode — each distinct (day, user) pair contributes to 7
+    // target days, then one distinct-count per target day — never a
+    // per-day set union or a distinct-over-RANGE-window (which Spark
+    // cannot partial-aggregate). Shuffle volume is 7·|day-user
+    // pairs|, independent of window length ordering tricks.
+    "q111_rolling_actives" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = du
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(expr("date_add(day, off)").as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+      dau.join(wau, Seq("day"))
+        .select(col("day").cast("string").as("day"), col("dau"), col("wau7"))
+        .orderBy("day")
+    }),
+
     // q109 — event-flow Markov transition matrix: per user (ordered
     // by event_id), count cur→next event-type transitions and the
     // conditional probability P(next|cur) — the flow-analysis view
@@ -1178,6 +1199,14 @@ object AnalyticsQueries {
         |       CAST(n_edges AS BIGINT) AS n_edges,
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM vs, es, tri""".stripMargin,
+    "q111_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |contrib AS (SELECT day + CAST(g.i AS INTEGER) AS day, user_id
+        |            FROM du, generate_series(0, 6) AS g(i)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau7 FROM contrib GROUP BY 1)
+        |SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau7
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
     "q109_event_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS cur,
