@@ -644,6 +644,41 @@ object AnalyticsQueries {
       graft.operators.Triangles.countTriangles(edges, "u", "v")
     }),
 
+    // q112 — activity streaks: gaps-and-islands over each user's
+    // distinct active DAYS (`day - row_number` collapses consecutive
+    // days to one anchor) — the engagement-streak metric. One window
+    // shuffle per user + two integer aggregates; the q101 island
+    // technique surfaced as a standalone BI operator.
+    "q112_activity_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", expr("date_sub(day, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY day))"))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    }),
+
+    // q113 — new vs returning users per day: each user's first
+    // active day splits the daily actives. First-day attach is a
+    // broadcast-size aggregate at |users| rows joined back on the
+    // user key.
+    "q113_new_vs_returning" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val first = days.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      days.join(first, Seq("user_id"))
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+        .orderBy("day")
+    }),
+
     // q111 — rolling active users (DAU / trailing-7-day WAU): the
     // engagement staple. The scalable WAU form is contribution
     // explode — each distinct (day, user) pair contributes to 7
@@ -1199,6 +1234,25 @@ object AnalyticsQueries {
         |       CAST(n_edges AS BIGINT) AS n_edges,
         |       CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM vs, es, tri""".stripMargin,
+    "q112_activity_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |                    AS INTEGER) AS grp
+        |  FROM du),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q113_new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM du JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q111_rolling_actives" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
