@@ -86,6 +86,44 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q114 — DSIR importance weights (graft.llm.Importance): bigram
+    // importance resampling with the English slice as the target
+    // distribution — each doc's log weight says how much more its
+    // features look like the target than the raw corpus. Feature
+    // deltas are one fixed ln sequence each, scaled to exact longs;
+    // per-doc weights are integer sums (the q107 discipline). The
+    // hashed-bucket production form is ImportanceSpec-verified.
+    "q114_dsir_weights" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      graft.llm.Importance.logWeights(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"), col("logw9"), col("logw"))
+        .orderBy("doc_id")
+    }),
+
+    // q115 — soft dedup via cluster down-weighting: instead of
+    // dropping near-duplicates, weight every doc by 1/|its dup
+    // cluster| (singletons weigh 1.0) — repetition-aware loss
+    // weighting, the gentler alternative to q60's canonical-only
+    // keep. Reuses the q31 pair graph and q60's components; the
+    // weight is one IEEE division on integer cluster sizes.
+    "q115_soft_dedup_weights" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val comp = graft.llm.Cluster.connectedComponents(pairs, "id_i", "id_j")
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"),
+          round(lit(1.0) / coalesce(col("sz"), lit(1L)), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // q107 — corpus-trained bigram LM scoring (graft.llm.LangModel):
     // the perplexity-style quality filter (KenLM lineage) — each doc
     // scored by its average add-one-smoothed bigram log-probability
@@ -1023,6 +1061,59 @@ object LlmQueries {
     // the prefix-filter join is lossless, so it answers to the same
     // exhaustive-join oracle as q31/q32
     "q102_prefix_jaccard" -> jaccardSql,
+    // same count model over string bigram features; each delta is
+    // the identical ln/round sequence, per-doc sums are integers
+    "q114_dsir_weights" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang, a[i] || ' ' || a[i + 1] AS f
+        |  FROM (SELECT doc_id, lang, a,
+        |          unnest(generate_series(1, greatest(len(a) - 1, 0))) AS i
+        |        FROM docs)),
+        |rm AS (SELECT f, COUNT(*) AS nr FROM big GROUP BY 1),
+        |tm AS (SELECT f, COUNT(*) AS nt FROM big WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM big) AS totr,
+        |               (SELECT COUNT(*) FROM big WHERE lang = 'en') AS tott,
+        |               (SELECT COUNT(*) FROM rm) AS nfeat),
+        |d AS (
+        |  SELECT rm.f,
+        |         CAST(round((ln(CAST(COALESCE(nt, 0) + 1 AS DOUBLE) /
+        |                         CAST(tott + nfeat AS DOUBLE))
+        |                   - ln(CAST(nr + 1 AS DOUBLE) /
+        |                         CAST(totr + nfeat AS DOUBLE))) * 1e9) AS BIGINT) AS delta9
+        |  FROM rm LEFT JOIN tm USING (f) CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |       CAST(SUM(delta9) AS BIGINT) AS logw9,
+        |       round(CAST(CAST(SUM(delta9) AS BIGINT) AS DOUBLE) / 1e9, 6) AS logw
+        |FROM big JOIN d USING (f)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q31's edge set + q60's recursive min-label components, folded
+    // to sizes and 1/size weights; singletons weigh exactly 1.0
+    "q115_soft_dedup_weights" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (SELECT id_i, id_j FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_i JOIN sizes sb ON sb.doc_id = id_j
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |sym AS (SELECT id_i AS a, id_j AS b FROM edges UNION SELECT id_j, id_i FROM edges),
+        |reach AS (
+        |  SELECT a AS id, a AS comp FROM sym
+        |  UNION
+        |  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id),
+        |comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        |cs AS (SELECT component, COUNT(*) AS csz FROM comp GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+        |       CAST(COALESCE(cs.csz, 1) AS BIGINT) AS cluster_size,
+        |       round(CAST(1.0 AS DOUBLE) / COALESCE(cs.csz, 1), 6) AS weight
+        |FROM documents d
+        |LEFT JOIN comp c ON c.id = d.doc_id
+        |LEFT JOIN cs ON cs.component = c.component
+        |ORDER BY d.doc_id""".stripMargin,
     // the q101 + q107 CTEs re-assembled around the scan-projection
     // features; float expressions repeat their source query's exact
     // op sequences
