@@ -23,8 +23,10 @@ import scala.jdk.CollectionConverters._
   *   - the headline line is printed LAST, after `spark.stop()`, so
   *     no shutdown logging lands after it;
   *   - it uses SHORT query keys ("q01".."qNN" — unique prefixes of
-  *     the registered names) and %.3f values so the whole line stays
-  *     well under the tail window;
+  *     the registered names) and %.3f values; if that still exceeds
+  *     the window (query-count growth, many failures) it degrades
+  *     stepwise — fewer decimals, then a capped errors list — until
+  *     it fits;
   *   - full names + cold/gc/storage telemetry go on the preceding
   *     "detail" line (visible in full logs, not needed by the
   *     parser);
@@ -138,22 +140,31 @@ object Bench {
       s"non-unique short query keys: ${shortKey.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }}")
     def jmap(key: String => String)(f: QStat => String) =
       results.map { case (k, s) => "\"" + key(k) + "\":" + f(s) }.mkString("{", ",", "}")
-    val errJson = errs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.median).filterNot(_.isNaN).sum
     val coldTotal = results.map(_._2.cold).filterNot(_.isNaN).sum
     val detail = s"""{"metric":"detail","median":${jmap(identity)(s => num(s.median))},"cold":${jmap(identity)(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(identity)(_.gcMs.toString)},"storage_mb":${jmap(identity)(s => num(s.storMb))},"iters":$iters,"sf":"$sfDir"}"""
     // the driver reads only the last ~2000 chars of stdout and sbt
     // appends its own "[success] Total time ..." line (~80 chars)
-    // after ours — if the per-query map has grown past the window,
-    // degrade to 2-decimal values rather than let the artifact
-    // silently record `parsed: null` (round 4's failure mode)
-    def headlineWith(fmt: Double => String) =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(shortKey)(s => fmt(s.median))},"iters":$iters,"errors":$errJson,"sf":"$sfDir"}"""
-    def num2(d: Double): String =
+    // after ours — if the per-query map or the errors list has grown
+    // past the window, degrade stepwise (fewer decimals, then a
+    // capped errors list) rather than let the artifact silently
+    // record `parsed: null` (round 4's failure mode). Full-precision
+    // numbers and full error names stay on the detail line / stderr.
+    def numAt(dec: Int)(d: Double): String =
       if (d.isNaN) "null"
-      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val full = headlineWith(s => num(s))
-    val headline = if (full.length <= 1850) full else headlineWith(num2)
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+    def errJson(cap: Int): String = {
+      val sorted = errs.sorted
+      val kept = sorted.take(cap).map("\"" + _ + "\"")
+      val more = if (sorted.size > cap) Seq(s""""+${sorted.size - cap} more"""") else Nil
+      (kept ++ more).mkString("[", ",", "]")
+    }
+    def headlineWith(dec: Int, errCap: Int) =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(shortKey)(s => numAt(dec)(s.median))},"iters":$iters,"errors":${errJson(errCap)},"sf":"$sfDir"}"""
+    val headline = Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 5), (1, 3))
+      .map { case (dec, cap) => headlineWith(dec, cap) }
+      .find(_.length <= 1850)
+      .getOrElse(headlineWith(0, 0))
     spark.stop()
     println(detail)
     println(headline)

@@ -65,7 +65,8 @@ object Importance {
     // shared-name using-join over shared-exprId lineages is how
     // AMBIGUOUS_REFERENCE happens on self-join shapes like this
     val rawF = BarrierCache.track(features(raw, idCol, textCol, buckets))
-    val tgtF = features(target, idCol, textCol, buckets)
+    // two consumers each (model + total count) — cache both sides
+    val tgtF = BarrierCache.track(features(target, idCol, textCol, buckets))
     val rawM = rawF.groupBy("f").agg(count(lit(1)).as("nr")).toDF("rf", "nr")
     val tgtM = tgtF.groupBy("f").agg(count(lit(1)).as("nt")).toDF("tf", "nt")
     // NOTE: column resolution is case-INSENSITIVE by default, so

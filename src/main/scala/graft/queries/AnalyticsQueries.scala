@@ -14,6 +14,27 @@ import QueryDefs._
   */
 object AnalyticsQueries {
 
+  /** Urgent-order co-purchase graph shared by q103 (triangles) and
+    * q110 (degree profile): canonical `u < v` long edges,
+    * barrier-cached so both queries — and every consumer branch
+    * inside each — read ONE materialization of the lineitem
+    * self-join instead of maintaining two hand-copied derivations.
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(urgent, Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_partkey").distinct()
+    graft.llm.BarrierCache.track(li.toDF("ok", "u")
+      .join(li.toDF("ok", "v"), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .distinct())
+  }
+
   val queries: Map[String, Q] = Map(
     // q18 — A1: pricing summary (TPC-H Q1 shape). One shuffle, exact
     // decimal sums.
@@ -631,17 +652,8 @@ object AnalyticsQueries {
     // counts the same triangles orientation-free via a<b<c.
     "q103_triangle_count" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
-      val urgent = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("l_orderkey"))
-      val li = Tables.lineitem(s, dir)
-        .join(urgent, Seq("l_orderkey"), "left_semi")
-        .select("l_orderkey", "l_partkey").distinct()
-      val edges = li.toDF("ok", "u")
-        .join(li.toDF("ok", "v"), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .select("u", "v").distinct()
-      graft.operators.Triangles.countTriangles(edges, "u", "v")
+      graft.operators.Triangles.countTriangles(
+        coPurchaseEdges(s, dir), "u", "v")
     }),
 
     // q112 — activity streaks: gaps-and-islands over each user's
@@ -650,12 +662,11 @@ object AnalyticsQueries {
     // shuffle per user + two integer aggregates; the q101 island
     // technique surfaced as a standalone BI operator.
     "q112_activity_streaks" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val days = Tables.events(s, dir)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
       val w = Window.partitionBy("user_id").orderBy("day")
-      days.withColumn("grp", expr("date_sub(day, row_number() OVER " +
-          "(PARTITION BY user_id ORDER BY day))"))
+      days.withColumn("rn", row_number().over(w))
+        .withColumn("grp", date_sub(col("day"), col("rn")))
         .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
         .groupBy("user_id")
         .agg(sum(col("len")).as("n_active_days"),
@@ -687,9 +698,13 @@ object AnalyticsQueries {
     // cannot partial-aggregate). Shuffle volume is 7·|day-user
     // pairs|, independent of window length ordering tricks.
     "q111_rolling_actives" -> ((s, dir) => {
-      val du = Tables.events(s, dir)
-        .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
-      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      // two consumers (DAU and WAU branches) — one materialization
+      val du = graft.llm.BarrierCache.track(Tables.events(s, dir)
+        .select(col("ts").cast("date").as("day"), col("user_id")).distinct())
+      // du is already distinct (day, user): a plain count partial-
+      // aggregates where countDistinct would re-dedup
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
       val wau = du
         .select(col("day"), col("user_id"),
           explode(sequence(lit(0), lit(6))).as("off"))
@@ -730,38 +745,37 @@ object AnalyticsQueries {
     // makes degree-orientation matter in q103).
     "q110_degree_profile" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
-      val urgent = Tables.orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("l_orderkey"))
-      val li = Tables.lineitem(s, dir)
-        .join(urgent, Seq("l_orderkey"), "left_semi")
-        .select("l_orderkey", "l_partkey").distinct()
-      val edges = graft.llm.BarrierCache.track(li.toDF("ok", "u")
-        .join(li.toDF("ok", "v"), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .select("u", "v").distinct())
+      val edges = coPurchaseEdges(s, dir)
       val deg = graft.llm.BarrierCache.track(
         edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
           .groupBy("x").agg(count(lit(1)).as("d")))
-      val sym = edges.join(deg.toDF("u", "du"), Seq("u"))
-        .join(deg.toDF("v", "dv"), Seq("v"))
-        .select(col("du").as("a"), col("dv").as("b"))
-        .unionAll(edges.join(deg.toDF("u", "du"), Seq("u"))
+      // ONE edge-degree join feeding both endpoint orders
+      val j = graft.llm.BarrierCache.track(
+        edges.join(deg.toDF("u", "du"), Seq("u"))
           .join(deg.toDF("v", "dv"), Seq("v"))
-          .select(col("dv").as("a"), col("du").as("b")))
-      val m = sym.agg(count(lit(1)).as("n"),
-        sum(col("a")).as("sx"), sum(col("a") * col("a")).as("sxx"),
-        sum(col("a") * col("b")).as("sxy"))
+          .select(col("du"), col("dv")))
+      val sym = j.select(col("du").as("a"), col("dv").as("b"))
+        .unionAll(j.select(col("dv").as("a"), col("du").as("b")))
+      // moment sums and their products in DECIMAL(38,0): exact at ANY
+      // graph size (a long n·sxx overflows near |E| ~ 1e9 — Spark
+      // would wrap where DuckDB errors, silently diverging), with a
+      // single decimal→double cast on each of the three terms
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = sym.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("a").cast(dec)).as("sx"),
+        sum((col("a") * col("a")).cast(dec)).as("sxx"),
+        sum((col("a") * col("b")).cast(dec)).as("sxy"))
       deg.agg(count(lit(1)).as("n_vertices"),
           min(col("d")).as("min_deg"), max(col("d")).as("max_deg"),
           sum(col("d")).as("sum_deg"))
         .crossJoin(broadcast(m))
-        .select(col("n_vertices"), expr("n div 2").as("n_edges"),
+        .select(col("n_vertices"),
+          (col("n") / 2).cast("long").as("n_edges"),
           col("min_deg"), col("max_deg"),
           round(col("sum_deg") / col("n_vertices"), 6).as("mean_deg"),
-          round((col("n") * col("sxy") - col("sx") * col("sx")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("sxx") - col("sx") * col("sx"))),
+          round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))),
             6).as("assortativity"))
     }),
 
