@@ -55,6 +55,47 @@ object Bench {
     if (d.isNaN) "null"
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** The driver-facing headline line, extracted pure so BenchSpec can
+    * pin the output contract: the ladder degrades precision, then
+    * caps the errors list, and — new, closing the round-5 advice gap
+    * — FINALLY drops the per-query map entirely (`queries:{}`,
+    * `queries_elided:N`), whose length is bounded by a constant plus
+    * |sfDir|, so no amount of query-count growth can push the line
+    * past the driver's stdout tail window again.
+    */
+  private[graft] def headlineLine(total: Double,
+                                  medians: Seq[(String, Double)],
+                                  iters: Int,
+                                  errs: Seq[String],
+                                  sfDir: String,
+                                  window: Int = 1850): String = {
+    val shortKey = medians.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    // duplicate short keys would silently drop a query from the
+    // parsed artifact (JSON keeps the last key) — fail loudly instead
+    require(shortKey.values.toSet.size == medians.size,
+      s"non-unique short query keys: ${shortKey.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }}")
+    def numAt(dec: Int)(d: Double): String =
+      if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+    def errJson(cap: Int): String = {
+      val sorted = errs.sorted
+      val kept = sorted.take(cap).map("\"" + _ + "\"")
+      val more = if (sorted.size > cap) Seq(s""""+${sorted.size - cap} more"""") else Nil
+      (kept ++ more).mkString("[", ",", "]")
+    }
+    def headlineWith(dec: Int, errCap: Int) = {
+      val qs = medians.map { case (k, v) => "\"" + shortKey(k) + "\":" + numAt(dec)(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${numAt(3)(total)},"unit":"sec","queries":$qs,"iters":$iters,"errors":${errJson(errCap)},"sf":"$sfDir"}"""
+    }
+    val totalsOnly =
+      s"""{"metric":"total","value":${numAt(3)(total)},"unit":"sec","queries":{},"queries_elided":${medians.size},"iters":$iters,"errors":${errJson(0)},"sf":"$sfDir"}"""
+    Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 5), (1, 3), (0, 0))
+      .map { case (dec, cap) => headlineWith(dec, cap) }
+      .find(_.length <= window)
+      .getOrElse(totalsOnly)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,11 +174,6 @@ object Bench {
       val cold = if (runs.nonEmpty && runs.head._1) runs.head._2 else Double.NaN
       name -> QStat(median, cold, gcLog(name), storLog(name))
     }
-    val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
-    // duplicate short keys would silently drop a query from the
-    // parsed artifact (JSON keeps the last key) — fail loudly instead
-    require(shortKey.values.toSet.size == results.size,
-      s"non-unique short query keys: ${shortKey.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }}")
     def jmap(key: String => String)(f: QStat => String) =
       results.map { case (k, s) => "\"" + key(k) + "\":" + f(s) }.mkString("{", ",", "}")
     val total = results.map(_._2.median).filterNot(_.isNaN).sum
@@ -145,26 +181,13 @@ object Bench {
     val detail = s"""{"metric":"detail","median":${jmap(identity)(s => num(s.median))},"cold":${jmap(identity)(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(identity)(_.gcMs.toString)},"storage_mb":${jmap(identity)(s => num(s.storMb))},"iters":$iters,"sf":"$sfDir"}"""
     // the driver reads only the last ~2000 chars of stdout and sbt
     // appends its own "[success] Total time ..." line (~80 chars)
-    // after ours — if the per-query map or the errors list has grown
-    // past the window, degrade stepwise (fewer decimals, then a
-    // capped errors list) rather than let the artifact silently
-    // record `parsed: null` (round 4's failure mode). Full-precision
-    // numbers and full error names stay on the detail line / stderr.
-    def numAt(dec: Int)(d: Double): String =
-      if (d.isNaN) "null"
-      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
-    def errJson(cap: Int): String = {
-      val sorted = errs.sorted
-      val kept = sorted.take(cap).map("\"" + _ + "\"")
-      val more = if (sorted.size > cap) Seq(s""""+${sorted.size - cap} more"""") else Nil
-      (kept ++ more).mkString("[", ",", "]")
-    }
-    def headlineWith(dec: Int, errCap: Int) =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(shortKey)(s => numAt(dec)(s.median))},"iters":$iters,"errors":${errJson(errCap)},"sf":"$sfDir"}"""
-    val headline = Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 5), (1, 3))
-      .map { case (dec, cap) => headlineWith(dec, cap) }
-      .find(_.length <= 1850)
-      .getOrElse(headlineWith(0, 0))
+    // after ours — headlineLine degrades stepwise (fewer decimals,
+    // capped errors list, finally a totals-only line) rather than let
+    // the artifact silently record `parsed: null` (round 4's failure
+    // mode). Full-precision numbers and full error names stay on the
+    // detail line / stderr.
+    val headline = headlineLine(total,
+      results.map { case (k, s) => k -> s.median }, iters, errs.toSeq, sfDir)
     spark.stop()
     println(detail)
     println(headline)

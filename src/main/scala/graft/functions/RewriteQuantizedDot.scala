@@ -18,14 +18,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   * interpreted lambda per element, where the native expression is a
   * tight unboxed loop inside whole-stage codegen.
   *
-  * Soundness: [[QDotStrict]] reproduces the HOF chain's null
-  * semantics exactly (ragged lengths and null elements yield NULL),
-  * so the rewrite is observation-equivalent on EVERY input, not just
-  * well-formed embeddings — the precondition for running as an
-  * optimizer rule rather than an opt-in API. The match is
-  * deliberately exact (float element type, 1e6 scale, 0-scale
-  * HALF_UP round, add-merge, identity finish): any other
-  * aggregation keeps its HOF plan.
+  * Soundness: [[QDotStrict]] replays the HOF chain's evaluation
+  * order exactly — per-index left-then-right quantization with
+  * null short-circuit, then the fold — so NULLs, values, AND
+  * ArithmeticExceptions land on the same inputs. That equivalence
+  * holds only under ANSI arithmetic: with
+  * `spark.sql.ansi.enabled=false` the HOF chain WRAPS on overflow
+  * and nulls NaN casts, and `try_*` (EvalMode.TRY) formulations
+  * return NULL where QDotStrict throws. The rule therefore fires
+  * only when the session is in ANSI mode and every matched
+  * Cast/Multiply/Add carries EvalMode.ANSI; any other mode keeps
+  * its HOF plan. The match is otherwise deliberately exact (float
+  * element type, 1e6 scale, 0-scale HALF_UP round, add-merge,
+  * identity finish).
   *
   * Injected via [[graft.GraftExtensions]] (injectOptimizerRule) or
   * `spark.experimental.extraOptimizations`.
@@ -41,13 +46,14 @@ object RewriteQuantizedDot extends Rule[LogicalPlan] {
     * the lambda variable `v`.
     */
   private def isQi(e: Expression, v: NamedLambdaVariable): Boolean = e match {
-    case c: Cast if c.dataType == LongType =>
+    case c: Cast if c.dataType == LongType && c.evalMode == EvalMode.ANSI =>
       c.child match {
         case r: Round =>
           (r.child, r.scale) match {
-            case (Multiply(inner: Cast, Literal(s: Double, DoubleType), _),
+            case (Multiply(inner: Cast, Literal(s: Double, DoubleType), mulMode),
                   Literal(0, IntegerType)) =>
-              s == 1000000.0 && inner.dataType == DoubleType &&
+              mulMode.evalMode == EvalMode.ANSI &&
+                s == 1000000.0 && inner.dataType == DoubleType &&
                 (inner.child match {
                   case nv: NamedLambdaVariable => nv.exprId == v.exprId
                   case _ => false
@@ -65,14 +71,19 @@ object RewriteQuantizedDot extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    // QDotStrict throws on NaN/overflow like ANSI arithmetic; in
+    // LEGACY mode the HOF chain wraps/nulls instead, so outside ANSI
+    // the rewrite would not be observation-equivalent — skip it.
+    if (!conf.ansiEnabled) plan
+    else plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(qx, qy, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+              LambdaFunction(Multiply(qx, qy, mulMode), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(s, v, _), Seq(s2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
+            LambdaFunction(Add(s, v, addMode), Seq(s2: NamedLambdaVariable, v2: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(f: NamedLambdaVariable), _))
-          if isFloatArray(a) && isFloatArray(b) &&
+          if mulMode.evalMode == EvalMode.ANSI && addMode.evalMode == EvalMode.ANSI &&
+            isFloatArray(a) && isFloatArray(b) &&
             isQi(qx, x) && isQi(qy, y) &&
             sameVar(s, s2) && sameVar(v, v2) && sameVar(fin, f) =>
         QDotStrict(a, b)

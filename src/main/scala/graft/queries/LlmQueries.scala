@@ -150,12 +150,17 @@ object LlmQueries {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val docs = Tables.documents(s, dir)
       val t = col("text")
-      val base = docs.select(col("doc_id"), col("lang"),
-        TextStats.tokenCount(t).cast("long").as("n_tokens"),
-        TextStats.qualityScore(t).as("quality"),
-        (Pii.emailCount(t) + Pii.phoneCount(t) + Pii.ipCount(t))
-          .cast("long").as("n_pii"),
-        TextStats.fingerprint(t).as("fp"))
+      // base feeds two consumers (fpCounts + the final join) and its
+      // PII regex projections are the expensive part — barrier-cache
+      // it so the scan+regex pass runs once, as the other
+      // multi-consumer llm queries do.
+      val base = graft.llm.BarrierCache.track(
+        docs.select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(t).cast("long").as("n_tokens"),
+          TextStats.qualityScore(t).as("quality"),
+          (Pii.emailCount(t) + Pii.phoneCount(t) + Pii.ipCount(t))
+            .cast("long").as("n_pii"),
+          TextStats.fingerprint(t).as("fp")))
       val fpCounts = base.groupBy("fp").agg(count(lit(1)).as("n_fp_copies"))
       val spans = graft.llm.Spans.dupSpanReport(docs, "doc_id", "text", n = 8)
         .select(col("doc_id"), col("dup_frac"))

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A7 custom state: per-user running statistics via
   * `flatMapGroupsWithState` — the arbitrary-stateful-processing API
@@ -67,6 +68,27 @@ object Stateful {
   }
 
   final case class Change(k: Long, ver: Long, op: String, payload: String)
+
+  /** The equal-version tie-break must order strings exactly as the
+    * batch replay's `orderBy(desc)` does — Spark compares strings as
+    * UTF8String (UTF-8 byte / code-point order), which disagrees with
+    * Scala's UTF-16 `Ordering[String]` when supplementary characters
+    * (U+10000+) mix with U+E000–U+FFFF. Compare via UTF8String so the
+    * streaming==batch invariant holds on non-ASCII payloads too.
+    */
+  private val utf8Ord: Ordering[String] =
+    (a: String, b: String) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private val candOrd: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+    override def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+      val c1 = java.lang.Long.compare(a._1, b._1)
+      if (c1 != 0) c1
+      else {
+        val c2 = utf8Ord.compare(a._2, b._2)
+        if (c2 != 0) c2 else utf8Ord.compare(a._3, b._3)
+      }
+    }
+  }
   final case class KeyState(k: Long, ver: Long, op: String, payload: String)
 
   /** Streaming CDC apply — the continuous sibling of
@@ -94,11 +116,12 @@ object Stateful {
           val cur = state.getOption
           // same winner rule as Cdc.state: version first, then the
           // remaining columns (op, payload — name-sorted) as a
-          // deterministic tie-break, so a conflicted feed resolves
-          // identically here and in the batch replay
+          // deterministic tie-break in Spark's UTF8 binary string
+          // order, so a conflicted feed resolves identically here
+          // and in the batch replay
           val best = rows.foldLeft(cur) { (acc, r) =>
             val cand = (r.ver, r.op, r.payload)
-            if (acc.exists(a => Ordering[(Long, String, String)].gteq(a, cand))) acc
+            if (acc.exists(a => candOrd.gteq(a, cand))) acc
             else Some(cand)
           }
           best match {

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench headline output contract (round-4 regression: a
+  * too-long final stdout line made the driver record `parsed: null`).
+  * The ladder must keep the line inside the driver's ~2000-char tail
+  * window — with sbt's trailing "[success]" line budgeted — at any
+  * query count, degrading per-query precision and finally eliding the
+  * per-query map entirely rather than overflowing.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def queries(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q$i%03d_some_query_name" -> (i * 0.123)))
+
+  test("current-suite-sized headline keeps the full per-query map") {
+    val line = Bench.headlineLine(65.613, queries(115), iters = 3,
+      errs = Nil, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1850, s"len=${line.length}")
+    assert(line.contains("\"q001\":"), line.take(200))
+    assert(line.contains("\"q115\":"))
+    assert(line.startsWith("""{"metric":"total","value":65.613"""))
+  }
+
+  test("200 queries still fit the window (totals-only fallback is bounded)") {
+    val line = Bench.headlineLine(123.456, queries(200), iters = 3,
+      errs = Nil, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"len=${line.length}")
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"value\":123.456"))
+  }
+
+  test("1000 queries with many errors still fit the window") {
+    val errs = (1 to 50).map(i => f"q$i%03d_some_query_name")
+    val line = Bench.headlineLine(999.999, queries(1000), iters = 3,
+      errs = errs, sfDir = "/root/testdata/sf1-generated/with/a/longer/path")
+    assert(line.length <= 1900, s"len=${line.length}")
+    // totals-only step must say how many queries were elided
+    assert(line.contains("\"queries_elided\":1000"), line)
+    assert(line.contains("+50 more"), line)
+  }
+
+  test("duplicate short keys fail loudly instead of silently dropping a query") {
+    val dup = Seq("q01_first" -> 1.0, "q01_second" -> 2.0)
+    val e = intercept[IllegalArgumentException] {
+      Bench.headlineLine(3.0, dup, iters = 3, errs = Nil, sfDir = "x")
+    }
+    assert(e.getMessage.contains("q01"))
+  }
+
+  test("NaN medians render as JSON null at every ladder step") {
+    val line = Bench.headlineLine(1.0, Seq("q01_x" -> Double.NaN), iters = 3,
+      errs = Seq("q01_x"), sfDir = "x")
+    assert(line.contains("\"q01\":null"), line)
+  }
+}

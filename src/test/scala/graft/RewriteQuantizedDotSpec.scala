@@ -72,6 +72,54 @@ class RewriteQuantizedDotSpec extends SparkSpec {
     assert(arithmetic(fast), s"rewritten path: $fast")
   }
 
+  test("ragged + NaN throws on both paths (zip_with materializes every product)") {
+    // x longer than y, NaN in x's unpaired tail: the HOF still
+    // evaluates qi(x_i) there (Multiply's LEFT), so ANSI throws —
+    // NULL-for-ragged must not swallow the error on the native path
+    val df = Seq((Seq(Some(1.0f), Some(Float.NaN)), Seq(Some(1.0f))))
+      .toDF("a", "b")
+    def arithmetic(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[ArithmeticException])
+    val plain = intercept[Throwable] {
+      df.select(Similarity.qdotHof(col("a"), col("b"))).collect()
+    }
+    val fast = intercept[Throwable] {
+      withRule { df.select(Similarity.qdotHof(col("a"), col("b"))).collect() }
+    }
+    assert(arithmetic(plain), s"HOF path: $plain")
+    assert(arithmetic(fast), s"rewritten path: $fast")
+  }
+
+  test("a null (or padded) left element shields a NaN right: NULL on both paths") {
+    // Multiply short-circuits on a null LEFT, so qi(NaN) on the right
+    // is never evaluated — both paths must return NULL, not throw
+    val rows: Seq[(Option[Seq[Option[Float]]], Option[Seq[Option[Float]]])] = Seq(
+      (Some(Seq(None)), Some(Seq(Some(Float.NaN)))),            // null element shields
+      (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(Float.NaN))))) // padding shields
+    val df = rows.toDF("a", "b")
+    val hof = df.select(Similarity.qdotHof(col("a"), col("b"))).collect().map(_.get(0))
+    val fast = withRule {
+      df.select(Similarity.qdotHof(col("a"), col("b"))).collect().map(_.get(0))
+    }
+    assert(hof.toSeq === Seq(null, null))
+    assert(fast.toSeq === hof.toSeq)
+  }
+
+  test("rule does not fire outside ANSI mode (LEGACY arithmetic wraps, QDotStrict throws)") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      withRule {
+        val df = Tables.embeddings(spark, sf)
+          .select(Similarity.qdotHof(col("embedding"), col("embedding")).as("d"))
+        val opt = df.queryExecution.optimizedPlan
+        assert(!opt.expressions.exists(_.exists(_.isInstanceOf[QDotStrict])),
+          s"rule must not fire with ansi off\n$opt")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("rule does not fire on a lookalike with a different scale") {
     withRule {
       val other = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>

@@ -197,4 +197,41 @@ class StatefulSpec extends SparkSpec {
     assert(oneShot.filter(_._3 != "D").map(_._1) ===
       batch.filter(_._3 != "D").map(_._1))
   }
+
+  test("CDC equal-version tie-break matches batch on supplementary-plane payloads") {
+    // U+1F600 (😀, surrogate pair D83D DE00 in UTF-16) vs U+FFFD:
+    // Scala's UTF-16 Ordering says 😀 < U+FFFD (0xD83D < 0xFFFD),
+    // Spark's UTF8String code-point order says 😀 > U+FFFD — the
+    // streaming fold must use the latter or streaming != batch here
+    val log = Seq(
+      (1L, 5L, "U", "😀"),
+      (1L, 5L, "U", "�"))
+    val batch = graft.etl.Cdc.state(
+        log.toDF("k", "ver", "op", "payload"), Seq("k"), Seq("ver"))
+      .select("k", "ver", "op", "payload")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(batch.map(_._4) === Set("😀"),
+      "construction: batch must pick the UTF8-binary max payload")
+
+    val base = tmpDir("cdc-utf8")
+    val in = base + "/in"; val chk = base + "/chk"
+    Files.createDirectories(Paths.get(in))
+    val last = scala.collection.mutable.Map.empty[Long, (Long, Long, String, String)]
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ver BIGINT, op STRING, payload STRING")
+    log.toDF("k", "ver", "op", "payload").write.mode("append").parquet(in)
+    val q = Stateful.cdcResolved(spark.readStream.schema(schema).parquet(in))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.KeyState], _: Long) =>
+        last.synchronized {
+          b.collect().foreach(s => last(s.k) = (s.k, s.ver, s.op, s.payload))
+        }
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(last.values.toSet === batch)
+  }
 }
