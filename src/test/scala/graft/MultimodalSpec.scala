@@ -42,13 +42,113 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getLong(1) === again)
   }
 
-  test("stub decode yields deterministic fixed-dim features; batched map preserves rows") {
-    val df = Multimodal.stubDecodeFeatures(
-      Multimodal.withMetadata(Multimodal.readBinary(spark, dir)), dim = 8)
-    val feats = df.select("features").collect().map(_.getSeq[Double](0))
-    assert(feats.forall(_.length === 8))
-    assert(feats.forall(_.forall(v => v >= 0.0 && v < 1.0)))
-    val n = df.count()
-    assert(Multimodal.mapBatches(df.drop("features"), batchSize = 2).count() === n)
+  // real image fixtures, generated deterministically through the
+  // JDK's own encoders (the same codec family the decode path uses)
+  private lazy val imgDir: String = {
+    val d = tmpDir("mm-img")
+    import java.awt.image.BufferedImage
+    def write(name: String, fmt: String, bi: BufferedImage): Unit = {
+      val ok = javax.imageio.ImageIO.write(bi, fmt, new java.io.File(d, name))
+      assert(ok, s"JDK writer missing for $fmt")
+    }
+    // solid RGB(100,150,200): luma = (299·100+587·150+114·200)/1000
+    // = 140.75 exactly; entropy 0 (one histogram bin)
+    val solid = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      solid.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    write("solid.png", "png", solid)
+    write("solid.bmp", "bmp", solid)
+    write("solid.jpg", "jpg", solid)
+    // two-tone 16×16: left half black, right half white — entropy
+    // exactly 1 bit, mean 127.5, and the 4×4 grid pooling splits
+    // into two black and two white columns
+    val duo = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      duo.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    write("duo.png", "png", duo)
+    write("duo.gif", "gif", duo)
+    // truncated header-only "png" + plain garbage: decode must mark,
+    // not throw
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "trunc.png"),
+      Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "junk.bin"),
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    d
+  }
+
+  test("ImageIO decode: dimensions, channels, exact luma stats on lossless formats") {
+    val df = Multimodal.decodeImages(
+      Multimodal.withMetadata(Multimodal.readBinary(spark, imgDir)), batchSize = 2)
+    val by = df.select("path", "image.*").collect()
+      .map(r => (r.getString(0).split('/').last, r)).toMap
+    for (f <- Seq("solid.png", "solid.bmp")) {
+      val r = by(f)
+      assert(r.getBoolean(1), f)                    // decode_ok
+      assert(r.getInt(2) === 20 && r.getInt(3) === 10, f) // w×h
+      assert(r.getInt(4) === 3, f)                  // RGB channels
+      assert(r.getDouble(5) === 140.75, f)          // exact BT.601 luma
+      assert(r.getDouble(6) === 0.0, f)             // single-bin entropy
+    }
+    // JPEG is lossy: near, not exact
+    val j = by("solid.jpg")
+    assert(j.getBoolean(1) && j.getInt(2) === 20 && j.getInt(3) === 10)
+    assert(math.abs(j.getDouble(5) - 140.75) < 3.0, j.getDouble(5))
+    // two-tone: entropy exactly 1 bit, mean exactly 127.5 (png + gif)
+    for (f <- Seq("duo.png", "duo.gif")) {
+      val r = by(f)
+      assert(r.getBoolean(1), f)
+      assert(r.getDouble(5) === 127.5, f)
+      assert(r.getDouble(6) === 1.0, f)
+    }
+    // corrupt payloads mark the row instead of failing the task
+    assert(!by("trunc.png").getBoolean(1))
+    assert(!by("junk.bin").getBoolean(1))
+  }
+
+  test("grid-pooled luma features: deterministic, correct on the two-tone image") {
+    val df = Multimodal.decodeImages(
+      Multimodal.withMetadata(Multimodal.readBinary(spark, imgDir)), grid = 4)
+    val duo = df.filter(org.apache.spark.sql.functions.col("path").endsWith("duo.png"))
+      .select("features").collect().head.getSeq[Float](0)
+    assert(duo.length === 16)
+    // columns 0-1 of each grid row black (0.0), columns 2-3 white (1.0)
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val v = duo(gy * 4 + gx)
+      if (gx < 2) assert(v === 0f, s"($gy,$gx)") else assert(v === 1f, s"($gy,$gx)")
+    }
+    // failed decodes carry null features; decode is bit-deterministic
+    val junk = df.filter(org.apache.spark.sql.functions.col("path").endsWith("junk.bin"))
+      .select("features").collect().head
+    assert(junk.isNullAt(0))
+    val again = Multimodal.decodeImages(
+      Multimodal.withMetadata(Multimodal.readBinary(spark, imgDir)), grid = 4)
+      .select("path", "features").collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap
+    df.select("path", "features").collect().foreach { r =>
+      assert(again(r.getString(0)) === r.getSeq[Float](1))
+    }
+  }
+
+  test("decoded features flow into the A10 similarity family") {
+    val feats = Multimodal.decodeImages(
+        Multimodal.withMetadata(Multimodal.readBinary(spark, imgDir)))
+      .filter("image.decode_ok")
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("features").as("embedding"))
+    // brute cosine top-k over the image features: the two solid
+    // lossless encodings must be each other's nearest neighbor
+    import org.apache.spark.sql.functions._
+    val a = feats.filter(col("path").endsWith("solid.png"))
+      .select(col("embedding").as("qe"))
+    import graft.llm.Similarity.{cosine, qdot}
+    val sims = feats.crossJoin(broadcast(a))
+      .select(col("path"),
+        cosine(qdot(col("embedding"), col("qe")),
+          qdot(col("embedding"), col("embedding")),
+          qdot(col("qe"), col("qe"))).as("cos"))
+      .filter(!col("path").endsWith("solid.png"))
+      .orderBy(col("cos").desc)
+      .collect()
+    assert(sims.head.getString(0).endsWith("solid.bmp") ||
+      sims.head.getString(0).endsWith("solid.jpg"), sims.map(_.toString).mkString(","))
   }
 }
