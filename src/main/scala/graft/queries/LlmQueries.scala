@@ -44,6 +44,44 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // q117 — A9/LLM tier: REAL BPE tokenizer train + apply
+    // (graft.llm.Bpe / functions.BpeEncode) — upgrades q55's regex
+    // heuristic. Training is data-deterministic, so the learned
+    // merge list can't go in a static oracle; instead the exact
+    // corpus projections (word/char sums — DuckDB-computable) ride
+    // with three deterministic in-plan PROOFS of the machinery
+    // (§6.2 pattern): every doc's subwords concat back to its
+    // space-stripped text (a full replay of the merge list on every
+    // row), every subword count sits in [n_words, n_chars], and
+    // every multi-char subword is an output of the learned merges.
+    // A training or apply regression flips a flag → hash mismatch.
+    "q117_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.llm.Bpe.trainFromCorpus(docs, "text",
+        maxWords = 2000, nMerges = 200)
+      val vocabOut = merges.map { case (a, b) => a + b }.distinct.sorted
+      val sub = graft.llm.Bpe.encode(col("text"), merges)
+      docs.select(col("lang"),
+          size(filter(TextStats.tokens(col("text")), t => length(t) > 0))
+            .cast("long").as("nw"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"),
+          regexp_replace(col("text"), " ", "").as("strip"),
+          sub.as("sub"))
+        .select(col("lang"), col("nw"), col("nc"),
+          (concat_ws("", col("sub")) === col("strip")).as("rt"),
+          (size(col("sub")).cast("long") <= col("nc") &&
+            size(col("sub")).cast("long") >= col("nw")).as("cp"),
+          forall(col("sub"), t => length(t) === 1 || t.isin(vocabOut: _*)).as("vo"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("n_words"),
+          sum("nc").as("n_chars"),
+          bool_and(col("rt")).as("roundtrip_ok"),
+          bool_and(col("cp")).as("compress_ok"),
+          bool_and(col("vo")).as("vocab_ok"))
+        .orderBy("lang")
+    }),
+
     // q28 — A9: heuristic language-ID vs the labeled lang.
     "q28_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -567,6 +605,26 @@ object LlmQueries {
       Dedup.embeddingNearDups(emb.unionByName(copies), "vec_id", "embedding",
           threshold = 0.95)
         .orderBy("id_i", "id_j")
+    }),
+
+    // q116 — A8 semantic tier: SemDeDup (k-means over embeddings →
+    // within-cluster cosine prune) — the paraphrase-duplicate shape
+    // the lexical dedup family can't see. Planted exact copies
+    // (every 7th vector at id+2e7, q45's construction) are the full
+    // expected output: identical vectors are assigned identically by
+    // the deterministic k-means, so cluster-recall of the planted
+    // pairs is structural, and no random 64-dim pair reaches 0.95.
+    // The oracle replays the pair cosines over the planted corpus —
+    // if the clustering machinery breaks (copies straddle clusters),
+    // pairs vanish and the hash check fails.
+    "q116_semantic_dedup" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 20000000).as("vec_id"), col("embedding"))
+      graft.llm.SemDedup.semanticDups(emb.unionByName(copies),
+          "vec_id", "embedding", threshold = 0.95, k = 8, iters = 3)
+        .orderBy("id_keep", "id_drop")
     }),
 
     // q34 — A10: brute-force cosine top-10 for 5 probe vectors
@@ -1418,6 +1476,39 @@ object LlmQueries {
          |         CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
          |  FROM p)
          |WHERE cos >= 0.95 ORDER BY id_i, id_j""".stripMargin,
+    // q117: exact word/char projections; the BPE flags are TRUE when
+    // the train+apply machinery holds its invariants.
+    "q117_bpe_tokenize" ->
+      """WITH d AS (SELECT lang,
+        |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS nw,
+        |  length(replace(text, ' ', '')) AS nc
+        |FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  TRUE AS roundtrip_ok, TRUE AS compress_ok, TRUE AS vocab_ok
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // q116: all pairs ≥ 0.95 over the planted corpus — exactly the
+    // planted copies; the Spark side must recover them through the
+    // k-means route.
+    "q116_semantic_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 20000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+         |p AS (
+         |  SELECT a.vec_id AS id_keep, b.vec_id AS id_drop,
+         |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS dot,
+         |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("a.embedding[i]")}) AS n2a,
+         |    SUM(${qiSql("b.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS n2b
+         |  FROM corpus a, corpus b, range(1, 65) AS u(i)
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id_keep, id_drop, round(cos, 6) AS cosine FROM (
+         |  SELECT id_keep, id_drop,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
+         |  FROM p)
+         |WHERE cos >= 0.95 ORDER BY id_keep, id_drop""".stripMargin,
     "q34_cosine_topk" -> bruteTopKSql(""),
     // q35/q47 emit the same exact projection; their ANN twin only
     // drives the recall_ok flag, TRUE when healthy.
