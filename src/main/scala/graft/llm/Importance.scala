@@ -52,6 +52,26 @@ object Importance {
       bi.select(col(idCol), concat_ws(" ", col("w1"), col("w2")).as("f"))
   }
 
+  /** `(id, f, m)` — per-doc DISTINCT features with multiplicity,
+    * derived from the shared [[LangModel.docBigramCounts]] index:
+    * scoring traffic shrinks to |distinct features| and the
+    * underlying bigram materialization is the same cache q107/q108
+    * hit.
+    */
+  def featureCounts(docs: DataFrame, idCol: String, textCol: String,
+                    buckets: Int): DataFrame = {
+    val db = LangModel.docBigramCounts(docs, idCol, textCol)
+    val keyed =
+      if (buckets > 0)
+        db.select(col(idCol),
+          pmod(xxhash64(col("w1"), col("w2")), lit(buckets.toLong))
+            .cast("string").as("f"), col("m"))
+      else
+        db.select(col(idCol), concat_ws(" ", col("w1"), col("w2")).as("f"), col("m"))
+    // distinct bigrams can collapse further under bucket hashing
+    keyed.groupBy(idCol, "f").agg(sum(col("m")).as("m"))
+  }
+
   /** Per-document DSIR log importance weights of `raw` against
     * `target`: `(id, n_feats, logw9, logw)` — `logw9` the exact
     * ×10⁹-scaled long, `logw` its rounded double. Smoothing
@@ -63,16 +83,19 @@ object Importance {
     // raw and target usually share lineage (target is a filter of
     // raw), so every derived frame gets its own column names — a
     // shared-name using-join over shared-exprId lineages is how
-    // AMBIGUOUS_REFERENCE happens on self-join shapes like this
-    val rawF = BarrierCache.track(features(raw, idCol, textCol, buckets))
-    // two consumers each (model + total count) — cache both sides
-    val tgtF = BarrierCache.track(features(target, idCol, textCol, buckets))
-    val rawM = rawF.groupBy("f").agg(count(lit(1)).as("nr")).toDF("rf", "nr")
-    val tgtM = tgtF.groupBy("f").agg(count(lit(1)).as("nt")).toDF("tf", "nt")
+    // AMBIGUOUS_REFERENCE happens on self-join shapes like this.
+    // Distinct-feature counts (id, f, m): occurrence totals become
+    // Σm, per-doc sums weight delta9 by m — identical values with
+    // |distinct| join traffic, over the shared bigram cache.
+    val rawF = BarrierCache.track(featureCounts(raw, idCol, textCol, buckets))
+    // three consumers each (model + total + scoring) — cache both
+    val tgtF = BarrierCache.track(featureCounts(target, idCol, textCol, buckets))
+    val rawM = rawF.groupBy("f").agg(sum(col("m")).as("nr")).toDF("rf", "nr")
+    val tgtM = tgtF.groupBy("f").agg(sum(col("m")).as("nt")).toDF("tf", "nt")
     // NOTE: column resolution is case-INSENSITIVE by default, so
     // totals must not reuse nr/nt/f in any capitalization
-    val totals = rawF.agg(count(lit(1)).as("totR")).crossJoin(
-      tgtF.agg(count(lit(1)).as("totT"))).crossJoin(
+    val totals = rawF.agg(coalesce(sum(col("m")), lit(0L)).as("totR")).crossJoin(
+      tgtF.agg(coalesce(sum(col("m")), lit(0L)).as("totT"))).crossJoin(
       (if (buckets > 0) rawF.sparkSession.range(1).select(lit(buckets.toLong).as("nFeat"))
        else rawM.agg(count(lit(1)).as("nFeat"))))
     // deltas over RAW's observed features (only they can score a raw
@@ -89,7 +112,8 @@ object Importance {
           .cast("long").as("delta9"))
     rawF.join(deltas, col("f") === col("df"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"), sum(col("delta9")).as("logw9"))
+      .agg(sum(col("m")).as("n_feats"),
+        sum(col("m") * col("delta9")).as("logw9"))
       .withColumn("logw", round(col("logw9").cast("double") / 1e9, 6))
   }
 }

@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   * reported average divides once at the end.
   *
   * Scale shape: bigram extraction is a projection+generate (no
-  * shuffle); the model "training" is two map-side-partial hash
-  * aggregates (traffic = |bigram vocab| and |unigram vocab|); scoring
-  * re-joins the bigram stream to the two count tables by token key —
-  * vocabulary tables can exceed broadcast size at corpus scale, so
-  * nothing forces a broadcast; |V| is a 1-row broadcast.
+  * shuffle); everything downstream works on the PER-DOC DISTINCT
+  * bigram index `(id, w1, w2, m)` — natural-language bigrams repeat
+  * heavily, so join traffic is |per-doc distinct bigrams|, not the
+  * full occurrence stream, and the model aggregates (Σm by key) see
+  * pre-shrunk input. The index is barrier-cached: q107 scoring, the
+  * q108 feature store, and q114's DSIR raw side build the identical
+  * plan, so one materialization serves all three (the q31/q32
+  * shingle-index precedent). Vocabulary tables join by token key —
+  * they can exceed broadcast size at corpus scale, so nothing forces
+  * a broadcast; |V| is a 1-row broadcast.
   */
 object LangModel {
 
@@ -41,19 +46,33 @@ object LangModel {
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 
+  /** Barrier-cached per-doc distinct bigram index
+    * `(id, w1, w2, m)` — `m` the within-doc occurrence count. The
+    * shared materialization behind q107/q108/q114: identical calls
+    * build the identical plan and hit one cache.
+    */
+  def docBigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    BarrierCache.track(
+      bigrams(docs, idCol, textCol)
+        .groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("m")))
+
   /** Per-document add-one bigram LM score:
     * `(id, n_bigrams, sum_lp9, avg_logprob)` where
     * `sum_lp9 = Σ round(1e9 · ln((C(w1,w2)+1)/(C(w1·)+|V|)))` (exact
     * long) and `avg_logprob = sum_lp9 / 1e9 / n_bigrams` rounded to
     * 6 places. Documents with fewer than 2 tokens are absent.
+    * Computed over the distinct-bigram index: each distinct bigram's
+    * lp9 is one long multiplied by its exact multiplicity, so the
+    * result is bit-identical to scoring the full stream while the
+    * scoring join moves |distinct| rows.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val big = BarrierCache.track(bigrams(docs, idCol, textCol))
-    val cg = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-    val cp = big.groupBy("w1").agg(count(lit(1)).as("pc"))
+    val db = docBigramCounts(docs, idCol, textCol)
+    val cg = db.groupBy("w1", "w2").agg(sum(col("m")).as("cnt"))
+    val cp = db.groupBy("w1").agg(sum(col("m")).as("pc"))
     val v = docs.select(explode(split(col(textCol), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    big
+    db
       .join(cg, Seq("w1", "w2"))
       .join(cp, Seq("w1"))
       .crossJoin(broadcast(v))
@@ -61,7 +80,8 @@ object LangModel {
         round(log((col("cnt") + 1).cast("double") /
           (col("pc") + col("v")).cast("double")) * 1e9).cast("long"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("sum_lp9"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("lp9")).as("sum_lp9"))
       .withColumn("avg_logprob",
         round(col("sum_lp9").cast("double") / 1e9 / col("n_bigrams"), 6))
   }
