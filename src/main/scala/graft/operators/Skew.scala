@@ -63,4 +63,38 @@ object Skew {
     */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n")).orderBy(col("n").desc).limit(topN)
+
+  /** Key-skew profile (the q99 report): per-key counts reduced to
+    * `(n_keys, total, max_per_key, p50_per_key, p99_per_key,
+    * skew_ratio)`.
+    *
+    * `exact = true` uses Spark's exact `percentile` — its aggregation
+    * buffer holds one entry per DISTINCT per-key count value, fine
+    * for oracle-checked runs at bench scale but unbounded in the
+    * worst case. `exact = false` swaps in `approx_percentile`
+    * (Greenwald-Khanna), whose state is O(accuracy) REGARDLESS of
+    * key cardinality and merges across partials — the 100 TB path.
+    * Same report schema either way (approx results cast to double);
+    * error is bounded by `1/accuracy` rank resolution
+    * (SkewSpec pins equivalence-at-tolerance and the plan shape).
+    */
+  def skewReport(df: DataFrame, key: String,
+                 exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    val per = df.groupBy(key).agg(count(lit(1)).as("n"))
+    val (p50, p99) =
+      if (exact)
+        (expr("percentile(n, 0.5)"), expr("percentile(n, 0.99)"))
+      else
+        (expr(s"approx_percentile(n, 0.5, $accuracy)").cast("double"),
+          expr(s"approx_percentile(n, 0.99, $accuracy)").cast("double"))
+    per.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("total"),
+        max(col("n")).as("max_per_key"),
+        p50.as("p50_per_key"),
+        p99.as("p99_per_key"))
+      .select(col("n_keys"), col("total"), col("max_per_key"),
+        col("p50_per_key"), col("p99_per_key"),
+        (col("max_per_key").cast("double") /
+          (col("total").cast("double") / col("n_keys"))).as("skew_ratio"))
+  }
 }

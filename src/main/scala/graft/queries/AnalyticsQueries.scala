@@ -626,22 +626,12 @@ object AnalyticsQueries {
     // when operators/Skew's salting is warranted. Two aggregations:
     // per-key counts (shuffle on the key being profiled — unavoidable
     // and exactly the shuffle under diagnosis), then a single-row
-    // reduce. The exact percentile over per-key counts buffers one
-    // long per key; at 100 TB profile a hash-sample of keys or swap
-    // approx_percentile — the report's contract is unchanged.
-    "q99_skew_report" -> ((s, dir) => {
-      val per = Tables.orders(s, dir)
-        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-      per.agg(count(lit(1)).as("n_keys"),
-          sum(col("n")).as("total"),
-          max(col("n")).as("max_per_key"),
-          expr("percentile(n, 0.5)").as("p50_per_key"),
-          expr("percentile(n, 0.99)").as("p99_per_key"))
-        .select(col("n_keys"), col("total"), col("max_per_key"),
-          col("p50_per_key"), col("p99_per_key"),
-          (col("max_per_key").cast("double") /
-            (col("total").cast("double") / col("n_keys"))).as("skew_ratio"))
-    }),
+    // reduce. Exact percentiles here (DuckDB-parity oracle);
+    // Skew.skewReport(exact = false) is the bounded-state
+    // approx_percentile form for open key spaces — same schema,
+    // SkewSpec pins the equivalence and plan shape.
+    "q99_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.skewReport(Tables.orders(s, dir), "o_custkey")),
 
     // q103 — exact triangle counting (operators.Triangles) on the
     // co-purchase graph: parts appearing in the same URGENT order are

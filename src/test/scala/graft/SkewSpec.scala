@@ -45,4 +45,33 @@ class SkewSpec extends SparkSpec {
     assert(top.getString(0) === "HOT")
     assert(top.getLong(1) === 1800L)
   }
+
+  test("approx skewReport matches the exact report within rank tolerance") {
+    val orders = Tables.orders(spark, sf)
+    val exact = Skew.skewReport(orders, "o_custkey").collect().head
+    val approx = Skew.skewReport(orders, "o_custkey", exact = false).collect().head
+    // the count/max/ratio columns are identical — only the two
+    // percentiles are sketched
+    assert(approx.getLong(0) === exact.getLong(0))   // n_keys
+    assert(approx.getLong(1) === exact.getLong(1))   // total
+    assert(approx.getLong(2) === exact.getLong(2))   // max_per_key
+    assert(approx.getDouble(5) === exact.getDouble(5)) // skew_ratio
+    // per-key order counts are small integers; at accuracy=10000 the
+    // GK sketch is exact-at-integer for this cardinality, so allow
+    // at most one count of slack
+    assert(math.abs(approx.getDouble(3) - exact.getDouble(3)) <= 1.0, "p50")
+    assert(math.abs(approx.getDouble(4) - exact.getDouble(4)) <= 1.0, "p99")
+    // same schema — the documented swap contract
+    assert(Skew.skewReport(orders, "o_custkey", exact = false).schema ===
+      Skew.skewReport(orders, "o_custkey").schema)
+  }
+
+  test("approx skewReport plans approx_percentile — no per-key value buffer") {
+    val plan = Skew.skewReport(Tables.orders(spark, sf), "o_custkey", exact = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"), plan)
+    // no EXACT percentile aggregate anywhere (approx_percentile
+    // itself contains the substring, hence the lookbehind)
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty, plan)
+  }
 }
