@@ -198,6 +198,57 @@ class StatefulSpec extends SparkSpec {
       batch.filter(_._3 != "D").map(_._1))
   }
 
+  test("streaming doc feature store equals the batch recompute under any slicing") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Pii, TextStats}
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    // batch truth: the q108 incremental-subset columns + fp copy count
+    val t = col("text")
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextStats.tokenCount(t).cast("long").as("n_tokens"),
+      TextStats.qualityScore(t).as("quality"),
+      (Pii.emailCount(t) + Pii.phoneCount(t) + Pii.ipCount(t))
+        .cast("long").as("n_pii"),
+      TextStats.fingerprint(t).as("fp"))
+    val batch = base
+      .join(base.groupBy("fp").agg(count(lit(1)).as("n_fp_copies")), Seq("fp"))
+      .select("doc_id", "lang", "n_tokens", "quality", "n_pii", "fp", "n_fp_copies")
+      .as[(Long, String, Long, Double, Long, String, Long)].collect().toSet
+
+    val all = docs.as[(Long, String, String)].collect().toSeq
+    def run(slices: Seq[Seq[(Long, String, String)]]): Set[(Long, String, Long, Double, Long, String, Long)] = {
+      val baseDir = tmpDir("featstore")
+      val in = baseDir + "/in"; val chk = baseDir + "/chk"
+      Files.createDirectories(Paths.get(in))
+      val last = scala.collection.mutable.Map.empty[Long, (Long, String, Long, Double, Long, String, Long)]
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, text STRING")
+      slices.foreach { slice =>
+        slice.toDF("doc_id", "lang", "text").write.mode("append").parquet(in)
+        val q = Stateful.docFeatures(spark.readStream.schema(schema).parquet(in))
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Stateful.DocFeat], _: Long) =>
+            last.synchronized {
+              b.collect().foreach(f => last(f.doc_id) =
+                (f.doc_id, f.lang, f.n_tokens, f.quality, f.n_pii, f.fp, f.n_fp_copies))
+            }
+            ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      last.values.toSet
+    }
+
+    val oneShot = run(Seq(all))
+    val sliced = run(Seq(all.take(100), all.slice(100, 150), all.drop(150)))
+    assert(oneShot === batch)
+    assert(sliced === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("CDC equal-version tie-break matches batch on supplementary-plane payloads") {
     // U+1F600 (😀, surrogate pair D83D DE00 in UTF-16) vs U+FFFD:
     // Scala's UTF-16 Ordering says 😀 < U+FFFD (0xD83D < 0xFFFD),
