@@ -180,6 +180,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("q116: codebook attaches as a broadcast; the prune is a cluster equi-join") {
+    val p = plan("q116_semantic_dedup")
+    // k-means assignment scans attach the k-row codebook via
+    // broadcast nested loop (the intended probe shape) — the
+    // within-cluster pair join itself must be an equi-join, never a
+    // full cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("cluster"), p.take(2000))
+  }
+
+  test("q117: BPE apply is a scan projection feeding one partial+final aggregate") {
+    val p = plan("q117_bpe_tokenize")
+    assert(p.contains("bpe_encode"), p.take(2000))
+    // no joins: train happens driver-side on the bounded word table,
+    // apply is per-row — the returned plan is scan → project → agg
+    assert(!p.contains("Join"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
