@@ -62,4 +62,48 @@ object Decontaminate {
       .join(benchShingles, Seq("h"), "left_semi") // shuffled, not broadcast
       .select(idCol).distinct()
   }
+
+  /** Graded contamination: per (train doc, bench doc) n-gram
+    * CONTAINMENT score — |shingles(train) ∩ shingles(bench)| /
+    * |shingles(bench)| — the fraction of the benchmark document
+    * present verbatim in the training document. [[contaminated]]'s
+    * any-overlap flag is the cheap screen; this is the graded form
+    * the published decontamination protocols actually threshold on
+    * (a single shared n-gram is noise; 80% of an eval question
+    * reproduced is a leak).
+    *
+    * Output: (bench_id, train_id, bench_ngrams, inter, containment)
+    * for pairs with containment >= threshold. Bench docs shorter
+    * than n tokens have no shingles and cannot appear.
+    *
+    * Scale shape: inverted-index equi-join on the 8-byte shingle
+    * hash — candidate pairs only ever materialize for docs that
+    * share at least one shingle, the (train,bench) aggregate is
+    * map-side partial, and the bench-size join key is the bench id
+    * (tiny side). Nothing is all-pairs and nothing broadcasts the
+    * corpus; a big bench set degrades gracefully into an ordinary
+    * shuffled join.
+    */
+  def containmentReport(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        threshold: Double): DataFrame = {
+    val benchSh = Dedup.hashedShingles(bench, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("h"))
+    val benchSz = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("bench_ngrams"))
+    val trainSh = Dedup.hashedShingles(train, idCol, textCol, n)
+      .select(col(idCol).as("train_id"), col("h"))
+    trainSh.join(benchSh, Seq("h"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(benchSz, Seq("bench_id"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("bench_ngrams").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("bench_id"), col("train_id"), col("bench_ngrams"),
+        col("inter"),
+        // integer half-up, not round(double, 6): see ExactRound
+        expr(ExactRound.round6Expr("inter", "bench_ngrams"))
+          .as("containment"))
+  }
 }

@@ -81,9 +81,35 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
     val sh = hashedShingles(docs, idCol, textCol, n)
-    val shF =
-      if (maxDocFreq <= 0) sh
-      else {
+    if (maxDocFreq <= 0) {
+      // Lossless prefix-filter candidates (operators.SetSimJoin)
+      // instead of the raw inverted-index self-join: the self-join's
+      // candidate count is Σ_shingle df² — quadratic in corpus size
+      // whenever the shingle space saturates (measured at sf1: the
+      // uncapped index join materialized in 215s where the prefix
+      // path runs in ~45s, see SCALE.md) — while the prefix scheme
+      // touches only the ⌈(1−τ)|d|⌉+1 RAREST shingles per doc and
+      // returns the IDENTICAL exact pair set. The threshold is
+      // re-expressed as the reduced rational num/den so the plan is
+      // bit-identical to q102's direct SetSimJoin call and the
+      // CacheManager shares ONE pair-graph materialization across
+      // the whole dedup family (q31/q60/q65/q102/q115).
+      val den0 = 1000000
+      val num0 = math.round(threshold * den0).toInt
+      require(num0.toDouble / den0 == threshold,
+        s"threshold $threshold is not exactly num/1e6 — pass a rational")
+      val g = BigInt(num0).gcd(BigInt(den0)).toInt
+      BarrierCache.track(graft.operators.SetSimJoin.jaccardJoin(
+        sh, idCol, "h", num0 / g, den0 / g))
+    } else jaccardPairsCapped(sh, idCol, threshold, maxDocFreq)
+  }
+
+  /** The retained-universe (hot-shingle-capped) inverted-index form
+    * of [[jaccardPairs]] — see `maxDocFreq` there.
+    */
+  private def jaccardPairsCapped(sh: DataFrame, idCol: String,
+                                 threshold: Double, maxDocFreq: Int): DataFrame = {
+    val shF = {
         val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("h")
         BarrierCache.track(

@@ -114,6 +114,15 @@ object Importance {
       .groupBy(idCol)
       .agg(sum(col("m")).as("n_feats"),
         sum(col("m") * col("delta9")).as("logw9"))
-      .withColumn("logw", round(col("logw9").cast("double") / 1e9, 6))
+      // exact half-up at 6 decimals from the INTEGER logw9: round()
+      // on the double quotient rounds Double.toString's shortest
+      // decimal (Spark/BigDecimal) where DuckDB rounds the binary
+      // value — they disagree on exact midpoints (first hit at sf1,
+      // logw9 = 258535500 → 0.258536 vs 0.258535). Integer rounding
+      // of the true rational is engine-independent; the final /1e6
+      // is one exact-input IEEE division both engines replay.
+      .withColumn("logw",
+        expr("CASE WHEN logw9 < 0 THEN -1L ELSE 1L END" +
+          " * ((abs(logw9) + 500L) div 1000L)").cast("double") / 1e6)
   }
 }

@@ -82,7 +82,12 @@ object LangModel {
       .groupBy(idCol)
       .agg(sum(col("m")).as("n_bigrams"),
         sum(col("m") * col("lp9")).as("sum_lp9"))
+      // integer half-up of the true rational sum_lp9/(1e9·n) at 6
+      // decimals — see Importance.logWeights for the midpoint
+      // divergence round(double, 6) carries across engines
       .withColumn("avg_logprob",
-        round(col("sum_lp9").cast("double") / 1e9 / col("n_bigrams"), 6))
+        expr("CASE WHEN sum_lp9 < 0 THEN -1L ELSE 1L END" +
+          " * ((2L * abs(sum_lp9) + 1000L * n_bigrams)" +
+          " div (2000L * n_bigrams))").cast("double") / 1e6)
   }
 }

@@ -158,7 +158,12 @@ object LlmQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"),
           coalesce(col("sz"), lit(1L)).as("cluster_size"),
-          round(lit(1.0) / coalesce(col("sz"), lit(1L)), 6).as("weight"))
+          // integer half-up of 1/sz at 6 decimals — round(double, 6)
+          // diverges across engines on exact decimal midpoints
+          // (cluster sizes like 128 or 3200 hit them); see
+          // Importance.logWeights
+          expr("CAST((2000000L + coalesce(sz, 1L))" +
+            " div (2L * coalesce(sz, 1L)) AS DOUBLE) / 1e6").as("weight"))
         .orderBy("doc_id")
     }),
 
@@ -810,6 +815,67 @@ object LlmQueries {
           sum(n2).as("sum_n2"),
           (sum(n2).cast("double") / lit(1000000000000.0) / count(lit(1))).as("avg_norm2"))
         .orderBy("label")
+    }),
+
+    // q118 — A9/LLM tier: Gopher-style per-rule quality report
+    // (graft.llm.QualityRules; Rae et al. 2021 A1.1). One codegen'd
+    // scan projection — every rule verdict is auditable per-doc,
+    // unlike q29's blended scalar. All rounded ratios are ExactRound
+    // integer-half-up of exact ints → bit-stable oracle at any SF.
+    "q118_gopher_rules" -> ((s, dir) => {
+      graft.llm.QualityRules.report(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // q119 — graded n-gram CONTAMINATION (containment, not
+    // any-overlap): fraction of each benchmark doc's 8-grams present
+    // verbatim in a training doc, thresholded at 0.5 — the published
+    // decontamination protocol q63's boolean screen approximates.
+    // Bench set = every 97th doc (planted self-pairs score 1.0 and
+    // anchor the expected output; near-copies surface below them).
+    "q119_contamination_graded" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.llm.Decontaminate.containmentReport(docs, bench,
+          "doc_id", "text", n = 8, threshold = 0.5)
+        .orderBy("bench_id", "train_id")
+    }),
+
+    // q120 — text normalization (graft.llm.Normalize): C4-style
+    // whitespace/typography canonicalization. The corpus is already
+    // clean, so divergence is PLANTED deterministically (doc_id%7:
+    // doubled spaces + trailing NBSP — fully restored by
+    // normalization; doc_id%11: curly-quote wrapping — mapped to
+    // ASCII quotes, so NOT equal to the original): both the fix-up
+    // and the no-op path are proven by the `restored` flag + the
+    // normalized-text fingerprint.
+    "q120_normalize" -> ((s, dir) => {
+      import graft.llm.Normalize
+      val t = col("text")
+      val wsP = col("doc_id") % 7 === 0
+      val qP = col("doc_id") % 11 === 0
+      val s1 = when(wsP, concat(lit("  "),
+        regexp_replace(t, " ", "  "), lit(" "))).otherwise(t)
+      val dirty = when(qP, concat(lit("“"), s1, lit("”"))).otherwise(s1)
+      val norm = Normalize.normalize(dirty)
+      Tables.documents(s, dir).select(col("doc_id"),
+          wsP.as("ws_planted"), qP.as("q_planted"),
+          length(dirty).cast("long").as("n_chars_dirty"),
+          length(norm).cast("long").as("n_chars_norm"),
+          (norm === t).as("restored"),
+          substring(md5(norm), 1, 8).as("fp8"))
+        .orderBy("doc_id")
+    }),
+
+    // q121 — length-bucketed dynamic batching plan
+    // (graft.llm.Batching): batches of 8 docs inside 16-token-wide
+    // length buckets, 4-way salted so no window partition is ever
+    // unbounded; reports per-batch padding waste (the metric dynamic
+    // batching exists to minimize).
+    "q121_length_batching" -> ((s, dir) => {
+      graft.llm.Batching.plan(Tables.documents(s, dir), "doc_id", "text",
+          bucketWidth = 16, batchSize = 8, nSalts = 4)
+        .orderBy("bucket", "salt", "batch")
     }))
 
   /** Exact top-k rows + one deterministic aggregate `recall_ok`
@@ -1147,7 +1213,9 @@ object LlmQueries {
         |  FROM rm LEFT JOIN tm USING (f) CROSS JOIN tot)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
         |       CAST(SUM(delta9) AS BIGINT) AS logw9,
-        |       round(CAST(CAST(SUM(delta9) AS BIGINT) AS DOUBLE) / 1e9, 6) AS logw
+        |       CAST((CASE WHEN SUM(delta9) < 0 THEN -1 ELSE 1 END)
+        |         * ((abs(CAST(SUM(delta9) AS BIGINT)) + 500) // 1000)
+        |         AS DOUBLE) / 1e6 AS logw
         |FROM big JOIN d USING (f)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // q31's edge set + q60's recursive min-label components, folded
@@ -1172,7 +1240,8 @@ object LlmQueries {
         |SELECT d.doc_id,
         |       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
         |       CAST(COALESCE(cs.csz, 1) AS BIGINT) AS cluster_size,
-        |       round(CAST(1.0 AS DOUBLE) / COALESCE(cs.csz, 1), 6) AS weight
+        |       CAST((2000000 + COALESCE(cs.csz, 1))
+        |            // (2 * COALESCE(cs.csz, 1)) AS DOUBLE) / 1e6 AS weight
         |FROM documents d
         |LEFT JOIN comp c ON c.id = d.doc_id
         |LEFT JOIN cs ON cs.component = c.component
@@ -1222,7 +1291,10 @@ object LlmQueries {
          |  SELECT doc_id, CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(pc + v AS DOUBLE)) * 1e9) AS BIGINT) AS lp9
          |  FROM big JOIN cg USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v),
          |lm AS (
-         |  SELECT doc_id, round(CAST(CAST(SUM(lp9) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*), 6) AS avg_logprob
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN SUM(lp9) < 0 THEN -1 ELSE 1 END)
+         |      * ((2 * abs(CAST(SUM(lp9) AS BIGINT)) + 1000 * COUNT(*))
+         |         // (2000 * COUNT(*))) AS DOUBLE) / 1e6 AS avg_logprob
          |  FROM lp GROUP BY 1)
          |SELECT b.doc_id, b.lang, b.n_tokens, b.quality, b.n_pii,
          |       fpc.n_fp_copies,
@@ -1253,7 +1325,9 @@ object LlmQueries {
         |  FROM big JOIN cg USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |       CAST(SUM(lp9) AS BIGINT) AS sum_lp9,
-        |       round(CAST(CAST(SUM(lp9) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*), 6)
+        |       CAST((CASE WHEN SUM(lp9) < 0 THEN -1 ELSE 1 END)
+        |         * ((2 * abs(CAST(SUM(lp9) AS BIGINT)) + 1000 * COUNT(*))
+        |            // (2000 * COUNT(*))) AS DOUBLE) / 1e6
         |         AS avg_logprob
         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // identical postings/repeated/islands algebra over shingle
@@ -1561,6 +1635,98 @@ object LlmQueries {
          |  SELECT label, (SELECT SUM(${qiSql("embedding[i]")} * ${qiSql("embedding[i]")})
          |                 FROM range(1, 65) AS u(i)) AS n2
          |  FROM embeddings)
-         |GROUP BY 1 ORDER BY label""".stripMargin
+         |GROUP BY 1 ORDER BY label""".stripMargin,
+    // q118: every ratio is one IEEE division of exact ints, compared
+    // unrounded (as the Spark side does) and emitted rounded;
+    // list_intersect mirrors array_intersect's distinct semantics
+    "q118_gopher_rules" ->
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text,' ')) AS mwl,
+        |    CAST(len(regexp_extract_all(text,'#'))
+        |       + len(regexp_extract_all(text,'\\.\\.\\.')) AS BIGINT) AS nsym,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |         t -> regexp_matches(t,'[a-zA-Z]'))) AS BIGINT) AS nalpha,
+        |    CAST(len(list_intersect(string_split(text,' '),
+        |         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS nstops
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  ${graft.llm.ExactRound.round6Sql("n_chars - n_words + 1", "n_words")} AS mean_word_len,
+        |  ${graft.llm.ExactRound.round6Sql("nsym", "n_words")} AS symbol_ratio,
+        |  ${graft.llm.ExactRound.round6Sql("nalpha", "n_words")} AS alpha_frac,
+        |  nstops AS n_stops,
+        |  (n_words BETWEEN 50 AND 100000) AS words_ok,
+        |  (mwl BETWEEN 3.0 AND 10.0) AS wordlen_ok,
+        |  (CAST(nsym AS DOUBLE)/n_words <= 0.1) AS symbol_ok,
+        |  (CAST(nalpha AS DOUBLE)/n_words >= 0.8) AS alpha_ok,
+        |  (nstops >= 2) AS stop_ok,
+        |  ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(nsym AS DOUBLE)/n_words <= 0.1)
+        |    AND (CAST(nalpha AS DOUBLE)/n_words >= 0.8)
+        |    AND (nstops >= 2)) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // q119: raw-string 8-grams stand in for the Spark side's
+    // xxhash64'd ones (q31's established 64-bit-collision trade);
+    // threshold compares the unrounded ratio, as the Spark side does
+    "q119_contamination_graded" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM idx),
+        |bsh AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 97 = 0),
+        |bsz AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM bsh GROUP BY 1),
+        |ins AS (SELECT s.doc_id AS train_id, b.bench_id, COUNT(*) AS inter
+        |        FROM sh s JOIN bsh b USING (g) GROUP BY 1, 2)
+        |SELECT bench_id, train_id, CAST(bench_ngrams AS BIGINT) AS bench_ngrams,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  ${graft.llm.ExactRound.round6Sql("CAST(inter AS BIGINT)", "CAST(bench_ngrams AS BIGINT)")} AS containment
+        |FROM ins JOIN bsz USING (bench_id)
+        |WHERE CAST(inter AS DOUBLE)/bench_ngrams >= 0.5
+        |ORDER BY bench_id, train_id""".stripMargin,
+    // q120: the planted perturbations and the normalization chain
+    // replay identically (chr(160)=NBSP, chr(8220/8221)=curly quotes)
+    "q120_normalize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, (doc_id % 7 = 0) AS ws_planted,
+         |         (doc_id % 11 = 0) AS q_planted,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN '  ' || replace(text, ' ', '  ') || chr(160)
+         |         ELSE text END AS s1
+         |  FROM documents),
+         |d2 AS (SELECT doc_id, text, ws_planted, q_planted,
+         |         CASE WHEN q_planted THEN chr(8220) || s1 || chr(8221)
+         |              ELSE s1 END AS dirty
+         |       FROM d)
+         |SELECT doc_id, ws_planted, q_planted,
+         |  CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
+         |  CAST(length(${graft.llm.Normalize.normalizeSql("dirty")}) AS BIGINT) AS n_chars_norm,
+         |  (${graft.llm.Normalize.normalizeSql("dirty")} = text) AS restored,
+         |  substr(md5(${graft.llm.Normalize.normalizeSql("dirty")}), 1, 8) AS fp8
+         |FROM d2 ORDER BY doc_id""".stripMargin,
+    // q121: floor-division batch/bucket ordinals and one exact-long
+    // division for pad_frac; HUGEINT sums cast back to BIGINT
+    "q121_length_batching" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(floor(len(string_split(text,' ')) / 16.0) AS BIGINT) AS bucket,
+        |    doc_id % 4 AS salt
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY bucket, salt ORDER BY n_tokens, doc_id) AS rn
+        |      FROM b),
+        |g AS (SELECT bucket, salt, CAST(floor((rn - 1) / 8.0) AS BIGINT) AS batch,
+        |        COUNT(*) AS n_docs, MAX(n_tokens) AS max_len,
+        |        SUM(n_tokens) AS total_tokens
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT bucket, salt, batch, CAST(n_docs AS BIGINT) AS n_docs, max_len,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(n_docs * max_len - total_tokens AS BIGINT) AS pad_tokens,
+        |  ${graft.llm.ExactRound.round6Sql(
+             "CAST(n_docs * max_len - total_tokens AS BIGINT)",
+             "CAST(n_docs * max_len AS BIGINT)")} AS pad_frac
+        |FROM g ORDER BY bucket, salt, batch""".stripMargin
   )
 }

@@ -46,6 +46,29 @@ class DecontaminateSpec extends SparkSpec {
     graft.llm.BarrierCache.sweep(spark)
   }
 
+  test("containment grades the overlap fraction of the BENCH doc") {
+    // bench doc has 2 4-grams; train 1 contains both (containment 1.0),
+    // train 2 contains one (0.5), train 3 none
+    val b = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta epsilon y"),
+      (2L, "alpha beta gamma delta zz unrelated run"),
+      (3L, "nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.containmentReport(train, b, "doc_id", "text",
+        n = 4, threshold = 0.5)
+      .select("train_id", "bench_ngrams", "inter", "containment")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("containment: bench docs shorter than n cannot appear") {
+    val b = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Decontaminate.containmentReport(train, b, "doc_id", "text",
+      n = 4, threshold = 0.0).isEmpty)
+  }
+
   test("the benchmark side broadcasts (corpus shingles never shuffle)") {
     graft.llm.BarrierCache.sweep(spark)
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 23 =!= 0)

@@ -31,7 +31,8 @@ def canon(v):
         return v.isoformat()
     return v
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None, skip=None):
+    import re
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -41,6 +42,11 @@ def main(out_dir, sf_dir):
     for qname in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, qname)
         if not os.path.isdir(qdir):
+            continue
+        if only and not re.search(only, qname):
+            continue
+        if skip and re.search(skip, qname):
+            print(f"  ~ {qname}: SKIPPED by filter")
             continue
         got = pd.read_parquet(qdir)
         if qname not in oracle:
@@ -78,4 +84,9 @@ def main(out_dir, sf_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional: [3] only-regex, [4] skip-regex (e.g. for large-SF runs
+    # where a recursive-CTE oracle is intractable in DuckDB and a
+    # dedicated checker replays it instead — see check_components.py)
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  sys.argv[4] if len(sys.argv) > 4 else None))
