@@ -876,6 +876,34 @@ object LlmQueries {
       graft.llm.Batching.plan(Tables.documents(s, dir), "doc_id", "text",
           bucketWidth = 16, batchSize = 8, nSalts = 4)
         .orderBy("bucket", "salt", "batch")
+    }),
+
+    // q122 — multimodal decode, driver-checkable end-to-end: every
+    // 97th doc id gets a deterministic synthetic PNG
+    // (sources.ImageGen closed-form pixels), decoded by the REAL JDK
+    // ImageIO path (sources.Multimodal.decodeImages — the same code
+    // that decodes arbitrary PNG/JPEG/GIF/BMP payloads), and the
+    // oracle replays the expected statistics from the pixel formula
+    // in plain SQL. Exact-integer accumulators (luma_sum, n_px,
+    // luma_bins) make the compare bit-stable; luma_mean is the
+    // ExactRound ratio of those integers.
+    "q122_image_decode" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id")
+      val imgs = graft.sources.ImageGen.syntheticPng(ids, "doc_id")
+      graft.sources.Multimodal.decodeImages(imgs, "content")
+        .select(col("doc_id"),
+          graft.sources.Multimodal.sniffFormat(col("content")).as("format"),
+          col("image.decode_ok").as("decode_ok"),
+          col("image.width").cast("long").as("width"),
+          col("image.height").cast("long").as("height"),
+          col("image.channels").cast("long").as("channels"),
+          col("image.n_px").as("n_px"),
+          col("image.luma_sum").as("luma_sum"),
+          col("image.luma_bins").cast("long").as("luma_bins"))
+        .withColumn("luma_mean",
+          expr(graft.llm.ExactRound.round6Expr("luma_sum", "1000 * n_px")))
+        .orderBy("doc_id")
     }))
 
   /** Exact top-k rows + one deterministic aggregate `recall_ok`
@@ -1727,6 +1755,31 @@ object LlmQueries {
         |  ${graft.llm.ExactRound.round6Sql(
              "CAST(n_docs * max_len - total_tokens AS BIGINT)",
              "CAST(n_docs * max_len AS BIGINT)")} AS pad_frac
-        |FROM g ORDER BY bucket, salt, batch""".stripMargin
+        |FROM g ORDER BY bucket, salt, batch""".stripMargin,
+    // q122: the oracle cannot decode PNG — it replays ImageGen's
+    // closed-form pixel construction (same BT.601 integer luma the
+    // decoder accumulates) and must agree with the REAL ImageIO
+    // decode bit-for-bit on every exact-integer column
+    "q122_image_decode" ->
+      s"""WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |                    CAST(16 + doc_id % 13 AS BIGINT) AS h
+        |             FROM documents WHERE doc_id % 97 = 0),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM ids),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |lm AS (SELECT doc_id, w, h,
+        |    299*((7*x + 13*y + doc_id) % 256)
+        |    + 587*((3*x + 5*y + 2*doc_id) % 256)
+        |    + 114*((x + y + 3*doc_id) % 256) AS l
+        |  FROM px),
+        |a AS (SELECT doc_id, w, h, COUNT(*) AS n_px, SUM(l) AS luma_sum,
+        |             COUNT(DISTINCT l // 1000) AS luma_bins
+        |      FROM lm GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'png' AS format, TRUE AS decode_ok, w AS width,
+        |  h AS height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(n_px AS BIGINT) AS n_px, CAST(luma_sum AS BIGINT) AS luma_sum,
+        |  CAST(luma_bins AS BIGINT) AS luma_bins,
+        |  ${graft.llm.ExactRound.round6Sql(
+             "CAST(luma_sum AS BIGINT)", "1000 * n_px")} AS luma_mean
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -64,11 +64,17 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("luma_mean", DoubleType, nullable = true),
-    StructField("luma_entropy", DoubleType, nullable = true)))
+    StructField("luma_entropy", DoubleType, nullable = true),
+    // exact-integer accumulators (luma_mean = luma_sum/(1000·n_px)):
+    // the bit-portable form downstream SQL can re-derive and an
+    // oracle can replay closed-form — see q122
+    StructField("luma_sum", LongType, nullable = true),
+    StructField("n_px", LongType, nullable = true),
+    StructField("luma_bins", IntegerType, nullable = true)))
 
   private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
 
-  private val failedImage: Row = Row(false, 0, 0, 0, null, null)
+  private val failedImage: Row = Row(false, 0, 0, 0, null, null, null, null, null)
 
   /** Decode one payload: dimensions + channel count from the codec,
     * BT.601 luma (299r+587g+114b, exact ×1000 integer accumulation —
@@ -125,7 +131,11 @@ object Multimodal {
           if (gCnt(c) == 0) 0f
           else (gSum(c).toDouble / (255000.0 * gCnt(c))).toFloat
         }
-        (Row(true, w, h, channels, round6(mean), round6(entropy)), feats)
+        var bins = 0
+        i = 0
+        while (i < 256) { if (hist(i) > 0) bins += 1; i += 1 }
+        (Row(true, w, h, channels, round6(mean), round6(entropy),
+          lumaSum, n, bins), feats)
       }
     } catch {
       // corrupt/truncated payloads mark the row, never kill the task

@@ -151,4 +151,33 @@ class MultimodalSpec extends SparkSpec {
     assert(sims.head.getString(0).endsWith("solid.bmp") ||
       sims.head.getString(0).endsWith("solid.jpg"), sims.map(_.toString).mkString(","))
   }
+
+  test("synthetic round trip: decode stats equal ImageGen's closed form (q122 contract)") {
+    import spark.implicits._
+    val idSeq = Seq(0L, 97L, 485L)
+    val got = Multimodal.decodeImages(
+        graft.sources.ImageGen.syntheticPng(idSeq.toDF("doc_id"), "doc_id"), "content")
+      .select("doc_id", "image.decode_ok", "image.width", "image.height",
+        "image.channels", "image.n_px", "image.luma_sum", "image.luma_bins")
+      .collect().map(r => (r.getLong(0), r)).toMap
+    for (id <- idSeq) {
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 13).toInt
+      var sum = 0L
+      val bins = collection.mutable.Set[Long]()
+      for (y <- 0 until h; x <- 0 until w) {
+        val l = 299L * ((7L * x + 13L * y + id) % 256) +
+          587L * ((3L * x + 5L * y + 2 * id) % 256) +
+          114L * ((x.toLong + y + 3 * id) % 256)
+        sum += l
+        bins += l / 1000
+      }
+      val r = got(id)
+      assert(r.getBoolean(1), s"id=$id decode failed")
+      assert(r.getInt(2) === w && r.getInt(3) === h && r.getInt(4) === 3, s"id=$id dims")
+      assert(r.getLong(5) === w.toLong * h, s"id=$id n_px")
+      assert(r.getLong(6) === sum, s"id=$id luma_sum: PNG round trip not lossless?")
+      assert(r.getInt(7) === bins.size, s"id=$id luma_bins")
+    }
+  }
 }

@@ -201,6 +201,37 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q118/q120: rule report and normalization are pure scan projections") {
+    // the only exchange either query may plan is its output orderBy —
+    // no joins, no aggregates: the 100 TB cost is the scan itself
+    for (q <- Seq("q118_gopher_rules", "q120_normalize")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join\n${p.take(2000)}")
+      assert(!p.contains("HashAggregate"), s"$q plans an aggregate\n${p.take(2000)}")
+      val ex = "Exchange".r.findAllIn(p).size
+      assert(ex <= 1, s"$q: expected <=1 exchange (output sort), got $ex\n${p.take(3000)}")
+    }
+  }
+
+  test("q119: containment is equi-join + partial/final aggregate, never all-pairs") {
+    val p = plan("q119_contamination_graded")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q121: batch assignment reuses the window partitioning for the aggregate") {
+    val p = plan("q121_length_batching")
+    assert(!p.contains("Join"), p.take(2000))
+    // exchanges: the (bucket, salt) window shuffle + the output
+    // orderBy — the groupBy(bucket, salt, batch) must NOT add a
+    // third (hash on a subset already co-locates the superset key)
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 2, s"expected <=2 exchanges, got $ex\n${p.take(3000)}")
+    // and no single-partition global sort before the window
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
