@@ -933,6 +933,55 @@ object LlmQueries {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
         .orderBy("threshold_pct")
+    }),
+
+    // q124 — hashed-feature linear classifier scoring
+    // (graft.llm.HashedClassifier): the fasttext-style model-based
+    // quality filter. One codegen'd scan projection — HOF aggregate
+    // over tokens, O(1) weight-array lookup per token, exact long
+    // sums (order-independent). The q124 model is the deterministic
+    // seeded stand-in, so the oracle replays bucket and weight
+    // closed-form; trained fixed-point weights use the same seam.
+    "q124_quality_classifier" -> ((s, dir) => {
+      val w = graft.llm.HashedClassifier.seededWeights(1024)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          graft.llm.HashedClassifier.score(col("text"), w).as("score_sum"))
+        .withColumn("keep",
+          when(col("score_sum") >= 0L, 1L).otherwise(0L))
+        .orderBy("doc_id")
+    }),
+
+    // q125 — leakage-safe train/val split: assignment is a pure
+    // function of the NEAR-DUP CLUSTER id, so no near-duplicate pair
+    // ever straddles the split boundary (train/test contamination by
+    // paraphrase — the failure mode doc-level hash splits can't
+    // prevent). Reuses the shared cached τ=0.8 pair graph
+    // (q31/q102/q115/q123 family) + q60's components; singletons are
+    // their own cluster. `n_straddling` re-derives the invariant
+    // in-plan (deterministic self-check idiom, SURVEY §6.2).
+    "q125_leakage_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val comp = graft.llm.Cluster.connectedComponents(pairs, "id_i", "id_j")
+      val assigned = docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("split",
+          when(conv(substring(md5(col("cluster_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 100 < 90, lit("train")).otherwise(lit("val")))
+      val straddle = assigned.groupBy("cluster_id")
+        .agg(countDistinct("split").as("nspl"))
+        .agg(sum(when(col("nspl") > 1L, 1L).otherwise(0L)).as("n_straddling"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"))
+        .crossJoin(broadcast(straddle))
+        .orderBy("split")
     }))
 
   /** Exact top-k rows + one deterministic aggregate `recall_ok`
@@ -1837,6 +1886,49 @@ object LlmQueries {
         |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
         |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
         |FROM g LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
-        |ORDER BY threshold_pct""".stripMargin
+        |ORDER BY threshold_pct""".stripMargin,
+    // q124: bucket = first 6 md5 hex chars as an int mod 1024;
+    // weight = (b*2654435761) % 2003 - 1001 — both closed-form, so
+    // the oracle recomputes the exact integer score per token
+    "q124_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id,
+        |             ('0x' || substr(md5(tok), 1, 6))::BIGINT % 1024 AS bk FROM t),
+        |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |             SUM((bk * 2654435761) % 2003 - 1001) AS score_sum
+        |      FROM b GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(score_sum AS BIGINT) AS score_sum,
+        |       CAST(CASE WHEN score_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q125: q115's recursive-CTE components + the same md5-of-cluster
+    // split arithmetic; straddle count re-derived the same way
+    "q125_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (SELECT id_i, id_j FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_i JOIN sizes sb ON sb.doc_id = id_j
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |sym AS (SELECT id_i AS a, id_j AS b FROM edges UNION SELECT id_j, id_i FROM edges),
+        |reach AS (
+        |  SELECT a AS id, a AS comp FROM sym
+        |  UNION
+        |  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id),
+        |comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+        |asg AS (SELECT d.doc_id,
+        |               COALESCE(c.component, d.doc_id) AS cluster_id,
+        |               CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT % 100 < 90
+        |                    THEN 'train' ELSE 'val' END AS split
+        |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |str AS (SELECT CAST(SUM(CASE WHEN nspl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        |        FROM (SELECT cluster_id, COUNT(DISTINCT split) AS nspl FROM asg GROUP BY 1))
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |       (SELECT n_straddling FROM str) AS n_straddling
+        |FROM asg GROUP BY split ORDER BY split""".stripMargin
   )
 }
