@@ -935,6 +935,31 @@ object LlmQueries {
         .orderBy("threshold_pct")
     }),
 
+    // q126 — audio decode + features over the deterministic
+    // synthetic-WAV corpus (sources/AudioGen, closed-form samples):
+    // the real JDK javax.sound decode runs executor-side in the
+    // batched seam, and the oracle replays sample count, exact
+    // integer energy, zero crossings and peak from the generator
+    // formula — the q122/ImageGen pattern extended to audio.
+    "q126_audio_decode" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 89 === 0).select("doc_id")
+      val wavs = graft.sources.AudioGen.syntheticWav(ids, "doc_id")
+      graft.sources.Multimodal.decodeAudio(wavs, "content")
+        .select(col("doc_id"),
+          graft.sources.Multimodal.sniffFormat(col("content")).as("format"),
+          col("audio.decode_ok").as("decode_ok"),
+          col("audio.sample_rate").cast("long").as("sample_rate"),
+          col("audio.channels").cast("long").as("channels"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.sq_sum").as("sq_sum"),
+          col("audio.zero_crossings").as("zero_crossings"),
+          col("audio.peak").cast("long").as("peak"))
+        .withColumn("mean_square",
+          expr(graft.llm.ExactRound.round6Expr("sq_sum", "n_samples")))
+        .orderBy("doc_id")
+    }),
+
     // q124 — hashed-feature linear classifier scoring
     // (graft.llm.HashedClassifier): the fasttext-style model-based
     // quality filter. One codegen'd scan projection — HOF aggregate
@@ -1887,6 +1912,28 @@ object LlmQueries {
         |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
         |FROM g LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
         |ORDER BY threshold_pct""".stripMargin,
+    // q126: replay AudioGen's closed-form samples — the oracle
+    // derives the waveform itself and aggregates the same exact
+    // integers the JDK decode accumulates
+    "q126_audio_decode" ->
+      s"""WITH ids AS (SELECT doc_id, CAST(800 + (doc_id % 37) * 16 AS BIGINT) AS n
+        |             FROM documents WHERE doc_id % 89 = 0),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ids),
+        |v AS (SELECT doc_id, n, i, (73 * i + 131 * doc_id) % 4001 - 2000 AS smp FROM s),
+        |z AS (SELECT doc_id, n, i, smp,
+        |             lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v),
+        |a AS (SELECT doc_id, MAX(n) AS n_samples,
+        |             SUM(smp * smp) AS sq_sum,
+        |             SUM(CASE WHEN prev IS NOT NULL AND ((smp >= 0) != (prev >= 0))
+        |                      THEN 1 ELSE 0 END) AS zc,
+        |             MAX(ABS(smp)) AS peak
+        |      FROM z GROUP BY 1)
+        |SELECT doc_id, 'riff' AS format, TRUE AS decode_ok,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(n_samples AS BIGINT) AS n_samples, CAST(sq_sum AS BIGINT) AS sq_sum,
+        |  CAST(zc AS BIGINT) AS zero_crossings, CAST(peak AS BIGINT) AS peak,
+        |  ${graft.llm.ExactRound.round6Sql("CAST(sq_sum AS BIGINT)", "n_samples")} AS mean_square
+        |FROM a ORDER BY doc_id""".stripMargin,
     // q124: bucket = first 6 md5 hex chars as an int mod 1024;
     // weight = (b*2654435761) % 2003 - 1001 — both closed-form, so
     // the oracle recomputes the exact integer score per token

@@ -171,4 +171,87 @@ object Multimodal {
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
+
+  /** Schema of the decoded-audio struct appended by [[decodeAudio]].
+    * Same contract as [[imageStruct]]: undecodable payloads (or
+    * non-PCM-16 encodings, which would break the exact-integer
+    * stats) yield `decode_ok=false` with null stats, never a task
+    * failure.
+    */
+  val audioStruct: StructType = StructType(Seq(
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    // exact-integer accumulators over channel 0 (mean_square =
+    // sq_sum/n_samples) — bit-portable, oracle-replayable (q126)
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sq_sum", LongType, nullable = true),
+    StructField("zero_crossings", LongType, nullable = true),
+    StructField("peak", IntegerType, nullable = true)))
+
+  private val failedAudio: Row = Row(false, 0, 0, null, null, null, null)
+
+  /** Decode one WAV payload via the JDK's `javax.sound.sampled` (no
+    * external dependency): format metadata from the parser, then one
+    * pass over channel-0 frames accumulating exact integers — energy
+    * (Σ s²), sign changes (s≥0 flips), and peak |s|. Only
+    * PCM-signed 16-bit is accepted; anything else (float PCM, µ-law,
+    * 8/24-bit) marks the row, keeping every emitted stat exact.
+    */
+  private def decodeWavOne(bytes: Array[Byte]): Row = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) failedAudio
+      else {
+        val frameSize = fmt.getFrameSize
+        val data = ais.readAllBytes()
+        val nFrames = data.length / frameSize
+        val big = fmt.isBigEndian
+        var i = 0
+        var sq = 0L
+        var zc = 0L
+        var peak = 0
+        var prevNonNeg = false
+        while (i < nFrames) {
+          val o = i * frameSize // channel 0 is the first sample of the frame
+          val s =
+            if (big) (data(o) << 8) | (data(o + 1) & 0xFF)
+            else (data(o + 1) << 8) | (data(o) & 0xFF)
+          sq += s.toLong * s
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        Row(true, fmt.getSampleRate.toInt, fmt.getChannels,
+          nFrames.toLong, sq, zc, peak)
+      }
+    } catch {
+      case _: Exception => failedAudio
+    }
+  }
+
+  /** Per-partition batched audio decode — the audio twin of
+    * [[decodeImages]]: appends an `audio` stats struct per row. All
+    * stats are integer-accumulated in frame order, so output is
+    * bit-identical across partitionings and re-runs.
+    */
+  def decodeAudio(df: DataFrame,
+                  contentCol: String = "content",
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(StructField("audio", audioStruct, nullable = false))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          Row.fromSeq(row.toSeq :+ decodeWavOne(row.getAs[Array[Byte]](idx)))
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
 }

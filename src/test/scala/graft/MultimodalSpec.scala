@@ -180,4 +180,49 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(7) === bins.size, s"id=$id luma_bins")
     }
   }
+
+  test("WAV decode: stats equal AudioGen's closed form (q126 contract)") {
+    import spark.implicits._
+    val idSeq = Seq(0L, 89L, 445L)
+    val got = Multimodal.decodeAudio(
+        graft.sources.AudioGen.syntheticWav(idSeq.toDF("doc_id"), "doc_id"), "content")
+      .select("doc_id", "audio.decode_ok", "audio.sample_rate", "audio.channels",
+        "audio.n_samples", "audio.sq_sum", "audio.zero_crossings", "audio.peak")
+      .collect().map(r => (r.getLong(0), r)).toMap
+    for (id <- idSeq) {
+      val n = graft.sources.AudioGen.nSamples(id)
+      val samples = (0 until n).map(i => graft.sources.AudioGen.sample(id, i))
+      val sq = samples.map(s => s.toLong * s).sum
+      val zc = samples.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0) }
+      val r = got(id)
+      assert(r.getBoolean(1), s"id=$id decode failed")
+      assert(r.getInt(2) === 8000 && r.getInt(3) === 1, s"id=$id format meta")
+      assert(r.getLong(4) === n.toLong, s"id=$id n_samples")
+      assert(r.getLong(5) === sq, s"id=$id sq_sum: PCM round trip not exact?")
+      assert(r.getLong(6) === zc.toLong, s"id=$id zero_crossings")
+      assert(r.getInt(7) === samples.map(math.abs).max, s"id=$id peak")
+    }
+  }
+
+  test("WAV decode: corrupt and non-PCM16 payloads mark the row, never fail") {
+    import spark.implicits._
+    // truncated RIFF header + plain garbage + an 8-bit PCM wav
+    val eightBit: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes("US-ASCII")).putInt(4).put(Array[Byte](1, 2, 3, 4))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, "RIFF".getBytes("US-ASCII")),
+      (2L, Array[Byte](0, 1, 2, 3, 4, 5)),
+      (3L, eightBit))
+    val got = Multimodal.decodeAudio(rows.toDF("doc_id", "content"), "content")
+      .select("doc_id", "audio.decode_ok")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got === Map(1L -> false, 2L -> false, 3L -> false))
+  }
 }

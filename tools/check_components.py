@@ -143,6 +143,26 @@ def main(out_dir, sf_dir):
         fails += not compare("q115_soft_dedup_weights",
                              spark_result("q115_soft_dedup_weights"), exp)
 
+    # --- q125: leakage-safe split over the same near-dup graph ---
+    if os.path.isdir(os.path.join(out_dir, "q125_leakage_safe_split")):
+        # pycomp still holds the q60/q115 near-dup labeling (same
+        # tau=0.8 pair graph q125's oracle prefix derives)
+        exp = con.execute("""
+            WITH asg AS (SELECT d.doc_id,
+                   COALESCE(p.comp, d.doc_id) AS cluster_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(COALESCE(p.comp, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+                 FROM documents d LEFT JOIN pycomp p ON p.id = d.doc_id),
+            str AS (SELECT CAST(SUM(CASE WHEN nspl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+                    FROM (SELECT cluster_id, COUNT(DISTINCT split) AS nspl
+                          FROM asg GROUP BY 1))
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   (SELECT n_straddling FROM str) AS n_straddling
+            FROM asg GROUP BY split ORDER BY split""").df()
+        fails += not compare("q125_leakage_safe_split",
+                             spark_result("q125_leakage_safe_split"), exp)
+
     # --- q65: funnel — swap only the closure, keep every other stage ---
     if os.path.isdir(os.path.join(out_dir, "q65_curation_funnel")):
         sql = oracle["q65_curation_funnel"]
