@@ -178,15 +178,44 @@ def main(out_dir, sf_dir):
         fails += not compare("q65_curation_funnel",
                              spark_result("q65_curation_funnel"), exp)
 
-    # --- q90: lossless length-blocked levenshtein, stock recursion ---
+    # --- q90: distinct-string levenshtein + union-find over string
+    # representatives. The stock oracle (and the old length-blocked
+    # surgery) works at ID level: with duplicate-heavy name columns
+    # the edge set is |dup|x|dup| per matched string pair and the
+    # closure is sigma|cluster|^2 — hundreds of millions of rows at
+    # sf1. Every id shares its STRING's component, so compute the
+    # blocked levenshtein over distinct strings (64x64 here), label
+    # string reps (min member id — cluster_id is unchanged because
+    # the min over per-string min-ids is the min over all ids), and
+    # sum per-string multiplicities back in the final aggregation —
+    # the same reduction the Spark side documents.
     if os.path.isdir(os.path.join(out_dir, "q90_entity_clusters")):
-        sql = oracle["q90_entity_clusters"]
-        blocked = sql.replace(
-            "FROM probes CROSS JOIN names\n  WHERE levenshtein",
-            "FROM probes JOIN names"
-            " ON abs(length(pn) - length(bn)) <= 1\n  WHERE levenshtein")
-        assert blocked != sql, "q90 oracle shape changed; update surgery"
-        exp = con.execute(blocked).df()
+        con.execute("""
+            CREATE OR REPLACE TEMP TABLE pstat AS
+            SELECT pn, MIN(pk) AS rep, COUNT(*) AS cnt FROM (
+              SELECT p_partkey + 10000000 AS pk, substr(p_name, 2) AS pn
+              FROM part WHERE p_partkey % 50 = 0) GROUP BY pn;
+            CREATE OR REPLACE TEMP TABLE bstat AS
+            SELECT bn, MIN(bk) AS rep, COUNT(*) AS cnt FROM (
+              SELECT p_partkey AS bk, p_name AS bn FROM part) GROUP BY bn""")
+        sedges = con.execute("""
+            SELECT p.rep, b.rep FROM pstat p JOIN bstat b
+            ON abs(length(p.pn) - length(b.bn)) <= 1
+            WHERE levenshtein(p.pn, b.bn) <= 1""").fetchall()
+        comp = min_label_components(sedges)
+        df = pd.DataFrame(
+            {"id": list(comp), "comp": [comp[k] for k in comp]}, dtype="int64")
+        con.register("pycomp90", df)
+        exp = con.execute("""
+            WITH stats AS (
+              SELECT rep, cnt, cnt AS probes FROM pstat
+              UNION ALL SELECT rep, cnt, 0 FROM bstat),
+            m AS (SELECT c.comp AS cluster_id, s.cnt, s.probes
+                  FROM pycomp90 c JOIN stats s ON s.rep = c.id)
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_members,
+                   CAST(SUM(probes) AS BIGINT) AS n_probes
+            FROM m GROUP BY 1 ORDER BY cluster_id""").df()
         fails += not compare("q90_entity_clusters",
                              spark_result("q90_entity_clusters"), exp)
 
