@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   * never a corpus×corpus product; the centroid update is a
   * (cluster, component) hash aggregate whose result (k·dim longs) is
   * bounded driver metadata, independent of corpus rows. The
-  * within-cluster pair join is an equi-join on cluster id: with k
-  * scaled ~√N (or a cap on cluster size), Σ|cluster|² stays
-  * O(N·N/k) — the documented SemDeDup trade. At 100 TB one would
-  * raise k and iters; nothing in the shape changes.
+  * within-cluster pair join is an equi-join on cluster id:
+  * [[semanticDups]] auto-scales k ≈ N/targetCell, so Σ|cluster|²
+  * stays ~N·targetCell — linear in corpus rows — the documented
+  * SemDeDup trade. At 100 TB nothing in the shape changes.
   */
 object SemDedup {
 
@@ -37,17 +37,23 @@ object SemDedup {
 
   /** One assignment pass: nearest centroid by exact-integer cosine,
     * ties to the lowest cent_id. `cents`: (cent_id, centv, centn2).
+    * Argmax is a `max_by` hash aggregate, not a window: partial
+    * aggregation collapses the n·k broadcast-product rows to n
+    * map-side, where the row_number form shuffled and sorted all
+    * n·k. The (sim, −cent_id) struct key reproduces the
+    * (sim desc, cent_id asc) order exactly — keys never collide
+    * because cent_id is unique, so the argmax is deterministic.
     */
   private def nearest(corpusQ: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("__id").orderBy(col("sim").desc, col("cent_id"))
     corpusQ
       .crossJoin(broadcast(cents))
       .withColumn("sim",
         Similarity.cosine(Similarity.qdot(col("__v"), col("centv")),
           col("__n2"), col("centn2")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__v"), col("__n2"), col("cent_id").as("cluster"))
+      .groupBy("__id")
+      .agg(first(col("__v")).as("__v"), first(col("__n2")).as("__n2"),
+        expr("max_by(cent_id, struct(sim, -cent_id))").as("cluster"))
+      .select(col("__id"), col("__v"), col("__n2"), col("cluster"))
   }
 
   /** Deterministic farthest-first seeding (Gonzalez 1985): seed 1 is
@@ -143,10 +149,29 @@ object SemDedup {
   /** The SemDeDup prune: within-cluster pairs with cosine ≥
     * `threshold`, keep-lowest-id rule. Output (id_keep, id_drop,
     * cosine) — id_drop is the semantic duplicate to remove.
+    *
+    * Occupancy-targeted cluster count (the RP-LSH nBits idiom,
+    * [[Dedup.embeddingNearDups]]): a FIXED k makes cells grow
+    * linearly with the corpus and the within-cell verify quadratic
+    * (measured: the n²/2k pair count dominated the sf1 wall). With
+    * k ≈ n/targetCell the verify cost pins at ~n·targetCell/2 —
+    * linear in corpus rows — and assignment stays one broadcast
+    * scan per iteration (n·k dots, k·dim centroid metadata).
+    * Output-invariant for the dedup contract: identical embeddings
+    * see identical centroid cosines and tie-breaks at ANY k, so
+    * true copies always co-assign; near-miss recall vs k is the
+    * documented SemDeDup trade (Abbas et al. §3: larger k = finer
+    * cells = cheaper + slightly lossier). Large auto-k switches to
+    * the single-pass hash init — farthest-first's k sequential
+    * scans are the right price only at small k.
     */
   def semanticDups(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, k: Int = 8, iters: Int = 3): DataFrame = {
-    val assign = kmeansAssign(corpus, idCol, vecCol, k, iters)
+                   threshold: Double, k: Int = 8, iters: Int = 3,
+                   targetCell: Int = 512): DataFrame = {
+    val n = corpus.count()
+    val kEff = math.max(k, ((n + targetCell - 1) / targetCell).toInt)
+    val assign = kmeansAssign(corpus, idCol, vecCol, kEff, iters,
+      initHash = kEff > 16)
     val side = BarrierCache.track(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
           Similarity.qnorm2(col(vecCol)).as("__n2"))
