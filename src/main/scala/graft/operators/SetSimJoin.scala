@@ -82,4 +82,67 @@ object SetSimJoin {
       .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("sz_union"))
       .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
   }
+
+  /** INCREMENTAL form: exactly the pairs of the full join that touch
+    * at least one id in `probeIds` — the daily-append shape (compare
+    * a fresh batch against the indexed corpus AND itself, never
+    * re-run corpus×corpus). Candidate cost is Σ over the FRESH
+    * side's prefix elements of |element bucket| — proportional to
+    * batch size for a fixed index, zero existing-existing work.
+    *
+    * Losslessness is the same two-sided prefix principle: the global
+    * (df, elem) order is computed over the WHOLE index, so a
+    * qualifying pair shares an element inside both prefixes, and the
+    * probe side's prefix join finds it. (A production pipeline keeps
+    * the df table and per-doc prefixes as maintained state; here
+    * they derive from the index in one aggregate.) Output contract
+    * and verification are identical to [[jaccardJoin]], ids
+    * canonicalized `id_i < id_j`.
+    */
+  def jaccardProbeJoin(postings: DataFrame, probeIds: DataFrame,
+                       idCol: String, elemCol: String,
+                       num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"need 0 < num/den <= 1, got $num/$den")
+    val post = graft.llm.BarrierCache.track(
+      postings.select(col(idCol).as("__id"), col(elemCol).as("__e")))
+    val fresh = graft.llm.BarrierCache.track(
+      probeIds.select(col(idCol).as("__id")).distinct())
+    val sizes = graft.llm.BarrierCache.track(
+      post.groupBy("__id").agg(count(lit(1)).as("__sz")))
+    val dfreq = post.groupBy("__e").agg(count(lit(1)).as("__df"))
+    val ranked = post.join(dfreq, "__e")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__e"))))
+      .join(sizes, "__id")
+    val prefix = graft.llm.BarrierCache.track(ranked
+      .filter(col("__rn") <= col("__sz") -
+        expr(s"(${num}L * __sz + ${den - 1}L) div ${den}L") + 1)
+      .select(col("__id"), col("__e"), col("__sz"))
+      .join(fresh.withColumn("__fresh", lit(true)), Seq("__id"), "left")
+      .withColumn("__fresh", coalesce(col("__fresh"), lit(false))))
+    // probe side = fresh prefixes only; partner side = every prefix.
+    // fresh-fresh pairs would be found from both ends — the id rule
+    // keeps one; fresh-existing pairs only ever probe from fresh.
+    val cand = prefix.filter(col("__fresh"))
+      .select(col("__id").as("id_f"), col("__e"), col("__sz").as("sz_f"))
+      .join(prefix.select(col("__id").as("id_p"), col("__e"),
+        col("__sz").as("sz_p"), col("__fresh").as("p_fresh")), Seq("__e"))
+      .filter(col("id_f") =!= col("id_p") &&
+        (!col("p_fresh") || col("id_f") < col("id_p")) &&
+        lit(den.toLong) * least(col("sz_f"), col("sz_p")) >=
+          lit(num.toLong) * greatest(col("sz_f"), col("sz_p")))
+      .select(least(col("id_f"), col("id_p")).as("id_i"),
+        greatest(col("id_f"), col("id_p")).as("id_j"))
+      .distinct()
+    val inter = cand
+      .join(post.toDF("id_i", "__e"), Seq("id_i"))
+      .join(post.toDF("id_j", "__e"), Seq("id_j", "__e"))
+      .groupBy("id_i", "id_j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_i", "sz_i"), Seq("id_i"))
+      .join(sizes.toDF("id_j", "sz_j"), Seq("id_j"))
+      .withColumn("sz_union", col("sz_i") + col("sz_j") - col("inter"))
+      .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("sz_union"))
+      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
+  }
 }

@@ -935,6 +935,23 @@ object LlmQueries {
         .orderBy("threshold_pct")
     }),
 
+    // q127 — incremental dedup for corpus APPENDS: exactly the
+    // near-dup pairs touching today's batch (fresh×existing and
+    // fresh×fresh), via the prefix-filter probe join — candidate
+    // cost proportional to batch size, zero existing×existing work,
+    // and the result provably equals the full pair graph restricted
+    // to fresh-touching pairs (SetSimJoinSpec). The daily-crawl
+    // shape: a pipeline re-runs this per append instead of
+    // recomputing corpus×corpus.
+    "q127_incremental_dedup" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.hashedShingles(docs, "doc_id", "text", n = 3)
+      val fresh = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      graft.operators.SetSimJoin.jaccardProbeJoin(sh, fresh, "doc_id", "h", 4, 5)
+        .orderBy("id_i", "id_j")
+    }),
+
     // q126 — audio decode + features over the deterministic
     // synthetic-WAV corpus (sources/AudioGen, closed-form samples):
     // the real JDK javax.sound decode runs executor-side in the
@@ -1912,6 +1929,23 @@ object LlmQueries {
         |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
         |FROM g LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
         |ORDER BY threshold_pct""".stripMargin,
+    // q127: the q31 pair graph restricted to pairs touching the
+    // fresh batch (doc_id % 5 = 0) — the incremental contract
+    "q127_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_i, b.doc_id AS id_j, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_i, id_j, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS sz_union
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_i
+        |JOIN sizes sb ON sb.doc_id = id_j
+        |WHERE 5 * inter >= 4 * (sa.sz + sb.sz - inter)
+        |  AND (id_i % 5 = 0 OR id_j % 5 = 0)
+        |ORDER BY id_i, id_j""".stripMargin,
     // q126: replay AudioGen's closed-form samples — the oracle
     // derives the waveform itself and aggregates the same exact
     // integers the JDK decode accumulates

@@ -73,4 +73,35 @@ class SetSimJoinSpec extends SparkSpec {
     assert(prefix.nonEmpty, "corpus should contain planted near-dups")
     assert(prefix === exhaustive)
   }
+
+  test("probe join == full join restricted to fresh-touching pairs") {
+    // random families (the brute-force fixture), fresh = every 3rd id
+    val rnd = new scala.util.Random(11)
+    val sets = (1L to 40L).map { id =>
+      val proto = (0 until 12).map(i => (id % 8) * 100 + i).map(_.toLong).toSet
+      id -> (proto.filter(_ => rnd.nextDouble() > 0.15) ++
+        Seq.fill(rnd.nextInt(3))(1000L + rnd.nextInt(20)))
+    }.toMap.filter(_._2.nonEmpty)
+    val post = sets.toSeq.flatMap { case (id, es) => es.map(id -> _) }
+      .toDF("id", "e")
+    val fresh = sets.keys.filter(_ % 3 == 0).toSeq.toDF("id")
+    for ((num, den) <- Seq((4, 5), (1, 2))) {
+      val got = SetSimJoin.jaccardProbeJoin(post, fresh, "id", "e", num, den)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expect = brute(sets, num, den)
+        .filter { case (i, j, _, _) => i % 3 == 0 || j % 3 == 0 }
+      assert(got === expect, s"tau=$num/$den")
+    }
+  }
+
+  test("probe join with every id fresh reproduces the full join") {
+    val sets = Map(1L -> Set(1L, 2L, 3L, 4L, 5L), 2L -> Set(1L, 2L, 3L, 4L, 6L),
+      3L -> Set(10L, 11L), 4L -> Set(10L, 11L))
+    val post = sets.toSeq.flatMap { case (id, es) => es.map(id -> _) }
+      .toDF("id", "e")
+    val all = sets.keys.toSeq.toDF("id")
+    val got = SetSimJoin.jaccardProbeJoin(post, all, "id", "e", 4, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === brute(sets, 4, 5))
+  }
 }
