@@ -35,17 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  /** @param postings DISTINCT `(idCol, elemCol)` rows (one row per
-    *   set member; callers dedup, e.g. [[graft.llm.Dedup.hashedShingles]]).
-    * @param num,den   Jaccard threshold τ = num/den (0 < num ≤ den).
+  /** Shared derivation for both join forms: normalized postings,
+    * per-set sizes, and the rare-element prefix under the global
+    * (df, elem) order, each barrier-cached. Built through ONE code
+    * path so the full join and the probe join construct IDENTICAL
+    * plans — Spark's CacheManager then shares one materialization
+    * when both run in a session (q102 + q127).
     */
-  def jaccardJoin(postings: DataFrame, idCol: String, elemCol: String,
-                  num: Int, den: Int): DataFrame = {
+  private def prefixFrames(postings: DataFrame, idCol: String,
+                           elemCol: String, num: Int, den: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(num > 0 && num <= den, s"need 0 < num/den <= 1, got $num/$den")
-    // postings feed df-rank, sizes, and both verify branches; the
-    // prefix feeds both sides of the candidate self-join — barrier
-    // caches keep each derivation single-run (CacheManager also
-    // dedupes the self-join branches against ONE materialization)
     val post = graft.llm.BarrierCache.track(
       postings.select(col(idCol).as("__id"), col(elemCol).as("__e")))
     val sizes = graft.llm.BarrierCache.track(
@@ -61,15 +61,15 @@ object SetSimJoin {
       .filter(col("__rn") <= col("__sz") -
         expr(s"(${num}L * __sz + ${den - 1}L) div ${den}L") + 1)
       .select(col("__id"), col("__e"), col("__sz")))
-    // candidates: share a prefix element + size-compatibility
-    // (den*min >= num*max, else Jaccard < tau even at full overlap)
-    val cand = prefix.toDF("id_i", "__e", "sz_i")
-      .join(prefix.toDF("id_j", "__e", "sz_j"), Seq("__e"))
-      .filter(col("id_i") < col("id_j") &&
-        lit(den.toLong) * least(col("sz_i"), col("sz_j")) >=
-          lit(num.toLong) * greatest(col("sz_i"), col("sz_j")))
-      .select("id_i", "id_j").distinct()
-    // verify: exact intersection via the full posting lists
+    (post, sizes, prefix)
+  }
+
+  /** Verify + emit: exact intersection of each DISTINCT candidate
+    * pair via the full posting lists, union from sizes, integer
+    * threshold compare.
+    */
+  private def verify(cand: DataFrame, post: DataFrame, sizes: DataFrame,
+                     num: Int, den: Int): DataFrame = {
     val inter = cand
       .join(post.toDF("id_i", "__e"), Seq("id_i"))
       .join(post.toDF("id_j", "__e"), Seq("id_j", "__e"))
@@ -83,6 +83,24 @@ object SetSimJoin {
       .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
   }
 
+  /** @param postings DISTINCT `(idCol, elemCol)` rows (one row per
+    *   set member; callers dedup, e.g. [[graft.llm.Dedup.hashedShingles]]).
+    * @param num,den   Jaccard threshold τ = num/den (0 < num ≤ den).
+    */
+  def jaccardJoin(postings: DataFrame, idCol: String, elemCol: String,
+                  num: Int, den: Int): DataFrame = {
+    val (post, sizes, prefix) = prefixFrames(postings, idCol, elemCol, num, den)
+    // candidates: share a prefix element + size-compatibility
+    // (den*min >= num*max, else Jaccard < tau even at full overlap)
+    val cand = prefix.toDF("id_i", "__e", "sz_i")
+      .join(prefix.toDF("id_j", "__e", "sz_j"), Seq("__e"))
+      .filter(col("id_i") < col("id_j") &&
+        lit(den.toLong) * least(col("sz_i"), col("sz_j")) >=
+          lit(num.toLong) * greatest(col("sz_i"), col("sz_j")))
+      .select("id_i", "id_j").distinct()
+    verify(cand, post, sizes, num, den)
+  }
+
   /** INCREMENTAL form: exactly the pairs of the full join that touch
     * at least one id in `probeIds` — the daily-append shape (compare
     * a fresh batch against the indexed corpus AND itself, never
@@ -93,40 +111,29 @@ object SetSimJoin {
     * Losslessness is the same two-sided prefix principle: the global
     * (df, elem) order is computed over the WHOLE index, so a
     * qualifying pair shares an element inside both prefixes, and the
-    * probe side's prefix join finds it. (A production pipeline keeps
-    * the df table and per-doc prefixes as maintained state; here
-    * they derive from the index in one aggregate.) Output contract
-    * and verification are identical to [[jaccardJoin]], ids
-    * canonicalized `id_i < id_j`.
+    * probe side's prefix join finds it. The post/sizes/prefix frames
+    * are built by the same code path as [[jaccardJoin]], so running
+    * both in one session shares ONE materialization of each; in a
+    * production pipeline the df table and prefixes are maintained
+    * incrementally as index state. Output contract and verification
+    * are identical to [[jaccardJoin]], ids canonicalized
+    * `id_i < id_j`.
     */
   def jaccardProbeJoin(postings: DataFrame, probeIds: DataFrame,
                        idCol: String, elemCol: String,
                        num: Int, den: Int): DataFrame = {
-    require(num > 0 && num <= den, s"need 0 < num/den <= 1, got $num/$den")
-    val post = graft.llm.BarrierCache.track(
-      postings.select(col(idCol).as("__id"), col(elemCol).as("__e")))
+    val (post, sizes, prefix) = prefixFrames(postings, idCol, elemCol, num, den)
     val fresh = graft.llm.BarrierCache.track(
       probeIds.select(col(idCol).as("__id")).distinct())
-    val sizes = graft.llm.BarrierCache.track(
-      post.groupBy("__id").agg(count(lit(1)).as("__sz")))
-    val dfreq = post.groupBy("__e").agg(count(lit(1)).as("__df"))
-    val ranked = post.join(dfreq, "__e")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__df"), col("__e"))))
-      .join(sizes, "__id")
-    val prefix = graft.llm.BarrierCache.track(ranked
-      .filter(col("__rn") <= col("__sz") -
-        expr(s"(${num}L * __sz + ${den - 1}L) div ${den}L") + 1)
-      .select(col("__id"), col("__e"), col("__sz"))
-      .join(fresh.withColumn("__fresh", lit(true)), Seq("__id"), "left")
-      .withColumn("__fresh", coalesce(col("__fresh"), lit(false))))
+    val isFresh = fresh.withColumn("__fresh", lit(true))
     // probe side = fresh prefixes only; partner side = every prefix.
     // fresh-fresh pairs would be found from both ends — the id rule
     // keeps one; fresh-existing pairs only ever probe from fresh.
-    val cand = prefix.filter(col("__fresh"))
+    val cand = prefix.join(isFresh, Seq("__id"), "left_semi")
       .select(col("__id").as("id_f"), col("__e"), col("__sz").as("sz_f"))
-      .join(prefix.select(col("__id").as("id_p"), col("__e"),
-        col("__sz").as("sz_p"), col("__fresh").as("p_fresh")), Seq("__e"))
+      .join(prefix.join(isFresh, Seq("__id"), "left")
+        .select(col("__id").as("id_p"), col("__e"), col("__sz").as("sz_p"),
+          coalesce(col("__fresh"), lit(false)).as("p_fresh")), Seq("__e"))
       .filter(col("id_f") =!= col("id_p") &&
         (!col("p_fresh") || col("id_f") < col("id_p")) &&
         lit(den.toLong) * least(col("sz_f"), col("sz_p")) >=
@@ -134,15 +141,6 @@ object SetSimJoin {
       .select(least(col("id_f"), col("id_p")).as("id_i"),
         greatest(col("id_f"), col("id_p")).as("id_j"))
       .distinct()
-    val inter = cand
-      .join(post.toDF("id_i", "__e"), Seq("id_i"))
-      .join(post.toDF("id_j", "__e"), Seq("id_j", "__e"))
-      .groupBy("id_i", "id_j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("id_i", "sz_i"), Seq("id_i"))
-      .join(sizes.toDF("id_j", "sz_j"), Seq("id_j"))
-      .withColumn("sz_union", col("sz_i") + col("sz_j") - col("inter"))
-      .filter(lit(den.toLong) * col("inter") >= lit(num.toLong) * col("sz_union"))
-      .select(col("id_i"), col("id_j"), col("inter"), col("sz_union"))
+    verify(cand, post, sizes, num, den)
   }
 }
