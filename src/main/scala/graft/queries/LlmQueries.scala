@@ -935,6 +935,31 @@ object LlmQueries {
         .orderBy("threshold_pct")
     }),
 
+    // q128 — budget-constrained selection (graft.llm.BudgetSelect):
+    // keep the best-scoring docs whose cumulative tokens fit 60% of
+    // the corpus — the "take the best B tokens" step between
+    // scoring (q124's classifier) and training-set assembly. Greedy
+    // (score desc, id) prefix computed by band refinement, never a
+    // global sort; the oracle replays it with the straightforward
+    // global window, proving the refinement exact.
+    "q128_budget_selection" -> ((s, dir) => {
+      val w = graft.llm.HashedClassifier.seededWeights(1024)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          graft.llm.HashedClassifier.score(col("text"), w).as("score"))
+      val budget = base.agg(
+        expr("(3L * sum(n_tokens)) div 5L").as("budget"))
+      val kept = graft.llm.BudgetSelect.withKeep(
+        base.crossJoin(broadcast(budget)),
+        "doc_id", "score", "n_tokens", "budget")
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("keep").as("n_kept"),
+          sum(col("n_tokens") * col("keep")).as("tokens_kept"))
+        .orderBy("lang")
+    }),
+
     // q127 — incremental dedup for corpus APPENDS: exactly the
     // near-dup pairs touching today's batch (fresh×existing and
     // fresh×fresh), via the prefix-filter probe join — candidate
@@ -1929,6 +1954,26 @@ object LlmQueries {
         |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
         |FROM g LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
         |ORDER BY threshold_pct""".stripMargin,
+    // q128: the q124 scoring replay + the naive global-window greedy
+    // — band refinement must reproduce it exactly
+    "q128_budget_selection" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id,
+        |             ('0x' || substr(md5(tok), 1, 6))::BIGINT % 1024 AS bk FROM t),
+        |s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |             SUM((bk * 2654435761) % 2003 - 1001) AS score
+        |      FROM b GROUP BY 1),
+        |d AS (SELECT s.doc_id, doc.lang, s.n_tokens, s.score
+        |      FROM s JOIN documents doc ON doc.doc_id = s.doc_id),
+        |bud AS (SELECT (3 * SUM(n_tokens)) // 5 AS budget FROM d),
+        |o AS (SELECT d.*, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |k AS (SELECT o.*, CASE WHEN cum <= (SELECT budget FROM bud)
+        |                       THEN 1 ELSE 0 END AS keep FROM o)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |       CAST(SUM(n_tokens * keep) AS BIGINT) AS tokens_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // q127: the q31 pair graph restricted to pairs touching the
     // fresh batch (doc_id % 5 = 0) — the incremental contract
     "q127_incremental_dedup" ->
