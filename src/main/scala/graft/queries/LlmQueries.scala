@@ -935,6 +935,26 @@ object LlmQueries {
         .orderBy("threshold_pct")
     }),
 
+    // q129 — per-source document cap (anti-domination): keep at most
+    // K docs per source, best-first by (quality desc, doc_id) — the
+    // standard guard against one domain dominating the training mix.
+    // One shuffle on source; the report keeps every row (kept +
+    // dropped counts), so the window ranks rather than group-limits.
+    "q129_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextStats.qualityScore(col("text")).as("q"))
+      val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("keep", when(col("rn") <= 15, 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"),
+          sum(col("n_tokens") * col("keep")).as("tokens_kept"))
+        .orderBy("source")
+    }),
+
     // q128 — budget-constrained selection (graft.llm.BudgetSelect):
     // keep the best-scoring docs whose cumulative tokens fit 60% of
     // the corpus — the "take the best B tokens" step between
@@ -1954,6 +1974,20 @@ object LlmQueries {
         |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs
         |FROM g LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
         |ORDER BY threshold_pct""".stripMargin,
+    // q129: q108's quality expression + per-source ranking replay
+    "q129_source_cap" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
+        |      + (CASE WHEN len(string_split(text,' ')) BETWEEN 8 AND 256 THEN 1.0 ELSE 0.0 END) * 0.25
+        |      + (CASE WHEN CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS q
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM d),
+        |k AS (SELECT *, CASE WHEN rn <= 15 THEN 1 ELSE 0 END AS keep FROM r)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |       CAST(SUM(n_tokens * keep) AS BIGINT) AS tokens_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // q128: the q124 scoring replay + the naive global-window greedy
     // — band refinement must reproduce it exactly
     "q128_budget_selection" ->
