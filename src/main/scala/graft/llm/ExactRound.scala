@@ -23,11 +23,24 @@ package graft.llm
   */
 object ExactRound {
 
+  /** The exact integer 10⁶-scaled half-up numerator of num/den —
+    * the long [[round6Expr]] divides by 1e6. Threshold on THIS
+    * integer when a boolean verdict must stay consistent with the
+    * displayed rounded ratio (a flag computed from the unrounded
+    * double can disagree with the emitted value at boundaries).
+    */
+  def micro6Expr(num: String, den: String): String =
+    s"(2L * ($num) * 1000000L + ($den)) div (2L * ($den))"
+
+  /** DuckDB oracle mirror of [[micro6Expr]]. */
+  def micro6Sql(num: String, den: String): String =
+    s"(2 * ($num) * 1000000 + ($den)) // (2 * ($den))"
+
   /** Spark SQL fragment (use inside `expr(...)`/`selectExpr`). */
   def round6Expr(num: String, den: String): String =
-    s"CAST((2L * ($num) * 1000000L + ($den)) div (2L * ($den)) AS DOUBLE) / 1e6"
+    s"CAST(${micro6Expr(num, den)} AS DOUBLE) / 1e6"
 
   /** DuckDB oracle mirror of [[round6Expr]]. */
   def round6Sql(num: String, den: String): String =
-    s"CAST((2 * ($num) * 1000000 + ($den)) // (2 * ($den)) AS DOUBLE) / 1e6"
+    s"CAST(${micro6Sql(num, den)} AS DOUBLE) / 1e6"
 }

@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * the scan, and the only cost is the tokenizer the other per-doc
   * queries already pay. Every emitted double is an [[ExactRound]]
   * integer-half-up of a ratio of exact integers, so the DuckDB
-  * oracle reproduces it bit-for-bit at any scale.
+  * oracle reproduces it bit-for-bit at any scale — and every rule
+  * verdict thresholds on the SAME 10⁶-scaled integer the displayed
+  * ratio derives from, so flag and value can never disagree.
   */
 object QualityRules {
 
@@ -54,20 +56,26 @@ object QualityRules {
       size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("long").as("__nalpha"),
       TextStats.stopwordHits(t, gopherStops).cast("long").as("n_stops"))
     val nW = col("n_words")
-    // chars-per-word excluding separators: (len - (n-1)) / n
-    val mwl = (col("__nchars") - nW + lit(1L)).cast("double") / nW
-    val symRatio = col("__nsym").cast("double") / nW.cast("double")
-    val alphaFrac = col("__nalpha").cast("double") / nW.cast("double")
+    // one 10⁶-scaled half-up integer per ratio drives BOTH the
+    // displayed value and its verdict — a flag thresholded on the
+    // unrounded double could disagree with the emitted rounded
+    // ratio at boundaries (mean_word_len showing 3.0 with
+    // wordlen_ok=false), which is a lie to an auditor
+    val withMicros = base
+      // chars-per-word excluding separators: (len - (n-1)) / n
+      .withColumn("__mwl_u",
+        expr(ExactRound.micro6Expr("__nchars - n_words + 1", "n_words")))
+      .withColumn("__sym_u", expr(ExactRound.micro6Expr("__nsym", "n_words")))
+      .withColumn("__alpha_u", expr(ExactRound.micro6Expr("__nalpha", "n_words")))
     val wordsOk = nW.between(minWords, maxWords)
-    val wordlenOk = mwl.between(3.0, 10.0)
-    val symbolOk = symRatio <= 0.1
-    val alphaOk = alphaFrac >= 0.8
+    val wordlenOk = col("__mwl_u").between(3000000L, 10000000L)
+    val symbolOk = col("__sym_u") <= 100000L
+    val alphaOk = col("__alpha_u") >= 800000L
     val stopOk = col("n_stops") >= 2L
-    base.select(col(idCol), nW,
-      expr(ExactRound.round6Expr("__nchars - n_words + 1", "n_words"))
-        .as("mean_word_len"),
-      expr(ExactRound.round6Expr("__nsym", "n_words")).as("symbol_ratio"),
-      expr(ExactRound.round6Expr("__nalpha", "n_words")).as("alpha_frac"),
+    withMicros.select(col(idCol), nW,
+      (col("__mwl_u").cast("double") / 1e6).as("mean_word_len"),
+      (col("__sym_u").cast("double") / 1e6).as("symbol_ratio"),
+      (col("__alpha_u").cast("double") / 1e6).as("alpha_frac"),
       col("n_stops"),
       wordsOk.as("words_ok"), wordlenOk.as("wordlen_ok"),
       symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"),

@@ -615,13 +615,18 @@ object LlmQueries {
     // q116 — A8 semantic tier: SemDeDup (k-means over embeddings →
     // within-cluster cosine prune) — the paraphrase-duplicate shape
     // the lexical dedup family can't see. Planted exact copies
-    // (every 7th vector at id+2e7, q45's construction) are the full
-    // expected output: identical vectors are assigned identically by
-    // the deterministic k-means, so cluster-recall of the planted
-    // pairs is structural, and no random 64-dim pair reaches 0.95.
-    // The oracle replays the pair cosines over the planted corpus —
-    // if the clustering machinery breaks (copies straddle clusters),
-    // pairs vanish and the hash check fails.
+    // (every 7th vector at id+2e7, q45's construction): identical
+    // vectors are assigned identically by the deterministic k-means,
+    // so cluster-recall of the planted pairs is structural. The gate
+    // restricts BOTH sides to the planted pairs (id_drop = id_keep +
+    // 2e7): a genuine near-pair of distinct vectors that straddles
+    // clusters at some future SF is the documented SemDeDup recall
+    // trade, not a correctness bug, and must not flip the hash gate
+    // — full-output equivalence to brute force stays pinned in
+    // SemDedupSpec. If the clustering machinery breaks (copies
+    // straddle clusters), planted pairs vanish and the row-count +
+    // hash check fails. Scores are the exact integer cosine triple
+    // (qdot, n2_i, n2_j) — engine-portable, no round(double, 6).
     "q116_semantic_dedup" -> ((s, dir) => {
       graft.llm.BarrierCache.sweepOnNewScope(s, dir)
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -629,6 +634,7 @@ object LlmQueries {
         .select((col("vec_id") + 20000000).as("vec_id"), col("embedding"))
       graft.llm.SemDedup.semanticDups(emb.unionByName(copies),
           "vec_id", "embedding", threshold = 0.95, k = 8, iters = 3)
+        .filter(col("id_drop") === col("id_keep") + 20000000L)
         .orderBy("id_keep", "id_drop")
     }),
 
@@ -1755,27 +1761,23 @@ object LlmQueries {
         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
         |  TRUE AS roundtrip_ok, TRUE AS compress_ok, TRUE AS vocab_ok
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
-    // q116: all pairs ≥ 0.95 over the planted corpus — exactly the
-    // planted copies; the Spark side must recover them through the
-    // k-means route.
+    // q116: the planted copies (id + 2e7, identical vector) are the
+    // expected output, with the exact integer cosine triple — for an
+    // identical pair qdot = n2_i = n2_j = Σ qi², so the oracle is a
+    // per-vector norm scan, and the Spark side must recover exactly
+    // these pairs through the k-means route (a vanished pair means
+    // the copies straddled clusters = machinery broke).
     "q116_semantic_dedup" ->
-      s"""WITH corpus AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 20000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
-         |p AS (
-         |  SELECT a.vec_id AS id_keep, b.vec_id AS id_drop,
-         |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS dot,
-         |    SUM(${qiSql("a.embedding[i]")} * ${qiSql("a.embedding[i]")}) AS n2a,
-         |    SUM(${qiSql("b.embedding[i]")} * ${qiSql("b.embedding[i]")}) AS n2b
-         |  FROM corpus a, corpus b, range(1, 65) AS u(i)
-         |  WHERE a.vec_id < b.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT id_keep, id_drop, round(cos, 6) AS cosine FROM (
-         |  SELECT id_keep, id_drop,
-         |         CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cos
-         |  FROM p)
-         |WHERE cos >= 0.95 ORDER BY id_keep, id_drop""".stripMargin,
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+         |n AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(${qiSql("embedding[i]")} * ${qiSql("embedding[i]")}) AS BIGINT) AS n2
+         |  FROM src, range(1, 65) AS u(i)
+         |  GROUP BY 1)
+         |SELECT vec_id AS id_keep, vec_id + 20000000 AS id_drop,
+         |       n2 AS qdot, n2 AS n2_i, n2 AS n2_j
+         |FROM n ORDER BY id_keep""".stripMargin,
     "q34_cosine_topk" -> bruteTopKSql(""),
     // q35/q47 emit the same exact projection; their ANN twin only
     // drives the recall_ok flag, TRUE when healthy.
@@ -1829,38 +1831,42 @@ object LlmQueries {
          |                 FROM range(1, 65) AS u(i)) AS n2
          |  FROM embeddings)
          |GROUP BY 1 ORDER BY label""".stripMargin,
-    // q118: every ratio is one IEEE division of exact ints, compared
-    // unrounded (as the Spark side does) and emitted rounded;
-    // list_intersect mirrors array_intersect's distinct semantics
+    // q118: one 10⁶-scaled half-up integer per ratio drives both the
+    // emitted value and its verdict (flag/value can never disagree —
+    // mirrors QualityRules.report exactly); list_intersect mirrors
+    // array_intersect's distinct semantics
     "q118_gopher_rules" ->
       s"""WITH f AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
-        |    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
-        |      / len(string_split(text,' ')) AS mwl,
         |    CAST(len(regexp_extract_all(text,'#'))
         |       + len(regexp_extract_all(text,'\\.\\.\\.')) AS BIGINT) AS nsym,
         |    CAST(len(list_filter(string_split(text,' '),
         |         t -> regexp_matches(t,'[a-zA-Z]'))) AS BIGINT) AS nalpha,
         |    CAST(len(list_intersect(string_split(text,' '),
         |         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS nstops
-        |  FROM documents)
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, n_words, nstops,
+        |    ${graft.llm.ExactRound.micro6Sql("n_chars - n_words + 1", "n_words")} AS mwl_u,
+        |    ${graft.llm.ExactRound.micro6Sql("nsym", "n_words")} AS sym_u,
+        |    ${graft.llm.ExactRound.micro6Sql("nalpha", "n_words")} AS alpha_u
+        |  FROM f)
         |SELECT doc_id, n_words,
-        |  ${graft.llm.ExactRound.round6Sql("n_chars - n_words + 1", "n_words")} AS mean_word_len,
-        |  ${graft.llm.ExactRound.round6Sql("nsym", "n_words")} AS symbol_ratio,
-        |  ${graft.llm.ExactRound.round6Sql("nalpha", "n_words")} AS alpha_frac,
+        |  CAST(mwl_u AS DOUBLE) / 1e6 AS mean_word_len,
+        |  CAST(sym_u AS DOUBLE) / 1e6 AS symbol_ratio,
+        |  CAST(alpha_u AS DOUBLE) / 1e6 AS alpha_frac,
         |  nstops AS n_stops,
         |  (n_words BETWEEN 50 AND 100000) AS words_ok,
-        |  (mwl BETWEEN 3.0 AND 10.0) AS wordlen_ok,
-        |  (CAST(nsym AS DOUBLE)/n_words <= 0.1) AS symbol_ok,
-        |  (CAST(nalpha AS DOUBLE)/n_words >= 0.8) AS alpha_ok,
+        |  (mwl_u BETWEEN 3000000 AND 10000000) AS wordlen_ok,
+        |  (sym_u <= 100000) AS symbol_ok,
+        |  (alpha_u >= 800000) AS alpha_ok,
         |  (nstops >= 2) AS stop_ok,
-        |  ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
-        |    AND (CAST(nsym AS DOUBLE)/n_words <= 0.1)
-        |    AND (CAST(nalpha AS DOUBLE)/n_words >= 0.8)
+        |  ((n_words BETWEEN 50 AND 100000) AND (mwl_u BETWEEN 3000000 AND 10000000)
+        |    AND (sym_u <= 100000) AND (alpha_u >= 800000)
         |    AND (nstops >= 2)) AS pass
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |FROM u ORDER BY doc_id""".stripMargin,
     // q119: raw-string 8-grams stand in for the Spark side's
     // xxhash64'd ones (q31's established 64-bit-collision trade);
     // threshold compares the unrounded ratio, as the Spark side does

@@ -36,9 +36,10 @@ SELECT {keep}, {drop},
 FROM p ORDER BY {keep}, {drop}"""
 
 
+# q116 needs no substitute since round 7: its stock oracle IS the
+# planted-pairs scan (integer cosine triple, per-vector norm cost).
 SUBS = {
     "q45_embedding_neardup": planted_pairs_sql(5, 10000000, "id_i", "id_j"),
-    "q116_semantic_dedup": planted_pairs_sql(7, 20000000, "id_keep", "id_drop"),
 }
 
 if __name__ == "__main__":
