@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{JdbcUpsertSink, UpsertDialect}
+import graft.etl.{JdbcUpsertSink, Postgrest, PostgrestTransport, PostgrestUpsertSink, UpsertDialect}
 import org.apache.spark.sql.types._
 import java.sql.DriverManager
 
@@ -127,5 +127,84 @@ class SinksSpec extends SparkSpec {
       while (rs.next()) buf += ((rs.getString(1), rs.getString(2), rs.getDouble(3)))
       assert(buf.toSeq === Seq(("1", "Spanish Latte", 2.0)))
     } finally c.close()
+  }
+
+  // ---- PostgREST wire dialect (reference main.py:27-59,473,479) ----
+
+  test("PostgREST payload renders the reference's scrub rules byte-for-byte") {
+    // raw reference-shaped headers + a NaN, an Inf, and a null — the
+    // exact cases main.py:41-46 scrubs to JSON null
+    val df = Seq(
+      ("o1", Double.NaN, Some("Dine-in")),
+      ("o2", Double.PositiveInfinity, None),
+      ("o3", 1.5, Some("Take-out")))
+      .toDF("Order ID", "Total/Order-Amount", "Type/Channel")
+    val ready = graft.etl.Load.sinkReady(df)
+    val body = Postgrest.renderBatch(ready.schema,
+      ready.coalesce(1).collect().toSeq.sortBy(_.getString(0)))
+    assert(body ===
+      """[{"order_id":"o1","total_order_amount":null,"type_channel":"Dine-in"},""" +
+      """{"order_id":"o2","total_order_amount":null,"type_channel":null},""" +
+      """{"order_id":"o3","total_order_amount":1.5,"type_channel":"Take-out"}]""")
+    // the scrub also guards direct renderBatch use (no sinkReady)
+    assert(Postgrest.jsonValue(Double.NaN) === "null")
+    assert(Postgrest.jsonValue(Double.NegativeInfinity) === "null")
+    assert(Postgrest.jsonValue("a\"b\n") === "\"a\\\"b\\n\"")
+    assert(Postgrest.upsertUrl("http://h/", "fact_sales2026", Seq("Order ID", "items"))
+      === "http://h/rest/v1/fact_sales2026?on_conflict=order_id,items")
+  }
+
+  test("PostgrestUpsertSink posts batched upserts + rpc against a live local server") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        requests.add((x.getRequestURI.toString, body,
+          Option(x.getRequestHeaders.getFirst("Prefer")).getOrElse("")))
+        x.sendResponseHeaders(201, -1)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sink = new PostgrestUpsertSink(base, "fact_sales2026", "test-key",
+        batchSize = 2)
+      val df = Seq(("o1", 1.5), ("o2", Double.NaN), ("o3", 3.5))
+        .toDF("Order ID", "amount").coalesce(1)
+      sink.upsert(df, Seq("Order ID"))
+      sink.rpc("update_final_fact_sales")
+
+      val got = requests.toArray(Array.empty[(String, String, String)]).toSeq
+      val (upserts, rpcs) = got.partition(_._1.contains("fact_sales2026"))
+      // batchSize=2 over 3 rows in one partition -> exactly 2 POSTs
+      assert(upserts.size === 2)
+      assert(upserts.forall(_._1 == "/rest/v1/fact_sales2026?on_conflict=order_id"))
+      assert(upserts.forall(_._3 == "resolution=merge-duplicates"))
+      assert(upserts.map(_._2).sorted === Seq(
+        """[{"order_id":"o1","amount":1.5},{"order_id":"o2","amount":null}]""",
+        """[{"order_id":"o3","amount":3.5}]"""))
+      assert(rpcs === Seq(("/rest/v1/rpc/update_final_fact_sales", "{}", "resolution=merge-duplicates")))
+    } finally server.stop(0)
+  }
+
+  test("PostgrestUpsertSink fails the job on a non-2xx response, not silently") {
+    val sink = new PostgrestUpsertSink("http://unused", "t", "k",
+      transport = SinksSpec.DenyTransport)
+    val df = Seq(("o1", 1.0)).toDF("order_id", "amount").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      sink.upsert(df, Seq("order_id"))
+    }
+    assert(e.getMessage.contains("503") ||
+      Option(e.getCause).exists(_.getMessage.contains("503")))
+  }
+}
+
+object SinksSpec {
+  /** Top-level (no outer capture) so the executor closure serializes. */
+  object DenyTransport extends PostgrestTransport {
+    def post(url: String, headers: Seq[(String, String)], body: Array[Byte]): Int = 503
   }
 }
