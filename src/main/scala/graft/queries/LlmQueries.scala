@@ -1003,6 +1003,36 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q130 — video frame-sample + features over the deterministic
+    // synthetic-GVID corpus (sources/VideoGen, closed-form pixels):
+    // the pluggable VideoCodec seam runs executor-side in the
+    // batched sampler (every 2nd frame), and the oracle replays
+    // dimensions, exact integer luma over the sampled frames, and
+    // the inter-frame motion sum from the generator formula — the
+    // q122/q126 pattern extended to the one modality with no JDK
+    // codec (the GVID parser is the test-double codec binding).
+    "q130_video_decode" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 101 === 0).select("doc_id")
+      val vids = graft.sources.VideoGen.syntheticGvid(ids, "doc_id")
+      graft.sources.Multimodal.sampleVideoFrames(
+          vids, graft.sources.VideoGen.Codec, "content", frameStride = 2)
+        .select(col("doc_id"),
+          graft.sources.Multimodal.sniffFormat(col("content")).as("format"),
+          col("video.decode_ok").as("decode_ok"),
+          col("video.width").cast("long").as("width"),
+          col("video.height").cast("long").as("height"),
+          col("video.fps").cast("long").as("fps"),
+          col("video.n_frames").cast("long").as("n_frames"),
+          col("video.n_sampled").as("n_sampled"),
+          col("video.n_px").as("n_px"),
+          col("video.luma_sum").as("luma_sum"),
+          col("video.motion_abs").as("motion_abs"))
+        .withColumn("luma_mean",
+          expr(graft.llm.ExactRound.round6Expr("luma_sum", "1000 * n_px")))
+        .orderBy("doc_id")
+    }),
+
     // q126 — audio decode + features over the deterministic
     // synthetic-WAV corpus (sources/AudioGen, closed-form samples):
     // the real JDK javax.sound decode runs executor-side in the
@@ -2031,6 +2061,45 @@ object LlmQueries {
         |WHERE 5 * inter >= 4 * (sa.sz + sb.sz - inter)
         |  AND (id_i % 5 = 0 OR id_j % 5 = 0)
         |ORDER BY id_i, id_j""".stripMargin,
+    // q130: the oracle cannot parse GVID — it replays VideoGen's
+    // closed-form pixels over the SAMPLED frames (range step = the
+    // stride) and must agree with the real codec-seam decode
+    // bit-for-bit on every exact-integer column
+    "q130_video_decode" ->
+      s"""WITH ids AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |    CAST(10 + doc_id % 5 AS BIGINT) AS fps,
+        |    CAST(6 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |fr AS (SELECT doc_id, w, h, fps, nf, unnest(range(0, nf, 2)) AS f FROM ids),
+        |xs AS (SELECT doc_id, w, h, fps, nf, f, unnest(range(0, w)) AS x FROM fr),
+        |px AS (SELECT doc_id, w, h, fps, nf, f, x, unnest(range(0, h)) AS y FROM xs),
+        |lm AS (SELECT doc_id, w, h, fps, nf, f,
+        |    299*((7*x + 13*y + 11*f + doc_id) % 256)
+        |    + 587*((3*x + 5*y + 17*f + 2*doc_id) % 256)
+        |    + 114*((x + y + 23*f + 3*doc_id) % 256) AS l
+        |  FROM px),
+        |pf AS (SELECT doc_id, w, h, fps, nf, f,
+        |              COUNT(*) AS npx_f, SUM(l) AS ls_f
+        |       FROM lm GROUP BY 1, 2, 3, 4, 5, 6),
+        |mo AS (SELECT *, lag(ls_f) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        |       FROM pf),
+        |a AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, MAX(fps) AS fps,
+        |             MAX(nf) AS nf, COUNT(*) AS n_sampled,
+        |             SUM(npx_f) AS n_px, SUM(ls_f) AS luma_sum,
+        |             SUM(CASE WHEN prev IS NULL THEN 0
+        |                      ELSE ABS(ls_f - prev) END) AS motion_abs
+        |      FROM mo GROUP BY 1)
+        |SELECT doc_id, 'gvid' AS format, TRUE AS decode_ok, w AS width,
+        |  h AS height, fps, nf AS n_frames,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(n_px AS BIGINT) AS n_px,
+        |  CAST(luma_sum AS BIGINT) AS luma_sum,
+        |  CAST(motion_abs AS BIGINT) AS motion_abs,
+        |  ${graft.llm.ExactRound.round6Sql(
+             "CAST(luma_sum AS BIGINT)", "1000 * n_px")} AS luma_mean
+        |FROM a ORDER BY doc_id""".stripMargin,
     // q126: replay AudioGen's closed-form samples — the oracle
     // derives the waveform itself and aggregates the same exact
     // integers the JDK decode accumulates

@@ -40,6 +40,7 @@ object Multimodal {
       .when(m4 === "52494646", "riff") // wav/avi/webp share RIFF
       .when(m4 === "47494638", "gif")
       .when(m4 === "664C6143", "flac")
+      .when(m4 === "47564944", "gvid") // the synthetic test-vector container
       .when(substring(content, 5, 4) === lit("ftyp".getBytes("UTF-8")), "mp4")
       .otherwise("unknown")
   }
@@ -250,6 +251,126 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           Row.fromSeq(row.toSeq :+ decodeWavOne(row.getAs[Array[Byte]](idx)))
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Container metadata a [[VideoCodec]] reports from a payload's
+    * header, before any frame is decoded.
+    */
+  final case class VideoMeta(width: Int, height: Int, fps: Int, nFrames: Int)
+
+  /** The video decode seam. The JDK ships no video codec, so unlike
+    * the image (`javax.imageio`) and audio (`javax.sound.sampled`)
+    * paths this is a pluggable interface: a production deployment
+    * binds an external decoder (an ffmpeg/JNI wrapper on the executor
+    * image) to this trait; the test-vector binding is
+    * [[VideoGen.Codec]], a real parser for the deterministic GVID
+    * container, so the Spark-side plumbing — schema, batching,
+    * frame-stride sampling, corrupt-row contract — is exercised
+    * end-to-end (q130) even though no third-party codec ships.
+    *
+    * Implementations must be cheap to construct/serialize (one is
+    * shipped per task) and `frame` must be safe to call repeatedly
+    * on the same payload (the sampler calls it once per sampled
+    * frame index).
+    */
+  trait VideoCodec extends Serializable {
+    /** Parse container metadata; None = not this codec's format. */
+    def probe(bytes: Array[Byte]): Option[VideoMeta]
+    /** Decode frame `idx` (0-based) as packed 0xRRGGBB ints,
+      * row-major. None = frame missing/corrupt (e.g. truncated
+      * payload) — the caller marks the ROW failed, never the task.
+      */
+    def frame(bytes: Array[Byte], meta: VideoMeta, idx: Int): Option[Array[Int]]
+  }
+
+  /** Schema of the sampled-video struct appended by
+    * [[sampleVideoFrames]]. Same contract as [[imageStruct]]:
+    * unparseable or truncated payloads yield `decode_ok=false` with
+    * null stats, never a task failure. Stats are exact integers over
+    * the SAMPLED frames: `n_px`/`luma_sum` accumulate the BT.601
+    * ×1000 luma across every sampled pixel, and `motion_abs` is
+    * Σ|lumaSum(f) − lumaSum(prev sampled f)| — a codec-independent
+    * inter-frame change measure (0 for a static clip), accumulated
+    * in frame order so output is bit-identical across partitionings.
+    */
+  val videoStruct: StructType = StructType(Seq(
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", LongType, nullable = true),
+    StructField("n_px", LongType, nullable = true),
+    StructField("luma_sum", LongType, nullable = true),
+    StructField("motion_abs", LongType, nullable = true)))
+
+  private val failedVideo: Row = Row(false, 0, 0, 0, 0, null, null, null, null)
+
+  private def sampleOne(codec: VideoCodec, bytes: Array[Byte], stride: Int): Row = {
+    try {
+      codec.probe(bytes) match {
+        case None => failedVideo
+        case Some(m) =>
+          var f = 0
+          var nSampled = 0L
+          var nPx = 0L
+          var lumaSum = 0L
+          var motion = 0L
+          var prevFrameSum = -1L
+          var ok = true
+          while (ok && f < m.nFrames) {
+            codec.frame(bytes, m, f) match {
+              case None => ok = false // truncated mid-stream: whole row fails
+              case Some(px) =>
+                var s = 0L
+                var i = 0
+                while (i < px.length) {
+                  val p = px(i)
+                  s += 299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)
+                  i += 1
+                }
+                if (prevFrameSum >= 0) motion += math.abs(s - prevFrameSum)
+                prevFrameSum = s
+                lumaSum += s
+                nPx += px.length
+                nSampled += 1
+            }
+            f += stride
+          }
+          if (!ok) failedVideo
+          else Row(true, m.width, m.height, m.fps, m.nFrames,
+            nSampled, nPx, lumaSum, motion)
+      }
+    } catch {
+      case _: Exception => failedVideo
+    }
+  }
+
+  /** Per-partition batched frame sampling — the video member of the
+    * [[decodeImages]]/[[decodeAudio]] family: decodes every
+    * `frameStride`-th frame (0, s, 2s, …) through the pluggable
+    * [[VideoCodec]] and appends a `video` stats struct per row.
+    * Sampling-not-exhaustive is the honest production shape: at
+    * 100 TB nobody decodes every frame of every clip; the stride is
+    * the knob, and cost is (frames/stride)·pixels per row with no
+    * shuffle. Corrupt or truncated payloads mark the row
+    * (`decode_ok=false`), extending the F1 skip contract to video.
+    */
+  def sampleVideoFrames(df: DataFrame,
+                        codec: VideoCodec,
+                        contentCol: String = "content",
+                        frameStride: Int = 2,
+                        batchSize: Int = 64): DataFrame = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    val outSchema = df.schema.add(StructField("video", videoStruct, nullable = false))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          Row.fromSeq(row.toSeq :+ sampleOne(codec, row.getAs[Array[Byte]](idx), frameStride))
         }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))

@@ -75,13 +75,30 @@ object Ingest {
     query.awaitTermination()
   }
 
+  /** Event time must be an INSTANT: a watermark on TIMESTAMP_NTZ is
+    * rejected outright (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and
+    * arrow/pandas-written parquet carries naive timestamps that
+    * Spark 4 infers as NTZ by default. Reinterpret naive wall-clock
+    * as session-timezone instants (pin `spark.sql.session.timeZone`
+    * in production); a column that is already TIMESTAMP passes
+    * through untouched, so every watermark site coerces
+    * unconditionally.
+    */
+  private def asEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** A7: watermarked tumbling-window aggregation over an event
     * stream — late data beyond the watermark is dropped, state is
     * bounded. Caller attaches the sink (tests use format("memory")).
     */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
                      window_ : String = "5 minutes"): DataFrame =
-    events
+    asEventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
@@ -182,7 +199,7 @@ object Ingest {
     */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "1 hour"): DataFrame =
-    events
+    asEventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -194,7 +211,7 @@ object Ingest {
     */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
                            watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    asEventTime(events, "ts").withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** A7: stream-stream interval join — each click pairs with the
@@ -209,11 +226,11 @@ object Ingest {
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         watermark: String = "30 minutes",
                         within: String = "1 hour"): DataFrame = {
-    val c = clicks
+    val c = asEventTime(clicks, "ts")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
-    val p = purchases
+    val p = asEventTime(purchases, "ts")
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))

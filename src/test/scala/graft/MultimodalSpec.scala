@@ -225,4 +225,91 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
     assert(got === Map(1L -> false, 2L -> false, 3L -> false))
   }
+
+  test("video seam: sampled-frame stats equal VideoGen's closed form (q130 contract)") {
+    import spark.implicits._
+    import graft.sources.VideoGen
+    val idSeq = Seq(0L, 101L, 404L)
+    val stride = 2
+    val got = Multimodal.sampleVideoFrames(
+        VideoGen.syntheticGvid(idSeq.toDF("doc_id"), "doc_id"),
+        VideoGen.Codec, "content", frameStride = stride)
+      .select("doc_id", "video.decode_ok", "video.width", "video.height",
+        "video.fps", "video.n_frames", "video.n_sampled", "video.n_px",
+        "video.luma_sum", "video.motion_abs")
+      .collect().map(r => (r.getLong(0), r)).toMap
+    for (id <- idSeq) {
+      val w = VideoGen.width(id); val h = VideoGen.height(id)
+      val nf = VideoGen.nFrames(id)
+      val sampled = 0 until nf by stride
+      def frameSum(f: Int): Long =
+        (for (y <- 0 until h; x <- 0 until w) yield {
+          val p = VideoGen.pixel(id, f, x, y)
+          (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF))
+        }).sum
+      val sums = sampled.map(frameSum)
+      val motion = sums.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.sum
+      val r = got(id)
+      assert(r.getBoolean(1), s"id=$id decode failed")
+      assert((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)) ===
+        ((w, h, VideoGen.fps(id), nf)), s"id=$id container meta")
+      assert(r.getLong(6) === sampled.size.toLong, s"id=$id n_sampled")
+      assert(r.getLong(7) === sampled.size.toLong * w * h, s"id=$id n_px")
+      assert(r.getLong(8) === sums.sum, s"id=$id luma_sum")
+      assert(r.getLong(9) === motion, s"id=$id motion_abs")
+    }
+  }
+
+  test("video seam: stride 1 samples every frame; static clip has zero motion") {
+    import spark.implicits._
+    import graft.sources.VideoGen
+    val all = Multimodal.sampleVideoFrames(
+        VideoGen.syntheticGvid(Seq(7L).toDF("doc_id"), "doc_id"),
+        VideoGen.Codec, "content", frameStride = 1)
+      .select("video.n_sampled", "video.n_frames").collect().head
+    assert(all.getLong(0) === all.getInt(1).toLong)
+    // a hand-built 2-frame clip with identical frames: motion must be 0
+    val w = 3; val h = 2
+    val bb = java.nio.ByteBuffer.allocate(20 + 2 * w * h * 3)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(w).putInt(h).putInt(10).putInt(2)
+    for (_ <- 0 until 2; _ <- 0 until w * h) bb.put(50.toByte).put(60.toByte).put(70.toByte)
+    val static = Multimodal.sampleVideoFrames(
+        Seq((1L, bb.array())).toDF("doc_id", "content"),
+        VideoGen.Codec, "content", frameStride = 1)
+      .select("video.decode_ok", "video.motion_abs", "video.luma_sum").collect().head
+    assert(static.getBoolean(0))
+    assert(static.getLong(1) === 0L)
+    assert(static.getLong(2) === 2L * w * h * (299L * 50 + 587L * 60 + 114L * 70))
+  }
+
+  test("video seam: bad magic, bad header, and truncation mark the row, never fail") {
+    import spark.implicits._
+    import graft.sources.VideoGen
+    val good = VideoGen.render(5L)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val truncated = good.take(good.length - 7) // mid-frame cut
+    val zeroDims = {
+      val bb = java.nio.ByteBuffer.allocate(20)
+      bb.put("GVID".getBytes("US-ASCII")).putInt(0).putInt(4).putInt(10).putInt(1)
+      bb.array()
+    }
+    val rows = Seq((1L, badMagic), (2L, truncated), (3L, zeroDims),
+      (4L, Array[Byte](1, 2)), (5L, good))
+    // stride 1 so the truncated tail frame is actually sampled — a
+    // cut inside an UNSAMPLED frame is invisible by design (the
+    // sampler only touches frames 0, s, 2s, …)
+    val got = Multimodal.sampleVideoFrames(
+        rows.toDF("doc_id", "content"), VideoGen.Codec, "content", frameStride = 1)
+      .select("doc_id", "video.decode_ok")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got === Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("gvid magic is sniffed in the scan projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Tuple1(graft.sources.VideoGen.render(3L))).toDF("content")
+    assert(df.select(Multimodal.sniffFormat(col("content")).as("f"))
+      .collect().head.getString(0) === "gvid")
+  }
 }
