@@ -14,9 +14,13 @@ import scala.jdk.CollectionConverters._
   *   - time each query 3x and report the per-query MEDIAN (steady
   *     state) plus the first run (cold: includes any shared-cache
   *     materialization that query triggers);
-  *   - per-query gc_ms (JVM GC time during that query's 3 runs) and
-  *     storage_mb (cached-plan memory after it) so a regression is
-  *     attributable from the artifact alone.
+  *   - per-query gc_ms (JVM GC time during that query's 3 runs),
+  *     storage_mb (cached-plan memory after it), and peak_heap_mb
+  *     (max JVM heap-pool peak across the query's runs, peak-reset
+  *     per run — the single-JVM stand-in for per-query peak executor
+  *     memory) so a regression is attributable from the artifact
+  *     alone: plan change shows in median-vs-cold, cache migration
+  *     in storage_mb, memory pressure in gc_ms + peak_heap_mb.
   *
   * Output contract (the driver keeps only the last ~2000 chars of
   * the run's stdout and parses the trailing JSON line):
@@ -48,12 +52,50 @@ object Bench {
   private def storageMb(spark: SparkSession): Double =
     spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
 
+  /** Per-query peak heap: JVM heap memory-pool peak-usage counters,
+    * reset before each timed run and read after it. In local[n] the
+    * driver JVM IS every executor, so this is the honest stand-in
+    * for per-query peak executor memory. Pools can appear/become
+    * invalid across GC reconfigurations — re-list and guard each
+    * call rather than caching the bean list.
+    */
+  private def heapPools =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.isValid && p.getType == java.lang.management.MemoryType.HEAP)
+
+  private def resetPeakHeap(): Unit =
+    try heapPools.foreach(_.resetPeakUsage()) catch { case _: Exception => }
+
+  private def peakHeapMb(): Double =
+    try heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+    catch { case _: Exception => Double.NaN }
+
   /** Locale-independent fixed-point rendering ("." decimal point on
     * every default locale); NaN → JSON null.
     */
   private def num(d: Double): String =
     if (d.isNaN) "null"
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Per-query stats behind the detail line; see [[detailLine]]. */
+  private[graft] case class QStat(median: Double, cold: Double, gcMs: Long,
+                                  storMb: Double, peakHeapMb: Double)
+
+  /** The full-telemetry detail JSON line, extracted pure so BenchSpec
+    * can pin the extended contract: per-query median, cold,
+    * cold_total, gc_ms, storage_mb (pass-1 cumulative-cache
+    * snapshot), and peak_heap_mb (max per-run heap-pool peak). This
+    * line precedes the headline and is NOT length-constrained (the
+    * driver parses only the trailing headline; this one is for
+    * regression attribution from full logs).
+    */
+  private[graft] def detailLine(results: Seq[(String, QStat)],
+                                coldTotal: Double, iters: Int,
+                                sfDir: String): String = {
+    def jmap(f: QStat => String) =
+      results.map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
+    s"""{"metric":"detail","median":${jmap(s => num(s.median))},"cold":${jmap(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(_.gcMs.toString)},"storage_mb":${jmap(s => num(s.storMb))},"peak_heap_mb":${jmap(s => num(s.peakHeapMb))},"iters":$iters,"sf":"$sfDir"}"""
+  }
 
   /** The driver-facing headline line, extracted pure so BenchSpec can
     * pin the output contract: the ladder degrades precision, then
@@ -131,7 +173,6 @@ object Bench {
     System.gc()
 
     val errs = scala.collection.mutable.ListBuffer.empty[String]
-    case class QStat(median: Double, cold: Double, gcMs: Long, storMb: Double)
     // dev-only: regex filter to time a subset (bisecting order-
     // dependent effects); the driver never sets it
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
@@ -148,8 +189,10 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val gcLog = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val storLog = scala.collection.mutable.Map.empty[String, Double]
+    val heapLog = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     for (_ <- 1 to iters; (name, fn) <- queries) {
       val gc0 = gcMillis()
+      resetPeakHeap()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -160,6 +203,8 @@ object Bench {
         }
       runLog(name) = runLog(name) :+ ((ok, (System.nanoTime() - t0) / 1e9))
       gcLog(name) += gcMillis() - gc0
+      // max across passes: "the largest heap this query ever drove"
+      heapLog(name) = math.max(heapLog(name), peakHeapMb())
       // pass-1 snapshot only: caches accumulate monotonically within
       // a run (BarrierCache sweeps on scope change, never mid-run),
       // so a later-pass snapshot would show every query the same
@@ -172,13 +217,11 @@ object Bench {
       val good = runs.collect { case (true, t) => t }.sorted
       val median = if (good.nonEmpty) good(good.size / 2) else Double.NaN
       val cold = if (runs.nonEmpty && runs.head._1) runs.head._2 else Double.NaN
-      name -> QStat(median, cold, gcLog(name), storLog(name))
+      name -> QStat(median, cold, gcLog(name), storLog(name), heapLog(name))
     }
-    def jmap(key: String => String)(f: QStat => String) =
-      results.map { case (k, s) => "\"" + key(k) + "\":" + f(s) }.mkString("{", ",", "}")
     val total = results.map(_._2.median).filterNot(_.isNaN).sum
     val coldTotal = results.map(_._2.cold).filterNot(_.isNaN).sum
-    val detail = s"""{"metric":"detail","median":${jmap(identity)(s => num(s.median))},"cold":${jmap(identity)(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(identity)(_.gcMs.toString)},"storage_mb":${jmap(identity)(s => num(s.storMb))},"iters":$iters,"sf":"$sfDir"}"""
+    val detail = detailLine(results, coldTotal, iters, sfDir)
     // the driver reads only the last ~2000 chars of stdout and sbt
     // appends its own "[success] Total time ..." line (~80 chars)
     // after ours — headlineLine degrades stepwise (fewer decimals,

@@ -54,4 +54,23 @@ class BenchSpec extends AnyFunSuite {
       errs = Seq("q01_x"), sfDir = "x")
     assert(line.contains("\"q01\":null"), line)
   }
+
+  test("detail line carries the full attribution telemetry per query") {
+    val results = Seq(
+      "q01_ok" -> Bench.QStat(median = 1.5, cold = 2.25, gcMs = 120L,
+        storMb = 33.5, peakHeapMb = 2048.75),
+      "q02_failed" -> Bench.QStat(Double.NaN, Double.NaN, 0L, 33.5, 0.0))
+    val line = Bench.detailLine(results, coldTotal = 2.25, iters = 3, sfDir = "/d/sf0.1")
+    // valid single-line JSON with every telemetry map present
+    for (k <- Seq("\"median\":", "\"cold\":", "\"cold_total\":2.250",
+        "\"gc_ms\":", "\"storage_mb\":", "\"peak_heap_mb\":",
+        "\"iters\":3", "\"sf\":\"/d/sf0.1\""))
+      assert(line.contains(k), s"missing $k in $line")
+    assert(!line.contains('\n'))
+    // FULL query names (not the shortened headline keys), NaN → null
+    assert(line.contains("\"q01_ok\":1.500"))
+    assert(line.contains("\"q02_failed\":null"))
+    assert(line.contains("\"q01_ok\":2048.750"))
+    assert(line.contains("\"q01_ok\":120"))
+  }
 }
