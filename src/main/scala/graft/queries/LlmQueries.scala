@@ -1033,6 +1033,68 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q131 — Gopher repetition battery (llm/Repetition): top
+    // 2/3/4-gram and duplicate 5/6/7-gram char fractions per doc,
+    // thresholds per the paper, verdicts on the same 10^6-scaled
+    // integers the displayed ratios derive from. The other half of
+    // q118's rule battery — repetition is the pathology the
+    // document-shape rules can't see. Corpus-level summary so the
+    // result is compact at any SF; per-rule failure counts keep
+    // every rule observable.
+    "q131_repetition_rules" -> ((s, dir) => {
+      val r = graft.llm.Repetition.report(
+        Tables.documents(s, dir), "doc_id", "text")
+      r.groupBy("rep_ok")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("top2_frac") > 0.20, 1L).otherwise(0L)).as("n_top2_fail"),
+          sum(when(col("top3_frac") > 0.18, 1L).otherwise(0L)).as("n_top3_fail"),
+          sum(when(col("top4_frac") > 0.16, 1L).otherwise(0L)).as("n_top4_fail"),
+          sum(when(col("dup5_frac") > 0.15, 1L).otherwise(0L)).as("n_dup5_fail"),
+          sum(when(col("dup6_frac") > 0.14, 1L).otherwise(0L)).as("n_dup6_fail"),
+          sum(when(col("dup7_frac") > 0.13, 1L).otherwise(0L)).as("n_dup7_fail"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("rep_ok")
+    }),
+
+    // q132 — corpus novelty scoring: per-document fraction of its
+    // distinct trigram shingles FIRST seen in that document
+    // (attribution by min doc_id — the standard "contribution of
+    // new n-grams" curve curation teams read to find where a crawl
+    // stops adding information). Two hash aggregations (shingle,
+    // then doc) + one shingle-keyed join; no windows, no driver
+    // state — the same 1-shuffle-per-key shape as the q31 pair
+    // graph, linear in corpus tokens.
+    "q132_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = graft.llm.TextStats.tokens(col("text"))
+      val sh = docs
+        .select(col("doc_id"),
+          when(size(toks) >= 3,
+            transform(sequence(lit(0), size(toks) - 3),
+              i => array_join(slice(toks, i + lit(1), lit(3)), " ")))
+            .otherwise(array().cast("array<string>")).as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .distinct()
+      val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val perDoc = sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_frac",
+          expr(graft.llm.ExactRound.round6Expr("n_novel", "n_shingles")))
+      // corpus summary in novelty-decile bands (compact at any SF)
+      // floor on BOTH sides: Spark's double→long cast truncates while
+      // DuckDB's rounds, so a bare cast would disagree at band edges
+      perDoc
+        .withColumn("band", floor(col("novelty_frac") * 10).cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_shingles").as("shingles"),
+          sum("n_novel").as("novel"))
+        .orderBy("band")
+    }),
+
     // q126 — audio decode + features over the deterministic
     // synthetic-WAV corpus (sources/AudioGen, closed-form samples):
     // the real JDK javax.sound decode runs executor-side in the
@@ -2100,6 +2162,76 @@ object LlmQueries {
         |  ${graft.llm.ExactRound.round6Sql(
              "CAST(luma_sum AS BIGINT)", "1000 * n_px")} AS luma_mean
         |FROM a ORDER BY doc_id""".stripMargin,
+    // q131: full replay of the repetition battery — n-gram
+    // occurrence streams per n, covered-char aggregates, the same
+    // micro-integer thresholds
+    "q131_repetition_rules" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |                  string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM d WHERE len(t) >= 2),
+        |occ AS (
+        |  SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS g
+        |  FROM pos, (SELECT unnest([2,3,4,5,6,7]) AS n)
+        |  WHERE i + n - 1 <= len(t)),
+        |c AS (SELECT doc_id, n, g, COUNT(*) AS cnt,
+        |             COUNT(*) * length(g) AS chars
+        |      FROM occ GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, n, MAX(chars) AS top_chars,
+        |             SUM(CASE WHEN cnt >= 2 THEN chars ELSE 0 END) AS dup_chars
+        |      FROM c GROUP BY 1, 2),
+        |w AS (SELECT d.doc_id, d.n_chars,
+        |  COALESCE(MAX(CASE WHEN n = 2 THEN top_chars END), 0) AS t2,
+        |  COALESCE(MAX(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
+        |  COALESCE(MAX(CASE WHEN n = 4 THEN top_chars END), 0) AS t4,
+        |  COALESCE(MAX(CASE WHEN n = 5 THEN dup_chars END), 0) AS d5,
+        |  COALESCE(MAX(CASE WHEN n = 6 THEN dup_chars END), 0) AS d6,
+        |  COALESCE(MAX(CASE WHEN n = 7 THEN dup_chars END), 0) AS d7
+        |  FROM d LEFT JOIN p ON p.doc_id = d.doc_id GROUP BY 1, 2),
+        |u AS (SELECT doc_id, n_chars,
+        |  (2 * t2 * 1000000 + n_chars) // (2 * n_chars) AS t2u,
+        |  (2 * t3 * 1000000 + n_chars) // (2 * n_chars) AS t3u,
+        |  (2 * t4 * 1000000 + n_chars) // (2 * n_chars) AS t4u,
+        |  (2 * d5 * 1000000 + n_chars) // (2 * n_chars) AS d5u,
+        |  (2 * d6 * 1000000 + n_chars) // (2 * n_chars) AS d6u,
+        |  (2 * d7 * 1000000 + n_chars) // (2 * n_chars) AS d7u
+        |  FROM w),
+        |r AS (SELECT doc_id, n_chars,
+        |  CAST(t2u AS DOUBLE)/1e6 AS top2, CAST(t3u AS DOUBLE)/1e6 AS top3,
+        |  CAST(t4u AS DOUBLE)/1e6 AS top4, CAST(d5u AS DOUBLE)/1e6 AS dup5,
+        |  CAST(d6u AS DOUBLE)/1e6 AS dup6, CAST(d7u AS DOUBLE)/1e6 AS dup7,
+        |  (t2u <= 200000 AND t3u <= 180000 AND t4u <= 160000 AND
+        |   d5u <= 150000 AND d6u <= 140000 AND d7u <= 130000) AS rep_ok
+        |  FROM u)
+        |SELECT rep_ok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN top2 > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_fail,
+        |  CAST(SUM(CASE WHEN top3 > 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3_fail,
+        |  CAST(SUM(CASE WHEN top4 > 0.16 THEN 1 ELSE 0 END) AS BIGINT) AS n_top4_fail,
+        |  CAST(SUM(CASE WHEN dup5 > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup5_fail,
+        |  CAST(SUM(CASE WHEN dup6 > 0.14 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup6_fail,
+        |  CAST(SUM(CASE WHEN dup7 > 0.13 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup7_fail,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY rep_ok ORDER BY rep_ok""".stripMargin,
+    // q132: the trigram first-seen attribution replayed verbatim
+    "q132_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM d WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM idx),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |p AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |      FROM sh JOIN f USING (g) GROUP BY 1),
+        |n AS (SELECT doc_id, n_shingles, n_novel,
+        |             CAST((2 * n_novel * 1000000 + n_shingles) // (2 * n_shingles)
+        |                  AS DOUBLE) / 1e6 AS novelty_frac
+        |      FROM p)
+        |SELECT CAST(floor(novelty_frac * 10) AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_shingles) AS BIGINT) AS shingles,
+        |  CAST(SUM(n_novel) AS BIGINT) AS novel
+        |FROM n GROUP BY 1 ORDER BY band""".stripMargin,
     // q126: replay AudioGen's closed-form samples — the oracle
     // derives the waveform itself and aggregates the same exact
     // integers the JDK decode accumulates

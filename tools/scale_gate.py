@@ -60,7 +60,12 @@ def bench_medians(path):
         line = line.strip()
         if line.startswith('{"metric":"detail"'):
             last = line
-    return json.loads(last)["median"] if last else {}
+    if not last:
+        return {}
+    # detail-line keys are FULL query names; ratio lookup is by the
+    # short qNN prefix, so normalize here
+    return {k.split("_")[0]: v
+            for k, v in json.loads(last)["median"].items()}
 
 
 def main():
