@@ -38,11 +38,11 @@ object Dedup {
     * shorter than n tokens yield no shingles.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // zip_with-chain gram builder: the transform-over-sequence form
+    // re-evaluates the tokenizer per ELEMENT once Catalyst inlines
+    // it into the lambda body (see TextStats.wordGrams) — this is
+    // the cold-path cost of the whole cached q31 family
+    val sh = TextStats.wordGrams(split(col(textCol), " "), n)
     docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 

