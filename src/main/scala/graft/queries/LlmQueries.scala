@@ -1115,6 +1115,41 @@ object LlmQueries {
         docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
     }),
 
+    // q135 — vocabulary-coverage / OOV-rate filter: per-document
+    // fraction of token OCCURRENCES covered by the top-1000 corpus
+    // vocabulary (count desc, token asc — a total order, so the
+    // cutoff is deterministic). Documents mostly made of
+    // out-of-vocabulary tokens are gibberish/noise with high
+    // probability — the cheap lexical cousin of the q124 model
+    // filter. Scale shape: one token-keyed hash aggregation
+    // (map-side combine, shuffle = |vocab|), a bounded top-K
+    // (limit 1000 → TakeOrdered, never a global sort of the corpus),
+    // a BROADCAST left-semi-style join of the token stream against
+    // the 1000-row vocab, and a per-doc aggregation. Coverage and
+    // the low flag threshold on the same 10^6-scaled integer.
+    "q135_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(TextStats.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+        .select(col("tok"), lit(1L).as("__in"))
+      val perDoc = toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("__in"), lit(0L))).as("n_in_vocab"))
+        .withColumn("__cov_u",
+          expr(graft.llm.ExactRound.micro6Expr("n_in_vocab", "n_tokens")))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_in_vocab").as("in_vocab_tokens"),
+          sum(when(col("__cov_u") < 900000L, 1L).otherwise(0L)).as("n_low"))
+        .withColumn("coverage",
+          expr(graft.llm.ExactRound.round6Expr("in_vocab_tokens", "total_tokens")))
+        .orderBy("lang")
+    }),
+
     // q126 — audio decode + features over the deterministic
     // synthetic-WAV corpus (sources/AudioGen, closed-form samples):
     // the real JDK javax.sound decode runs executor-side in the
@@ -2290,6 +2325,26 @@ object LlmQueries {
         |SELECT tok, a, b, p_micro, q_micro,
         |       CAST(ABS(p_micro - q_micro) AS BIGINT) AS delta_micro
         |FROM d ORDER BY delta_micro DESC, tok ASC LIMIT 20""".stripMargin,
+    // q135: the top-1000 vocab via a deterministic ranked cutoff,
+    // then the same per-doc occurrence-coverage integers
+    "q135_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+        |v AS (SELECT tok FROM (SELECT tok, row_number() OVER
+        |        (ORDER BY cnt DESC, tok ASC) AS rn FROM c) WHERE rn <= 1000),
+        |p AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+        |             SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+        |      FROM t LEFT JOIN v ON v.tok = t.tok GROUP BY 1, 2),
+        |u AS (SELECT *, (2 * n_in * 1000000 + n_tokens) // (2 * n_tokens) AS cov_u
+        |      FROM p)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_in) AS BIGINT) AS in_vocab_tokens,
+        |  CAST(SUM(CASE WHEN cov_u < 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST((2 * SUM(n_in) * 1000000 + SUM(n_tokens)) // (2 * SUM(n_tokens))
+        |       AS DOUBLE) / 1e6 AS coverage
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
     // q126: replay AudioGen's closed-form samples — the oracle
     // derives the waveform itself and aggregates the same exact
     // integers the JDK decode accumulates
