@@ -232,6 +232,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("q131: repetition battery is one scan pass — no shuffle before the summary") {
+    val p = plan("q131_repetition_rules")
+    assert(p.contains("MapPartitions"), p.take(2000))
+    // the only exchanges are the 2-row summary aggregate + its sort;
+    // a corpus-wide (doc, n, gram) shuffle would add more
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"repetition shuffles the n-gram stream\n${p.take(3000)}")
+  }
+
+  test("q133: drift totals attach as a 1-row broadcast, never a window") {
+    val p = plan("q133_corpus_drift")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast\n${p.take(3000)}")
+  }
+
+  test("q135: vocab is a bounded TakeOrdered and joins as a broadcast") {
+    val p = plan("q135_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cutoff must not global-sort the corpus\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
