@@ -18,11 +18,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's
-    * TimestampType (µs) cannot hold; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and we rebuild a
-    * µs timestamp here (integer `div` — a double division would
-    * lose precision above 2^53 ns).
+  /** `events.ts` has shipped in two parquet forms across driver
+    * testdata regens: TIMESTAMP(NANOS) — which Spark's TimestampType
+    * (µs) cannot hold, so sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader
+    * rebuilds a µs timestamp (integer `div`; a double division would
+    * lose precision above 2^53 ns) — and, since 2026-08, a naive
+    * `timestamp[us]` that reads as TIMESTAMP_NTZ and passes through
+    * (watermark sites coerce via `Ingest.asEventTime`).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")

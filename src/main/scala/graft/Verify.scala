@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) — Spark 4 rejects it unless
-      // read as long (Tables.events rebuilds the µs timestamp).
+      // back-compat for the TIMESTAMP(NANOS) form of events.ts —
+      // Spark 4 rejects it unless read as long (Tables.events
+      // rebuilds the µs timestamp; current µs/NTZ data is unaffected).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
