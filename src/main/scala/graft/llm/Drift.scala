@@ -38,7 +38,12 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  private def sideCounts(df: DataFrame, textCol: String, cntName: String): DataFrame =
+  /** Unigram counts of a document frame: (tok, <cntName>) — the
+    * count-level input [[deltasFromCounts]] consumes, also produced
+    * incrementally by the streaming twin
+    * ([[graft.streaming.Stateful.driftMonitorAvailableNow]]).
+    */
+  def sideCounts(df: DataFrame, textCol: String, cntName: String): DataFrame =
     df.select(explode(TextStats.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as(cntName))
 
@@ -46,9 +51,15 @@ object Drift {
     * delta_micro) with a/b the raw counts (0 where absent) and
     * p/q the per-million quantizations of each side's distribution.
     */
-  def tokenDeltas(ref: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
-    val a = sideCounts(ref, textCol, "a")
-    val b = sideCounts(cur, textCol, "b")
+  def tokenDeltas(ref: DataFrame, cur: DataFrame, textCol: String): DataFrame =
+    deltasFromCounts(sideCounts(ref, textCol, "a"), sideCounts(cur, textCol, "b"))
+
+  /** Count-level form: `a`/`b` are (tok, a) / (tok, b) frames.
+    * Precondition: both sides non-empty — a zero-token side has no
+    * distribution to compare (and the exact-rational rounding would
+    * divide by zero under ANSI).
+    */
+  def deltasFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
     val joined = a.join(b, Seq("tok"), "full_outer")
       .select(col("tok"),
         coalesce(col("a"), lit(0L)).as("a"),
@@ -68,7 +79,11 @@ object Drift {
     * quantized TV distance.
     */
   def summary(ref: DataFrame, cur: DataFrame, textCol: String): DataFrame =
-    tokenDeltas(ref, cur, textCol)
+    summarize(tokenDeltas(ref, cur, textCol))
+
+  /** Summary over a prebuilt deltas frame (see [[deltasFromCounts]]). */
+  def summarize(deltas: DataFrame): DataFrame =
+    deltas
       .groupBy("n_ref", "n_cur", "vocab_ref", "vocab_cur", "vocab_union")
       .agg(sum("delta_micro").as("tv_microsum"))
       .withColumn("tv_dist",

@@ -275,4 +275,48 @@ object Ingest {
       .start()
     q.awaitTermination()
   }
+
+  /** STREAMING corpus drift monitor — the streaming twin of
+    * [[graft.llm.Drift]] (q133): watch a folder of JSON-lines
+    * document files, maintain the RUNNING token counts of everything
+    * ingested so far (streaming groupBy aggregation — state bounded
+    * by |vocab|, checkpointed, exactly-once across restarts), and
+    * per micro-batch append one row with the quantized-TV distance
+    * of the accumulated distribution against a fixed REFERENCE
+    * distribution: (batch_id, n_ref, n_cur, vocab_ref, vocab_cur,
+    * vocab_union, tv_microsum, tv_dist).
+    *
+    * The production read: a crawl lands file-by-file, and the
+    * appended curve shows the incoming corpus converging toward (or
+    * drifting from) the reference mix — the alarm fires on the
+    * trend, not on one batch. Complete-output streaming aggregation
+    * is the right state primitive because the metric needs the FULL
+    * accumulated distribution each batch and that distribution is
+    * vocab-bounded, not stream-bounded; the per-batch TV arithmetic
+    * is the same exact-integer [[graft.llm.Drift]] path the q133
+    * oracle verifies. IngestSpec proves the final appended row
+    * equals the batch `Drift.summary` over the same files.
+    */
+  def driftMonitorAvailableNow(spark: SparkSession, stagingDir: String,
+                               checkpointDir: String, refDocs: DataFrame,
+                               textCol: String, outPath: String): Unit = {
+    import graft.llm.Drift
+    val refCounts = Drift.sideCounts(refDocs, textCol, "a")
+      .localCheckpoint(eager = true) // fixed side: evaluate once, reuse per batch
+    val schema = StructType.fromDDL("doc_id LONG, text STRING, lang STRING")
+    val runningCounts = spark.readStream.schema(schema).json(stagingDir)
+      .select(explode(graft.llm.TextStats.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("b"))
+    val q = runningCounts.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Drift.summarize(Drift.deltasFromCounts(refCounts, batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

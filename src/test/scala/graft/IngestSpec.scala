@@ -206,4 +206,38 @@ class IngestSpec extends SparkSpec {
     assert(p2.filter(col("doc_id") === 10L).isEmpty)
     assert(p2.filter(col("doc_id") === 11L).count() === 1)
   }
+
+  test("A7: streaming drift monitor accumulates to the batch TV across runs") {
+    import spark.implicits._
+    val base = tmpDir("drift")
+    val staging = base + "/staging"; val chk = base + "/chk"; val out = base + "/out"
+    Files.createDirectories(Paths.get(staging))
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text","lang":"en"}"""
+    val ref = Seq((1L, "the quick brown fox and the lazy dog"),
+      (2L, "a river runs through the quiet valley")).toDF("doc_id", "text")
+
+    val f1 = "the quick brown fox naps all day"
+    val f2 = "an entirely different stream of words arrives here"
+    Files.write(Paths.get(staging, "d1.json"),
+      doc(1, f1).getBytes("UTF-8"))
+    Ingest.driftMonitorAvailableNow(spark, staging, chk, ref, "text", out)
+    Files.write(Paths.get(staging, "d2.json"),
+      doc(2, f2).getBytes("UTF-8"))
+    Ingest.driftMonitorAvailableNow(spark, staging, chk, ref, "text", out)
+
+    val rows = spark.read.parquet(out)
+    assert(rows.count() >= 2, "one appended summary row per non-empty batch")
+    // the checkpointed running counts make the LAST row equal the
+    // batch-mode drift over everything streamed so far
+    val last = rows.orderBy(col("batch_id").desc).limit(1)
+      .select("n_ref", "n_cur", "tv_microsum", "tv_dist").collect().head
+    val streamed = Seq((1L, f1), (2L, f2)).toDF("doc_id", "text")
+    val batch = graft.llm.Drift.summary(ref, streamed, "text")
+      .select("n_ref", "n_cur", "tv_microsum", "tv_dist").collect().head
+    assert(last === batch)
+    // and the monitor is a curve: the first batch's TV differs from
+    // the accumulated one (the second file shifted the distribution)
+    val tvs = rows.select("tv_dist").as[Double].collect().toSet
+    assert(tvs.size >= 2)
+  }
 }

@@ -56,4 +56,21 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("wordGrams == naive sliding-window join, for any doc and n") {
+    // the zip_with chain must be byte-identical to the obvious
+    // definition — order and duplicates preserved, size-n+1 grams,
+    // empty when the doc is shorter than n
+    val doc = Gen.listOfN(12, Gen.oneOf("a", "bb", "ccc", "", "a", "bb"))
+      .map(_.mkString(" "))
+    forAllSeeded(Gen.zip(doc, Gen.chooseNum(1, 7)), n = 25) { case (text, n) =>
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.llm.TextStats.wordGrams(split(col("text"), " "), n).as("g"))
+        .as[Seq[String]].collect().head
+      val toks = text.split(" ", -1).toSeq
+      val expected =
+        if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got === expected, s"n=$n text='$text'")
+    }
+  }
 }
