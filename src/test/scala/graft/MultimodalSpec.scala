@@ -305,6 +305,51 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
   }
 
+  test("video seam is codec-agnostic: a second binding drives the same sampler") {
+    import spark.implicits._
+    // a deliberately different container: "SOLO" + w + h + packed
+    // RGB, exactly one solid frame — no frame array, no fps field.
+    // Binding it proves sampleVideoFrames depends only on the trait,
+    // not on GVID specifics (the production ffmpeg/JNI binding slots
+    // in the same way).
+    object SoloCodec extends Multimodal.VideoCodec {
+      private val M = "SOLO".getBytes("US-ASCII")
+      override def probe(bytes: Array[Byte]) = {
+        if (bytes.length < 16 || !bytes.take(4).sameElements(M)) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+          val w = bb.getInt; val h = bb.getInt
+          if (w <= 0 || h <= 0) None
+          else Some(Multimodal.VideoMeta(w, h, fps = 1, nFrames = 1))
+        }
+      }
+      override def frame(bytes: Array[Byte], m: Multimodal.VideoMeta, idx: Int) =
+        if (idx != 0) None
+        else {
+          val px = java.nio.ByteBuffer.wrap(bytes, 12, 4).getInt
+          Some(Array.fill(m.width * m.height)(px & 0xFFFFFF))
+        }
+    }
+    def solo(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.put("SOLO".getBytes("US-ASCII")).putInt(w).putInt(h).putInt(rgb)
+      bb.array()
+    }
+    val rows = Seq((1L, solo(4, 3, (10 << 16) | (20 << 8) | 30)),
+      (2L, graft.sources.VideoGen.render(9L))) // foreign format → marked row
+    val got = Multimodal.sampleVideoFrames(
+        rows.toDF("doc_id", "content"), SoloCodec, "content", frameStride = 1)
+      .select("doc_id", "video.decode_ok", "video.n_px", "video.luma_sum",
+        "video.motion_abs")
+      .collect().map(r => (r.getLong(0), r)).toMap
+    val ok = got(1L)
+    assert(ok.getBoolean(1))
+    assert(ok.getLong(2) === 12L)
+    assert(ok.getLong(3) === 12L * (299 * 10 + 587 * 20 + 114 * 30))
+    assert(ok.getLong(4) === 0L) // single frame: no motion
+    assert(!got(2L).getBoolean(1), "GVID payload must not decode under SoloCodec")
+  }
+
   test("gvid magic is sniffed in the scan projection") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
