@@ -41,7 +41,7 @@ object Drift {
   /** Unigram counts of a document frame: (tok, <cntName>) — the
     * count-level input [[deltasFromCounts]] consumes, also produced
     * incrementally by the streaming twin
-    * ([[graft.streaming.Stateful.driftMonitorAvailableNow]]).
+    * ([[graft.streaming.Ingest.driftMonitorAvailableNow]]).
     */
   def sideCounts(df: DataFrame, textCol: String, cntName: String): DataFrame =
     df.select(explode(TextStats.tokens(col(textCol))).as("tok"))

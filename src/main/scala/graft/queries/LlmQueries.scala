@@ -638,6 +638,69 @@ object LlmQueries {
         .orderBy("id_keep", "id_drop")
     }),
 
+    // q136 — A8 semantic tier, the SemDeDup ROUTING-RECALL gauge:
+    // q116's planted pairs are identical vectors, so their recovery
+    // is structural at any k (identical sims + tie-breaks co-route)
+    // and measures nothing about the two-level IVF routing trade.
+    // This query plants NEAR-duplicates instead — every 7th vector at
+    // id+3e7 with component 0 NEGATED (exactly replayable in both
+    // engines: qi(-x) = -qi(x) under half-away-from-zero rounding) —
+    // whose cosines land in [0.7, 1) and which therefore CAN straddle
+    // coarse cells. Output rows are the brute-computed planted-pair
+    // truth (cos ≥ 0.9, exact integer triple — DuckDB-computable with
+    // a per-vector scan: qdot = n2 − 2·qi(v₀)²), carrying two
+    // deterministic flags, the q35/q47 pattern:
+    //   exact_ok  — the UNROUTED flat-assignment pipeline recovers
+    //               ≥ 60% of the truth (k-means cell recall: near
+    //               pairs can straddle fine cells — the base SemDeDup
+    //               trade, Abbas et al. §3, independent of routing);
+    //   routed_ok — the two-level ROUTED pipeline (routeAbove=4, so
+    //               routing engages at every SF) recovers ≥ 90% of
+    //               what the exact assignment recovers — the
+    //               previously-unmeasured IVF routing recall
+    //               (SemDedup.scala nearestRouted's documented
+    //               approximation contract, now gauged in-plan).
+    // Everything is seeded/deterministic, so the flags are
+    // reproducible; a routing-recall regression flips routed_ok and
+    // the driver's hash check catches it. Tighter measured floors
+    // (and the measured recall values) are pinned in SemDedupSpec.
+    "q136_semdedup_recall" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val negFirst = transform(col("embedding"),
+        (x, i) => when(i === 0, -x).otherwise(x))
+      val near = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 30000000L).as("vec_id"),
+          negFirst.as("embedding"))
+      val corpus = emb.unionByName(near)
+      val truth = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("id_keep"),
+          (col("vec_id") + 30000000L).as("id_drop"),
+          Similarity.qdot(col("embedding"), negFirst).as("qdot"),
+          Similarity.qnorm2(col("embedding")).as("n2_i"),
+          Similarity.qnorm2(negFirst).as("n2_j"))
+        .filter(Similarity.cosine(col("qdot"), col("n2_i"), col("n2_j")) >= 0.9)
+      def plantedFound(routeAbove: Int, mark: String) =
+        graft.llm.SemDedup.semanticDups(corpus, "vec_id", "embedding",
+            threshold = 0.9, k = 8, iters = 3, routeAbove = routeAbove)
+          .filter(col("id_drop") === col("id_keep") + 30000000L)
+          .select(col("id_keep"), col("id_drop"), lit(1L).as(mark))
+      val w = Window.partitionBy(lit(1))
+      truth
+        .join(plantedFound(Int.MaxValue, "__e"), Seq("id_keep", "id_drop"), "left")
+        .join(plantedFound(4, "__r"), Seq("id_keep", "id_drop"), "left")
+        .withColumn("exact_ok",
+          sum(coalesce(col("__e"), lit(0L))).over(w) * lit(100L) >=
+            count(lit(1)).over(w) * lit(60L))
+        .withColumn("routed_ok",
+          sum(coalesce(col("__r"), lit(0L))).over(w) * lit(100L) >=
+            sum(coalesce(col("__e"), lit(0L))).over(w) * lit(90L))
+        .select(col("id_keep"), col("id_drop"), col("qdot"),
+          col("n2_i"), col("n2_j"), col("exact_ok"), col("routed_ok"))
+        .orderBy("id_keep")
+    }),
+
     // q34 — A10: brute-force cosine top-10 for 5 probe vectors
     // (quantized-integer dot products — bit-exact scores).
     "q34_cosine_topk" -> ((s, dir) => {
@@ -1925,6 +1988,30 @@ object LlmQueries {
          |SELECT vec_id AS id_keep, vec_id + 20000000 AS id_drop,
          |       n2 AS qdot, n2 AS n2_i, n2 AS n2_j
          |FROM n ORDER BY id_keep""".stripMargin,
+    // q136: the planted NEAR-pair truth (component-0-negated copies,
+    // cos ≥ 0.9) is a per-vector scan — qdot = n2 − 2·qi(v₀)², equal
+    // norms — and the two recall flags are TRUE when the assignment
+    // machinery (flat AND two-level-routed) holds its floors. The
+    // cosine threshold replays the exact Spark expression
+    // (dot / (√n2·√n2), NOT dot/n2 — sqrt(a)·sqrt(a) ≠ a in IEEE).
+    "q136_semdedup_recall" ->
+      s"""WITH src AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+         |n AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(${qiSql("embedding[i]")} * ${qiSql("embedding[i]")}) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN i = 1
+         |      THEN ${qiSql("embedding[i]")} * ${qiSql("embedding[i]")}
+         |      ELSE 0 END) AS BIGINT) AS h0
+         |  FROM src, range(1, 65) AS u(i)
+         |  GROUP BY 1)
+         |SELECT vec_id AS id_keep, vec_id + 30000000 AS id_drop,
+         |       n2 - 2*h0 AS qdot, n2 AS n2_i, n2 AS n2_j,
+         |       TRUE AS exact_ok, TRUE AS routed_ok
+         |FROM n
+         |WHERE CAST(n2 - 2*h0 AS DOUBLE) /
+         |      (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.9
+         |ORDER BY id_keep""".stripMargin,
     "q34_cosine_topk" -> bruteTopKSql(""),
     // q35/q47 emit the same exact projection; their ANN twin only
     // drives the recall_ok flag, TRUE when healthy.
@@ -2244,12 +2331,12 @@ object LlmQueries {
         |  COALESCE(MAX(CASE WHEN n = 7 THEN dup_chars END), 0) AS d7
         |  FROM d LEFT JOIN p ON p.doc_id = d.doc_id GROUP BY 1, 2),
         |u AS (SELECT doc_id, n_chars,
-        |  (2 * t2 * 1000000 + n_chars) // (2 * n_chars) AS t2u,
-        |  (2 * t3 * 1000000 + n_chars) // (2 * n_chars) AS t3u,
-        |  (2 * t4 * 1000000 + n_chars) // (2 * n_chars) AS t4u,
-        |  (2 * d5 * 1000000 + n_chars) // (2 * n_chars) AS d5u,
-        |  (2 * d6 * 1000000 + n_chars) // (2 * n_chars) AS d6u,
-        |  (2 * d7 * 1000000 + n_chars) // (2 * n_chars) AS d7u
+        |  (2 * t2 * 1000000 + greatest(n_chars, 1)) // (2 * greatest(n_chars, 1)) AS t2u,
+        |  (2 * t3 * 1000000 + greatest(n_chars, 1)) // (2 * greatest(n_chars, 1)) AS t3u,
+        |  (2 * t4 * 1000000 + greatest(n_chars, 1)) // (2 * greatest(n_chars, 1)) AS t4u,
+        |  (2 * d5 * 1000000 + greatest(n_chars, 1)) // (2 * greatest(n_chars, 1)) AS d5u,
+        |  (2 * d6 * 1000000 + greatest(n_chars, 1)) // (2 * greatest(n_chars, 1)) AS d6u,
+        |  (2 * d7 * 1000000 + greatest(n_chars, 1)) // (2 * greatest(n_chars, 1)) AS d7u
         |  FROM w),
         |r AS (SELECT doc_id, n_chars,
         |  CAST(t2u AS DOUBLE)/1e6 AS top2, CAST(t3u AS DOUBLE)/1e6 AS top3,

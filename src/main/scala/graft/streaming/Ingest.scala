@@ -280,8 +280,8 @@ object Ingest {
     * [[graft.llm.Drift]] (q133): watch a folder of JSON-lines
     * document files, maintain the RUNNING token counts of everything
     * ingested so far (streaming groupBy aggregation — state bounded
-    * by |vocab|, checkpointed, exactly-once across restarts), and
-    * per micro-batch append one row with the quantized-TV distance
+    * by |vocab|, checkpointed, exactly-once state across restarts),
+    * and per micro-batch emit one row with the quantized-TV distance
     * of the accumulated distribution against a fixed REFERENCE
     * distribution: (batch_id, n_ref, n_cur, vocab_ref, vocab_cur,
     * vocab_union, tv_microsum, tv_dist).
@@ -296,6 +296,13 @@ object Ingest {
     * is the same exact-integer [[graft.llm.Drift]] path the q133
     * oracle verifies. IngestSpec proves the final appended row
     * equals the batch `Drift.summary` over the same files.
+    *
+    * Output idempotency: foreachBatch is at-least-once, so a retried
+    * batch would duplicate its summary row under a plain append. The
+    * sink therefore partitions by batch_id with DYNAMIC partition
+    * overwrite — a replayed batch rewrites exactly its own
+    * `batch_id=N` directory and no other, making the output
+    * exactly-once per batch_id end to end.
     */
   def driftMonitorAvailableNow(spark: SparkSession, stagingDir: String,
                                checkpointDir: String, refDocs: DataFrame,
@@ -314,7 +321,10 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Drift.summarize(Drift.deltasFromCounts(refCounts, batch))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
       }
       .start()
     q.awaitTermination()

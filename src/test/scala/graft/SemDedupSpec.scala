@@ -105,4 +105,41 @@ class SemDedupSpec extends SparkSpec {
       "routed path keeps full planted-copy recall")
     assert(got.forall(p => p._3 === p._4 && p._4 === p._5))
   }
+
+  test("routing recall on planted NEAR-pairs is measured and floored (q136 contract)") {
+    // q136's construction: component-0-negated copies are genuinely
+    // DIFFERENT directions (cos in [0.7, 1)), so unlike the
+    // identical-copy tests above, neither co-assignment under flat
+    // k-means nor co-routing under the two-level path is structural.
+    // This is the measurement the IVF approximation contract
+    // (SemDedup.nearestRouted scaladoc) promises: routed recall
+    // relative to the unrouted exact assignment, floored here and
+    // gauged in-plan by q136's routed_ok flag.
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val negFirst = transform(col("embedding"),
+      (x, i) => when(i === 0, -x).otherwise(x))
+    val near = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 30000000L).as("vec_id"), negFirst.as("embedding"))
+    val corpus = emb.unionByName(near)
+    val truth = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        Similarity.cosine(Similarity.qdot(col("embedding"), negFirst),
+          Similarity.qnorm2(col("embedding")),
+          Similarity.qnorm2(negFirst)).as("cos"))
+      .filter(col("cos") >= 0.9).select("vec_id").as[Long].collect().toSet
+    def found(routeAbove: Int): Set[Long] =
+      SemDedup.semanticDups(corpus, "vec_id", "embedding", threshold = 0.9,
+          k = 8, iters = 3, routeAbove = routeAbove)
+        .filter(col("id_drop") === col("id_keep") + 30000000L)
+        .select("id_keep").as[Long].collect().toSet.intersect(truth)
+    val exact = found(Int.MaxValue)
+    val routed = found(4)
+    assert(truth.nonEmpty, "construction: some negated pairs must clear cos 0.9")
+    val exactRecall = exact.size.toDouble / truth.size
+    val routedVsExact = if (exact.isEmpty) 1.0 else routed.size.toDouble / exact.size
+    info(f"truth=${truth.size} exact=${exact.size} routed=${routed.size} " +
+      f"exactRecall=$exactRecall%.3f routedVsExact=$routedVsExact%.3f")
+    assert(exactRecall >= 0.6, f"flat-assignment recall $exactRecall%.3f under floor")
+    assert(routedVsExact >= 0.9, f"routing recall $routedVsExact%.3f under floor")
+  }
 }

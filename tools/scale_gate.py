@@ -63,9 +63,45 @@ def bench_medians(path):
     if not last:
         return {}
     # detail-line keys are FULL query names; ratio lookup is by the
-    # short qNN prefix, so normalize here
-    return {k.split("_")[0]: v
-            for k, v in json.loads(last)["median"].items()}
+    # short qNN prefix, so normalize here — and fail loudly if two
+    # registered queries ever share a prefix (a silent dict overwrite
+    # would attach a ratio to the wrong query)
+    out = {}
+    for k, v in json.loads(last)["median"].items():
+        short = k.split("_")[0]
+        if short in out:
+            raise SystemExit(
+                f"bench_medians: duplicate query prefix {short!r} in {path} "
+                f"— prefixes must be unique for ratio attribution")
+        out[short] = v
+    return out
+
+
+def rows_out(out_dir, query):
+    """Row count of a Verify result directory (parquet part files)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    d = os.path.join(out_dir, query)
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
+# machine-readable provenance for every non-stock oracle row: WHY the
+# stock SQL was not run at this SF (previously prose-only in SCALE.md)
+ORACLE_NOTES = {
+    "substitute": ("stock all-pairs oracle SQL is the scale-limited side "
+                   "at this SF; planted-truth substitute SQL from "
+                   "sf1_oracle_subs.py verifies the same contract"),
+    "component-check": ("stock recursive-CTE closure oracle is intractable "
+                        "in DuckDB at this SF; check_components.py replays "
+                        "the same edge derivation + union-find closure"),
+}
 
 
 def main():
@@ -75,6 +111,10 @@ def main():
     ap.add_argument("round", type=int)
     ap.add_argument("--small-bench")
     ap.add_argument("--big-bench")
+    ap.add_argument("--small-out-dir",
+                    help="Verify out dir from the SMALL-SF run; when given, "
+                         "per-query rows_out_small is recorded so output "
+                         "growth (vs plan-shape growth) is machine-decomposable")
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -125,8 +165,13 @@ def main():
         queries[q] = {
             "status": "green" if ok else ("missing" if ok is None else "fail"),
             "oracle": oracle,
-            "note": None if ok else note,
+            # failures keep the checker's message; green non-stock rows
+            # carry the one-line WHY so the artifact is self-justifying
+            "note": note if not ok else ORACLE_NOTES.get(oracle),
             "ratio": ratio,
+            "rows_out_big": rows_out(args.out_dir, q),
+            "rows_out_small": (rows_out(args.small_out_dir, q)
+                               if args.small_out_dir else None),
         }
 
     ratios = [v["ratio"] for v in queries.values() if v["ratio"]]
