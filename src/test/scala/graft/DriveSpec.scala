@@ -1,0 +1,160 @@
+package graft
+
+import graft.etl.Transform
+import graft.sources.{DriveConnector, DriveFile, DriveSource, DriveTransport}
+import graft.streaming.Ingest
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.nio.file.{Files, Paths}
+
+/** Drive-source wire contract (reference `main.py:412-470`): the
+  * list / download / archive-move request shapes, proven against an
+  * in-process recording server — the boundary-symmetric twin of
+  * SinksSpec's PostgREST contract test.
+  */
+class DriveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Req(method: String, path: String, query: String,
+                         auth: String, body: String)
+
+  /** Recording Drive stand-in: one raw folder with `files`, paged
+    * `pageSize` per list response; serves media; accepts moves.
+    */
+  private def withServer(files: Seq[(DriveFile, Array[Byte])], pageSize: Int)
+                        (run: (String, () => Seq[Req]) => Unit): Unit = {
+    val reqs = new java.util.concurrent.ConcurrentLinkedQueue[Req]()
+    val byId = files.map { case (f, b) => f.id -> (f, b) }.toMap
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        val uri = x.getRequestURI
+        // raw (still-encoded) query — the wire contract is about what
+        // was actually sent, not the container's decoded view
+        reqs.add(Req(x.getRequestMethod, uri.getPath,
+          Option(uri.getRawQuery).getOrElse(""),
+          Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+          body))
+        val q = Option(uri.getQuery).getOrElse("")
+        val resp: (Int, Array[Byte]) =
+          if (uri.getPath == "/drive/v3/files") {
+            // list: page through `files` in pageSize chunks
+            val from = "pageToken=p(\\d+)".r.findFirstMatchIn(q)
+              .map(_.group(1).toInt).getOrElse(0)
+            val page = files.slice(from, from + pageSize)
+            val next =
+              if (from + pageSize < files.size)
+                s""","nextPageToken":"p${from + pageSize}""""
+              else ""
+            val items = page.map { case (f, _) =>
+              s"""{"id":"${f.id}","name":"${f.name}"}"""
+            }.mkString(",")
+            (200, s"""{"files":[$items]$next}""".getBytes("UTF-8"))
+          } else if (x.getRequestMethod == "GET" && q.contains("alt=media")) {
+            byId.get(uri.getPath.stripPrefix("/drive/v3/files/"))
+              .map { case (_, b) => (200, b) }.getOrElse((404, Array.empty[Byte]))
+          } else if (x.getRequestMethod == "PATCH") {
+            (200, s"""{"id":"${uri.getPath.stripPrefix("/drive/v3/files/")}"}"""
+              .getBytes("UTF-8"))
+          } else (404, Array.empty[Byte])
+        x.sendResponseHeaders(resp._1, if (resp._2.isEmpty) -1 else resp._2.length)
+        if (resp._2.nonEmpty) x.getResponseBody.write(resp._2)
+        x.close()
+      }
+    })
+    server.start()
+    try run(s"http://127.0.0.1:${server.getAddress.getPort}",
+      () => reqs.toArray(Array.empty[Req]).toSeq)
+    finally server.stop(0)
+  }
+
+  private val header =
+    "Order ID,Products,Product amount,Received amount,Payment time,Cash,Gcash,Type/Channel"
+
+  test("S1/S2/S7 wire: list is paged, downloads use alt=media, archive re-parents") {
+    val content1 = (header + "\n" +
+      """1,Spanish Latte (Solo) (Hot) x2,100.00,100.00,t1,100.00,-,Dine-in""")
+      .getBytes("UTF-8")
+    val content2 = (header + "\n" +
+      """2,Biscoff Croffle x1,50.00,50.00,t2,0.00,-,Take-out""").getBytes("UTF-8")
+    val content3 = (header + "\n" +
+      """3,Americano (Duo) (Cold) x1,70.00,70.00,t3,-,70.00,Delivery""")
+      .getBytes("UTF-8")
+    val files = Seq(
+      DriveFile("fid1", "day1.csv") -> content1,
+      DriveFile("fid2", "day2.csv") -> content2,
+      DriveFile("fid3", "day3.csv") -> content3)
+    withServer(files, pageSize = 2) { (base, recorded) =>
+      val spool = tmpDir("drive") + "/spool"
+      val c = new DriveConnector(base, "test-token")
+      val got = c.fetchToSpool("RAW_ID", "ARCH_ID", spool)
+      assert(got === files.map(_._1))
+
+      // spooled bytes are the served bytes, atomic names (no .inprogress)
+      val spooled = Files.list(Paths.get(spool)).toArray.map(_.toString).sorted
+      assert(spooled.map(p => Paths.get(p).getFileName.toString).toSeq ===
+        Seq("day1.csv", "day2.csv", "day3.csv"))
+      assert(Files.readAllBytes(Paths.get(spool, "day2.csv")) === content2)
+
+      val rs = recorded()
+      // every request carries the bearer token
+      assert(rs.forall(_.auth == "Bearer test-token"))
+
+      // list: the reference's exact folder query, paged to exhaustion
+      val lists = rs.filter(r => r.path == "/drive/v3/files" && r.method == "GET")
+      assert(lists.size === 2, "3 files at pageSize 2 = 2 list pages")
+      assert(lists.forall(_.query.contains(
+        java.net.URLEncoder.encode("'RAW_ID' in parents and trashed=false", "UTF-8"))))
+      assert(lists(1).query.contains("pageToken=p2"))
+
+      // download: GET {id}?alt=media per file
+      val gets = rs.filter(r => r.method == "GET" && r.query == "alt=media")
+      assert(gets.map(_.path).sorted === Seq(
+        "/drive/v3/files/fid1", "/drive/v3/files/fid2", "/drive/v3/files/fid3"))
+
+      // archive: PATCH {id}?addParents=ARCH&removeParents=RAW, {} body
+      val moves = rs.filter(_.method == "PATCH")
+      assert(moves.map(_.path).sorted === Seq(
+        "/drive/v3/files/fid1", "/drive/v3/files/fid2", "/drive/v3/files/fid3"))
+      assert(moves.forall(_.query == "addParents=ARCH_ID&removeParents=RAW_ID"))
+      assert(moves.forall(_.body == "{}"))
+
+      // download happens BEFORE the archive move (crash between the
+      // two re-downloads; the reverse order would lose the file)
+      val fid1Order = rs.zipWithIndex.filter(_._1.path.endsWith("fid1"))
+      assert(fid1Order.head._1.method === "GET")
+      assert(fid1Order.last._1.method === "PATCH")
+
+      // and the spool feeds the existing checkpointed ingest untouched
+      val b = tmpDir("driveIngest")
+      Ingest.ingestAvailableNow(spark, spool, b + "/arch", b + "/chk",
+        b + "/fact", b + "/quar", Transform.dimDF(spark))
+      val fact = spark.read.parquet(b + "/fact").orderBy("order_id")
+        .select("order_id", "items").as[(String, String)].collect().toSeq
+      assert(fact === Seq(("1", "Spanish Latte"), ("2", "Croffle - Biscoff"),
+        ("3", "Americano")))
+    }
+  }
+
+  test("Drive connector fails loudly on a non-2xx, never half-ingests") {
+    object Deny extends DriveTransport {
+      def get(url: String, headers: Seq[(String, String)]): (Int, Array[Byte]) =
+        (503, Array.empty)
+      def patch(url: String, headers: Seq[(String, String)],
+                body: Array[Byte]): (Int, Array[Byte]) = (503, Array.empty)
+    }
+    val c = new DriveConnector("http://unused", "t", Deny)
+    val e = intercept[IllegalArgumentException](c.listFolder("F"))
+    assert(e.getMessage.contains("503"))
+  }
+
+  test("URL builders escape ids and compose the documented shapes") {
+    assert(DriveSource.listUrl("http://h/", "F1", None) ===
+      "http://h/drive/v3/files?q=" +
+        java.net.URLEncoder.encode("'F1' in parents and trashed=false", "UTF-8"))
+    assert(DriveSource.downloadUrl("http://h", "a b") ===
+      "http://h/drive/v3/files/a+b?alt=media")
+    assert(DriveSource.moveUrl("http://h", "id1", "from", "to") ===
+      "http://h/drive/v3/files/id1?addParents=to&removeParents=from")
+  }
+}
