@@ -270,6 +270,9 @@ object Multimodal {
     * container, so the Spark-side plumbing — schema, batching,
     * frame-stride sampling, corrupt-row contract — is exercised
     * end-to-end (q130) even though no third-party codec ships.
+    * [[FfmpegCodec]] is the deployment-shaped binding: it shells out
+    * to the ffmpeg CLI when present (FfmpegCodecSpec cancels cleanly
+    * when it is not), proving the seam accepts a real codec unchanged.
     *
     * Implementations must be cheap to construct/serialize (one is
     * shipped per task) and `frame` must be safe to call repeatedly
