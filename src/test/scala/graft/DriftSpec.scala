@@ -63,4 +63,42 @@ class DriftSpec extends SparkSpec {
     val tv = r.getAs[Double]("tv_dist")
     assert(tv >= 0.0 && tv <= 1.0 + r.getAs[Long]("vocab_union") * 1e-6 / 2)
   }
+
+  test("property: quantized TV is within the documented vocab·1e-6/2 bound " +
+    "of the exact TV on random corpora") {
+    // The scaladoc (Drift.scala:27-29) claims the price of quantizing
+    // BEFORE the sum is an error on tv_dist bounded by |vocab|·10⁻⁶/2.
+    // Check it against the exact rational TV on seeded random corpora
+    // (the manual sampler idiom of PropertySpec — the scalatest-
+    // scalacheck bridge is not in the offline cache). The final
+    // round6 of tv_dist itself adds ≤ 5e-7 on top of the sum bound.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "fff", "ggg", "hh",
+      "i", "jj", "kkk", "lmn")
+    val docGen = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val corpus = Gen.nonEmptyListOf(docGen)
+    (0 until 12).foreach { i =>
+      val refDocs = corpus.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val curDocs = corpus.pureApply(Gen.Parameters.default, Seed(2000L + i))
+      val ref = df(refDocs.zipWithIndex.map { case (t, j) => (j.toLong, t) }: _*)
+      val cur = df(curDocs.zipWithIndex.map { case (t, j) => (j.toLong, t) }: _*)
+      val r = Drift.summary(ref, cur, "text").collect().head
+      val refCounts = refDocs.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val curCounts = curDocs.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val n = refCounts.values.sum.toDouble
+      val m = curCounts.values.sum.toDouble
+      val vocab = (refCounts.keySet ++ curCounts.keySet)
+      val exactTv = vocab.toSeq.map { t =>
+        math.abs(refCounts.getOrElse(t, 0L) / n - curCounts.getOrElse(t, 0L) / m)
+      }.sum / 2.0
+      val tv = r.getAs[Double]("tv_dist")
+      assert(r.getAs[Long]("vocab_union") === vocab.size.toLong)
+      val bound = vocab.size * 1e-6 / 2 + 5e-7
+      assert(math.abs(tv - exactTv) <= bound,
+        f"seed $i: |$tv%.7f - $exactTv%.7f| > $bound%.7f (vocab=${vocab.size})")
+    }
+  }
 }

@@ -73,4 +73,31 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"n=$n text='$text'")
     }
   }
+
+  test("q135 vocab cutoff is deterministic under count ties at the boundary") {
+    // 1500 distinct tokens, ALL with corpus count 1 — the worst tie
+    // case for a top-1000 cutoff. The (count desc, token asc) total
+    // order must pick exactly the lexicographically smallest 1000,
+    // independent of partitioning, so the registered query's output
+    // is closed-form predictable and identical across runs.
+    val dir = tmpDir("q135ties")
+    val docs = (0 until 1500).map { i =>
+      val tok = f"t$i%04d"
+      (i.toLong, tok, "en", "synthetic", tok.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // two different physical layouts of the same logical table
+    docs.repartition(7).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r1 = SparkEntry.queries("q135_vocab_coverage")(spark, dir).collect()
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r2 = SparkEntry.queries("q135_vocab_coverage")(spark, dir).collect()
+    assert(r1.toSeq === r2.toSeq, "cutoff changed with physical layout")
+    assert(r1.length === 1)
+    val r = r1.head
+    // vocab = t0000..t0999; docs 1000..1499 are fully OOV → low
+    assert(r.getAs[Long]("n_docs") === 1500L)
+    assert(r.getAs[Long]("total_tokens") === 1500L)
+    assert(r.getAs[Long]("in_vocab_tokens") === 1000L)
+    assert(r.getAs[Long]("n_low") === 500L)
+    assert(r.getAs[Double]("coverage") === 0.666667)
+  }
 }

@@ -56,6 +56,61 @@ class RepetitionSpec extends SparkSpec {
     assert(got(2L).getAs[Boolean]("rep_ok"))
   }
 
+  test("a pathological doc exceeds 1.0 — the documented per-occurrence choice") {
+    // Repetition.scala:27-29: occurrences are counted per-occurrence,
+    // not position-deduplicated, so a doc that is ONE token repeated
+    // can cover more characters than it has. "z z z ... z" (12×):
+    // every 5-gram occurrence (8 of them, 9 chars each) belongs to
+    // the single gram with count 8 → dup chars = 72 > n_chars = 23.
+    val got = report(Seq((1L, Seq.fill(12)("z").mkString(" "))))
+    val r = got(1L)
+    val expected = (2L * 72 * 1000000L + 23) / (2 * 23) // micro6(72, 23)
+    assert(r.getAs[Double]("dup5_frac") === expected.toDouble / 1e6)
+    assert(r.getAs[Double]("dup5_frac") > 1.0,
+      "per-occurrence counting must exceed 1.0 here — the documented case")
+    assert(!r.getAs[Boolean]("rep_ok"))
+  }
+
+  test("property: rolling-hash report equals exact-string recomputation " +
+    "on random docs (collision insensitivity)") {
+    // Gram identity inside Repetition is a 64-bit FNV rolling hash;
+    // the scaladoc argues a collision must land inside one (doc, n)
+    // group to perturb anything. Strongest checkable form: on seeded
+    // random docs, the hashed pipeline must agree EXACTLY with a
+    // naive exact-string-gram recomputation of every fraction.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def micro6(num: Long, den: Long): Long = (2L * num * 1000000L + den) / (2L * den)
+    def naive(text: String): Map[String, Double] = {
+      val toks = text.split(" ", -1)
+      val den = math.max(text.length.toLong, 1L)
+      (2 to 7).map { n =>
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val byGram = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        val top = if (byGram.isEmpty) 0L else byGram.map { case (g, c) => c * g.length }.max
+        val dup = byGram.collect { case (g, c) if c >= 2 => c * g.length }.sum
+        val key = if (n <= 4) s"top${n}_frac" else s"dup${n}_frac"
+        val v = if (n <= 4) top else dup
+        key -> micro6(v, den).toDouble / 1e6
+      }.toMap
+    }
+    val word = Gen.oneOf("a", "b", "ab", "ba", "x", "xy", "longword", "q7")
+    val docGen = Gen.chooseNum(1, 40).flatMap(k => Gen.listOfN(k, word))
+      .map(_.mkString(" "))
+    (0 until 10).foreach { i =>
+      val texts = Gen.nonEmptyListOf(docGen)
+        .pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val got = report(texts.zipWithIndex.map { case (t, j) => (j.toLong, t) })
+      texts.zipWithIndex.foreach { case (t, j) =>
+        val want = naive(t)
+        val r = got(j.toLong)
+        want.foreach { case (kk, v) =>
+          assert(r.getAs[Double](kk) === v, s"seed=$i doc=$j col=$kk text='$t'")
+        }
+      }
+    }
+  }
+
   test("verdict always agrees with the displayed rounded ratios") {
     val texts = Seq(
       (1L, "a b a b a b"),
