@@ -81,20 +81,45 @@ object Bench {
   private[graft] case class QStat(median: Double, cold: Double, gcMs: Long,
                                   storMb: Double, peakHeapMb: Double)
 
+  /** Host-noise calibration sentinel: a FIXED data-independent
+    * workload (64M-row range → xxhash64 → sum; pure codegen, one
+    * 1-row aggregate, no IO, no caches) timed once at the start of
+    * every pass and recorded in the detail line as `calib_sec`.
+    * Identical code across rounds, so pass-level host drift — the
+    * 39–55 s identical-code suite swings past rounds could only call
+    * "probably noise" — is normalizable from the artifact alone:
+    * divide a suspect pass's query times by that pass's sentinel
+    * ratio before calling something a regression.
+    */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64, pmod, lit}
+    val t0 = System.nanoTime()
+    // pmod keeps the summands < 2^20 so the 64M-row sum stays far
+    // from long overflow (ANSI mode would fail the job, not wrap)
+    spark.range(0, 64000000L, 1, 32)
+      .select(sum(pmod(xxhash64(col("id")), lit(1048576L))))
+      .head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The full-telemetry detail JSON line, extracted pure so BenchSpec
     * can pin the extended contract: per-query median, cold,
     * cold_total, gc_ms, storage_mb (pass-1 cumulative-cache
-    * snapshot), and peak_heap_mb (max per-run heap-pool peak). This
-    * line precedes the headline and is NOT length-constrained (the
-    * driver parses only the trailing headline; this one is for
-    * regression attribution from full logs).
+    * snapshot), peak_heap_mb (max per-run heap-pool peak), and
+    * calib_sec (the per-pass host-noise sentinel, one entry per
+    * pass in pass order). This line precedes the headline and is NOT
+    * length-constrained (the driver parses only the trailing
+    * headline; this one is for regression attribution from full
+    * logs).
     */
   private[graft] def detailLine(results: Seq[(String, QStat)],
                                 coldTotal: Double, iters: Int,
-                                sfDir: String): String = {
+                                sfDir: String,
+                                calib: Seq[Double] = Nil): String = {
     def jmap(f: QStat => String) =
       results.map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
-    s"""{"metric":"detail","median":${jmap(s => num(s.median))},"cold":${jmap(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(_.gcMs.toString)},"storage_mb":${jmap(s => num(s.storMb))},"peak_heap_mb":${jmap(s => num(s.peakHeapMb))},"iters":$iters,"sf":"$sfDir"}"""
+    val calibJson = calib.map(num).mkString("[", ",", "]")
+    s"""{"metric":"detail","median":${jmap(s => num(s.median))},"cold":${jmap(s => num(s.cold))},"cold_total":${num(coldTotal)},"gc_ms":${jmap(_.gcMs.toString)},"storage_mb":${jmap(s => num(s.storMb))},"peak_heap_mb":${jmap(s => num(s.peakHeapMb))},"calib_sec":$calibJson,"iters":$iters,"sf":"$sfDir"}"""
   }
 
   /** The driver-facing headline line, extracted pure so BenchSpec can
@@ -162,6 +187,9 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => }
         }
     } catch { case _: Throwable => }
+    // warm the sentinel's own codegen path so its pass-1 reading is
+    // not JIT-cold (it measures the HOST, not compilation)
+    try calibrate(spark) catch { case _: Throwable => }
     // Full state reset: warmup leaves one execution per query of
     // residue (fact cache, barrier caches, catalog cache, a grown
     // heap) that the first timed query would otherwise pay for.
@@ -190,7 +218,13 @@ object Bench {
     val gcLog = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val storLog = scala.collection.mutable.Map.empty[String, Double]
     val heapLog = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
-    for (_ <- 1 to iters; (name, fn) <- queries) {
+    val calibLog = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var passOf = 0
+    for (pass <- 1 to iters; (name, fn) <- queries) {
+      if (pass != passOf) { // pass boundary: time the noise sentinel
+        calibLog += calibrate(spark)
+        passOf = pass
+      }
       val gc0 = gcMillis()
       resetPeakHeap()
       val t0 = System.nanoTime()
@@ -221,7 +255,7 @@ object Bench {
     }
     val total = results.map(_._2.median).filterNot(_.isNaN).sum
     val coldTotal = results.map(_._2.cold).filterNot(_.isNaN).sum
-    val detail = detailLine(results, coldTotal, iters, sfDir)
+    val detail = detailLine(results, coldTotal, iters, sfDir, calibLog.toSeq)
     // the driver reads only the last ~2000 chars of stdout and sbt
     // appends its own "[success] Total time ..." line (~80 chars)
     // after ours — headlineLine degrades stepwise (fewer decimals,

@@ -270,11 +270,18 @@ object SemDedup {
     */
   def semanticDups(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, k: Int = 8, iters: Int = 3,
-                   targetCell: Int = 512, routeAbove: Int = 32): DataFrame = {
+                   targetCell: Int = 512, routeAbove: Int = 32,
+                   initHash: Option[Boolean] = None): DataFrame = {
     val n = corpus.count()
     val kEff = math.max(k, ((n + targetCell - 1) / targetCell).toInt)
+    // init default: farthest-first below k=16 (seed quality), the
+    // single-pass hash codebook above (farthest-first is k sequential
+    // scans). Callers that run the pipeline TWICE in one plan for a
+    // self-comparison (q136) override to hash init at any k — the
+    // comparison needs identical seeding on both arms, not maximal
+    // seed spread, and the override halves the init's job count.
     val assign = kmeansAssign(corpus, idCol, vecCol, kEff, iters,
-      initHash = kEff > 16, routeAbove = routeAbove)
+      initHash = initHash.getOrElse(kEff > 16), routeAbove = routeAbove)
     val side = BarrierCache.track(
       corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
           Similarity.qnorm2(col(vecCol)).as("__n2"))

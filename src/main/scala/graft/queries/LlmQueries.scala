@@ -683,7 +683,8 @@ object LlmQueries {
         .filter(Similarity.cosine(col("qdot"), col("n2_i"), col("n2_j")) >= 0.9)
       def plantedFound(routeAbove: Int, mark: String) =
         graft.llm.SemDedup.semanticDups(corpus, "vec_id", "embedding",
-            threshold = 0.9, k = 8, iters = 3, routeAbove = routeAbove)
+            threshold = 0.9, k = 8, iters = 3, routeAbove = routeAbove,
+            initHash = Some(true))
           .filter(col("id_drop") === col("id_keep") + 30000000L)
           .select(col("id_keep"), col("id_drop"), lit(1L).as(mark))
       val w = Window.partitionBy(lit(1))

@@ -73,4 +73,16 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"q01_ok\":2048.750"))
     assert(line.contains("\"q01_ok\":120"))
   }
+
+  test("detail line carries the per-pass host-noise sentinel (calib_sec)") {
+    val results = Seq("q01_ok" -> Bench.QStat(1.5, 2.25, 0L, 0.0, 0.0))
+    val line = Bench.detailLine(results, coldTotal = 2.25, iters = 3,
+      sfDir = "/d/sf0.1", calib = Seq(0.31, 0.305, 0.29))
+    // one entry per pass, pass order, %.3f — the normalization basis
+    // for cross-round host-drift attribution
+    assert(line.contains("\"calib_sec\":[0.310,0.305,0.290]"), line)
+    // absent sentinel (legacy logs) still renders valid JSON
+    val bare = Bench.detailLine(results, 2.25, 3, "/d/sf0.1")
+    assert(bare.contains("\"calib_sec\":[]"), bare)
+  }
 }

@@ -129,7 +129,7 @@ class SemDedupSpec extends SparkSpec {
       .filter(col("cos") >= 0.9).select("vec_id").as[Long].collect().toSet
     def found(routeAbove: Int): Set[Long] =
       SemDedup.semanticDups(corpus, "vec_id", "embedding", threshold = 0.9,
-          k = 8, iters = 3, routeAbove = routeAbove)
+          k = 8, iters = 3, routeAbove = routeAbove, initHash = Some(true))
         .filter(col("id_drop") === col("id_keep") + 30000000L)
         .select("id_keep").as[Long].collect().toSet.intersect(truth)
     val exact = found(Int.MaxValue)
