@@ -1168,6 +1168,37 @@ object LlmQueries {
         docs.filter(col("doc_id") % 2 === 1), "text")
     }),
 
+    // q137 — THE STREAMING RUNTIME, oracle-visible: q133's drift
+    // summary computed by the actual Structured Streaming engine
+    // instead of the batch twin. The odd-doc half is written as
+    // JSON-lines (a distributed write — nothing collected) and
+    // streamed through [[graft.streaming.Ingest.driftMonitorAvailableNow]]
+    // with maxFilesPerTrigger=1, so the checkpointed streaming state
+    // accumulates across ≥3 genuine micro-batches; the query emits
+    // the FINAL accumulated row, which must equal the batch summary
+    // bit-for-bit — the same DuckDB oracle as q133 verbatim. Until
+    // now the streaming operators were spec-verified only; this puts
+    // the streaming runtime itself behind the driver's hash gate.
+    // Cost note: each invocation pays a real streaming query
+    // (checkpoint dir, state store, per-batch planning) — that
+    // runtime IS the thing under test.
+    "q137_streaming_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_q137").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang")
+        .repartition(3)
+        .write.mode("overwrite").json(s"$base/staging")
+      graft.streaming.Ingest.driftMonitorAvailableNow(s, s"$base/staging",
+        s"$base/chk", docs.filter(col("doc_id") % 2 === 0), "text",
+        s"$base/out", maxFilesPerTrigger = Some(1))
+      val rows = s.read.parquet(s"$base/out")
+      rows.join(broadcast(rows.agg(max("batch_id").as("batch_id"))),
+          Seq("batch_id"))
+        .select("n_ref", "n_cur", "vocab_ref", "vocab_cur", "vocab_union",
+          "tv_microsum", "tv_dist")
+    }),
+
     // q134 — drift movers: the top-20 tokens by quantized
     // probability shift between the two halves, deterministic
     // (delta desc, token asc) — the "what changed" report read
@@ -1369,6 +1400,32 @@ object LlmQueries {
        |                    cand_id) AS rn
        |  FROM p)
        |WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** Quantized-TV drift summary over the even/odd doc_id split —
+    * shared verbatim by q133 (batch) and q137 (streaming runtime):
+    * the two engines must land on the same integers.
+    */
+  private val driftSummarySql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS a FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
+      |b AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS b FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT tok, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+      |      FROM a FULL JOIN b USING (tok)),
+      |tot AS (SELECT SUM(a) AS n_ref, SUM(b) AS n_cur,
+      |               SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS vocab_ref,
+      |               SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS vocab_cur,
+      |               COUNT(*) AS vocab_union FROM j),
+      |d AS (SELECT (2 * a * 1000000 + n_ref) // (2 * n_ref) AS p,
+      |             (2 * b * 1000000 + n_cur) // (2 * n_cur) AS q
+      |      FROM j, tot),
+      |s AS (SELECT SUM(ABS(p - q)) AS tv_microsum FROM d)
+      |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(vocab_ref AS BIGINT) AS vocab_ref,
+      |  CAST(vocab_cur AS BIGINT) AS vocab_cur,
+      |  CAST(vocab_union AS BIGINT) AS vocab_union,
+      |  CAST(tv_microsum AS BIGINT) AS tv_microsum,
+      |  CAST((2 * tv_microsum * 1000000 + 2000000) // (4000000) AS DOUBLE) / 1e6 AS tv_dist
+      |FROM tot, s""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q88_chunking" ->
@@ -2377,27 +2434,11 @@ object LlmQueries {
         |FROM n GROUP BY 1 ORDER BY band""".stripMargin,
     // q133: full replay of the quantized-TV drift summary — the
     // same per-million half-up integers, the same union vocab
-    "q133_corpus_drift" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS a FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
-        |b AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS b FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
-        |j AS (SELECT tok, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
-        |      FROM a FULL JOIN b USING (tok)),
-        |tot AS (SELECT SUM(a) AS n_ref, SUM(b) AS n_cur,
-        |               SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS vocab_ref,
-        |               SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS vocab_cur,
-        |               COUNT(*) AS vocab_union FROM j),
-        |d AS (SELECT (2 * a * 1000000 + n_ref) // (2 * n_ref) AS p,
-        |             (2 * b * 1000000 + n_cur) // (2 * n_cur) AS q
-        |      FROM j, tot),
-        |s AS (SELECT SUM(ABS(p - q)) AS tv_microsum FROM d)
-        |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-        |  CAST(vocab_ref AS BIGINT) AS vocab_ref,
-        |  CAST(vocab_cur AS BIGINT) AS vocab_cur,
-        |  CAST(vocab_union AS BIGINT) AS vocab_union,
-        |  CAST(tv_microsum AS BIGINT) AS tv_microsum,
-        |  CAST((2 * tv_microsum * 1000000 + 2000000) // (4000000) AS DOUBLE) / 1e6 AS tv_dist
-        |FROM tot, s""".stripMargin,
+    "q133_corpus_drift" -> driftSummarySql,
+    // q137: the STREAMING runtime computes q133's number through the
+    // checkpointed state store — same oracle verbatim: the final
+    // accumulated micro-batch must equal the batch summary
+    "q137_streaming_drift" -> driftSummarySql,
     // q134: the same deltas, top-20 by (delta desc, tok asc)
     "q134_drift_movers" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

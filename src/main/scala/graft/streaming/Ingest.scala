@@ -306,12 +306,17 @@ object Ingest {
     */
   def driftMonitorAvailableNow(spark: SparkSession, stagingDir: String,
                                checkpointDir: String, refDocs: DataFrame,
-                               textCol: String, outPath: String): Unit = {
+                               textCol: String, outPath: String,
+                               maxFilesPerTrigger: Option[Int] = None): Unit = {
     import graft.llm.Drift
     val refCounts = Drift.sideCounts(refDocs, textCol, "a")
       .localCheckpoint(eager = true) // fixed side: evaluate once, reuse per batch
     val schema = StructType.fromDDL("doc_id LONG, text STRING, lang STRING")
-    val runningCounts = spark.readStream.schema(schema).json(stagingDir)
+    val reader = spark.readStream.schema(schema)
+    // bound files per micro-batch when asked (q137 uses 1 to force a
+    // genuine multi-batch accumulation through the state store)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val runningCounts = reader.json(stagingDir)
       .select(explode(graft.llm.TextStats.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("b"))
     val q = runningCounts.writeStream
