@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Dedup, Similarity, TextStats}
+import graft.llm.{Dedup, Pq, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import QueryDefs._
 
@@ -740,6 +740,33 @@ object LlmQueries {
         Similarity.bruteTopK(emb, probes, "vec_id", "embedding", k = 10),
         Similarity.ivfTopK(emb, probes, "vec_id", "embedding", k = 10),
         minRecall = 0.05)
+    }),
+
+    // q138 — A10, the PQ/ADC scale path (Jégou et al. TPAMI 2011 —
+    // the FAISS index family): corpus vectors compress to m
+    // per-subspace centroid codes, queries score candidates through
+    // a broadcast lookup table over the codes (never the raw
+    // floats), and only a per-query shortlist is exactly re-ranked.
+    // Oracle-checkable the q35/q47 way: rows are the exact
+    // brute-force top-10, the flag asserts the PQ pipeline's
+    // aggregate recall@10. Uniform random embeddings are the
+    // hardest case for vector quantization (no cluster structure to
+    // exploit), so the driver floor guards "machinery broke";
+    // PqSpec pins the measured recall tighter.
+    "q138_ann_pq_topk" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      annWithRecall(
+        Similarity.bruteTopK(emb, probes, "vec_id", "embedding", k = 10),
+        Pq.pqTopK(emb, probes, "vec_id", "embedding", k = 10,
+          // ksub=64 is the scaled-down analog of FAISS's standard
+          // 256-centroid byte codes (our gated corpora are 500-50k
+          // vectors; 256 would out-number the sf0.01 training set).
+          // Measured recall@10: 0.92 at sf0.01, 0.64 at sf0.1 —
+          // the 0.3 floor guards "machinery broke" across SFs.
+          Pq.PqParams(ksub = 64)),
+        minRecall = 0.3)
     }),
 
     // q58 — LLM-pipeline tier: deterministic weighted corpus mixing
@@ -2075,6 +2102,7 @@ object LlmQueries {
     // drives the recall_ok flag, TRUE when healthy.
     "q35_ann_lsh_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
     "q47_ann_ivf_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
+    "q138_ann_pq_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
     // q33: the planted exact copies are the full expected output —
     // identical text must land at hamming distance 0.
     "q33_simhash_neardup" ->

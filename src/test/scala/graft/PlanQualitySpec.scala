@@ -255,6 +255,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q138: ADC scoring joins the broadcast LUT by hash — no nested loop over codes") {
+    val p = plan("q138_ann_pq_topk")
+    // the code-rows × per-query-LUT fan-out must be a broadcast HASH
+    // join on (sub, code): a nested-loop shape here would scan the
+    // whole LUT per code row and lose the PQ bandwidth win
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
