@@ -212,6 +212,36 @@ object EtlQueries {
         .orderBy("user_id")
     }),
 
+    // q139 — THE STREAMING STATE STORE, oracle-visible: q106's CDC
+    // resolution computed by the actual Structured Streaming runtime
+    // through flatMapGroupsWithState (q137 put a streaming
+    // AGGREGATION behind the driver's hash gate; this does the same
+    // for the custom-state family). The change log is written as
+    // JSON-lines and streamed through
+    // [[graft.streaming.Ingest.cdcResolvedAvailableNow]] with
+    // maxFilesPerTrigger=1, so per-key state genuinely persists
+    // across ≥3 micro-batches; each key's last emission is its final
+    // resolved state (cdcResolved emits only on change), and the
+    // tombstone-filtered snapshot must equal the one-shot full-log
+    // replay — the q106 DuckDB oracle verbatim.
+    "q139_streaming_cdc" -> ((s, dir) => {
+      val log = Tables.events(s, dir).select(
+        col("user_id").as("k"), col("event_id").as("ver"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("event_type").as("payload"))
+      val base = java.nio.file.Files.createTempDirectory("graft_q139").toString
+      log.repartition(3).write.mode("overwrite").json(s"$base/staging")
+      graft.streaming.Ingest.cdcResolvedAvailableNow(s, s"$base/staging",
+        s"$base/chk", s"$base/out", maxFilesPerTrigger = Some(1))
+      val rows = s.read.parquet(s"$base/out")
+      rows.groupBy("k")
+        .agg(expr("max_by(struct(ver, op, payload), batch_id)").as("st"))
+        .filter(col("st.op") =!= "D")
+        .select(col("k").as("user_id"), col("st.ver").as("event_id"),
+          col("st.payload").as("event_type"))
+        .orderBy("user_id")
+    }),
+
     // q83 — snapshot reconciliation (graft.etl.Reconcile.diff): one
     // full-outer key join classifies every order key across two
     // planted table versions (every 97th key absent from prev =
@@ -423,6 +453,14 @@ object EtlQueries {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // one-shot full-log replay: the incremental fold must match it
     "q106_cdc_apply" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    // q139: the streaming-runtime CDC resolution must land on the
+    // same one-shot replay — q106's oracle verbatim
+    "q139_streaming_cdc" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

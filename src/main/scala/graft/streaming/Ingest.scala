@@ -334,4 +334,45 @@ object Ingest {
       .start()
     q.awaitTermination()
   }
+
+  /** STREAMING CDC apply behind a real AvailableNow run — the
+    * runtime harness for [[Stateful.cdcResolved]] (q139, the q137
+    * discipline applied to the flatMapGroupsWithState family): watch
+    * a folder of JSON-lines change files (k, ver, op, payload),
+    * resolve per-key highest-version state through the checkpointed
+    * state store across genuine micro-batches, and write each
+    * batch's EMITTED changes (Update mode — only keys whose resolved
+    * state changed this batch) to a batch_id-partitioned parquet
+    * with dynamic partition overwrite, so a replayed batch rewrites
+    * exactly its own directory (exactly-once per batch_id).
+    *
+    * Reading the result: cdcResolved emits a key only when its
+    * state changes, so each key's HIGHEST-batch_id row is its final
+    * resolved state — one `max_by` per key reconstructs the same
+    * snapshot [[graft.etl.Cdc.state]] computes over the whole log
+    * (StatefulSpec pins that equivalence under arbitrary slicing;
+    * q139 pins it through the actual streaming runtime against the
+    * q106 oracle).
+    */
+  def cdcResolvedAvailableNow(spark: SparkSession, stagingDir: String,
+                              checkpointDir: String, outPath: String,
+                              maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = StructType.fromDDL("k LONG, ver LONG, op STRING, payload STRING")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val resolved = Stateful.cdcResolved(reader.json(stagingDir))
+    val q = resolved.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -240,4 +240,41 @@ class IngestSpec extends SparkSpec {
     val tvs = rows.select("tv_dist").as[Double].collect().toSet
     assert(tvs.size >= 2)
   }
+
+  test("cdcResolvedAvailableNow: streamed per-key state across restarts == one-shot Cdc.state") {
+    import java.nio.file.{Files, Paths}
+    val base = tmpDir("graft_cdc_stream")
+    val staging = s"$base/staging"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(staging))
+    def line(k: Long, ver: Long, op: String, payload: String) =
+      s"""{"k":$k,"ver":$ver,"op":"$op","payload":"$payload"}""" + "\n"
+    // file 1: inserts; file 2 (after a RESTART): an update, a
+    // tombstone, and a LATE change versioned before the tombstone
+    Files.write(Paths.get(staging, "b1.json"),
+      (line(1, 10, "U", "a") + line(2, 10, "U", "b")).getBytes("UTF-8"))
+    Ingest.cdcResolvedAvailableNow(spark, staging, chk, out)
+    Files.write(Paths.get(staging, "b2.json"),
+      (line(1, 20, "U", "a2") + line(2, 30, "D", "gone") +
+        line(2, 20, "U", "late")).getBytes("UTF-8"))
+    Ingest.cdcResolvedAvailableNow(spark, staging, chk, out)
+
+    val rows = spark.read.parquet(out)
+    val finalState = rows.groupBy("k")
+      .agg(expr("max_by(struct(ver, op, payload), batch_id)").as("st"))
+      .select(col("k"), col("st.ver").as("ver"), col("st.op").as("op"),
+        col("st.payload").as("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    // one-shot batch replay over the same log
+    val log = Seq((1L, 10L, "U", "a"), (2L, 10L, "U", "b"), (1L, 20L, "U", "a2"),
+      (2L, 30L, "D", "gone"), (2L, 20L, "U", "late"))
+      .toDF("k", "ver", "op", "payload")
+    val batch = graft.etl.Cdc.state(log, Seq("k"), Seq("ver"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("ver"),
+        r.getAs[String]("op"), r.getAs[String]("payload")))
+      .sortBy(_._1)
+    assert(finalState === batch)
+    // the tombstone survived the late lower-versioned change
+    assert(finalState.find(_._1 == 2L).get._3 === "D")
+  }
 }
