@@ -439,6 +439,26 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q140 — skew path, the JOIN side (graft.operators.Skew
+    // .saltedJoin): the broadcast-ineligible equi-join with a hot key
+    // is the shape AQE's partition splitting can't fully fix — a
+    // monster key still hashes to ONE map-side partition; salting
+    // spreads each big-side key over `salts` subkeys and replicates
+    // the small side 8x. The salted result must equal the plain
+    // inner join row-for-row, so the oracle is that plain join,
+    // summarized per supplier with exact decimal sums.
+    "q140_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("s_suppkey"),
+          col("l_extendedprice"), col("l_quantity"))
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      graft.operators.Skew.saltedJoin(li, sup, "s_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_name")
+    }),
+
     // q73 — wide→long reshaping (pandas melt / SQL UNPIVOT): native
     // Dataset.unpivot, a pure per-row expansion — no shuffle beyond
     // the upstream aggregation.
@@ -1076,6 +1096,12 @@ object AnalyticsQueries {
       """SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_l_quantity,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q140: the salted join must reproduce the PLAIN inner join
+    "q140_salted_join" ->
+      s"""SELECT s_name, COUNT(*) AS n_items,
+         |       ${oraSum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1 ORDER BY s_name""".stripMargin,
     // portable long-form mirror (UNION ALL rather than UNPIVOT, which
     // DuckDB spells differently per version)
     "q73_unpivot" ->

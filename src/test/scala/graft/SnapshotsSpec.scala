@@ -1,0 +1,87 @@
+package graft
+
+import graft.etl.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshots + time travel (etl/Snapshots): commit
+  * protocol, historical reads, metadata-only rollback, vacuum
+  * retention, and crash-orphan invisibility.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+
+  test("commit/read round-trip; versions increment; latest wins") {
+    val root = tmpDir("snap_rt")
+    assert(Snapshots.versions(spark, root).isEmpty)
+    assert(Snapshots.commit(spark, df(3), root) === 1L)
+    assert(Snapshots.commit(spark, df(5), root) === 2L)
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L))
+    assert(Snapshots.read(spark, root).count() === 5)
+  }
+
+  test("time travel: old versions stay readable bit-for-bit after later commits") {
+    val root = tmpDir("snap_tt")
+    Snapshots.commit(spark, df(3), root)
+    Snapshots.commit(spark, df(3).withColumn("s", upper(col("s"))), root)
+    val v1 = Snapshots.read(spark, root, Some(1L)).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(v1 === Array((1L, "r1"), (2L, "r2"), (3L, "r3")))
+    val v2 = Snapshots.read(spark, root, Some(2L)).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(v2 === Array((1L, "R1"), (2L, "R2"), (3L, "R3")))
+  }
+
+  test("rollback is metadata-only and append-only") {
+    val root = tmpDir("snap_rb")
+    Snapshots.commit(spark, df(3), root)
+    Snapshots.commit(spark, df(9), root) // the "bad" version
+    val v3 = Snapshots.rollback(spark, root, to = 1L)
+    assert(v3 === 3L)
+    assert(Snapshots.read(spark, root).count() === 3)
+    // the bad version remains inspectable
+    assert(Snapshots.read(spark, root, Some(2L)).count() === 9)
+    // no data was copied: v3 reads v1's directory
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).sorted
+    assert(dataDirs === Array("v1", "v2"))
+  }
+
+  test("a crashed commit's orphan data dir is invisible and vacuumable") {
+    val root = tmpDir("snap_crash")
+    Snapshots.commit(spark, df(3), root)
+    // simulate a crash: data fully written, version file never published
+    df(7).write.parquet(s"$root/data/v2")
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    assert(Snapshots.read(spark, root).count() === 3)
+    Snapshots.vacuum(spark, root, keepLast = 5)
+    assert(!new java.io.File(s"$root/data/v2").exists(), "orphan not reclaimed")
+    assert(Snapshots.read(spark, root).count() === 3)
+  }
+
+  test("vacuum keeps rollback-target data alive while dropping old versions") {
+    val root = tmpDir("snap_vac")
+    Snapshots.commit(spark, df(2), root)  // v1
+    Snapshots.commit(spark, df(4), root)  // v2
+    Snapshots.rollback(spark, root, 1L)   // v3 -> data/v1
+    Snapshots.vacuum(spark, root, keepLast = 1)
+    // only v3 survives, and it still reads v1's data
+    assert(Snapshots.versions(spark, root) === Seq(3L))
+    assert(Snapshots.read(spark, root).count() === 2)
+    // v2's now-unreferenced data dir is gone; v1's data survives
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).sorted
+    assert(dataDirs === Array("v1"))
+  }
+
+  test("rollback to a version that was never committed is refused") {
+    val root = tmpDir("snap_dup")
+    Snapshots.commit(spark, df(1), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, root, to = 99L)
+    }
+    // and an empty root refuses reads instead of returning garbage
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, tmpDir("snap_empty"))
+    }
+  }
+}
