@@ -459,6 +459,195 @@ object AnalyticsQueries {
         .orderBy("s_name")
     }),
 
+    // q141 — bloom-filter semi-join pruning (graft.operators
+    // .BloomPrune): the selective-dim/huge-fact join where the win is
+    // dropping fact rows BEFORE the shuffle. The dim side (suppliers
+    // with high balance) is bloomed with the engine's own
+    // BloomFilterAggregate, the fact scan probes the codegen'd
+    // might_contain literal, and only surviving rows reach the
+    // exchange. The join absorbs bloom false positives, so the result
+    // is EXACTLY the plain join — which is the stock oracle.
+    "q141_bloom_pruned_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") > 5000.0)
+        .select("s_suppkey", "s_nationkey")
+      graft.operators.BloomPrune
+        .prunedJoin(li, sup, "l_suppkey", "s_suppkey",
+          expectedItems = 1L << 16, fpp = 0.01)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
+    // q143 — KMV/theta distinct sketch with SET OPERATIONS
+    // (functions.KmvSketch): "distinct customers active in BOTH
+    // halves of the date span, per priority" — the overlap question
+    // HLL sketches cannot answer. One pass builds both per-half
+    // sketches (conditional inputs, null-skipped); the exact side
+    // (per-customer presence flags summed) is emitted as the oracle
+    // columns, the sketch estimates as deterministic tolerance flags
+    // (the q39/q72 pattern). The sketch is order-independent min-k
+    // over a fixed hash, so flags are bit-stable run to run.
+    "q143_kmv_overlap" -> ((s, dir) => {
+      import graft.functions.Kmv
+      val k = 1024
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("prio"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("d"))
+      val span = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val h = o.crossJoin(broadcast(span))
+        .withColumn("half",
+          when(datediff(col("d"), col("lo")) * 2 <= datediff(col("hi"), col("lo")),
+            lit(1)).otherwise(lit(2)))
+        .select("prio", "o_custkey", "half")
+      val sketches = h.groupBy("prio").agg(
+        Kmv.sketchIf(col("half") === 1, col("o_custkey"), k).as("sk_a"),
+        Kmv.sketchIf(col("half") === 2, col("o_custkey"), k).as("sk_b"))
+      val exact = h.groupBy("prio", "o_custkey").agg(
+          max(when(col("half") === 1, 1).otherwise(0)).as("in_a"),
+          max(when(col("half") === 2, 1).otherwise(0)).as("in_b"))
+        .groupBy("prio").agg(
+          sum("in_a").cast("long").as("n_a"),
+          sum("in_b").cast("long").as("n_b"),
+          sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      val tolA = greatest(col("n_a").cast("double") * 0.15, lit(2.0))
+      val tolB = greatest(col("n_b").cast("double") * 0.15, lit(2.0))
+      val unionExact = (col("n_a") + col("n_b") - col("n_both")).cast("double")
+      exact.join(sketches, "prio")
+        .select(col("prio"), col("n_a"), col("n_b"), col("n_both"),
+          (abs(Kmv.estimate(col("sk_a"), k) - col("n_a")) <= tolA).as("a_ok"),
+          (abs(Kmv.estimate(col("sk_b"), k) - col("n_b")) <= tolB).as("b_ok"),
+          (abs(Kmv.intersectEstimate(col("sk_a"), col("sk_b"), k) - col("n_both"))
+            <= greatest(unionExact * 0.15, lit(2.0))).as("i_ok"))
+        .orderBy("prio")
+    }),
+
+    // q142 — t-digest SHARD ROLLUP (functions.TDigest*): per-shard
+    // digests built as storable struct values, then MERGED in a
+    // second aggregation that only then answers quantiles — the
+    // pre-aggregated-sketch-table pattern approx_percentile (whose
+    // GK state is engine-internal) cannot express: daily digests in
+    // parquet → monthly percentiles with no fact re-read. Output is
+    // the exact percentiles (q57's engine-identical interpolation on
+    // integer quantities) + tolerance flags on the rolled-up digest.
+    "q142_tdigest_rollup" -> ((s, dir) => {
+      import graft.functions.{TDigestAgg, TDigestMergeAgg}
+      val dig = udaf(TDigestAgg(200))
+      val mrg = udaf(TDigestMergeAgg(200, Seq(0.5, 0.9, 0.99)))
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity"),
+        pmod(xxhash64(col("l_orderkey")), lit(16)).as("shard"))
+      val shards = li.groupBy("l_returnflag", "shard")
+        .agg(dig(col("l_quantity")).as("digest"))
+      val rolled = shards.groupBy("l_returnflag")
+        .agg(mrg(col("digest.means"), col("digest.weights")).as("qs"))
+      val exact = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+      def ok(est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+        abs(est - ex) <= greatest(lit(1.0), ex * lit(0.05))
+      exact.join(rolled, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+          col("n"),
+          ok(element_at(col("qs"), 1), col("p50")).as("td_p50_ok"),
+          ok(element_at(col("qs"), 2), col("p90")).as("td_p90_ok"),
+          ok(element_at(col("qs"), 3), col("p99")).as("td_p99_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // q144 — cohort retention matrix: customers grouped by
+    // first-order month, tracked by months-since-cohort. The classic
+    // product-analytics query: (cohort, age) → distinct active
+    // customers / cohort size. Months are exact integer arithmetic
+    // (y*12+m) on both engines; retention is one IEEE division of
+    // exact longs. Plan: groupBy custkey (first order), broadcast-less
+    // self-join back on custkey (co-partitioned by the groupBy's own
+    // exchange), then one aggregation per matrix cell — three
+    // shuffles total, all on keys that scale with |customers|, never
+    // with |orders|².
+    "q144_cohort_retention" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      val first = o.groupBy("o_custkey").agg(min("ym").as("cohort_ym"))
+      val joined = o.join(first, "o_custkey")
+        .select(col("o_custkey"), col("cohort_ym"),
+          (col("ym") - col("cohort_ym")).as("age"))
+      val active = joined.groupBy("cohort_ym", "age")
+        .agg(countDistinct("o_custkey").as("n_active"))
+      val sizes = first.groupBy("cohort_ym").agg(count(lit(1)).as("cohort_size"))
+      active.join(sizes, "cohort_ym")
+        .select(col("cohort_ym"), col("age"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+        .orderBy("cohort_ym", "age")
+    }),
+
+    // q145 — ordered-funnel within a time window (ClickHouse's
+    // windowFunnel): per user, the deepest view → click → purchase
+    // prefix where every step lands within 7 days of the anchoring
+    // view. Exact O(n log n) formulation — no self-joins: a running
+    // "latest view" gives each click its best (latest) anchor; a
+    // running max over those anchors gives each purchase the most
+    // permissive qualifying chain. Greedy-latest is optimal because a
+    // later anchor strictly widens the remaining window, so this
+    // computes exactly the existential windowFunnel semantics. One
+    // shuffle on user_id serves both window passes and the per-user
+    // rollup; the final count is a single-row reduce.
+    "q145_window_funnel" -> ((s, dir) => {
+      val W = 7L * 24 * 3600 * 1000000L // 7 days in µs
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"), col("event_type"))
+      val anchored = e
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("anchor",
+          when(col("event_type") === "click" &&
+            col("us") - col("last_view") <= W, col("last_view")))
+        .withColumn("run_anchor", max(col("anchor")).over(w))
+      val per = anchored.groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+        max(when(col("anchor").isNotNull, 1).otherwise(0)).as("l2"),
+        max(when(col("event_type") === "purchase" &&
+          col("us") <= col("run_anchor") + W, 1).otherwise(0)).as("l3"))
+      per.agg(count(lit(1)).as("n_users"),
+        sum("l1").cast("long").as("reach_view"),
+        sum("l2").cast("long").as("reach_click"),
+        sum("l3").cast("long").as("reach_purchase"))
+    }),
+
+    // q146 — event-sequence pattern match (ClickHouse sequenceMatch):
+    // per user, order the event-type stream and regex-match a journey
+    // pattern ("a view leading to a purchase through only
+    // views/clicks"). The per-user sequence is an ordered collect —
+    // bounded by events-per-user (the per-key contract also carried
+    // by q26 sessionize; a key whose history can't fit one task's
+    // memory needs the streaming state form instead). The pattern
+    // stays in the RE2-compatible subset (no lookaround) so Spark's
+    // Java regex and the oracle's RE2 agree.
+    "q146_sequence_match" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"), col("event_type"))
+      val per = e.groupBy("user_id").agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("seq"))
+      val pat = "view(,(view|click))*,purchase"
+      per.agg(count(lit(1)).as("n_users"),
+        sum(when(col("seq").rlike(pat), 1).otherwise(0)).cast("long")
+          .as("n_matching"))
+    }),
+
     // q73 — wide→long reshaping (pandas melt / SQL UNPIVOT): native
     // Dataset.unpivot, a pure per-row expansion — no shuffle beyond
     // the upstream aggregation.
@@ -1102,6 +1291,109 @@ object AnalyticsQueries {
          |       ${oraSum("l_extendedprice")} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY 1 ORDER BY s_name""".stripMargin,
+    // q141: bloom pruning is semantically invisible — the oracle is
+    // the plain selective-dim join
+    "q141_bloom_pruned_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         |       ${oraSum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE s_acctbal > 5000.0
+         |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+    // q143: exact overlap counts + literal-true sketch flags (the
+    // approximate-op oracle pattern)
+    "q143_kmv_overlap" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_custkey,
+        |         CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM o),
+        |h AS (
+        |  SELECT prio, o_custkey,
+        |         CASE WHEN (d - lo) * 2 <= (hi - lo) THEN 1 ELSE 2 END AS half
+        |  FROM o, span),
+        |per AS (
+        |  SELECT prio, o_custkey,
+        |         MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_a,
+        |         MAX(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS in_b
+        |  FROM h GROUP BY 1, 2)
+        |SELECT prio,
+        |       CAST(SUM(in_a) AS BIGINT) AS n_a,
+        |       CAST(SUM(in_b) AS BIGINT) AS n_b,
+        |       CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+        |       TRUE AS a_ok, TRUE AS b_ok, TRUE AS i_ok
+        |FROM per GROUP BY 1 ORDER BY prio""".stripMargin,
+    // q142: exact percentiles + literal-true digest flags (q57's
+    // engine-identical interpolation argument, same column)
+    "q142_tdigest_rollup" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_cont(l_quantity, 0.99) AS p99,
+        |       COUNT(*) AS n,
+        |       TRUE AS td_p50_ok, TRUE AS td_p90_ok, TRUE AS td_p99_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q144_cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym
+        |  FROM orders),
+        |firsts AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM o GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_custkey, cohort_ym, ym - cohort_ym AS age
+        |  FROM o JOIN firsts USING (o_custkey)),
+        |act AS (
+        |  SELECT cohort_ym, age, COUNT(DISTINCT o_custkey) AS n_active
+        |  FROM j GROUP BY 1, 2),
+        |sz AS (SELECT cohort_ym, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+        |SELECT cohort_ym, age, n_active, cohort_size,
+        |       CAST(n_active AS DOUBLE) / cohort_size AS retention
+        |FROM act JOIN sz USING (cohort_ym)
+        |ORDER BY cohort_ym, age""".stripMargin,
+    // q145: same exact running-anchor formulation, replayed in SQL
+    "q145_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN us END) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS last_view
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click'
+        |                  AND us - last_view <= 604800000000
+        |                 THEN last_view END AS anchor
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MAX(anchor) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS run_anchor
+        |  FROM s2),
+        |per AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+        |    MAX(CASE WHEN anchor IS NOT NULL THEN 1 ELSE 0 END) AS l2,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |              AND us <= run_anchor + 604800000000
+        |             THEN 1 ELSE 0 END) AS l3
+        |  FROM s3 GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |       CAST(SUM(l1) AS BIGINT) AS reach_view,
+        |       CAST(SUM(l2) AS BIGINT) AS reach_click,
+        |       CAST(SUM(l3) AS BIGINT) AS reach_purchase
+        |FROM per""".stripMargin,
+    // q146: ordered string_agg + the same RE2-subset pattern
+    "q146_sequence_match" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, ','
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |       CAST(SUM(CASE WHEN regexp_matches(seq,
+        |         'view(,(view|click))*,purchase') THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_matching
+        |FROM per""".stripMargin,
     // portable long-form mirror (UNION ALL rather than UNPIVOT, which
     // DuckDB spells differently per version)
     "q73_unpivot" ->

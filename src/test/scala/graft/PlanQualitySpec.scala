@@ -264,6 +264,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q141: bloom probe filters the fact side below the join") {
+    val p = plan("q141_bloom_pruned_join")
+    assert(p.contains("might_contain"), p.take(3000))
+    // tree print order: children after parents — the probe must sit
+    // under the join (on the fact scan), not above it
+    assert(p.indexOf("might_contain") > p.indexOf("Join"),
+      s"probe must be below the join\n${p.take(3000)}")
+  }
+
+  test("q142/q143: sketch aggregations are typed two-phase, no window") {
+    for (q <- Seq("q142_tdigest_rollup", "q143_kmv_overlap")) {
+      val p = plan(q)
+      // typed Aggregator lowers to ObjectHashAggregate with a
+      // partial+final split (map-side combine of sketches)
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: expected partial+final typed aggregation\n${p.take(3000)}")
+      assert(!p.contains("Window"), s"$q plans a window\n${p.take(2000)}")
+    }
+  }
+
+  test("q145: both funnel window passes share one user_id exchange") {
+    val p = plan("q145_window_funnel")
+    assert(p.contains("Window"), p.take(2000))
+    // user_id exchange + the single-row final aggregate; a second
+    // per-user shuffle would mean the window specs stopped aligning
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 3, s"expected <=3 exchanges, got $ex\n${p.take(3000)}")
+  }
+
+  test("q146: sequence match is groupBy + reduce, no window, no join") {
+    val p = plan("q146_sequence_match")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 3, s"expected <=3 exchanges, got $ex\n${p.take(3000)}")
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
