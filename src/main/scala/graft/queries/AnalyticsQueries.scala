@@ -648,6 +648,79 @@ object AnalyticsQueries {
           .as("n_matching"))
     }),
 
+    // q147 — market-basket pair affinity: parts co-occurring in an
+    // order, with lift against independent item frequencies. The
+    // pair fan-out is the textbook self-join bounded by
+    // items-per-order (k items → k(k-1)/2 pairs, ~21 at TPC-H's
+    // k≈7), co-partitioned on orderkey so the join adds no second
+    // shuffle; top-k lands as TakeOrdered with a total (n, p1, p2)
+    // tie-break, never a global sort. Lift = n_co·N/(n1·n2) — one
+    // IEEE division of exact longs.
+    "q147_basket_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = li.agg(countDistinct("l_orderkey").as("n_orders"))
+      val itemCnt = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_co"))
+      pairs
+        .join(itemCnt.withColumnRenamed("l_partkey", "p1")
+          .withColumnRenamed("n_item", "n1"), "p1")
+        .join(itemCnt.withColumnRenamed("l_partkey", "p2")
+          .withColumnRenamed("n_item", "n2"), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("n_co"), col("n1"), col("n2"),
+          (col("n_co").cast("double") * col("n_orders") /
+            (col("n1") * col("n2"))).as("lift"))
+        .orderBy(col("n_co").desc, col("p1"), col("p2"))
+        .limit(50)
+    }),
+
+    // q148 — sliding-window distinct (trailing-7-day active users per
+    // day): the query that is genuinely hard at scale — exact
+    // sliding distinct needs a day×window fan-out of the (day, user)
+    // set — answered instead by KMV sketch ALGEBRA: per-day sketches
+    // (one pass over events), then a pure-SQL fold (aggregate HOF)
+    // unioning each day's trailing 7 sketches. At 100 TB the per-day
+    // sketch table is |days|·k longs — the window rollup never
+    // re-reads events. Oracle columns are the exact trailing counts
+    // (day-level distinct pairs fanned 7×, both engines identically);
+    // the sketch estimate lands as a deterministic tolerance flag.
+    "q148_sliding_distinct" -> ((s, dir) => {
+      import graft.functions.Kmv
+      val k = 1024
+      val e = Tables.events(s, dir).select(
+        col("ts").cast("date").as("day"), col("user_id"))
+      val offsets = (0 until 7).map(lit(_))
+      val days = e.select("day").distinct()
+      // exact side: distinct (day, user), fanned over the 7-day window
+      val fan = e.distinct().withColumn("off", explode(array(offsets: _*)))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      val exact = fan.join(days, "day")
+        .groupBy("day").agg(countDistinct("user_id").as("n_users_7d"))
+      // sketch side: one k-long sketch per day, fanned over the same
+      // calendar window (robust to absent days, unlike a rows-window)
+      // and union-folded with pure array algebra — bit-stable min-k
+      // of a fixed hash, order-independent fold
+      val perDay = e.groupBy("day").agg(Kmv.sketch(col("user_id"), k).as("sk"))
+      val rolled = perDay.withColumn("off", explode(array(offsets: _*)))
+        .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+        .join(days, "day")
+        .groupBy("day").agg(collect_list(col("sk")).as("sks"))
+        .select(col("day"), Kmv.estimate(aggregate(col("sks"),
+          typedLit(Array.empty[Long]),
+          (acc, sk) => slice(array_sort(array_union(acc, sk)), 1, k)), k)
+          .as("est"))
+      exact.join(rolled, "day")
+        .select(col("day").cast("string").as("day"), col("n_users_7d"),
+          (abs(col("est") - col("n_users_7d")) <=
+            greatest(col("n_users_7d") * 0.15, lit(2.0))).as("sk_ok"))
+        .orderBy("day")
+    }),
+
     // q73 — wide→long reshaping (pandas melt / SQL UNPIVOT): native
     // Dataset.unpivot, a pure per-row expansion — no shuffle beyond
     // the upstream aggregation.
@@ -1394,6 +1467,37 @@ object AnalyticsQueries {
         |         'view(,(view|click))*,purchase') THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_matching
         |FROM per""".stripMargin,
+    "q147_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p1, p2, n_co, i1.n_item AS n1, i2.n_item AS n2,
+        |       CAST(n_co AS DOUBLE) * (SELECT n_orders FROM n)
+        |         / (i1.n_item * i2.n_item) AS lift
+        |FROM pairs
+        |JOIN ic i1 ON p1 = i1.l_partkey
+        |JOIN ic i2 ON p2 = i2.l_partkey
+        |ORDER BY n_co DESC, p1, p2 LIMIT 50""".stripMargin,
+    // q148: exact trailing-7-day distinct via the same calendar fan;
+    // literal-true sketch flag
+    "q148_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |fan AS (
+        |  SELECT e.day + CAST(o.off AS INTEGER) AS day, e.user_id
+        |  FROM e CROSS JOIN (SELECT UNNEST(range(0, 7)) AS off) o),
+        |ex AS (
+        |  SELECT f.day, COUNT(DISTINCT f.user_id) AS n_users_7d
+        |  FROM fan f JOIN days d ON f.day = d.day
+        |  GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day, n_users_7d, TRUE AS sk_ok
+        |FROM ex ORDER BY day""".stripMargin,
     // portable long-form mirror (UNION ALL rather than UNPIVOT, which
     // DuckDB spells differently per version)
     "q73_unpivot" ->
