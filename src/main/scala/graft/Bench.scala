@@ -163,6 +163,18 @@ object Bench {
       .getOrElse(totalsOnly)
   }
 
+  /** Persist the detail line to a file (default `BENCH_DETAIL.json`
+    * in the working directory, overridable via
+    * `SPARK_GRAFT_BENCH_DETAIL`). The driver keeps only the last
+    * ~2000 chars of stdout, which round 8 proved truncates the detail
+    * line exactly when it is needed (a regression cluster with the
+    * attributing gc/heap telemetry cut off) — the checked-in file is
+    * the durable copy; stdout remains the human-visible one.
+    */
+  private[graft] def writeDetail(path: java.nio.file.Path, line: String): Unit =
+    java.nio.file.Files.write(path, (line + "\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -265,6 +277,10 @@ object Bench {
     // detail line / stderr.
     val headline = headlineLine(total,
       results.map { case (k, s) => k -> s.median }, iters, errs.toSeq, sfDir)
+    try writeDetail(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")), detail)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}") }
     spark.stop()
     println(detail)
     println(headline)

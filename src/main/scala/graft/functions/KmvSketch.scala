@@ -80,9 +80,14 @@ case class KmvSketch(k: Int)
 
 object Kmv {
 
-  /** Aggregation column: KMV sketch of `key`'s distinct values. */
+  /** Aggregation column: KMV sketch of `key`'s distinct values.
+    * Nulls are skipped (consistent with [[sketchIf]] and with
+    * `count(distinct …)` semantics): xxhash64 never returns null —
+    * hashing a null yields the seed — so the null test must gate the
+    * hash, or a null key would count as one phantom distinct value.
+    */
   def sketch(key: Column, k: Int): Column =
-    udaf(KmvSketch(k)).apply(xxhash64(key))
+    udaf(KmvSketch(k)).apply(when(key.isNotNull, xxhash64(key)))
 
   /** Conditional sketch in a single aggregation pass — rows failing
     * `cond` contribute a null hash, which the aggregator skips. The

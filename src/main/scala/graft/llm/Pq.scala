@@ -44,18 +44,29 @@ import org.apache.spark.sql.functions._
   *    no shuffle of raw vectors;
   *  - with `coarse` set, only the probed cells' candidates are
   *    scored (candidate cost ∝ nProbe/nCells of the corpus);
-  *  - the exact re-rank touches raw vectors for only
-  *    `shortlist` rows per query (equi-join on cand_id).
+  *  - the exact re-rank touches raw vectors for a per-query budget
+  *    bounded above by `shortlistCap` (equi-join on cand_id) — the
+  *    per-query cost is O(cap), independent of index size.
   */
 object Pq {
 
   /** `m` subspaces × `ksub` centroids each, `iters` Lloyd rounds on
-    * a ≤`trainRows` hash-sample; ADC keeps max(`shortlist`, 1% of
-    * corpus rows) candidates per query for the exact re-rank;
+    * a ≤`trainRows` hash-sample; ADC keeps
+    * `min(max(shortlist, 1% of the query's candidate rows), shortlistCap)`
+    * candidates per query for the exact re-rank — the 1% term keeps
+    * recall roughly scale-stable while the index is small/medium, and
+    * `shortlistCap` bounds the per-query exact-scoring cost with a
+    * FAISS-style fixed refine budget once the index is large (at 10⁹
+    * vectors an uncapped 1% would mean 10⁷ exact re-ranks per query,
+    * erasing ADC's compression win). Recall at the cap is a knob the
+    * caller trades against cost: raising the cap recovers the
+    * uncapped recall profile at proportional re-rank expense
+    * (PqSpec pins a recall floor with the cap binding).
     * `coarse` switches on IVF routing (IVFADC).
     */
   final case class PqParams(m: Int = 8, ksub: Int = 16, iters: Int = 2,
                             shortlist: Int = 50, trainRows: Int = 4096,
+                            shortlistCap: Int = 1024,
                             coarse: Option[Similarity.IvfParams] = None)
 
   private def qi(x: Column): Column =
@@ -232,15 +243,21 @@ object Pq {
       .withColumn("adc_cos",
         Similarity.cosine(col("adc_dot"), col("qn2"), col("cn2_hat")))
       .filter(col("cand_id") =!= col("query_id"))
-    // refinement budget scales with the corpus: a FIXED shortlist
-    // would cover an ever-thinner slice of a growing index (recall
-    // decays as N grows past shortlist/adc-error); 1% of corpus rows
-    // keeps the per-query exact re-rank bounded while holding the
-    // recall profile roughly scale-stable
-    val shortlistEff = math.max(p.shortlist, (corpus.count() / 100L).toInt)
+    // refinement budget: grows with the QUERY's candidate count (1%
+    // — recall decays if a fixed shortlist covers an ever-thinner
+    // slice of a growing index) but is hard-capped at shortlistCap so
+    // the per-query exact re-rank cost is bounded at any index size.
+    // Computed in-plan per query (count over the same partitioning as
+    // the rank window — no extra action, no extra exchange; under IVF
+    // routing it is the routed cell population, the right denominator)
     val ws = Window.partitionBy("query_id").orderBy(col("adc_cos").desc, col("cand_id"))
+    val budget = least(
+      greatest(lit(p.shortlist),
+        (count(lit(1)).over(Window.partitionBy("query_id")) / lit(100L)).cast("int")),
+      lit(p.shortlistCap))
     val short = adc.withColumn("srn", row_number().over(ws))
-      .filter(col("srn") <= shortlistEff)
+      .withColumn("__budget", budget)
+      .filter(col("srn") <= col("__budget"))
       .select("query_id", "cand_id")
     // exact re-rank of the shortlist only
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvv"),

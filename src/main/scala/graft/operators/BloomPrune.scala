@@ -45,20 +45,27 @@ object BloomPrune {
     val hashed = XxHash64(Seq(GraftShim.expression(col(key))), 42L)
     val agg = new BloomFilterAggregate(hashed,
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = small.select(GraftShim.column(agg).as("bf")).head()
+    // Null dim keys never join, so they must not be inserted: XxHash64
+    // is non-nullable (null hashes to the seed), and an inserted seed
+    // hash would make every null fact key "might match".
+    val row = small.filter(col(key).isNotNull)
+      .select(GraftShim.column(agg).as("bf")).head()
     row.getAs[Array[Byte]]("bf")
   }
 
   /** Codegen'd membership probe: `might_contain(bloom, xxhash64(key))`
     * with the sketch embedded as a foldable binary literal (the same
     * plan shape Spark's InjectRuntimeFilter produces, minus the
-    * scalar subquery). Null keys probe to null → filtered out, which
-    * matches inner-equi-join semantics (null never joins).
+    * scalar subquery). The probe is explicitly null-guarded: XxHash64
+    * never returns null (a null key hashes to the seed), so without
+    * the guard a null fact key could probe `true` on a false positive.
+    * `when(isNotNull, …)` yields null for null keys → `filter` drops
+    * them, honoring inner-equi-join semantics (null never joins).
     */
   def mightContain(bloom: Array[Byte], key: Column): Column =
-    GraftShim.column(BloomFilterMightContain(
+    when(key.isNotNull, GraftShim.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
-      XxHash64(Seq(GraftShim.expression(key)), 42L)))
+      XxHash64(Seq(GraftShim.expression(key)), 42L))))
 
   /** `big` minus the rows whose `bigKey` is provably absent from the
     * bloom. Pure narrow filter — sits under the downstream exchange.

@@ -563,7 +563,12 @@ object AnalyticsQueries {
     // q144 — cohort retention matrix: customers grouped by
     // first-order month, tracked by months-since-cohort. The classic
     // product-analytics query: (cohort, age) → distinct active
-    // customers / cohort size. Months are exact integer arithmetic
+    // customers / cohort size. Deliberate sibling of
+    // q77_cohort_retention (weekly cohorts over the EVENTS stream,
+    // raw active counts): this variant runs on ORDERS at monthly
+    // grain and adds the retention RATIO and full (cohort × age)
+    // matrix — the two cover the event-level and transaction-level
+    // halves of the same analysis. Months are exact integer arithmetic
     // (y*12+m) on both engines; retention is one IEEE division of
     // exact longs. Plan: groupBy custkey (first order), broadcast-less
     // self-join back on custkey (co-partitioned by the groupBy's own
@@ -649,8 +654,12 @@ object AnalyticsQueries {
     }),
 
     // q147 — market-basket pair affinity: parts co-occurring in an
-    // order, with lift against independent item frequencies. The
-    // pair fan-out is the textbook self-join bounded by
+    // order, with lift against independent item frequencies.
+    // Deliberate sibling of q91_basket_lift (BRAND-level pairs,
+    // top-20): this variant pairs at PART granularity (a ~1000×
+    // larger pair space exercising the co-partitioned self-join at a
+    // cardinality brands never reach) and keeps top-50.
+    // The pair fan-out is the textbook self-join bounded by
     // items-per-order (k items → k(k-1)/2 pairs, ~21 at TPC-H's
     // k≈7), co-partitioned on orderkey so the join adds no second
     // shuffle; top-k lands as TakeOrdered with a total (n, p1, p2)

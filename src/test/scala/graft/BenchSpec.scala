@@ -85,4 +85,21 @@ class BenchSpec extends AnyFunSuite {
     val bare = Bench.detailLine(results, 2.25, 3, "/d/sf0.1")
     assert(bare.contains("\"calib_sec\":[]"), bare)
   }
+
+  test("detail line persists to the durable artifact file verbatim") {
+    // round 8's lesson: the driver keeps only the last ~2000 chars of
+    // stdout, so the detail telemetry must ALSO land in a file —
+    // writeDetail is the seam Bench.main uses for BENCH_DETAIL.json
+    val results = Seq("q01_ok" -> Bench.QStat(1.5, 2.25, 120L, 33.5, 2048.75))
+    val line = Bench.detailLine(results, 2.25, 3, "/d/sf0.1", Seq(0.3))
+    val tmp = java.nio.file.Files.createTempFile("bench_detail", ".json")
+    try {
+      Bench.writeDetail(tmp, line)
+      val back = new String(java.nio.file.Files.readAllBytes(tmp),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(back === line + "\n")
+      // the file is a full-fidelity copy: telemetry survives intact
+      assert(back.contains("\"peak_heap_mb\":") && back.contains("\"calib_sec\":[0.300]"))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
 }

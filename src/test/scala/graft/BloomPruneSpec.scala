@@ -44,11 +44,16 @@ class BloomPruneSpec extends SparkSpec {
   test("null fact keys are dropped, matching inner-join semantics") {
     val withNulls = fact.withColumn("fk",
       when(col("v") <= 10.0, lit(null)).otherwise(col("fk")))
-    val bf = BloomPrune.bloomOf(dim, "pk", expectedItems = 1000)
+    // a null DIM key too: before the guard this always leaked null
+    // fact rows (both sides hashed to the seed); now it must not —
+    // bloomOf skips null dim keys and the probe is null-guarded
+    val dimWithNull = dim.unionByName(
+      Seq((Option.empty[Long], "dnull")).toDF("pk", "attr"))
+    val bf = BloomPrune.bloomOf(dimWithNull, "pk", expectedItems = 1000)
     val pruned = BloomPrune.prune(withNulls, bf, "fk")
     assert(pruned.filter(col("fk").isNull).count() === 0L)
-    val plain = withNulls.join(dim, col("fk") === col("pk")).count()
-    val viaPrune = pruned.join(dim, col("fk") === col("pk")).count()
+    val plain = withNulls.join(dimWithNull, col("fk") === col("pk")).count()
+    val viaPrune = pruned.join(dimWithNull, col("fk") === col("pk")).count()
     assert(viaPrune === plain)
   }
 

@@ -98,6 +98,25 @@ class PqSpec extends SparkSpec {
     assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("shortlistCap bounds the refine budget; recall floor holds at the cap") {
+    // force the cap to bind: shortlist=5 and cap=8 ⇒ per-query exact
+    // re-rank touches at most 8 candidates regardless of corpus size
+    // (the fixed-refine-budget trade FAISS makes; uncapped this
+    // corpus would re-rank max(50, n/100) per query)
+    val capped = p.copy(shortlist = 5, shortlistCap = 8)
+    val got = Pq.pqTopK(emb, probes, "vec_id", "embedding", 5, capped)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length === probes.count() * 5)
+    val brute5 = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = brute5.count(got.toSet.contains).toDouble / brute5.size
+    info(s"PQ-ADC capped (cap=8) recall@5 = $recall")
+    // deterministic pipeline ⇒ stable measurement (0.20 at the spec
+    // SF); the floor is what an 8-candidate refine buys on
+    // worst-case uniform vectors, with margin for SF changes
+    assert(recall >= 0.15, s"capped recall $recall")
+  }
+
   test("ksub clamps to corpus size on a tiny corpus") {
     val tiny = emb.limit(5)
     val cb = Pq.trainCodebooks(tiny, "vec_id", "embedding", p)
