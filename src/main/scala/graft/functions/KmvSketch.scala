@@ -117,8 +117,16 @@ object Kmv {
       .otherwise(lit((k - 1).toDouble) / frac(element_at(s, k)))
 
   /** Theta-sketch intersection estimate |A∩B|: common hashes below
-    * the union's θ, scaled by 1/θ. Exact when both sides are
-    * undersampled (sketches < k ⇒ θ = 1 and every hash is present).
+    * the union's θ (STRICTLY below — θ itself is the first value
+    * known to be outside the k-sample, so a common hash equal to the
+    * boundary must not count), scaled by 1/θ. Exact when both sides
+    * are undersampled (sketches < k ⇒ θ = 1 and every hash is
+    * present). The raw estimator is unbiased but unbounded above —
+    * one lucky common hash under a tiny θ can imply an intersection
+    * larger than either side — so the estimate is clamped to
+    * `min(estimate(a), estimate(b))`, which the true cardinality can
+    * never exceed; KmvSpec property-tests 0 ≤ est ≤ min(estimates)
+    * across adversarial overlap fractions.
     */
   def intersectEstimate(a: Column, b: Column, k: Int): Column = {
     val u = unionSketch(a, b, k)
@@ -126,7 +134,9 @@ object Kmv {
     when(size(u) < k, size(common).cast("double"))
       .otherwise {
         val boundary = element_at(u, k)
-        size(filter(common, x => x < boundary)).cast("double") / frac(boundary)
+        least(
+          size(filter(common, x => x < boundary)).cast("double") / frac(boundary),
+          estimate(a, k), estimate(b, k))
       }
   }
 

@@ -560,6 +560,52 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q152 — SKETCH-TABLE LIFECYCLE end-to-end: the production
+    // pattern q142 claims ("daily digests in parquet → monthly
+    // percentiles with no fact re-read") driven through the ACTUAL
+    // storage seam — per-(returnflag, period) t-digests are
+    // PERSISTED via Load.writeSharded (manifest-committed shard
+    // dataset), read back via readSharded, and only then rolled up
+    // to whole-span percentiles. The rollup stage's plan reads ONLY
+    // the sketch table (PlanQualitySpec pins no fact re-scan);
+    // per-flag period counts come from the sketch rows themselves
+    // and must equal the fact-side distinct-period count — proving
+    // the persisted sketch set is complete. Sibling of q142 (in-plan
+    // rollup, hash-sharded): this variant adds the parquet
+    // round-trip + manifest commit + calendar sharding.
+    "q152_sketch_lifecycle" -> ((s, dir) => {
+      import graft.functions.{TDigestAgg, TDigestMergeAgg}
+      val dig = udaf(TDigestAgg(200))
+      val mrg = udaf(TDigestMergeAgg(200, Seq(0.5, 0.9, 0.99)))
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("period"))
+      val perPeriod = li.groupBy("l_returnflag", "period")
+        .agg(dig(col("l_quantity")).as("digest"))
+      val base = java.nio.file.Files.createTempDirectory("graft_q152").toString
+      val sketchPath = s"$base/period_digests"
+      graft.etl.Load.writeSharded(s, perPeriod, "period", None, sketchPath)
+      val rolled = graft.etl.Load.readSharded(s, sketchPath)
+        .groupBy("l_returnflag")
+        .agg(mrg(col("digest.means"), col("digest.weights")).as("qs"),
+          count(lit(1)).as("n_periods"))
+      val exact = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+      def ok(est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+        abs(est - ex) <= greatest(lit(1.0), ex * lit(0.05))
+      exact.join(rolled, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+          col("n"), col("n_periods"),
+          ok(element_at(col("qs"), 1), col("p50")).as("td_p50_ok"),
+          ok(element_at(col("qs"), 2), col("p90")).as("td_p90_ok"),
+          ok(element_at(col("qs"), 3), col("p99")).as("td_p99_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // q144 — cohort retention matrix: customers grouped by
     // first-order month, tracked by months-since-cohort. The classic
     // product-analytics query: (cohort, age) → distinct active
@@ -1412,6 +1458,18 @@ object AnalyticsQueries {
         |       quantile_cont(l_quantity, 0.9) AS p90,
         |       quantile_cont(l_quantity, 0.99) AS p99,
         |       COUNT(*) AS n,
+        |       TRUE AS td_p50_ok, TRUE AS td_p90_ok, TRUE AS td_p99_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q152: exact fact-side percentiles + the distinct-period count
+    // the persisted sketch table must reproduce; digest flags
+    // literal-true as in q142
+    "q152_sketch_lifecycle" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_cont(l_quantity, 0.99) AS p99,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT year(l_shipdate) * 12 + month(l_shipdate)) AS n_periods,
         |       TRUE AS td_p50_ok, TRUE AS td_p90_ok, TRUE AS td_p99_ok
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q144_cohort_retention" ->

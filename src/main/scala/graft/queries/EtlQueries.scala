@@ -242,6 +242,76 @@ object EtlQueries {
         .orderBy("user_id")
     }),
 
+    // q149 — versioned snapshots + METADATA-ONLY time travel
+    // (graft.etl.Snapshots), oracle-gated through a real filesystem
+    // (the q137 discipline for IO-flavored operators): commit v1
+    // (q83's `prev` frame), commit v2 (`cur`), then ROLL BACK to v1 —
+    // rollback publishes a new version that POINTS at v1's data dir,
+    // no data rewrite (the 100 TB undo). The query then time-travel
+    // reads BOTH historical versions (old versions stay readable
+    // after later commits) and classifies their diff via Reconcile;
+    // every output row also carries the post-rollback latest version
+    // number and row count — if rollback failed to re-point latest at
+    // v1's data, latest_rows hash-breaks against the oracle (which
+    // derives it from the v1 frame).
+    "q149_snapshot_travel" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1df = o.filter(col("o_orderkey") % 97 =!= 0)
+      val v2df = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      val root = java.nio.file.Files.createTempDirectory("graft_q149").toString
+      val v1 = Snapshots.commit(s, v1df, root)
+      val v2 = Snapshots.commit(s, v2df, root)
+      Snapshots.rollback(s, root, v1)
+      val latestV = Snapshots.latestVersion(s, root).get
+      val latestRows = Snapshots.read(s, root).count()
+      Reconcile.diff(Snapshots.read(s, root, Some(v1)),
+          Snapshots.read(s, root, Some(v2)),
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice_cur") - col("o_totalprice_prev")).as("price_delta"))
+        .withColumn("latest_version", lit(latestV))
+        .withColumn("latest_rows", lit(latestRows))
+        .orderBy("diff_status")
+    }),
+
+    // q150 — STREAMING spike alerting behind the oracle gate: the
+    // exact-integer running-baseline fold (Stateful.spikeAlerts,
+    // batch sibling of q93's trailing-window detector) computed by
+    // the real Structured Streaming runtime across ≥3 genuine
+    // micro-batches. spikeAlerts is ORDER-SENSITIVE (a reading's
+    // baseline is every EARLIER reading of its key), so the staging
+    // uses seq-range slices with ascending file mtimes
+    // (Ingest.stageOrderedJson) — the file source then delivers
+    // batches in seq order and the union of all batch outputs must
+    // equal the one-shot ordered SQL replay, per reading, exactly
+    // (integer state ⇒ one IEEE division per row, bit-stable).
+    "q150_streaming_spikes" -> ((s, dir) => {
+      val readings = Tables.events(s, dir)
+        .filter(col("user_id") % 5 === 0)
+        .select(col("user_id").as("key"), col("event_id").as("seq"),
+          (col("event_id") * 7919L % 10000L).as("cents"))
+      val base = java.nio.file.Files.createTempDirectory("graft_q150").toString
+      val span = readings.agg(min("seq"), max("seq")).head()
+      val (mn, mx) = (span.getLong(0), span.getLong(1))
+      val cut1 = mn + (mx - mn) / 3
+      val cut2 = mn + 2 * (mx - mn) / 3
+      graft.streaming.Ingest.stageOrderedJson(s, Seq(
+        readings.filter(col("seq") <= cut1),
+        readings.filter(col("seq") > cut1 && col("seq") <= cut2),
+        readings.filter(col("seq") > cut2)), s"$base/staging")
+      graft.streaming.Ingest.spikeAlertsAvailableNow(s, s"$base/staging",
+        s"$base/chk", s"$base/out", maxFilesPerTrigger = Some(1))
+      s.read.parquet(s"$base/out")
+        .select("key", "seq", "cents", "n_baseline", "baseline_mean_cents",
+          "is_spike")
+        .orderBy("key", "seq")
+    }),
+
     // q83 — snapshot reconciliation (graft.etl.Reconcile.diff): one
     // full-outer key join classifies every order key across two
     // planted table versions (every 97th key absent from prev =
@@ -466,6 +536,50 @@ object EtlQueries {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    // q149: replay the two committed frames from the base table; the
+    // latest_* columns assert the rollback re-pointed latest at v1
+    "q149_snapshot_travel" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 89 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |              WHEN c.o_orderkey IS NULL THEN 'removed'
+        |              WHEN p.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |                OR p.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_status,
+        |         c.o_totalprice - p.o_totalprice AS delta
+        |  FROM v1 p FULL OUTER JOIN v2 c ON p.o_orderkey = c.o_orderkey)
+        |SELECT diff_status, COUNT(*) AS n,
+        |       CAST(SUM(CAST(delta AS DECIMAL(18,4))) AS DOUBLE) AS price_delta,
+        |       CAST(3 AS BIGINT) AS latest_version,
+        |       (SELECT COUNT(*) FROM v1) AS latest_rows
+        |FROM d GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    // q150: one-shot ordered replay of the running-baseline fold —
+    // the streaming runtime's union-of-batches must match per reading
+    "q150_streaming_spikes" ->
+      """WITH r AS (
+        |  SELECT user_id AS key, event_id AS seq,
+        |         (event_id * 7919) % 10000 AS cents
+        |  FROM events WHERE user_id % 5 = 0),
+        |w AS (
+        |  SELECT key, seq, cents,
+        |         COUNT(*) OVER win AS n_baseline,
+        |         SUM(cents) OVER win AS sum_b
+        |  FROM r
+        |  WINDOW win AS (PARTITION BY key ORDER BY seq
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT key, seq, cents, n_baseline,
+        |       CASE WHEN n_baseline > 0
+        |            THEN CAST(sum_b AS DOUBLE) / n_baseline
+        |            ELSE 0.0 END AS baseline_mean_cents,
+        |       (n_baseline > 0 AND
+        |        cents > 1.5 * (CAST(sum_b AS DOUBLE) / n_baseline)) AS is_spike
+        |FROM w ORDER BY key, seq""".stripMargin,
     "q83_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |prev AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),

@@ -1226,6 +1226,33 @@ object LlmQueries {
           "tv_microsum", "tv_dist")
     }),
 
+    // q151 — STREAMING per-doc feature store behind the oracle gate:
+    // q108's incrementally-maintainable signals (token count, quality
+    // blend, PII counts, content fingerprint + the fingerprint copy
+    // count) maintained by Stateful.docFeatures through real
+    // AvailableNow micro-batches. Copy-count state is ORDER-
+    // INDEPENDENT (a pure function of the full corpus), so the
+    // staging can slice unordered like q139; each doc's highest-
+    // batch_id emission is its final feature row and must equal the
+    // one-shot batch recompute — the q108 base-features SQL.
+    "q151_streaming_docfeat" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_q151").toString
+      docs.select("doc_id", "text", "lang")
+        .repartition(3)
+        .write.mode("overwrite").json(s"$base/staging")
+      graft.streaming.Ingest.docFeaturesAvailableNow(s, s"$base/staging",
+        s"$base/chk", s"$base/out", maxFilesPerTrigger = Some(1))
+      s.read.parquet(s"$base/out")
+        .groupBy("doc_id")
+        .agg(expr("max_by(struct(lang, n_tokens, quality, n_pii, fp, n_fp_copies), batch_id)").as("st"))
+        .select(col("doc_id"), col("st.lang").as("lang"),
+          col("st.n_tokens").as("n_tokens"), col("st.quality").as("quality"),
+          col("st.n_pii").as("n_pii"), col("st.fp").as("fp"),
+          col("st.n_fp_copies").as("n_fp_copies"))
+        .orderBy("doc_id")
+    }),
+
     // q134 — drift movers: the top-20 tokens by quantized
     // probability shift between the two halves, deterministic
     // (delta desc, token asc) — the "what changed" report read
@@ -1740,6 +1767,26 @@ object LlmQueries {
         |LEFT JOIN comp c ON c.id = d.doc_id
         |LEFT JOIN cs ON cs.component = c.component
         |ORDER BY d.doc_id""".stripMargin,
+    // q151: q108's base-features + copy-count CTEs verbatim — the
+    // streaming state store's final emissions must equal the one-shot
+    // batch recompute
+    "q151_streaming_docfeat" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) * 0.5
+         |      + (CASE WHEN len(string_split(text,' ')) BETWEEN 8 AND 256 THEN 1.0 ELSE 0.0 END) * 0.25
+         |      + (CASE WHEN CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE) / len(string_split(text,' ')) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |       + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+         |       + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_pii,
+         |    $fpSql AS fp
+         |  FROM documents),
+         |fpc AS (SELECT fp, COUNT(*) AS n_fp_copies FROM base GROUP BY 1)
+         |SELECT b.doc_id, b.lang, b.n_tokens, b.quality, b.n_pii, b.fp,
+         |       fpc.n_fp_copies
+         |FROM base b JOIN fpc USING (fp)
+         |ORDER BY b.doc_id""".stripMargin,
     // the q101 + q107 CTEs re-assembled around the scan-projection
     // features; float expressions repeat their source query's exact
     // op sequences

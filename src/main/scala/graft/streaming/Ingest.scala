@@ -375,4 +375,110 @@ object Ingest {
       .start()
     q.awaitTermination()
   }
+
+  /** Stage `slices` into `stagingDir` as one JSON file each, with
+    * strictly ascending modification times (60 s apart) so the file
+    * stream source — which orders unread files by (modTime, path) —
+    * consumes them in slice order under `maxFilesPerTrigger=1`.
+    *
+    * This is the arrival-order contract ORDER-SENSITIVE stateful ops
+    * need (a running-baseline fold must see earlier readings in
+    * earlier batches); order-INSENSITIVE ops (CDC max-version, the
+    * copy-count feature store) can stage unordered like q139 does.
+    * One file per slice keeps the batch↔slice mapping exact.
+    */
+  def stageOrderedJson(spark: SparkSession, slices: Seq[DataFrame],
+                       stagingDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
+    val t0 = System.currentTimeMillis() - 3600L * 1000 * slices.size
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$stagingDir/__slice$i"
+      df.coalesce(1).write.mode("overwrite").json(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dest = new org.apache.hadoop.fs.Path(stagingDir, f"slice$i%04d.json")
+      if (!fs.rename(part, dest))
+        throw new IllegalStateException(s"could not stage $dest")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dest, t0 + i * 60000L, -1)
+    }
+  }
+
+  /** STREAMING spike alerting behind a real AvailableNow run — the
+    * q137/q139 runtime discipline applied to
+    * [[Stateful.spikeAlerts]]: watch a folder of JSON-lines reading
+    * files (key, seq, cents), fold each key's exact integer baseline
+    * (n, Σcents) through the checkpointed state store across genuine
+    * micro-batches, and write every batch's alerts to a
+    * batch_id-partitioned parquet with dynamic partition overwrite
+    * (exactly-once per batch_id, as the drift/CDC sinks).
+    *
+    * Every reading emits exactly one alert in the batch that carried
+    * it, so the union of all batch partitions IS the full alert
+    * stream; staged via [[stageOrderedJson]] (seq-sliced files), the
+    * result equals the one-shot ordered batch replay — the q150
+    * DuckDB oracle.
+    */
+  def spikeAlertsAvailableNow(spark: SparkSession, stagingDir: String,
+                              checkpointDir: String, outPath: String,
+                              factor: Double = 1.5,
+                              maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = StructType.fromDDL("key LONG, seq LONG, cents LONG")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val alerts = Stateful.spikeAlerts(reader.json(stagingDir), factor)
+    val q = alerts.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING per-doc feature store behind a real AvailableNow run —
+    * the runtime harness for [[Stateful.docFeatures]]: watch a folder
+    * of JSON-lines doc files (doc_id, text, lang), maintain the
+    * fingerprint copy-count state across genuine micro-batches, and
+    * write each batch's EMITTED feature rows (every doc of a group
+    * re-emits when its group grows) to a batch_id-partitioned parquet
+    * with dynamic partition overwrite.
+    *
+    * Reading the result: each doc's HIGHEST-batch_id row is its
+    * final feature row (emission order is irrelevant — the final
+    * copy count is a pure function of the full corpus), so one
+    * `max_by(…, batch_id)` per doc reconstructs the batch recompute
+    * under ANY slicing of the input — the q151 oracle (the q108 base
+    * feature SQL).
+    */
+  def docFeaturesAvailableNow(spark: SparkSession, stagingDir: String,
+                              checkpointDir: String, outPath: String,
+                              maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = StructType.fromDDL("doc_id LONG, text STRING, lang STRING")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val feats = Stateful.docFeatures(reader.json(stagingDir))
+    val q = feats.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -68,6 +68,60 @@ class KmvSpec extends SparkSpec {
     assert(sk.size === 25) // only the 25 keep=true keys, no seed-hash pollution
   }
 
+  test("null keys are skipped by sketch (no phantom seed-hash distinct)") {
+    val df = (1 to 40).map(i => if (i % 4 == 0) None else Some(s"k$i"))
+      .toDF("key")
+    val est = df.agg(Kmv.estimate(Kmv.sketch(col("key"), K), K)).head().getDouble(0)
+    assert(est === 30.0) // the 10 nulls contribute nothing
+  }
+
+  test("property: 0 <= intersectEstimate <= min(estimates) across overlap fractions") {
+    // adversarial overlaps: disjoint, tiny, half, contained, identical —
+    // at sizes that straddle the undersampled/sampled boundary
+    val cases = Seq(
+      (2000, 2000, 0),      // disjoint, both sampled
+      (20000, 20000, 7),    // near-disjoint large (the lucky-hash case
+                            // the clamp exists for)
+      (12000, 12000, 4000), // planted half-overlap
+      (30000, 300, 300),    // b fully contained in a (est must be ~|b|)
+      (9000, 9000, 9000),   // identical sets
+      (100, 100, 50))       // both undersampled → exact path
+    for ((na, nb, novr) <- cases) {
+      val a = (1 to na).map(i => ("a", s"u$i"))
+      val b = (na - novr + 1 to na - novr + nb).map(i => ("b", s"u$i"))
+      val row = (a ++ b).toDF("side", "key").agg(
+        Kmv.sketchIf(col("side") === "a", col("key"), K).as("sa"),
+        Kmv.sketchIf(col("side") === "b", col("key"), K).as("sb"))
+        .select(
+          Kmv.intersectEstimate(col("sa"), col("sb"), K).as("i"),
+          Kmv.estimate(col("sa"), K).as("ea"),
+          Kmv.estimate(col("sb"), K).as("eb"))
+        .head()
+      val (i, ea, eb) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(i >= 0.0, s"case ($na,$nb,$novr): est $i < 0")
+      assert(i <= math.min(ea, eb) + 1e-9,
+        s"case ($na,$nb,$novr): est $i > min($ea, $eb)")
+    }
+  }
+
+  test("boundary convention: a common hash equal to the union θ is excluded") {
+    // Build sketches as literal arrays so the k-th union element is a
+    // COMMON value exactly at the boundary: a = {1..k}·s, b =
+    // {k..2k-1}·s in flipped-hash space (s = 2^40 keeps every frac()
+    // far from double underflow, like real xxhash64 output). union's
+    // k-th element = k·s, common = {k·s}; the strictly-below filter
+    // must count zero ⇒ estimate 0 (the clamped path can't resurrect
+    // it).
+    val k = 16
+    val s = 1L << 40
+    val aArr = array((1 to k).map(i => lit(Long.MinValue + i * s)): _*)
+    val bArr = array((k to 2 * k - 1).map(i => lit(Long.MinValue + i * s)): _*)
+    val est = spark.range(1)
+      .select(Kmv.intersectEstimate(aArr, bArr, k).as("i"))
+      .head().getDouble(0)
+    assert(est === 0.0, s"boundary hash leaked into the estimate: $est")
+  }
+
   test("unionSketch equals sketching the concatenated stream") {
     val a = (1 to 9000).map(i => s"x$i").toDF("key")
     val b = (5000 to 14000).map(i => s"x$i").toDF("key")

@@ -284,6 +284,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q152: the persisted-sketch rollup stage never re-scans the fact table") {
+    // the claim behind the sketch-table lifecycle: once per-period
+    // digests are written, whole-span percentiles come from the
+    // sketch table ALONE — the rollup plan must scan only the digest
+    // dataset, never lineitem
+    import graft.functions.{TDigestAgg, TDigestMergeAgg}
+    import org.apache.spark.sql.functions._
+    val dig = udaf(TDigestAgg(200))
+    val mrg = udaf(TDigestMergeAgg(200, Seq(0.5, 0.9, 0.99)))
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      col("l_quantity"),
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("period"))
+    val perPeriod = li.groupBy("l_returnflag", "period")
+      .agg(dig(col("l_quantity")).as("digest"))
+    val path = tmpDir("q152plan") + "/digests"
+    graft.etl.Load.writeSharded(spark, perPeriod, "period", None, path)
+    val rolled = graft.etl.Load.readSharded(spark, path)
+      .groupBy("l_returnflag")
+      .agg(mrg(col("digest.means"), col("digest.weights")).as("qs"))
+    val p = rolled.queryExecution.executedPlan.toString
+    assert(p.contains("digests"), p.take(2000))
+    assert(!p.contains("lineitem"),
+      s"rollup stage re-scans the fact table\n${p.take(3000)}")
+  }
+
   test("q145: both funnel window passes share one user_id exchange") {
     val p = plan("q145_window_funnel")
     assert(p.contains("Window"), p.take(2000))
