@@ -1124,6 +1124,43 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q153 — IMAGE near-dup dedup via the exact average-hash
+    // (llm/ImageDedup): the missing modality in the dedup tier —
+    // q30/q31/q33/q45 dedup text and embeddings, this dedups the
+    // image corpus through the REAL decode path. Every 97th doc
+    // gets its closed-form PNG (q122's corpus) PLUS a
+    // brightness-perturbed re-render (every channel +2, clamped —
+    // different bytes, same picture); both decode through ImageIO,
+    // hash to 64 exact aHash bits (8×8 grid-cell mean vs global
+    // mean, BigInt cross-products — bit-exact at any image size),
+    // and pair up via the pigeonhole block join (8×8-bit blocks ⇒
+    // recall 1.0 at Hamming ≤ 7, never all-pairs). Unlike q33's
+    // structural oracle, the hash here IS replayable: DuckDB
+    // recomputes every bit from the pixel formula (HUGEINT
+    // cross-products) and enumerates the identical pair set — the
+    // full pipeline (decode → hash → band join → verify) is
+    // value-checked, not just shape-checked. Planted pairs land at
+    // dist 0 (the perturbation moves cell and global means in
+    // lockstep — exactly the invariance that makes aHash a
+    // perceptual hash); organic formula-coincidence pairs at small
+    // distances are found identically by both engines.
+    "q153_image_phash_dedup" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id")
+      val originals = graft.sources.ImageGen.syntheticPng(ids, "doc_id")
+      // render the ORIGINAL id's pixels (+2 clamped), relabel after —
+      // the variant is a perturbation of the same picture, not a
+      // different formula image
+      val variants = graft.sources.ImageGen.syntheticPng(ids, "doc_id", delta = 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("content"))
+      val decoded = graft.sources.Multimodal.decodeImages(
+        originals.unionByName(variants), "content", grid = 8)
+      graft.llm.ImageDedup.phashNearDups(decoded, "doc_id", maxDist = 7)
+        .select(col("id_i"), col("id_j"), col("dist").cast("long").as("dist"))
+        .orderBy("id_i", "id_j")
+    }),
+
     // q131 — Gopher repetition battery (llm/Repetition): top
     // 2/3/4-gram and duplicate 5/6/7-gram char fractions per doc,
     // thresholds per the paper, verdicts on the same 10^6-scaled
@@ -2437,6 +2474,54 @@ object LlmQueries {
         |  ${graft.llm.ExactRound.round6Sql(
              "CAST(luma_sum AS BIGINT)", "1000 * n_px")} AS luma_mean
         |FROM a ORDER BY doc_id""".stripMargin,
+    // q153: FULL value replay of the perceptual-hash dedup — the
+    // oracle recomputes every aHash bit from the pixel formula
+    // (8×8 grid cells, HUGEINT cross-products for the exact
+    // cell-mean vs global-mean compare, clamped +2 for the planted
+    // variant), packs the same non-negative 32-bit halves, and
+    // enumerates all-pairs Hamming ≤ 7 — which the Spark side's
+    // pigeonhole block join must match row-for-row (recall 1.0 at
+    // ≤ 7 is guaranteed, so band-join vs all-pairs is exact)
+    "q153_image_phash_dedup" ->
+      """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |                    CAST(16 + doc_id % 13 AS BIGINT) AS h
+        |             FROM documents WHERE doc_id % 97 = 0),
+        |var AS (SELECT doc_id, w, h,
+        |               unnest([CAST(0 AS BIGINT), CAST(2 AS BIGINT)]) AS delta
+        |        FROM ids),
+        |xs AS (SELECT doc_id, delta, w, h, unnest(range(0, w)) AS x FROM var),
+        |px AS (SELECT doc_id, delta, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |lm AS (SELECT doc_id, delta,
+        |    299*least((7*x + 13*y + doc_id) % 256 + delta, 255)
+        |    + 587*least((3*x + 5*y + 2*doc_id) % 256 + delta, 255)
+        |    + 114*least((x + y + 3*doc_id) % 256 + delta, 255) AS l,
+        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS c
+        |  FROM px),
+        |cells AS (SELECT doc_id, delta, c, CAST(SUM(l) AS BIGINT) AS gsum,
+        |                 COUNT(*) AS gcnt
+        |          FROM lm GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, delta, CAST(SUM(l) AS BIGINT) AS luma_sum,
+        |               COUNT(*) AS n_px
+        |        FROM lm GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, delta, c,
+        |    CAST(gsum AS HUGEINT) * n_px > CAST(luma_sum AS HUGEINT) * gcnt AS b
+        |  FROM cells JOIN tot USING (doc_id, delta)),
+        |hash AS (SELECT doc_id, delta,
+        |    CAST(SUM(CASE WHEN c >= 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(c - 32 AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN c < 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |imgs AS (SELECT CASE WHEN delta = 0 THEN doc_id
+        |                     ELSE doc_id + 1000000 END AS iid, hi, lo
+        |         FROM hash)
+        |SELECT a.iid AS id_i, b.iid AS id_j,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+        |FROM imgs a JOIN imgs b ON a.iid < b.iid
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |ORDER BY id_i, id_j""".stripMargin,
     // q131: full replay of the repetition battery — n-gram
     // occurrence streams per n, covered-char aggregates, the same
     // micro-integer thresholds

@@ -31,7 +31,7 @@ object ImageGen {
   def width(id: Long): Int = (16 + id % 17).toInt
   def height(id: Long): Int = (16 + id % 13).toInt
 
-  private def render(id: Long): Array[Byte] = {
+  private def render(id: Long, delta: Int): Array[Byte] = {
     val w = width(id)
     val h = height(id)
     val bi = new java.awt.image.BufferedImage(
@@ -40,9 +40,9 @@ object ImageGen {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((7L * x + 13L * y + id) % 256).toInt
-        val g = ((3L * x + 5L * y + 2 * id) % 256).toInt
-        val b = ((x.toLong + y + 3 * id) % 256).toInt
+        val r = math.min(((7L * x + 13L * y + id) % 256).toInt + delta, 255)
+        val g = math.min(((3L * x + 5L * y + 2 * id) % 256).toInt + delta, 255)
+        val b = math.min(((x.toLong + y + 3 * id) % 256).toInt + delta, 255)
         bi.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -56,14 +56,22 @@ object ImageGen {
 
   /** (doc_id, content) with one synthetic PNG per id in `ids(idCol)`.
     * Per-partition batched like the decode side; no shuffle.
+    *
+    * `delta` renders a brightness-perturbed VARIANT of the same
+    * image: every channel value becomes `min(base + delta, 255)` —
+    * clamped add, so the perturbation stays SQL-replayable
+    * (`least(v + delta, 255)`) and a small delta shifts every cell
+    * mean and the global mean nearly in lockstep, the planted
+    * near-duplicate construction for the perceptual-hash dedup
+    * (q153): visually the same image, byte-wise a different file.
     */
-  def syntheticPng(ids: DataFrame, idCol: String): DataFrame = {
+  def syntheticPng(ids: DataFrame, idCol: String, delta: Int = 0): DataFrame = {
     val idx = ids.schema.fieldIndex(idCol)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
         val id = row.getLong(idx)
-        Row(id, render(id))
+        Row(id, render(id, delta))
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
   }

@@ -77,6 +77,36 @@ object Multimodal {
 
   private val failedImage: Row = Row(false, 0, 0, 0, null, null, null, null, null)
 
+  /** Exact average-hash halves from the grid accumulators: bit `c`
+    * (row-major cell order, c < min(64, grid²)) is set when cell
+    * `c`'s mean luma exceeds the whole image's mean —
+    * `gSum(c)·nPx > lumaSum·gCnt(c)` compared in BigInt so the bit
+    * is exact at ANY image size (the cross-products overflow a long
+    * past ~30 MP). Bits 0–31 pack into `lo`, 32–63 into `hi`; both
+    * stay in the non-negative 32-bit range, which is what keeps the
+    * oracle replay trivial (no sign-bit games in SQL — DuckDB builds
+    * the same halves with HUGEINT cross-products and a CASE sum).
+    * Classic aHash (average hash) — the perceptual fingerprint that
+    * survives re-encoding, resizing, and small brightness shifts,
+    * unlike the byte-level content hash.
+    */
+  private def ahashHalves(gSum: Array[Long], gCnt: Array[Long],
+                          lumaSum: Long, nPx: Long): (Long, Long) = {
+    val n = math.min(64, gSum.length)
+    val bigN = BigInt(nPx)
+    val bigL = BigInt(lumaSum)
+    var hi = 0L
+    var lo = 0L
+    var c = 0
+    while (c < n) {
+      if (gCnt(c) > 0 && BigInt(gSum(c)) * bigN > bigL * gCnt(c)) {
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    (hi, lo)
+  }
+
   /** Decode one payload: dimensions + channel count from the codec,
     * BT.601 luma (299r+587g+114b, exact ×1000 integer accumulation —
     * bit-deterministic regardless of row or partition order), Shannon
@@ -84,10 +114,12 @@ object Multimodal {
     * `grid`×`grid` box-average luma pooling in [0,1] — the
     * resize/feature-extract step as one pass over the pixel rows.
     */
-  private def decodeOne(bytes: Array[Byte], grid: Int): (Row, Seq[Float]) = {
+  private def decodeOne(bytes: Array[Byte], grid: Int)
+      : (Row, Seq[Float], java.lang.Long, java.lang.Long) = {
     try {
       val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (bi == null || bi.getWidth <= 0 || bi.getHeight <= 0) (failedImage, null)
+      if (bi == null || bi.getWidth <= 0 || bi.getHeight <= 0)
+        (failedImage, null, null, null)
       else {
         val w = bi.getWidth
         val h = bi.getHeight
@@ -135,12 +167,13 @@ object Multimodal {
         var bins = 0
         i = 0
         while (i < 256) { if (hist(i) > 0) bins += 1; i += 1 }
+        val (hh, hl) = ahashHalves(gSum, gCnt, lumaSum, n)
         (Row(true, w, h, channels, round6(mean), round6(entropy),
-          lumaSum, n, bins), feats)
+          lumaSum, n, bins), feats, Long.box(hh), Long.box(hl))
       }
     } catch {
       // corrupt/truncated payloads mark the row, never kill the task
-      case _: Exception => (failedImage, null)
+      case _: Exception => (failedImage, null, null, null)
     }
   }
 
@@ -161,13 +194,17 @@ object Multimodal {
     val outSchema = df.schema
       .add(StructField("image", imageStruct, nullable = false))
       .add(StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+      // exact average-hash halves (bits 32–63 / 0–31 of the aHash
+      // over min(64, grid²) cells) — null when not decodable
+      .add(StructField("ahash_hi", LongType, nullable = true))
+      .add(StructField("ahash_lo", LongType, nullable = true))
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val (img, feats) = decodeOne(row.getAs[Array[Byte]](idx), grid)
-          Row.fromSeq(row.toSeq :+ img :+ feats)
+          val (img, feats, hh, hl) = decodeOne(row.getAs[Array[Byte]](idx), grid)
+          Row.fromSeq(row.toSeq :+ img :+ feats :+ hh :+ hl)
         }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.llm.ImageDedup
+import graft.sources.{ImageGen, Multimodal}
+
+/** Perceptual-hash image dedup: exact aHash bits, perturbation
+  * invariance, pigeonhole recall, corrupt-payload skip.
+  */
+class ImageDedupSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  private def decode(df: org.apache.spark.sql.DataFrame) =
+    Multimodal.decodeImages(df, "content", grid = 8)
+
+  test("aHash is identical across partitionings and re-decodes") {
+    val imgs = ImageGen.syntheticPng(ids(12), "doc_id")
+    val a = decode(imgs).select("doc_id", "ahash_hi", "ahash_lo")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = decode(imgs.repartition(7)).select("doc_id", "ahash_hi", "ahash_lo")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a === b)
+    // halves stay in the non-negative 32-bit range (the oracle's
+    // no-sign-bit contract)
+    a.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi <= 0xFFFFFFFFL)
+      assert(lo >= 0L && lo <= 0xFFFFFFFFL)
+    }
+  }
+
+  test("brightness-perturbed re-render lands within Hamming 7 of the original") {
+    val base = ImageGen.syntheticPng(ids(10), "doc_id")
+    val pert = ImageGen.syntheticPng(ids(10), "doc_id", delta = 2)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("content"))
+    // bytes differ (the exact-dedup view), hashes agree (the
+    // perceptual view)
+    val bBytes = base.select("doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val pBytes = pert.select("doc_id", "content").collect()
+      .map(r => r.getLong(0) - 1000L -> r.getAs[Array[Byte]](1)).toMap
+    assert((0L until 10L).forall(i => !java.util.Arrays.equals(bBytes(i), pBytes(i))))
+    val pairs = ImageDedup.phashNearDups(
+        decode(base.unionByName(pert)), "doc_id", maxDist = 7)
+      .filter(col("id_j") - col("id_i") === 1000L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(pairs === (0L until 10L).toSet,
+      s"every planted variant must pair with its original, got $pairs")
+  }
+
+  test("pigeonhole band join equals all-pairs Hamming filter") {
+    val dec = decode(ImageGen.syntheticPng(ids(40), "doc_id"))
+    val sig = dec.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (i, hi1, lo1) <- sig; (j, hi2, lo2) <- sig if i < j
+      d = java.lang.Long.bitCount(hi1 ^ hi2) + java.lang.Long.bitCount(lo1 ^ lo2)
+      if d <= 7
+    } yield (i, j, d.toLong)).toSet
+    val got = ImageDedup.phashNearDups(dec, "doc_id", maxDist = 7)
+      .select(col("id_i"), col("id_j"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("corrupt payloads decode to null hashes and are skipped, never thrown") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(Row(900L, Array[Byte](1, 2, 3, 4))), schema)
+    val dec = decode(ImageGen.syntheticPng(ids(5), "doc_id").unionByName(junk))
+    val bad = dec.filter(col("doc_id") === 900L)
+      .select("image.decode_ok", "ahash_hi", "ahash_lo").collect().head
+    assert(bad.getBoolean(0) === false)
+    assert(bad.isNullAt(1) && bad.isNullAt(2))
+    // the pair join runs clean over the mixed frame
+    val n = ImageDedup.phashNearDups(dec, "doc_id", maxDist = 7).count()
+    assert(n >= 0L)
+  }
+}
