@@ -184,6 +184,19 @@ object Pq {
     * cand_id tie-break is deterministic; the exact re-rank then
     * scores only `shortlist` true vectors per query.
     */
+  /** Per-query LUT: dot of each query subvector against each
+    * sub-centroid, plus that centroid's exact norm contribution —
+    * Q·m·ksub rows, broadcast.
+    */
+  private def lutOf(queries: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, m: Int, dsub: Int): DataFrame =
+    broadcast(
+      subRows(queries, idCol, vecCol, m, dsub)
+        .select(col("__id").as("query_id"), col("sub"), col("sv"))
+        .join(cents, Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code"),
+          Similarity.qdot(col("sv"), col("cv")).as("lut_dot"), col("cn2")))
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, p: PqParams = PqParams()): DataFrame = {
     val cents = trainCodebooks(corpus, idCol, vecCol, p)
@@ -192,15 +205,7 @@ object Pq {
     // code rows for the whole corpus (the "index"): (cand_id, sub, code)
     val codeRows = assignCodes(subRows(corpus, idCol, vecCol, p.m, dsub), cents)
       .select(col("__id").as("cand_id"), col("sub"), col("code"))
-    // per-query LUT: dot of each query subvector against each
-    // sub-centroid, plus that centroid's exact norm contribution —
-    // Q·m·ksub rows, broadcast
-    val lut = broadcast(
-      subRows(queries, idCol, vecCol, p.m, dsub)
-        .select(col("__id").as("query_id"), col("sub"), col("sv"))
-        .join(cents, Seq("sub"))
-        .select(col("query_id"), col("sub"), col("code"),
-          Similarity.qdot(col("sv"), col("cv")).as("lut_dot"), col("cn2")))
+    val lut = lutOf(queries, idCol, vecCol, cents, p.m, dsub)
     // candidate × query fan-out comes from the LUT hash join itself
     // (the broadcast LUT holds one row per (query, sub, code), so a
     // plain equi-join on (sub, code) emits every query's term — no
@@ -232,6 +237,41 @@ object Pq {
         codeRows.join(pairs, Seq("cand_id"))
           .join(lut, Seq("query_id", "sub", "code"))
     }
+    adcRank(adcTerms, corpus, queries, idCol, vecCol, k, p)
+  }
+
+  /** ADC top-k against a PREBUILT index — the persisted-artifact
+    * path (q154): `cents` and `encoded` are [[trainCodebooks]] /
+    * [[encode]] outputs read back from storage, so scoring never
+    * retrains and never touches raw corpus floats until the exact
+    * re-rank (which reads `corpus` only for the shortlisted
+    * candidates). This is the FAISS lifecycle on Spark: train once,
+    * store the codebooks (bounded metadata) and the m-codes-per-row
+    * table (the 32×-compressed index), encode incremental batches
+    * with the SAME stored codebooks, and serve queries against the
+    * union — no drift between index generations, because assignment
+    * is a pure function of (vector, codebooks).
+    */
+  def indexTopK(cents: DataFrame, encoded: DataFrame, corpus: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                p: PqParams = PqParams()): DataFrame = {
+    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    val dsub = dim / p.m
+    // encode() writes codes sorted by sub, so the array position IS
+    // the subspace id — posexplode restores (cand_id, sub, code)
+    val codeRows = encoded.select(col(idCol).as("cand_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val lut = lutOf(queries, idCol, vecCol, broadcast(cents), p.m, dsub)
+    adcRank(codeRows.join(lut, Seq("sub", "code")), corpus, queries,
+      idCol, vecCol, k, p)
+  }
+
+  /** Shared ADC tail: aggregate LUT terms to (query, cand) scores,
+    * take the budgeted shortlist, exact-re-rank against raw vectors.
+    */
+  private def adcRank(adcTerms: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, p: PqParams): DataFrame = {
     // ADC: one hash aggregate to (query, cand) — partial aggregation
     // collapses the m rows map-side
     val qn = broadcast(queries.select(col(idCol).as("query_id"),

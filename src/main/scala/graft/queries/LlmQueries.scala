@@ -769,6 +769,58 @@ object LlmQueries {
         minRecall = 0.3)
     }),
 
+    // q154 — ANN INDEX LIFECYCLE end-to-end (the q152 pattern for
+    // the vector tier): q138 proves PQ-ADC in-plan; this drives the
+    // FAISS production lifecycle through the ACTUAL storage seam —
+    // train codebooks on the base corpus, PERSIST codebooks + the
+    // m-codes-per-row compressed index via Load.writeAtomic, then
+    // encode an incremental batch with the codebooks READ BACK from
+    // parquet (no retrain — assignment is a pure function of
+    // (vector, codebooks), and float bits round-trip parquet
+    // exactly), union the two index generations, and serve ADC
+    // top-k against the persisted index. lifecycle_ok pins the
+    // round-trip in-plan: the reloaded index covers every corpus
+    // row and the fresh batch's disk-codebook codes are IDENTICAL
+    // to in-memory-codebook codes (EXCEPT-count 0). Output rows are
+    // the exact brute-force top-10 (DuckDB-computable); recall_ok
+    // asserts the served index's aggregate recall like q138.
+    "q154_ann_index_lifecycle" -> ((s, dir) => {
+      import graft.llm.Pq
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val fresh = emb.filter(col("vec_id") % 3 === 0)
+      val p = Pq.PqParams(ksub = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_q154").toString
+      val cents = Pq.trainCodebooks(base, "vec_id", "embedding", p)
+      graft.etl.Load.writeAtomic(s, cents, s"$root/codebooks")
+      graft.etl.Load.writeAtomic(s,
+        Pq.encode(base, "vec_id", "embedding", cents, p), s"$root/codes_v1")
+      // ... the incremental batch arrives later: only the STORED
+      // codebooks are available
+      val centsBack = graft.etl.Load.readTable(s, s"$root/codebooks")
+      graft.etl.Load.writeAtomic(s,
+        Pq.encode(fresh, "vec_id", "embedding", centsBack, p), s"$root/codes_v2")
+      val index = graft.etl.Load.readTable(s, s"$root/codes_v1")
+        .unionByName(graft.etl.Load.readTable(s, s"$root/codes_v2"))
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val served = Pq.indexTopK(centsBack, index, emb, probes,
+        "vec_id", "embedding", k = 10, p)
+      val roundTrip = Pq.encode(fresh, "vec_id", "embedding", cents, p)
+        .exceptAll(graft.etl.Load.readTable(s, s"$root/codes_v2"))
+      val lifecycle = broadcast(
+        index.select(count(lit(1)).as("__nidx"))
+          .crossJoin(emb.select(count(lit(1)).as("__nemb")))
+          .crossJoin(roundTrip.select(count(lit(1)).as("__ndiff")))
+          .select((col("__nidx") === col("__nemb") &&
+            col("__ndiff") === 0L).as("lifecycle_ok")))
+      annWithRecall(
+        Similarity.bruteTopK(emb, probes, "vec_id", "embedding", k = 10),
+        served, minRecall = 0.3)
+        .crossJoin(lifecycle)
+        .orderBy("query_id", "rnk")
+    }),
+
     // q58 — LLM-pipeline tier: deterministic weighted corpus mixing
     // (graft.llm.Sampling). The sample membership is a pure integer
     // function of doc_id, so the EXACT same rows select in DuckDB —
@@ -2187,6 +2239,9 @@ object LlmQueries {
     "q35_ann_lsh_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
     "q47_ann_ivf_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
     "q138_ann_pq_topk" -> bruteTopKSql(", TRUE AS recall_ok"),
+    // q154: exact brute rows + the two deterministic lifecycle flags
+    "q154_ann_index_lifecycle" ->
+      bruteTopKSql(", TRUE AS recall_ok, TRUE AS lifecycle_ok"),
     // q33: the planted exact copies are the full expected output —
     // identical text must land at hamming distance 0.
     "q33_simhash_neardup" ->

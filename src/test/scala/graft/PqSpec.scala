@@ -124,4 +124,33 @@ class PqSpec extends SparkSpec {
     val out = Pq.pqTopK(tiny, tiny.limit(1), "vec_id", "embedding", 3, p)
     assert(out.count() > 0)
   }
+
+  test("indexTopK over a parquet round-trip equals the in-plan pqTopK") {
+    // persist codebooks + codes, reload, serve — must be
+    // bit-identical to the flat in-plan path: parquet preserves
+    // float bits and assignment is a pure function of
+    // (vector, codebooks)
+    val root = tmpDir("pq_idx")
+    graft.etl.Load.writeAtomic(spark, cents, s"$root/cb")
+    graft.etl.Load.writeAtomic(spark,
+      Pq.encode(emb, "vec_id", "embedding", cents, p), s"$root/codes")
+    val cb = graft.etl.Load.readTable(spark, s"$root/cb")
+    val codes = graft.etl.Load.readTable(spark, s"$root/codes")
+    val served = Pq.indexTopK(cb, codes, emb, probes, "vec_id", "embedding", 10, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inplan = Pq.pqTopK(emb, probes, "vec_id", "embedding", 10, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(served.sortBy(t => (t._1, t._2)) === inplan.sortBy(t => (t._1, t._2)))
+  }
+
+  test("incremental encode with reloaded codebooks matches in-memory codes") {
+    val root = tmpDir("pq_inc")
+    graft.etl.Load.writeAtomic(spark, cents, s"$root/cb")
+    val cb = graft.etl.Load.readTable(spark, s"$root/cb")
+    val fresh = emb.filter(col("vec_id") % 3 === 0)
+    val a = Pq.encode(fresh, "vec_id", "embedding", cents, p)
+    val b = Pq.encode(fresh, "vec_id", "embedding", cb, p)
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
 }
