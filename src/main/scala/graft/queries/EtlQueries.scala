@@ -279,6 +279,44 @@ object EtlQueries {
         .orderBy("diff_status")
     }),
 
+    // q155 — FILE-LEVEL DATA SKIPPING through a persisted stats
+    // index (graft.etl.StatsIndex — the Delta/Iceberg pattern):
+    // write the fact clustered on the predicate column
+    // (Load.writeClustered: disjoint per-file key ranges), build the
+    // per-file min/max stats table in one scan, then answer a
+    // one-year range query by pruning the FILE LIST from the stats
+    // alone — the scan opens only the files whose interval can
+    // intersect the range, never touching the other files' footers
+    // (at 100 TB, "read every footer to decide what to skip" is
+    // itself the bottleneck; this is the metadata-only plan). The
+    // oracle replays the aggregate from the full table: a wrongly
+    // pruned file would drop rows and hash-break the sums — pruning
+    // soundness is value-checked, not asserted. files_pruned /
+    // files_nonzero pin in-plan that the prune actually bit
+    // (candidates < total) without being vacuous (candidates > 0).
+    "q155_stats_skipping" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q155").toString
+      graft.etl.Load.writeClustered(s, li, "l_shipdate", 16, s"$root/li")
+      val stats = graft.etl.StatsIndex.build(s, s"$root/li", Seq("l_shipdate"))
+      // shipdates are midnight-only timestamps, so the closed
+      // interval [Jan 1, Dec 31] is exactly "the year 1997" on both
+      // engines
+      val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
+        s, s"$root/li", stats, "l_shipdate",
+        Some(lit("1997-01-01").cast("timestamp")),
+        Some(lit("1997-12-31").cast("timestamp")))
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("files_pruned", lit(nRead < nTotal))
+        .withColumn("files_nonzero", lit(nRead > 0))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -559,6 +597,16 @@ object EtlQueries {
         |       CAST(3 AS BIGINT) AS latest_version,
         |       (SELECT COUNT(*) FROM v1) AS latest_rows
         |FROM d GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    // q155: the aggregate from the FULL table — a wrongly pruned
+    // file would drop rows and hash-break the sums
+    "q155_stats_skipping" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS files_pruned, TRUE AS files_nonzero
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading
     "q150_streaming_spikes" ->
