@@ -3,52 +3,41 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Near-duplicate detection for IMAGES via the exact average-hash
-  * ([[graft.sources.Multimodal.decodeImages]]'s `ahash_hi`/`ahash_lo`
-  * halves): the perceptual analogue of the text-side SimHash dedup
-  * ([[Dedup.simhashNearDups]]) — re-encoded, brightness-shifted, or
-  * slightly-edited copies of the same picture land within a few
-  * Hamming bits of each other, while byte-level content hashes (q30's
-  * exact dedup) see completely different files. The missing modality
-  * in the dedup tier: exact/MinHash/SimHash/embedding cover text,
-  * this covers the image corpus through the REAL decode path.
+/** Generic banded near-dup join over a 64-bit signature stored as
+  * two non-negative 32-bit halves — the shared engine behind the
+  * perceptual-fingerprint dedup family: images (aHash, q153) and
+  * audio (zero-crossing fingerprint, q156) both pair through this
+  * one implementation; only the hash columns differ.
   *
-  * Reference behavior: the pipeline ingests binary media and dedups
-  * on content (main.py's file-level handling); this is the
-  * content-aware upgrade a training-data pipeline needs — byte-hash
-  * dedup misses the same photo saved twice at different quality.
-  *
-  * Scale shape: identical to SimHash — the 64 hash bits split into 8
-  * blocks of 8; any pair within Hamming distance ≤ 7 must agree
-  * exactly on ≥ 1 block (pigeonhole), so candidates come from 8
-  * equi-joins (one shuffle on (block, value)), never all-pairs. At
-  * 100 TB of images the decode is embarrassingly parallel, the hash
-  * is 16 bytes/row, and candidate count tracks true near-dup count
-  * (64-bit agreement on random pairs is ~2⁻⁸ per block).
+  * Scale shape: identical to SimHash ([[Dedup.simhashNearDups]]) —
+  * the 64 bits split into 8 blocks of 8; any pair within Hamming
+  * distance ≤ 7 must agree exactly on ≥ 1 block (pigeonhole), so
+  * candidates come from 8 equi-joins (one shuffle on
+  * (block, value)), never all-pairs. Candidate count tracks true
+  * near-dup count (random 8-bit block agreement is ~2⁻⁸).
   */
-object ImageDedup {
+object SigDedup {
 
   /** Hamming distance between two (hi, lo) hash-half pairs. */
   def hamming(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
     bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
 
-  /** Near-dup image pairs with Hamming distance ≤ `maxDist` over the
-    * 64-bit aHash, exact by pigeonhole (requires maxDist ≤ 7: 8
-    * blocks of 8 bits ⇒ any qualifying pair shares a block).
-    * Input: one row per image with the decode path's hash halves;
-    * rows with null hashes (undecodable payloads) are skipped.
+  /** Near-dup pairs with Hamming distance ≤ `maxDist` over the
+    * 64-bit signature, exact by pigeonhole (requires maxDist ≤ 7:
+    * 8 blocks of 8 bits ⇒ any qualifying pair shares a block).
+    * Rows with null hashes (undecodable payloads) are skipped.
     * Output: (id_i, id_j, dist), id_i < id_j, distinct.
     */
-  def phashNearDups(decoded: DataFrame, idCol: String,
-                    hiCol: String = "ahash_hi", loCol: String = "ahash_lo",
-                    maxDist: Int = 7): DataFrame = {
+  def bandedNearDups(signed: DataFrame, idCol: String,
+                     hiCol: String, loCol: String,
+                     maxDist: Int = 7): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist: 8×8-bit blocks guarantee recall only up to 7")
     // cache barrier: the hash columns come from the (expensive)
     // decode mapPartitions — without it the decode would re-run for
     // every block column and again for the post-join verify
     val sig = BarrierCache.track(
-      decoded.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      signed.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
         .select(col(idCol), col(hiCol).as("hi"), col(loCol).as("lo")))
     val blockCols = array((0 until 8).map { b =>
       val half = if (b < 4) col("lo") else col("hi")
@@ -66,4 +55,36 @@ object ImageDedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+}
+
+/** Near-duplicate detection for IMAGES via the exact average-hash
+  * ([[graft.sources.Multimodal.decodeImages]]'s `ahash_hi`/`ahash_lo`
+  * halves): the perceptual analogue of the text-side SimHash dedup
+  * ([[Dedup.simhashNearDups]]) — re-encoded, brightness-shifted, or
+  * slightly-edited copies of the same picture land within a few
+  * Hamming bits of each other, while byte-level content hashes (q30's
+  * exact dedup) see completely different files. The missing modality
+  * in the dedup tier: exact/MinHash/SimHash/embedding cover text,
+  * this covers the image corpus through the REAL decode path.
+  *
+  * Reference behavior: the pipeline ingests binary media and dedups
+  * on content (main.py's file-level handling); this is the
+  * content-aware upgrade a training-data pipeline needs — byte-hash
+  * dedup misses the same photo saved twice at different quality.
+  * At 100 TB of images the decode is embarrassingly parallel and the
+  * hash is 16 bytes/row; pairing is [[SigDedup.bandedNearDups]].
+  */
+object ImageDedup {
+
+  /** Hamming distance between two (hi, lo) hash-half pairs. */
+  def hamming(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
+    SigDedup.hamming(hiA, loA, hiB, loB)
+
+  /** Near-dup image pairs over the decode path's aHash halves —
+    * see [[SigDedup.bandedNearDups]] for the contract.
+    */
+  def phashNearDups(decoded: DataFrame, idCol: String,
+                    hiCol: String = "ahash_hi", loCol: String = "ahash_lo",
+                    maxDist: Int = 7): DataFrame =
+    SigDedup.bandedNearDups(decoded, idCol, hiCol, loCol, maxDist)
 }

@@ -1213,6 +1213,34 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q156 — AUDIO near-dup dedup via the zero-crossing fingerprint
+    // (q153's sibling for the audio modality): every 89th doc gets
+    // its closed-form WAV (q126's corpus) PLUS an amplitude-scaled
+    // re-master (every sample ×2 — a different byte stream with 4×
+    // the energy, so byte hashes AND energy stats both miss it),
+    // decoded through the REAL javax.sound path. The fingerprint is
+    // 64 exact bits — window w's sign-flip RATE above the clip
+    // average, long cross-products — and is amplitude-scale-
+    // invariant by construction (gain never flips a sign), exactly
+    // the invariance a perceptual audio hash needs. Pairing is the
+    // shared pigeonhole band join (SigDedup, recall 1.0 at Hamming
+    // ≤ 7); the oracle replays every bit from the sample formula —
+    // full value replay like q153, planted pairs land at dist 0.
+    "q156_audio_fingerprint_dedup" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 89 === 0).select("doc_id")
+      val originals = graft.sources.AudioGen.syntheticWav(ids, "doc_id")
+      val remaster = graft.sources.AudioGen.syntheticWav(ids, "doc_id", gain = 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("content"))
+      val decoded = graft.sources.Multimodal.decodeAudio(
+        originals.unionByName(remaster), "content")
+      graft.llm.SigDedup.bandedNearDups(
+          decoded, "doc_id", "afp_hi", "afp_lo", maxDist = 7)
+        .select(col("id_i"), col("id_j"), col("dist").cast("long").as("dist"))
+        .orderBy("id_i", "id_j")
+    }),
+
     // q131 — Gopher repetition battery (llm/Repetition): top
     // 2/3/4-gram and duplicate 5/6/7-gram char fractions per doc,
     // thresholds per the paper, verdicts on the same 10^6-scaled
@@ -2575,6 +2603,48 @@ object LlmQueries {
         |SELECT a.iid AS id_i, b.iid AS id_j,
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
         |FROM imgs a JOIN imgs b ON a.iid < b.iid
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |ORDER BY id_i, id_j""".stripMargin,
+    // q156: FULL value replay of the audio fingerprint — every
+    // zero-crossing bit recomputed from the closed-form samples
+    // (lag window per (doc, gain), integer cross-products), same
+    // halves, all-pairs Hamming ≤ 7
+    "q156_audio_fingerprint_dedup" ->
+      """WITH ids AS (SELECT doc_id, CAST(800 + (doc_id % 37) * 16 AS BIGINT) AS n
+        |             FROM documents WHERE doc_id % 89 = 0),
+        |var AS (SELECT doc_id, n,
+        |               unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT)]) AS gain
+        |        FROM ids),
+        |ix AS (SELECT doc_id, n, gain, unnest(range(0, n)) AS i FROM var),
+        |sm AS (SELECT doc_id, n, gain, i,
+        |              ((73*i + 131*doc_id) % 4001 - 2000) * gain AS s FROM ix),
+        |pr AS (SELECT doc_id, n, gain, i, s,
+        |              lag(s) OVER (PARTITION BY doc_id, gain ORDER BY i) AS prev
+        |       FROM sm),
+        |cr AS (SELECT doc_id, n, gain, (i * 64) // n AS w,
+        |              CASE WHEN (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END AS x
+        |       FROM pr WHERE i >= 1),
+        |wz AS (SELECT doc_id, gain, n, w, CAST(SUM(x) AS BIGINT) AS zw,
+        |              COUNT(*) AS nw
+        |       FROM cr GROUP BY 1, 2, 3, 4),
+        |tt AS (SELECT doc_id, gain, CAST(SUM(x) AS BIGINT) AS zc
+        |       FROM cr GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, gain, w, zw * (n - 1) > zc * nw AS b
+        |         FROM wz JOIN tt USING (doc_id, gain)),
+        |hash AS (SELECT doc_id, gain,
+        |    CAST(SUM(CASE WHEN w >= 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN w < 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |clips AS (SELECT CASE WHEN gain = 1 THEN doc_id
+        |                      ELSE doc_id + 1000000 END AS cid, hi, lo
+        |          FROM hash)
+        |SELECT a.cid AS id_i, b.cid AS id_j,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+        |FROM clips a JOIN clips b ON a.cid < b.cid
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
         |ORDER BY id_i, id_j""".stripMargin,
     // q131: full replay of the repetition battery — n-gram

@@ -35,7 +35,7 @@ object AudioGen {
   def sample(id: Long, i: Int): Int =
     ((73L * i + 131L * id) % 4001L - 2000L).toInt
 
-  private def render(id: Long): Array[Byte] = {
+  private def render(id: Long, gain: Int): Array[Byte] = {
     val n = nSamples(id)
     val dataLen = n * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -51,19 +51,27 @@ object AudioGen {
       .putShort(16)                      // bits/sample
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < n) { bb.putShort(sample(id, i).toShort); i += 1 }
+    while (i < n) { bb.putShort((sample(id, i) * gain).toShort); i += 1 }
     bb.array()
   }
 
   /** (doc_id, content) with one synthetic WAV per id in `ids(idCol)`.
     * Per-partition batched like the decode side; no shuffle.
+    *
+    * `gain` renders an amplitude-scaled VARIANT of the same clip
+    * (every sample × gain; base samples are ±2000, so gain ≤ 16
+    * stays inside int16): a different byte stream and 4× the energy
+    * at gain 2, but the SAME sign sequence — the planted
+    * "re-mastered copy" construction for the zero-crossing
+    * fingerprint dedup (q156).
     */
-  def syntheticWav(ids: DataFrame, idCol: String): DataFrame = {
+  def syntheticWav(ids: DataFrame, idCol: String, gain: Int = 1): DataFrame = {
+    require(gain >= 1 && gain <= 16, s"gain $gain would clip int16")
     val idx = ids.schema.fieldIndex(idCol)
     ids.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(idx)
-        Row(id, render(id))
+        Row(id, render(id, gain))
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
   }

@@ -236,13 +236,14 @@ object Multimodal {
     * PCM-signed 16-bit is accepted; anything else (float PCM, µ-law,
     * 8/24-bit) marks the row, keeping every emitted stat exact.
     */
-  private def decodeWavOne(bytes: Array[Byte]): Row = {
+  private def decodeWavOne(bytes: Array[Byte])
+      : (Row, java.lang.Long, java.lang.Long) = {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
       if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16) failedAudio
+          fmt.getSampleSizeInBits != 16) (failedAudio, null, null)
       else {
         val frameSize = fmt.getFrameSize
         val data = ais.readAllBytes()
@@ -253,6 +254,10 @@ object Multimodal {
         var zc = 0L
         var peak = 0
         var prevNonNeg = false
+        // per-window sign-flip counts for the zero-crossing
+        // fingerprint: pair (i-1, i) belongs to window (i·64)/n
+        val wz = new Array[Long](64)
+        val wn = new Array[Long](64)
         while (i < nFrames) {
           val o = i * frameSize // channel 0 is the first sample of the frame
           val s =
@@ -260,17 +265,38 @@ object Multimodal {
             else (data(o + 1) << 8) | (data(o) & 0xFF)
           sq += s.toLong * s
           val nonNeg = s >= 0
-          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          if (i > 0) {
+            val w = (i.toLong * 64 / nFrames).toInt
+            wn(w) += 1
+            if (nonNeg != prevNonNeg) { zc += 1; wz(w) += 1 }
+          }
           prevNonNeg = nonNeg
           val a = math.abs(s)
           if (a > peak) peak = a
           i += 1
         }
-        Row(true, fmt.getSampleRate.toInt, fmt.getChannels,
-          nFrames.toLong, sq, zc, peak)
+        // exact fingerprint bits: window w's crossing RATE above the
+        // clip average — wz(w)·(n−1) > zc·wn(w), pure long arithmetic
+        // (≤ 2^31 cross-products at any sane clip length; a 16-bit
+        // mono hour is 2.3e8 pairs × counts ≤ pairs → < 2^63).
+        // Amplitude-scale-invariant by construction (gain never
+        // flips a sign), which is what byte hashes and energy stats
+        // are not.
+        var hi = 0L
+        var lo = 0L
+        val pairs = math.max(nFrames - 1, 0).toLong
+        var w = 0
+        while (w < 64) {
+          if (wn(w) > 0 && wz(w) * pairs > zc * wn(w)) {
+            if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+          }
+          w += 1
+        }
+        (Row(true, fmt.getSampleRate.toInt, fmt.getChannels,
+          nFrames.toLong, sq, zc, peak), Long.box(hi), Long.box(lo))
       }
     } catch {
-      case _: Exception => failedAudio
+      case _: Exception => (failedAudio, null, null)
     }
   }
 
@@ -283,11 +309,16 @@ object Multimodal {
                   contentCol: String = "content",
                   batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("audio", audioStruct, nullable = false))
+      // zero-crossing fingerprint halves (64 windows, bits 32–63 /
+      // 0–31) — null when not decodable; see decodeWavOne
+      .add(StructField("afp_hi", LongType, nullable = true))
+      .add(StructField("afp_lo", LongType, nullable = true))
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          Row.fromSeq(row.toSeq :+ decodeWavOne(row.getAs[Array[Byte]](idx)))
+          val (a, hh, hl) = decodeWavOne(row.getAs[Array[Byte]](idx))
+          Row.fromSeq(row.toSeq :+ a :+ hh :+ hl)
         }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))

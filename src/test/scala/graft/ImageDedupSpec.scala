@@ -83,4 +83,46 @@ class ImageDedupSpec extends SparkSpec {
     val n = ImageDedup.phashNearDups(dec, "doc_id", maxDist = 7).count()
     assert(n >= 0L)
   }
+
+  test("audio fingerprint is amplitude-scale-invariant; energy is not") {
+    import graft.sources.AudioGen
+    val base = AudioGen.syntheticWav(ids(8), "doc_id")
+    val loud = AudioGen.syntheticWav(ids(8), "doc_id", gain = 4)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeAudio(df, "content")
+        .select("doc_id", "afp_hi", "afp_lo", "audio.sq_sum")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val a = fp(base)
+    val b = fp(loud)
+    (0L until 8L).foreach { i =>
+      assert((a(i)._1, a(i)._2) === (b(i)._1, b(i)._2),
+        s"fingerprint must survive gain, clip $i")
+      assert(b(i)._3 === 16L * a(i)._3, s"energy scales 16x at gain 4, clip $i")
+    }
+  }
+
+  test("audio near-dup pairing finds every planted re-master") {
+    import graft.sources.AudioGen
+    val base = AudioGen.syntheticWav(ids(9), "doc_id")
+    val loud = AudioGen.syntheticWav(ids(9), "doc_id", gain = 2)
+      .select((col("doc_id") + 500L).as("doc_id"), col("content"))
+    val dec = Multimodal.decodeAudio(base.unionByName(loud), "content")
+    val pairs = graft.llm.SigDedup.bandedNearDups(
+        dec, "doc_id", "afp_hi", "afp_lo", maxDist = 7)
+      .filter(col("id_j") - col("id_i") === 500L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(pairs === (0L until 9L).toSet)
+  }
+
+  test("non-PCM / corrupt audio payloads yield null fingerprints") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7L, "RIFFgarbage".getBytes("US-ASCII"))), schema)
+    val r = Multimodal.decodeAudio(junk, "content")
+      .select("audio.decode_ok", "afp_hi", "afp_lo").collect().head
+    assert(r.getBoolean(0) === false)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
 }
