@@ -1241,6 +1241,36 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q157 — VIDEO near-dup dedup completing the modality triad
+    // (text q30-q33/q45, image q153, audio q156 — one SigDedup band
+    // engine for all perceptual fingerprints): every 101st doc gets
+    // its closed-form GVID clip (q130's corpus) PLUS a
+    // brightness-perturbed re-encode (+3 clamped per channel —
+    // different bytes, same video). The fingerprint is the aHash of
+    // the clip's TIME-AVERAGE image: 8×8 spatial cells, luma
+    // accumulated across the stride-2 SAMPLED frames through the
+    // real codec seam, exact BigInt cell-vs-global compare — stable
+    // under brightness shift AND under any per-frame noise that
+    // time-averaging washes out. The oracle replays every bit from
+    // the pixel formula over the same sampled frames; planted pairs
+    // land at dist 0, organic formula-coincidence pairs match
+    // identically on both engines.
+    "q157_video_fingerprint_dedup" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 101 === 0).select("doc_id")
+      val originals = graft.sources.VideoGen.syntheticGvid(ids, "doc_id")
+      val variants = graft.sources.VideoGen.syntheticGvid(ids, "doc_id", delta = 3)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("content"))
+      val decoded = graft.sources.Multimodal.sampleVideoFrames(
+        originals.unionByName(variants), graft.sources.VideoGen.Codec,
+        "content", frameStride = 2)
+      graft.llm.SigDedup.bandedNearDups(
+          decoded, "doc_id", "vfp_hi", "vfp_lo", maxDist = 7)
+        .select(col("id_i"), col("id_j"), col("dist").cast("long").as("dist"))
+        .orderBy("id_i", "id_j")
+    }),
+
     // q131 — Gopher repetition battery (llm/Repetition): top
     // 2/3/4-gram and duplicate 5/6/7-gram char fractions per doc,
     // thresholds per the paper, verdicts on the same 10^6-scaled
@@ -2640,6 +2670,53 @@ object LlmQueries {
         |                  ELSE 0 END) AS BIGINT) AS lo
         |  FROM bits GROUP BY 1, 2),
         |clips AS (SELECT CASE WHEN gain = 1 THEN doc_id
+        |                      ELSE doc_id + 1000000 END AS cid, hi, lo
+        |          FROM hash)
+        |SELECT a.cid AS id_i, b.cid AS id_j,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+        |FROM clips a JOIN clips b ON a.cid < b.cid
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |ORDER BY id_i, id_j""".stripMargin,
+    // q157: FULL value replay of the video fingerprint — every
+    // time-averaged cell bit recomputed from the GVID pixel formula
+    // over the same stride-2 sampled frames, HUGEINT cross-products,
+    // all-pairs Hamming ≤ 7
+    "q157_video_fingerprint_dedup" ->
+      """WITH ids AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |    CAST(6 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |var AS (SELECT doc_id, w, h, nf,
+        |               unnest([CAST(0 AS BIGINT), CAST(3 AS BIGINT)]) AS delta
+        |        FROM ids),
+        |fr AS (SELECT doc_id, w, h, nf, delta, unnest(range(0, nf, 2)) AS f FROM var),
+        |xs AS (SELECT doc_id, w, h, delta, f, unnest(range(0, w)) AS x FROM fr),
+        |px AS (SELECT doc_id, w, h, delta, f, x, unnest(range(0, h)) AS y FROM xs),
+        |lm AS (SELECT doc_id, delta, w, h,
+        |    299*least((7*x + 13*y + 11*f + doc_id) % 256 + delta, 255)
+        |    + 587*least((3*x + 5*y + 17*f + 2*doc_id) % 256 + delta, 255)
+        |    + 114*least((x + y + 23*f + 3*doc_id) % 256 + delta, 255) AS l,
+        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS c
+        |  FROM px),
+        |cells AS (SELECT doc_id, delta, c, CAST(SUM(l) AS BIGINT) AS gsum,
+        |                 COUNT(*) AS gcnt
+        |          FROM lm GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, delta, CAST(SUM(l) AS BIGINT) AS luma_sum,
+        |               COUNT(*) AS n_px
+        |        FROM lm GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, delta, c,
+        |    CAST(gsum AS HUGEINT) * n_px > CAST(luma_sum AS HUGEINT) * gcnt AS b
+        |  FROM cells JOIN tot USING (doc_id, delta)),
+        |hash AS (SELECT doc_id, delta,
+        |    CAST(SUM(CASE WHEN c >= 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(c - 32 AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN c < 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |clips AS (SELECT CASE WHEN delta = 0 THEN doc_id
         |                      ELSE doc_id + 1000000 END AS cid, hi, lo
         |          FROM hash)
         |SELECT a.cid AS id_i, b.cid AS id_j,

@@ -380,10 +380,11 @@ object Multimodal {
 
   private val failedVideo: Row = Row(false, 0, 0, 0, 0, null, null, null, null)
 
-  private def sampleOne(codec: VideoCodec, bytes: Array[Byte], stride: Int): Row = {
+  private def sampleOne(codec: VideoCodec, bytes: Array[Byte], stride: Int)
+      : (Row, java.lang.Long, java.lang.Long) = {
     try {
       codec.probe(bytes) match {
-        case None => failedVideo
+        case None => (failedVideo, null, null)
         case Some(m) =>
           var f = 0
           var nSampled = 0L
@@ -392,6 +393,12 @@ object Multimodal {
           var motion = 0L
           var prevFrameSum = -1L
           var ok = true
+          // time-averaged spatial grid for the video fingerprint:
+          // 8×8 cells over each frame, luma accumulated across all
+          // SAMPLED frames — the aHash construction applied to the
+          // clip's time-average image
+          val gSum = new Array[Long](64)
+          val gCnt = new Array[Long](64)
           while (ok && f < m.nFrames) {
             codec.frame(bytes, m, f) match {
               case None => ok = false // truncated mid-stream: whole row fails
@@ -400,7 +407,13 @@ object Multimodal {
                 var i = 0
                 while (i < px.length) {
                   val p = px(i)
-                  s += 299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)
+                  val l = 299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)
+                  s += l
+                  val x = i % m.width
+                  val y = i / m.width
+                  val gi = (y.toLong * 8 / m.height * 8 + x.toLong * 8 / m.width).toInt
+                  gSum(gi) += l
+                  gCnt(gi) += 1
                   i += 1
                 }
                 if (prevFrameSum >= 0) motion += math.abs(s - prevFrameSum)
@@ -411,12 +424,15 @@ object Multimodal {
             }
             f += stride
           }
-          if (!ok) failedVideo
-          else Row(true, m.width, m.height, m.fps, m.nFrames,
-            nSampled, nPx, lumaSum, motion)
+          if (!ok) (failedVideo, null, null)
+          else {
+            val (hh, hl) = ahashHalves(gSum, gCnt, lumaSum, math.max(nPx, 1L))
+            (Row(true, m.width, m.height, m.fps, m.nFrames,
+              nSampled, nPx, lumaSum, motion), Long.box(hh), Long.box(hl))
+          }
       }
     } catch {
-      case _: Exception => failedVideo
+      case _: Exception => (failedVideo, null, null)
     }
   }
 
@@ -437,11 +453,16 @@ object Multimodal {
                         batchSize: Int = 64): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
     val outSchema = df.schema.add(StructField("video", videoStruct, nullable = false))
+      // time-averaged spatial aHash halves over the sampled frames
+      // (the q157 video fingerprint) — null when not decodable
+      .add(StructField("vfp_hi", LongType, nullable = true))
+      .add(StructField("vfp_lo", LongType, nullable = true))
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          Row.fromSeq(row.toSeq :+ sampleOne(codec, row.getAs[Array[Byte]](idx), frameStride))
+          val (v, hh, hl) = sampleOne(codec, row.getAs[Array[Byte]](idx), frameStride)
+          Row.fromSeq(row.toSeq :+ v :+ hh :+ hl)
         }
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))

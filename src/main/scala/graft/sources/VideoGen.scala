@@ -61,7 +61,14 @@ object VideoGen {
   private val Magic = "GVID".getBytes("US-ASCII")
   private val HeaderLen = 4 + 4 * 4
 
-  def render(id: Long): Array[Byte] = {
+  def render(id: Long): Array[Byte] = render(id, 0)
+
+  /** `delta` renders a brightness-perturbed VARIANT of the same clip
+    * (every channel `min(base + delta, 255)` — the ImageGen q153
+    * construction): byte-wise a different file, visually the same
+    * video, and the clamped add stays SQL-replayable.
+    */
+  def render(id: Long, delta: Int): Array[Byte] = {
     val w = width(id)
     val h = height(id)
     val nf = nFrames(id)
@@ -74,9 +81,9 @@ object VideoGen {
         var x = 0
         while (x < w) {
           val p = pixel(id, f, x, y)
-          bb.put(((p >> 16) & 0xFF).toByte)
-          bb.put(((p >> 8) & 0xFF).toByte)
-          bb.put((p & 0xFF).toByte)
+          bb.put(math.min(((p >> 16) & 0xFF) + delta, 255).toByte)
+          bb.put(math.min(((p >> 8) & 0xFF) + delta, 255).toByte)
+          bb.put(math.min((p & 0xFF) + delta, 255).toByte)
           x += 1
         }
         y += 1
@@ -128,12 +135,12 @@ object VideoGen {
     * `ids(idCol)`. Per-partition batched like the decode side; no
     * shuffle.
     */
-  def syntheticGvid(ids: DataFrame, idCol: String): DataFrame = {
+  def syntheticGvid(ids: DataFrame, idCol: String, delta: Int = 0): DataFrame = {
     val idx = ids.schema.fieldIndex(idCol)
     ids.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(idx)
-        Row(id, render(id))
+        Row(id, render(id, delta))
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
   }

@@ -114,6 +114,44 @@ class ImageDedupSpec extends SparkSpec {
     assert(pairs === (0L until 9L).toSet)
   }
 
+  test("video fingerprint survives brightness shift; planted re-encodes pair up") {
+    import graft.sources.VideoGen
+    val base = VideoGen.syntheticGvid(ids(8), "doc_id")
+    val shifted = VideoGen.syntheticGvid(ids(8), "doc_id", delta = 3)
+      .select((col("doc_id") + 700L).as("doc_id"), col("content"))
+    val dec = Multimodal.sampleVideoFrames(
+      base.unionByName(shifted), VideoGen.Codec, "content", frameStride = 2)
+    val planted = graft.llm.SigDedup.bandedNearDups(
+        dec, "doc_id", "vfp_hi", "vfp_lo", maxDist = 7)
+      .filter(col("id_j") - col("id_i") === 700L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(planted === (0L until 8L).toSet)
+    // halves stay in the non-negative 32-bit range
+    dec.select("vfp_hi", "vfp_lo").collect().foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 0xFFFFFFFFL)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 0xFFFFFFFFL)
+    }
+  }
+
+  test("truncated video payloads yield null fingerprints") {
+    import graft.sources.VideoGen
+    val whole = VideoGen.render(5L)
+    // cut deep enough to truncate a SAMPLED frame (stride 2 skips
+    // odd frames, so clipping only the tail frame is legitimately
+    // not a decode failure): drop the last two frames plus a bit
+    val frameBytes = VideoGen.width(5L) * VideoGen.height(5L) * 3
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 2 * frameBytes - 1)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(5L, cut)), schema)
+    val r = Multimodal.sampleVideoFrames(df, VideoGen.Codec, "content")
+      .select("video.decode_ok", "vfp_hi", "vfp_lo").collect().head
+    assert(r.getBoolean(0) === false)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("non-PCM / corrupt audio payloads yield null fingerprints") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
