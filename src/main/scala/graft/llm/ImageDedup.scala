@@ -55,6 +55,54 @@ object SigDedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** INCREMENTAL near-dup pairing for corpus appends — the daily
+    * production shape (the [[graft.operators.SetSimJoin]] probe-join
+    * pattern, fingerprint tier): signatures are 16 bytes/row, so a
+    * pipeline PERSISTS the signature table once and, per batch,
+    * pairs only the fresh clips — fresh×existing and fresh×fresh,
+    * never existing×existing (that work was done when those rows
+    * were themselves fresh). Candidate cost ∝ batch size × band
+    * occupancy; the full corpus is never re-paired and the raw
+    * media is never re-decoded.
+    *
+    * Exactness: a fresh-touching pair within `maxDist` shares ≥ 1
+    * block (same pigeonhole as [[bandedNearDups]]), and every
+    * candidate here has ≥ 1 fresh side, so the result is provably
+    * the full pair graph restricted to fresh-touching pairs.
+    * Output: (id_i, id_j, dist), id_i < id_j, distinct; ids must be
+    * unique across the union of both frames.
+    */
+  def incrementalNearDups(existing: DataFrame, fresh: DataFrame,
+                          idCol: String, hiCol: String, loCol: String,
+                          maxDist: Int = 7): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist=$maxDist: 8×8-bit blocks guarantee recall only up to 7")
+    def sigOf(df: DataFrame) = BarrierCache.track(
+      df.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+        .select(col(idCol), col(hiCol).as("hi"), col(loCol).as("lo")))
+    def blocksOf(sig: DataFrame) = {
+      val blockCols = array((0 until 8).map { b =>
+        val half = if (b < 4) col("lo") else col("hi")
+        shiftrightunsigned(half, (b % 4) * 8).bitwiseAND(lit(0xFFL))
+      }: _*)
+      sig.select(col(idCol), col("hi"), col("lo"), posexplode(blockCols))
+        .toDF(idCol, "hi", "lo", "block", "bval")
+    }
+    val freshSig = sigOf(fresh)
+    val allBlocks = blocksOf(sigOf(existing).unionByName(freshSig))
+      .toDF("id_a", "hi_a", "lo_a", "block", "bval")
+    val freshBlocks = blocksOf(freshSig)
+      .toDF("id_f", "hi_f", "lo_f", "block", "bval")
+    allBlocks.join(freshBlocks, Seq("block", "bval"))
+      .filter(col("id_a") =!= col("id_f"))
+      .select(
+        least(col("id_a"), col("id_f")).as("id_i"),
+        greatest(col("id_a"), col("id_f")).as("id_j"),
+        hamming(col("hi_a"), col("lo_a"), col("hi_f"), col("lo_f")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }
 
 /** Near-duplicate detection for IMAGES via the exact average-hash

@@ -1271,6 +1271,38 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q158 — INCREMENTAL fingerprint dedup against a PERSISTED
+    // signature index: how q153 runs daily at 100 TB. The corpus'
+    // signatures (16 bytes/row — the only artifact the pipeline
+    // keeps) are persisted via writeAtomic and read back; today's
+    // batch (the brightness-perturbed re-uploads) is decoded,
+    // signed, and probe-joined fresh×(existing ∪ fresh) — candidate
+    // cost ∝ batch, zero existing×existing work, no media
+    // re-decode. The q127 incremental-dedup contract at the
+    // fingerprint tier: the result provably equals the full pair
+    // graph restricted to fresh-touching pairs, and the oracle
+    // checks exactly that — the q153 all-pairs replay filtered to
+    // pairs with a fresh side.
+    "q158_incremental_phash_dedup" -> ((s, dir) => {
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id")
+      val existingDecoded = graft.sources.Multimodal.decodeImages(
+        graft.sources.ImageGen.syntheticPng(ids, "doc_id"), "content", grid = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft_q158").toString
+      graft.etl.Load.writeAtomic(s,
+        existingDecoded.select("doc_id", "ahash_hi", "ahash_lo"), s"$root/sigs")
+      val existingSigs = graft.etl.Load.readTable(s, s"$root/sigs")
+      val freshDecoded = graft.sources.Multimodal.decodeImages(
+        graft.sources.ImageGen.syntheticPng(ids, "doc_id", delta = 2)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("content")),
+        "content", grid = 8)
+      graft.llm.SigDedup.incrementalNearDups(existingSigs, freshDecoded,
+          "doc_id", "ahash_hi", "ahash_lo", maxDist = 7)
+        .select(col("id_i"), col("id_j"), col("dist").cast("long").as("dist"))
+        .orderBy("id_i", "id_j")
+    }),
+
     // q131 — Gopher repetition battery (llm/Repetition): top
     // 2/3/4-gram and duplicate 5/6/7-gram char fractions per doc,
     // thresholds per the paper, verdicts on the same 10^6-scaled
@@ -2723,6 +2755,51 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
         |FROM clips a JOIN clips b ON a.cid < b.cid
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |ORDER BY id_i, id_j""".stripMargin,
+    // q158: the q153 all-pairs hash replay RESTRICTED to
+    // fresh-touching pairs (fresh ids are the +1000000 variants, so
+    // with id_i < id_j every fresh-touching pair has id_j ≥ 10⁶) —
+    // the exact incremental-dedup contract
+    "q158_incremental_phash_dedup" ->
+      """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |                    CAST(16 + doc_id % 13 AS BIGINT) AS h
+        |             FROM documents WHERE doc_id % 97 = 0),
+        |var AS (SELECT doc_id, w, h,
+        |               unnest([CAST(0 AS BIGINT), CAST(2 AS BIGINT)]) AS delta
+        |        FROM ids),
+        |xs AS (SELECT doc_id, delta, w, h, unnest(range(0, w)) AS x FROM var),
+        |px AS (SELECT doc_id, delta, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |lm AS (SELECT doc_id, delta,
+        |    299*least((7*x + 13*y + doc_id) % 256 + delta, 255)
+        |    + 587*least((3*x + 5*y + 2*doc_id) % 256 + delta, 255)
+        |    + 114*least((x + y + 3*doc_id) % 256 + delta, 255) AS l,
+        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS c
+        |  FROM px),
+        |cells AS (SELECT doc_id, delta, c, CAST(SUM(l) AS BIGINT) AS gsum,
+        |                 COUNT(*) AS gcnt
+        |          FROM lm GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, delta, CAST(SUM(l) AS BIGINT) AS luma_sum,
+        |               COUNT(*) AS n_px
+        |        FROM lm GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, delta, c,
+        |    CAST(gsum AS HUGEINT) * n_px > CAST(luma_sum AS HUGEINT) * gcnt AS b
+        |  FROM cells JOIN tot USING (doc_id, delta)),
+        |hash AS (SELECT doc_id, delta,
+        |    CAST(SUM(CASE WHEN c >= 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(c - 32 AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN c < 32 AND b
+        |                  THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+        |                  ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |imgs AS (SELECT CASE WHEN delta = 0 THEN doc_id
+        |                     ELSE doc_id + 1000000 END AS iid, hi, lo
+        |         FROM hash)
+        |SELECT a.iid AS id_i, b.iid AS id_j,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+        |FROM imgs a JOIN imgs b ON a.iid < b.iid
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |  AND b.iid >= 1000000
         |ORDER BY id_i, id_j""".stripMargin,
     // q131: full replay of the repetition battery — n-gram
     // occurrence streams per n, covered-char aggregates, the same

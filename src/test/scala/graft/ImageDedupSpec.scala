@@ -152,6 +152,25 @@ class ImageDedupSpec extends SparkSpec {
     assert(r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("incremental pairing equals the full pair graph restricted to fresh") {
+    val base = decode(ImageGen.syntheticPng(ids(30), "doc_id"))
+      .select("doc_id", "ahash_hi", "ahash_lo")
+    val fresh = decode(ImageGen.syntheticPng(ids(30), "doc_id", delta = 2)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("content")))
+      .select("doc_id", "ahash_hi", "ahash_lo")
+    val full = ImageDedup.phashNearDups(
+        base.unionByName(fresh), "doc_id", maxDist = 7)
+      .filter(col("id_j") >= 1000L) // fresh-touching (fresh ids are +1000)
+      .select(col("id_i"), col("id_j"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = graft.llm.SigDedup.incrementalNearDups(
+        base, fresh, "doc_id", "ahash_hi", "ahash_lo", maxDist = 7)
+      .select(col("id_i"), col("id_j"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("non-PCM / corrupt audio payloads yield null fingerprints") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
