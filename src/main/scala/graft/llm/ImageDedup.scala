@@ -22,6 +22,30 @@ object SigDedup {
   def hamming(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
     bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
 
+  /** Normalized (id, hi, lo) signature rows — undecodable payloads
+    * (null hashes) skipped, behind a cache barrier: the hash columns
+    * come from the (expensive) decode mapPartitions, and without the
+    * barrier the decode would re-run for every block column and
+    * again for the post-join verify.
+    */
+  private def sigOf(df: DataFrame, idCol: String,
+                    hiCol: String, loCol: String): DataFrame =
+    BarrierCache.track(
+      df.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+        .select(col(idCol), col(hiCol).as("hi"), col(loCol).as("lo")))
+
+  /** One row per (signature row, block): the 8 pigeonhole bands,
+    * 8 bits each — 4 from each half.
+    */
+  private def blocksOf(sig: DataFrame, idCol: String): DataFrame = {
+    val blockCols = array((0 until 8).map { b =>
+      val half = if (b < 4) col("lo") else col("hi")
+      shiftrightunsigned(half, (b % 4) * 8).bitwiseAND(lit(0xFFL))
+    }: _*)
+    sig.select(col(idCol), col("hi"), col("lo"), posexplode(blockCols))
+      .toDF(idCol, "hi", "lo", "block", "bval")
+  }
+
   /** Near-dup pairs with Hamming distance ≤ `maxDist` over the
     * 64-bit signature, exact by pigeonhole (requires maxDist ≤ 7:
     * 8 blocks of 8 bits ⇒ any qualifying pair shares a block).
@@ -33,19 +57,7 @@ object SigDedup {
                      maxDist: Int = 7): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist: 8×8-bit blocks guarantee recall only up to 7")
-    // cache barrier: the hash columns come from the (expensive)
-    // decode mapPartitions — without it the decode would re-run for
-    // every block column and again for the post-join verify
-    val sig = BarrierCache.track(
-      signed.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
-        .select(col(idCol), col(hiCol).as("hi"), col(loCol).as("lo")))
-    val blockCols = array((0 until 8).map { b =>
-      val half = if (b < 4) col("lo") else col("hi")
-      shiftrightunsigned(half, (b % 4) * 8).bitwiseAND(lit(0xFFL))
-    }: _*)
-    val blocks = sig.select(col(idCol), col("hi"), col("lo"),
-        posexplode(blockCols))
-      .toDF(idCol, "hi", "lo", "block", "bval")
+    val blocks = blocksOf(sigOf(signed, idCol, hiCol, loCol), idCol)
     val l = blocks.toDF("id_i", "hi_i", "lo_i", "block", "bval")
     val r = blocks.toDF("id_j", "hi_j", "lo_j", "block", "bval")
     l.join(r, Seq("block", "bval"))
@@ -78,21 +90,11 @@ object SigDedup {
                           maxDist: Int = 7): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist: 8×8-bit blocks guarantee recall only up to 7")
-    def sigOf(df: DataFrame) = BarrierCache.track(
-      df.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
-        .select(col(idCol), col(hiCol).as("hi"), col(loCol).as("lo")))
-    def blocksOf(sig: DataFrame) = {
-      val blockCols = array((0 until 8).map { b =>
-        val half = if (b < 4) col("lo") else col("hi")
-        shiftrightunsigned(half, (b % 4) * 8).bitwiseAND(lit(0xFFL))
-      }: _*)
-      sig.select(col(idCol), col("hi"), col("lo"), posexplode(blockCols))
-        .toDF(idCol, "hi", "lo", "block", "bval")
-    }
-    val freshSig = sigOf(fresh)
-    val allBlocks = blocksOf(sigOf(existing).unionByName(freshSig))
+    val freshSig = sigOf(fresh, idCol, hiCol, loCol)
+    val allBlocks = blocksOf(
+        sigOf(existing, idCol, hiCol, loCol).unionByName(freshSig), idCol)
       .toDF("id_a", "hi_a", "lo_a", "block", "bval")
-    val freshBlocks = blocksOf(freshSig)
+    val freshBlocks = blocksOf(freshSig, idCol)
       .toDF("id_f", "hi_f", "lo_f", "block", "bval")
     allBlocks.join(freshBlocks, Seq("block", "bval"))
       .filter(col("id_a") =!= col("id_f"))

@@ -327,6 +327,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(ex <= 3, s"expected <=3 exchanges, got $ex\n${p.take(3000)}")
   }
 
+  test("q155: the pruned scan opens only the candidate files") {
+    // the data-skipping claim made physical: the pruned read's scan
+    // node holds exactly the stats-selected file list, not the full
+    // dataset — Spark's inputFiles is the planned scan set
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = tmpDir("q155plan")
+    val df = (1L to 2000L).map(i => (i, i % 13)).toDF("k", "v")
+    graft.etl.Load.writeClustered(spark, df, "k", 10, s"$d/t")
+    val stats = graft.etl.StatsIndex.build(spark, s"$d/t", Seq("k"))
+    val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
+      spark, s"$d/t", stats, "k", Some(lit(400L)), Some(lit(700L)))
+    assert(nRead < nTotal, s"no pruning: $nRead of $nTotal")
+    assert(pruned.inputFiles.length === nRead,
+      s"scan plans ${pruned.inputFiles.length} files, stats selected $nRead")
+  }
+
   test("driver contract: every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
