@@ -52,15 +52,24 @@ object Relevance {
     }
     val base = docs.select(
       (col(idCol) +: size(toks).cast("long").as("__dl") +: tfCols): _*)
+    score(base, idCol, terms.size, k1, b)
+  }
+
+  /** Shared scoring tail over a (id, __dl, __tf0..__tfN) base —
+    * ONE float-op sequence for the scan form and the index form, so
+    * the two are bit-identical and both mirror the SQL oracle.
+    */
+  private def score(base: DataFrame, idCol: String, nTerms: Int,
+                    k1: Double, b: Double): DataFrame = {
     // one-row corpus stats: N, Σdl, df per term — reduce + broadcast
     val statAggs =
       count(lit(1)).as("__n") +: sum(col("__dl")).as("__sumdl") +:
-        terms.indices.map(i =>
+        (0 until nTerms).map(i =>
           sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
     val joined = base.crossJoin(broadcast(stats))
     // fixed IEEE op sequence, mirrored verbatim in the SQL oracle
-    val perTerm = terms.indices.map { i =>
+    val perTerm = (0 until nTerms).map { i =>
       val tf = col(s"__tf$i").cast("double")
       val df = col(s"__df$i")
       val idf = log(lit(1.0) +
@@ -72,6 +81,51 @@ object Relevance {
     }
     joined.select(col(idCol), col("__dl").as("doc_len"),
       round(perTerm.reduceLeft(_ + _), 6).as("score"))
+  }
+
+  /** The INVERTED-INDEX artifacts a production search pipeline
+    * persists instead of rescanning text (q159): sparse postings
+    * (id, tok, tf) — one row per distinct (document, term) — and
+    * per-document lengths. Index size tracks corpus token variety,
+    * not raw bytes; building is one explode + hash aggregate.
+    */
+  def indexPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** Per-document token counts (the BM25 length-normalization side
+    * of the index). Kept separate from postings so dl covers ALL
+    * tokens (including empties the postings drop) — identical to
+    * the scan form's `size(tokens)`.
+    */
+  def indexDocLens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(TextStats.tokens(col(textCol))).cast("long").as("dl"))
+
+  /** BM25 served from the PERSISTED index: pivot the query terms'
+    * postings back to per-document tf columns (left join on doclens
+    * keeps zero-match documents at tf 0, exactly the scan form's
+    * semantics), then the shared scoring tail. The corpus text is
+    * never touched — N, Σdl, and df all derive from the index
+    * tables, which is what makes incremental appends cheap: tokenize
+    * only the new batch, append its postings/lengths, and the next
+    * query's stats are automatically corpus-wide.
+    */
+  def bm25FromIndex(postings: DataFrame, doclens: DataFrame, idCol: String,
+                    terms: Seq[String], k1: Double = 1.25,
+                    b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tfAggs = terms.indices.map { i =>
+      sum(when(col("tok") === lit(terms(i)), col("tf")).otherwise(lit(0L)))
+        .as(s"__tf$i")
+    }
+    val pivoted = postings.filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+    val base = doclens.select(col(idCol), col("dl").as("__dl"))
+      .join(pivoted, Seq(idCol), "left")
+      .na.fill(0L, terms.indices.map(i => s"__tf$i"))
+    score(base, idCol, terms.size, k1, b)
   }
 
   /** One Reciprocal-Rank-Fusion contribution: `1/(c + rank)`, 0 when

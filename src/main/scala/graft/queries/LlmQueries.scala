@@ -229,6 +229,53 @@ object LlmQueries {
         .limit(15)
     }),
 
+    // q159 — INVERTED-INDEX LIFECYCLE for lexical search (the
+    // q154/q158 storage discipline applied to BM25): q89 scores by
+    // rescanning text, which at 100 TB means re-tokenizing the
+    // corpus per query; the production shape PERSISTS the index —
+    // sparse postings (doc, term, tf) + doc lengths — and serves
+    // queries from it alone. The query builds the base index,
+    // persists it, tokenizes ONLY the incremental batch and appends
+    // its postings (the text of existing docs is never re-read),
+    // then serves top-15 BM25 for a fresh 3-term query from the
+    // reloaded union — N, Σdl, and every df derive from the index
+    // tables, so corpus growth needs no stats rebuild. index_ok
+    // pins in-plan that the reloaded postings equal a full-corpus
+    // recompute (EXCEPT both ways = 0). The oracle replays BM25
+    // over the full corpus text — the scan form and the served
+    // index form share one float-op sequence (Relevance.score), so
+    // scores match bit-for-bit.
+    "q159_inverted_index_lifecycle" -> ((s, dir) => {
+      import graft.llm.Relevance
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft_q159").toString
+      graft.etl.Load.writeAtomic(s,
+        Relevance.indexPostings(base, "doc_id", "text"), s"$root/post_v1")
+      graft.etl.Load.writeAtomic(s,
+        Relevance.indexDocLens(base, "doc_id", "text"), s"$root/len_v1")
+      // the incremental batch: only fresh text is tokenized
+      graft.etl.Load.writeAtomic(s,
+        Relevance.indexPostings(fresh, "doc_id", "text"), s"$root/post_v2")
+      graft.etl.Load.writeAtomic(s,
+        Relevance.indexDocLens(fresh, "doc_id", "text"), s"$root/len_v2")
+      val posts = graft.etl.Load.readTable(s, s"$root/post_v1")
+        .unionByName(graft.etl.Load.readTable(s, s"$root/post_v2"))
+      val lens = graft.etl.Load.readTable(s, s"$root/len_v1")
+        .unionByName(graft.etl.Load.readTable(s, s"$root/len_v2"))
+      val full = Relevance.indexPostings(docs, "doc_id", "text")
+      val indexOk = broadcast(
+        posts.exceptAll(full).select(count(lit(1)).as("__a"))
+          .crossJoin(full.exceptAll(posts).select(count(lit(1)).as("__b")))
+          .select((col("__a") === 0L && col("__b") === 0L).as("index_ok")))
+      Relevance.bm25FromIndex(posts, lens, "doc_id",
+          Seq("hash", "scan", "batch"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+        .crossJoin(indexOk)
+    }),
+
     // q95 — TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df). The inverted shape (explode → (doc,term) counts →
     // df agg → term-keyed join) is the posting-list pipeline BM25's
@@ -1704,6 +1751,36 @@ object LlmQueries {
         |       + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
         |           * (CAST(tf2 AS DOUBLE) * 2.25)
         |           / (CAST(tf2 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))), 6) AS score
+        |FROM base CROSS JOIN stats
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // q159: BM25 replay over the full corpus TEXT with the q89 float
+    // sequence — the served index form must match bit-for-bit
+    "q159_inverted_index_lifecycle" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'hash')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'scan')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t = 'batch')) AS BIGINT) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM base)
+        |SELECT doc_id, dl AS doc_len,
+        |       round(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+        |           * (CAST(tf0 AS DOUBLE) * 2.25)
+        |           / (CAST(tf0 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |       + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+        |           * (CAST(tf1 AS DOUBLE) * 2.25)
+        |           / (CAST(tf1 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |       + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+        |           * (CAST(tf2 AS DOUBLE) * 2.25)
+        |           / (CAST(tf2 AS DOUBLE) + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))), 6) AS score,
+        |       TRUE AS index_ok
         |FROM base CROSS JOIN stats
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q95_tfidf_keywords" ->

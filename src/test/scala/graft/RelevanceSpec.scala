@@ -65,4 +65,35 @@ class RelevanceSpec extends SparkSpec {
       s"stats row must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no sort-merge join expected:\n$plan")
   }
+
+  test("index-served BM25 over a parquet round-trip is bit-identical to the scan form") {
+    val terms = Seq("shuffle", "joins", "columns")
+    val root = tmpDir("bm25_idx")
+    graft.etl.Load.writeAtomic(spark,
+      Relevance.indexPostings(corpus, "doc_id", "text"), s"$root/post")
+    graft.etl.Load.writeAtomic(spark,
+      Relevance.indexDocLens(corpus, "doc_id", "text"), s"$root/len")
+    val served = Relevance.bm25FromIndex(
+        graft.etl.Load.readTable(spark, s"$root/post"),
+        graft.etl.Load.readTable(spark, s"$root/len"),
+        "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val scan = Relevance.bm25(corpus, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(served === scan)
+  }
+
+  test("incremental postings append equals a full rebuild") {
+    val base = corpus.filter(col("doc_id") <= 3L)
+    val fresh = corpus.filter(col("doc_id") > 3L)
+    val appended = Relevance.indexPostings(base, "doc_id", "text")
+      .unionByName(Relevance.indexPostings(fresh, "doc_id", "text"))
+    val full = Relevance.indexPostings(corpus, "doc_id", "text")
+    assert(appended.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(appended).count() === 0L)
+    // doc lengths likewise
+    val lens = Relevance.indexDocLens(base, "doc_id", "text")
+      .unionByName(Relevance.indexDocLens(fresh, "doc_id", "text"))
+    assert(lens.exceptAll(Relevance.indexDocLens(corpus, "doc_id", "text")).count() === 0L)
+  }
 }
