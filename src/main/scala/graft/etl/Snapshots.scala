@@ -10,18 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   <root>/_versions/v00000001.json   // version log (commit points)
-  *   <root>/data/v1/ ...               // immutable snapshot data
+  *   <root>/data/c-<nonce>/ ...        // immutable snapshot data
   * }}}
   *
-  * Commit protocol (single writer, any number of readers):
-  *  1. the snapshot's data dir is fully written (and its _SUCCESS
-  *     present) BEFORE the version file appears;
+  * Commit protocol (MULTI-writer, any number of readers — Delta-
+  * style optimistic concurrency):
+  *  1. the snapshot's data dir — writer-UNIQUE, never shared —
+  *     is fully written (and its _SUCCESS present) BEFORE the
+  *     version file appears;
   *  2. the version file is created by write-to-temp + atomic rename —
   *     its EXISTENCE is the commit point, exactly the
-  *     `_MANIFEST.json` discipline of [[Load.writeSharded]].
-  *  A crash mid-write leaves an orphan `data/v*` dir that no version
-  *  references — invisible to readers, reclaimed by [[vacuum]] —
-  *  never a readable-but-partial version.
+  *     `_MANIFEST.json` discipline of [[Load.writeSharded]]; rename
+  *     fails if the destination exists, so exactly one writer wins
+  *     each version number and a loser retries at the next (a tiny
+  *     metadata retry — its unique data dir is untouched).
+  *  A crash mid-write leaves an orphan `data/c-*` dir that no
+  *  version references — invisible to readers, reclaimed by
+  *  [[vacuum]] — never a readable-but-partial version.
   *
   * Time travel: every version file records which data dir it reads
   * from, so old versions stay readable after later commits, and
@@ -79,38 +84,68 @@ object Snapshots {
   }
 
   /** Commit `df` as the next version of `root`; returns the new
-    * version number. The data lands under an immutable per-version
-    * dir; the version file's atomic rename is the commit point.
+    * version number. MULTI-WRITER SAFE (Delta-style optimistic
+    * concurrency): the snapshot data lands under a writer-UNIQUE
+    * dir — never a version-numbered one, so two concurrent
+    * committers can never overwrite each other's data — and the
+    * version file's atomic create-by-rename is the ONLY
+    * serialization point. A writer that loses the publish race
+    * simply re-publishes at the next version number (its data dir
+    * is untouched); conflict cost is one tiny metadata retry,
+    * never a data rewrite. The result is a linear history in which
+    * every concurrent commit lands as SOME version — the same
+    * contract Delta's commit protocol gives on a transaction-log
+    * conflict with no data conflict.
     */
   def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
-    val v = latestVersion(spark, root).getOrElse(0L) + 1
-    val dataDir = s"data/v$v"
+    val dataDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     val dataPath = new Path(root, dataDir)
     df.write.mode("overwrite").parquet(dataPath.toString)
     val nRows = spark.read.parquet(dataPath.toString).count()
-    publish(spark, root, v, dataDir, nRows)
+    publishNext(spark, root, dataDir, nRows)
+  }
+
+  /** Publish `dataDir` at the next free version number, retrying
+    * past publish races (shared by commit and rollback).
+    */
+  private def publishNext(spark: SparkSession, root: String,
+                          dataDir: String, nRows: Long): Long = {
+    var v = latestVersion(spark, root).getOrElse(0L) + 1
+    var attempts = 0
+    while (!tryPublish(spark, root, v, dataDir, nRows)) {
+      attempts += 1
+      require(attempts < 1000, s"$root: lost $attempts publish races — livelock?")
+      v = math.max(v + 1, latestVersion(spark, root).getOrElse(0L) + 1)
+    }
     v
   }
 
-  /** Publish a version file pointing at `dataDir` (shared by commit
-    * and the metadata-only rollback): write to a temp name in the
-    * same dir, then rename — the rename is atomic on HDFS-like
-    * filesystems and the local FS, so readers see either no version
-    * or a complete one.
+  /** Attempt to publish version `v` pointing at `dataDir`: write to
+    * a writer-unique temp name in the same dir, then rename — the
+    * rename is atomic on HDFS-like filesystems and the local FS,
+    * and FAILS if the destination exists, so exactly one writer
+    * wins a version number; readers see either no version or a
+    * complete one. Returns false on a lost race (destination
+    * already committed by another writer).
     */
-  private def publish(spark: SparkSession, root: String, v: Long,
-                      dataDir: String, nRows: Long): Unit = {
+  private def tryPublish(spark: SparkSession, root: String, v: Long,
+                         dataDir: String, nRows: Long): Boolean = {
     val vf = versionFile(root, v)
     val f = fs(spark, vf)
     f.mkdirs(vf.getParent)
-    require(!f.exists(vf), s"version $v already committed (concurrent writer?)")
-    val tmp = new Path(vf.getParent, s".${vf.getName}.tmp")
+    if (f.exists(vf)) return false
+    val tmp = new Path(vf.getParent,
+      s".${vf.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(
       s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows}""".getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, vf))
-      throw new IllegalStateException(s"could not publish $vf")
+    if (f.rename(tmp, vf)) true
+    else {
+      f.delete(tmp, false)
+      if (f.exists(vf)) false // lost the race — caller retries at v+1
+      else throw new IllegalStateException(s"could not publish $vf")
+    }
   }
 
   /** Read the table at `version` (default: latest). Old versions
@@ -130,9 +165,7 @@ object Snapshots {
   def rollback(spark: SparkSession, root: String, to: Long): Long = {
     val dataDir = dataDirOf(spark, root, to)
     val nRows = spark.read.parquet(new Path(root, dataDir).toString).count()
-    val v = latestVersion(spark, root).getOrElse(0L) + 1
-    publish(spark, root, v, dataDir, nRows)
-    v
+    publishNext(spark, root, dataDir, nRows)
   }
 
   /** Reclaim storage: keep the last `keepLast` versions (and

@@ -42,9 +42,10 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 3)
     // the bad version remains inspectable
     assert(Snapshots.read(spark, root, Some(2L)).count() === 9)
-    // no data was copied: v3 reads v1's directory
-    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).sorted
-    assert(dataDirs === Array("v1", "v2"))
+    // no data was copied: still exactly two data dirs (v3 points at
+    // v1's), and v3's version file references an existing dir
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
+    assert(dataDirs.length === 2, dataDirs.mkString(","))
   }
 
   test("a crashed commit's orphan data dir is invisible and vacuumable") {
@@ -68,9 +69,35 @@ class SnapshotsSpec extends SparkSpec {
     // only v3 survives, and it still reads v1's data
     assert(Snapshots.versions(spark, root) === Seq(3L))
     assert(Snapshots.read(spark, root).count() === 2)
-    // v2's now-unreferenced data dir is gone; v1's data survives
-    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).sorted
-    assert(dataDirs === Array("v1"))
+    // v2's now-unreferenced data dir is gone; exactly the one dir
+    // v3 references (v1's data) survives
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName)
+    assert(dataDirs.length === 1, dataDirs.mkString(","))
+  }
+
+  test("concurrent commits all land as distinct versions with intact data") {
+    // the optimistic-concurrency contract: N racing writers never
+    // overwrite each other's data (unique dirs) and each lands as
+    // SOME version (publish-race retry) — the multi-writer reality
+    // of a shared 100 TB table
+    val root = tmpDir("snap_occ")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try versions.add(Snapshots.commit(spark, df(i * 10), root))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"commit failed: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val vs = versions.asScala.toSeq.sorted
+    assert(vs === Seq(1L, 2L, 3L, 4L), s"versions $vs")
+    // every committed version reads back one of the written frames,
+    // complete — no torn or cross-written data
+    val sizes = vs.map(v => Snapshots.read(spark, root, Some(v)).count()).sorted
+    assert(sizes === Seq(10L, 20L, 30L, 40L), s"row counts $sizes")
   }
 
   test("rollback to a version that was never committed is refused") {
