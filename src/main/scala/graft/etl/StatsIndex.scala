@@ -53,6 +53,50 @@ object StatsIndex {
     statsPath
   }
 
+  /** INCREMENTAL maintenance under appends: bring `stats` up to
+    * date with `dataPath` by scanning ONLY the files the stats
+    * table has no row for — one filesystem listing (metadata), a
+    * scan of just the new files, and a union. The append-heavy
+    * reality of a 100 TB ingest table: a day's batch adds a few
+    * hundred files, and re-deriving stats for the other million
+    * (what [[build]] does) would dwarf the batch itself. Files are
+    * immutable once written (the same assumption every table format
+    * makes), so existing rows never go stale; a file deleted by
+    * compaction simply stops matching reads and its stats row is
+    * dropped here.
+    */
+  def updateFor(spark: SparkSession, dataPath: String, stats: DataFrame,
+                cols: Seq[String]): DataFrame = {
+    // normalize to plain paths for the diff: input_file_name() URIs
+    // ("file:///x") and Hadoop listing URIs ("file:/x") differ only
+    // in scheme spelling
+    def norm(u: String): String = new org.apache.hadoop.fs.Path(u).toUri.getPath
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = f.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSeq.sorted
+    val onDiskNorm = onDisk.map(norm).toSet
+    val known = stats.select("file").collect().map(_.getString(0)).toSet
+    val knownNorm = known.map(norm)
+    val fresh = onDisk.filterNot(u => knownNorm.contains(norm(u)))
+    val survivors = known.filter(k => onDiskNorm.contains(norm(k))).toSeq
+    val kept =
+      if (survivors.isEmpty) stats.filter(lit(false))
+      else stats.filter(col("file").isin(survivors: _*))
+    if (fresh.isEmpty) kept
+    else {
+      val aggs = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+      }
+      kept.unionByName(
+        spark.read.parquet(fresh: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"), aggs: _*))
+    }
+  }
+
   /** The candidate file list for `lo <= c <= hi` (either bound
     * optional), decided from the stats table alone. The collect is
     * the file LIST — the same driver-side object every parquet scan

@@ -317,6 +317,48 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q160 — INCREMENTAL stats-index maintenance under APPENDS (the
+    // q155 index kept fresh the way a daily ingest actually works):
+    // the base table (shipdates < 1999) lands range-clustered; a
+    // later batch (1999+) APPENDS four unclustered files, and
+    // StatsIndex.updateFor brings the stats table up to date by
+    // scanning ONLY those four — one filesystem listing + a scan of
+    // the new files, never the million-file history ([[build]]'s
+    // full pass is the bootstrap, this is the steady state). The
+    // 1999-range query then prunes to exactly the four appended
+    // files (every base file's max is below the range — the stats
+    // prove it from metadata alone). files_total/files_read are
+    // emitted as values (12+4 and 4 — deterministic from the fixed
+    // layout) so the oracle pins the prune arithmetic, and the sums
+    // replay from the full table so a stale or wrong stats row
+    // hash-breaks the values.
+    "q160_stats_incremental" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val cut = lit("1999-01-01").cast("timestamp")
+      val root = java.nio.file.Files.createTempDirectory("graft_q160").toString
+      graft.etl.Load.writeClustered(s, li.filter(col("l_shipdate") < cut),
+        "l_shipdate", 12, s"$root/li")
+      val statsV1 = graft.etl.StatsIndex.build(s, s"$root/li", Seq("l_shipdate"))
+        .cache() // pin v1 so updateFor's diff sees the pre-append state
+      statsV1.count()
+      li.filter(col("l_shipdate") >= cut).repartition(4)
+        .write.mode("append").parquet(s"$root/li")
+      val statsV2 = graft.etl.StatsIndex.updateFor(
+        s, s"$root/li", statsV1, Seq("l_shipdate"))
+      val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
+        s, s"$root/li", statsV2, "l_shipdate",
+        Some(cut), Some(lit("1999-12-31").cast("timestamp")))
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("files_total", lit(nTotal.toLong))
+        .withColumn("files_read", lit(nRead.toLong))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -606,6 +648,17 @@ object EtlQueries {
         |  TRUE AS files_pruned, TRUE AS files_nonzero
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q160: full-table replay of the 1999 range + the deterministic
+    // prune arithmetic (12 clustered base files + 4 appended = 16;
+    // the 1999 range can only live in the 4 appended files)
+    "q160_stats_incremental" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(16 AS BIGINT) AS files_total, CAST(4 AS BIGINT) AS files_read
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1999-01-01' AND TIMESTAMP '1999-12-31'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading

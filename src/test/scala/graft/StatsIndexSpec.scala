@@ -66,6 +66,35 @@ class StatsIndexSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("k", "g"))
   }
 
+  test("updateFor scans only appended files and drops deleted ones") {
+    val d = tmpDir("dsk_upd")
+    Load.writeClustered(spark,
+      (1L to 500L).toDF("k"), "k", 5, s"$d/t")
+    val v1 = StatsIndex.build(spark, s"$d/t", Seq("k")).cache()
+    v1.count()
+    (501L to 600L).toDF("k").repartition(2)
+      .write.mode("append").parquet(s"$d/t")
+    val v2 = StatsIndex.updateFor(spark, s"$d/t", v1, Seq("k"))
+    // all v1 rows preserved verbatim; exactly 2 fresh rows added,
+    // and they equal a from-scratch build's rows for those files
+    assert(v2.count() === 7L)
+    assert(v1.exceptAll(v2).count() === 0L)
+    val scratch = StatsIndex.build(spark, s"$d/t", Seq("k"))
+    assert(v2.exceptAll(scratch).count() === 0L)
+    assert(scratch.exceptAll(v2).count() === 0L)
+    // a pruned read over the updated stats sees appended data
+    val (df, nRead, nTotal) = StatsIndex.prunedRead(
+      spark, s"$d/t", v2, "k", Some(lit(550L)), None)
+    assert(df.count() === 51L)
+    assert(nTotal === 7 && nRead <= 2)
+    // deleting a file drops its stats row on the next update
+    val gone = new java.io.File(s"$d/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(gone.delete())
+    val v3 = StatsIndex.updateFor(spark, s"$d/t", v2, Seq("k"))
+    assert(v3.count() === 6L)
+  }
+
   test("files whose stats column is all-null are always kept") {
     val d = tmpDir("dsk_null")
     val withNulls = (1L to 100L)
