@@ -174,7 +174,8 @@ object Snapshots {
     * version files and now-unreferenced data dirs, INCLUDING orphan
     * dirs from crashed commits that never published.
     */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Unit = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepLast >= 1)
     val all = versions(spark, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
@@ -182,9 +183,17 @@ object Snapshots {
     val f = fs(spark, new Path(root))
     drop.foreach(v => f.delete(versionFile(root, v), false))
     val dataRoot = new Path(root, "data")
+    // an unreferenced dir younger than the grace window may be an
+    // IN-FLIGHT commit (data written, version not yet published) —
+    // deleting it would corrupt the concurrent writer. Delta's
+    // vacuum retention threshold exists for exactly this race; the
+    // default grace comfortably exceeds any sane commit duration.
+    // orphanGraceMs = 0 restores eager reclaim for offline cleanup.
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
-      if (!keepDirs.contains(rel)) f.delete(st.getPath, true)
+      if (!keepDirs.contains(rel) && st.getModificationTime <= cutoff)
+        f.delete(st.getPath, true)
     }
   }
 }

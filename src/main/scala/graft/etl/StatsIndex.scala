@@ -73,7 +73,13 @@ object StatsIndex {
     def norm(u: String): String = new org.apache.hadoop.fs.Path(u).toUri.getPath
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onDisk = f.listStatus(p).filter(s => s.isFile &&
+    val entries = f.listStatus(p)
+    // the one-level listing is the contract: a partition-dir layout
+    // would make subdir files look deleted and silently drop their
+    // stats — refuse instead (same guard as Load.compact)
+    require(!entries.exists(s => s.isDirectory && s.getPath.getName.contains("=")),
+      s"$dataPath has partition directories — updateFor expects a flat layout")
+    val onDisk = entries.filter(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.toString).toSeq.sorted
     val onDiskNorm = onDisk.map(norm).toSet

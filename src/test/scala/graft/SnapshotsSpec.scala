@@ -55,7 +55,7 @@ class SnapshotsSpec extends SparkSpec {
     df(7).write.parquet(s"$root/data/v2")
     assert(Snapshots.latestVersion(spark, root) === Some(1L))
     assert(Snapshots.read(spark, root).count() === 3)
-    Snapshots.vacuum(spark, root, keepLast = 5)
+    Snapshots.vacuum(spark, root, keepLast = 5, orphanGraceMs = 0)
     assert(!new java.io.File(s"$root/data/v2").exists(), "orphan not reclaimed")
     assert(Snapshots.read(spark, root).count() === 3)
   }
@@ -65,7 +65,7 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(spark, df(2), root)  // v1
     Snapshots.commit(spark, df(4), root)  // v2
     Snapshots.rollback(spark, root, 1L)   // v3 -> data/v1
-    Snapshots.vacuum(spark, root, keepLast = 1)
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0)
     // only v3 survives, and it still reads v1's data
     assert(Snapshots.versions(spark, root) === Seq(3L))
     assert(Snapshots.read(spark, root).count() === 2)
