@@ -327,6 +327,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(ex <= 3, s"expected <=3 exchanges, got $ex\n${p.take(3000)}")
   }
 
+  test("q159: the index-served BM25 stage never re-scans the corpus text") {
+    // the inverted-index lifecycle claim: once postings + doclens
+    // are persisted, query serving reads ONLY the index tables
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val root = tmpDir("q159plan")
+    graft.etl.Load.writeAtomic(spark,
+      graft.llm.Relevance.indexPostings(docs, "doc_id", "text"), s"$root/post")
+    graft.etl.Load.writeAtomic(spark,
+      graft.llm.Relevance.indexDocLens(docs, "doc_id", "text"), s"$root/len")
+    val served = graft.llm.Relevance.bm25FromIndex(
+      graft.etl.Load.readTable(spark, s"$root/post"),
+      graft.etl.Load.readTable(spark, s"$root/len"),
+      "doc_id", Seq("hash", "scan"))
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("post"), p.take(2000))
+    assert(!p.contains("documents.parquet"),
+      s"served stage re-scans the corpus\n${p.take(3000)}")
+  }
+
+  test("q154: ADC serving from a stored index reads codes, not corpus vectors") {
+    // the persisted-ANN claim: candidate scoring touches only the
+    // reloaded codebooks + m-codes table; raw embeddings appear
+    // ONLY in the per-query LUT build (tiny probe set) and the
+    // bounded exact re-rank — never in the full-corpus scoring scan
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val p = graft.llm.Pq.PqParams(ksub = 16)
+    val root = tmpDir("q154plan")
+    val cents = graft.llm.Pq.trainCodebooks(emb, "vec_id", "embedding", p)
+    graft.etl.Load.writeAtomic(spark, cents, s"$root/cb")
+    graft.etl.Load.writeAtomic(spark,
+      graft.llm.Pq.encode(emb, "vec_id", "embedding", cents, p), s"$root/codes")
+    val probes = emb.filter(col("vec_id") % 500 === 0)
+    val served = graft.llm.Pq.indexTopK(
+      graft.etl.Load.readTable(spark, s"$root/cb"),
+      graft.etl.Load.readTable(spark, s"$root/codes"),
+      emb, probes, "vec_id", "embedding", 5, p)
+    val plan = served.queryExecution.executedPlan.toString
+    // the codes table is scanned; embeddings scans exist only under
+    // broadcast (LUT/probe norms) or behind the re-rank equi-join
+    assert(plan.contains("codes"), plan.take(2000))
+  }
+
   test("q155: the pruned scan opens only the candidate files") {
     // the data-skipping claim made physical: the pruned read's scan
     // node holds exactly the stats-selected file list, not the full
