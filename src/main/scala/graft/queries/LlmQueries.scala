@@ -1350,6 +1350,37 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q161 — STREAMING perceptual dedup behind the oracle gate (the
+    // q137/q139/q150/q151 runtime discipline applied to the
+    // fingerprint tier): the q153 corpus arrives as three real
+    // AvailableNow micro-batches (originals first, then the
+    // perturbed re-uploads in two waves, mtime-ordered parquet
+    // staging); each batch decodes through ImageIO, probes the
+    // signature store accumulated from earlier batches
+    // (fresh×store ∪ fresh×fresh — store×store is never recomputed),
+    // and appends its signatures, both through batch_id-idempotent
+    // sinks. Every pair is emitted exactly once — in the batch that
+    // carried its later member — so the union of all batch outputs
+    // must equal q153's one-shot pair graph, and the oracle is
+    // q153's full hash replay verbatim.
+    "q161_streaming_phash_dedup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id")
+      val originals = graft.sources.ImageGen.syntheticPng(ids, "doc_id")
+      val variants = graft.sources.ImageGen.syntheticPng(ids, "doc_id", delta = 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("content"))
+      val base = java.nio.file.Files.createTempDirectory("graft_q161").toString
+      graft.streaming.Ingest.stageOrderedParquet(s, Seq(
+        originals,
+        variants.filter(col("doc_id") % 2 === 0),
+        variants.filter(col("doc_id") % 2 =!= 0)), s"$base/staging")
+      graft.streaming.Ingest.phashDedupAvailableNow(s, s"$base/staging",
+        s"$base/chk", s"$base/store", s"$base/out", maxFilesPerTrigger = Some(1))
+      s.read.parquet(s"$base/out")
+        .select(col("id_i"), col("id_j"), col("dist").cast("long").as("dist"))
+        .orderBy("id_i", "id_j")
+    }),
+
     // q131 — Gopher repetition battery (llm/Repetition): top
     // 2/3/4-gram and duplicate 5/6/7-gram char fractions per doc,
     // thresholds per the paper, verdicts on the same 10^6-scaled
@@ -1619,6 +1650,52 @@ object LlmQueries {
         col("recall_ok"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Full replay of the image aHash pair graph (q153) — every bit
+    * recomputed from the pixel formula (HUGEINT cross-products),
+    * all-pairs Hamming ≤ 7. Shared verbatim by q161: the streaming
+    * run's union-of-batches must equal this one-shot batch result.
+    */
+  private val phashAllPairsSql =
+    """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+      |                    CAST(16 + doc_id % 13 AS BIGINT) AS h
+      |             FROM documents WHERE doc_id % 97 = 0),
+      |var AS (SELECT doc_id, w, h,
+      |               unnest([CAST(0 AS BIGINT), CAST(2 AS BIGINT)]) AS delta
+      |        FROM ids),
+      |xs AS (SELECT doc_id, delta, w, h, unnest(range(0, w)) AS x FROM var),
+      |px AS (SELECT doc_id, delta, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |lm AS (SELECT doc_id, delta,
+      |    299*least((7*x + 13*y + doc_id) % 256 + delta, 255)
+      |    + 587*least((3*x + 5*y + 2*doc_id) % 256 + delta, 255)
+      |    + 114*least((x + y + 3*doc_id) % 256 + delta, 255) AS l,
+      |    ((y * 8) // h) * 8 + ((x * 8) // w) AS c
+      |  FROM px),
+      |cells AS (SELECT doc_id, delta, c, CAST(SUM(l) AS BIGINT) AS gsum,
+      |                 COUNT(*) AS gcnt
+      |          FROM lm GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, delta, CAST(SUM(l) AS BIGINT) AS luma_sum,
+      |               COUNT(*) AS n_px
+      |        FROM lm GROUP BY 1, 2),
+      |bits AS (SELECT doc_id, delta, c,
+      |    CAST(gsum AS HUGEINT) * n_px > CAST(luma_sum AS HUGEINT) * gcnt AS b
+      |  FROM cells JOIN tot USING (doc_id, delta)),
+      |hash AS (SELECT doc_id, delta,
+      |    CAST(SUM(CASE WHEN c >= 32 AND b
+      |                  THEN (CAST(1 AS BIGINT) << CAST(c - 32 AS INT))
+      |                  ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN c < 32 AND b
+      |                  THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+      |                  ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY 1, 2),
+      |imgs AS (SELECT CASE WHEN delta = 0 THEN doc_id
+      |                     ELSE doc_id + 1000000 END AS iid, hi, lo
+      |         FROM hash)
+      |SELECT a.iid AS id_i, b.iid AS id_j,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+      |FROM imgs a JOIN imgs b ON a.iid < b.iid
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      |ORDER BY id_i, id_j""".stripMargin
 
   private val fpSql =
     """md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]|\s+', ' ', 'g')))"""
@@ -2704,46 +2781,10 @@ object LlmQueries {
     // enumerates all-pairs Hamming ≤ 7 — which the Spark side's
     // pigeonhole block join must match row-for-row (recall 1.0 at
     // ≤ 7 is guaranteed, so band-join vs all-pairs is exact)
-    "q153_image_phash_dedup" ->
-      """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
-        |                    CAST(16 + doc_id % 13 AS BIGINT) AS h
-        |             FROM documents WHERE doc_id % 97 = 0),
-        |var AS (SELECT doc_id, w, h,
-        |               unnest([CAST(0 AS BIGINT), CAST(2 AS BIGINT)]) AS delta
-        |        FROM ids),
-        |xs AS (SELECT doc_id, delta, w, h, unnest(range(0, w)) AS x FROM var),
-        |px AS (SELECT doc_id, delta, w, h, x, unnest(range(0, h)) AS y FROM xs),
-        |lm AS (SELECT doc_id, delta,
-        |    299*least((7*x + 13*y + doc_id) % 256 + delta, 255)
-        |    + 587*least((3*x + 5*y + 2*doc_id) % 256 + delta, 255)
-        |    + 114*least((x + y + 3*doc_id) % 256 + delta, 255) AS l,
-        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS c
-        |  FROM px),
-        |cells AS (SELECT doc_id, delta, c, CAST(SUM(l) AS BIGINT) AS gsum,
-        |                 COUNT(*) AS gcnt
-        |          FROM lm GROUP BY 1, 2, 3),
-        |tot AS (SELECT doc_id, delta, CAST(SUM(l) AS BIGINT) AS luma_sum,
-        |               COUNT(*) AS n_px
-        |        FROM lm GROUP BY 1, 2),
-        |bits AS (SELECT doc_id, delta, c,
-        |    CAST(gsum AS HUGEINT) * n_px > CAST(luma_sum AS HUGEINT) * gcnt AS b
-        |  FROM cells JOIN tot USING (doc_id, delta)),
-        |hash AS (SELECT doc_id, delta,
-        |    CAST(SUM(CASE WHEN c >= 32 AND b
-        |                  THEN (CAST(1 AS BIGINT) << CAST(c - 32 AS INT))
-        |                  ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(SUM(CASE WHEN c < 32 AND b
-        |                  THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
-        |                  ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY 1, 2),
-        |imgs AS (SELECT CASE WHEN delta = 0 THEN doc_id
-        |                     ELSE doc_id + 1000000 END AS iid, hi, lo
-        |         FROM hash)
-        |SELECT a.iid AS id_i, b.iid AS id_j,
-        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
-        |FROM imgs a JOIN imgs b ON a.iid < b.iid
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-        |ORDER BY id_i, id_j""".stripMargin,
+    "q153_image_phash_dedup" -> phashAllPairsSql,
+    // q161: the streaming run's union-of-batches must equal the
+    // ONE-SHOT batch pair graph — q153's full hash replay verbatim
+    "q161_streaming_phash_dedup" -> phashAllPairsSql,
     // q156: FULL value replay of the audio fingerprint — every
     // zero-crossing bit recomputed from the closed-form samples
     // (lag window per (doc, gain), integer cross-products), same

@@ -407,6 +407,85 @@ object Ingest {
     }
   }
 
+  /** [[stageOrderedJson]]'s parquet twin for BINARY-carrying rows
+    * (JSON lines cannot stage image payloads): one parquet file per
+    * slice, ascending mtimes, so the file streaming source delivers
+    * slices as separate micro-batches in order.
+    */
+  def stageOrderedParquet(spark: SparkSession, slices: Seq[DataFrame],
+                          stagingDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
+    val t0 = System.currentTimeMillis() - 3600L * 1000 * slices.size
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$stagingDir/__slice$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dest = new org.apache.hadoop.fs.Path(stagingDir, f"slice$i%04d.parquet")
+      if (!fs.rename(part, dest))
+        throw new IllegalStateException(s"could not stage $dest")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      fs.setTimes(dest, t0 + i * 60000L, -1)
+    }
+  }
+
+  /** STREAMING perceptual dedup behind a real AvailableNow run —
+    * the q137/q139 runtime discipline applied to the fingerprint
+    * tier (q161): watch a folder of image-payload parquet files,
+    * decode + sign each micro-batch through the REAL ImageIO path,
+    * probe it against the SIGNATURE STORE accumulated from every
+    * earlier batch ([[graft.llm.SigDedup.incrementalNearDups]] —
+    * fresh×store ∪ fresh×fresh, never store×store), then append the
+    * batch's signatures to the store. Both sinks are
+    * batch_id-partitioned with dynamic partition overwrite, and the
+    * store read excludes the CURRENT batch_id's rows, so a crashed
+    * batch replays idempotently (the drift/CDC sink discipline).
+    *
+    * Contract: every near-dup pair is emitted exactly once — in the
+    * batch that carried its LATER member — so the union of all
+    * batch partitions equals the one-shot batch dedup of the full
+    * corpus (q153's pair graph), which is exactly what the q161
+    * oracle checks.
+    */
+  def phashDedupAvailableNow(spark: SparkSession, stagingDir: String,
+                             checkpointDir: String, storeDir: String,
+                             outDir: String,
+                             maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = StructType.fromDDL("doc_id LONG, content BINARY")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(stagingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = graft.sources.Multimodal
+          .decodeImages(batch, "content", grid = 8)
+          .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+        val store =
+          if (Load.tableExists(spark, storeDir))
+            spark.read.parquet(storeDir)
+              .filter(col("batch_id") =!= batchId)
+              .select("doc_id", "ahash_hi", "ahash_lo")
+          else sigs.limit(0)
+        graft.llm.SigDedup.incrementalNearDups(
+            store, sigs, "doc_id", "ahash_hi", "ahash_lo", maxDist = 7)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        sigs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storeDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING spike alerting behind a real AvailableNow run — the
     * q137/q139 runtime discipline applied to
     * [[Stateful.spikeAlerts]]: watch a folder of JSON-lines reading

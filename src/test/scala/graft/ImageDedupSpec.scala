@@ -171,6 +171,58 @@ class ImageDedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("streaming phash dedup: batch slicing does not change the pair union") {
+    import graft.streaming.Ingest
+    val base = ImageGen.syntheticPng(ids(20), "doc_id")
+    val pert = ImageGen.syntheticPng(ids(20), "doc_id", delta = 2)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("content"))
+    def run(slices: Seq[org.apache.spark.sql.DataFrame], tag: String) = {
+      val d = tmpDir(s"sphash_$tag")
+      Ingest.stageOrderedParquet(spark, slices, s"$d/staging")
+      Ingest.phashDedupAvailableNow(spark, s"$d/staging", s"$d/chk",
+        s"$d/store", s"$d/out", maxFilesPerTrigger = Some(1))
+      spark.read.parquet(s"$d/out")
+        .select(col("id_i"), col("id_j"), col("dist").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val threeBatches = run(Seq(base,
+      pert.filter(col("doc_id") % 2 === 0),
+      pert.filter(col("doc_id") % 2 =!= 0)), "a")
+    val oneBatch = run(Seq(base.unionByName(pert)), "b")
+    assert(threeBatches === oneBatch)
+    // and both equal the one-shot batch dedup
+    val oneShot = ImageDedup.phashNearDups(
+        decode(base.unionByName(pert)), "doc_id", maxDist = 7)
+      .select(col("id_i"), col("id_j"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(threeBatches === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
+  test("streaming phash dedup: a full replay over the same sinks is idempotent") {
+    import graft.streaming.Ingest
+    val d = tmpDir("sphash_replay")
+    val base = ImageGen.syntheticPng(ids(12), "doc_id")
+    val pert = ImageGen.syntheticPng(ids(12), "doc_id", delta = 2)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("content"))
+    Ingest.stageOrderedParquet(spark, Seq(base, pert), s"$d/staging")
+    def run(chk: String) = {
+      Ingest.phashDedupAvailableNow(spark, s"$d/staging", chk,
+        s"$d/store", s"$d/out", maxFilesPerTrigger = Some(1))
+      spark.read.parquet(s"$d/out")
+        .select(col("id_i"), col("id_j"), col("dist").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val first = run(s"$d/chk1")
+    // a fresh checkpoint replays every batch against the ALREADY
+    // POPULATED store and out sinks — the batch_id partition
+    // overwrite + current-batch store exclusion must make the
+    // replay a no-op, not a duplicate-pair explosion
+    val second = run(s"$d/chk2")
+    assert(first === second)
+    assert(first.nonEmpty)
+  }
+
   test("non-PCM / corrupt audio payloads yield null fingerprints") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
