@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * composes with [[Load.writeClustered]] / [[ZOrder]], which exist
   * precisely to make per-file min/max ranges tight.
   *
-  * The index is derived state: [[build]] is one aggregation over the
-  * dataset grouped by `input_file_name()`, rewritten whenever the
-  * dataset is (files are immutable once written — the same
-  * assumption every table format makes). Pruning is conservative:
+  * The index is derived state: [[build]] is one aggregation over
+  * the dataset grouped by `input_file_name()` (the bootstrap), and
+  * [[updateFor]] keeps it fresh under appends by scanning only the
+  * new files (files are immutable once written — the same
+  * assumption every table format makes). `nulls_<c>` is recorded
+  * for IS NULL-style pruning; range pruning needs only min/max.
+  * Pruning is conservative:
   * a file is kept whenever its [min, max] interval CAN intersect the
   * predicate, and files with all-null stats columns are always kept
   * — false positives cost a scan, false negatives would cost
