@@ -101,6 +101,29 @@ class PropertySpec extends SparkSpec {
     assert(r.getAs[Double]("coverage") === 0.666667)
   }
 
+  test("StatsIndex pruned read ≡ full filter for arbitrary data and bounds") {
+    // the no-false-negatives contract, property-tested over random
+    // key sets (duplicates, negatives, skew) and random/inverted/
+    // out-of-range bounds — not just the tidy clustered layouts the
+    // unit tests use
+    val keysGen = Gen.listOfN(300, Gen.chooseNum(-500L, 500L))
+    val boundsGen = Gen.zip(Gen.chooseNum(-600L, 600L), Gen.chooseNum(-600L, 600L))
+    forAllSeeded(Gen.zip(keysGen, boundsGen), n = 6) { case (keys, (a, b)) =>
+      val d = tmpDir("dsk_prop")
+      // unclustered write: files get overlapping, unsorted ranges —
+      // the adversarial layout for min/max pruning
+      keys.toDF("k").repartition(5).write.parquet(s"$d/t")
+      val stats = graft.etl.StatsIndex.build(spark, s"$d/t", Seq("k"))
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
+        spark, s"$d/t", stats, "k", Some(lit(lo)), Some(lit(hi)))
+      val got = pruned.select("k").as[Long].collect().sorted
+      val want = keys.filter(k => k >= lo && k <= hi).sorted.toArray
+      assert(got === want, s"bounds [$lo,$hi]")
+      assert(nRead <= nTotal && nTotal === 5)
+    }
+  }
+
   test("SigDedup band join ≡ all-pairs Hamming filter on random signatures") {
     // the pigeonhole guarantee, property-tested over ADVERSARIAL
     // random 64-bit signatures (not just decoded corpora): for any
