@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object StatsIndex {
 
+  private def statsAggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+
+  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), statsAggs(cols): _*)
+
   /** One stats row per file: (file, n_rows, min_<c>, max_<c>,
     * nulls_<c> per stats column). One scan of the dataset, one
     * shuffle keyed by file name (#files groups — metadata-sized).
@@ -38,13 +48,7 @@ object StatsIndex {
   def build(spark: SparkSession, dataPath: String,
             cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    }
-    spark.read.parquet(dataPath)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    statsFor(spark.read.parquet(dataPath), cols)
   }
 
   /** [[build]] + persist the stats table beside the data (the
@@ -94,16 +98,7 @@ object StatsIndex {
       if (survivors.isEmpty) stats.filter(lit(false))
       else stats.filter(col("file").isin(survivors: _*))
     if (fresh.isEmpty) kept
-    else {
-      val aggs = cols.flatMap { c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-      }
-      kept.unionByName(
-        spark.read.parquet(fresh: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(count(lit(1)).as("n_rows"), aggs: _*))
-    }
+    else kept.unionByName(statsFor(spark.read.parquet(fresh: _*), cols))
   }
 
   /** The candidate file list for `lo <= c <= hi` (either bound
