@@ -6,7 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Versioned table snapshots with time travel — the Delta-lite
   * commit protocol over plain parquet dirs, completing the table-
   * maintenance tier ([[Load.writeSharded]]'s commit marker,
-  * [[Load.compact]], [[Load.writeClustered]]) with history:
+  * [[Load.compact]], [[Load.writeClustered]]) with history. The
+  * reference upserts destructively with no history or undo
+  * (`main.py:50,85` — a bad batch permanently overwrites good
+  * rows); at 100 TB "restore yesterday" must be metadata-only,
+  * which is what the version log below provides:
   *
   * {{{
   *   <root>/_versions/v00000001.json   // version log (commit points)

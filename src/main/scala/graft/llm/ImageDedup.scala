@@ -117,10 +117,12 @@ object SigDedup {
   * in the dedup tier: exact/MinHash/SimHash/embedding cover text,
   * this covers the image corpus through the REAL decode path.
   *
-  * Reference behavior: the pipeline ingests binary media and dedups
-  * on content (main.py's file-level handling); this is the
-  * content-aware upgrade a training-data pipeline needs — byte-hash
-  * dedup misses the same photo saved twice at different quality.
+  * Reference behavior: the pipeline fetches each staged file's raw
+  * bytes and treats it as an opaque payload, with FILE IDENTITY the
+  * only dedup key (main.py:438-439 `get_media` → BytesIO,
+  * main.py:465-469 archive-by-file-id); this is the content-aware
+  * upgrade a training-data pipeline needs — byte- or id-level dedup
+  * misses the same photo saved twice at different quality.
   * At 100 TB of images the decode is embarrassingly parallel and the
   * hash is 16 bytes/row; pairing is [[SigDedup.bandedNearDups]].
   */
