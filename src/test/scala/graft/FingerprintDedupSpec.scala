@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 import graft.llm.ImageDedup
 import graft.sources.{ImageGen, Multimodal}
 
-/** Perceptual-hash image dedup: exact aHash bits, perturbation
-  * invariance, pigeonhole recall, corrupt-payload skip.
+/** Perceptual-fingerprint dedup across the modality triad: exact
+  * aHash / zero-crossing / time-average bits, perturbation
+  * invariance, pigeonhole recall, incremental and streaming
+  * contracts, corrupt-payload skip.
   */
-class ImageDedupSpec extends SparkSpec {
+class FingerprintDedupSpec extends SparkSpec {
 
   private def ids(n: Int) = {
     import spark.implicits._
