@@ -312,9 +312,20 @@ object Dedup {
     * blocks; any pair within maxDist must agree exactly on ≥1 block,
     * so candidates come from equi-joins on block values — never
     * all-pairs.
+    *
+    * Signature-skew defense (the [[SigDedup.bandedNearDups]] shape):
+    * the block join bands one representative per DISTINCT signature,
+    * so band occupancy is bounded by the distinct-signature count —
+    * m boilerplate docs collapsing to one simhash contribute ONE row
+    * per band, not m² candidates per band. Identical-signature
+    * groups expand separately as dist-0 pairs through one equi-join
+    * keyed on the signature (linear in emitted pairs, paid once).
+    * `maxSigFreq` > 0 excludes signatures shared by more than that
+    * many docs from pairing entirely (the `maxDocFreq` analogue);
+    * excluded groups stay visible via a `groupBy(sig)` count.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, maxSigFreq: Int = 0): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
     // cache barrier: without it the simhash expression is inlined
@@ -322,18 +333,36 @@ object Dedup {
     // signature would be recomputed per candidate pair.
     val withSig = BarrierCache.track(
       docs.select(col(idCol), simhash(col(textCol)).as("sig")))
+    val groupsAll = BarrierCache.track(
+      withSig.groupBy("sig").agg(min(col(idCol)).as("rep"), count(lit(1)).as("m")))
+    val groups =
+      if (maxSigFreq <= 0) groupsAll
+      else groupsAll.filter(col("m") <= maxSigFreq)
+    val members =
+      if (maxSigFreq <= 0) withSig
+      else withSig.join(groups.select("sig"), Seq("sig"), "left_semi")
+    val zero = members.select(col(idCol).as("id_i"), col("sig"))
+      .join(members.select(col(idCol).as("id_j"), col("sig")), Seq("sig"))
+      .filter(col("id_i") < col("id_j"))
+      .select(col("id_i"), col("id_j"), lit(0).as("dist"))
     val blockCols = array((0 until nBlocks).map { b =>
       shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
     }: _*)
-    val blocks = withSig.select(col(idCol), col("sig"), posexplode(blockCols))
-      .toDF(idCol, "sig", "block", "bval")
-    val l = blocks.toDF("id_i", "sig_i", "block", "bval")
-    val r = blocks.toDF("id_j", "sig_j", "block", "bval")
-    l.join(r, Seq("block", "bval"))
-      .filter(col("id_i") < col("id_j"))
-      .select(col("id_i"), col("id_j"),
+    val blocks = groups.select(col("rep"), col("sig"), posexplode(blockCols))
+      .toDF("rep", "sig", "block", "bval")
+    val l = blocks.toDF("rep_i", "sig_i", "block", "bval")
+    val r = blocks.toDF("rep_j", "sig_j", "block", "bval")
+    val sigPairs = l.join(r, Seq("block", "bval"))
+      .filter(col("rep_i") < col("rep_j"))
+      .select(col("sig_i"), col("sig_j"),
         hamming(col("sig_i"), col("sig_j")).as("dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") <= maxDist) // distinct sigs ⇒ dist ≥ 1
+    val cross = sigPairs
+      .join(members.select(col(idCol).as("id_a"), col("sig").as("sig_i")), Seq("sig_i"))
+      .join(members.select(col(idCol).as("id_b"), col("sig").as("sig_j")), Seq("sig_j"))
+      .select(least(col("id_a"), col("id_b")).as("id_i"),
+        greatest(col("id_a"), col("id_b")).as("id_j"), col("dist"))
+    cross.unionByName(zero)
   }
 }

@@ -82,6 +82,28 @@ class DedupSpec extends SparkSpec {
     if (maxDf <= 50) assert(capped === full)
   }
 
+  test("simhash identical-doc pile-up stays linear through the bands") {
+    // 2000 copies of one boilerplate doc collapse to ONE simhash —
+    // the old per-band join emitted 4·n² candidate rows before the
+    // distinct; the distinct-signature design keeps total join output
+    // within a whisker of the output-inherent C(n,2), and a
+    // maxSigFreq cap excludes the degenerate group entirely
+    val n = 2000L
+    val boiler = (0L until n).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val tail = (0 until 10).map(i =>
+      (100000L + i, s"unique document number $i with its own distinctive words w$i x$i y$i z$i"))
+    val df = (boiler ++ tail).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 3)
+    val (cnt, joinOut) = countWithJoinOutput(pairs)
+    assert(cnt >= n * (n - 1) / 2)
+    assert(joinOut <= n * (n - 1) / 2 + 100L * n,
+      s"joins emitted $joinOut rows — simhash band join is quadratic in the hot group")
+    val capped = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 3,
+      maxSigFreq = 100)
+    assert(capped.filter(col("id_j") < 100000L).count() === 0L)
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("capped Jaccard scores numerator and denominator in ONE universe") {
     // Two identical docs whose shingles are MOSTLY hot (shared with
     // 60 fillers): scoring filtered intersections against unfiltered

@@ -225,6 +225,80 @@ class FingerprintDedupSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("identical-signature pile-up stays linear: 10k same-aHash files never go quadratic through the bands") {
+    import graft.llm.SigDedup
+    // real-image grounding: solid-color thumbnails — endemic in
+    // crawls — all collapse to ONE aHash (every cell mean equals the
+    // global mean), the worst case the banded join must survive
+    val solid = (0 until 3).map { i =>
+      val bi = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) bi.setRGB(x, y, 0x808080 + i)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", out)
+      Row(i.toLong, out.toByteArray)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val solidSigs = decode(spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(solid).asJava, schema))
+      .select("ahash_hi", "ahash_lo").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(solidSigs.distinct.length === 1,
+      "solid thumbnails must share one aHash — the pile-up is real, not synthetic")
+    // the pile-up at scale: 10k rows carrying that one signature plus
+    // a spread tail. The old per-band member join emitted 8·(n+k)²
+    // ≈ 800M rows here; the distinct-signature design must keep total
+    // join output within a whisker of the OUTPUT-inherent C(n,2)
+    val n = 10000L
+    val (hotHi, hotLo) = solidSigs.head
+    val hot = spark.range(n).select(col("id").as("doc_id"),
+      lit(hotHi).as("hi"), lit(hotLo).as("lo"))
+    val spreadTail = spark.range(20).select((col("id") + 100000L).as("doc_id"),
+      (col("id") * 255L + 7L).as("hi"), (col("id") * 1021L + 9L).as("lo"))
+    val pairs = SigDedup.bandedNearDups(
+      hot.unionByName(spreadTail), "doc_id", "hi", "lo", maxDist = 7)
+    val (cnt, joinOut) = countWithJoinOutput(pairs)
+    assert(cnt >= n * (n - 1) / 2, "every identical-signature pair must be emitted")
+    assert(joinOut <= n * (n - 1) / 2 + 200L * n,
+      s"joins emitted $joinOut rows — the band join is quadratic in the hot group again")
+    // the capped form excludes the degenerate group entirely — and
+    // reports it (no silent caps)
+    val capped = SigDedup.bandedNearDups(
+        hot.unionByName(spreadTail), "doc_id", "hi", "lo",
+        maxDist = 7, maxSigFreq = 100)
+      .filter(col("id_j") < 100000L) // hot-group-internal pairs
+    assert(capped.count() === 0L)
+    val dropped = SigDedup.sigGroupSizes(
+        hot.unionByName(spreadTail), "doc_id", "hi", "lo")
+      .filter(col("m") > 100).collect()
+    assert(dropped.length === 1 && dropped.head.getAs[Long]("m") === n)
+  }
+
+  test("incremental pairing with a hot store group scans no store×store pairs") {
+    import graft.llm.SigDedup
+    // 5k store rows share one signature; the fresh batch carries 10
+    // spread rows plus 5 members of the hot group. Store×store dist-0
+    // pairs (C(5000,2) ≈ 12.5M) must never be materialized — join
+    // output stays proportional to the fresh-touching pair count.
+    val m = 5000L
+    val store = spark.range(m).select(col("id").as("doc_id"),
+      lit(0x5A5AL).as("hi"), lit(0xA5A5L).as("lo"))
+    val fresh = spark.range(5).select((col("id") + 100000L).as("doc_id"),
+        lit(0x5A5AL).as("hi"), lit(0xA5A5L).as("lo"))
+      .unionByName(spark.range(10).select((col("id") + 200000L).as("doc_id"),
+        (col("id") * 511L + 3L).as("hi"), (col("id") * 127L + 11L).as("lo")))
+    val inc = SigDedup.incrementalNearDups(
+      store, fresh, "doc_id", "hi", "lo", maxDist = 7)
+    val (cnt, joinOut) = countWithJoinOutput(inc)
+    // 5 fresh hot members × 5000 store + C(5,2) fresh×fresh (plus
+    // whatever organic near-collisions the spread tail contributes)
+    assert(cnt >= 5L * m + 10L)
+    assert(inc.filter(col("id_j") < 200000L).count() === 5L * m + 10L)
+    assert(joinOut <= 4L * (5L * m) + 1000L,
+      s"joins emitted $joinOut rows — store×store leaked into the expansion")
+  }
+
   test("non-PCM / corrupt audio payloads yield null fingerprints") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

@@ -29,4 +29,32 @@ abstract class SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Execute `df` and return (result row count, total rows emitted by
+    * every join node in the executed plan, via SQLMetrics). The probe
+    * the skew/pile-up tests use to assert a join layer stays linear:
+    * a quadratic candidate explosion shows up in the join output
+    * metric even when the final result is small.
+    */
+  def countWithJoinOutput(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val qe = df.queryExecution
+    val n = qe.toRdd.count() // drives THIS execution, populating its metrics
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val joinOut = flatten(qe.executedPlan)
+      .filter(_.nodeName.toLowerCase.contains("join"))
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+      .sum
+    (n, joinOut)
+  }
 }
