@@ -70,22 +70,28 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  /** Parse the one metadata field readers need (dataDir) without a
-    * JSON library: the version files are written by this object, so
+  /** Parse the metadata fields readers need (dataDir, nRows) without
+    * a JSON library: the version files are written by this object, so
     * the field shape is fixed.
     */
-  private def dataDirOf(spark: SparkSession, root: String, v: Long): String = {
+  private def versionMeta(spark: SparkSession, root: String, v: Long): (String, Long) = {
     val vf = versionFile(root, v)
     val f = fs(spark, vf)
     require(f.exists(vf), s"$root has no committed version $v")
     val in = f.open(vf)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    """"data_dir":"([^"]+)"""".r.findFirstMatchIn(body) match {
+    val dir = """"data_dir":"([^"]+)"""".r.findFirstMatchIn(body) match {
       case Some(m) => m.group(1)
       case None => throw new IllegalStateException(s"$vf is not a version file")
     }
+    val n = """"n_rows":(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    (dir, n)
   }
+
+  private def dataDirOf(spark: SparkSession, root: String, v: Long): String =
+    versionMeta(spark, root, v)._1
 
   /** Commit `df` as the next version of `root`; returns the new
     * version number. MULTI-WRITER SAFE (Delta-style optimistic
@@ -104,8 +110,15 @@ object Snapshots {
   def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
     val dataDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     val dataPath = new Path(root, dataDir)
-    df.write.mode("overwrite").parquet(dataPath.toString)
-    val nRows = spark.read.parquet(dataPath.toString).count()
+    // n_rows rides the write itself (Observation = a named accumulator
+    // over the rows the writer actually emits) — no second listing +
+    // count job over what, at target scale, is millions of fresh files
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_commit_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(dataPath.toString)
+    val nRows = obs.get("n_rows").asInstanceOf[Long]
     publishNext(spark, root, dataDir, nRows)
   }
 
@@ -125,12 +138,21 @@ object Snapshots {
   }
 
   /** Attempt to publish version `v` pointing at `dataDir`: write to
-    * a writer-unique temp name in the same dir, then rename — the
-    * rename is atomic on HDFS-like filesystems and the local FS,
-    * and FAILS if the destination exists, so exactly one writer
-    * wins a version number; readers see either no version or a
-    * complete one. Returns false on a lost race (destination
-    * already committed by another writer).
+    * a writer-unique temp name in the same dir, then promote with
+    * CREATE-EXCLUSIVE semantics — exactly one writer wins a version
+    * number; readers see either no version or a complete one.
+    * Returns false on a lost race (destination already committed by
+    * another writer).
+    *
+    * The promote step is filesystem-aware because plain rename is
+    * NOT create-exclusive everywhere: POSIX rename(2) — what the
+    * local FS delegates to — silently REPLACES an existing
+    * destination, which would let two concurrent committers both
+    * "win" version v, one of them silently losing its commit. On the
+    * local FS the promote is therefore `link(2)` (atomic, fails
+    * EEXIST if the destination exists); on HDFS-like filesystems
+    * `FileSystem.rename` already fails when the destination exists
+    * and stays the promote step.
     */
   private def tryPublish(spark: SparkSession, root: String, v: Long,
                          dataDir: String, nRows: Long): Boolean = {
@@ -144,7 +166,18 @@ object Snapshots {
     try out.write(
       s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows}""".getBytes("UTF-8"))
     finally out.close()
-    if (f.rename(tmp, vf)) true
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(vf.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false // lost the race — caller retries at v+1
+      }
+    } else if (f.rename(tmp, vf)) true
     else {
       f.delete(tmp, false)
       if (f.exists(vf)) false // lost the race — caller retries at v+1
@@ -167,8 +200,9 @@ object Snapshots {
     * version remains inspectable), and no data is copied.
     */
   def rollback(spark: SparkSession, root: String, to: Long): Long = {
-    val dataDir = dataDirOf(spark, root, to)
-    val nRows = spark.read.parquet(new Path(root, dataDir).toString).count()
+    // metadata-only all the way: the target version file already
+    // records its n_rows, so the undo triggers no read of the data
+    val (dataDir, nRows) = versionMeta(spark, root, to)
     publishNext(spark, root, dataDir, nRows)
   }
 

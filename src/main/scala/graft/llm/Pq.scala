@@ -252,10 +252,29 @@ object Pq {
     * union — no drift between index generations, because assignment
     * is a pure function of (vector, codebooks).
     */
+  /** @param excludeSelf drop the candidate whose id equals the query
+    *   id (true = the self-search convention [[pqTopK]] uses, right
+    *   when queries ARE corpus rows, as in q154). Set false when the
+    *   query set is EXTERNAL — ids live in a different space, and an
+    *   accidental id collision must not silently drop a (possibly
+    *   top-1) candidate.
+    */
   def indexTopK(cents: DataFrame, encoded: DataFrame, corpus: DataFrame,
                 queries: DataFrame, idCol: String, vecCol: String, k: Int,
-                p: PqParams = PqParams()): DataFrame = {
+                p: PqParams = PqParams(),
+                excludeSelf: Boolean = true): DataFrame = {
     val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    // m is baked into the stored artifact: dsub and the posexplode
+    // positions below both derive from it, so a caller-supplied p.m
+    // that disagrees with the persisted codebooks would silently
+    // mis-decode every code. Derive it from storage and refuse a
+    // mismatch instead. (ksub needs no check — scoring joins on the
+    // stored (sub, code) rows themselves, so a wrong p.ksub cannot
+    // change the result.)
+    val mStored = cents.agg(max(col("sub"))).head().getInt(0) + 1
+    require(mStored == p.m,
+      s"stored codebooks have m=$mStored but params say m=${p.m} — " +
+        "decoding with the wrong subspace count would mis-score every code")
     val dsub = dim / p.m
     // encode() writes codes sorted by sub, so the array position IS
     // the subspace id — posexplode restores (cand_id, sub, code)
@@ -263,7 +282,7 @@ object Pq {
       posexplode(col("codes")).as(Seq("sub", "code")))
     val lut = lutOf(queries, idCol, vecCol, broadcast(cents), p.m, dsub)
     adcRank(codeRows.join(lut, Seq("sub", "code")), corpus, queries,
-      idCol, vecCol, k, p)
+      idCol, vecCol, k, p, excludeSelf)
   }
 
   /** Shared ADC tail: aggregate LUT terms to (query, cand) scores,
@@ -271,7 +290,8 @@ object Pq {
     */
   private def adcRank(adcTerms: DataFrame, corpus: DataFrame,
                       queries: DataFrame, idCol: String, vecCol: String,
-                      k: Int, p: PqParams): DataFrame = {
+                      k: Int, p: PqParams,
+                      excludeSelf: Boolean = true): DataFrame = {
     // ADC: one hash aggregate to (query, cand) — partial aggregation
     // collapses the m rows map-side
     val qn = broadcast(queries.select(col(idCol).as("query_id"),
@@ -282,7 +302,7 @@ object Pq {
       .join(qn, Seq("query_id"))
       .withColumn("adc_cos",
         Similarity.cosine(col("adc_dot"), col("qn2"), col("cn2_hat")))
-      .filter(col("cand_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("cand_id") =!= col("query_id") else lit(true))
     // refinement budget: grows with the QUERY's candidate count (1%
     // — recall decays if a fixed shortlist covers an ever-thinner
     // slice of a growing index) but is hard-capped at shortlistCap so

@@ -32,6 +32,11 @@ object ImageGen {
   def height(id: Long): Int = (16 + id % 13).toInt
 
   private def render(id: Long, delta: Int): Array[Byte] = {
+    // the clamp below is one-sided (min(v + delta, 255)) — a negative
+    // delta would let sign bits bleed across the RGB packing and
+    // silently diverge from the SQL-replayable least(v + delta, 255)
+    // contract, so reject it here (AudioGen guards its gain the same way)
+    require(delta >= 0 && delta <= 255, s"delta=$delta must be in [0, 255]")
     val w = width(id)
     val h = height(id)
     val bi = new java.awt.image.BufferedImage(

@@ -69,6 +69,10 @@ object VideoGen {
     * video, and the clamped add stays SQL-replayable.
     */
   def render(id: Long, delta: Int): Array[Byte] = {
+    // one-sided clamp (min(v + delta, 255)): a negative delta would
+    // wrap to large unsigned bytes on decode — reject, as ImageGen/
+    // AudioGen do
+    require(delta >= 0 && delta <= 255, s"delta=$delta must be in [0, 255]")
     val w = width(id)
     val h = height(id)
     val nf = nFrames(id)

@@ -462,25 +462,38 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // cache the batch's signatures ONCE: the dedup join and the
+        // store append both consume them, and without the cache the
+        // second consumer would re-run the expensive ImageIO decode
+        // over the whole batch
         val sigs = graft.sources.Multimodal
           .decodeImages(batch, "content", grid = 8)
           .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
-        val store =
-          if (Load.tableExists(spark, storeDir))
-            spark.read.parquet(storeDir)
-              .filter(col("batch_id") =!= batchId)
-              .select("doc_id", "ahash_hi", "ahash_lo")
-          else sigs.limit(0)
-        graft.llm.SigDedup.incrementalNearDups(
-            store, sigs, "doc_id", "ahash_hi", "ahash_lo", maxDist = 7)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
-        sigs.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(storeDir)
+          .persist()
+        try {
+          val store =
+            if (Load.tableExists(spark, storeDir))
+              spark.read.parquet(storeDir)
+                .filter(col("batch_id") =!= batchId)
+                .select("doc_id", "ahash_hi", "ahash_lo")
+            else sigs.limit(0)
+          graft.llm.SigDedup.incrementalNearDups(
+              store, sigs, "doc_id", "ahash_hi", "ahash_lo", maxDist = 7)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+          sigs.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(storeDir)
+        } finally {
+          // a long-running stream must not accrete one batch's worth
+          // of cached plans per trigger: drop this batch's explicit
+          // cache AND the barrier caches SigDedup tracked for it
+          sigs.unpersist()
+          graft.llm.BarrierCache.sweep(spark)
+        }
       }
       .start()
     q.awaitTermination()

@@ -187,9 +187,15 @@ class FingerprintDedupSpec extends SparkSpec {
         .select(col("id_i"), col("id_j"), col("dist").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val threeBatches = run(Seq(base,
       pert.filter(col("doc_id") % 2 === 0),
       pert.filter(col("doc_id") % 2 =!= 0)), "a")
+    // a long stream must not accrete per-batch cached plans: every
+    // trigger's signature cache and barrier caches are dropped at
+    // batch end
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "streaming batches leaked cached plans")
     val oneBatch = run(Seq(base.unionByName(pert)), "b")
     assert(threeBatches === oneBatch)
     // and both equal the one-shot batch dedup

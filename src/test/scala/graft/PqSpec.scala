@@ -143,6 +143,39 @@ class PqSpec extends SparkSpec {
     assert(served.sortBy(t => (t._1, t._2)) === inplan.sortBy(t => (t._1, t._2)))
   }
 
+  test("indexTopK: external query ids colliding with corpus ids keep their candidate") {
+    // an EXTERNAL query whose id happens to equal a corpus id must
+    // not silently lose that (here: top-1, the vector itself) —
+    // excludeSelf=false is the external-id-space mode
+    val root = tmpDir("pq_ext")
+    graft.etl.Load.writeAtomic(spark, cents, s"$root/cb")
+    graft.etl.Load.writeAtomic(spark,
+      Pq.encode(emb, "vec_id", "embedding", cents, p), s"$root/codes")
+    val cb = graft.etl.Load.readTable(spark, s"$root/cb")
+    val codes = graft.etl.Load.readTable(spark, s"$root/codes")
+    val q = emb.filter(col("vec_id") === 0L) // same id AND same vector as corpus row 0
+    val kept = Pq.indexTopK(cb, codes, emb, q, "vec_id", "embedding", 5, p,
+      excludeSelf = false)
+    val top1 = kept.filter(col("rnk") === 1L).collect().head
+    assert(top1.getLong(2) === 0L, "colliding id must stay retrievable")
+    assert(top1.getDouble(3) >= 0.999999)
+    val dropped = Pq.indexTopK(cb, codes, emb, q, "vec_id", "embedding", 5, p)
+    assert(dropped.filter(col("cand_id") === 0L).count() === 0L,
+      "self-search mode still excludes the query row")
+  }
+
+  test("indexTopK refuses codebooks whose m disagrees with params") {
+    val root = tmpDir("pq_m")
+    graft.etl.Load.writeAtomic(spark, cents, s"$root/cb")
+    val cb = graft.etl.Load.readTable(spark, s"$root/cb")
+    val codes = Pq.encode(emb, "vec_id", "embedding", cents, p)
+    val wrong = p.copy(m = p.m / 2)
+    val e = intercept[IllegalArgumentException] {
+      Pq.indexTopK(cb, codes, emb, probes, "vec_id", "embedding", 10, wrong)
+    }
+    assert(e.getMessage.contains("m="))
+  }
+
   test("incremental encode with reloaded codebooks matches in-memory codes") {
     val root = tmpDir("pq_inc")
     graft.etl.Load.writeAtomic(spark, cents, s"$root/cb")

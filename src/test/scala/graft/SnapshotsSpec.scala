@@ -100,6 +100,62 @@ class SnapshotsSpec extends SparkSpec {
     assert(sizes === Seq(10L, 20L, 30L, 40L), s"row counts $sizes")
   }
 
+  test("hammered publish races: every publish wins a DISTINCT version, none lost") {
+    // rollbacks are metadata-only, so 40 of them from 8 threads hit
+    // the publish step nearly simultaneously — the local FS's
+    // rename(2) silently REPLACES an existing destination, so a
+    // rename-based commit point would let two publishers both claim
+    // the same version number (one commit silently lost); the
+    // link(2) create-exclusive promote must never do that
+    val root = tmpDir("snap_race")
+    Snapshots.commit(spark, df(3), root)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try {
+          barrier.await()
+          (1 to 5).foreach(_ => got.add(Snapshots.rollback(spark, root, to = 1L)))
+        } catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"publish failed: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val vs = got.asScala.toSeq.sorted
+    assert(vs === (2L to 41L), s"publish races lost or duplicated a version: $vs")
+    assert(Snapshots.versions(spark, root) === (1L to 41L))
+  }
+
+  test("commit is exactly the write job; rollback runs zero jobs") {
+    val root = tmpDir("snap_jobs")
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store is fed asynchronously — poll until stable
+      var last = -1
+      var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (n != last && spins < 50) {
+        last = n; Thread.sleep(100)
+        n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      n
+    }
+    assert(jobsIn("snap_commit_probe") {
+      Snapshots.commit(spark, df(4), root)
+    } === 1, "commit must run ONLY the write — n_rows rides the write via observe")
+    assert(jobsIn("snap_rollback_probe") {
+      Snapshots.rollback(spark, root, to = 1L)
+    } === 0, "rollback must be metadata-only — no data read for n_rows")
+    // and the observed n_rows landed in the version metadata
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_versions/v00000001.json")), "UTF-8")
+    assert(body.contains("\"n_rows\":4"), body)
+  }
+
   test("rollback to a version that was never committed is refused") {
     val root = tmpDir("snap_dup")
     Snapshots.commit(spark, df(1), root)
