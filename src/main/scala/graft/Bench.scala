@@ -195,7 +195,7 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir)
-        SparkEntry.queries.values.foreach { fn =>
+        (SparkEntry.queries ++ ServingBench.queries).values.foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => }
         }
     } catch { case _: Throwable => }
@@ -216,7 +216,11 @@ object Bench {
     // dev-only: regex filter to time a subset (bisecting order-
     // dependent effects); the driver never sets it
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // the bench surface = every registered query plus the
+    // serving-only entries (persisted-state lifecycles timed at their
+    // SERVE stage — ServingBench memoizes the build, so pass 1's cold
+    // shows build+serve and the median is serving alone)
+    val queries = (SparkEntry.queries ++ ServingBench.queries).toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
     // ROUND-ROBIN passes (q1..qN, repeated `iters` times), not
     // back-to-back iterations per query: a transient slow window on

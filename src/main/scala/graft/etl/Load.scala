@@ -379,14 +379,16 @@ object Load {
     * maintenance at scale. Data is preserved exactly — only the
     * file layout changes.
     *
-    * Flat tables only, enforced: a partition-directory layout
-    * (`name=value` dirs — the upsert's `__bucket=`, quarantine's
-    * `__batch=`, shard datasets' `shard=`) flattens into data
-    * columns under a plain read and a `_MANIFEST.json` commit marker
-    * would be silently dropped by the rewrite — both would corrupt
-    * the table's contract, so compact refuses them (compact inside
-    * one partition directory instead, or rewrite via
-    * [[writeSharded]]).
+    * Partition-directory layouts (`name=value` dirs — the upsert's
+    * `__bucket=`, quarantine's `__batch=`, shard datasets' `shard=`,
+    * every real ingest table) compact RECURSIVELY: each leaf
+    * partition dir is rewritten in place, so the dir tree — what
+    * partition pruning keys on — is untouched and the partition
+    * columns never flatten into the data files. Partitions compact
+    * independently (per-partition atomic swap), exactly how a 100 TB
+    * maintenance job shards the work. Manifest-committed shard
+    * datasets still refuse: their commit marker must be rewritten
+    * through [[writeSharded]], not around it.
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -396,11 +398,17 @@ object Load {
     val entries = fs.listStatus(p)
     require(!entries.exists(_.getPath.getName == "_MANIFEST.json"),
       s"$path is a manifest-committed shard dataset — rewrite via writeSharded")
-    require(!entries.exists(s => s.isDirectory && s.getPath.getName.contains("=")),
-      s"$path has partition directories — compact each partition dir, not the root")
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    writeAtomic(spark, spark.read.parquet(path).repartition(nFiles), path)
+    val partDirs = entries.filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) {
+      require(!entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+        s"$path mixes data files and partition directories — not a valid layout")
+      partDirs.foreach(d => compact(spark, d.getPath.toString, targetBytes))
+    } else {
+      val bytes = fs.getContentSummary(p).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      writeAtomic(spark, spark.read.parquet(path).repartition(nFiles), path)
+    }
   }
 
   /** Range-clustered write: range-partition on `byCol` and sort

@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Versioned table snapshots with time travel — the Delta-lite
   * commit protocol over plain parquet dirs, completing the table-
@@ -206,6 +206,56 @@ object Snapshots {
     publishNext(spark, root, dataDir, nRows)
   }
 
+  // --- per-version data skipping (Snapshots × StatsIndex) ---
+
+  /** Stats table location for a snapshot data dir — keyed by the
+    * DATA DIR name, not the version number: a [[rollback]] re-points
+    * a new version at an old dir whose stats already exist, so the
+    * metadata-only undo keeps its skipping index with zero work.
+    */
+  private def statsPath(root: String, dataDir: String): Path =
+    new Path(new Path(root, "_stats"), dataDir.stripPrefix("data/"))
+
+  /** [[commit]] + build and persist the per-file min/max stats index
+    * for the new version's data dir ([[StatsIndex]]) — the commit
+    * hook that makes TIME-TRAVEL reads data-skipping-capable: old
+    * versions stay readable AND prunable. Snapshot data dirs are
+    * immutable once published, so the hook is one
+    * [[StatsIndex.build]] pass over exactly the files this commit
+    * wrote (never the table's history); [[StatsIndex.updateFor]]
+    * remains the maintenance hook for IN-PLACE append tables, which
+    * snapshots by construction are not.
+    */
+  def commitWithStats(spark: SparkSession, df: DataFrame, root: String,
+                      cols: Seq[String]): Long = {
+    val v = commit(spark, df, root)
+    val dataDir = dataDirOf(spark, root, v)
+    val sp = statsPath(root, dataDir)
+    if (!fs(spark, sp).exists(sp)) // a re-used dir already has its stats
+      StatsIndex.buildAndSave(spark,
+        new Path(root, dataDir).toString, cols, sp.toString)
+    v
+  }
+
+  /** Time-travel read THROUGH the version's stats index: the file
+    * list prunes from metadata alone, then only candidate files
+    * open ([[StatsIndex.prunedRead]]'s contract, against the
+    * version's immutable data dir). Returns (frame, files read,
+    * files total).
+    */
+  def readPruned(spark: SparkSession, root: String, version: Option[Long],
+                 c: String, lo: Option[Column], hi: Option[Column])
+      : (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val dataDir = dataDirOf(spark, root, v)
+    val sp = statsPath(root, dataDir)
+    require(fs(spark, sp).exists(sp),
+      s"version $v of $root has no stats index — commit via commitWithStats")
+    StatsIndex.prunedRead(spark, new Path(root, dataDir).toString,
+      spark.read.parquet(sp.toString), c, lo, hi)
+  }
+
   /** Reclaim storage: keep the last `keepLast` versions (and
     * whatever data dirs they reference — a rollback target stays
     * alive as long as any kept version points at it), delete older
@@ -230,8 +280,11 @@ object Snapshots {
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
-      if (!keepDirs.contains(rel) && st.getModificationTime <= cutoff)
+      if (!keepDirs.contains(rel) && st.getModificationTime <= cutoff) {
         f.delete(st.getPath, true)
+        // a reclaimed dir's skipping index is dead weight too
+        f.delete(statsPath(root, rel), true)
+      }
     }
   }
 }

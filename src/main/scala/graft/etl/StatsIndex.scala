@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level data-skipping index — the Delta/Iceberg pattern: a
@@ -15,11 +15,25 @@ import org.apache.spark.sql.functions._
   * composes with [[Load.writeClustered]] / [[ZOrder]], which exist
   * precisely to make per-file min/max ranges tight.
   *
+  * Layouts: both flat dirs and Hive-style partition-dir trees
+  * (`k=v/` subdirs — the layout every real ingest table has, and the
+  * engine's own sinks produce: upsert's `__bucket=`, quarantine's
+  * `__batch=`, shard datasets' `shard=`). Partition columns surface
+  * as ordinary columns on every read here (partition discovery on
+  * the root; `basePath` on file-subset reads), so including a
+  * partition column in `cols` gives per-file stats rows whose
+  * min = max = the partition value — file-level skipping then
+  * SUBSUMES partition pruning and composes with in-file ranges on
+  * other columns.
+  *
   * The index is derived state: [[build]] is one aggregation over
   * the dataset grouped by `input_file_name()` (the bootstrap), and
   * [[updateFor]] keeps it fresh under appends by scanning only the
   * new files (files are immutable once written — the same
-  * assumption every table format makes). `nulls_<c>` is recorded
+  * assumption every table format makes). The add/drop diff is a
+  * pair of metadata-sized JOINS against the listing — never a
+  * driver-built `isin` literal, which at millions of files would be
+  * a million-literal Catalyst expression. `nulls_<c>` is recorded
   * for IS NULL-style pruning; range pruning needs only min/max.
   * Pruning is conservative:
   * a file is kept whenever its [min, max] interval CAN intersect the
@@ -41,9 +55,44 @@ object StatsIndex {
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), statsAggs(cols): _*)
 
+  /** In-plan path normalization shared by the stats side
+    * (`input_file_name()` URIs — "file:///x") and the listing side
+    * (`Path.toUri` — "file:/x"): strip the scheme, keep the path.
+    * Both sides run through the SAME expression, so the diff joins
+    * compare like with like.
+    */
+  private def normFile(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  /** Recursive data-file listing: every `.parquet` file under
+    * `dataPath`, descending into partition dirs, skipping hidden
+    * (`_`/`.`-prefixed) files and dirs — Spark's own visibility
+    * convention. Returns URI strings. The list is the same
+    * driver-side object every parquet scan plans with.
+    */
+  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = f.getFileStatus(p).getPath.toUri.getPath
+    val it = f.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+        val hidden = rel.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (!hidden) buf += st.getPath.toUri.toString
+      }
+    }
+    buf.toSeq.sorted
+  }
+
   /** One stats row per file: (file, n_rows, min_<c>, max_<c>,
     * nulls_<c> per stats column). One scan of the dataset, one
     * shuffle keyed by file name (#files groups — metadata-sized).
+    * Partition discovery makes partition columns legal stats
+    * columns.
     */
   def build(spark: SparkSession, dataPath: String,
             cols: Seq[String]): DataFrame = {
@@ -70,35 +119,28 @@ object StatsIndex {
     * immutable once written (the same assumption every table format
     * makes), so existing rows never go stale; a file deleted by
     * compaction simply stops matching reads and its stats row is
-    * dropped here.
+    * dropped here — via a semi join against the listing frame, so
+    * the plan stays metadata-sized at any file count.
     */
   def updateFor(spark: SparkSession, dataPath: String, stats: DataFrame,
                 cols: Seq[String]): DataFrame = {
-    // normalize to plain paths for the diff: input_file_name() URIs
-    // ("file:///x") and Hadoop listing URIs ("file:/x") differ only
-    // in scheme spelling
-    def norm(u: String): String = new org.apache.hadoop.fs.Path(u).toUri.getPath
-    val p = new org.apache.hadoop.fs.Path(dataPath)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = f.listStatus(p)
-    // the one-level listing is the contract: a partition-dir layout
-    // would make subdir files look deleted and silently drop their
-    // stats — refuse instead (same guard as Load.compact)
-    require(!entries.exists(s => s.isDirectory && s.getPath.getName.contains("=")),
-      s"$dataPath has partition directories — updateFor expects a flat layout")
-    val onDisk = entries.filter(s => s.isFile &&
-        s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSeq.sorted
-    val onDiskNorm = onDisk.map(norm).toSet
-    val known = stats.select("file").collect().map(_.getString(0)).toSet
-    val knownNorm = known.map(norm)
-    val fresh = onDisk.filterNot(u => knownNorm.contains(norm(u)))
-    val survivors = known.filter(k => onDiskNorm.contains(norm(k))).toSeq
-    val kept =
-      if (survivors.isEmpty) stats.filter(lit(false))
-      else stats.filter(col("file").isin(survivors: _*))
+    val onDisk = listDataFiles(spark, dataPath)
+    val onDiskDf = spark.createDataset(onDisk)(Encoders.STRING)
+      .toDF("__disk_file")
+      .select(col("__disk_file"), normFile(col("__disk_file")).as("__nf"))
+    // survivors: files still on disk keep their stats rows verbatim
+    val kept = stats.join(onDiskDf.select("__nf"),
+      normFile(stats("file")) === col("__nf"), "left_semi")
+    // fresh: on-disk files the stats table has no row for. The
+    // collect is the fresh-path list the subset read needs — bounded
+    // by the append batch in the steady state (the bootstrap case is
+    // [[build]]'s full list, the object every scan plans with anyway)
+    val fresh = onDiskDf.join(stats.select(normFile(col("file")).as("__nf")),
+        Seq("__nf"), "left_anti")
+      .select("__disk_file").collect().map(_.getString(0)).sorted
     if (fresh.isEmpty) kept
-    else kept.unionByName(statsFor(spark.read.parquet(fresh: _*), cols))
+    else kept.unionByName(statsFor(
+      spark.read.option("basePath", dataPath).parquet(fresh.toSeq: _*), cols))
   }
 
   /** The candidate file list for `lo <= c <= hi` (either bound
@@ -121,7 +163,8 @@ object StatsIndex {
 
   /** Pruned read: open ONLY the candidate files, re-applying the
     * predicate (the stats decide which files to open, never which
-    * rows qualify). Returns the frame plus (files read, files total)
+    * rows qualify). `basePath` keeps partition columns alive on the
+    * subset read. Returns the frame plus (files read, files total)
     * so callers can assert the prune actually bit.
     */
   def prunedRead(spark: SparkSession, dataPath: String, stats: DataFrame,
@@ -135,7 +178,8 @@ object StatsIndex {
       if (files.isEmpty)
         // degenerate: no file can match — schema-preserving empty
         spark.read.parquet(dataPath).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(bounded)
+      else spark.read.option("basePath", dataPath).parquet(files: _*)
+        .filter(bounded)
     (df, files.size, total)
   }
 }

@@ -359,6 +359,125 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q162 — data skipping over a PARTITION-DIR layout (the layout
+    // every real 100 TB ingest table has; q155 proved the flat
+    // case): the fact lands Hive-partitioned by ship year (`yr=`
+    // dirs, 2 files per partition), the stats index lists the tree
+    // RECURSIVELY and records per-file min/max for BOTH the
+    // partition column and the in-file timestamp — so file-level
+    // skipping subsumes partition pruning (a `yr=1997` file's
+    // l_shipdate interval is exactly the year, every other
+    // partition's files prune from metadata alone). The oracle
+    // replays the aggregate from the full table: a wrongly pruned
+    // file drops rows and hash-breaks the sums.
+    "q162_partitioned_skipping" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q162").toString
+      li.withColumn("yr", year(col("l_shipdate")).cast("long"))
+        .repartition(2)
+        .write.partitionBy("yr").parquet(s"$root/li")
+      val stats = graft.etl.StatsIndex.build(s, s"$root/li",
+        Seq("yr", "l_shipdate"))
+      val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
+        s, s"$root/li", stats, "l_shipdate",
+        Some(lit("1997-01-01").cast("timestamp")),
+        Some(lit("1997-12-31").cast("timestamp")))
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("files_pruned", lit(nRead < nTotal))
+        .withColumn("files_nonzero", lit(nRead > 0))
+        .orderBy("l_returnflag")
+    }),
+
+    // q163 — snapshots × data skipping (Snapshots.commitWithStats —
+    // closing the q149/q155 composition gap): every commit also
+    // builds the per-file min/max stats index for its immutable data
+    // dir, so a TIME-TRAVEL read prunes its file list from metadata
+    // exactly like a latest read. The query commits two range-
+    // clustered versions, rolls back to v1 (metadata-only — and the
+    // re-pointed version REUSES v1's stats index, zero work), then
+    // answers a key-range query via Snapshots.readPruned against the
+    // HISTORICAL v1 and against post-rollback latest. The flags pin
+    // that both reads pruned (read < total, read > 0) and that the
+    // rollback's index serving equals v1's; the values replay from
+    // the base table (a wrong prune drops rows and hash-breaks).
+    "q163_snapshot_pruned_travel" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val clustered = (df: org.apache.spark.sql.DataFrame) =>
+        df.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+      val root = java.nio.file.Files.createTempDirectory("graft_q163").toString
+      val v1 = Snapshots.commitWithStats(s,
+        clustered(o.filter(col("o_orderkey") % 97 =!= 0)), root, Seq("o_orderkey"))
+      Snapshots.commitWithStats(s,
+        clustered(o.filter(col("o_orderkey") % 89 =!= 0)), root, Seq("o_orderkey"))
+      Snapshots.rollback(s, root, v1)
+      val lo = Some(lit(1L)); val hi = Some(lit(1500L))
+      val (asOf, aRead, aTotal) = Snapshots.readPruned(
+        s, root, Some(v1), "o_orderkey", lo, hi)
+      val (latest, lRead, lTotal) = Snapshots.readPruned(
+        s, root, None, "o_orderkey", lo, hi)
+      asOf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("files_pruned", lit(aRead < aTotal))
+        .withColumn("files_nonzero", lit(aRead > 0))
+        .withColumn("rollback_reuses_index",
+          lit(lRead == aRead && lTotal == aTotal))
+        .withColumn("latest_version",
+          lit(Snapshots.latestVersion(s, root).get))
+        .withColumn("latest_rows", lit(latest.count()))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q165 — STREAMING stats-index maintenance (the q160 index kept
+    // fresh by the INGEST PATH itself — Ingest.
+    // statsIndexedIngestAvailableNow): three mtime-ordered parquet
+    // slices arrive as real AvailableNow micro-batches; each batch
+    // lands in a batch_id= partition (dynamic overwrite — replay-
+    // idempotent) and then runs StatsIndex.updateFor, which scans
+    // ONLY the files that batch added (the recursive partition-dir
+    // listing from q162). The 1997 range query then prunes the final
+    // table through the stream-maintained stats;
+    // stats_match_rebuild pins slicing invariance in the strongest
+    // form — the incrementally-maintained index is row-identical to
+    // a from-scratch rebuild of the final table — and the aggregate
+    // values replay from the base table.
+    "q165_streaming_stats_ingest" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val c1 = lit("1997-01-01").cast("timestamp")
+      val c2 = lit("1999-01-01").cast("timestamp")
+      val base = java.nio.file.Files.createTempDirectory("graft_q165").toString
+      graft.streaming.Ingest.stageOrderedParquet(s, Seq(
+        li.filter(col("l_shipdate") < c1),
+        li.filter(col("l_shipdate") >= c1 && col("l_shipdate") < c2),
+        li.filter(col("l_shipdate") >= c2)), s"$base/staging")
+      graft.streaming.Ingest.statsIndexedIngestAvailableNow(s,
+        s"$base/staging", s"$base/chk", s"$base/t", s"$base/stats",
+        Seq("l_shipdate"), li.schema.toDDL, maxFilesPerTrigger = Some(1))
+      val stats = Load.readTable(s, s"$base/stats")
+      val rebuild = graft.etl.StatsIndex.build(s, s"$base/t", Seq("l_shipdate"))
+      val statsOk = stats.exceptAll(rebuild).isEmpty &&
+        rebuild.exceptAll(stats).isEmpty
+      val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
+        s, s"$base/t", stats, "l_shipdate",
+        Some(c1), Some(lit("1997-12-31").cast("timestamp")))
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("stats_match_rebuild", lit(statsOk))
+        .withColumn("files_pruned", lit(nRead < nTotal))
+        .withColumn("files_nonzero", lit(nRead > 0))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -659,6 +778,44 @@ object EtlQueries {
         |  CAST(16 AS BIGINT) AS files_total, CAST(4 AS BIGINT) AS files_read
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1999-01-01' AND TIMESTAMP '1999-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q162: same replay as q155 — the partition-dir layout must not
+    // change WHAT a pruned read returns, only how few files it opens
+    "q162_partitioned_skipping" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS files_pruned, TRUE AS files_nonzero
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q163: the committed v1 frame replayed from the base table,
+    // restricted to the pruned key range; latest_* assert the
+    // rollback re-pointed latest at v1's data AND its reused stats
+    // index served the same pruned read
+    "q163_snapshot_pruned_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |r AS (SELECT * FROM v1 WHERE o_orderkey BETWEEN 1 AND 1500)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS files_pruned, TRUE AS files_nonzero,
+        |  TRUE AS rollback_reuses_index,
+        |  CAST(3 AS BIGINT) AS latest_version,
+        |  (SELECT COUNT(*) FROM r) AS latest_rows
+        |FROM r GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q165: the 1997 replay again — the stream-maintained index must
+    // be invisible in the VALUES (only in the files opened), and
+    // stats_match_rebuild pins the index ≡ rebuild invariance
+    "q165_streaming_stats_ingest" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS stats_match_rebuild, TRUE AS files_pruned,
+        |  TRUE AS files_nonzero
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading

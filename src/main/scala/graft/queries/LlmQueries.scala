@@ -1260,6 +1260,40 @@ object LlmQueries {
         .orderBy("id_i", "id_j")
     }),
 
+    // q164 — fingerprint pairs → duplicate GROUPS → canonical media
+    // (the q60/q115/q125 discipline for the perceptual tier): the
+    // q153 pair graph clustered by distributed connected components
+    // (large-star/small-star — O(log n) shuffle rounds, no driver
+    // graph), then EVERY image gets the verdict a curation pipeline
+    // actually consumes — its duplicate group (component = min
+    // reachable id), whether it is the group's canonical survivor,
+    // and the group size. Singletons are their own canonical. The
+    // oracle replays the full hash pipeline and closes the pair
+    // graph with a recursive CTE — component assignments match
+    // row-for-row, not just in shape.
+    "q164_phash_dup_groups" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0).select("doc_id")
+      val originals = graft.sources.ImageGen.syntheticPng(ids, "doc_id")
+      val variants = graft.sources.ImageGen.syntheticPng(ids, "doc_id", delta = 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("content"))
+      val decoded = graft.sources.Multimodal.decodeImages(
+        originals.unionByName(variants), "content", grid = 8)
+      val pairs = graft.llm.ImageDedup.phashNearDups(decoded, "doc_id", maxDist = 7)
+      val comp = graft.llm.Cluster.connectedComponents(pairs, "id_i", "id_j")
+        .select(col("id").as("doc_id"), col("component"))
+      decoded.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).cast("long").as("component"))
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .orderBy("doc_id")
+    }),
+
     // q156 — AUDIO near-dup dedup via the zero-crossing fingerprint
     // (q153's sibling for the audio modality): every 89th doc gets
     // its closed-form WAV (q126's corpus) PLUS an amplitude-scaled
@@ -1651,13 +1685,14 @@ object LlmQueries {
       .orderBy("query_id", "rnk")
   }
 
-  /** Full replay of the image aHash pair graph (q153) — every bit
-    * recomputed from the pixel formula (HUGEINT cross-products),
-    * all-pairs Hamming ≤ 7. Shared verbatim by q161: the streaming
-    * run's union-of-batches must equal this one-shot batch result.
+  /** The shared CTE chain recomputing every image aHash bit from the
+    * pixel formula (HUGEINT cross-products) — the body behind
+    * [[phashAllPairsSql]] (q153/q161) and the q164 component oracle.
+    * Callers prepend `WITH`/`WITH RECURSIVE` and append their
+    * consumer CTEs + final select.
     */
-  private val phashAllPairsSql =
-    """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
+  private val phashImgsCte =
+    """ids AS (SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS w,
       |                    CAST(16 + doc_id % 13 AS BIGINT) AS h
       |             FROM documents WHERE doc_id % 97 = 0),
       |var AS (SELECT doc_id, w, h,
@@ -1690,7 +1725,15 @@ object LlmQueries {
       |  FROM bits GROUP BY 1, 2),
       |imgs AS (SELECT CASE WHEN delta = 0 THEN doc_id
       |                     ELSE doc_id + 1000000 END AS iid, hi, lo
-      |         FROM hash)
+      |         FROM hash)""".stripMargin
+
+  /** Full replay of the image aHash pair graph (q153) — all-pairs
+    * Hamming ≤ 7 over [[phashImgsCte]]. Shared verbatim by q161: the
+    * streaming run's union-of-batches must equal this one-shot batch
+    * result.
+    */
+  private val phashAllPairsSql =
+    s"""WITH $phashImgsCte
       |SELECT a.iid AS id_i, b.iid AS id_j,
       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
       |FROM imgs a JOIN imgs b ON a.iid < b.iid
@@ -2785,6 +2828,27 @@ object LlmQueries {
     // q161: the streaming run's union-of-batches must equal the
     // ONE-SHOT batch pair graph — q153's full hash replay verbatim
     "q161_streaming_phash_dedup" -> phashAllPairsSql,
+    // q164: the q153 hash replay closed into components by a
+    // recursive CTE (the q60 oracle shape), seeded with EVERY image
+    // so singletons carry their own canonical
+    "q164_phash_dup_groups" ->
+      s"""WITH RECURSIVE $phashImgsCte,
+        |pairs AS (
+        |  SELECT a.iid AS id_i, b.iid AS id_j
+        |  FROM imgs a JOIN imgs b ON a.iid < b.iid
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+        |sym AS (SELECT id_i AS a, id_j AS b FROM pairs
+        |        UNION SELECT id_j, id_i FROM pairs),
+        |reach AS (
+        |  SELECT iid AS id, iid AS comp FROM imgs
+        |  UNION
+        |  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id),
+        |c AS (SELECT CAST(id AS BIGINT) AS doc_id,
+        |             CAST(MIN(comp) AS BIGINT) AS component
+        |      FROM reach GROUP BY id)
+        |SELECT doc_id, component, doc_id = component AS is_canonical,
+        |       COUNT(*) OVER (PARTITION BY component) AS n_copies
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q156: FULL value replay of the audio fingerprint — every
     // zero-crossing bit recomputed from the closed-form samples
     // (lag window per (doc, gain), integer cross-products), same

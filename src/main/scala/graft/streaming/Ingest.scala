@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.{Load, ParquetUpsertSink, Transform, UpsertSink}
+import graft.etl.{Load, ParquetUpsertSink, StatsIndex, Transform, UpsertSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -494,6 +494,54 @@ object Ingest {
           sigs.unpersist()
           graft.llm.BarrierCache.sweep(spark)
         }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING ingest that keeps its OWN data-skipping index fresh —
+    * the production shape of [[graft.etl.StatsIndex]] maintenance:
+    * every micro-batch lands its rows in a `batch_id=` partition of
+    * the data table (dynamic partition overwrite — replay-idempotent,
+    * the q137/q139 sink discipline) and then brings the per-file
+    * min/max stats table up to date via [[StatsIndex.updateFor]],
+    * which scans ONLY the files this batch added (and drops rows for
+    * any files a crash-replay overwrote). Range queries over the
+    * growing table prune from the always-fresh stats — no
+    * rebuild-the-index batch job trailing the stream.
+    *
+    * Crash story: data write and stats write are separate actions,
+    * but the data sink is batch_id-idempotent and `updateFor`
+    * reconciles the stats against the ACTUAL listing, so a replayed
+    * batch converges both artifacts to the same state; the stats
+    * table itself swaps atomically ([[Load.writeAtomic]]), so
+    * readers never see a half-written index.
+    */
+  def statsIndexedIngestAvailableNow(spark: SparkSession, stagingDir: String,
+                                     checkpointDir: String, dataDir: String,
+                                     statsDir: String, statsCols: Seq[String],
+                                     schemaDDL: String,
+                                     maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(StructType.fromDDL(schemaDDL))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(stagingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(dataDir)
+        // a crash-replay OVERWRITES its partition (deleting files) —
+        // drop any cached listing before reconciling the stats
+        spark.catalog.refreshByPath(dataDir)
+        val updated =
+          if (Load.tableExists(spark, statsDir))
+            StatsIndex.updateFor(spark, dataDir,
+              Load.readTable(spark, statsDir), statsCols)
+          else StatsIndex.build(spark, dataDir, statsCols)
+        Load.writeAtomic(spark, updated, statsDir)
       }
       .start()
     q.awaitTermination()

@@ -253,15 +253,27 @@ class LoadSpec extends SparkSpec {
     assert(Load.readSharded(spark, out).count() === 0) // recovered, not rejected
   }
 
-  test("compact refuses partition-dir layouts and manifest datasets") {
+  test("compact recurses into partition dirs in place; manifest datasets refuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val base = tmpDir("compact-guard")
-    // partition-directory table (the quarantine/upsert layout)
+    // partition-directory table (the quarantine/upsert/ingest layout):
+    // each partition compacts independently, the dir tree survives
     val pdir = base + "/pdir"
-    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$pdir/__batch=1")
-    val e1 = intercept[IllegalArgumentException] { Load.compact(spark, pdir) }
-    assert(e1.getMessage.contains("partition directories"))
+    (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v").repartition(10)
+      .write.parquet(s"$pdir/__batch=1")
+    (201L to 400L).map(i => (i, s"v$i")).toDF("k", "v").repartition(10)
+      .write.parquet(s"$pdir/__batch=2")
+    def filesIn(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(pdir).orderBy("k")
+      .as[(Long, String, Int)].collect()
+    Load.compact(spark, pdir)
+    assert(filesIn(s"$pdir/__batch=1") === 1)
+    assert(filesIn(s"$pdir/__batch=2") === 1)
+    val after = spark.read.parquet(pdir).orderBy("k")
+      .as[(Long, String, Int)].collect()
+    assert(after === before, "partition-dir compaction changed the data")
     // manifest-committed shard dataset
     val sh = base + "/sh"
     val packed = graft.llm.Packing.packShards(Tables.documents(spark, sf),

@@ -156,6 +156,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(body.contains("\"n_rows\":4"), body)
   }
 
+  test("commitWithStats: time travel prunes; rollback reuses its index; vacuum reclaims stats") {
+    import spark.implicits._
+    val root = tmpDir("snap_skip")
+    def clustered(df: org.apache.spark.sql.DataFrame) =
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    val v1 = Snapshots.commitWithStats(spark,
+      clustered((1L to 400L).map(i => (i, s"a$i")).toDF("id", "s")),
+      root, Seq("id"))
+    val v2 = Snapshots.commitWithStats(spark,
+      clustered((1L to 800L).map(i => (i, s"b$i")).toDF("id", "s")),
+      root, Seq("id"))
+    // historical version prunes from ITS OWN index
+    val (r1, n1, t1) = Snapshots.readPruned(
+      spark, root, Some(v1), "id", Some(lit(50L)), Some(lit(60L)))
+    assert(r1.select("id").as[Long].collect().sorted === (50L to 60L).toArray)
+    assert(n1 > 0 && n1 < t1, s"v1 read $n1 of $t1 files")
+    // latest prunes too
+    val (r2, n2, t2) = Snapshots.readPruned(
+      spark, root, None, "id", Some(lit(700L)), None)
+    assert(r2.count() === 101L)
+    assert(n2 > 0 && n2 < t2)
+    // metadata-only rollback: the re-pointed version serves the SAME
+    // pruned read from v1's already-built index — zero stats work
+    val v3 = Snapshots.rollback(spark, root, v1)
+    val (r3, n3, t3) = Snapshots.readPruned(
+      spark, root, Some(v3), "id", Some(lit(50L)), Some(lit(60L)))
+    assert(r3.count() === 11L)
+    assert((n3, t3) === ((n1, t1)))
+    // vacuum drops a reclaimed dir's stats alongside its data
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0) // keeps v3 → v1's dir
+    val statsDirs = new java.io.File(s"$root/_stats").listFiles().map(_.getName)
+    assert(statsDirs.length === 1, s"v$v2's stats survived vacuum: ${statsDirs.mkString(",")}")
+    assert(Snapshots.readPruned(spark, root, None, "id",
+      Some(lit(50L)), Some(lit(60L)))._1.count() === 11L)
+  }
+
   test("rollback to a version that was never committed is refused") {
     val root = tmpDir("snap_dup")
     Snapshots.commit(spark, df(1), root)

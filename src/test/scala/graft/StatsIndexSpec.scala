@@ -95,6 +95,109 @@ class StatsIndexSpec extends SparkSpec {
     assert(v3.count() === 6L)
   }
 
+  test("partition-dir layouts: stats carry partition values; skipping subsumes partition pruning") {
+    val d = tmpDir("dsk_part")
+    // Hive-style tree: day=…/file.parquet — the real ingest layout
+    val df = (1L to 900L).map(i => (i, (i - 1) / 300 + 1, i % 5)).toDF("k", "day", "g")
+    df.write.partitionBy("day").parquet(s"$d/t")
+    val stats = StatsIndex.build(spark, s"$d/t", Seq("day", "k"))
+    // partition column stats: min = max = the partition value per file
+    assert(stats.filter(col("min_day") =!= col("max_day")).count() === 0L)
+    // pruning on the PARTITION column from file stats alone
+    val (byDay, nRead, nTotal) = StatsIndex.prunedRead(
+      spark, s"$d/t", stats, "day", Some(lit(2L)), Some(lit(2L)))
+    assert(byDay.select("k").as[Long].collect().sorted === (301L to 600L).toArray)
+    assert(nRead < nTotal)
+    // partition columns survive the subset read (basePath)
+    assert(byDay.columns.contains("day"))
+    // and composes with in-file ranges on a data column
+    val (byK, kRead, _) = StatsIndex.prunedRead(
+      spark, s"$d/t", stats, "k", Some(lit(850L)), None)
+    assert(byK.select("k").as[Long].collect().sorted === (850L to 900L).toArray)
+    assert(kRead < nTotal)
+  }
+
+  test("updateFor under partitions: mixed append + delete, stats stay exact") {
+    val d = tmpDir("dsk_part_upd")
+    val base = (1L to 600L).map(i => (i, (i - 1) / 300 + 1)).toDF("k", "day")
+    base.write.partitionBy("day").parquet(s"$d/t")
+    val v1 = StatsIndex.build(spark, s"$d/t", Seq("day", "k")).cache()
+    v1.count()
+    // append a NEW partition and delete a file from an old one
+    (601L to 700L).map(i => (i, 3L)).toDF("k", "day")
+      .write.mode("append").partitionBy("day").parquet(s"$d/t")
+    val victim = new java.io.File(s"$d/t/day=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val victimRows = spark.read.parquet(victim.getPath).count()
+    assert(victim.delete())
+    spark.catalog.refreshByPath(s"$d/t") // external delete: drop the cached listing
+    val v2 = StatsIndex.updateFor(spark, s"$d/t", v1, Seq("day", "k"))
+    val scratch = StatsIndex.build(spark, s"$d/t", Seq("day", "k"))
+    assert(v2.exceptAll(scratch).count() === 0L)
+    assert(scratch.exceptAll(v2).count() === 0L)
+    assert(v2.agg(sum("n_rows")).as[Long].head() === 700L - victimRows)
+    // the new partition is reachable through a pruned read
+    val (df3, nRead, _) = StatsIndex.prunedRead(
+      spark, s"$d/t", v2, "day", Some(lit(3L)), Some(lit(3L)))
+    assert(df3.select("k").as[Long].collect().sorted === (601L to 700L).toArray)
+    assert(nRead >= 1)
+    v1.unpersist()
+  }
+
+  test("updateFor diffs via joins — no plan-literal isin at thousands of files") {
+    val d = tmpDir("dsk_many")
+    // 400 files: enough that a literal In-expression would be blatant
+    (1L to 2000L).toDF("k").repartition(400)
+      .write.parquet(s"$d/t")
+    val v1 = StatsIndex.build(spark, s"$d/t", Seq("k")).cache()
+    v1.count()
+    (2001L to 2100L).toDF("k").repartition(2)
+      .write.mode("append").parquet(s"$d/t")
+    val v2 = StatsIndex.updateFor(spark, s"$d/t", v1, Seq("k"))
+    // the survivor filter must be a semi JOIN against the listing
+    // frame, not a driver-built isin over every known file
+    val plan = v2.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("IN ("), "survivor filter regressed to a literal In")
+    assert(v2.count() === 402L)
+    assert(v2.agg(sum("n_rows")).as[Long].head() === 2100L)
+    v1.unpersist()
+  }
+
+  test("streaming stats-indexed ingest: 3-batch run equals 1-shot; stats equal a rebuild") {
+    import graft.streaming.Ingest
+    val rows = (1L to 900L).map(i => (i, i % 7)).toDF("k", "g")
+    def run(slices: Seq[org.apache.spark.sql.DataFrame], tag: String) = {
+      val d = tmpDir(s"dsk_stream_$tag")
+      Ingest.stageOrderedParquet(spark, slices, s"$d/staging")
+      Ingest.statsIndexedIngestAvailableNow(spark, s"$d/staging", s"$d/chk",
+        s"$d/t", s"$d/stats", Seq("k"), "k LONG, g LONG",
+        maxFilesPerTrigger = Some(1))
+      d
+    }
+    val d3 = run(Seq(
+      rows.filter(col("k") <= 300L),
+      rows.filter(col("k") > 300L && col("k") <= 600L),
+      rows.filter(col("k") > 600L)), "a")
+    val d1 = run(Seq(rows), "b")
+    // data content identical under any slicing (batch_id aside)
+    val a = spark.read.parquet(s"$d3/t").select("k", "g")
+    val b = spark.read.parquet(s"$d1/t").select("k", "g")
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+    // the incrementally-maintained stats are row-identical to a
+    // from-scratch rebuild of the final table
+    val stats3 = Load.readTable(spark, s"$d3/stats")
+    val rebuild = StatsIndex.build(spark, s"$d3/t", Seq("k"))
+    assert(stats3.exceptAll(rebuild).count() === 0L)
+    assert(rebuild.exceptAll(stats3).count() === 0L)
+    // and the stream-maintained index prunes across batch partitions
+    val (df, nRead, nTotal) = StatsIndex.prunedRead(
+      spark, s"$d3/t", stats3, "k", Some(lit(301L)), Some(lit(600L)))
+    assert(df.select("k").as[Long].collect().sorted === (301L to 600L).toArray)
+    assert(nRead < nTotal)
+  }
+
   test("files whose stats column is all-null are always kept") {
     val d = tmpDir("dsk_null")
     val withNulls = (1L to 100L)
