@@ -64,6 +64,32 @@ object BarrierCache {
     dead.foreach { s => tracked.remove(s); lastScope.remove(s) }
   }
 
+  /** A point-in-time mark of the session's tracked-cache list, for
+    * [[sweepSince]]: `val m = mark(s); …; sweepSince(s, m)` drops
+    * only the caches tracked in between. The streaming foreachBatch
+    * loops use this — a batch's caches die with the batch, while the
+    * SESSION's shared caches (the shingle index a whole query suite
+    * amortizes on) survive.
+    */
+  def mark(s: SparkSession): Int =
+    tracked.synchronized(tracked.getOrElse(s, Nil).size)
+
+  /** Unpersist the caches tracked since `mark` (they sit at the head
+    * of the prepend-ordered list), keeping everything older.
+    */
+  def sweepSince(s: SparkSession, mark: Int): Unit = {
+    val newer = tracked.synchronized {
+      val all = tracked.getOrElse(s, Nil)
+      val n = all.size - mark
+      if (n <= 0) Nil
+      else {
+        tracked.put(s, all.drop(n))
+        all.take(n)
+      }
+    }
+    newer.foreach(_.unpersist())
+  }
+
   /** Unpersist every barrier cache tracked for `s`. */
   def sweep(s: SparkSession): Unit = {
     val removed = tracked.synchronized {

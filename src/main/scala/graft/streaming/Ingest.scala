@@ -470,6 +470,11 @@ object Ingest {
           .decodeImages(batch, "content", grid = 8)
           .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
           .persist()
+        // foreachBatch hands frames a CLONED session — barrier caches
+        // land under it, not the outer `spark`; mark both
+        val batchSession = batch.sparkSession
+        val cacheMark = graft.llm.BarrierCache.mark(spark)
+        val cacheMarkB = graft.llm.BarrierCache.mark(batchSession)
         try {
           val store =
             if (Load.tableExists(spark, storeDir))
@@ -490,9 +495,13 @@ object Ingest {
         } finally {
           // a long-running stream must not accrete one batch's worth
           // of cached plans per trigger: drop this batch's explicit
-          // cache AND the barrier caches SigDedup tracked for it
+          // cache AND the barrier caches SigDedup tracked for it —
+          // but ONLY this batch's (sweepSince): the session's shared
+          // caches outside the stream must survive the trigger
           sigs.unpersist()
-          graft.llm.BarrierCache.sweep(spark)
+          graft.llm.BarrierCache.sweepSince(spark, cacheMark)
+          if (!(batchSession eq spark))
+            graft.llm.BarrierCache.sweepSince(batchSession, cacheMarkB)
         }
       }
       .start()
