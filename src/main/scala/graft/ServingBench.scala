@@ -48,13 +48,16 @@ object ServingBench {
       import graft.llm.Pq
       val p = Pq.PqParams(ksub = 64)
       val root = ctx("ann", dir) { root =>
+        // serving must not lean on training's cached frames — but
+        // sweep ONLY them (scoped), not the session's shared caches
+        // the surrounding bench suite amortizes on
+        val mark = graft.llm.BarrierCache.mark(s)
         val emb = Tables.embeddings(s, dir)
         val cents = Pq.trainCodebooks(emb, "vec_id", "embedding", p)
         graft.etl.Load.writeAtomic(s, cents, s"$root/cb")
         graft.etl.Load.writeAtomic(s,
           Pq.encode(emb, "vec_id", "embedding", cents, p), s"$root/codes")
-        // serving must not lean on training's cached frames
-        graft.llm.BarrierCache.sweep(s)
+        graft.llm.BarrierCache.sweepSince(s, mark)
       }
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") % 100 === 0)
