@@ -237,6 +237,35 @@ object Snapshots {
     v
   }
 
+  /** Delta-OPTIMIZE for the snapshot tier: rewrite the LATEST
+    * version's data into ⌈bytes/targetBytes⌉ files and publish the
+    * compacted layout as a NEW version — data identical, history
+    * intact (the small-file version stays readable until [[vacuum]]
+    * reclaims it), and because the rewrite goes through the normal
+    * commit path it is multi-writer safe: a concurrent ingest commit
+    * just wins an adjacent version number. [[Load.compact]] is the
+    * in-place form for plain tables; snapshot data dirs are
+    * immutable, so HERE compaction must be a new version — which is
+    * exactly what makes it safe to run while readers time-travel.
+    * With `statsCols` set the compacted version gets its skipping
+    * index like any [[commitWithStats]] commit (fewer, larger files
+    * ⇒ the same stats table prunes with coarser granularity —
+    * re-cluster via [[Load.writeClustered]]/[[ZOrder]] upstream when
+    * range-tightness matters more than file count).
+    */
+  def optimize(spark: SparkSession, root: String,
+               targetBytes: Long = 128L * 1024 * 1024,
+               statsCols: Seq[String] = Nil): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val dataPath = new Path(root, dataDirOf(spark, root, v))
+    val bytes = fs(spark, dataPath).getContentSummary(dataPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dataPath.toString).repartition(nFiles)
+    if (statsCols.nonEmpty) commitWithStats(spark, df, root, statsCols)
+    else commit(spark, df, root)
+  }
+
   /** Time-travel read THROUGH the version's stats index: the file
     * list prunes from metadata alone, then only candidate files
     * open ([[StatsIndex.prunedRead]]'s contract, against the

@@ -143,6 +143,18 @@ object StatsIndex {
       spark.read.option("basePath", dataPath).parquet(fresh.toSeq: _*), cols))
   }
 
+  /** One column's can-intersect condition over its stats columns
+    * (conservative: no-stats files always hit).
+    */
+  private def canHit(c: String, lo: Option[Column], hi: Option[Column]): Column = {
+    val noStats = col(s"min_$c").isNull || col(s"max_$c").isNull
+    val hit = Seq(
+      hi.map(h => col(s"min_$c") <= h),
+      lo.map(l => col(s"max_$c") >= l)
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    noStats || hit
+  }
+
   /** The candidate file list for `lo <= c <= hi` (either bound
     * optional), decided from the stats table alone. The collect is
     * the file LIST — the same driver-side object every parquet scan
@@ -151,13 +163,23 @@ object StatsIndex {
     * index) collects far fewer.
     */
   def candidateFiles(stats: DataFrame, c: String,
-                     lo: Option[Column], hi: Option[Column]): Seq[String] = {
-    val noStats = col(s"min_$c").isNull || col(s"max_$c").isNull
-    val canHit = Seq(
-      hi.map(h => col(s"min_$c") <= h),
-      lo.map(l => col(s"max_$c") >= l)
-    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
-    stats.filter(noStats || canHit)
+                     lo: Option[Column], hi: Option[Column]): Seq[String] =
+    candidateFilesMulti(stats, Seq((c, lo, hi)))
+
+  /** Candidate files for a CONJUNCTION of range predicates — the
+    * [[ZOrder]] payoff: every (col, lo, hi) prunes independently
+    * from the same stats rows and the survivors are the
+    * INTERSECTION, so a box predicate over a z-ordered layout opens
+    * ~O(box volume) of the files where single-column clustering
+    * prunes only its own dimension. One metadata filter, one
+    * collect.
+    */
+  def candidateFilesMulti(stats: DataFrame,
+                          preds: Seq[(String, Option[Column], Option[Column])])
+      : Seq[String] = {
+    require(preds.nonEmpty, "need at least one predicate")
+    stats.filter(preds.map { case (c, lo, hi) => canHit(c, lo, hi) }
+        .reduce(_ && _))
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
@@ -169,11 +191,20 @@ object StatsIndex {
     */
   def prunedRead(spark: SparkSession, dataPath: String, stats: DataFrame,
                  c: String, lo: Option[Column], hi: Option[Column])
+      : (DataFrame, Int, Int) =
+    prunedReadMulti(spark, dataPath, stats, Seq((c, lo, hi)))
+
+  /** [[prunedRead]] for a conjunction of range predicates (see
+    * [[candidateFilesMulti]]).
+    */
+  def prunedReadMulti(spark: SparkSession, dataPath: String, stats: DataFrame,
+                      preds: Seq[(String, Option[Column], Option[Column])])
       : (DataFrame, Int, Int) = {
     val total = stats.select("file").count().toInt
-    val files = candidateFiles(stats, c, lo, hi)
-    val bounded = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
-      .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val files = candidateFilesMulti(stats, preds)
+    val bounded = preds.flatMap { case (c, lo, hi) =>
+      Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h)).flatten
+    }.reduceOption(_ && _).getOrElse(lit(true))
     val df =
       if (files.isEmpty)
         // degenerate: no file can match — schema-preserving empty

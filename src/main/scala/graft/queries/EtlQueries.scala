@@ -478,6 +478,83 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q166 — snapshot OPTIMIZE (the Delta-OPTIMIZE analogue for the
+    // versioned tier): a small-file-heavy commit (48 shards — the
+    // micro-batch accretion shape) is compacted into a NEW version
+    // whose data is bit-identical, while the old layout stays
+    // time-travel readable; because snapshot data dirs are
+    // immutable, compaction-as-a-version is what makes OPTIMIZE safe
+    // under concurrent readers. The compacted version gets its own
+    // stats index through the same commit hook, and the final range
+    // query serves through it. Flags pin data identity (exceptAll
+    // both ways), the file-count collapse (48 → 1, deterministic
+    // from the fixed targetBytes), and the intact 2-version history;
+    // the values replay from the base table.
+    "q166_snapshot_optimize" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q166").toString
+      val v1 = Snapshots.commitWithStats(s,
+        o.filter(col("o_orderkey") % 97 =!= 0).repartition(48),
+        root, Seq("o_orderkey"))
+      val v2 = Snapshots.optimize(s, root,
+        targetBytes = 1L << 30, statsCols = Seq("o_orderkey"))
+      val before = Snapshots.read(s, root, Some(v1))
+      val after = Snapshots.read(s, root, Some(v2))
+      val filesBefore = before.select(input_file_name()).distinct().count()
+      val filesAfter = after.select(input_file_name()).distinct().count()
+      val identical = before.exceptAll(after).isEmpty &&
+        after.exceptAll(before).isEmpty
+      val (pruned, nRead, nTotal) = Snapshots.readPruned(
+        s, root, None, "o_orderkey", Some(lit(1L)), Some(lit(1500L)))
+      pruned.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("data_identical", lit(identical))
+        .withColumn("files_shrank", lit(filesAfter < filesBefore))
+        .withColumn("files_after", lit(filesAfter))
+        .withColumn("history_intact",
+          lit(Snapshots.versions(s, root) == Seq(1L, 2L)))
+        .withColumn("files_nonzero", lit(nRead > 0 && nRead <= nTotal))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q167 — MULTI-COLUMN data skipping over a Z-ORDERED layout (the
+    // q155 index composed with ZOrder.writeZOrdered — the reason
+    // z-order exists): the fact lands Morton-clustered on
+    // (l_orderkey, l_partkey), the stats index records per-file
+    // min/max for BOTH, and a box predicate prunes the file list by
+    // INTERSECTING the two dimensions' candidate sets
+    // (StatsIndex.prunedReadMulti) — opening ~O(box volume) of the
+    // files where single-key clustering prunes only its own
+    // dimension. box_tighter_or_equal pins the intersection never
+    // opens more files than one dimension alone; the values replay
+    // from the full table so a wrongly pruned file hash-breaks.
+    "q167_zorder_multiskip" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q167").toString
+      graft.etl.ZOrder.writeZOrdered(s, li, Seq("l_orderkey", "l_partkey"),
+        bits = 8, numFiles = 32, s"$root/li")
+      val stats = graft.etl.StatsIndex.build(s, s"$root/li",
+        Seq("l_orderkey", "l_partkey"))
+      val box = Seq(
+        ("l_orderkey", Some(lit(1L)), Some(lit(3000L))),
+        ("l_partkey", Some(lit(1L)), Some(lit(500L))))
+      val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedReadMulti(
+        s, s"$root/li", stats, box)
+      val oneDim = graft.etl.StatsIndex.candidateFiles(
+        stats, "l_orderkey", Some(lit(1L)), Some(lit(3000L))).size
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("files_pruned", lit(nRead < nTotal))
+        .withColumn("files_nonzero", lit(nRead > 0))
+        .withColumn("box_tighter_or_equal", lit(nRead <= oneDim))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -816,6 +893,32 @@ object EtlQueries {
         |  TRUE AS files_nonzero
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q166: the committed frame replayed from the base table in the
+    // pruned range; the flags pin OPTIMIZE's whole contract (data
+    // identity, 48→1 file collapse, intact history)
+    "q166_snapshot_optimize" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 <> 0),
+        |r AS (SELECT * FROM v WHERE o_orderkey BETWEEN 1 AND 1500)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS data_identical, TRUE AS files_shrank,
+        |  CAST(1 AS BIGINT) AS files_after, TRUE AS history_intact,
+        |  TRUE AS files_nonzero
+        |FROM r GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q167: the box-predicate aggregate from the full table — a
+    // wrongly pruned file in EITHER dimension drops rows and
+    // hash-breaks the sums
+    "q167_zorder_multiskip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS files_pruned, TRUE AS files_nonzero,
+        |  TRUE AS box_tighter_or_equal
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1 AND 3000 AND l_partkey BETWEEN 1 AND 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading

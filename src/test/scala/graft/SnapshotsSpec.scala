@@ -192,6 +192,36 @@ class SnapshotsSpec extends SparkSpec {
       Some(lit(50L)), Some(lit(60L)))._1.count() === 11L)
   }
 
+  test("optimize compacts latest into a new version; data identical, history intact") {
+    import spark.implicits._
+    val root = tmpDir("snap_opt")
+    val v1 = Snapshots.commitWithStats(spark,
+      (1L to 500L).map(i => (i, s"r$i")).toDF("id", "s").repartition(20),
+      root, Seq("id"))
+    def nFiles(v: Long) = Snapshots.read(spark, root, Some(v))
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    assert(nFiles(v1) === 20L)
+    val v2 = Snapshots.optimize(spark, root,
+      targetBytes = 1L << 30, statsCols = Seq("id"))
+    assert(v2 === v1 + 1)
+    assert(nFiles(v2) === 1L)
+    // bit-identical data, both directions
+    val a = Snapshots.read(spark, root, Some(v1))
+    val b = Snapshots.read(spark, root, Some(v2))
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+    // the small-file layout stays time-travel readable, and the
+    // compacted version serves pruned reads from its own index
+    assert(nFiles(v1) === 20L)
+    val (pr, nRead, nTotal) = Snapshots.readPruned(
+      spark, root, None, "id", Some(lit(10L)), Some(lit(20L)))
+    assert(pr.count() === 11L)
+    assert(nRead === 1 && nTotal === 1)
+    // vacuum later reclaims the pre-optimize layout
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0)
+    assert(Snapshots.versions(spark, root) === Seq(v2))
+    assert(Snapshots.read(spark, root).count() === 500L)
+  }
+
   test("rollback to a version that was never committed is refused") {
     val root = tmpDir("snap_dup")
     Snapshots.commit(spark, df(1), root)

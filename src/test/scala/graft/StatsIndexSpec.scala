@@ -198,6 +198,32 @@ class StatsIndexSpec extends SparkSpec {
     assert(nRead < nTotal)
   }
 
+  test("multi-column box prune over a z-ordered layout: exact, and tighter than one dimension") {
+    val d = tmpDir("dsk_z")
+    // two independent uniform dims — the case z-order exists for
+    val df = (1L to 20000L).map(i => (i % 141, (i * 7919) % 137, i))
+      .toDF("x", "y", "id")
+    graft.etl.ZOrder.writeZOrdered(spark, df, Seq("x", "y"),
+      bits = 8, numFiles = 16, s"$d/t")
+    val stats = StatsIndex.build(spark, s"$d/t", Seq("x", "y"))
+    val box = Seq(
+      ("x", Some(lit(10L)), Some(lit(40L))),
+      ("y", Some(lit(10L)), Some(lit(40L))))
+    val (pruned, nRead, nTotal) = StatsIndex.prunedReadMulti(
+      spark, s"$d/t", stats, box)
+    // exactness: the pruned read equals the full filter
+    val expect = df.filter(col("x").between(10L, 40L) &&
+      col("y").between(10L, 40L)).select("id").as[Long].collect().sorted
+    assert(pruned.select("id").as[Long].collect().sorted === expect)
+    assert(expect.nonEmpty)
+    // the box intersection prunes, and never opens MORE files than
+    // either single dimension alone
+    val xOnly = StatsIndex.candidateFiles(stats, "x", Some(lit(10L)), Some(lit(40L))).size
+    val yOnly = StatsIndex.candidateFiles(stats, "y", Some(lit(10L)), Some(lit(40L))).size
+    assert(nRead < nTotal, s"box read $nRead of $nTotal")
+    assert(nRead <= math.min(xOnly, yOnly))
+  }
+
   test("files whose stats column is all-null are always kept") {
     val d = tmpDir("dsk_null")
     val withNulls = (1L to 100L)
