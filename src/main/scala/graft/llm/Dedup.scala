@@ -172,22 +172,48 @@ object Dedup {
   /** Banded-LSH candidate pairs: hash each band's signature slice to
     * a bucket, explode (band, bucket), pair docs within a bucket.
     * Never all-pairs: cost is Σ_bucket |bucket|².
+    *
+    * Signature-skew defense (the [[SigDedup.bandedNearDups]] shape):
+    * m IDENTICAL docs share the full MinHash signature — and hence
+    * every band's bucket — so a naive bucket self-join pays b·m²
+    * candidate rows for one boilerplate cluster. The bucket join
+    * here bands one REPRESENTATIVE per distinct signature (band
+    * occupancy bounded by distinct-signature count); same-signature
+    * groups emit their pairs once, through a single signature-keyed
+    * equi-join, linear in the emitted candidate count.
     */
   def minhashCandidates(sigs: DataFrame, idCol: String, p: MinHashParams): DataFrame = {
+    // cache barrier: the group aggregate, the same-signature join and
+    // the band self-join all re-derive the signature frame otherwise
+    val members = BarrierCache.track(sigs.select(col(idCol), col("sig")))
+    val groups = BarrierCache.track(
+      members.groupBy("sig").agg(min(col(idCol)).as("rep")))
+    val zero = members.select(col(idCol).as("id_i"), col("sig"))
+      .join(members.select(col(idCol).as("id_j"), col("sig")), Seq("sig"))
+      .filter(col("id_i") < col("id_j"))
+      .select("id_i", "id_j")
     val bandCols = array((0 until p.bands).map { bnd =>
       xxhash64(lit(bnd), slice(col("sig"), bnd * p.rowsPerBand + 1, p.rowsPerBand))
     }: _*)
-    // cache barrier: both sides of the bucket self-join otherwise
-    // re-derive the banded frame — including the full signature
-    // computation upstream of it — once per branch
     val bands = BarrierCache.track(
-      sigs.select(col(idCol), posexplode(bandCols))
-        .toDF(idCol, "band", "bucket"))
-    val l = bands.toDF("id_i", "band", "bucket")
-    val r = bands.toDF("id_j", "band", "bucket")
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_i") < col("id_j"))
-      .select("id_i", "id_j").distinct()
+      groups.select(col("rep"), posexplode(bandCols))
+        .toDF("rep", "band", "bucket"))
+    val l = bands.toDF("rep_i", "band", "bucket")
+    val r = bands.toDF("rep_j", "band", "bucket")
+    val sigPairs = l.join(r, Seq("band", "bucket"))
+      .filter(col("rep_i") < col("rep_j"))
+      .select("rep_i", "rep_j").distinct()
+    // expand distinct-signature pairs to member pairs — each
+    // unordered pair lands exactly once (canonical sig pair, each
+    // member in exactly one signature group)
+    val repOf = members.join(groups, Seq("sig"))
+      .select(col(idCol), col("rep"))
+    val cross = sigPairs
+      .join(repOf.toDF("id_a", "rep_i"), Seq("rep_i"))
+      .join(repOf.toDF("id_b", "rep_j"), Seq("rep_j"))
+      .select(least(col("id_a"), col("id_b")).as("id_i"),
+        greatest(col("id_a"), col("id_b")).as("id_j"))
+    cross.unionByName(zero)
   }
 
   /** MinHash near-dup: banded candidates, then exact Jaccard

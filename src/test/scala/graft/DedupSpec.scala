@@ -104,6 +104,26 @@ class DedupSpec extends SparkSpec {
     graft.llm.BarrierCache.sweep(spark)
   }
 
+  test("minhash identical-doc pile-up stays linear through the bucket join") {
+    // 1500 identical docs share the full signature and hence every
+    // band's bucket — the old bucket self-join paid 32·n² candidate
+    // rows; the distinct-signature form keeps total join output
+    // within an additive band of the output-inherent C(n,2)
+    val n = 1500L
+    val boiler = (0L until n).map(i => (i, "same exact boilerplate text repeated across the corpus over and over"))
+    val tail = (0 until 10).map(i =>
+      (100000L + i, s"distinct document $i about topic t$i with words u$i v$i w$i"))
+    val df = (boiler ++ tail).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", n = 3, threshold = 0.8)
+    val (cnt, joinOut) = countWithJoinOutput(pairs)
+    assert(cnt >= n * (n - 1) / 2, "identical docs must all pair")
+    // verify-stage joins re-touch each candidate twice; 4·C(n,2) is
+    // still ~8x under the old 32·n² blow-up
+    assert(joinOut <= 4L * (n * (n - 1) / 2) + 100L * n,
+      s"joins emitted $joinOut rows — minhash banding is quadratic in the hot group")
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("capped Jaccard scores numerator and denominator in ONE universe") {
     // Two identical docs whose shingles are MOSTLY hot (shared with
     // 60 fillers): scoring filtered intersections against unfiltered
