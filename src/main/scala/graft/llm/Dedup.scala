@@ -270,17 +270,40 @@ object Dedup {
     val pScaled = if (bits == p.nBits) p else p.copy(nBits = bits)
     // candidate pairs on ids only (vectors through the bucket join
     // would dominate shuffle cost); vectors re-attached afterwards.
-    // Barrier: both self-join branches consume the bucket frame.
+    // Identical-vector defense (the SigDedup shape): m exact copies
+    // of one embedding share EVERY table's bucket, so a naive bucket
+    // self-join pays nTables·m² candidates for one duplicated asset.
+    // Bucket one REPRESENTATIVE per distinct vector and expand
+    // same-vector groups through a single vector-keyed join — the
+    // candidate SET is unchanged (copies share all buckets at any
+    // bit width), only its generation cost drops to linear.
+    val vecGroups = BarrierCache.track(
+      corpus.groupBy(col(vecCol)).agg(min(col(idCol)).as("rep")))
+    val repOf = BarrierCache.track(
+      corpus.select(col(idCol), col(vecCol))
+        .join(vecGroups, Seq(vecCol))
+        .select(col(idCol), col("rep")))
     val b = BarrierCache.track(
-      Similarity.withBuckets(corpus, vecCol, "__bk", pScaled)
-        .select(col(idCol), posexplode(col("__bk")))
-        .toDF(idCol, "table", "bucket"))
-    val l = b.toDF("id_i", "table", "bucket")
-    val r = b.toDF("id_j", "table", "bucket")
-    val cands = l.join(r, Seq("table", "bucket"))
+      Similarity.withBuckets(vecGroups.select(col("rep"), col(vecCol)),
+          vecCol, "__bk", pScaled)
+        .select(col("rep"), posexplode(col("__bk")))
+        .toDF("rep", "table", "bucket"))
+    val l = b.toDF("rep_i", "table", "bucket")
+    val r = b.toDF("rep_j", "table", "bucket")
+    val sigPairs = l.join(r, Seq("table", "bucket"))
+      .filter(col("rep_i") < col("rep_j"))
+      .select("rep_i", "rep_j")
+      .dropDuplicates("rep_i", "rep_j")
+    val cross = sigPairs
+      .join(repOf.toDF("id_a", "rep_i"), Seq("rep_i"))
+      .join(repOf.toDF("id_b", "rep_j"), Seq("rep_j"))
+      .select(least(col("id_a"), col("id_b")).as("id_i"),
+        greatest(col("id_a"), col("id_b")).as("id_j"))
+    val zero = repOf.toDF("id_i", "rep")
+      .join(repOf.toDF("id_j", "rep"), Seq("rep"))
       .filter(col("id_i") < col("id_j"))
       .select("id_i", "id_j")
-      .dropDuplicates("id_i", "id_j")
+    val cands = cross.unionByName(zero)
     val vec = corpus.select(col(idCol), col(vecCol),
       Similarity.qnorm2(col(vecCol)).as("n2"))
     cands

@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
     graft.llm.BarrierCache.sweep(spark)
   }
 
+  test("embedding identical-vector pile-up stays linear through the bucket join") {
+    // 2000 exact copies of one embedding share every LSH table's
+    // bucket — the old bucket self-join paid nTables·n² candidates;
+    // the distinct-vector form emits the same pair set with join
+    // output within a small multiple of the output-inherent C(n,2)
+    val n = 2000L
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val copies = (0L until n).map(i => (i, base.toSeq))
+    val tail = (0 until 8).map(i =>
+      (100000L + i, Array.tabulate(8)(j => ((i * 17 + j * 3 + 5) % 23).toFloat - 11f).toSeq))
+    val df = (copies ++ tail).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", threshold = 0.99)
+    val (cnt, joinOut) = countWithJoinOutput(pairs)
+    assert(cnt >= n * (n - 1) / 2, "identical vectors must all pair at cosine 1")
+    assert(joinOut <= 4L * (n * (n - 1) / 2) + 100L * n,
+      s"joins emitted $joinOut rows — LSH banding is quadratic in the duplicated vector")
+    graft.llm.BarrierCache.sweep(spark)
+  }
+
   test("capped Jaccard scores numerator and denominator in ONE universe") {
     // Two identical docs whose shingles are MOSTLY hot (shared with
     // 60 fillers): scoring filtered intersections against unfiltered
