@@ -85,8 +85,13 @@ object Snapshots {
       case Some(m) => m.group(1)
       case None => throw new IllegalStateException(s"$vf is not a version file")
     }
-    val n = """"n_rows":(\d+)""".r.findFirstMatchIn(body)
-      .map(_.group(1).toLong).getOrElse(-1L)
+    // missing n_rows is as malformed as a missing data_dir — a silent
+    // -1 would be re-published verbatim by rollback into a version
+    // file the \d+ regex can never re-parse
+    val n = """"n_rows":(\d+)""".r.findFirstMatchIn(body) match {
+      case Some(m) => m.group(1).toLong
+      case None => throw new IllegalStateException(s"$vf is not a version file")
+    }
     (dir, n)
   }
 
@@ -108,18 +113,26 @@ object Snapshots {
     * conflict with no data conflict.
     */
   def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
+    val (dataDir, nRows) = writeDataDir(spark, df, root)
+    publishNext(spark, root, dataDir, nRows)
+  }
+
+  /** Write `df` into a fresh writer-unique data dir under `root`;
+    * returns (relative data dir, row count). n_rows rides the write
+    * itself (Observation = a named accumulator over the rows the
+    * writer actually emits) — no second listing + count job over
+    * what, at target scale, is millions of fresh files.
+    */
+  private def writeDataDir(spark: SparkSession, df: DataFrame,
+                           root: String): (String, Long) = {
     val dataDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     val dataPath = new Path(root, dataDir)
-    // n_rows rides the write itself (Observation = a named accumulator
-    // over the rows the writer actually emits) — no second listing +
-    // count job over what, at target scale, is millions of fresh files
     val obs = org.apache.spark.sql.Observation(
       s"graft_commit_${java.util.UUID.randomUUID().toString.take(8)}")
     df.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_rows"))
       .write.mode("overwrite").parquet(dataPath.toString)
-    val nRows = obs.get("n_rows").asInstanceOf[Long]
-    publishNext(spark, root, dataDir, nRows)
+    (dataDir, obs.get("n_rows").asInstanceOf[Long])
   }
 
   /** Publish `dataDir` at the next free version number, retrying
@@ -176,14 +189,27 @@ object Snapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           f.delete(tmp, false); false // lost the race — caller retries at v+1
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // file:// mounts without hard-link support (some network /
+          // overlay filesystems): fall back to the rename promote with
+          // an exists re-check — a narrower race window than link(2)'s
+          // EEXIST guarantee, but never a spuriously failing commit
+          renamePromote(f, tmp, vf)
       }
-    } else if (f.rename(tmp, vf)) true
+    } else renamePromote(f, tmp, vf)
+  }
+
+  /** HDFS-style promote: `FileSystem.rename` fails when the
+    * destination exists, so the rename itself is the commit point;
+    * a lost race surfaces as rename-failed + destination-present.
+    */
+  private def renamePromote(f: FileSystem, tmp: Path, vf: Path): Boolean =
+    if (f.rename(tmp, vf)) true
     else {
       f.delete(tmp, false)
       if (f.exists(vf)) false // lost the race — caller retries at v+1
       else throw new IllegalStateException(s"could not publish $vf")
     }
-  }
 
   /** Read the table at `version` (default: latest). Old versions
     * remain readable after later commits — the time-travel read.
@@ -229,21 +255,31 @@ object Snapshots {
   def commitWithStats(spark: SparkSession, df: DataFrame, root: String,
                       cols: Seq[String]): Long = {
     val v = commit(spark, df, root)
-    val dataDir = dataDirOf(spark, root, v)
+    ensureStats(spark, root, dataDirOf(spark, root, v), cols)
+    v
+  }
+
+  /** Build + persist the skipping index for `dataDir` unless it
+    * already exists (a re-used dir — rollback target — keeps its
+    * stats with zero work).
+    */
+  private def ensureStats(spark: SparkSession, root: String,
+                          dataDir: String, cols: Seq[String]): Unit = {
     val sp = statsPath(root, dataDir)
-    if (!fs(spark, sp).exists(sp)) // a re-used dir already has its stats
+    if (!fs(spark, sp).exists(sp))
       StatsIndex.buildAndSave(spark,
         new Path(root, dataDir).toString, cols, sp.toString)
-    v
   }
 
   /** Delta-OPTIMIZE for the snapshot tier: rewrite the LATEST
     * version's data into ⌈bytes/targetBytes⌉ files and publish the
     * compacted layout as a NEW version — data identical, history
     * intact (the small-file version stays readable until [[vacuum]]
-    * reclaims it), and because the rewrite goes through the normal
-    * commit path it is multi-writer safe: a concurrent ingest commit
-    * just wins an adjacent version number. [[Load.compact]] is the
+    * reclaims it), and multi-writer safe with a real conflict check:
+    * the compacted layout publishes at EXACTLY readVersion+1, so a
+    * concurrent commit landing after the read makes the publish lose
+    * — the stale rewrite is discarded and the NEW latest re-compacts
+    * (never shadowed). [[Load.compact]] is the
     * in-place form for plain tables; snapshot data dirs are
     * immutable, so HERE compaction must be a new version — which is
     * exactly what makes it safe to run while readers time-travel.
@@ -256,14 +292,34 @@ object Snapshots {
   def optimize(spark: SparkSession, root: String,
                targetBytes: Long = 128L * 1024 * 1024,
                statsCols: Seq[String] = Nil): Long = {
-    val v = latestVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"$root has no committed versions"))
-    val dataPath = new Path(root, dataDirOf(spark, root, v))
-    val bytes = fs(spark, dataPath).getContentSummary(dataPath).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(dataPath.toString).repartition(nFiles)
-    if (statsCols.nonEmpty) commitWithStats(spark, df, root, statsCols)
-    else commit(spark, df, root)
+    // Optimistic CONFLICT CHECK, not just optimistic publish: a
+    // compaction's data is a function of the version it read, so if a
+    // concurrent ingest commit lands after we read `v`, publishing the
+    // compaction at any later number would SHADOW that commit (the new
+    // latest = a compaction of pre-ingest data). Delta's OPTIMIZE
+    // conflict-checks for the same reason. The check is made atomic by
+    // publishing at EXACTLY v+1 with create-exclusive semantics: if
+    // v+1 exists, someone committed after our read — our rewrite is
+    // stale, so we drop it and re-compact the new latest. The stale
+    // dir is deleted eagerly (it is this writer's own orphan).
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val dataPath = new Path(root, dataDirOf(spark, root, v))
+      val bytes = fs(spark, dataPath).getContentSummary(dataPath).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val df = spark.read.parquet(dataPath.toString).repartition(nFiles)
+      val (dataDir, nRows) = writeDataDir(spark, df, root)
+      if (tryPublish(spark, root, v + 1, dataDir, nRows)) {
+        if (statsCols.nonEmpty) ensureStats(spark, root, dataDir, statsCols)
+        return v + 1
+      }
+      fs(spark, new Path(root, dataDir)).delete(new Path(root, dataDir), true)
+      attempts += 1
+      require(attempts < 100, s"$root: optimize lost $attempts commit races")
+    }
+    -1L // unreachable
   }
 
   /** Time-travel read THROUGH the version's stats index: the file

@@ -66,9 +66,15 @@ object StatsIndex {
 
   /** Recursive data-file listing: every `.parquet` file under
     * `dataPath`, descending into partition dirs, skipping hidden
-    * (`_`/`.`-prefixed) files and dirs — Spark's own visibility
-    * convention. Returns URI strings. The list is the same
-    * driver-side object every parquet scan plans with.
+    * files and dirs by Spark's OWN visibility rule: `.`-prefixed, or
+    * `_`-prefixed WITHOUT an `=` — a `_`-prefixed name containing
+    * `=` is a legal partition dir (the engine's own sinks produce
+    * `__bucket=`/`__batch=` layouts, and `spark.read` descends into
+    * them), so treating it as hidden here would make this listing
+    * disagree with what the scan reads and silently drop every
+    * stats row in [[updateFor]]'s diff. Returns URI strings. The
+    * list is the same driver-side object every parquet scan plans
+    * with.
     */
   private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
@@ -80,8 +86,8 @@ object StatsIndex {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
-        val hidden = rel.split('/')
-          .exists(c => c.startsWith("_") || c.startsWith("."))
+        val hidden = rel.split('/').exists(c =>
+          (c.startsWith("_") && !c.contains("=")) || c.startsWith("."))
         if (!hidden) buf += st.getPath.toUri.toString
       }
     }

@@ -222,6 +222,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 500L)
   }
 
+  test("optimize never shadows a concurrent commit (conflict-checked publish)") {
+    // optimize's output is a function of the version it READ, so its
+    // publish must lose to any commit that lands after the read — the
+    // invariant under any interleaving: an optimize-published version
+    // is data-identical to its IMMEDIATE predecessor, and every
+    // concurrent commit's own version still reads its full frame
+    val root = tmpDir("snap_opt_occ")
+    Snapshots.commit(spark, df(5).repartition(4), root)
+    val optVs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val commitVs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val committer = new Thread(() =>
+      try {
+        barrier.await()
+        (1 to 3).foreach(i =>
+          commitVs.add(Snapshots.commit(spark, df(i * 10).repartition(4), root)))
+      } catch { case t: Throwable => errors.add(t) })
+    val optimizer = new Thread(() =>
+      try {
+        barrier.await()
+        (1 to 3).foreach(_ =>
+          optVs.add(Snapshots.optimize(spark, root, targetBytes = 1L << 30)))
+      } catch { case t: Throwable => errors.add(t) })
+    committer.start(); optimizer.start()
+    committer.join(180000); optimizer.join(180000)
+    assert(errors.isEmpty, s"failed: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    optVs.asScala.foreach { v =>
+      val prev = Snapshots.read(spark, root, Some(v - 1))
+      val opt = Snapshots.read(spark, root, Some(v))
+      assert(prev.exceptAll(opt).count() === 0L &&
+        opt.exceptAll(prev).count() === 0L,
+        s"optimize v$v is not a compaction of v${v - 1} — a commit was shadowed")
+    }
+    val sizes = commitVs.asScala.toSeq.sorted
+      .map(v => Snapshots.read(spark, root, Some(v)).count())
+    assert(sizes === Seq(10L, 20L, 30L))
+  }
+
+  test("a version file missing n_rows is rejected, not propagated as -1") {
+    val root = tmpDir("snap_bad_meta")
+    Snapshots.commit(spark, df(2), root)
+    val p = java.nio.file.Paths.get(s"$root/_versions/v00000001.json")
+    val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replaceAll(""","n_rows":\d+""", "")
+    java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    intercept[IllegalStateException] { Snapshots.read(spark, root) }
+    // rollback must refuse too — republishing would mint a version
+    // file the reader regex can never parse
+    intercept[IllegalStateException] { Snapshots.rollback(spark, root, 1L) }
+  }
+
   test("rollback to a version that was never committed is refused") {
     val root = tmpDir("snap_dup")
     Snapshots.commit(spark, df(1), root)

@@ -144,6 +144,32 @@ class StatsIndexSpec extends SparkSpec {
     v1.unpersist()
   }
 
+  test("'_'-prefixed partition dirs (__batch=) follow Spark's visibility rule") {
+    // Spark treats a '_'-prefixed path component as hidden ONLY when
+    // it has no '=' — `__batch=0/` is a legal partition dir (the
+    // engine's own quarantine/upsert sinks write such layouts). The
+    // listing inside updateFor must agree with what spark.read scans,
+    // or the survivor semi-join silently drops every stats row.
+    val d = tmpDir("dsk_batch")
+    (1L to 300L).map(i => (i, i % 3)).toDF("k", "__batch")
+      .write.partitionBy("__batch").parquet(s"$d/t")
+    val v1 = StatsIndex.build(spark, s"$d/t", Seq("k")).cache()
+    assert(v1.count() > 0)
+    (301L to 400L).map(i => (i, 3L)).toDF("k", "__batch")
+      .write.mode("append").partitionBy("__batch").parquet(s"$d/t")
+    val v2 = StatsIndex.updateFor(spark, s"$d/t", v1, Seq("k"))
+    // regression: the old '_'-is-always-hidden rule emptied the index
+    assert(v1.exceptAll(v2).count() === 0L, "survivor rows dropped")
+    val scratch = StatsIndex.build(spark, s"$d/t", Seq("k"))
+    assert(v2.exceptAll(scratch).count() === 0L)
+    assert(scratch.exceptAll(v2).count() === 0L)
+    val (df, nRead, nTotal) = StatsIndex.prunedRead(
+      spark, s"$d/t", v2, "k", Some(lit(350L)), None)
+    assert(df.select("k").as[Long].collect().sorted === (350L to 400L).toArray)
+    assert(nRead > 0 && nRead < nTotal)
+    v1.unpersist()
+  }
+
   test("updateFor diffs via joins — no plan-literal isin at thousands of files") {
     val d = tmpDir("dsk_many")
     // 400 files: enough that a literal In-expression would be blatant
