@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 
 /** Versioned table snapshots with time travel — the Delta-lite
   * commit protocol over plain parquet dirs, completing the table-
@@ -70,21 +71,42 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  /** Parse the metadata fields readers need (dataDir, nRows) without
-    * a JSON library: the version files are written by this object, so
-    * the field shape is fixed.
+  /** Version metadata. Exactly one of `dataDir` / `manifest` is set:
+    * a WHOLE-DIR version ([[commit]]/[[optimize]] — the snapshot is
+    * one writer-unique immutable dir) or a MANIFEST version
+    * ([[append]]/[[merge]]/[[deleteRange]] — the snapshot is an
+    * explicit FILE LIST that can reference files across many older
+    * dirs, which is what makes copy-on-write metadata-only for the
+    * untouched fraction). `tag` is an optional idempotency token
+    * (the streaming ingest records its micro-batch id here — see
+    * [[lastTag]]).
     */
-  private def versionMeta(spark: SparkSession, root: String, v: Long): (String, Long) = {
+  final case class VMeta(dataDir: Option[String], manifest: Option[String],
+                         nRows: Long, tag: Option[Long]) {
+    /** Stable identifier of the version's file LAYOUT — the key the
+      * per-version stats index is stored under. A rollback republishes
+      * the same layout id, so its stats are reused with zero work.
+      */
+    def layoutId: String = dataDir.map(_.stripPrefix("data/"))
+      .orElse(manifest.map(_.stripPrefix("manifests/").stripSuffix(".txt")))
+      .getOrElse(throw new IllegalStateException("empty version meta"))
+  }
+
+  /** Parse the metadata fields readers need without a JSON library:
+    * the version files are written by this object, so the field shape
+    * is fixed.
+    */
+  def versionMeta(spark: SparkSession, root: String, v: Long): VMeta = {
     val vf = versionFile(root, v)
     val f = fs(spark, vf)
     require(f.exists(vf), s"$root has no committed version $v")
     val in = f.open(vf)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val dir = """"data_dir":"([^"]+)"""".r.findFirstMatchIn(body) match {
-      case Some(m) => m.group(1)
-      case None => throw new IllegalStateException(s"$vf is not a version file")
-    }
+    val dir = """"data_dir":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+    val man = """"manifest":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+    if (dir.isEmpty == man.isEmpty)
+      throw new IllegalStateException(s"$vf is not a version file")
     // missing n_rows is as malformed as a missing data_dir — a silent
     // -1 would be re-published verbatim by rollback into a version
     // file the \d+ regex can never re-parse
@@ -92,11 +114,13 @@ object Snapshots {
       case Some(m) => m.group(1).toLong
       case None => throw new IllegalStateException(s"$vf is not a version file")
     }
-    (dir, n)
+    val tag = """"tag":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    VMeta(dir, man, n, tag)
   }
 
   private def dataDirOf(spark: SparkSession, root: String, v: Long): String =
-    versionMeta(spark, root, v)._1
+    versionMeta(spark, root, v).dataDir.getOrElse(throw new IllegalStateException(
+      s"version $v of $root is a manifest version — use filesOfVersion"))
 
   /** Commit `df` as the next version of `root`; returns the new
     * version number. MULTI-WRITER SAFE (Delta-style optimistic
@@ -114,7 +138,22 @@ object Snapshots {
     */
   def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
     val (dataDir, nRows) = writeDataDir(spark, df, root)
-    publishNext(spark, root, dataDir, nRows)
+    publishNext(spark, root, v => dirBody(v, dataDir, nRows, None))
+  }
+
+  private def dirBody(v: Long, dataDir: String, nRows: Long,
+                      tag: Option[Long]): String =
+    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${
+      tag.map(t => s""","tag":$t""").getOrElse("")}}"""
+
+  private def manBody(v: Long, manifest: String, nRows: Long,
+                      tag: Option[Long]): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${
+      tag.map(t => s""","tag":$t""").getOrElse("")}}"""
+
+  private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
+    case Some(d) => dirBody(v, d, m.nRows, m.tag)
+    case None => manBody(v, m.manifest.get, m.nRows, m.tag)
   }
 
   /** Write `df` into a fresh writer-unique data dir under `root`;
@@ -135,14 +174,17 @@ object Snapshots {
     (dataDir, obs.get("n_rows").asInstanceOf[Long])
   }
 
-  /** Publish `dataDir` at the next free version number, retrying
-    * past publish races (shared by commit and rollback).
+  /** Publish a version body at the next free version number, retrying
+    * past publish races (shared by commit and rollback — writers whose
+    * output does NOT depend on the version they read; state-dependent
+    * writers like [[optimize]]/[[merge]]/[[append]] conflict-check at
+    * exactly readVersion+1 instead).
     */
   private def publishNext(spark: SparkSession, root: String,
-                          dataDir: String, nRows: Long): Long = {
+                          mkBody: Long => String): Long = {
     var v = latestVersion(spark, root).getOrElse(0L) + 1
     var attempts = 0
-    while (!tryPublish(spark, root, v, dataDir, nRows)) {
+    while (!tryPublish(spark, root, v, mkBody(v))) {
       attempts += 1
       require(attempts < 1000, s"$root: lost $attempts publish races — livelock?")
       v = math.max(v + 1, latestVersion(spark, root).getOrElse(0L) + 1)
@@ -168,7 +210,7 @@ object Snapshots {
     * and stays the promote step.
     */
   private def tryPublish(spark: SparkSession, root: String, v: Long,
-                         dataDir: String, nRows: Long): Boolean = {
+                         body: String): Boolean = {
     val vf = versionFile(root, v)
     val f = fs(spark, vf)
     f.mkdirs(vf.getParent)
@@ -176,8 +218,7 @@ object Snapshots {
     val tmp = new Path(vf.getParent,
       s".${vf.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
-    try out.write(
-      s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows}""".getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     if (f.getScheme == "file") {
       try {
@@ -211,36 +252,365 @@ object Snapshots {
       else throw new IllegalStateException(s"could not publish $vf")
     }
 
+  // --- manifest versions: explicit file lists for copy-on-write ---
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+".r
+
+  /** Strip any URI scheme, keep the absolute path — the shared
+    * normalization for comparing `input_file_name()` URIs
+    * ("file:///x") with Hadoop listing URIs ("file:/x").
+    */
+  private def normPath(s: String): String = SchemeRe.replaceFirstIn(s, "/")
+
+  private def rootPathOf(spark: SparkSession, root: String): String = {
+    val p = new Path(root)
+    fs(spark, p).makeQualified(p).toUri.getPath
+  }
+
+  /** Root-relative form of an absolute file URI/path. */
+  private def relOf(spark: SparkSession, root: String, abs: String): String =
+    normPath(abs).stripPrefix(rootPathOf(spark, root)).stripPrefix("/")
+
+  /** Write the file list of a manifest version — one root-relative
+    * path per line, writer-unique name; fully written BEFORE its
+    * version publishes (the same data-before-metadata discipline as
+    * the data dirs). Driver-held file list, like Delta's log: at
+    * millions of files this is ~100 MB of metadata, the same object
+    * every scan plans with.
+    */
+  private def writeManifest(spark: SparkSession, root: String,
+                            relFiles: Seq[String]): String = {
+    val rel = s"manifests/m-${java.util.UUID.randomUUID().toString.take(13)}.txt"
+    val p = new Path(root, rel)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(relFiles.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    rel
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+                           rel: String): Seq[String] = {
+    val p = new Path(root, rel)
+    val f = fs(spark, p)
+    require(f.exists(p), s"missing manifest $p")
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The version's data files as root-RELATIVE paths: a dir version
+    * lists its (immutable) dir once; a manifest version reads its
+    * file list — metadata either way.
+    */
+  private def relFilesOf(spark: SparkSession, root: String, m: VMeta): Seq[String] =
+    m.manifest match {
+      case Some(man) => readManifest(spark, root, man)
+      case None =>
+        val dir = m.dataDir.get
+        StatsIndex.listDataFiles(spark, new Path(root, dir).toString)
+          .map(abs => s"$dir/${normPath(abs).split('/').last}")
+    }
+
+  /** The version's data files as absolute paths. */
+  def filesOfVersion(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val m = versionMeta(spark, root, v)
+    relFilesOf(spark, root, m).map(rel => new Path(root, rel).toString)
+  }
+
   /** Read the table at `version` (default: latest). Old versions
     * remain readable after later commits — the time-travel read.
+    * Manifest versions read exactly their file list (untouched files
+    * from older dirs plus the version's own rewritten files).
     */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
-    spark.read.parquet(new Path(root, dataDirOf(spark, root, v)).toString)
+    val m = versionMeta(spark, root, v)
+    m.dataDir match {
+      case Some(d) => spark.read.parquet(new Path(root, d).toString)
+      case None =>
+        val files = relFilesOf(spark, root, m)
+          .map(rel => new Path(root, rel).toString)
+        require(files.nonEmpty, s"version $v of $root has an empty manifest")
+        spark.read.parquet(files: _*)
+    }
   }
 
-  /** Metadata-only undo: publish a NEW version whose data dir is
-    * version `to`'s. History stays linear and append-only (the bad
-    * version remains inspectable), and no data is copied.
+  /** Metadata-only undo: publish a NEW version whose data (dir or
+    * file list) is version `to`'s. History stays linear and
+    * append-only (the bad version remains inspectable), and no data
+    * is copied. The idempotency `tag` is NOT propagated — a rollback
+    * is not a re-ingest of the batch that produced the target.
     */
   def rollback(spark: SparkSession, root: String, to: Long): Long = {
     // metadata-only all the way: the target version file already
     // records its n_rows, so the undo triggers no read of the data
-    val (dataDir, nRows) = versionMeta(spark, root, to)
-    publishNext(spark, root, dataDir, nRows)
+    val m = versionMeta(spark, root, to)
+    publishNext(spark, root, v => bodyOf(v, m.copy(tag = None)))
+  }
+
+  /** The largest idempotency tag any committed version carries —
+    * the streaming ingest's replay guard ([[append]]'s `tag` records
+    * the micro-batch id; a crash-replayed or fresh-checkpoint-replayed
+    * batch sees its id already committed and skips). One tiny JSON
+    * read per version — metadata bounded by retained history.
+    */
+  def lastTag(spark: SparkSession, root: String): Option[Long] = {
+    val tags = versions(spark, root)
+      .flatMap(v => versionMeta(spark, root, v).tag)
+    if (tags.isEmpty) None else Some(tags.max)
+  }
+
+  // --- copy-on-write writers: append / merge / deleteRange ---
+
+  /** What a copy-on-write commit did: the new version, how many of
+    * the prior version's files it REWROTE vs carried by reference,
+    * and the rows the rewrite wrote. `filesRewritten` is the scale
+    * contract — a key-localized merge against a clustered layout
+    * rewrites a handful of files out of millions, and this count
+    * proves it per-commit.
+    */
+  final case class CowResult(version: Long, filesRewritten: Int,
+                             filesTotal: Int, rowsWritten: Long)
+
+  private def listFreshRel(spark: SparkSession, root: String,
+                           dataDir: String): Seq[String] =
+    StatsIndex.listDataFiles(spark, new Path(root, dataDir).toString)
+      .map(abs => s"$dataDir/${normPath(abs).split('/').last}")
+
+  /** METADATA-ONLY append: publish a new version whose file list is
+    * the previous version's files (by reference — nothing copied or
+    * rewritten) plus a freshly written dir holding `df`. This is the
+    * daily-ingest steady state at 100 TB: the commit cost is the new
+    * batch's write plus one manifest, independent of table size.
+    *
+    * Conflict-safe like [[optimize]]: the manifest is a function of
+    * the version it read, so the publish targets EXACTLY
+    * readVersion+1 — a concurrent commit landing first fails the
+    * publish and the append re-reads and re-publishes (its fresh data
+    * dir is untouched; only the tiny manifest is rebuilt), so no
+    * concurrent writer's files are ever dropped.
+    *
+    * With `statsCols` set, the new version's skipping index is the
+    * prior version's stats rows carried VERBATIM plus one
+    * [[StatsIndex.build]] pass over just the fresh dir — incremental
+    * maintenance in the same commit. `tag` is an idempotency token
+    * (see [[lastTag]]): the streaming ingest records its micro-batch
+    * id so replays skip instead of double-appending.
+    */
+  def append(spark: SparkSession, df: DataFrame, root: String,
+             statsCols: Seq[String] = Nil, tag: Option[Long] = None): Long = {
+    val (freshDir, freshRows) = writeDataDir(spark, df, root)
+    val freshRel = listFreshRel(spark, root, freshDir)
+    var attempts = 0
+    while (true) {
+      val prior = latestVersion(spark, root)
+      val (oldRel, oldRows, priorMeta) = prior match {
+        case Some(v) =>
+          val m = versionMeta(spark, root, v)
+          (relFilesOf(spark, root, m), m.nRows, Some(m))
+        case None => (Seq.empty[String], 0L, None)
+      }
+      val man = writeManifest(spark, root, oldRel ++ freshRel)
+      val v = prior.getOrElse(0L) + 1
+      if (tryPublish(spark, root, v,
+          manBody(v, man, oldRows + freshRows, tag))) {
+        if (statsCols.nonEmpty) {
+          val freshStats = StatsIndex.build(spark,
+            new Path(root, freshDir).toString, statsCols)
+          val newStats = priorMeta match {
+            case Some(m) => statsOf(spark, root, m, statsCols)
+              .unionByName(freshStats)
+            case None => freshStats
+          }
+          Load.writeAtomic(spark, newStats,
+            statsPath(root, versionMeta(spark, root, v).layoutId).toString)
+        }
+        return v
+      }
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      attempts += 1
+      require(attempts < 100, s"$root: append lost $attempts commit races")
+    }
+    -1L // unreachable
+  }
+
+  /** The copy-on-write writers split the version into touched +
+    * untouched THROUGH the stats table, so a stats table missing a
+    * live file would silently DROP that file from the new version —
+    * fail loudly instead. One metadata count vs one manifest/listing
+    * length.
+    */
+  private def requireStatsCoverage(spark: SparkSession, root: String,
+                                   m: VMeta, stats: DataFrame): Unit = {
+    val nStats = stats.select("file").distinct().count()
+    val nFiles = relFilesOf(spark, root, m).size
+    require(nStats == nFiles,
+      s"stats index covers $nStats files but version has $nFiles — " +
+        "rebuild via commitWithStats before copy-on-write commits")
+  }
+
+  /** COPY-ON-WRITE row-level MERGE (upsert semantics — the Delta
+    * `MERGE INTO` analogue): rows of the latest version whose `key`
+    * matches an update row are REPLACED, all update rows land (so
+    * unmatched update keys INSERT), and — the scale contract — only
+    * the files that CAN contain an update key are rewritten. File
+    * targeting is metadata: the version's per-file min/max stats on
+    * `key` ([[commitWithStats]]'s index) joined against the update
+    * keys (stats broadcast — one pass over the updates, no
+    * all-pairs); files whose range misses every update key are
+    * carried into the new version BY REFERENCE via the manifest.
+    * A key-localized update batch against a key-clustered layout
+    * therefore rewrites O(batch locality) files out of millions —
+    * which is the only shape row-level mutation can take at 100 TB.
+    *
+    * Semantics notes (both standard): a NULL update key never
+    * matches (it inserts; existing null-key rows survive), and
+    * updates should be key-distinct — duplicate update keys all
+    * insert, as in a multi-match MERGE.
+    *
+    * Conflict-safe exactly like [[optimize]]/[[append]] (publish at
+    * readVersion+1; on a lost race the rewrite is recomputed against
+    * the new latest). The new version's stats index reuses the
+    * untouched files' rows verbatim and rebuilds only the fresh dir.
+    */
+  def merge(spark: SparkSession, updates: DataFrame, root: String,
+            key: String, statsCols: Seq[String]): CowResult = {
+    require(statsCols.contains(key),
+      s"merge key $key must be a stats column for file targeting")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val tableCols = read(spark, root, Some(v)).schema.fieldNames
+      require(updates.columns.toSet == tableCols.toSet,
+        s"updates schema ${updates.columns.toSet} != table ${tableCols.toSet}")
+      val upd = updates.select(tableCols.map(col): _*)
+      val stats = statsOf(spark, root, m, statsCols)
+      requireStatsCoverage(spark, root, m, stats)
+      // touched = files whose [min,max] can contain SOME update key,
+      // plus no-stats files (conservative). The stats side is
+      // metadata-sized and broadcast; the scan side is the update
+      // keys — one pass, no shuffle of the table itself.
+      val k = upd.select(col(key).as("__mk"))
+        .filter(col("__mk").isNotNull).distinct()
+      val ranged = k.join(
+          org.apache.spark.sql.functions.broadcast(
+            stats.select(col("file"), col(s"min_$key"), col(s"max_$key"))),
+          col("__mk") >= col(s"min_$key") && col("__mk") <= col(s"max_$key"))
+        .select("file")
+      val touchedDf = ranged.unionByName(
+          stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
+            .select("file"))
+        .distinct()
+      val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
+      val touchedList = touchedDf.collect().map(_.getString(0)).sorted
+      val untouchedRows = untouched
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      val untouchedRel = untouched.select("file").collect()
+        .map(r => relOf(spark, root, r.getString(0))).sorted
+      val rewritten =
+        if (touchedList.isEmpty) upd
+        else spark.read.parquet(touchedList: _*)
+          .join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(upd)
+      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
+      val freshRel = listFreshRel(spark, root, freshDir)
+      val man = writeManifest(spark, root, untouchedRel ++ freshRel)
+      if (tryPublish(spark, root, v + 1,
+          manBody(v + 1, man, untouchedRows + freshRows, None))) {
+        val newStats =
+          if (freshRel.isEmpty) untouched
+          else untouched.unionByName(StatsIndex.build(spark,
+            new Path(root, freshDir).toString, statsCols))
+        Load.writeAtomic(spark, newStats,
+          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+        return CowResult(v + 1, touchedList.size,
+          touchedList.size + untouchedRel.size, freshRows)
+      }
+      // lost the race: this rewrite is stale against the new latest —
+      // drop our own orphans and redo
+      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      attempts += 1
+      require(attempts < 100, s"$root: merge lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** COPY-ON-WRITE range DELETE (`DELETE WHERE lo <= c <= hi` — the
+    * GDPR/retention-purge shape): files whose [min,max] cannot
+    * intersect the range are carried by reference; candidates are
+    * rewritten with the range filtered OUT. Rows with NULL `c` are
+    * KEPT (SQL DELETE's predicate must be TRUE to delete). The old
+    * version still contains the deleted rows until [[vacuum]]
+    * reclaims it — retention policy is explicit, exactly as in
+    * Delta.
+    */
+  def deleteRange(spark: SparkSession, root: String, c: String,
+                  lo: Option[Column], hi: Option[Column],
+                  statsCols: Seq[String]): CowResult = {
+    require(statsCols.contains(c),
+      s"delete column $c must be a stats column for file targeting")
+    require(lo.nonEmpty || hi.nonEmpty, "need at least one bound")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val stats = statsOf(spark, root, m, statsCols)
+      requireStatsCoverage(spark, root, m, stats)
+      val hit = StatsIndex.hitExpr(c, lo, hi)
+      val untouched = stats.filter(!hit)
+      val touchedList = stats.filter(hit)
+        .select("file").collect().map(_.getString(0)).sorted
+      val untouchedRows = untouched
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      val untouchedRel = untouched.select("file").collect()
+        .map(r => relOf(spark, root, r.getString(0))).sorted
+      val del = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
+        .flatten.reduce(_ && _)
+      val rewritten =
+        if (touchedList.isEmpty) read(spark, root, Some(v)).filter(lit(false))
+        else spark.read.parquet(touchedList: _*)
+          .filter(!coalesce(del, lit(false)))
+      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
+      val freshRel = listFreshRel(spark, root, freshDir)
+      val man = writeManifest(spark, root, untouchedRel ++ freshRel)
+      if (tryPublish(spark, root, v + 1,
+          manBody(v + 1, man, untouchedRows + freshRows, None))) {
+        val newStats =
+          if (freshRel.isEmpty) untouched
+          else untouched.unionByName(StatsIndex.build(spark,
+            new Path(root, freshDir).toString, statsCols))
+        Load.writeAtomic(spark, newStats,
+          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+        return CowResult(v + 1, touchedList.size,
+          touchedList.size + untouchedRel.size, freshRows)
+      }
+      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      attempts += 1
+      require(attempts < 100, s"$root: delete lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // --- per-version data skipping (Snapshots × StatsIndex) ---
 
-  /** Stats table location for a snapshot data dir — keyed by the
-    * DATA DIR name, not the version number: a [[rollback]] re-points
-    * a new version at an old dir whose stats already exist, so the
-    * metadata-only undo keeps its skipping index with zero work.
+  /** Stats table location for a version's file LAYOUT — keyed by the
+    * layout id (data-dir nonce or manifest nonce), not the version
+    * number: a [[rollback]] re-points a new version at an old layout
+    * whose stats already exist, so the metadata-only undo keeps its
+    * skipping index with zero work.
     */
-  private def statsPath(root: String, dataDir: String): Path =
-    new Path(new Path(root, "_stats"), dataDir.stripPrefix("data/"))
+  private def statsPath(root: String, layoutId: String): Path =
+    new Path(new Path(root, "_stats"), layoutId)
 
   /** [[commit]] + build and persist the per-file min/max stats index
     * for the new version's data dir ([[StatsIndex]]) — the commit
@@ -255,20 +625,39 @@ object Snapshots {
   def commitWithStats(spark: SparkSession, df: DataFrame, root: String,
                       cols: Seq[String]): Long = {
     val v = commit(spark, df, root)
-    ensureStats(spark, root, dataDirOf(spark, root, v), cols)
+    ensureStats(spark, root, versionMeta(spark, root, v), cols)
     v
   }
 
-  /** Build + persist the skipping index for `dataDir` unless it
-    * already exists (a re-used dir — rollback target — keeps its
-    * stats with zero work).
+  /** Build + persist the skipping index for a version's layout unless
+    * it already exists (a re-used layout — rollback target — keeps
+    * its stats with zero work).
     */
   private def ensureStats(spark: SparkSession, root: String,
-                          dataDir: String, cols: Seq[String]): Unit = {
-    val sp = statsPath(root, dataDir)
-    if (!fs(spark, sp).exists(sp))
-      StatsIndex.buildAndSave(spark,
-        new Path(root, dataDir).toString, cols, sp.toString)
+                          m: VMeta, cols: Seq[String]): Unit = {
+    val sp = statsPath(root, m.layoutId)
+    if (!fs(spark, sp).exists(sp)) m.dataDir match {
+      case Some(d) =>
+        StatsIndex.buildAndSave(spark, new Path(root, d).toString,
+          cols, sp.toString)
+      case None =>
+        val files = relFilesOf(spark, root, m)
+          .map(rel => new Path(root, rel).toString)
+        Load.writeAtomic(spark,
+          StatsIndex.buildForFiles(spark, files, cols), sp.toString)
+    }
+  }
+
+  /** The version's stats table — read if persisted, else derived on
+    * the spot (self-heal for a crash between a publish and its stats
+    * write; the derived table is also persisted so the heal pays
+    * once).
+    */
+  private def statsOf(spark: SparkSession, root: String, m: VMeta,
+                      cols: Seq[String]): DataFrame = {
+    val sp = statsPath(root, m.layoutId)
+    ensureStats(spark, root, m, cols)
+    spark.read.parquet(sp.toString)
   }
 
   /** Delta-OPTIMIZE for the snapshot tier: rewrite the LATEST
@@ -306,13 +695,18 @@ object Snapshots {
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
-      val dataPath = new Path(root, dataDirOf(spark, root, v))
-      val bytes = fs(spark, dataPath).getContentSummary(dataPath).getLength
+      val m = versionMeta(spark, root, v)
+      // total bytes of the version's OWN file list (a manifest version
+      // spans several dirs — sum its files, not any one dir)
+      val files = relFilesOf(spark, root, m).map(rel => new Path(root, rel))
+      val f = fs(spark, new Path(root))
+      val bytes = files.map(p => f.getFileStatus(p).getLen).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val df = spark.read.parquet(dataPath.toString).repartition(nFiles)
+      val df = read(spark, root, Some(v)).repartition(nFiles)
       val (dataDir, nRows) = writeDataDir(spark, df, root)
-      if (tryPublish(spark, root, v + 1, dataDir, nRows)) {
-        if (statsCols.nonEmpty) ensureStats(spark, root, dataDir, statsCols)
+      if (tryPublish(spark, root, v + 1, dirBody(v + 1, dataDir, nRows, None))) {
+        if (statsCols.nonEmpty)
+          ensureStats(spark, root, versionMeta(spark, root, v + 1), statsCols)
         return v + 1
       }
       fs(spark, new Path(root, dataDir)).delete(new Path(root, dataDir), true)
@@ -333,12 +727,28 @@ object Snapshots {
       : (DataFrame, Int, Int) = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
-    val dataDir = dataDirOf(spark, root, v)
-    val sp = statsPath(root, dataDir)
+    val m = versionMeta(spark, root, v)
+    val sp = statsPath(root, m.layoutId)
     require(fs(spark, sp).exists(sp),
       s"version $v of $root has no stats index — commit via commitWithStats")
-    StatsIndex.prunedRead(spark, new Path(root, dataDir).toString,
-      spark.read.parquet(sp.toString), c, lo, hi)
+    val stats = spark.read.parquet(sp.toString)
+    m.dataDir match {
+      case Some(d) =>
+        StatsIndex.prunedRead(spark, new Path(root, d).toString, stats, c, lo, hi)
+      case None =>
+        // manifest layout: the candidate list comes straight from the
+        // stats rows (whose `file` URIs are the manifest's files);
+        // there is no single base dir, and snapshot data is flat, so
+        // the subset read needs no basePath
+        val total = stats.select("file").count().toInt
+        val files = StatsIndex.candidateFiles(stats, c, lo, hi)
+        val bounded = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+        val df =
+          if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
+          else spark.read.parquet(files: _*).filter(bounded)
+        (df, files.size, total)
+    }
   }
 
   /** Reclaim storage: keep the last `keepLast` versions (and
@@ -352,10 +762,22 @@ object Snapshots {
     require(keepLast >= 1)
     val all = versions(spark, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
-    val keepDirs = keep.map(dataDirOf(spark, root, _)).toSet
+    val keepMetas = keep.map(versionMeta(spark, root, _))
+    // a kept version pins its data dirs: a dir version pins its one
+    // dir; a manifest version pins EVERY dir it references files in
+    // (dir-granular retention — a partially-referenced dir keeps its
+    // superseded files until the last version referencing it ages
+    // out, bounded by retained history — Delta-without-file-granular-
+    // vacuum semantics)
+    val keepDirs = keepMetas.flatMap { m =>
+      m.dataDir.map(Seq(_)).getOrElse(
+        relFilesOf(spark, root, m).map(rel =>
+          rel.split('/').dropRight(1).mkString("/")))
+    }.toSet
+    val keepManifests = keepMetas.flatMap(_.manifest).toSet
+    val keepLayouts = keepMetas.map(_.layoutId).toSet
     val f = fs(spark, new Path(root))
     drop.foreach(v => f.delete(versionFile(root, v), false))
-    val dataRoot = new Path(root, "data")
     // an unreferenced dir younger than the grace window may be an
     // IN-FLIGHT commit (data written, version not yet published) —
     // deleting it would corrupt the concurrent writer. Delta's
@@ -363,13 +785,36 @@ object Snapshots {
     // default grace comfortably exceeds any sane commit duration.
     // orphanGraceMs = 0 restores eager reclaim for offline cleanup.
     val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
       if (!keepDirs.contains(rel) && st.getModificationTime <= cutoff) {
         f.delete(st.getPath, true)
         // a reclaimed dir's skipping index is dead weight too
-        f.delete(statsPath(root, rel), true)
+        f.delete(statsPath(root, rel.stripPrefix("data/")), true)
       }
+    }
+    // dropped/orphaned manifests (and their layouts' stats) reclaim
+    // under the same grace rule as data dirs
+    val manRoot = new Path(root, "manifests")
+    if (f.exists(manRoot)) f.listStatus(manRoot).foreach { st =>
+      val rel = s"manifests/${st.getPath.getName}"
+      if (!st.getPath.getName.startsWith(".") &&
+          !keepManifests.contains(rel) && st.getModificationTime <= cutoff) {
+        f.delete(st.getPath, false)
+        f.delete(statsPath(root,
+          st.getPath.getName.stripSuffix(".txt")), true)
+      }
+    }
+    // stats of dropped DIR layouts whose dir survived (still pinned by
+    // a manifest) are still live only if the layout itself is kept
+    val statsRoot = new Path(root, "_stats")
+    if (f.exists(statsRoot)) f.listStatus(statsRoot).foreach { st =>
+      val id = st.getPath.getName
+      val dirAlive = keepDirs.contains(s"data/$id")
+      if (!keepLayouts.contains(id) && !dirAlive &&
+          st.getModificationTime <= cutoff)
+        f.delete(st.getPath, true)
     }
   }
 }

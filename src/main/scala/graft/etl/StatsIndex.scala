@@ -76,7 +76,7 @@ object StatsIndex {
     * list is the same driver-side object every parquet scan plans
     * with.
     */
-  private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+  private[etl] def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dataPath)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPath = f.getFileStatus(p).getPath.toUri.getPath
@@ -104,6 +104,16 @@ object StatsIndex {
             cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
     statsFor(spark.read.parquet(dataPath), cols)
+  }
+
+  /** [[build]] over an explicit file list (the snapshot tier's
+    * manifest versions have no single root dir to scan).
+    */
+  private[etl] def buildForFiles(spark: SparkSession, files: Seq[String],
+                                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    require(files.nonEmpty, "need at least one file")
+    statsFor(spark.read.parquet(files: _*), cols)
   }
 
   /** [[build]] + persist the stats table beside the data (the
@@ -150,8 +160,16 @@ object StatsIndex {
   }
 
   /** One column's can-intersect condition over its stats columns
-    * (conservative: no-stats files always hit).
+    * (conservative: no-stats files always hit). Public so the
+    * snapshot tier's copy-on-write writers ([[Snapshots.merge]] /
+    * [[Snapshots.deleteRange]]) can split the SAME stats table into
+    * touched/untouched halves with one expression — the complement
+    * of the candidate set has to be computed against identical
+    * semantics or a file could fall through both halves.
     */
+  def hitExpr(c: String, lo: Option[Column], hi: Option[Column]): Column =
+    canHit(c, lo, hi)
+
   private def canHit(c: String, lo: Option[Column], hi: Option[Column]): Column = {
     val noStats = col(s"min_$c").isNull || col(s"max_$c").isNull
     val hit = Seq(
@@ -218,5 +236,104 @@ object StatsIndex {
       else spark.read.option("basePath", dataPath).parquet(files: _*)
         .filter(bounded)
     (df, files.size, total)
+  }
+
+  // --- per-file BLOOM index: point lookups on unclustered columns ---
+
+  /** Per-file Bloom filter index over `c` — the skipping tier min/max
+    * CANNOT provide: a point lookup (`WHERE id = x`) on a column the
+    * layout is NOT clustered by sees every file's [min, max] span the
+    * whole key space, so range stats prune nothing, while a per-file
+    * Bloom filter prunes to ~the files that actually contain the key
+    * (plus an fpp-bounded tail of false positives). This is Delta's
+    * bloom-filter-index / Parquet's bloom pattern lifted to the same
+    * ONE-metadata-scan planning model as [[build]]: one row per file,
+    * `bloom_<c>` = the serialized sketch.
+    *
+    * The build reuses the engine's OWN insert path
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * over `xxhash64(c)`, seed 42 — the exact pair
+    * [[graft.operators.BloomPrune]] builds/probes with), grouped by
+    * `input_file_name()`: one scan of the COLUMN (pruned to just `c`
+    * by Parquet column pruning), one metadata-sized shuffle. Nulls
+    * are inserted as the seed hash — a harmless false-positive
+    * surface, never a false negative (probes are for non-null
+    * values). `expectedItemsPerFile` sizes the per-file sketch
+    * (~1.2 MB per 1M expected keys at 1% fpp); size it to the
+    * layout's rows-per-file, not the table total.
+    *
+    * False positives cost ONE extra file open; false negatives are
+    * impossible (every present key was inserted), so the pruned read
+    * returns exactly the full scan's rows — which is what the q170
+    * oracle replays value-for-value.
+    */
+  def buildBloom(spark: SparkSession, dataPath: String, c: String,
+                 expectedItemsPerFile: Long = 1L << 16,
+                 fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItemsPerFile > 0 && fpp > 0 && fpp < 1)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItemsPerFile, fpp)
+    val hashed = XxHash64(Seq(GraftShim.expression(col(c))), 42L)
+    val agg = new BloomFilterAggregate(hashed,
+      Literal(expectedItemsPerFile), Literal(numBits)).toAggregateExpression()
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(GraftShim.column(agg).as(s"bloom_$c"))
+  }
+
+  /** Candidate files for the point predicate `c = value`, decided by
+    * min/max range stats AND the per-file Bloom probe. The probe runs
+    * as a typed filter over the METADATA-sized (file, sketch) table —
+    * executor-side deserialization of each file's sketch
+    * (`BloomFilter.readFrom` — the same wire format
+    * `BloomFilterMightContain` reads), never a pass over data. A file
+    * missing from the bloom table (or carrying a null sketch) is kept
+    * conservatively. Returns (bloom-pruned candidates, count of
+    * files min/max alone would have opened).
+    */
+  def candidateFilesPoint(spark: SparkSession, stats: DataFrame,
+                          bloom: DataFrame, c: String, value: Any)
+      : (Seq[String], Int) = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    require(value != null, "point-lookup value must be non-null")
+    // the driver-side hash must be the exact xxhash64(seed 42) the
+    // build inserted — evaluate the same catalyst expression locally
+    val hash = XxHash64(Seq(Literal.create(value)), 42L)
+      .eval(null).asInstanceOf[Long]
+    val mm = stats.filter(hitExpr(c, Some(lit(value)), Some(lit(value))))
+      .select("file")
+    val mmCount = mm.count().toInt
+    val joined = mm.join(bloom.select(col("file"), col(s"bloom_$c").as("__bf")),
+      Seq("file"), "left")
+    import spark.implicits._
+    val files = joined.select(col("file"), col("__bf"))
+      .as[(String, Array[Byte])]
+      .filter { case (_, bf) =>
+        bf == null || org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bf))
+          .mightContainLong(hash)
+      }
+      .map(_._1).collect().toSeq.sorted
+    (files, mmCount)
+  }
+
+  /** Point-lookup read through min/max + Bloom: open ONLY the files
+    * whose sketch might contain `value`, re-apply the predicate.
+    * Returns (frame, files read, files min/max alone would read,
+    * files total).
+    */
+  def prunedReadPoint(spark: SparkSession, dataPath: String, stats: DataFrame,
+                      bloom: DataFrame, c: String, value: Any)
+      : (DataFrame, Int, Int, Int) = {
+    val total = stats.select("file").count().toInt
+    val (files, mmCount) = candidateFilesPoint(spark, stats, bloom, c, value)
+    val df =
+      if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+      else spark.read.option("basePath", dataPath).parquet(files: _*)
+        .filter(col(c) === lit(value))
+    (df, files.size, mmCount, total)
   }
 }

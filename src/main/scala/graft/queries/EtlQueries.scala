@@ -555,6 +555,158 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q168 — COPY-ON-WRITE row-level MERGE on the snapshot tier
+    // (Snapshots.merge — the Delta MERGE INTO analogue, and the only
+    // shape row-level mutation can take at 100 TB): a key-LOCALIZED
+    // update batch (keys ≤ 300 — the "recent partition" reality) plus
+    // brand-new keys lands as version 2 of a 12-file key-clustered
+    // table; file targeting is METADATA (the version's per-file
+    // min/max stats joined to the update keys), matched files rewrite
+    // with updates replacing matched rows, and every untouched file is
+    // carried into v2 BY REFERENCE through the manifest — never read,
+    // never copied. The flags pin the scale contract (rewrite strictly
+    // bounded and nonzero, history intact, v1 row-identical for time
+    // travel); the VALUES replay the upsert row-for-row in DuckDB —
+    // a dropped untouched file, a double-applied update, or a lost
+    // insert all hash-break the group sums.
+    "q168_snapshot_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q168").toString
+      val v1 = Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") <= 300L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("I").as("o_orderstatus"), col("o_totalprice")))
+      val r = Snapshots.merge(s, upd, root, "o_orderkey", Seq("o_orderkey"))
+      val baseN = o.count()
+      val v1N = Snapshots.read(s, root, Some(v1)).count()
+      Snapshots.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("rewrite_bounded", lit(r.filesRewritten < r.filesTotal))
+        .withColumn("rewrite_nonzero", lit(r.filesRewritten > 0))
+        .withColumn("history_intact",
+          lit(Snapshots.versions(s, root) == Seq(1L, 2L)))
+        .withColumn("v1_unchanged", lit(v1N == baseN))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q169 — COPY-ON-WRITE range DELETE (Snapshots.deleteRange — the
+    // GDPR/retention-purge shape): everything shipped from 1998-06-01
+    // on is deleted from a 12-file shipdate-clustered table. The
+    // range is date-LOCALIZED, so only the tail files rewrite
+    // (rewrite_bounded/nonzero pin it); the purged rows stay
+    // time-travel readable in v1 until vacuum — retention is an
+    // explicit policy, not an accident (history_retains). Values
+    // replay the complement aggregate from the full table: a wrongly
+    // skipped candidate file (rows kept that should be gone) or a
+    // dropped untouched file both hash-break.
+    "q169_snapshot_delete" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q169").toString
+      val v1 = Snapshots.commitWithStats(s,
+        li.repartitionByRange(12, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate"), root, Seq("l_shipdate"))
+      val cut = lit("1998-06-01").cast("timestamp")
+      val r = Snapshots.deleteRange(s, root, "l_shipdate",
+        Some(cut), None, Seq("l_shipdate"))
+      val v1N = Snapshots.read(s, root, Some(v1)).count()
+      val latest = Snapshots.read(s, root)
+      val latestN = latest.count()
+      latest.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("rewrite_bounded", lit(r.filesRewritten < r.filesTotal))
+        .withColumn("rewrite_nonzero", lit(r.filesRewritten > 0))
+        .withColumn("history_retains", lit(v1N > latestN))
+        .orderBy("l_returnflag")
+    }),
+
+    // q170 — per-file BLOOM index point lookup (StatsIndex.buildBloom
+    // / prunedReadPoint — the skipping case min/max CANNOT serve): the
+    // table is clustered by l_shipdate, so every file's
+    // [min,max] l_orderkey range spans ~the whole key space and range
+    // stats keep (nearly) all files for `l_orderkey = 7`; the
+    // per-file Bloom sketches — built with the engine's own
+    // BloomFilterAggregate insert path over xxhash64 — prune to ~the
+    // files that actually contain the key. bloom_leq_minmax is
+    // deterministic (the bloom candidates are an intersection);
+    // bloom_pruned pins that the sketch actually bit; values replay
+    // the point aggregate from the full table (a false NEGATIVE —
+    // the one failure a bloom must never have — drops rows and
+    // hash-breaks).
+    "q170_bloom_point_lookup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q170").toString
+      Load.writeClustered(s, li, "l_shipdate", 16, s"$root/li")
+      val stats = graft.etl.StatsIndex.build(s, s"$root/li", Seq("l_orderkey"))
+      val bloom = graft.etl.StatsIndex.buildBloom(s, s"$root/li",
+        "l_orderkey", expectedItemsPerFile = 1L << 16)
+      val (hit, nRead, nMinMax, nTotal) = graft.etl.StatsIndex.prunedReadPoint(
+        s, s"$root/li", stats, bloom, "l_orderkey", 7L)
+      hit.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("bloom_pruned", lit(nRead < nTotal))
+        .withColumn("bloom_leq_minmax", lit(nRead <= nMinMax))
+        .withColumn("files_nonzero", lit(nRead > 0))
+        .orderBy("l_returnflag")
+    }),
+
+    // q171 — STREAMING exactly-once snapshot ingest
+    // (Ingest.snapshotIngestAvailableNow — the lakehouse sink: every
+    // real AvailableNow micro-batch commits as a snapshot VERSION via
+    // the metadata-only append, tagged with its batch id). The run
+    // ingests three orderkey-sliced batches, then a SECOND run from a
+    // FRESH checkpoint replays the same batch ids — the version log's
+    // tags make it a complete no-op (versions_3 after BOTH runs is
+    // the exactly-once pin). v2_prefix pins batch-boundary time
+    // travel (version 2 ≡ slices 1+2); the final range read serves
+    // through the append-maintained stats index (files_pruned). The
+    // values replay the 600-900 key range from the base table.
+    "q171_streaming_snapshot_ingest" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q171").toString
+      graft.streaming.Ingest.stageOrderedParquet(s, Seq(
+        li.filter(col("l_orderkey") <= 500L),
+        li.filter(col("l_orderkey") > 500L && col("l_orderkey") <= 1000L),
+        li.filter(col("l_orderkey") > 1000L)), s"$base/staging")
+      graft.streaming.Ingest.snapshotIngestAvailableNow(s,
+        s"$base/staging", s"$base/chk", s"$base/t", Seq("l_orderkey"),
+        li.schema.toDDL, maxFilesPerTrigger = Some(1))
+      // fresh checkpoint, same staging: ids 0..2 replay and must skip
+      graft.streaming.Ingest.snapshotIngestAvailableNow(s,
+        s"$base/staging", s"$base/chk2", s"$base/t", Seq("l_orderkey"),
+        li.schema.toDDL, maxFilesPerTrigger = Some(1))
+      val vs = Snapshots.versions(s, s"$base/t")
+      val v2N = Snapshots.read(s, s"$base/t", Some(2L)).count()
+      val prefixN = li.filter(col("l_orderkey") <= 1000L).count()
+      val (pruned, nRead, nTotal) = Snapshots.readPruned(
+        s, s"$base/t", None, "l_orderkey", Some(lit(600L)), Some(lit(900L)))
+      pruned.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("versions_3", lit(vs == Seq(1L, 2L, 3L)))
+        .withColumn("v2_prefix", lit(v2N == prefixN))
+        .withColumn("files_pruned", lit(nRead < nTotal))
+        .withColumn("files_nonzero", lit(nRead > 0))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -919,6 +1071,63 @@ object EtlQueries {
         |  TRUE AS box_tighter_or_equal
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1 AND 3000 AND l_partkey BETWEEN 1 AND 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q168: the MERGE result replayed row-for-row (anti-join on the
+    // update keys + union) — a dropped untouched file, a
+    // double-applied update, or a lost insert all hash-break; the
+    // flags pin the bounded rewrite + intact history
+    "q168_snapshot_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS rewrite_bounded, TRUE AS rewrite_nonzero,
+        |  TRUE AS history_intact, TRUE AS v1_unchanged
+        |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q169: the DELETE complement from the full table — a candidate
+    // file skipped by the rewrite (rows kept that should be gone) or
+    // a dropped untouched file both hash-break
+    "q169_snapshot_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS rewrite_bounded, TRUE AS rewrite_nonzero,
+        |  TRUE AS history_retains
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-06-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170: the point aggregate from the full table — the bloom's
+    // one forbidden failure (a false negative) drops rows and
+    // hash-breaks; false positives only open extra files
+    "q170_bloom_point_lookup" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS bloom_pruned, TRUE AS bloom_leq_minmax,
+        |  TRUE AS files_nonzero
+        |FROM lineitem WHERE l_orderkey = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q171: the 600-900 range replay — the streamed, version-per-
+    // batch table must be value-identical to the base table; the
+    // flags pin exactly-once across a fresh-checkpoint replay and
+    // prefix time travel
+    "q171_streaming_snapshot_ingest" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS versions_3, TRUE AS v2_prefix,
+        |  TRUE AS files_pruned, TRUE AS files_nonzero
+        |FROM lineitem WHERE l_orderkey BETWEEN 600 AND 900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading

@@ -556,6 +556,45 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** STREAMING ingest that commits every micro-batch as a snapshot
+    * VERSION — the exactly-once lakehouse sink ([[graft.etl.Snapshots]]
+    * as a streaming target, Delta's `writeStream.format("delta")`
+    * shape): each batch lands via [[graft.etl.Snapshots.append]] —
+    * METADATA-ONLY append: the new version references every prior
+    * file verbatim and adds only the batch's fresh dir, so commit
+    * cost is O(batch), independent of table size — and records its
+    * micro-batch id as the version's idempotency `tag`.
+    *
+    * Exactly-once story: foreachBatch is at-least-once (a crash
+    * after the append but before the checkpoint commit replays the
+    * batch), but a replayed batch sees `lastTag >= batchId` and
+    * SKIPS — the version log itself is the transactional sink state,
+    * so even a FRESH-checkpoint replay over the same staging folder
+    * is a no-op (same ids re-delivered, all already committed).
+    * Readers time-travel to any batch boundary; the per-version
+    * stats index stays fresh through append's incremental hook.
+    */
+  def snapshotIngestAvailableNow(spark: SparkSession, stagingDir: String,
+                                 checkpointDir: String, tableRoot: String,
+                                 statsCols: Seq[String], schemaDDL: String,
+                                 maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(StructType.fromDDL(schemaDDL))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(stagingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!graft.etl.Snapshots.lastTag(spark, tableRoot).exists(_ >= batchId)) {
+          graft.etl.Snapshots.append(spark, batch, tableRoot,
+            statsCols, tag = Some(batchId))
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING spike alerting behind a real AvailableNow run — the
     * q137/q139 runtime discipline applied to
     * [[Stateful.spikeAlerts]]: watch a folder of JSON-lines reading

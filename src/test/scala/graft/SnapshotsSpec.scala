@@ -275,6 +275,199 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalStateException] { Snapshots.rollback(spark, root, 1L) }
   }
 
+  // --- copy-on-write tier: append / merge / deleteRange ---
+
+  private def kv(ids: Seq[Long], tagS: String) =
+    ids.map(i => (i, s"$tagS$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+
+  test("append is metadata-only: prior files referenced verbatim, batch-sized write") {
+    val root = tmpDir("snap_app")
+    val v1 = Snapshots.commitWithStats(spark, kv(1L to 400L, "a"), root, Seq("id"))
+    val filesV1 = Snapshots.filesOfVersion(spark, root, v1).toSet
+    val v2 = Snapshots.append(spark, kv(401L to 500L, "b"), root, Seq("id"))
+    val filesV2 = Snapshots.filesOfVersion(spark, root, v2).toSet
+    // every v1 file is carried BY REFERENCE — no rewrite, no copy
+    assert(filesV1.subsetOf(filesV2), "append rewrote or dropped prior files")
+    assert(filesV2.size > filesV1.size)
+    assert(Snapshots.read(spark, root).count() === 500L)
+    assert(Snapshots.read(spark, root, Some(v1)).count() === 400L)
+    // n_rows in metadata is exact without any re-count job
+    assert(Snapshots.versionMeta(spark, root, v2).nRows === 500L)
+    // the appended version's stats index prunes across BOTH generations
+    val (pr, nRead, nTotal) = Snapshots.readPruned(
+      spark, root, None, "id", Some(lit(420L)), Some(lit(430L)))
+    assert(pr.count() === 11L)
+    assert(nRead > 0 && nRead < nTotal, s"read $nRead of $nTotal")
+  }
+
+  test("concurrent appends conflict-check: no batch's files are ever dropped") {
+    val root = tmpDir("snap_app_occ")
+    Snapshots.commit(spark, df(5), root)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val threads = (1 to 3).map { i =>
+      new Thread(() =>
+        try {
+          barrier.await()
+          Snapshots.append(spark,
+            (1 to 10).map(j => (i * 100L + j, s"t$i")).toDF("id", "s"), root)
+        } catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errors.isEmpty, s"append failed: ${errors.peek()}")
+    // a lost-race append that blindly republished its stale manifest
+    // would DROP the winner's files — the final version must hold all
+    // three batches plus the base
+    assert(Snapshots.read(spark, root).count() === 5L + 30L)
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("merge: upsert semantics, bounded rewrite, untouched files by reference") {
+    import spark.implicits._
+    val root = tmpDir("snap_mrg")
+    val v1 = Snapshots.commitWithStats(spark, kv(1L to 400L, "a"), root, Seq("id"))
+    val filesV1 = Snapshots.filesOfVersion(spark, root, v1).toSet
+    // key-localized updates (ids 10..20) + brand-new keys (501, 502)
+    val upd = ((10L to 20L).map(i => (i, s"U$i")) ++
+      Seq((501L, "N501"), (502L, "N502"))).toDF("id", "s")
+    val r = Snapshots.merge(spark, upd, root, "id", Seq("id"))
+    assert(r.version === v1 + 1)
+    // the 4-file range-clustered layout localizes ids 10..20 in one
+    // (at a sampled range boundary: two) file; 501/502 are beyond
+    // every range and touch nothing
+    assert(r.filesRewritten >= 1 && r.filesRewritten <= 2,
+      s"rewrote ${r.filesRewritten} of ${r.filesTotal}")
+    assert(r.filesTotal === 4)
+    val filesV2 = Snapshots.filesOfVersion(spark, root, r.version).toSet
+    assert((filesV1 & filesV2).size === r.filesTotal - r.filesRewritten,
+      "untouched files not carried by reference")
+    // row-level result: replaced + inserted + untouched
+    val got = Snapshots.read(spark, root).as[(Long, String)].collect().toMap
+    assert(got.size === 402)
+    assert(got(15L) === "U15" && got(501L) === "N501")
+    assert(got(9L) === "a9" && got(400L) === "a400")
+    // time travel still sees the pre-merge rows
+    assert(Snapshots.read(spark, root, Some(v1))
+      .filter(col("id") === 15L).as[(Long, String)].head()._2 === "a15")
+    // the merged version's reused+fresh stats index still prunes
+    val (pr, nRead, nTotal) = Snapshots.readPruned(
+      spark, root, None, "id", Some(lit(200L)), Some(lit(210L)))
+    assert(pr.count() === 11L)
+    assert(nRead < nTotal)
+  }
+
+  test("merge null-key updates insert; existing rows with the key untouched") {
+    import spark.implicits._
+    val root = tmpDir("snap_mrg_null")
+    Snapshots.commitWithStats(spark,
+      Seq((Some(1L), "a1"), (None: Option[Long], "anull"))
+        .toDF("id", "s"), root, Seq("id"))
+    val upd = Seq((Some(1L), "U1"), (None: Option[Long], "Unull"))
+      .toDF("id", "s")
+    Snapshots.merge(spark, upd, root, "id", Seq("id"))
+    val got = Snapshots.read(spark, root).as[(Option[Long], String)].collect()
+    // key 1 replaced; the null-key update INSERTED (null never
+    // matches), the existing null-key row SURVIVED
+    assert(got.toSet === Set((Some(1L), "U1"), (None, "anull"), (None, "Unull")))
+  }
+
+  test("deleteRange: bounded rewrite, nulls kept, old version retains rows") {
+    import spark.implicits._
+    val root = tmpDir("snap_del")
+    val base = ((1L to 400L).map(i => (Some(i), s"a$i")) :+
+      ((None: Option[Long], "anull"))).toDF("id", "s")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    val v1 = Snapshots.commitWithStats(spark, base, root, Seq("id"))
+    val r = Snapshots.deleteRange(spark, root, "id",
+      Some(lit(301L)), None, Seq("id"))
+    assert(r.filesRewritten < r.filesTotal, s"${r.filesRewritten}/${r.filesTotal}")
+    val got = Snapshots.read(spark, root)
+    assert(got.filter(col("id") >= 301L).count() === 0L)
+    // NULL id is NOT in the deleted range — SQL DELETE keeps it
+    assert(got.filter(col("id").isNull).count() === 1L)
+    assert(got.count() === 301L)
+    // retention: the old version still has the purged rows until vacuum
+    assert(Snapshots.read(spark, root, Some(v1)).count() === 401L)
+  }
+
+  test("vacuum keeps dirs pinned by kept manifests, reclaims dropped manifests+stats") {
+    val root = tmpDir("snap_vac_man")
+    Snapshots.commitWithStats(spark, kv(1L to 200L, "a"), root, Seq("id"))
+    Snapshots.append(spark, kv(201L to 300L, "b"), root, Seq("id"))
+    val r = Snapshots.merge(spark,
+      Seq((5L, "U5")).toDF("id", "s"), root, "id", Seq("id"))
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0)
+    assert(Snapshots.versions(spark, root) === Seq(r.version))
+    // the kept manifest references files inside v1's AND v2's dirs —
+    // both must survive, plus the merge's fresh dir
+    assert(Snapshots.read(spark, root).count() === 300L)
+    val mans = new java.io.File(s"$root/manifests").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")) // local-FS .crc sidecars
+    assert(mans.length === 1, s"dropped manifests survived: ${mans.mkString(",")}")
+    // pruned reads still serve from the kept layout's stats
+    val (pr, _, _) = Snapshots.readPruned(
+      spark, root, None, "id", Some(lit(250L)), Some(lit(260L)))
+    assert(pr.count() === 11L)
+  }
+
+  test("copy-on-write refuses a stats index that does not cover the version") {
+    val root = tmpDir("snap_cov")
+    Snapshots.commitWithStats(spark, kv(1L to 100L, "a"), root, Seq("id"))
+    // corrupt the invariant: drop one file's stats row
+    val m = Snapshots.versionMeta(spark, root, 1L)
+    val sp = s"$root/_stats/${m.layoutId}"
+    val crippled = spark.read.parquet(sp).limit(2)
+    graft.etl.Load.writeAtomic(spark, crippled, sp)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, Seq((1L, "U")).toDF("id", "s"),
+        root, "id", Seq("id"))
+    }
+    assert(ex.getMessage.contains("covers"), ex.getMessage)
+  }
+
+  test("append tags: lastTag rises, rollback does not propagate tags") {
+    val root = tmpDir("snap_tag")
+    assert(Snapshots.lastTag(spark, root).isEmpty)
+    Snapshots.append(spark, df(2), root, tag = Some(0L))
+    Snapshots.append(spark, df(3), root, tag = Some(1L))
+    assert(Snapshots.lastTag(spark, root) === Some(1L))
+    val v3 = Snapshots.rollback(spark, root, 1L)
+    assert(Snapshots.versionMeta(spark, root, v3).tag.isEmpty)
+    // tag survives being buried by an untagged version
+    assert(Snapshots.lastTag(spark, root) === Some(1L))
+  }
+
+  test("streaming snapshot ingest: version per batch, fresh-checkpoint replay is a no-op") {
+    import spark.implicits._
+    val base = tmpDir("snap_stream")
+    val li = (1L to 300L).map(i => (i, i % 7)).toDF("id", "grp")
+    graft.streaming.Ingest.stageOrderedParquet(spark, Seq(
+      li.filter(col("id") <= 100L),
+      li.filter(col("id") > 100L && col("id") <= 200L),
+      li.filter(col("id") > 200L)), s"$base/staging")
+    graft.streaming.Ingest.snapshotIngestAvailableNow(spark,
+      s"$base/staging", s"$base/chk", s"$base/t", Seq("id"),
+      "id LONG, grp LONG", maxFilesPerTrigger = Some(1))
+    assert(Snapshots.versions(spark, s"$base/t") === Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, s"$base/t").count() === 300L)
+    // each version is the prefix union — batch boundaries time-travel
+    assert(Snapshots.read(spark, s"$base/t", Some(1L)).count() === 100L)
+    assert(Snapshots.read(spark, s"$base/t", Some(2L)).count() === 200L)
+    // a FRESH checkpoint replays batch ids 0..2 — all tagged already,
+    // so the table must not grow (exactly-once across replays)
+    graft.streaming.Ingest.snapshotIngestAvailableNow(spark,
+      s"$base/staging", s"$base/chk2", s"$base/t", Seq("id"),
+      "id LONG, grp LONG", maxFilesPerTrigger = Some(1))
+    assert(Snapshots.versions(spark, s"$base/t") === Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, s"$base/t").count() === 300L)
+    // the stream-maintained stats prune range reads over the table
+    val (pr, nRead, nTotal) = Snapshots.readPruned(
+      spark, s"$base/t", None, "id", Some(lit(150L)), Some(lit(160L)))
+    assert(pr.count() === 11L)
+    assert(nRead < nTotal)
+  }
+
   test("rollback to a version that was never committed is refused") {
     val root = tmpDir("snap_dup")
     Snapshots.commit(spark, df(1), root)

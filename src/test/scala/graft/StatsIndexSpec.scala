@@ -263,4 +263,72 @@ class StatsIndexSpec extends SparkSpec {
     assert(df.select("v").as[Option[Long]].collect().flatten.sorted
       === (10L to 20L).toArray)
   }
+
+  // --- per-file Bloom index: point lookups min/max can't serve ---
+
+  /** Layout clustered by `t` so `k` is SPREAD across every file —
+    * min/max on k prunes nothing, the Bloom must.
+    */
+  private lazy val bloomDir: String = {
+    val d = tmpDir("blm")
+    // k = EVEN permutation values spread over t-order: each file's
+    // k-slice spans ~the full k range (min/max can't prune a point),
+    // and every in-range ODD value is genuinely absent (the case the
+    // bloom must prune WITHOUT min/max help)
+    val df = (1L to 2000L).map(i => (i, ((i * 997L) % 2000L) * 2L))
+      .toDF("t", "k")
+    Load.writeClustered(spark, df, "t", 16, s"$d/t")
+    s"$d/t"
+  }
+
+  test("bloom point lookup: exact rows, prunes far below min/max candidates") {
+    val stats = StatsIndex.build(spark, bloomDir, Seq("t", "k"))
+    val bloom = StatsIndex.buildBloom(spark, bloomDir, "k",
+      expectedItemsPerFile = 1L << 10)
+    val (df, nRead, nMinMax, nTotal) = StatsIndex.prunedReadPoint(
+      spark, bloomDir, stats, bloom, "k", 1994L)
+    // value correctness: identical to the full filter
+    assert(df.select("t").as[Long].collect() === Array(1L))
+    // the t-clustered layout spreads k: min/max opens (nearly) all
+    // files, the bloom opens ~the one containing k=997
+    assert(nMinMax > nTotal / 2, s"minmax candidates $nMinMax of $nTotal")
+    assert(nRead < nMinMax / 2, s"bloom read $nRead vs minmax $nMinMax")
+    assert(nRead >= 1)
+  }
+
+  test("bloom probe for an ABSENT key opens ~no files; never drops true rows") {
+    val stats = StatsIndex.build(spark, bloomDir, Seq("k"))
+    val bloom = StatsIndex.buildBloom(spark, bloomDir, "k",
+      expectedItemsPerFile = 1L << 10)
+    // 1995 is INSIDE every file's [min,max] (odd ⇒ absent) — only
+    // the bloom can rule the files out
+    val (df, nRead, nMinMax, nTotal) = StatsIndex.prunedReadPoint(
+      spark, bloomDir, stats, bloom, "k", 1995L)
+    assert(df.count() === 0L)
+    assert(nMinMax > nTotal / 2, s"minmax candidates $nMinMax of $nTotal")
+    // fpp=0.001 over 16 files: essentially always 0, never many
+    assert(nRead <= 2, s"absent key opened $nRead of $nTotal files")
+    // exhaustive no-false-negative check: every present key's pruned
+    // read finds all its rows
+    val present = Seq(2L, 1000L, 2468L, 3998L)
+    present.foreach { v =>
+      val (pdf, _, _, _) = StatsIndex.prunedReadPoint(
+        spark, bloomDir, stats, bloom, "k", v)
+      val want = spark.read.parquet(bloomDir)
+        .filter(col("k") === v).count()
+      assert(pdf.count() === want, s"k=$v")
+    }
+  }
+
+  test("a file missing from the bloom table is kept conservatively") {
+    val stats = StatsIndex.build(spark, bloomDir, Seq("k"))
+    val bloom = StatsIndex.buildBloom(spark, bloomDir, "k",
+      expectedItemsPerFile = 1L << 10)
+    val crippled = bloom.limit(4)
+    val (df, nRead, _, _) = StatsIndex.prunedReadPoint(
+      spark, bloomDir, stats, crippled, "k", 1994L)
+    assert(df.select("t").as[Long].collect() === Array(1L))
+    // files without a sketch row can't be ruled out — they stay open
+    assert(nRead >= 16 - 4, s"read $nRead")
+  }
 }
