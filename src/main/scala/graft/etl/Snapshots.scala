@@ -82,7 +82,8 @@ object Snapshots {
     * [[lastTag]]).
     */
   final case class VMeta(dataDir: Option[String], manifest: Option[String],
-                         nRows: Long, tag: Option[Long]) {
+                         nRows: Long, tag: Option[Long],
+                         schemaDdl: Option[String] = None) {
     /** Stable identifier of the version's file LAYOUT — the key the
       * per-version stats index is stored under. A rollback republishes
       * the same layout id, so its stats are reused with zero work.
@@ -115,7 +116,9 @@ object Snapshots {
       case None => throw new IllegalStateException(s"$vf is not a version file")
     }
     val tag = """"tag":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
-    VMeta(dir, man, n, tag)
+    val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    VMeta(dir, man, n, tag, schema)
   }
 
   private def dataDirOf(spark: SparkSession, root: String, v: Long): String =
@@ -138,22 +141,32 @@ object Snapshots {
     */
   def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
     val (dataDir, nRows) = writeDataDir(spark, df, root)
-    publishNext(spark, root, v => dirBody(v, dataDir, nRows, None))
+    // schema-in-the-log from the first commit: every later reader —
+    // and every append's schema check — plans from the version
+    // metadata instead of sampling parquet footers
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+    publishNext(spark, root, v => dirBody(v, dataDir, nRows, None, Some(ddl)))
   }
 
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def extras(tag: Option[Long], schema: Option[String]): String =
+    tag.map(t => s""","tag":$t""").getOrElse("") +
+      schema.map(d => s""","schema":"${jsonEsc(d)}"""").getOrElse("")
+
   private def dirBody(v: Long, dataDir: String, nRows: Long,
-                      tag: Option[Long]): String =
-    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${
-      tag.map(t => s""","tag":$t""").getOrElse("")}}"""
+                      tag: Option[Long], schema: Option[String] = None): String =
+    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema)}}"""
 
   private def manBody(v: Long, manifest: String, nRows: Long,
-                      tag: Option[Long]): String =
-    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${
-      tag.map(t => s""","tag":$t""").getOrElse("")}}"""
+                      tag: Option[Long], schema: Option[String] = None): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema)}}"""
 
   private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
-    case Some(d) => dirBody(v, d, m.nRows, m.tag)
-    case None => manBody(v, m.manifest.get, m.nRows, m.tag)
+    case Some(d) => dirBody(v, d, m.nRows, m.tag, m.schemaDdl)
+    case None => manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl)
   }
 
   /** Write `df` into a fresh writer-unique data dir under `root`;
@@ -330,13 +343,20 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    // schema-in-the-log (Delta-style): a version that RECORDS its
+    // schema is read with it — no footer sampling/merging at plan
+    // time, and files written BEFORE a schema evolution surface the
+    // new columns as nulls (parquet by-name resolution)
+    val reader = m.schemaDdl.map(d =>
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+      .getOrElse(spark.read)
     m.dataDir match {
-      case Some(d) => spark.read.parquet(new Path(root, d).toString)
+      case Some(d) => reader.parquet(new Path(root, d).toString)
       case None =>
         val files = relFilesOf(spark, root, m)
           .map(rel => new Path(root, rel).toString)
         require(files.nonEmpty, s"version $v of $root has an empty manifest")
-        spark.read.parquet(files: _*)
+        reader.parquet(files: _*)
     }
   }
 
@@ -403,7 +423,9 @@ object Snapshots {
     * id so replays skip instead of double-appending.
     */
   def append(spark: SparkSession, df: DataFrame, root: String,
-             statsCols: Seq[String] = Nil, tag: Option[Long] = None): Long = {
+             statsCols: Seq[String] = Nil, tag: Option[Long] = None,
+             evolveSchema: Boolean = false): Long = {
+    import org.apache.spark.sql.types.StructType
     val (freshDir, freshRows) = writeDataDir(spark, df, root)
     val freshRel = listFreshRel(spark, root, freshDir)
     var attempts = 0
@@ -415,10 +437,37 @@ object Snapshots {
           (relFilesOf(spark, root, m), m.nRows, Some(m))
         case None => (Seq.empty[String], 0L, None)
       }
+      // schema-in-the-log: the new version records its schema so
+      // reads never sample footers. ADD-only evolution: new df
+      // columns extend the table schema (old files surface them as
+      // nulls); shared columns must keep their type; without
+      // `evolveSchema`, the batch must match the table exactly —
+      // silent column drift in a daily feed is a bug, not evolution.
+      val oldSchema = priorMeta.map(m =>
+        m.schemaDdl.map(StructType.fromDDL)
+          .getOrElse(read(spark, root, prior).schema))
+      val newSchema = oldSchema match {
+        case None => df.schema
+        case Some(old) =>
+          val oldNames = old.fieldNames.toSet
+          df.schema.fields.filter(f => oldNames.contains(f.name)).foreach { f =>
+            require(old(f.name).dataType == f.dataType,
+              s"append: column ${f.name} type ${f.dataType} != table ${old(f.name).dataType}")
+          }
+          val extra = df.schema.fields.filterNot(f => oldNames.contains(f.name))
+          if (!evolveSchema)
+            require(extra.isEmpty && oldNames.size == df.schema.size,
+              s"append batch schema ${df.columns.toSet} != table $oldNames — " +
+                "pass evolveSchema=true to ADD columns")
+          StructType(old.fields ++ extra)
+      }
+      // stored nullable: files from before an evolution genuinely
+      // yield nulls for added columns
+      val ddl = StructType(newSchema.fields.map(_.copy(nullable = true))).toDDL
       val man = writeManifest(spark, root, oldRel ++ freshRel)
       val v = prior.getOrElse(0L) + 1
       if (tryPublish(spark, root, v,
-          manBody(v, man, oldRows + freshRows, tag))) {
+          manBody(v, man, oldRows + freshRows, tag, Some(ddl)))) {
         if (statsCols.nonEmpty) {
           val freshStats = StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols)
@@ -487,7 +536,8 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
-      val tableCols = read(spark, root, Some(v)).schema.fieldNames
+      val tableSchema = read(spark, root, Some(v)).schema
+      val tableCols = tableSchema.fieldNames
       require(updates.columns.toSet == tableCols.toSet,
         s"updates schema ${updates.columns.toSet} != table ${tableCols.toSet}")
       val upd = updates.select(tableCols.map(col): _*)
@@ -516,14 +566,20 @@ object Snapshots {
         .map(r => relOf(spark, root, r.getString(0))).sorted
       val rewritten =
         if (touchedList.isEmpty) upd
-        else spark.read.parquet(touchedList: _*)
+        else spark.read.schema(tableSchema).parquet(touchedList: _*)
           .join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upd)
       val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
+      // the table schema rides the log forward — dropping it here
+      // would hand a post-evolution table back to footer inference,
+      // where a pre-evolution sample file wins and the added column
+      // silently vanishes
+      val ddl = org.apache.spark.sql.types.StructType(
+        tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
-          manBody(v + 1, man, untouchedRows + freshRows, None))) {
+          manBody(v + 1, man, untouchedRows + freshRows, None, Some(ddl)))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -575,15 +631,18 @@ object Snapshots {
         .map(r => relOf(spark, root, r.getString(0))).sorted
       val del = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
         .flatten.reduce(_ && _)
+      val tableSchema = read(spark, root, Some(v)).schema
       val rewritten =
         if (touchedList.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-        else spark.read.parquet(touchedList: _*)
+        else spark.read.schema(tableSchema).parquet(touchedList: _*)
           .filter(!coalesce(del, lit(false)))
       val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
+      val ddl = org.apache.spark.sql.types.StructType(
+        tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
-          manBody(v + 1, man, untouchedRows + freshRows, None))) {
+          manBody(v + 1, man, untouchedRows + freshRows, None, Some(ddl)))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -680,7 +739,8 @@ object Snapshots {
     */
   def optimize(spark: SparkSession, root: String,
                targetBytes: Long = 128L * 1024 * 1024,
-               statsCols: Seq[String] = Nil): Long = {
+               statsCols: Seq[String] = Nil,
+               clusterBy: Seq[String] = Nil): Long = {
     // Optimistic CONFLICT CHECK, not just optimistic publish: a
     // compaction's data is a function of the version it read, so if a
     // concurrent ingest commit lands after we read `v`, publishing the
@@ -702,9 +762,19 @@ object Snapshots {
       val f = fs(spark, new Path(root))
       val bytes = files.map(p => f.getFileStatus(p).getLen).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val df = read(spark, root, Some(v)).repartition(nFiles)
+      val df0 = read(spark, root, Some(v))
+      // OPTIMIZE ... ZORDER-lite: re-CLUSTER while compacting, so the
+      // rewritten files carry tight disjoint ranges and the version's
+      // stats index prunes range reads again after micro-batch
+      // accretion scrambled the layout
+      val df =
+        if (clusterBy.isEmpty) df0.repartition(nFiles)
+        else df0.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
       val (dataDir, nRows) = writeDataDir(spark, df, root)
-      if (tryPublish(spark, root, v + 1, dirBody(v + 1, dataDir, nRows, None))) {
+      val ddl = m.schemaDdl // compaction preserves the logged schema
+      if (tryPublish(spark, root, v + 1,
+          dirBody(v + 1, dataDir, nRows, None, ddl))) {
         if (statsCols.nonEmpty)
           ensureStats(spark, root, versionMeta(spark, root, v + 1), statsCols)
         return v + 1
@@ -744,9 +814,12 @@ object Snapshots {
         val files = StatsIndex.candidateFiles(stats, c, lo, hi)
         val bounded = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
           .flatten.reduceOption(_ && _).getOrElse(lit(true))
+        val reader = m.schemaDdl.map(d => spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(d)))
+          .getOrElse(spark.read)
         val df =
           if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-          else spark.read.parquet(files: _*).filter(bounded)
+          else reader.parquet(files: _*).filter(bounded)
         (df, files.size, total)
     }
   }

@@ -707,6 +707,45 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q172 — SCHEMA EVOLUTION behind the oracle gate (the
+    // schema-in-the-log design: Snapshots.append(evolveSchema=true)
+    // records the widened schema in the version metadata, so the
+    // evolved table reads with ZERO footer sampling — pre-evolution
+    // files surface the added column as NULL by parquet by-name
+    // resolution, never by a mergeSchema pass over a million
+    // footers). A daily batch arrives with a new `channel` column;
+    // the aggregate groups across BOTH generations with old rows as
+    // 'legacy'. schema_evolved pins the evolved column list;
+    // old_nulls pins that every pre-evolution row reads NULL; the
+    // values replay the union from the base table.
+    "q172_snapshot_schema_evolution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q172").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      val batch = o.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          when(col("o_orderkey") % 2 === 0, "web")
+            .otherwise("store").as("channel"))
+      Snapshots.append(s, batch, root, Seq("o_orderkey"),
+        evolveSchema = true)
+      val latest = Snapshots.read(s, root)
+      val evolved = latest.columns.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "channel")
+      val oldNulls = latest.filter(col("channel").isNull).count() == o.count()
+      latest
+        .withColumn("channel", coalesce(col("channel"), lit("legacy")))
+        .groupBy("o_orderstatus", "channel")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("schema_evolved", lit(evolved))
+        .withColumn("old_nulls", lit(oldNulls))
+        .orderBy("o_orderstatus", "channel")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -1129,6 +1168,27 @@ object EtlQueries {
         |  TRUE AS files_pruned, TRUE AS files_nonzero
         |FROM lineitem WHERE l_orderkey BETWEEN 600 AND 900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q172: the evolved union replayed from the base table — pre-
+    // evolution rows must read as NULL channel ('legacy' after the
+    // coalesce); a schema lost to footer inference would collapse
+    // every group to 'legacy' and hash-break
+    "q172_snapshot_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         CAST(NULL AS VARCHAR) AS channel
+        |  FROM orders),
+        |evo AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+        |         o_totalprice,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN 'web'
+        |              ELSE 'store' END AS channel
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM evo)
+        |SELECT o_orderstatus, COALESCE(channel, 'legacy') AS channel,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS schema_evolved, TRUE AS old_nulls
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading
     "q150_streaming_spikes" ->

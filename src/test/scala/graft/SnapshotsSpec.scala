@@ -468,6 +468,99 @@ class SnapshotsSpec extends SparkSpec {
     assert(nRead < nTotal)
   }
 
+  test("append runs exactly the batch write — zero jobs over prior data") {
+    // the metadata-only claim, pinned the way the commit test pins
+    // n_rows: appending to a table must cost one Spark job (the fresh
+    // batch's write) regardless of how much data the table holds
+    val root = tmpDir("snap_app_jobs")
+    Snapshots.commit(spark, df(50), root)
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      var last = -1
+      var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (n != last && spins < 50) {
+        last = n; Thread.sleep(100)
+        n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      n
+    }
+    assert(jobsIn("snap_append_probe") {
+      Snapshots.append(spark, df(5), root)
+    } === 1, "append must not re-read or re-count the existing table")
+    assert(Snapshots.read(spark, root).count() === 55L)
+  }
+
+  test("schema evolution: added column rides the log; old files read as nulls") {
+    import spark.implicits._
+    val root = tmpDir("snap_evo")
+    Snapshots.commitWithStats(spark, kv(1L to 100L, "a"), root, Seq("id"))
+    // an unevolved append must REFUSE a drifted batch
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark,
+        Seq((101L, "b101", "web")).toDF("id", "s", "channel"), root)
+    }
+    val v2 = Snapshots.append(spark,
+      (101L to 150L).map(i => (i, s"b$i", "web")).toDF("id", "s", "channel"),
+      root, Seq("id"), evolveSchema = true)
+    val latest = Snapshots.read(spark, root)
+    assert(latest.columns.toSeq === Seq("id", "s", "channel"))
+    // pre-evolution rows surface the added column as NULL; the batch
+    // carries its values — and NO footer merging decided this, the
+    // logged schema did
+    assert(latest.filter(col("channel").isNull).count() === 100L)
+    assert(latest.filter(col("channel") === "web").count() === 50L)
+    // type conflicts on a shared column are refused
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark,
+        Seq((151L, 7L, "x")).toDF("id", "s", "channel"),
+        root, evolveSchema = true)
+    }
+    // a MERGE after the evolution keeps the evolved schema readable
+    val upd = Seq((5L, "U5", "store")).toDF("id", "s", "channel")
+    Snapshots.merge(spark, upd, root, "id", Seq("id"))
+    val got = Snapshots.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "s", "channel"))
+    assert(got.filter(col("id") === 5L).select("channel")
+      .as[String].head() === "store")
+    assert(got.filter(col("channel").isNull).count() === 99L)
+    // pruned reads honor the evolved schema too
+    val (pr, _, _) = Snapshots.readPruned(
+      spark, root, Some(v2), "id", Some(lit(120L)), Some(lit(130L)))
+    assert(pr.columns.toSeq === Seq("id", "s", "channel"))
+    assert(pr.count() === 11L)
+  }
+
+  test("optimize clusterBy: re-clustered compaction restores range pruning") {
+    import spark.implicits._
+    val root = tmpDir("snap_opt_cl")
+    // micro-batch accretion: 6 appends, each an id-INTERLEAVED slice
+    // (every file spans ~the whole key range — stats prune nothing)
+    Snapshots.commitWithStats(spark,
+      (1L to 6000L by 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      root, Seq("id"))
+    (1L to 5L).foreach { r =>
+      Snapshots.append(spark,
+        ((1L + r) to 6000L by 6L).map(i => (i, s"r$i")).toDF("id", "s")
+          .coalesce(1),
+        root, Seq("id"))
+    }
+    val (_, beforeRead, beforeTotal) = Snapshots.readPruned(
+      spark, root, None, "id", Some(lit(1000L)), Some(lit(1010L)))
+    assert(beforeRead === beforeTotal, "interleaved layout should not prune")
+    val v = Snapshots.optimize(spark, root, targetBytes = 16L * 1024,
+      statsCols = Seq("id"), clusterBy = Seq("id"))
+    val (pr, afterRead, afterTotal) = Snapshots.readPruned(
+      spark, root, Some(v), "id", Some(lit(1000L)), Some(lit(1010L)))
+    assert(pr.count() === 11L)
+    assert(afterTotal > 1, s"compaction produced $afterTotal files")
+    assert(afterRead < afterTotal,
+      s"re-clustered layout must prune: $afterRead of $afterTotal")
+    assert(Snapshots.read(spark, root).count() === 6000L)
+  }
+
   test("rollback to a version that was never committed is refused") {
     val root = tmpDir("snap_dup")
     Snapshots.commit(spark, df(1), root)
