@@ -37,6 +37,25 @@ object IncrementalAgg {
     aggregateSigned(newRows, dims, valueCols, sign = 1)
       .unionByName(aggregateSigned(oldRows, dims, valueCols, sign = -1))
 
+  /** The delta of a CHANGE-FEED frame ([[Snapshots.changes]] — rows
+    * tagged `_change_type` insert/delete): inserts count positive,
+    * deletes negative. This is CDF-driven MATERIALIZED-VIEW
+    * maintenance: the rollup refreshes from the churn the feed
+    * already computed — the base table is read by NEITHER side
+    * (the feed opened only churned files; the fold touches only
+    * `|agg| + |delta|`). Keyed-feed frames work too:
+    * update_postimage counts as the insert, update_preimage as the
+    * delete.
+    */
+  def deltaFromChanges(changes: DataFrame, dims: Seq[String],
+                       valueCols: Seq[String]): DataFrame =
+    delta(
+      oldRows = changes.filter(
+        col("_change_type").isin("delete", "update_preimage")),
+      newRows = changes.filter(
+        col("_change_type").isin("insert", "update_postimage")),
+      dims, valueCols)
+
   /** Fold a delta into the maintained table: union + re-sum (sums
     * are additive, so merge IS aggregation), then drop groups whose
     * row count reached zero. One shuffle of |agg| + |delta| — never

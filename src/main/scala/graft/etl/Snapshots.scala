@@ -83,7 +83,9 @@ object Snapshots {
     */
   final case class VMeta(dataDir: Option[String], manifest: Option[String],
                          nRows: Long, tag: Option[Long],
-                         schemaDdl: Option[String] = None) {
+                         schemaDdl: Option[String] = None,
+                         dv: Option[String] = None,
+                         constraints: Seq[(String, String)] = Nil) {
     /** Stable identifier of the version's file LAYOUT — the key the
       * per-version stats index is stored under. A rollback republishes
       * the same layout id, so its stats are reused with zero work.
@@ -118,8 +120,20 @@ object Snapshots {
     val tag = """"tag":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
     val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-    VMeta(dir, man, n, tag, schema)
+    val dv = """"dv":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+    // constraints is serialized LAST, so the greedy group ends at the
+    // array's own closing bracket even when an expr contains ']'
+    val cons = """"constraints":\[(.*)\]""".r.findFirstMatchIn(body)
+      .map { am =>
+        """\{"name":"((?:[^"\\]|\\.)*)","expr":"((?:[^"\\]|\\.)*)"\}""".r
+          .findAllMatchIn(am.group(1))
+          .map(cm => (unesc(cm.group(1)), unesc(cm.group(2)))).toSeq
+      }.getOrElse(Nil)
+    VMeta(dir, man, n, tag, schema, dv, cons)
   }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private def dataDirOf(spark: SparkSession, root: String, v: Long): String =
     versionMeta(spark, root, v).dataDir.getOrElse(throw new IllegalStateException(
@@ -140,33 +154,50 @@ object Snapshots {
     * conflict with no data conflict.
     */
   def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
+    // a full-replace commit still writes ROWS into a constrained
+    // table — same CHECK gate as append (no-op on a fresh table)
+    val cons = constraintsOf(spark, root)
+    requireSatisfied(df, cons, "commit")
     val (dataDir, nRows) = writeDataDir(spark, df, root)
     // schema-in-the-log from the first commit: every later reader —
     // and every append's schema check — plans from the version
     // metadata instead of sampling parquet footers
     val ddl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
-    publishNext(spark, root, v => dirBody(v, dataDir, nRows, None, Some(ddl)))
+    publishNext(spark, root,
+      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons))
   }
 
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def extras(tag: Option[Long], schema: Option[String]): String =
+  private def extras(tag: Option[Long], schema: Option[String],
+                     dv: Option[String] = None,
+                     cons: Seq[(String, String)] = Nil): String =
     tag.map(t => s""","tag":$t""").getOrElse("") +
-      schema.map(d => s""","schema":"${jsonEsc(d)}"""").getOrElse("")
+      schema.map(d => s""","schema":"${jsonEsc(d)}"""").getOrElse("") +
+      dv.map(d => s""","dv":"$d"""").getOrElse("") +
+      (if (cons.isEmpty) ""
+       else ""","constraints":[""" + cons.map { case (n, e) =>
+         s"""{"name":"${jsonEsc(n)}","expr":"${jsonEsc(e)}"}"""
+       }.mkString(",") + "]")
 
   private def dirBody(v: Long, dataDir: String, nRows: Long,
-                      tag: Option[Long], schema: Option[String] = None): String =
-    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema)}}"""
+                      tag: Option[Long], schema: Option[String] = None,
+                      dv: Option[String] = None,
+                      cons: Seq[(String, String)] = Nil): String =
+    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema, dv, cons)}}"""
 
   private def manBody(v: Long, manifest: String, nRows: Long,
-                      tag: Option[Long], schema: Option[String] = None): String =
-    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema)}}"""
+                      tag: Option[Long], schema: Option[String] = None,
+                      dv: Option[String] = None,
+                      cons: Seq[(String, String)] = Nil): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons)}}"""
 
   private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
-    case Some(d) => dirBody(v, d, m.nRows, m.tag, m.schemaDdl)
-    case None => manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl)
+    case Some(d) => dirBody(v, d, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints)
+    case None =>
+      manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints)
   }
 
   /** Write `df` into a fresh writer-unique data dir under `root`;
@@ -280,9 +311,16 @@ object Snapshots {
     fs(spark, p).makeQualified(p).toUri.getPath
   }
 
-  /** Root-relative form of an absolute file URI/path. */
-  private def relOf(spark: SparkSession, root: String, abs: String): String =
-    normPath(abs).stripPrefix(rootPathOf(spark, root)).stripPrefix("/")
+  /** Root-relative form of an absolute file URI/path. A file OUTSIDE
+    * the root (a [[cloneShallow]] reference into another table's data)
+    * stays ABSOLUTE — `Path(root, child)` resolves an absolute child
+    * to itself, so every consumer reads it unchanged.
+    */
+  private def relOf(spark: SparkSession, root: String, abs: String): String = {
+    val p = normPath(abs)
+    val rootP = rootPathOf(spark, root)
+    if (p.startsWith(rootP + "/")) p.stripPrefix(rootP).stripPrefix("/") else p
+  }
 
   /** Write the file list of a manifest version — one root-relative
     * path per line, writer-unique name; fully written BEFORE its
@@ -350,7 +388,7 @@ object Snapshots {
     val reader = m.schemaDdl.map(d =>
       spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
       .getOrElse(spark.read)
-    m.dataDir match {
+    val raw = m.dataDir match {
       case Some(d) => reader.parquet(new Path(root, d).toString)
       case None =>
         val files = relFilesOf(spark, root, m)
@@ -358,6 +396,31 @@ object Snapshots {
         require(files.nonEmpty, s"version $v of $root has an empty manifest")
         reader.parquet(files: _*)
     }
+    // merge-on-read: a version carrying a deletion vector applies it
+    // in the scan ([[deleteWhere]])
+    m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m))).getOrElse(raw)
+  }
+
+  /** `TIMESTAMP AS OF` time travel: the largest committed version
+    * whose version file's modification time is <= `tsMillis` — the
+    * log IS the clock (Delta resolves timestamps from commit-file
+    * timestamps the same way). One directory listing, no file
+    * contents read. Monotonicity holds because versions publish in
+    * order; sub-resolution ties resolve to the larger version via
+    * `max`.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val dir = versionsDir(root)
+    val f = fs(spark, dir)
+    require(f.exists(dir), s"$root has no committed versions")
+    val cands = f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VFILE(n) if st.getModificationTime <= tsMillis => Some(n.toLong)
+        case _ => None
+      }
+    }
+    require(cands.nonEmpty, s"$root has no version at or before $tsMillis")
+    cands.max
   }
 
   /** Metadata-only undo: publish a NEW version whose data (dir or
@@ -383,6 +446,480 @@ object Snapshots {
     val tags = versions(spark, root)
       .flatMap(v => versionMeta(spark, root, v).tag)
     if (tags.isEmpty) None else Some(tags.max)
+  }
+
+  // --- change data feed: file-granular version diff ---
+
+  /** What [[changes]] read: the net row-change frame plus the scan
+    * accounting that pins its scale contract — files READ = only the
+    * two versions' symmetric difference, never the carried-forward
+    * fraction (which at 100 TB is ~the whole table).
+    */
+  final case class ChangeScan(df: DataFrame, filesRead: Int,
+                              filesFrom: Int, filesTo: Int)
+
+  private def schemaOf(spark: SparkSession, root: String, v: Long,
+                       m: VMeta): org.apache.spark.sql.types.StructType =
+    m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(read(spark, root, Some(v)).schema)
+
+  /** CHANGE DATA FEED between two committed versions — the "what
+    * happened to the table since I last looked" read every
+    * incremental consumer (downstream sync, derived-table refresh,
+    * audit) needs, computed at FILE granularity from the version
+    * metadata: files present in both versions are IMMUTABLE and
+    * cancel by construction — never opened — so the diff costs
+    * O(churned files), not O(table) (the only affordable shape at
+    * 100 TB, and why Delta's CDF reads per-commit file actions, not
+    * table states).
+    *
+    * Net-change semantics over the churned files (multiset algebra:
+    * with U the carried files' rows, from = U+R and to = U+A, so
+    * to∖from = A∖R and from∖to = R∖A): a row of a rewritten file
+    * that survived verbatim appears in both A and R and cancels in
+    * `exceptAll`; what remains is exactly the insert/delete multiset
+    * diff of the two logical table states. A row UPDATE ([[merge]])
+    * therefore surfaces as delete(old) + insert(new) — the standard
+    * CDF shape for formats without per-row identity tracking. A
+    * layout-only rewrite ([[optimize]]) cancels COMPLETELY: zero
+    * change rows, as it must.
+    *
+    * Reads run under the TO version's logged schema (ADD-only
+    * evolution makes it the superset; pre-evolution files surface
+    * added columns as NULL on both sides, so evolution alone never
+    * fabricates a change).
+    */
+  def changes(spark: SparkSession, root: String,
+              fromV: Long, toV: Long): ChangeScan = {
+    require(fromV <= toV, s"changes: from $fromV > to $toV")
+    val mFrom = versionMeta(spark, root, fromV)
+    val mTo = versionMeta(spark, root, toV)
+    val fromRel = relFilesOf(spark, root, mFrom)
+    val toRel = relFilesOf(spark, root, mTo)
+    val fromSet = fromRel.toSet
+    val toSet = toRel.toSet
+    val schema = schemaOf(spark, root, toV, mTo)
+    val dataCols = schema.fieldNames.toSeq
+    def empty(): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    def readRel(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty) empty()
+      else spark.read.schema(schema)
+        .parquet(rels.map(rel => new Path(root, rel).toString): _*)
+    // each side reads LOGICALLY under its own version's deletion
+    // vector (merge-on-read composes with CDF)
+    def readLogical(rels: Seq[String], m: VMeta): DataFrame = {
+      val raw = readRel(rels)
+      if (m.dv.isEmpty || rels.isEmpty) raw
+      else applyDv(spark, root, raw, dvOf(spark, root, m))
+    }
+    var added = readLogical(toRel.filterNot(fromSet), mTo)
+    var removed = readLogical(fromRel.filterNot(toSet), mFrom)
+    var dvChurnFiles = 0
+    // carried files with VECTOR churn: a position deleted in `to`
+    // but live in `from` is a delete; the reverse (rollback across a
+    // merge-on-read delete) is an insert. Only the files the vector
+    // diff names are opened — dv churn, not table size.
+    if (mFrom.dv.isDefined || mTo.dv.isDefined) {
+      val carried = (fromSet & toSet).toSeq
+      val carriedDf = spark.createDataset(carried)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      val dvF = dvOf(spark, root, mFrom).join(carriedDf, Seq("file"), "left_semi")
+      val dvT = dvOf(spark, root, mTo).join(carriedDf, Seq("file"), "left_semi")
+      def rowsAt(pos: DataFrame): DataFrame = {
+        val fl = pos.select("file").distinct().collect().map(_.getString(0))
+        dvChurnFiles += fl.length
+        if (fl.isEmpty) empty()
+        else spark.read.schema(schema)
+          .parquet(fl.map(rel => new Path(root, rel).toString).toSeq: _*)
+          .withColumn("__file", relFileCol(rootPathOf(spark, root)))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(pos.select(col("file").as("__file"), col("pos").as("__pos")),
+            Seq("__file", "__pos"), "left_semi")
+          .select(dataCols.map(col): _*)
+      }
+      removed = removed.unionByName(rowsAt(dvT.exceptAll(dvF)))
+      added = added.unionByName(rowsAt(dvF.exceptAll(dvT)))
+    }
+    val out = added.exceptAll(removed)
+        .withColumn("_change_type", lit("insert"))
+      .unionByName(removed.exceptAll(added)
+        .withColumn("_change_type", lit("delete")))
+    ChangeScan(out,
+      (toSet -- fromSet).size + (fromSet -- toSet).size + dvChurnFiles,
+      fromRel.size, toRel.size)
+  }
+
+  /** [[changes]] refined with a row-identity KEY — Delta CDF's full
+    * change vocabulary: a net delete+insert pair sharing `key` is an
+    * UPDATE, reclassified as `update_preimage` / `update_postimage`;
+    * unmatched rows stay `insert` / `delete`. One window pass over
+    * the (churn-sized) change frame — the base table is still never
+    * opened. Null keys never pair (the [[merge]] matching rule), and
+    * key-uniqueness per version (the upsert contract) is what makes
+    * the pre/post pairing well-defined.
+    */
+  def changesKeyed(spark: SparkSession, root: String, fromV: Long,
+                   toV: Long, key: String): ChangeScan = {
+    import org.apache.spark.sql.functions.{max, when}
+    val cs = changes(spark, root, fromV, toV)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val df = cs.df
+      .withColumn("__ins", max(when(col("_change_type") === "insert", 1)
+        .otherwise(0)).over(w))
+      .withColumn("__del", max(when(col("_change_type") === "delete", 1)
+        .otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col(key).isNotNull && col("__ins") === 1 && col("__del") === 1,
+          when(col("_change_type") === "insert", "update_postimage")
+            .otherwise("update_preimage"))
+          .otherwise(col("_change_type")))
+      .drop("__ins", "__del")
+    ChangeScan(df, cs.filesRead, cs.filesFrom, cs.filesTo)
+  }
+
+  // --- file lineage: which commit introduced each row ---
+
+  /** METADATA-ONLY file lineage for `version`: each of its data
+    * files mapped to the version that FIRST referenced it — one
+    * manifest/listing read per retained version, no data opened.
+    * The audit primitive behind [[readWithLineage]].
+    */
+  def fileLineage(spark: SparkSession, root: String,
+                  version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val first = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    versions(spark, root).filter(_ <= v).foreach { vi =>
+      relFilesOf(spark, root, versionMeta(spark, root, vi)).foreach { rel =>
+        if (!first.contains(rel)) first.update(rel, vi)
+      }
+    }
+    val cur = relFilesOf(spark, root, versionMeta(spark, root, v)).toSet
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      first.iterator.filter(kv => cur(kv._1))
+        .map { case (f, vi) => org.apache.spark.sql.Row(f, vi) }
+        .toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("since_version",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Read `version` with a `_commit_version` AUDIT column — the
+    * version that introduced each row's FILE (Delta's CDF
+    * `_commit_version` attribution): appends keep their ingest
+    * version forever (files carry by reference), while a
+    * copy-on-write rewrite re-introduces its surviving rows at the
+    * rewrite version — PHYSICAL lineage, stated as such. The lineage
+    * map is metadata-sized (one row per file) and broadcast; a
+    * deletion vector applies as in [[read]].
+    */
+  def readWithLineage(spark: SparkSession, root: String,
+                      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    val schema = schemaOf(spark, root, v, m)
+    val dataCols = schema.fieldNames.toSeq
+    val files = relFilesOf(spark, root, m)
+      .map(rel => new Path(root, rel).toString)
+    val lin = fileLineage(spark, root, Some(v))
+    val dv = dvOf(spark, root, m)
+    spark.read.schema(schema).parquet(files: _*)
+      .withColumn("__file", relFileCol(rootPathOf(spark, root)))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+      .join(org.apache.spark.sql.functions.broadcast(
+        lin.withColumnRenamed("file", "__file")), Seq("__file"), "left")
+      .select(dataCols.map(col) :+
+        col("since_version").as("_commit_version"): _*)
+  }
+
+  // --- shallow clone: zero-copy table fork ---
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): `dst`
+    * becomes a new table whose v1 is a manifest REFERENCING the
+    * source version's files in place — zero data copied, cost = one
+    * manifest write, independent of table size. The experimentation
+    * primitive a 100 TB corpus needs: fork, diverge, throw away.
+    * Writers on the clone are copy-on-write as always, so divergence
+    * costs only what it rewrites (into the CLONE's own dirs — the
+    * source is never touched), and the source's stats index is
+    * reused VERBATIM when present (its absolute file URIs stay
+    * valid), so the clone skips files from birth without a scan.
+    * Schema and constraints ride over; the idempotency tag does not
+    * (a clone is not a re-ingest).
+    *
+    * Caveats (both as in Delta): vacuuming the SOURCE can reclaim
+    * files live clones still reference — source retention must
+    * outlive clones; and a deletion-vector version must be
+    * materialized first ([[optimize]]) — its vector's file keys are
+    * source-relative and would silently not match under the clone's
+    * root.
+    */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, srcRoot)).getOrElse(
+      throw new IllegalArgumentException(s"$srcRoot has no committed versions"))
+    val m = versionMeta(spark, srcRoot, v)
+    require(m.dv.isEmpty,
+      s"shallow clone of a deletion-vector version: optimize $srcRoot " +
+        "first (materializes the vector)")
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"$dstRoot already has committed versions")
+    val absFiles = filesOfVersion(spark, srcRoot, v).map(normPath)
+    val man = writeManifest(spark, dstRoot, absFiles)
+    val ddl = m.schemaDdl.getOrElse(org.apache.spark.sql.types.StructType(
+      read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
+    val nv = publishNext(spark, dstRoot, n =>
+      manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints))
+    val sp = statsPath(srcRoot, m.layoutId)
+    if (fs(spark, sp).exists(sp))
+      Load.writeAtomic(spark, spark.read.parquet(sp.toString),
+        statsPath(dstRoot, versionMeta(spark, dstRoot, nv).layoutId).toString)
+    nv
+  }
+
+  // --- write-time expectations: CHECK constraints in the log ---
+
+  /** A row VIOLATES when some constraint evaluates to FALSE — SQL
+    * CHECK semantics (and Delta's): NULL passes.
+    */
+  private def violatedCol(cons: Seq[(String, String)]): Column =
+    cons.map { case (_, e) =>
+      !coalesce(org.apache.spark.sql.functions.expr(e), lit(true))
+    }.reduce(_ || _)
+
+  /** Fail loudly when `df` violates the table's constraints — one
+    * predicate pass over the BATCH (never the table): write-time
+    * enforcement costs O(what is being written).
+    */
+  private def requireSatisfied(df: DataFrame, cons: Seq[(String, String)],
+                               what: String): Unit =
+    if (cons.nonEmpty) {
+      val bad = df.filter(violatedCol(cons)).count()
+      require(bad == 0L,
+        s"$what: $bad rows violate table constraints " +
+          s"(${cons.map(_._1).mkString(", ")}) — " +
+          "appendWithExpectations quarantines instead of refusing")
+    }
+
+  /** The table's current CHECK constraints (latest version's
+    * metadata — constraints ride the log like the schema does, so
+    * time travel sees the policy that held at each version).
+    */
+  def constraintsOf(spark: SparkSession, root: String): Seq[(String, String)] =
+    latestVersion(spark, root)
+      .map(v => versionMeta(spark, root, v).constraints).getOrElse(Nil)
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (exprSql)` — a
+    * METADATA-ONLY version recording the constraint in the log,
+    * after one validation scan proving the EXISTING data satisfies
+    * it (Delta's semantics: a constraint you could immediately
+    * violate by reading your own table is a lie). Every subsequent
+    * writer enforces it against what it writes; [[rollback]] across
+    * the ADD restores the prior (unconstrained) policy with the
+    * prior data — policy and data travel together.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String): Long = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      require(!m.constraints.exists(_._1 == name),
+        s"$root already has a constraint named $name")
+      val bad = read(spark, root, Some(v))
+        .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true)))
+        .count()
+      require(bad == 0L,
+        s"cannot add constraint $name: $bad existing rows violate it")
+      // validated against v — publish at exactly v+1 so a concurrent
+      // commit (whose rows we never checked) fails us into a re-check
+      if (tryPublish(spark, root, v + 1, bodyOf(v + 1,
+          m.copy(tag = None, constraints = m.constraints :+ ((name, exprSql))))))
+        return v + 1
+      attempts += 1
+      require(attempts < 100, s"$root: addConstraint lost $attempts races")
+    }
+    -1L // unreachable
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT` — metadata-only. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    require(m.constraints.exists(_._1 == name),
+      s"$root has no constraint named $name")
+    publishNext(spark, root, nv => bodyOf(nv,
+      m.copy(tag = None, constraints = m.constraints.filterNot(_._1 == name))))
+  }
+
+  /** What an expectations-gated append did. */
+  final case class ExpectResult(version: Long, rowsAppended: Long,
+                                rowsQuarantined: Long)
+
+  /** [[append]] with EXPECTATIONS instead of refusal: rows violating
+    * any table constraint land in `quarantineDir` with a
+    * `_violation` column naming the failed constraints
+    * (comma-joined, declaration order), and only the clean rows
+    * commit — the engine's F5 quarantine discipline
+    * ([[Load.quarantine]]) applied at the lakehouse write boundary,
+    * so one bad feed row quarantines instead of poisoning the table
+    * or killing the ingest. Cost: two predicate passes over the
+    * BATCH (quarantine side, then the clean side into the append's
+    * write) — batch-bounded, never table-bounded, and the clean
+    * side skips the redundant strict re-validation.
+    */
+  def appendWithExpectations(spark: SparkSession, df: DataFrame, root: String,
+                             quarantineDir: String,
+                             statsCols: Seq[String] = Nil,
+                             tag: Option[Long] = None): ExpectResult = {
+    val cons = constraintsOf(spark, root)
+    if (cons.isEmpty) {
+      val before = latestVersion(spark, root)
+        .map(v => versionMeta(spark, root, v).nRows).getOrElse(0L)
+      val v = appendUnchecked(spark, df, root, statsCols, tag, false)
+      return ExpectResult(v, versionMeta(spark, root, v).nRows - before, 0L)
+    }
+    val flagged = df.withColumn("_violation",
+      org.apache.spark.sql.functions.concat_ws(",", cons.map { case (n, e) =>
+        org.apache.spark.sql.functions.when(
+          !coalesce(org.apache.spark.sql.functions.expr(e), lit(true)), lit(n))
+      }: _*))
+    val bad = flagged.filter(col("_violation") =!= "")
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_quar_${java.util.UUID.randomUUID().toString.take(8)}")
+    bad.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .write.mode("append").parquet(quarantineDir)
+    val badN = obs.get("n").asInstanceOf[Long]
+    val good = flagged.filter(col("_violation") === "").drop("_violation")
+    val before = latestVersion(spark, root)
+      .map(v => versionMeta(spark, root, v).nRows).getOrElse(0L)
+    val v = appendUnchecked(spark, good, root, statsCols, tag, false)
+    ExpectResult(v, versionMeta(spark, root, v).nRows - before, badN)
+  }
+
+  // --- merge-on-read deletes: positional deletion vectors ---
+
+  /** Root-relative file path of the row being scanned, derived from
+    * the parquet `_metadata.file_path` hidden column — the join key
+    * deletion vectors are stored under (with `_metadata.row_index`
+    * as the position: stable because snapshot data files are
+    * immutable).
+    */
+  private def relFileCol(rootAbs: String): Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      org.apache.spark.sql.functions.regexp_replace(
+        col("_metadata.file_path"), SchemeRe.regex, "/"),
+      "^" + java.util.regex.Pattern.quote(rootAbs + "/"), "")
+
+  private def emptyDv(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("file", StringType), StructField("pos", LongType))))
+  }
+
+  /** The version's deletion vector as a (file, pos) frame — empty
+    * when the version carries none.
+    */
+  private def dvOf(spark: SparkSession, root: String, m: VMeta): DataFrame =
+    m.dv.map(rel => spark.read.parquet(new Path(root, rel).toString))
+      .getOrElse(emptyDv(spark))
+
+  /** Merge-on-read scan: drop the rows whose (file, position) appears
+    * in the deletion vector. An anti-join keyed on (file, pos) — the
+    * declarative form of Delta's DV application in the scan; AQE
+    * broadcasts the DV side when it is small (the point-delete norm).
+    * The join key is computed per-row from parquet scan metadata, so
+    * no data column is sacrificed and the physical files stay
+    * byte-identical.
+    */
+  private def applyDv(spark: SparkSession, root: String,
+                      df: DataFrame, dv: DataFrame): DataFrame = {
+    val dataCols = df.columns.toSeq
+    df.withColumn("__file", relFileCol(rootPathOf(spark, root)))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dv.select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+      .select(dataCols.map(col): _*)
+  }
+
+  /** What a merge-on-read delete did: the new version, the rows it
+    * logically removed, and the total deletion-vector size the
+    * version now carries. `filesRewritten` is ALWAYS 0 — that is the
+    * point.
+    */
+  final case class MorResult(version: Long, rowsDeleted: Long,
+                             dvRowsTotal: Long)
+
+  /** MERGE-ON-READ delete (`DELETE WHERE pred` without rewriting a
+    * single data file — Delta deletion vectors / Iceberg positional
+    * deletes): the matching rows' (file, row_index) pairs are
+    * written as a tiny DELETION VECTOR parquet and the new version
+    * references the SAME data layout plus the vector; [[read]]
+    * applies it as an anti-join in the scan. This is the shape an
+    * arbitrary-predicate point delete must take at 100 TB: the
+    * copy-on-write [[deleteRange]] rewrites every file its stats
+    * cannot exonerate — for a predicate scattered across the
+    * keyspace (the GDPR user-id case against a date-clustered
+    * layout) that is the WHOLE table — while here the write cost is
+    * one predicate scan and the rewrite cost is zero, deferred to
+    * [[optimize]] (which reads logically and therefore MATERIALIZES
+    * the vector away, Delta's REORG ... APPLY (PURGE)).
+    *
+    * Semantics match [[deleteRange]]: rows delete iff `pred` is TRUE
+    * (null-pred rows are kept); already-deleted positions never
+    * re-enter the vector, so repeated deletes are idempotent and
+    * `rowsDeleted` is exact. Publishes at readVersion+1 with the
+    * same conflict check as [[merge]]. A no-match delete publishes
+    * nothing and returns the current version.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  pred: Column): MorResult = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val schema = schemaOf(spark, root, v, m)
+      val files = relFilesOf(spark, root, m)
+        .map(rel => new Path(root, rel).toString)
+      val prior = dvOf(spark, root, m)
+      val priorN = m.dv.map(_ => prior.count()).getOrElse(0L)
+      val fresh = spark.read.schema(schema).parquet(files: _*)
+        .filter(coalesce(pred, lit(false)))
+        .select(relFileCol(rootPathOf(spark, root)).as("file"),
+          col("_metadata.row_index").as("pos"))
+        .join(prior, Seq("file", "pos"), "left_anti")
+      val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+      val dvPath = new Path(root, dvRel).toString
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_dv_${java.util.UUID.randomUUID().toString.take(8)}")
+      prior.unionByName(fresh)
+        .observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(dvPath)
+      val total = obs.get("n").asInstanceOf[Long]
+      val freshN = total - priorN
+      if (freshN == 0L) {
+        fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
+        return MorResult(v, 0L, priorN)
+      }
+      val body = bodyOf(v + 1, m.copy(tag = None, nRows = m.nRows - freshN,
+        dv = Some(dvRel)))
+      if (tryPublish(spark, root, v + 1, body))
+        return MorResult(v + 1, freshN, total)
+      fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
+      attempts += 1
+      require(attempts < 100, s"$root: deleteWhere lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // --- copy-on-write writers: append / merge / deleteRange ---
@@ -425,6 +962,19 @@ object Snapshots {
   def append(spark: SparkSession, df: DataFrame, root: String,
              statsCols: Seq[String] = Nil, tag: Option[Long] = None,
              evolveSchema: Boolean = false): Long = {
+    // write-time CHECK enforcement: one predicate pass over the
+    // BATCH, before any data lands ([[addConstraint]])
+    requireSatisfied(df, constraintsOf(spark, root), "append batch")
+    appendUnchecked(spark, df, root, statsCols, tag, evolveSchema)
+  }
+
+  /** [[append]] minus the constraint gate — the path
+    * [[appendWithExpectations]] takes after it has already split the
+    * batch (re-validating the clean half would be a wasted pass).
+    */
+  private def appendUnchecked(spark: SparkSession, df: DataFrame, root: String,
+                              statsCols: Seq[String], tag: Option[Long],
+                              evolveSchema: Boolean): Long = {
     import org.apache.spark.sql.types.StructType
     val (freshDir, freshRows) = writeDataDir(spark, df, root)
     val freshRel = listFreshRel(spark, root, freshDir)
@@ -466,8 +1016,13 @@ object Snapshots {
       val ddl = StructType(newSchema.fields.map(_.copy(nullable = true))).toDDL
       val man = writeManifest(spark, root, oldRel ++ freshRel)
       val v = prior.getOrElse(0L) + 1
+      // a prior deletion vector rides forward by reference: its
+      // (file, pos) keys address files this append carries verbatim,
+      // and the fresh files have no deleted positions
       if (tryPublish(spark, root, v,
-          manBody(v, man, oldRows + freshRows, tag, Some(ddl)))) {
+          manBody(v, man, oldRows + freshRows, tag, Some(ddl),
+            priorMeta.flatMap(_.dv),
+            priorMeta.map(_.constraints).getOrElse(Nil)))) {
         if (statsCols.nonEmpty) {
           val freshStats = StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols)
@@ -528,7 +1083,8 @@ object Snapshots {
     * untouched files' rows verbatim and rebuilds only the fresh dir.
     */
   def merge(spark: SparkSession, updates: DataFrame, root: String,
-            key: String, statsCols: Seq[String]): CowResult = {
+            key: String, statsCols: Seq[String],
+            tag: Option[Long] = None): CowResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
     var attempts = 0
@@ -540,6 +1096,9 @@ object Snapshots {
       val tableCols = tableSchema.fieldNames
       require(updates.columns.toSet == tableCols.toSet,
         s"updates schema ${updates.columns.toSet} != table ${tableCols.toSet}")
+      // MERGE writes rows too: the update batch faces the same CHECK
+      // gate as an append (one pass over the batch)
+      requireSatisfied(updates, m.constraints, "merge updates")
       val upd = updates.select(tableCols.map(col): _*)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
@@ -560,13 +1119,36 @@ object Snapshots {
         .distinct()
       val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
       val touchedList = touchedDf.collect().map(_.getString(0)).sorted
-      val untouchedRows = untouched
+      val untouchedPhysRows = untouched
         .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
       val untouchedRel = untouched.select("file").collect()
         .map(r => relOf(spark, root, r.getString(0))).sorted
+      // merge-on-read interplay: the rewrite reads touched files
+      // LOGICALLY (their deletion-vector rows must not resurrect),
+      // and the untouched files' vector entries ride into a new
+      // vector (their positions stay valid — the files are carried
+      // verbatim). Stats n_rows is per-file PHYSICAL, so the logical
+      // untouched count subtracts the carried vector size.
+      val dvPrior = dvOf(spark, root, m)
+      val (dvCarry, dvCarryN) =
+        if (m.dv.isEmpty) (None, 0L)
+        else {
+          val relDf = spark.createDataset(untouchedRel.toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("file")
+          val kept = dvPrior.join(relDf, Seq("file"), "left_semi")
+          val n = kept.count()
+          if (n == 0L) (None, 0L)
+          else {
+            val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+            kept.write.mode("overwrite")
+              .parquet(new Path(root, dvRel).toString)
+            (Some(dvRel), n)
+          }
+        }
       val rewritten =
         if (touchedList.isEmpty) upd
-        else spark.read.schema(tableSchema).parquet(touchedList: _*)
+        else applyDv(spark, root,
+            spark.read.schema(tableSchema).parquet(touchedList: _*), dvPrior)
           .join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upd)
       val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
@@ -579,7 +1161,8 @@ object Snapshots {
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
-          manBody(v + 1, man, untouchedRows + freshRows, None, Some(ddl)))) {
+          manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
+            tag, Some(ddl), dvCarry, m.constraints))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -593,6 +1176,8 @@ object Snapshots {
       // drop our own orphans and redo
       fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      dvCarry.foreach(d =>
+        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
       attempts += 1
       require(attempts < 100, s"$root: merge lost $attempts commit races")
     }
@@ -625,16 +1210,35 @@ object Snapshots {
       val untouched = stats.filter(!hit)
       val touchedList = stats.filter(hit)
         .select("file").collect().map(_.getString(0)).sorted
-      val untouchedRows = untouched
+      val untouchedPhysRows = untouched
         .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
       val untouchedRel = untouched.select("file").collect()
         .map(r => relOf(spark, root, r.getString(0))).sorted
+      // same merge-on-read interplay as [[merge]]: touched files read
+      // logically, untouched files' vector entries carry forward
+      val dvPrior = dvOf(spark, root, m)
+      val (dvCarry, dvCarryN) =
+        if (m.dv.isEmpty) (None, 0L)
+        else {
+          val relDf = spark.createDataset(untouchedRel.toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("file")
+          val kept = dvPrior.join(relDf, Seq("file"), "left_semi")
+          val n = kept.count()
+          if (n == 0L) (None, 0L)
+          else {
+            val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+            kept.write.mode("overwrite")
+              .parquet(new Path(root, dvRel).toString)
+            (Some(dvRel), n)
+          }
+        }
       val del = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
         .flatten.reduce(_ && _)
       val tableSchema = read(spark, root, Some(v)).schema
       val rewritten =
         if (touchedList.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-        else spark.read.schema(tableSchema).parquet(touchedList: _*)
+        else applyDv(spark, root,
+            spark.read.schema(tableSchema).parquet(touchedList: _*), dvPrior)
           .filter(!coalesce(del, lit(false)))
       val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
       val freshRel = listFreshRel(spark, root, freshDir)
@@ -642,7 +1246,8 @@ object Snapshots {
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
-          manBody(v + 1, man, untouchedRows + freshRows, None, Some(ddl)))) {
+          manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
+            None, Some(ddl), dvCarry, m.constraints))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -654,6 +1259,8 @@ object Snapshots {
       }
       fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      dvCarry.foreach(d =>
+        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
       attempts += 1
       require(attempts < 100, s"$root: delete lost $attempts commit races")
     }
@@ -774,7 +1381,7 @@ object Snapshots {
       val (dataDir, nRows) = writeDataDir(spark, df, root)
       val ddl = m.schemaDdl // compaction preserves the logged schema
       if (tryPublish(spark, root, v + 1,
-          dirBody(v + 1, dataDir, nRows, None, ddl))) {
+          dirBody(v + 1, dataDir, nRows, None, ddl, None, m.constraints))) {
         if (statsCols.nonEmpty)
           ensureStats(spark, root, versionMeta(spark, root, v + 1), statsCols)
         return v + 1
@@ -802,9 +1409,17 @@ object Snapshots {
     require(fs(spark, sp).exists(sp),
       s"version $v of $root has no stats index — commit via commitWithStats")
     val stats = spark.read.parquet(sp.toString)
+    // merge-on-read composes with skipping: min/max prune on PHYSICAL
+    // file contents, which over-approximate the logical rows (a
+    // deletion vector only removes rows), so pruning stays sound and
+    // the vector applies on whatever survives it
+    def logical(df: DataFrame): DataFrame =
+      m.dv.map(_ => applyDv(spark, root, df, dvOf(spark, root, m))).getOrElse(df)
     m.dataDir match {
       case Some(d) =>
-        StatsIndex.prunedRead(spark, new Path(root, d).toString, stats, c, lo, hi)
+        val (df, nRead, nTotal) =
+          StatsIndex.prunedRead(spark, new Path(root, d).toString, stats, c, lo, hi)
+        (logical(df), nRead, nTotal)
       case None =>
         // manifest layout: the candidate list comes straight from the
         // stats rows (whose `file` URIs are the manifest's files);
@@ -819,7 +1434,7 @@ object Snapshots {
           .getOrElse(spark.read)
         val df =
           if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-          else reader.parquet(files: _*).filter(bounded)
+          else logical(reader.parquet(files: _*)).filter(bounded)
         (df, files.size, total)
     }
   }
@@ -878,6 +1493,16 @@ object Snapshots {
         f.delete(statsPath(root,
           st.getPath.getName.stripSuffix(".txt")), true)
       }
+    }
+    // deletion vectors pin like manifests: kept versions' vectors
+    // stay, dropped/orphaned ones reclaim under the same grace rule
+    val keepDvs = keepMetas.flatMap(_.dv).toSet
+    val dvRoot = new Path(root, "dv")
+    if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { st =>
+      val rel = s"dv/${st.getPath.getName}"
+      if (!st.getPath.getName.startsWith(".") &&
+          !keepDvs.contains(rel) && st.getModificationTime <= cutoff)
+        f.delete(st.getPath, true)
     }
     // stats of dropped DIR layouts whose dir survived (still pinned by
     // a manifest) are still live only if the layout itself is kept

@@ -55,6 +55,29 @@ object StatsIndex {
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), statsAggs(cols): _*)
 
+  /** Pad `stats` with a row for every listed file that contributed
+    * no group: 0-row part files are a legitimate writer output (an
+    * empty post-shuffle partition surviving into a union write), and
+    * a stats table SILENT about a physical file would fail the
+    * snapshot tier's coverage check — or worse, let a
+    * touched/untouched split lose the file. Padded rows carry
+    * n_rows = 0 and null min/max, which [[hitExpr]] already treats
+    * as always-hit: an empty file is always a (zero-row) candidate,
+    * never a loss. One metadata-sized anti-join per build.
+    */
+  private def padEmptyFiles(spark: SparkSession, stats: DataFrame,
+                            files: Seq[String]): DataFrame = {
+    val listing = spark.createDataset(files)(Encoders.STRING).toDF("__f")
+    val missing = listing.join(stats,
+      normFile(col("__f")) === normFile(stats("file")), "left_anti")
+    val padded = missing.select(
+      col("__f").as("file") +:
+        stats.columns.toSeq.filter(_ != "file").map(c =>
+          (if (c == "n_rows") lit(0L)
+           else lit(null).cast(stats.schema(c).dataType)).as(c)): _*)
+    stats.unionByName(padded)
+  }
+
   /** In-plan path normalization shared by the stats side
     * (`input_file_name()` URIs — "file:///x") and the listing side
     * (`Path.toUri` — "file:/x"): strip the scheme, keep the path.
@@ -103,7 +126,8 @@ object StatsIndex {
   def build(spark: SparkSession, dataPath: String,
             cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
-    statsFor(spark.read.parquet(dataPath), cols)
+    padEmptyFiles(spark, statsFor(spark.read.parquet(dataPath), cols),
+      listDataFiles(spark, dataPath))
   }
 
   /** [[build]] over an explicit file list (the snapshot tier's
@@ -113,7 +137,7 @@ object StatsIndex {
                                  cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
     require(files.nonEmpty, "need at least one file")
-    statsFor(spark.read.parquet(files: _*), cols)
+    padEmptyFiles(spark, statsFor(spark.read.parquet(files: _*), cols), files)
   }
 
   /** [[build]] + persist the stats table beside the data (the
@@ -155,8 +179,9 @@ object StatsIndex {
         Seq("__nf"), "left_anti")
       .select("__disk_file").collect().map(_.getString(0)).sorted
     if (fresh.isEmpty) kept
-    else kept.unionByName(statsFor(
-      spark.read.option("basePath", dataPath).parquet(fresh.toSeq: _*), cols))
+    else kept.unionByName(padEmptyFiles(spark, statsFor(
+      spark.read.option("basePath", dataPath).parquet(fresh.toSeq: _*), cols),
+      fresh.toSeq))
   }
 
   /** One column's can-intersect condition over its stats columns

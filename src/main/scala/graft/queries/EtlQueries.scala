@@ -746,6 +746,531 @@ object EtlQueries {
         .orderBy("o_orderstatus", "channel")
     }),
 
+    // q173 — CHANGE DATA FEED (Snapshots.changes — the incremental-
+    // consumer read of the lakehouse tier): a 12-file key-clustered
+    // table takes an append (new keys) then a key-localized MERGE
+    // (price restatement on keys ≤ 300); changes(v1, v3) computes
+    // the net insert/delete multiset between the two states at FILE
+    // granularity — carried-forward files cancel by manifest algebra
+    // and are NEVER OPENED (diff_bounded pins filesRead strictly
+    // below the from-version's file count: the diff cost is the
+    // churn, not the table). An update surfaces as delete(old) +
+    // insert(new); rewritten-but-surviving rows cancel in exceptAll.
+    // optimize_cancels pins the other direction: a layout-only
+    // compaction produces ZERO change rows — CDF reports logical
+    // change, not file movement. Values replay the state diff in
+    // DuckDB via EXCEPT ALL both ways.
+    "q173_snapshot_changes" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q173").toString
+      val v1 = Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      val batch = o.filter(col("o_orderkey") % 5 === 0)
+        .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+          lit("A").as("o_orderstatus"), col("o_totalprice"))
+      Snapshots.append(s, batch, root, Seq("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") <= 300L)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      val r = Snapshots.merge(s, upd, root, "o_orderkey", Seq("o_orderkey"))
+      val cs = Snapshots.changes(s, root, v1, r.version)
+      val vOpt = Snapshots.optimize(s, root)
+      val optZero = Snapshots.changes(s, root, r.version, vOpt).df.count() == 0L
+      cs.df.groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("diff_bounded",
+          lit(cs.filesRead < cs.filesFrom + cs.filesTo))
+        .withColumn("diff_nonzero", lit(cs.filesRead > 0))
+        .withColumn("optimize_cancels", lit(optZero))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
+    // q174 — STREAMING change-feed consumption: the version log
+    // ITSELF is the stream (Ingest.snapshotChangesAvailableNow tails
+    // `_versions/` — one tiny JSON file per commit — with
+    // checkpointed file-source progress, the same way Delta's
+    // streaming source tails its transaction log). Three commits
+    // land as batch_v=1..3 partitions: the initial snapshot, then
+    // per-version net changes read from CHURNED FILES ONLY. The run
+    // is split across a checkpoint RESUME (the third commit lands
+    // after the first consumer run and only IT processes — the
+    // incremental contract) plus a fresh-checkpoint replay that
+    // rewrites the same version-keyed partitions verbatim
+    // (exactly-once by version id, the q161/q171 discipline —
+    // batches_3 would break on a duplicate). feed_equals_table pins
+    // union-of-partitions ≡ the final table; values replay each
+    // version's key slice.
+    "q174_streaming_changes" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q174").toString
+      val root = s"$base/t"
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 500L)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      Snapshots.append(s, li.filter(
+        col("l_orderkey") > 500L && col("l_orderkey") <= 1000L),
+        root, Seq("l_orderkey"))
+      graft.streaming.Ingest.snapshotChangesAvailableNow(s, root,
+        s"$base/chk", s"$base/out", maxFilesPerTrigger = Some(1))
+      Snapshots.append(s, li.filter(col("l_orderkey") > 1000L),
+        root, Seq("l_orderkey"))
+      // checkpoint RESUME: only the new commit processes
+      graft.streaming.Ingest.snapshotChangesAvailableNow(s, root,
+        s"$base/chk", s"$base/out")
+      // fresh-checkpoint replay: rewrites the same partitions verbatim
+      graft.streaming.Ingest.snapshotChangesAvailableNow(s, root,
+        s"$base/chk2", s"$base/out")
+      val feed = s.read.parquet(s"$base/out")
+        .withColumn("batch_v", col("batch_v").cast("long"))
+      val batches = feed.select("batch_v").distinct().count()
+      val tbl = Snapshots.read(s, root)
+      val consumed = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type", "batch_v")
+        .select(tbl.columns.map(col): _*)
+      val equiv = consumed.exceptAll(tbl).count() == 0L &&
+        tbl.exceptAll(consumed).count() == 0L
+      val noDel = feed.filter(col("_change_type") === "delete").count() == 0L
+      feed.groupBy("batch_v", "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("batches_3", lit(batches == 3L))
+        .withColumn("feed_equals_table", lit(equiv))
+        .withColumn("no_deletes", lit(noDel))
+        .orderBy("batch_v", "l_returnflag")
+    }),
+
+    // q175 — MERGE-ON-READ delete via DELETION VECTORS
+    // (Snapshots.deleteWhere — Delta DVs / Iceberg positional
+    // deletes): the predicate `l_orderkey % 10 = 3` is scattered
+    // across EVERY file of the date-clustered layout — the
+    // copy-on-write worst case (deleteRange would rewrite the whole
+    // table) and the DV best case: the delete writes one tiny
+    // (file, row_index) vector and ZERO data files (zero_rewrite
+    // pins the layout id unchanged). Reads apply the vector as a
+    // scan anti-join; min/max skipping still composes
+    // (pruned_composes — physical stats over-approximate logical
+    // rows, pruning stays sound); a repeat delete matches nothing
+    // and publishes nothing (redelete_noop); optimize reads
+    // logically and so MATERIALIZES the vector away (Delta's
+    // REORG APPLY PURGE — materialize_clean). Values replay the
+    // complement aggregate.
+    "q175_deletion_vectors" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q175").toString
+      val v1 = Snapshots.commitWithStats(s,
+        li.repartitionByRange(12, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate"), root, Seq("l_shipdate"))
+      val r = Snapshots.deleteWhere(s, root, col("l_orderkey") % 10 === 3)
+      val sameLayout = Snapshots.versionMeta(s, root, r.version).layoutId ==
+        Snapshots.versionMeta(s, root, v1).layoutId
+      val r2 = Snapshots.deleteWhere(s, root, col("l_orderkey") % 10 === 3)
+      val v1N = Snapshots.read(s, root, Some(v1)).count()
+      val latest = Snapshots.read(s, root)
+      val latestN = latest.count()
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1995-12-31").cast("timestamp")
+      val (pr, nRead, nTotal) = Snapshots.readPruned(
+        s, root, Some(r.version), "l_shipdate", Some(lo), Some(hi))
+      val prunedOk = pr.count() ==
+        latest.filter(col("l_shipdate").between(lo, hi)).count() &&
+        nRead < nTotal
+      val vOpt = Snapshots.optimize(s, root)
+      val opt = Snapshots.read(s, root, Some(vOpt))
+      val matClean = Snapshots.versionMeta(s, root, vOpt).dv.isEmpty &&
+        opt.exceptAll(latest).count() == 0L &&
+        latest.exceptAll(opt).count() == 0L
+      latest.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("zero_rewrite", lit(sameLayout))
+        .withColumn("rows_deleted_match",
+          lit(r.rowsDeleted == v1N - latestN && r.rowsDeleted > 0L))
+        .withColumn("redelete_noop",
+          lit(r2.version == r.version && r2.rowsDeleted == 0L))
+        .withColumn("pruned_composes", lit(prunedOk))
+        .withColumn("materialize_clean", lit(matClean))
+        .orderBy("l_returnflag")
+    }),
+
+    // q176 — WRITE-TIME EXPECTATIONS (Snapshots.addConstraint /
+    // appendWithExpectations — Delta CHECK constraints fused with the
+    // engine's F5 quarantine discipline at the lakehouse boundary):
+    // two constraints land as metadata-only versions (each validated
+    // against existing data first); a feed batch with planted
+    // violations (negated prices, unknown status — including rows
+    // violating BOTH) then hits the gate. The STRICT append refuses
+    // the whole batch (strict_refused — one predicate pass, before
+    // any data lands); the expectations append quarantines exactly
+    // the violating rows with `_violation` naming the failed
+    // constraints in declaration order, and commits the rest
+    // (split_total pins good+bad = batch). Values replay the split:
+    // src='table' rows by status, src='quarantine' rows by violation
+    // label — a leaked bad row or an over-quarantined good row both
+    // hash-break.
+    "q176_write_expectations" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q176").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      Snapshots.addConstraint(s, root, "price_positive", "o_totalprice > 0")
+      Snapshots.addConstraint(s, root, "status_known",
+        "o_orderstatus IN ('O','F','P')")
+      val batch = o.filter(col("o_orderkey") % 3 === 0)
+        .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("Z"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 11 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val batchN = batch.count()
+      val strictRefused =
+        try { Snapshots.append(s, batch, root, Seq("o_orderkey")); false }
+        catch { case _: IllegalArgumentException => true }
+      val r = Snapshots.appendWithExpectations(s, batch, root,
+        s"$root/_quarantine", Seq("o_orderkey"))
+      val cons2 = Snapshots.constraintsOf(s, root).map(_._1) ==
+        Seq("price_positive", "status_known")
+      val splitOk = r.rowsAppended + r.rowsQuarantined == batchN &&
+        r.rowsQuarantined > 0L
+      val tblAgg = Snapshots.read(s, root)
+        .groupBy(col("o_orderstatus").as("k"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("src", lit("table"))
+      val qAgg = s.read.parquet(s"$root/_quarantine")
+        .groupBy(col("_violation").as("k"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("src", lit("quarantine"))
+      tblAgg.unionByName(qAgg)
+        .select("src", "k", "n", "price_sum")
+        .withColumn("strict_refused", lit(strictRefused))
+        .withColumn("constraints_2", lit(cons2))
+        .withColumn("split_total", lit(splitOk))
+        .orderBy("src", "k")
+    }),
+
+    // q177 — KEYED change feed (Snapshots.changesKeyed — Delta CDF's
+    // full vocabulary): across a MERGE (price restatement on keys
+    // ≤ 300 + brand-new keys) and a range DELETE (keys 400–600), the
+    // keyed feed reclassifies net delete+insert pairs sharing
+    // o_orderkey as update_preimage/update_postimage, leaves true
+    // inserts and deletes alone — one window pass over the
+    // churn-sized frame, base table still never opened
+    // (diff_bounded). Values replay all four change classes.
+    "q177_keyed_changes" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q177").toString
+      val v1 = Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") <= 300L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      Snapshots.merge(s, upd, root, "o_orderkey", Seq("o_orderkey"))
+      val r = Snapshots.deleteRange(s, root, "o_orderkey",
+        Some(lit(400L)), Some(lit(600L)), Seq("o_orderkey"))
+      val cs = Snapshots.changesKeyed(s, root, v1, r.version, "o_orderkey")
+      cs.df.groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("diff_bounded",
+          lit(cs.filesRead < cs.filesFrom + cs.filesTo))
+        .orderBy("_change_type", "o_orderstatus")
+    }),
+
+    // q178 — STREAMING CDC upsert into the snapshot tier
+    // (Ingest.snapshotUpsertAvailableNow): three key-distinct CDC
+    // batches — bootstrap, a price/status restatement of keys ≤ 300,
+    // then a mixed batch (restate keys 301–500, insert new keys) —
+    // MERGE through real AvailableNow micro-batches, each commit
+    // tagged with its batch id. A fresh-checkpoint rerun replays all
+    // three ids against the version log and is a complete no-op
+    // (versions_3 after BOTH runs — the q171 exactly-once discipline
+    // at row level). The final range read serves through the
+    // merge-maintained stats index (pruned_correct). Values replay
+    // the fully-applied CDC state.
+    "q178_streaming_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_orderkey") <= 1000L)
+      val base = java.nio.file.Files.createTempDirectory("graft_q178").toString
+      val b2 = o.filter(col("o_orderkey") <= 300L)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + lit(50.0)).as("o_totalprice"))
+      val b3 = o.filter(col("o_orderkey") > 300L && col("o_orderkey") <= 500L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * lit(2.0)).as("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 9 === 0)
+          .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+            lit("S").as("o_orderstatus"), col("o_totalprice")))
+      graft.streaming.Ingest.stageOrderedParquet(s, Seq(o, b2, b3),
+        s"$base/staging")
+      graft.streaming.Ingest.snapshotUpsertAvailableNow(s, s"$base/staging",
+        s"$base/chk", s"$base/t", "o_orderkey", Seq("o_orderkey"),
+        o.schema.toDDL, maxFilesPerTrigger = Some(1))
+      // fresh checkpoint, same staging: ids 0..2 replay and must skip
+      graft.streaming.Ingest.snapshotUpsertAvailableNow(s, s"$base/staging",
+        s"$base/chk2", s"$base/t", "o_orderkey", Seq("o_orderkey"),
+        o.schema.toDDL, maxFilesPerTrigger = Some(1))
+      val vs = Snapshots.versions(s, s"$base/t")
+      // merge-accreted layouts carry overlapping file ranges until an
+      // optimize clusterBy — pin the pruned read's CORRECTNESS (reads
+      // compose with the merge-maintained stats), not its selectivity
+      val (pruned, nRead, nTotal) = Snapshots.readPruned(
+        s, s"$base/t", None, "o_orderkey", Some(lit(200L)), Some(lit(400L)))
+      val prunedOk = nRead <= nTotal && pruned.count() ==
+        Snapshots.read(s, s"$base/t")
+          .filter(col("o_orderkey").between(200L, 400L)).count()
+      Snapshots.read(s, s"$base/t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("versions_3", lit(vs == Seq(1L, 2L, 3L)))
+        .withColumn("pruned_correct", lit(prunedOk))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q179 — CDF-driven INCREMENTAL AGGREGATE maintenance
+    // (IncrementalAgg.deltaFromChanges ∘ Snapshots.changes — the
+    // materialized-view refresh loop): a status rollup bootstraps
+    // from v1, then refreshes per version by folding the change
+    // feed's churn — an append and a merge — WITHOUT ever re-reading
+    // the base table (the feed opens only churned files; the fold
+    // touches |agg| + |delta|). incremental_exact pins the
+    // maintained rollup row-identical to a from-scratch recompute of
+    // the final version (cents-integer sums make the comparison
+    // exact); values replay that final rollup.
+    "q179_cdf_incremental_agg" -> ((s, dir) => {
+      val cents = (round(col("o_totalprice") * lit(100.0))).cast("long")
+      def prep(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents.as("price_cents"))
+      val o = prep(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q179").toString
+      val v1 = Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      val dims = Seq("o_orderstatus"); val vals = Seq("price_cents")
+      var agg = IncrementalAgg.recompute(
+        Snapshots.read(s, root, Some(v1)), dims, vals).localCheckpoint()
+      Snapshots.append(s,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            lit("A").as("o_orderstatus"), col("price_cents")),
+        root, Seq("o_orderkey"))
+      val upd = o.filter(col("o_orderkey") <= 300L)
+        .withColumn("price_cents", col("price_cents") + lit(10000L))
+      val r = Snapshots.merge(s, upd, root, "o_orderkey", Seq("o_orderkey"))
+      (v1 + 1).to(r.version).foreach { v =>
+        agg = IncrementalAgg.applyDelta(agg,
+          IncrementalAgg.deltaFromChanges(
+            Snapshots.changes(s, root, v - 1, v).df, dims, vals),
+          dims, vals).localCheckpoint()
+      }
+      val full = IncrementalAgg.recompute(Snapshots.read(s, root), dims, vals)
+      val exact = agg.exceptAll(full).count() == 0L &&
+        full.exceptAll(agg).count() == 0L
+      agg.withColumn("incremental_exact", lit(exact))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q180 — CDF-driven DERIVED-STORE maintenance with FORGET
+    // propagation (the lakehouse × curation composition: a per-doc
+    // SimHash signature store — the dedup tier's serving state —
+    // maintained from the documents table's change feed instead of
+    // corpus rescans): the corpus takes an append (new crawl batch)
+    // then a merge-on-read deleteWhere (the GDPR purge — zero file
+    // rewrites); each version's feed drives the store — insert rows
+    // carry their text, so signatures compute over CHURN ONLY, and
+    // delete rows anti-join out of the store, which is how a
+    // right-to-be-forgotten deletion actually PROPAGATES to derived
+    // state at 100 TB (re-deriving the store per purge would dwarf
+    // the purge). store_matches_rebuild pins the maintained store
+    // row-identical to a from-scratch rebuild of the final corpus;
+    // forget_propagated pins zero purged ids surviving in the store.
+    // Values replay the final per-lang corpus counts.
+    "q180_cdf_derived_store" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+      val root = java.nio.file.Files.createTempDirectory("graft_q180").toString
+      val v1 = Snapshots.commitWithStats(s,
+        docs.filter(col("doc_id") % 4 =!= 3)
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id"), root, Seq("doc_id"))
+      Snapshots.append(s, docs.filter(col("doc_id") % 4 === 3),
+        root, Seq("doc_id"))
+      val r = Snapshots.deleteWhere(s, root, col("doc_id") % 7 === 2)
+      def sigOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), graft.llm.Dedup.simhash(col("text")).as("sig"),
+        col("lang"))
+      var store = sigOf(Snapshots.read(s, root, Some(v1))).localCheckpoint()
+      (v1 + 1).to(r.version).foreach { v =>
+        val feed = Snapshots.changes(s, root, v - 1, v).df.localCheckpoint()
+        store = store
+          .join(feed.filter(col("_change_type") === "delete")
+            .select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(sigOf(
+            feed.filter(col("_change_type") === "insert")))
+          .localCheckpoint()
+      }
+      val rebuilt = sigOf(Snapshots.read(s, root))
+      val matches = store.exceptAll(rebuilt).count() == 0L &&
+        rebuilt.exceptAll(store).count() == 0L
+      val forgotten = store.filter(col("doc_id") % 7 === 2).count() == 0L
+      store.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_ids"))
+        .withColumn("store_matches_rebuild", lit(matches))
+        .withColumn("forget_propagated", lit(forgotten))
+        .orderBy("lang")
+    }),
+
+    // q181 — SHALLOW CLONE (Snapshots.cloneShallow — Delta's zero-
+    // copy table fork, the experimentation primitive a 100 TB corpus
+    // needs): the clone's v1 is one manifest of ABSOLUTE references
+    // into the source's files (no_copy pins zero data files of its
+    // own), the source's stats index is reused verbatim so the clone
+    // SKIPS FILES FROM BIRTH (clone_pruned pins a bounded pruned
+    // read with zero index build), and a divergence merge rewrites
+    // only its touched files into the CLONE's dirs while the source
+    // stays bit-identical at version 1 (src_untouched). Values
+    // replay the diverged clone state.
+    "q181_shallow_clone" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q181").toString
+      val src = s"$base/src"; val dst = s"$base/clone"
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), src, Seq("o_orderkey"))
+      Snapshots.cloneShallow(s, src, dst)
+      val noCopy = !new java.io.File(s"$dst/data").exists()
+      val (pr, nRead, nTotal) = Snapshots.readPruned(
+        s, dst, Some(1L), "o_orderkey", Some(lit(1L)), Some(lit(100L)))
+      val clonePruned = nRead < nTotal && pr.count() ==
+        o.filter(col("o_orderkey").between(1L, 100L)).count()
+      val r = Snapshots.merge(s,
+        o.filter(col("o_orderkey") <= 300L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(500.0)),
+        dst, "o_orderkey", Seq("o_orderkey"))
+      val srcRead = Snapshots.read(s, src)
+      val srcUntouched = Snapshots.versions(s, src) == Seq(1L) &&
+        srcRead.exceptAll(o).count() == 0L && o.exceptAll(srcRead).count() == 0L
+      Snapshots.read(s, dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("no_copy", lit(noCopy))
+        .withColumn("clone_pruned", lit(clonePruned))
+        .withColumn("src_untouched", lit(srcUntouched))
+        .withColumn("rewrite_bounded", lit(r.filesRewritten < r.filesTotal))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q182 — BRONZE→SILVER incremental table pipeline (the medallion
+    // step: Ingest.snapshotPipelineAvailableNow): bronze accretes 3
+    // streaming-ingest versions plus a LATE batch append; the silver
+    // table — a quantity-filtered projection — is maintained from
+    // bronze's CHANGE FEED, each source version transformed over its
+    // CHURN ONLY and appended with the SOURCE version as the
+    // idempotency tag. The run splits across a checkpoint resume
+    // (only the late commit flows) and a fresh-checkpoint rerun
+    // (complete no-op via tags — versions_4 would break on a
+    // duplicate). incremental_exact pins silver row-identical to the
+    // transform applied to bronze's final state from scratch. Values
+    // replay the transformed union.
+    "q182_medallion_pipeline" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q182").toString
+      graft.streaming.Ingest.stageOrderedParquet(s, Seq(
+        li.filter(col("l_orderkey") <= 500L),
+        li.filter(col("l_orderkey") > 500L && col("l_orderkey") <= 1000L),
+        li.filter(col("l_orderkey") > 1000L)), s"$base/staging")
+      graft.streaming.Ingest.snapshotIngestAvailableNow(s, s"$base/staging",
+        s"$base/chkA", s"$base/bronze", Seq("l_orderkey"), li.schema.toDDL,
+        maxFilesPerTrigger = Some(1))
+      val xform = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("l_quantity") > 25.0)
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+      graft.streaming.Ingest.snapshotPipelineAvailableNow(s, s"$base/bronze",
+        s"$base/chkB", s"$base/silver", Seq("l_orderkey"), xform,
+        maxFilesPerTrigger = Some(1))
+      val late = li.filter(col("l_orderkey") % 13 === 0)
+        .select((col("l_orderkey") + 900000000L).as("l_orderkey"),
+          col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      Snapshots.append(s, late, s"$base/bronze", Seq("l_orderkey"))
+      // checkpoint RESUME: only the late bronze commit flows
+      graft.streaming.Ingest.snapshotPipelineAvailableNow(s, s"$base/bronze",
+        s"$base/chkB", s"$base/silver", Seq("l_orderkey"), xform)
+      // fresh-checkpoint rerun: tags make it a complete no-op
+      graft.streaming.Ingest.snapshotPipelineAvailableNow(s, s"$base/bronze",
+        s"$base/chkB2", s"$base/silver", Seq("l_orderkey"), xform)
+      val silver = Snapshots.read(s, s"$base/silver")
+      val fromScratch = xform(Snapshots.read(s, s"$base/bronze"))
+      val exact = silver.exceptAll(fromScratch).count() == 0L &&
+        fromScratch.exceptAll(silver).count() == 0L
+      val v4 = Snapshots.versions(s, s"$base/silver") ==
+        Seq(1L, 2L, 3L, 4L)
+      silver.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("incremental_exact", lit(exact))
+        .withColumn("versions_4", lit(v4))
+        .orderBy("l_returnflag")
+    }),
+
+    // q183 — ROW LINEAGE audit column (Snapshots.readWithLineage —
+    // Delta CDF's `_commit_version` attribution, METADATA-ONLY): each
+    // row carries the version that introduced its file, derived from
+    // the manifests alone (one metadata read per retained version,
+    // broadcast to the scan — no history data opened). Appends keep
+    // their ingest version forever (files carry by reference), and a
+    // later merge-on-read delete composes: purged rows vanish while
+    // the survivors' attribution is untouched. Values replay each
+    // version's key slice minus the purge.
+    "q183_file_lineage" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q183").toString
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 500L)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      Snapshots.append(s, li.filter(
+        col("l_orderkey") > 500L && col("l_orderkey") <= 1000L),
+        root, Seq("l_orderkey"))
+      Snapshots.append(s, li.filter(col("l_orderkey") > 1000L),
+        root, Seq("l_orderkey"))
+      Snapshots.deleteWhere(s, root, col("l_orderkey") % 10 === 7)
+      Snapshots.readWithLineage(s, root)
+        .groupBy("_commit_version", "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("_commit_version", "l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -1189,6 +1714,227 @@ object EtlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
         |  TRUE AS schema_evolved, TRUE AS old_nulls
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q173: the CDF contract replayed as a state diff — EXCEPT ALL
+    // both ways between the initial and final logical tables is
+    // exactly what the file-granular changes() must net out to
+    "q173_snapshot_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |appended AS (
+        |  SELECT o_orderkey + 200000000 AS o_orderkey,
+        |         'A' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey <= 300),
+        |final AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM appended),
+        |ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM base),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM final),
+        |chg AS (
+        |  SELECT 'insert' AS _change_type, * FROM ins
+        |  UNION ALL SELECT 'delete' AS _change_type, * FROM del)
+        |SELECT _change_type, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS diff_bounded, TRUE AS diff_nonzero,
+        |  TRUE AS optimize_cancels
+        |FROM chg GROUP BY 1, 2 ORDER BY _change_type, o_orderstatus""".stripMargin,
+    // q174: each version's net change = its key slice (append-only
+    // feed); the streaming consumer's partition union must replay it
+    "q174_streaming_changes" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |feed AS (
+        |  SELECT CAST(1 AS BIGINT) AS batch_v, * FROM li
+        |  WHERE l_orderkey <= 500
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), * FROM li
+        |  WHERE l_orderkey > 500 AND l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), * FROM li WHERE l_orderkey > 1000)
+        |SELECT batch_v, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS batches_3, TRUE AS feed_equals_table, TRUE AS no_deletes
+        |FROM feed GROUP BY 1, 2 ORDER BY batch_v, l_returnflag""".stripMargin,
+    // q175: the merge-on-read delete replayed as a complement
+    // aggregate — a resurrected position, a missed match, or a
+    // vector misapplied under pruning all hash-break
+    "q175_deletion_vectors" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS zero_rewrite, TRUE AS rows_deleted_match,
+        |  TRUE AS redelete_noop, TRUE AS pruned_composes,
+        |  TRUE AS materialize_clean
+        |FROM lineitem WHERE l_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q176: the expectations split replayed — table rows by status,
+    // quarantined rows by the violation label the gate must assign
+    "q176_write_expectations" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |batch AS (
+        |  SELECT o_orderkey + 300000000 AS o_orderkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN 'Z'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN -o_totalprice
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderkey % 11 = 0 AS v_price,
+        |         o_orderkey % 13 = 0 AS v_status
+        |  FROM base WHERE o_orderkey % 3 = 0),
+        |u AS (
+        |  SELECT 'table' AS src, o_orderstatus AS k, o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT 'table', o_orderstatus, o_totalprice FROM batch
+        |  WHERE NOT v_price AND NOT v_status
+        |  UNION ALL
+        |  SELECT 'quarantine',
+        |         CASE WHEN v_price AND v_status
+        |                THEN 'price_positive,status_known'
+        |              WHEN v_price THEN 'price_positive'
+        |              ELSE 'status_known' END,
+        |         o_totalprice
+        |  FROM batch WHERE v_price OR v_status)
+        |SELECT src, k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS strict_refused, TRUE AS constraints_2, TRUE AS split_total
+        |FROM u GROUP BY 1, 2 ORDER BY src, k""".stripMargin,
+    // q177: all four CDF change classes replayed from the operation
+    // definitions — a mispaired update or a leaked survivor breaks
+    "q177_keyed_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT 'update_preimage' AS _change_type, o_orderstatus,
+        |         o_totalprice
+        |  FROM base WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderstatus, o_totalprice + 100.0
+        |  FROM base WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT 'insert', 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey BETWEEN 400 AND 600)
+        |SELECT _change_type, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS diff_bounded
+        |FROM chg GROUP BY 1, 2
+        |ORDER BY _change_type, o_orderstatus""".stripMargin,
+    // q178: the fully-applied CDC state — bootstrap, then batch 2/3
+    // restatements and inserts, exactly once each
+    "q178_streaming_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey <= 1000),
+        |fin AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 50.0 AS o_totalprice
+        |  FROM o WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0
+        |  FROM o WHERE o_orderkey > 300 AND o_orderkey <= 500
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey > 500
+        |  UNION ALL
+        |  SELECT o_orderkey + 500000000, 'S', o_totalprice
+        |  FROM o WHERE o_orderkey % 9 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS versions_3, TRUE AS pruned_correct
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q179: the final rollup the incrementally-maintained aggregate
+    // must equal (cents-integer sums — exact in both engines)
+    "q179_cdf_incremental_agg" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |app AS (
+        |  SELECT o_orderkey + 200000000 AS o_orderkey,
+        |         'A' AS o_orderstatus, price_cents
+        |  FROM base WHERE o_orderkey % 5 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         price_cents + 10000 AS price_cents
+        |  FROM base WHERE o_orderkey <= 300),
+        |fin AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM app)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS incremental_exact
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q180: final per-lang corpus counts (appended minus purged);
+    // the signature values themselves are pinned engine-side by the
+    // store ≡ rebuild and forget-propagation flags
+    "q180_cdf_derived_store" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT doc_id) AS n_ids,
+        |  TRUE AS store_matches_rebuild, TRUE AS forget_propagated
+        |FROM documents WHERE doc_id % 7 <> 2
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    // q181 (clone): the diverged clone state — a +500 restatement on keys
+    // ≤ 300 over the cloned (otherwise identical) source
+    "q181_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |fin AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey <= 300 THEN o_totalprice + 500.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS no_copy, TRUE AS clone_pruned, TRUE AS src_untouched,
+        |  TRUE AS rewrite_bounded
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q182: the silver table replayed as the transform over bronze's
+    // final state (3 ingest slices ∪ the late batch)
+    "q182_medallion_pipeline" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |bronze AS (
+        |  SELECT * FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey + 900000000, l_returnflag, l_quantity,
+        |         l_extendedprice
+        |  FROM li WHERE l_orderkey % 13 = 0),
+        |silver AS (SELECT * FROM bronze WHERE l_quantity > 25)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS incremental_exact, TRUE AS versions_4
+        |FROM silver GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q183: lineage = each append's key slice, minus the later purge
+    "q183_file_lineage" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 <> 7),
+        |lin AS (
+        |  SELECT CAST(1 AS BIGINT) AS _commit_version, * FROM li
+        |  WHERE l_orderkey <= 500
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), * FROM li
+        |  WHERE l_orderkey > 500 AND l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), * FROM li WHERE l_orderkey > 1000)
+        |SELECT _commit_version, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lin GROUP BY 1, 2
+        |ORDER BY _commit_version, l_returnflag""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading
     "q150_streaming_spikes" ->

@@ -595,6 +595,175 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** STREAMING CDC UPSERT into the snapshot tier — the lakehouse
+    * form of the CDC-apply pipeline ([[graft.etl.Cdc]]'s semantics
+    * behind [[graft.etl.Snapshots.merge]]): every real AvailableNow
+    * micro-batch of key-distinct change rows MERGEs into the
+    * versioned table — matched keys replace, new keys insert — with
+    * the batch id recorded as the version's idempotency tag, so a
+    * crash replay or a fresh-checkpoint rerun sees its id already
+    * committed and skips (the [[snapshotIngestAvailableNow]]
+    * discipline, lifted from append to row-level upsert). The first
+    * batch BOOTSTRAPS the table via the tagged metadata-only append.
+    *
+    * Scale shape: each batch's merge rewrites only the files whose
+    * key range the batch touches (stats-targeted — a key-localized
+    * CDC feed against a key-clustered layout rewrites O(batch
+    * locality) files), and the stats index is maintained
+    * incrementally in the same commit.
+    */
+  def snapshotUpsertAvailableNow(spark: SparkSession, stagingDir: String,
+                                 checkpointDir: String, tableRoot: String,
+                                 key: String, statsCols: Seq[String],
+                                 schemaDDL: String,
+                                 maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.schema(StructType.fromDDL(schemaDDL))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(stagingDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val snap = graft.etl.Snapshots
+        if (!snap.lastTag(spark, tableRoot).exists(_ >= batchId)) {
+          if (snap.latestVersion(spark, tableRoot).isEmpty) {
+            snap.append(spark, batch, tableRoot, statsCols,
+              tag = Some(batchId))
+            ()
+          } else {
+            snap.merge(spark, batch, tableRoot, key, statsCols,
+              tag = Some(batchId))
+            ()
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** BRONZE→SILVER incremental table pipeline (the medallion step):
+    * a DERIVED snapshot table maintained from a source snapshot
+    * table's change feed — the version log is the stream (as in
+    * [[snapshotChangesAvailableNow]]), and each source version's
+    * inserts run through `transform` and APPEND to the destination
+    * table tagged with the SOURCE VERSION number, so the derived
+    * table's idempotency tags record exactly which source commits it
+    * embodies: crash replays and fresh-checkpoint reruns see their
+    * source version already consumed and skip (exactly-once,
+    * checkpoint-loss-proof). Per-version cost is the churn
+    * (transform runs over feed rows only — the source table is never
+    * rescanned).
+    *
+    * Contract: the source must be APPEND-ONLY over the consumed span
+    * (the ingest steady state); a feed carrying deletes fails loudly
+    * rather than silently dropping them — row-level source mutation
+    * needs the keyed feed and a merge-apply, a different pipeline.
+    */
+  def snapshotPipelineAvailableNow(spark: SparkSession, srcRoot: String,
+                                   checkpointDir: String, dstRoot: String,
+                                   statsCols: Seq[String],
+                                   transform: DataFrame => DataFrame,
+                                   maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.text(s"$srcRoot/_versions")
+    val vre = """"version":(\d+)""".r
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snap = graft.etl.Snapshots
+        val vs = batch.collect().toSeq
+          .flatMap(r => vre.findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
+          .sorted
+        // one log listing + one tag scan per micro-batch, not per
+        // version — the tag then advances locally with each append
+        val committed = snap.versions(spark, srcRoot).toSet
+        var last = snap.lastTag(spark, dstRoot)
+        vs.foreach { v =>
+          if (!last.exists(_ >= v)) {
+            val feed =
+              if (committed.contains(v - 1))
+                snap.changes(spark, srcRoot, v - 1, v).df
+              else snap.read(spark, srcRoot, Some(v))
+                .withColumn("_change_type", lit("insert"))
+            val feedC = feed.localCheckpoint()
+            require(feedC.filter(col("_change_type") =!= "insert").isEmpty,
+              s"$srcRoot version $v feed carries deletes — " +
+                "snapshotPipelineAvailableNow requires an append-only source")
+            snap.append(spark,
+              transform(feedC.filter(col("_change_type") === "insert")
+                .drop("_change_type")),
+              dstRoot, statsCols, tag = Some(v))
+            last = Some(v)
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING CHANGE-FEED consumer — the read side of
+    * [[snapshotIngestAvailableNow]]: the snapshot VERSION LOG ITSELF
+    * is the stream. Each commit publishes exactly one tiny
+    * `v<NNNNNNNN>.json`, so the file source tailing the log dir
+    * delivers new commits as micro-batches with checkpointed
+    * progress — no polling protocol beyond the one the log already
+    * provides (Delta's streaming source tails its transaction log
+    * the same way). Every version v in a batch emits its NET change
+    * frame ([[graft.etl.Snapshots.changes]](v-1, v) — file-granular,
+    * churned-files-only) or, when v-1 is not in the log (consumer
+    * attached mid-history / first commit), the full version as the
+    * INITIAL SNAPSHOT, into `outDir/batch_v=<v>` with dynamic
+    * partition overwrite.
+    *
+    * The VERSION number — not the stream's batch id — is the
+    * idempotency key: per-version output is deterministic, so a
+    * crash replay or a fresh-checkpoint rerun rewrites the same
+    * partitions with the same rows (the q161/q171 exactly-once
+    * discipline). Batch slicing is invariant by construction: the
+    * union of all `batch_v` partitions ≡ initial snapshot +
+    * changes(first, latest), however the commits were grouped into
+    * micro-batches.
+    *
+    * The per-batch `collect()` is version-log LINES — one tiny JSON
+    * string per commit, metadata bounded by commit rate, never data
+    * rows.
+    */
+  def snapshotChangesAvailableNow(spark: SparkSession, tableRoot: String,
+                                  checkpointDir: String, outDir: String,
+                                  maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.text(s"$tableRoot/_versions")
+    val vre = """"version":(\d+)""".r
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snap = graft.etl.Snapshots
+        val vs = batch.collect().toSeq
+          .flatMap(r => vre.findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
+          .sorted
+        // one log listing per micro-batch, not per version
+        val committed = snap.versions(spark, tableRoot).toSet
+        vs.foreach { v =>
+          val df =
+            if (committed.contains(v - 1))
+              snap.changes(spark, tableRoot, v - 1, v).df
+            else snap.read(spark, tableRoot, Some(v))
+              .withColumn("_change_type", lit("insert"))
+          df.withColumn("batch_v", lit(v))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_v")
+            .parquet(outDir)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING spike alerting behind a real AvailableNow run — the
     * q137/q139 runtime discipline applied to
     * [[Stateful.spikeAlerts]]: watch a folder of JSON-lines reading

@@ -572,4 +572,422 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.read(spark, tmpDir("snap_empty"))
     }
   }
+
+  test("changes: append-only diff reads only the fresh files, all inserts") {
+    val root = tmpDir("snap_cdf_app")
+    Snapshots.commit(spark, df(5).repartition(3), root)
+    Snapshots.append(spark,
+      Seq((100L, "x"), (101L, "y")).toDF("id", "s").coalesce(1), root)
+    val cs = Snapshots.changes(spark, root, 1L, 2L)
+    // the v1 files are carried by reference — the diff never opens them
+    assert(cs.filesRead === cs.filesTo - cs.filesFrom)
+    val rows = cs.df.orderBy("id")
+      .select("id", "s", "_change_type").as[(Long, String, String)].collect()
+    assert(rows === Array((100L, "x", "insert"), (101L, "y", "insert")))
+  }
+
+  test("changes: merge nets to delete(old)+insert(new); survivors cancel") {
+    val root = tmpDir("snap_cdf_mrg")
+    Snapshots.commitWithStats(spark,
+      df(6).repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    // update id=2 (same file as id=1, which must cancel), insert id=50
+    val upd = Seq((2L, "UPD"), (50L, "NEW")).toDF("id", "s")
+    val r = Snapshots.merge(spark, upd, root, "id", Seq("id"))
+    val cs = Snapshots.changes(spark, root, 1L, r.version)
+    val rows = cs.df.orderBy(col("id"), col("_change_type"))
+      .select("id", "s", "_change_type").as[(Long, String, String)].collect()
+    assert(rows === Array(
+      (2L, "r2", "delete"), (2L, "UPD", "insert"), (50L, "NEW", "insert")))
+    // untouched files never open: symmetric difference only
+    assert(cs.filesRead < cs.filesFrom + cs.filesTo)
+  }
+
+  test("changes: optimize and rollback-to-from net to zero change rows") {
+    val root = tmpDir("snap_cdf_opt")
+    Snapshots.commit(spark, df(20).repartition(4), root)
+    val vOpt = Snapshots.optimize(spark, root, targetBytes = 1L << 30)
+    assert(Snapshots.changes(spark, root, 1L, vOpt).df.count() === 0L)
+    Snapshots.commit(spark, df(3), root) // a "bad" overwrite
+    val vRb = Snapshots.rollback(spark, root, to = vOpt)
+    // rollback re-points at vOpt's layout: identical file list, zero diff
+    val cs = Snapshots.changes(spark, root, vOpt, vRb)
+    assert(cs.filesRead === 0 && cs.df.count() === 0L)
+  }
+
+  test("deleteWhere: zero data files written, time travel intact, idempotent") {
+    val root = tmpDir("snap_dv")
+    Snapshots.commit(spark, df(10).repartition(3), root)
+    val dirsBefore = new java.io.File(s"$root/data").listFiles().length
+    val r = Snapshots.deleteWhere(spark, root, col("id") % 3 === 0)
+    assert(r.version === 2L && r.rowsDeleted === 3L && r.dvRowsTotal === 3L)
+    // merge-on-read: no new data dir, same layout
+    assert(new java.io.File(s"$root/data").listFiles().length === dirsBefore)
+    assert(Snapshots.versionMeta(spark, root, 2L).layoutId ===
+      Snapshots.versionMeta(spark, root, 1L).layoutId)
+    assert(Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().map(_._1) === Array(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    assert(Snapshots.read(spark, root, Some(1L)).count() === 10L)
+    assert(Snapshots.versionMeta(spark, root, 2L).nRows === 7L)
+    // repeated delete matches nothing and publishes nothing
+    val r2 = Snapshots.deleteWhere(spark, root, col("id") % 3 === 0)
+    assert(r2.version === 2L && r2.rowsDeleted === 0L)
+    // vectors ACCUMULATE across deletes
+    val r3 = Snapshots.deleteWhere(spark, root, col("id") === 1L)
+    assert(r3.version === 3L && r3.rowsDeleted === 1L && r3.dvRowsTotal === 4L)
+    assert(Snapshots.read(spark, root).count() === 6L)
+  }
+
+  test("deleteWhere null predicate keeps rows; append carries the vector forward") {
+    val root = tmpDir("snap_dv_app")
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+        .toDF("id", "s"), root)
+    // pred is null for the null row — SQL DELETE semantics keep it
+    val r = Snapshots.deleteWhere(spark, root, length(col("s")) > lit(0) && col("id") === 3L)
+    assert(r.rowsDeleted === 1L)
+    assert(Snapshots.read(spark, root).count() === 2L)
+    Snapshots.append(spark, Seq((10L, "x")).toDF("id", "s"), root)
+    val m = Snapshots.versionMeta(spark, root, 3L)
+    assert(m.dv.isDefined, "append dropped the deletion vector")
+    assert(m.nRows === 3L)
+    assert(Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().map(_._1) === Array(1L, 2L, 10L))
+  }
+
+  test("merge after deleteWhere: no resurrection; untouched vector entries carry") {
+    val root = tmpDir("snap_dv_mrg")
+    Snapshots.commitWithStats(spark,
+      df(9).repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    // delete one row in the low file (id=2) and one in the high (id=8)
+    Snapshots.deleteWhere(spark, root, col("id") === 2L || col("id") === 8L)
+    // merge touches only the low file (key 1): id=2 must NOT resurrect
+    // from the rewrite, id=8's vector entry must carry into the new dv
+    val r = Snapshots.merge(spark, Seq((1L, "UPD")).toDF("id", "s"),
+      root, "id", Seq("id"))
+    assert(r.filesRewritten < r.filesTotal)
+    val rows = Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(rows.map(_._1) === Array(1L, 3L, 4L, 5L, 6L, 7L, 9L))
+    assert(rows.head === ((1L, "UPD")))
+    assert(Snapshots.versionMeta(spark, root, r.version).dv.isDefined)
+    // optimize materializes everything away
+    val vOpt = Snapshots.optimize(spark, root)
+    assert(Snapshots.versionMeta(spark, root, vOpt).dv.isEmpty)
+    assert(Snapshots.read(spark, root, Some(vOpt)).orderBy("id")
+      .as[(Long, String)].collect().map(_._1) === rows.map(_._1))
+  }
+
+  test("changes across deletion-vector versions: dv churn only, both directions") {
+    val root = tmpDir("snap_dv_cdf")
+    Snapshots.commit(spark, df(6).repartition(2), root)
+    Snapshots.deleteWhere(spark, root, col("id") <= 2L)
+    val cs = Snapshots.changes(spark, root, 1L, 2L)
+    val del = cs.df.orderBy("id").select("id", "_change_type")
+      .as[(Long, String)].collect()
+    assert(del === Array((1L, "delete"), (2L, "delete")))
+    // rollback across the delete: the same rows come back as inserts
+    val vRb = Snapshots.rollback(spark, root, to = 1L)
+    val back = Snapshots.changes(spark, root, 2L, vRb).df
+      .orderBy("id").select("id", "_change_type").as[(Long, String)].collect()
+    assert(back === Array((1L, "insert"), (2L, "insert")))
+  }
+
+  test("vacuum reclaims unreferenced deletion vectors, keeps pinned ones") {
+    val root = tmpDir("snap_dv_vac")
+    Snapshots.commit(spark, df(6), root)
+    Snapshots.deleteWhere(spark, root, col("id") === 1L) // v2 + dv A
+    Snapshots.deleteWhere(spark, root, col("id") === 2L) // v3 + dv B
+    assert(new java.io.File(s"$root/dv").listFiles().count(_.isDirectory) === 2)
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0)
+    // v3's vector (B) is pinned; v2's (A) reclaims
+    assert(new java.io.File(s"$root/dv").listFiles().count(_.isDirectory) === 1)
+    assert(Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().map(_._1) === Array(3L, 4L, 5L, 6L))
+  }
+
+  test("constraints: add validates existing data; writers enforce; drop lifts") {
+    val root = tmpDir("snap_cons")
+    Snapshots.commit(spark, df(5), root)
+    // an unsatisfiable constraint is refused outright
+    intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, root, "small", "id <= 3")
+    }
+    val v2 = Snapshots.addConstraint(spark, root, "pos", "id > 0")
+    assert(v2 === 2L)
+    assert(Snapshots.constraintsOf(spark, root) === Seq(("pos", "id > 0")))
+    // strict append refuses a violating batch BEFORE writing data
+    val dirsBefore = new java.io.File(s"$root/data").listFiles().length
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, Seq((-1L, "bad")).toDF("id", "s"), root)
+    }
+    assert(new java.io.File(s"$root/data").listFiles().length === dirsBefore)
+    // merge updates face the same gate
+    Snapshots.commitWithStats(spark, df(5), root, Seq("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, Seq((-2L, "bad")).toDF("id", "s"),
+        root, "id", Seq("id"))
+    }
+    // a clean append passes, and NULL passes (SQL CHECK semantics)
+    Snapshots.append(spark,
+      Seq((Some(9L), "ok"), (None, "null-id")).toDF("id", "s"), root)
+    assert(Snapshots.read(spark, root).count() === 7L)
+    // drop lifts the gate; the policy history stays time-travelable
+    Snapshots.dropConstraint(spark, root, "pos")
+    Snapshots.append(spark, Seq((-5L, "now ok")).toDF("id", "s"), root)
+    assert(Snapshots.constraintsOf(spark, root) === Nil)
+    assert(Snapshots.versionMeta(spark, root, v2).constraints.nonEmpty)
+  }
+
+  test("appendWithExpectations quarantines violations with labels, commits the rest") {
+    val root = tmpDir("snap_exp")
+    val quar = s"${tmpDir("snap_exp_q")}/q"
+    Snapshots.commit(spark, df(3), root)
+    Snapshots.addConstraint(spark, root, "pos", "id > 0")
+    Snapshots.addConstraint(spark, root, "named", "length(s) > 0")
+    val batch = Seq((10L, "ok"), (-1L, "neg"), (11L, ""), (-2L, ""))
+      .toDF("id", "s")
+    val r = Snapshots.appendWithExpectations(spark, batch, root, quar, Seq())
+    assert(r.rowsAppended === 1L && r.rowsQuarantined === 3L)
+    assert(Snapshots.read(spark, root).count() === 4L)
+    val q = spark.read.parquet(quar).orderBy("id")
+      .select("id", "_violation").as[(Long, String)].collect()
+    assert(q === Array((-2L, "pos,named"), (-1L, "pos"), (11L, "named")))
+    // a second batch APPENDS to the quarantine, never clobbers it
+    val r2 = Snapshots.appendWithExpectations(spark,
+      Seq((-9L, "x")).toDF("id", "s"), root, quar, Seq())
+    assert(r2.rowsQuarantined === 1L)
+    assert(spark.read.parquet(quar).count() === 4L)
+    // no constraints → plain append, exact counts
+    val root2 = tmpDir("snap_exp2")
+    Snapshots.commit(spark, df(2), root2)
+    val r3 = Snapshots.appendWithExpectations(spark,
+      Seq((7L, "z")).toDF("id", "s"), root2, quar, Seq())
+    assert(r3.rowsAppended === 1L && r3.rowsQuarantined === 0L)
+  }
+
+  test("constraints ride every writer forward in the log") {
+    val root = tmpDir("snap_cons_ride")
+    Snapshots.commitWithStats(spark, df(6), root, Seq("id"))
+    Snapshots.addConstraint(spark, root, "pos", "id > 0")
+    Snapshots.append(spark, Seq((7L, "g")).toDF("id", "s"), root)
+    Snapshots.merge(spark, Seq((1L, "UPD")).toDF("id", "s"), root, "id", Seq("id"))
+    Snapshots.deleteRange(spark, root, "id", Some(lit(6L)), Some(lit(6L)), Seq("id"))
+    Snapshots.deleteWhere(spark, root, col("id") === 5L)
+    Snapshots.optimize(spark, root)
+    assert(Snapshots.constraintsOf(spark, root) === Seq(("pos", "id > 0")),
+      "a writer dropped the constraint metadata")
+    // commit (full replace) validates too
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq((-1L, "bad")).toDF("id", "s"), root)
+    }
+  }
+
+  test("changesKeyed: update pairs reclassify; null keys and singletons do not") {
+    val root = tmpDir("snap_cdf_key")
+    Snapshots.commitWithStats(spark,
+      Seq((Some(1L), "a"), (Some(2L), "b"), (None, "nk"))
+        .toDF("id", "s").coalesce(1), root, Seq("id"))
+    // merge updates id=1, inserts id=9; null-key update row INSERTS
+    // (merge null semantics) while the old null-key row survives
+    Snapshots.merge(spark,
+      Seq((Some(1L), "A2"), (Some(9L), "new"), (None, "nk2")).toDF("id", "s"),
+      root, "id", Seq("id"))
+    val rows = Snapshots.changesKeyed(spark, root, 1L, 2L, "id").df
+      .orderBy(col("id"), col("s"))
+      .select("id", "s", "_change_type").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1), r.getString(2)))
+    assert(rows === Array(
+      (None, "nk2", "insert"), // nulls sort first; never pairs as update
+      (Some(1L), "A2", "update_postimage"),
+      (Some(1L), "a", "update_preimage"),
+      (Some(9L), "new", "insert")))
+  }
+
+  test("deltaFromChanges maintains a rollup without re-reading the base table") {
+    val root = tmpDir("snap_cdf_agg")
+    val t = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L))
+      .toDF("id", "g", "v")
+    Snapshots.commitWithStats(spark, t.coalesce(1), root, Seq("id"))
+    var agg = graft.etl.IncrementalAgg.recompute(
+      Snapshots.read(spark, root), Seq("g"), Seq("v"))
+    Snapshots.append(spark, Seq((4L, "y", 40L)).toDF("id", "g", "v"), root)
+    Snapshots.merge(spark, Seq((1L, "x", 11L)).toDF("id", "g", "v"),
+      root, "id", Seq("id"))
+    (2L to 3L).foreach { v =>
+      agg = graft.etl.IncrementalAgg.applyDelta(agg,
+        graft.etl.IncrementalAgg.deltaFromChanges(
+          Snapshots.changes(spark, root, v - 1, v).df, Seq("g"), Seq("v")),
+        Seq("g"), Seq("v"))
+    }
+    val got = agg.orderBy("g").as[(String, Long, Long)].collect()
+    assert(got === Array(("x", 2L, 41L), ("y", 2L, 60L)))
+  }
+
+  test("streaming CDC upsert: merge per batch, fresh-checkpoint rerun is a no-op") {
+    val base = tmpDir("snap_ups")
+    val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val b2 = Seq((2L, "B2"), (4L, "d")).toDF("id", "s")
+    graft.streaming.Ingest.stageOrderedParquet(spark, Seq(b1, b2),
+      s"$base/staging")
+    graft.streaming.Ingest.snapshotUpsertAvailableNow(spark, s"$base/staging",
+      s"$base/chk", s"$base/t", "id", Seq("id"), "id LONG, s STRING",
+      maxFilesPerTrigger = Some(1))
+    assert(Snapshots.versions(spark, s"$base/t") === Seq(1L, 2L))
+    graft.streaming.Ingest.snapshotUpsertAvailableNow(spark, s"$base/staging",
+      s"$base/chk2", s"$base/t", "id", Seq("id"), "id LONG, s STRING",
+      maxFilesPerTrigger = Some(1))
+    assert(Snapshots.versions(spark, s"$base/t") === Seq(1L, 2L),
+      "fresh-checkpoint replay re-applied a batch")
+    assert(Snapshots.read(spark, s"$base/t").orderBy("id")
+      .as[(Long, String)].collect() ===
+      Array((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("shallow clone: zero copy, isolated divergence, dv refusal, vacuum safety") {
+    val src = tmpDir("snap_cl_src")
+    val dst = tmpDir("snap_cl_dst") + "/t"
+    Snapshots.commitWithStats(spark,
+      df(8).repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      src, Seq("id"))
+    Snapshots.addConstraint(spark, src, "pos", "id > 0")
+    Snapshots.cloneShallow(spark, src, dst)
+    // zero copy: the clone owns no data files, yet reads the source
+    assert(!new java.io.File(s"$dst/data").exists())
+    assert(Snapshots.read(spark, dst).count() === 8L)
+    // policy rides over: the clone enforces the source's constraint
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, Seq((-1L, "bad")).toDF("id", "s"), dst)
+    }
+    // divergence stays in the clone
+    Snapshots.merge(spark, Seq((1L, "CLONE")).toDF("id", "s"),
+      dst, "id", Seq("id"))
+    assert(Snapshots.read(spark, dst).filter(col("s") === "CLONE").count() === 1L)
+    assert(Snapshots.versions(spark, src) === Seq(1L, 2L)) // commit + constraint
+    assert(Snapshots.read(spark, src).filter(col("s") === "CLONE").count() === 0L)
+    // vacuuming the CLONE never reclaims source files
+    Snapshots.vacuum(spark, dst, keepLast = 1, orphanGraceMs = 0)
+    assert(Snapshots.read(spark, src).count() === 8L)
+    assert(Snapshots.read(spark, dst).count() === 8L)
+    // a deletion-vector version must be materialized before cloning
+    Snapshots.deleteWhere(spark, src, col("id") === 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneShallow(spark, src, tmpDir("snap_cl_dst2") + "/t")
+    }
+  }
+
+  test("versionAsOf: the log is the clock") {
+    val root = tmpDir("snap_asof")
+    Snapshots.commit(spark, df(1), root)
+    Snapshots.commit(spark, df(2), root)
+    // pin mtimes deterministically (sub-second commits could tie)
+    val f = new org.apache.hadoop.fs.Path(s"$root/_versions")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    f.setTimes(new org.apache.hadoop.fs.Path(
+      s"$root/_versions/v00000001.json"), t0, -1)
+    f.setTimes(new org.apache.hadoop.fs.Path(
+      s"$root/_versions/v00000002.json"), t0 + 60000, -1)
+    assert(Snapshots.versionAsOf(spark, root, t0) === 1L)
+    assert(Snapshots.versionAsOf(spark, root, t0 + 59999) === 1L)
+    assert(Snapshots.versionAsOf(spark, root, t0 + 60000) === 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, root, t0 - 1)
+    }
+    assert(Snapshots.read(spark, root,
+      Some(Snapshots.versionAsOf(spark, root, t0))).count() === 1L)
+  }
+
+  test("medallion pipeline refuses a source feed carrying deletes") {
+    val base = tmpDir("snap_pipe_del")
+    val src = s"$base/src"
+    Snapshots.commitWithStats(spark, df(6), src, Seq("id"))
+    Snapshots.deleteWhere(spark, src, col("id") === 2L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.Ingest.snapshotPipelineAvailableNow(spark, src,
+        s"$base/chk", s"$base/dst", Seq("id"), identity)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("append-only")))
+  }
+
+  test("streaming change feed attaches mid-history: initial snapshot, then deltas") {
+    val root = tmpDir("snap_cdf_mid")
+    val base = tmpDir("snap_cdf_mid_io")
+    Snapshots.commit(spark, df(4), root)
+    Snapshots.append(spark, Seq((10L, "a")).toDF("id", "s"), root)
+    // the consumer's first sight of the log is v1+v2 already present;
+    // vacuum drops v1 so v2 has no predecessor in the log — it must
+    // serve as the INITIAL SNAPSHOT, not fail on a missing v1
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0)
+    Snapshots.append(spark, Seq((11L, "b")).toDF("id", "s"), root)
+    graft.streaming.Ingest.snapshotChangesAvailableNow(spark, root,
+      s"$base/chk", s"$base/out")
+    val feed = spark.read.parquet(s"$base/out")
+    val byV = feed.groupBy("batch_v").count().orderBy("batch_v")
+      .as[(Int, Long)].collect()
+    assert(byV === Array((2, 5L), (3, 1L))) // v2 = full 5 rows, v3 = delta
+    assert(feed.filter(col("_change_type") =!= "insert").count() === 0L)
+  }
+
+  test("readWithLineage: appends keep their ingest version; dv purges vanish, survivors keep attribution") {
+    val root = tmpDir("snap_lin")
+    Snapshots.commit(spark, df(4), root)                     // v1: ids 1-4
+    Snapshots.append(spark, Seq((10L, "a"), (11L, "b")).toDF("id", "s"), root) // v2
+    val att = Snapshots.readWithLineage(spark, root)
+      .select("id", "_commit_version").as[(Long, Long)].collect().toMap
+    assert(att === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 2L, 11L -> 2L))
+    // merge-on-read delete: no file rewritten, so nothing re-attributes
+    Snapshots.deleteWhere(spark, root, col("id") === 2L)     // v3 (dv)
+    val att3 = Snapshots.readWithLineage(spark, root)
+      .select("id", "_commit_version").as[(Long, Long)].collect().toMap
+    assert(att3 === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 2L, 11L -> 2L))
+    // time travel: lineage of v2 ignores the later delete
+    val att2 = Snapshots.readWithLineage(spark, root, Some(2L))
+      .select("id", "_commit_version").as[(Long, Long)].collect().toMap
+    assert(att2 === att)
+  }
+
+  test("readWithLineage: a copy-on-write rewrite re-attributes surviving rows (physical lineage, as documented)") {
+    val root = tmpDir("snap_lin_cow")
+    // one file per version so the rewrite boundary is deterministic
+    Snapshots.commitWithStats(spark, df(4).coalesce(1), root, Seq("id")) // v1
+    Snapshots.append(spark, Seq((10L, "a")).toDF("id", "s").coalesce(1),
+      root, Seq("id"))                                       // v2
+    Snapshots.deleteRange(spark, root, "id",
+      Some(lit(2L)), Some(lit(3L)), Seq("id"))               // v3 rewrites v1's file
+    val att = Snapshots.readWithLineage(spark, root)
+      .select("id", "_commit_version").as[(Long, Long)].collect().toMap
+    assert(att === Map(1L -> 3L, 4L -> 3L, 10L -> 2L),
+      "survivors of the rewritten file carry the rewrite version; the untouched append file keeps v2")
+  }
+
+  test("fileLineage is metadata-only: zero Spark jobs") {
+    val root = tmpDir("snap_lin_jobs")
+    Snapshots.commit(spark, df(4), root)
+    Snapshots.append(spark, Seq((10L, "a")).toDF("id", "s"), root)
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      var last = -1
+      var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (n != last && spins < 50) {
+        last = n; Thread.sleep(100)
+        n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      n
+    }
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    assert(jobsIn("snap_lineage_probe") {
+      rows = Snapshots.fileLineage(spark, root).collect()
+    } === 0, "lineage derivation must read manifests only (driver FS IO); " +
+      "collect over the local relation launches no job")
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).toSet === Set(1L, 2L))
+  }
 }
