@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // declarative HOF dot products silently upgrade to the codegen'd
     // expression (observation-equivalent; see RewriteQuantizedDot)
     e.injectOptimizerRule(_ => graft.functions.RewriteQuantizedDot)
+    // snapshot tables as SQL tables: FROM snap.`/path` [VERSION AS OF n
+    // | TIMESTAMP AS OF ts] resolves to the manifest-listed,
+    // stats-skipping, dv-aware scan (see plans.ResolveSnapshotTable)
+    e.injectResolutionRule(s => graft.plans.ResolveSnapshotTable(s))
   }
 }

@@ -1439,6 +1439,68 @@ object Snapshots {
     }
   }
 
+  /** The version's persisted stats table, when one exists (a version
+    * committed outside the `*WithStats` paths has none — consumers
+    * then degrade to no skipping, never to an error).
+    */
+  def statsTableOf(spark: SparkSession, root: String,
+                   v: Long): Option[DataFrame] = {
+    val sp = statsPath(root, versionMeta(spark, root, v).layoutId)
+    if (fs(spark, sp).exists(sp)) Some(spark.read.parquet(sp.toString))
+    else None
+  }
+
+  /** The version as a PLANNER-INTEGRATED scan: a parquet relation
+    * whose file listing is the version's manifest filtered by its
+    * stats index against the query's OWN pushed filters
+    * ([[graft.plans.SnapshotFileIndex]] — the TahoeFileIndex seam).
+    * Unlike [[readPruned]], which prunes only the explicit range
+    * predicate it is handed, THIS scan data-skips for any predicate
+    * Catalyst pushes — SQL or DataFrame — while the built-in
+    * vectorized parquet reader and whole-stage codegen keep the data
+    * path. Deletion vectors apply on top exactly as in [[read]];
+    * the schema comes from the log ([[schemaOf]]), so evolved tables
+    * plan without footer sampling. Returns (frame, index) — the
+    * index records the (files kept, files total) of its last
+    * planning pass, the prune pin queries and specs assert on.
+    */
+  def sqlScan(spark: SparkSession, root: String,
+              version: Option[Long] = None)
+      : (DataFrame, graft.plans.SnapshotFileIndex) = {
+    import org.apache.spark.sql.GraftShim
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    val schema = schemaOf(spark, root, v, m)
+    val rels = relFilesOf(spark, root, m)
+    require(rels.nonEmpty, s"version $v of $root has an empty manifest")
+    val idx = new graft.plans.SnapshotFileIndex(spark,
+      new Path(rootPathOf(spark, root)),
+      fileStatusesOf(spark, root, rels),
+      statsTableOf(spark, root, v))
+    val raw = GraftShim.ofRows(spark,
+      GraftShim.parquetScanPlan(spark, idx, schema))
+    val df = m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m)))
+      .getOrElse(raw)
+    (df, idx)
+  }
+
+  /** FileStatuses for a manifest's files — ONE listing RPC per
+    * distinct parent dir, never a getFileStatus round trip per file
+    * (at a million-file manifest that is the difference between a
+    * listing and a day of metadata calls).
+    */
+  private def fileStatusesOf(spark: SparkSession, root: String,
+                             rels: Seq[String])
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val byDir = rels.map(rel => new Path(root, rel)).groupBy(_.getParent)
+    byDir.toSeq.sortBy(_._1.toString).flatMap { case (dir, paths) =>
+      val want = paths.map(_.getName).toSet
+      fs(spark, dir).listStatus(dir).filter(st => want(st.getPath.getName))
+        .sortBy(_.getPath.getName)
+    }
+  }
+
   /** Reclaim storage: keep the last `keepLast` versions (and
     * whatever data dirs they reference — a rollback target stays
     * alive as long as any kept version points at it), delete older

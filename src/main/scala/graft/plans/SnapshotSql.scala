@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.TimestampType
+
+import graft.etl.Snapshots
+
+/** Analyzer rule that makes every snapshot table a SQL table: a
+  * relation named `snap.\`/path/to/table\`` resolves to the
+  * [[Snapshots.sqlScan]] plan — the manifest-listed, stats-skipping,
+  * deletion-vector-aware parquet scan — and Spark's own time-travel
+  * syntax routes through the version log:
+  *
+  * {{{
+  *   SELECT ... FROM snap.`/data/orders`                      -- latest
+  *   SELECT ... FROM snap.`/data/orders` VERSION AS OF 3      -- pinned
+  *   SELECT ... FROM snap.`/data/orders` TIMESTAMP AS OF '..' -- as-of
+  * }}}
+  *
+  * The rule is injected by [[graft.GraftExtensions]] (plain
+  * `spark.sql` in any session built with the extensions), and
+  * [[SnapshotSql.sql]] applies the SAME rule to a parsed plan for
+  * sessions built without them. Filters the user writes prune files
+  * through the scan's [[SnapshotFileIndex]] at planning time — SQL
+  * gets the data skipping for free, no explicit `readPruned` call.
+  *
+  * Idempotence: the replacement plan contains no unresolved
+  * relations, so the analyzer's fixed-point loop passes through
+  * untouched after the first application. `RelationTimeTravel` is an
+  * unresolved LEAF (its child is not traversed), so the bare-relation
+  * case can never consume the inner relation first.
+  */
+case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case RelationTimeTravel(u: UnresolvedRelation, ts, v) if isSnap(u) =>
+      val root = rootOf(u)
+      val version = v.map(parseVersion)
+        .orElse(ts.map(t => Snapshots.versionAsOf(spark, root, tsMillis(t))))
+      scanPlan(root, version)
+    case u: UnresolvedRelation if isSnap(u) =>
+      scanPlan(rootOf(u), None)
+  }
+
+  private def isSnap(u: UnresolvedRelation): Boolean = {
+    val parts = u.multipartIdentifier
+    parts.length == 2 && parts.head.equalsIgnoreCase("snap")
+  }
+
+  private def rootOf(u: UnresolvedRelation): String = u.multipartIdentifier(1)
+
+  private def parseVersion(s: String): Long =
+    try s.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"snap: VERSION AS OF takes an integer version, got '$s'")
+    }
+
+  /** `TIMESTAMP AS OF <expr>`: fold the literal through Catalyst's
+    * own cast (string → timestamp under the session time zone) and
+    * resolve against commit-file mtimes ([[Snapshots.versionAsOf]]).
+    */
+  private def tsMillis(e: Expression): Long = {
+    require(e.foldable, "snap: TIMESTAMP AS OF takes a literal expression")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val micros = Cast(e, TimestampType, Some(tz)).eval(null)
+    require(micros != null, s"snap: cannot read '$e' as a timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
+  private def scanPlan(root: String, version: Option[Long]): LogicalPlan =
+    GraftShim.analyzedPlan(Snapshots.sqlScan(spark, root, version)._1)
+}
+
+/** SQL entry point for sessions built WITHOUT the extensions (the
+  * driver's plain session): parse, apply [[ResolveSnapshotTable]]
+  * once, hand the rewritten tree to the normal analyzer.
+  */
+object SnapshotSql {
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    GraftShim.ofRows(spark,
+      ResolveSnapshotTable(spark)(GraftShim.parsePlan(spark, sqlText)))
+}

@@ -1271,6 +1271,56 @@ object EtlQueries {
         .orderBy("_commit_version", "l_returnflag")
     }),
 
+    // q184 — THE SNAPSHOT TIER AS A SQL TABLE FORMAT
+    // (plans/ResolveSnapshotTable + plans/SnapshotFileIndex): a plain
+    // SQL string reads `FROM snap.`<root>`` — the relation resolves
+    // to the manifest-listed, stats-skipping, deletion-vector-aware
+    // scan, so the user's OWN WHERE clause prunes files at PLANNING
+    // time through the version's stats index (the TahoeFileIndex
+    // seam: the planner asks the index for files, the index asks the
+    // stats — no explicit readPruned call anywhere), while the bytes
+    // still stream through the built-in vectorized parquet reader
+    // under whole-stage codegen. The table takes an append and a
+    // merge-on-read delete first, so SQL is proven against the full
+    // lakehouse state: manifest version + deletion vector + stats.
+    // files_pruned pins the planning-time skip (the range predicate
+    // opens strictly fewer files than the manifest holds, and >0);
+    // version_pinned pins SQL time travel (VERSION AS OF 1 still
+    // counts the pre-append state). Values replay base+append−purge
+    // under the same predicate.
+    "q184_snapshot_sql" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q184").toString
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 1000L)
+          .repartitionByRange(6, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      val v1N = li.filter(col("l_orderkey") <= 1000L).count()
+      Snapshots.append(s, li.filter(col("l_orderkey") > 1000L),
+        root, Seq("l_orderkey"))
+      Snapshots.deleteWhere(s, root, col("l_orderkey") % 10 === 3)
+      // SQL time travel through the version log
+      val pinned = graft.plans.SnapshotSql.sql(s,
+        s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 1")
+        .head().getLong(0) == v1N
+      // the prune pin: same predicate through the index-exposed seam
+      val (probe, idx) = Snapshots.sqlScan(s, root)
+      probe.filter(col("l_orderkey").between(1L, 400L)).count()
+      val (kept, total) = idx.lastScan.get
+      graft.plans.SnapshotSql.sql(s,
+        s"""SELECT l_returnflag, count(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           |FROM snap.`$root`
+           |WHERE l_orderkey BETWEEN 1 AND 400
+           |GROUP BY l_returnflag""".stripMargin)
+        .withColumn("files_pruned", lit(kept < total && kept > 0))
+        .withColumn("version_pinned", lit(pinned))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -1935,6 +1985,18 @@ object EtlQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lin GROUP BY 1, 2
         |ORDER BY _commit_version, l_returnflag""".stripMargin,
+    // q184: the SQL-surface read replayed — base+append−purge under
+    // the query's own range predicate; a wrongly pruned file, a
+    // misapplied deletion vector, or a broken time-travel resolution
+    // all hash-break
+    "q184_snapshot_sql" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS files_pruned, TRUE AS version_pinned
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1 AND 400 AND l_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading
     "q150_streaming_spikes" ->

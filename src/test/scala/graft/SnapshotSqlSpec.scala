@@ -1,0 +1,143 @@
+package graft
+
+import graft.etl.Snapshots
+import graft.plans.{SnapshotFileIndex, SnapshotSql}
+import org.apache.spark.sql.functions._
+
+/** The snapshot tier as a SQL table format (plans/SnapshotSql +
+  * plans/SnapshotFileIndex): `FROM snap.`root`` resolution through
+  * the injected rule, SQL time travel, planning-time data skipping
+  * from the stats index, and dv/schema-evolution composition.
+  */
+class SnapshotSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(lo: Int, hi: Int) =
+    (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+
+  /** A 4-file id-clustered table with a stats index. */
+  private def clustered(root: String, n: Int = 400): Unit =
+    Snapshots.commitWithStats(spark,
+      ids(1, n).repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+
+  test("plain spark.sql resolves snap.`root` through the injected rule") {
+    val root = tmpDir("sqlsnap_basic")
+    clustered(root, 100)
+    val got = spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM snap.`$root`")
+      .as[(Long, Long)].head()
+    assert(got === ((100L, 5050L)))
+  }
+
+  test("SnapshotSql.sql works without relying on session extensions") {
+    val root = tmpDir("sqlsnap_helper")
+    clustered(root, 50)
+    val got = SnapshotSql.sql(spark,
+      s"SELECT max(id) AS m FROM snap.`$root` WHERE id <= 20")
+      .as[Long].head()
+    assert(got === 20L)
+  }
+
+  test("VERSION AS OF pins the read to the version log") {
+    val root = tmpDir("sqlsnap_vasof")
+    Snapshots.commit(spark, ids(1, 10), root)
+    Snapshots.commit(spark, ids(1, 99), root)
+    val v1 = spark.sql(s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 1")
+      .as[Long].head()
+    val v2 = spark.sql(s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 2")
+      .as[Long].head()
+    assert((v1, v2) === ((10L, 99L)))
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 7").collect()
+    }
+    assert(err.getMessage.contains("no committed version"))
+  }
+
+  test("TIMESTAMP AS OF resolves against pinned commit mtimes") {
+    val root = tmpDir("sqlsnap_tasof")
+    Snapshots.commit(spark, ids(1, 10), root)
+    Snapshots.commit(spark, ids(1, 99), root)
+    // pin the commit-file clock: v1 at t0, v2 a minute later
+    val t0 = 1700000000000L
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$root/_versions/v00000001.json"), t0, -1)
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$root/_versions/v00000002.json"), t0 + 60000, -1)
+    // 2023-11-14 22:13:20 UTC == t0; the session time zone is UTC
+    val atV1 = spark.sql(s"SELECT count(*) AS n FROM snap.`$root` " +
+      "TIMESTAMP AS OF '2023-11-14 22:13:20'").as[Long].head()
+    val atV2 = spark.sql(s"SELECT count(*) AS n FROM snap.`$root` " +
+      "TIMESTAMP AS OF '2023-11-14 22:14:20'").as[Long].head()
+    assert((atV1, atV2) === ((10L, 99L)))
+  }
+
+  test("pushed range predicate skips files at planning time") {
+    val root = tmpDir("sqlsnap_skip")
+    clustered(root)
+    val (df, idx) = Snapshots.sqlScan(spark, root)
+    // a range hitting one quarter of the clustered layout
+    val got = df.filter(col("id") >= 350L).agg(count(lit(1)), sum("id"))
+      .as[(Long, Long)].head()
+    assert(got === ((51L, (350 to 400).map(_.toLong).sum)))
+    val (kept, total) = idx.lastScan.get
+    assert(total === 4, s"expected the 4-file layout, saw $total")
+    assert(kept < total, s"range predicate pruned nothing ($kept/$total)")
+  }
+
+  test("point predicate and IN prune to their buckets; non-stats columns don't block") {
+    val root = tmpDir("sqlsnap_point")
+    clustered(root)
+    val (df, idx) = Snapshots.sqlScan(spark, root)
+    assert(df.filter(col("id") === 7L && col("s") =!= "nope").count() === 1L)
+    assert(idx.lastScan.get._1 === 1, s"point lookup opened ${idx.lastScan.get._1} files")
+    assert(df.filter(col("id").isin(5L, 395L)).count() === 2L)
+    assert(idx.lastScan.get._1 === 2, s"IN opened ${idx.lastScan.get._1} files")
+  }
+
+  test("unprovable predicates keep every file (conservative, never wrong)") {
+    val root = tmpDir("sqlsnap_cons")
+    clustered(root)
+    val (df, idx) = Snapshots.sqlScan(spark, root)
+    assert(df.filter(col("s") === "r123").count() === 1L) // s has no stats
+    assert(idx.lastScan.get._1 === 4)
+    assert(df.filter(col("id") % 100L === 0L).count() === 4L) // untranslatable shape
+    assert(idx.lastScan.get._1 === 4)
+  }
+
+  test("SQL reads compose with deletion vectors") {
+    val root = tmpDir("sqlsnap_dv")
+    clustered(root, 100)
+    Snapshots.deleteWhere(spark, root, col("id") % 10L === 0L)
+    val got = spark.sql(
+      s"SELECT count(*) AS n, sum(id) AS s FROM snap.`$root`")
+      .as[(Long, Long)].head()
+    assert(got === ((90L, 5050L - (10 to 100 by 10).sum)))
+  }
+
+  test("SQL reads honor the logged evolved schema (old files as NULL)") {
+    val root = tmpDir("sqlsnap_evo")
+    Snapshots.commitWithStats(spark, ids(1, 20), root, Seq("id"))
+    Snapshots.append(spark,
+      ids(21, 30).withColumn("chan", lit("web")), root, Seq("id"),
+      evolveSchema = true)
+    val got = spark.sql(s"SELECT coalesce(chan, 'legacy') AS c, count(*) AS n " +
+      s"FROM snap.`$root` GROUP BY 1 ORDER BY 1").as[(String, Long)].collect()
+    assert(got === Array(("legacy", 20L), ("web", 10L)))
+  }
+
+  test("canHit translation: And keeps the provable half; Or requires both") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val id = AttributeReference("id", LongType)()
+    val s = AttributeReference("s", org.apache.spark.sql.types.StringType)()
+    val cols = Set("id")
+    val and = And(GreaterThanOrEqual(id, Literal(5L)), EqualTo(s, Literal("x")))
+    assert(SnapshotFileIndex.canHit(and, cols).isDefined)
+    val orProvable = Or(EqualTo(id, Literal(1L)), EqualTo(id, Literal(9L)))
+    assert(SnapshotFileIndex.canHit(orProvable, cols).isDefined)
+    val orHalf = Or(EqualTo(id, Literal(1L)), EqualTo(s, Literal("x")))
+    assert(SnapshotFileIndex.canHit(orHalf, cols).isEmpty,
+      "a half-provable OR must not prune")
+    assert(SnapshotFileIndex.canHit(EqualTo(id, Literal(null, LongType)), cols).isEmpty)
+  }
+}

@@ -14,6 +14,10 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the library's shipped extensions, installed the way a user
+    // installs them — SnapshotSqlSpec proves plain spark.sql sees
+    // snapshot tables through the injected resolution rule
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
