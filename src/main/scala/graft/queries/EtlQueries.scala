@@ -1321,6 +1321,78 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q186 — BRONZE→SILVER→GOLD: the change feed COMPOSES
+    // TRANSITIVELY (the full medallion). Bronze accretes batches;
+    // silver — a quantity-filtered cents projection — is maintained
+    // from BRONZE's version log by the streaming pipeline consumer
+    // (q182's operator, source version = idempotency tag); GOLD — a
+    // per-flag rollup — is maintained from SILVER'S OWN change feed
+    // via the q179 fold. The key claim: silver is itself a DERIVED
+    // table, yet its version log is a first-class feed — a late
+    // bronze batch flows bronze→silver (churn-only transform) →gold
+    // (churn-only fold) with NEITHER hop re-reading its source
+    // table. gold_exact pins the maintained rollup ≡ from-scratch
+    // recompute of final silver; silver_exact pins silver ≡
+    // transform(final bronze); versions_3 pins one silver version
+    // per bronze commit (exactly-once through the resume). Values
+    // replay the gold rollup from the base table.
+    "q186_medallion_gold" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q186").toString
+      val bronze = s"$base/bronze"; val silver = s"$base/silver"
+      val xform = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("l_quantity") > 25.0)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            round(col("l_extendedprice") * lit(100.0)).cast("long")
+              .as("rev_cents"))
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 1000L)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), bronze, Seq("l_orderkey"))
+      Snapshots.append(s, li.filter(
+        col("l_orderkey") > 1000L && col("l_orderkey") <= 2000L),
+        bronze, Seq("l_orderkey"))
+      graft.streaming.Ingest.snapshotPipelineAvailableNow(s, bronze,
+        s"$base/chk", silver, Seq("l_orderkey"), xform,
+        maxFilesPerTrigger = Some(1))
+      val dims = Seq("l_returnflag"); val vals = Seq("rev_cents")
+      var gold = IncrementalAgg.recompute(
+        Snapshots.read(s, silver, Some(1L)), dims, vals).localCheckpoint()
+      var folded = 1L
+      def catchUp(): Unit = {
+        val lv = Snapshots.latestVersion(s, silver).get
+        (folded + 1).to(lv).foreach { v =>
+          gold = IncrementalAgg.applyDelta(gold,
+            IncrementalAgg.deltaFromChanges(
+              Snapshots.changes(s, silver, v - 1, v).df, dims, vals),
+            dims, vals).localCheckpoint()
+        }
+        folded = lv
+      }
+      catchUp()
+      // the late bronze batch rides the WHOLE chain incrementally
+      Snapshots.append(s, li.filter(col("l_orderkey") > 2000L),
+        bronze, Seq("l_orderkey"))
+      graft.streaming.Ingest.snapshotPipelineAvailableNow(s, bronze,
+        s"$base/chk", silver, Seq("l_orderkey"), xform)
+      catchUp()
+      val silverDf = Snapshots.read(s, silver)
+      val goldFull = IncrementalAgg.recompute(silverDf, dims, vals)
+      val goldExact = gold.exceptAll(goldFull).count() == 0L &&
+        goldFull.exceptAll(gold).count() == 0L
+      val fromBronze = xform(Snapshots.read(s, bronze))
+      val silverExact = silverDf.exceptAll(fromBronze).count() == 0L &&
+        fromBronze.exceptAll(silverDf).count() == 0L
+      val v3 = Snapshots.versions(s, silver) == Seq(1L, 2L, 3L)
+      gold
+        .withColumn("gold_exact", lit(goldExact))
+        .withColumn("silver_exact", lit(silverExact))
+        .withColumn("versions_3", lit(v3))
+        .orderBy("l_returnflag")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -1997,6 +2069,17 @@ object EtlQueries {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1 AND 400 AND l_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q186: the gold rollup replayed straight from the base table —
+    // a stale hop (bronze→silver or silver→gold), a duplicate
+    // version, or a lost late batch all hash-break
+    "q186_medallion_gold" ->
+      """WITH silver AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |         CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS rev_cents
+        |  FROM lineitem WHERE l_quantity > 25.0)
+        |SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(rev_cents) AS BIGINT) AS sum_rev_cents,
+        |  TRUE AS gold_exact, TRUE AS silver_exact, TRUE AS versions_3
+        |FROM silver GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // q150: one-shot ordered replay of the running-baseline fold —
     // the streaming runtime's union-of-batches must match per reading
     "q150_streaming_spikes" ->

@@ -868,6 +868,74 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // q185 — CDF-MAINTAINED ANN INDEX with forget propagation (the
+    // lakehouse × vector-serving composition: q154's persisted PQ
+    // index kept fresh from the corpus table's CHANGE FEED instead of
+    // corpus re-encodes — the q180 discipline lifted to the ANN
+    // tier). The embeddings corpus lives in a snapshot table; the
+    // codebooks train ONCE on v1 and persist; then the corpus takes
+    // an append (new crawl batch) and a merge-on-read deleteWhere
+    // (the GDPR purge — zero file rewrites), and each version's feed
+    // maintains the codes store: insert rows carry their vectors, so
+    // encoding costs CHURN ONLY from the STORED codebooks (assignment
+    // is a pure function of (vector, codebooks)); delete rows
+    // anti-join out — which is how a right-to-be-forgotten purge
+    // PROPAGATES to the serving index without touching the other
+    // 100 TB. store_matches_rebuild pins the maintained store
+    // row-identical to re-encoding the final corpus from the same
+    // codebooks; forget_propagated pins zero purged ids serving.
+    // Output rows are the exact brute-force top-10 over the final
+    // corpus (DuckDB-replayable); recall_ok gates the served index
+    // like q138/q154.
+    "q185_cdf_ann_index" -> ((s, dir) => {
+      import graft.llm.Pq
+      import graft.etl.Snapshots
+      graft.llm.BarrierCache.sweepOnNewScope(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val p = Pq.PqParams(ksub = 64)
+      val root = java.nio.file.Files.createTempDirectory("graft_q185").toString
+      val v1 = Snapshots.commitWithStats(s,
+        emb.filter(col("vec_id") % 3 =!= 0)
+          .repartitionByRange(8, col("vec_id"))
+          .sortWithinPartitions("vec_id"), root, Seq("vec_id"))
+      graft.etl.Load.writeAtomic(s,
+        Pq.trainCodebooks(Snapshots.read(s, root, Some(v1)),
+          "vec_id", "embedding", p), s"$root/_index/codebooks")
+      val cents = graft.etl.Load.readTable(s, s"$root/_index/codebooks")
+      var store = Pq.encode(Snapshots.read(s, root, Some(v1)),
+        "vec_id", "embedding", cents, p).localCheckpoint()
+      Snapshots.append(s, emb.filter(col("vec_id") % 3 === 0),
+        root, Seq("vec_id"))
+      val r = Snapshots.deleteWhere(s, root, col("vec_id") % 11 === 5)
+      (v1 + 1).to(r.version).foreach { v =>
+        val feed = Snapshots.changes(s, root, v - 1, v).df.localCheckpoint()
+        val afterDel = store
+          .join(feed.filter(col("_change_type") === "delete")
+            .select("vec_id"), Seq("vec_id"), "left_anti")
+        val ins = feed.filter(col("_change_type") === "insert")
+        // a delete-only version (the purge) has nothing to encode —
+        // Pq.encode probes the vector dim from the frame's head
+        store = (if (ins.isEmpty) afterDel
+                 else afterDel.unionByName(
+                   Pq.encode(ins, "vec_id", "embedding", cents, p)))
+          .localCheckpoint()
+      }
+      val corpus = Snapshots.read(s, root)
+      val rebuilt = Pq.encode(corpus, "vec_id", "embedding", cents, p)
+      val matches = store.exceptAll(rebuilt).count() == 0L &&
+        rebuilt.exceptAll(store).count() == 0L
+      val forgotten = store.filter(col("vec_id") % 11 === 5).count() == 0L
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val served = Pq.indexTopK(cents, store, corpus, probes,
+        "vec_id", "embedding", k = 10, p)
+      annWithRecall(
+        Similarity.bruteTopK(corpus, probes, "vec_id", "embedding", k = 10),
+        served, minRecall = 0.3)
+        .withColumn("store_matches_rebuild", lit(matches))
+        .withColumn("forget_propagated", lit(forgotten))
+        .orderBy("query_id", "rnk")
+    }),
+
     // q58 — LLM-pipeline tier: deterministic weighted corpus mixing
     // (graft.llm.Sampling). The sample membership is a pure integer
     // function of doc_id, so the EXACT same rows select in DuckDB —
@@ -1782,7 +1850,7 @@ object LlmQueries {
     * q35/q47, whose Spark side emits the same exact projection plus
     * a recall flag.
     */
-  private def bruteTopKSql(extraCols: String) =
+  private def bruteTopKSql(extraCols: String, corpusWhere: String = "") =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
        |p AS (
        |  SELECT query_id, e.vec_id AS cand_id,
@@ -1790,7 +1858,7 @@ object LlmQueries {
        |    SUM(${qiSql("qv[i]")} * ${qiSql("qv[i]")}) AS qn2,
        |    SUM(${qiSql("e.embedding[i]")} * ${qiSql("e.embedding[i]")}) AS cn2
        |  FROM q, embeddings e, range(1, 65) AS u(i)
-       |  WHERE e.vec_id <> query_id
+       |  WHERE e.vec_id <> query_id$corpusWhere
        |  GROUP BY 1, 2)
        |SELECT query_id, CAST(rn AS BIGINT) AS rnk, cand_id, round(cos, 6) AS cosine$extraCols FROM (
        |  SELECT query_id, cand_id,
@@ -2529,6 +2597,15 @@ object LlmQueries {
     // q154: exact brute rows + the two deterministic lifecycle flags
     "q154_ann_index_lifecycle" ->
       bruteTopKSql(", TRUE AS recall_ok, TRUE AS lifecycle_ok"),
+    // q185: brute rows over the POST-PURGE corpus (base ∪ append −
+    // deleteWhere) + the CDF-maintenance flags — a stale or
+    // unforgotten store breaks them, a mispruned corpus breaks the
+    // values
+    "q185_cdf_ann_index" ->
+      bruteTopKSql(
+        ", TRUE AS recall_ok, TRUE AS store_matches_rebuild," +
+          " TRUE AS forget_propagated",
+        " AND e.vec_id % 11 <> 5"),
     // q33: the planted exact copies are the full expected output —
     // identical text must land at hamming distance 0.
     "q33_simhash_neardup" ->

@@ -825,6 +825,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(got === Array(("x", 2L, 41L), ("y", 2L, 60L)))
   }
 
+  test("the change feed composes transitively: a derived table's log drives a second fold") {
+    val base = tmpDir("snap_cdf_chain")
+    val bronze = s"$base/b"; val silver = s"$base/s"
+    def xf(df: org.apache.spark.sql.DataFrame) = df.filter(col("v") >= 20L)
+    // bronze v1 → silver v1 (tagged with its source version)
+    Snapshots.commitWithStats(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1),
+      bronze, Seq("id"))
+    Snapshots.append(spark, xf(Snapshots.read(spark, bronze)), silver,
+      Seq("id"), tag = Some(1L))
+    var gold = graft.etl.IncrementalAgg.recompute(
+      Snapshots.read(spark, silver), Seq.empty, Seq("v"))
+    // bronze v2 flows hop 1 (churn-only transform) then hop 2 (fold
+    // of SILVER's own feed) — neither hop re-reads its source table
+    Snapshots.append(spark,
+      Seq((4L, 40L), (5L, 5L)).toDF("id", "v"), bronze, Seq("id"))
+    Snapshots.append(spark,
+      xf(Snapshots.changes(spark, bronze, 1L, 2L).df
+        .filter(col("_change_type") === "insert").drop("_change_type")),
+      silver, Seq("id"), tag = Some(2L))
+    val sv = Snapshots.latestVersion(spark, silver).get
+    assert(sv === 2L)
+    gold = graft.etl.IncrementalAgg.applyDelta(gold,
+      graft.etl.IncrementalAgg.deltaFromChanges(
+        Snapshots.changes(spark, silver, 1L, 2L).df, Seq.empty, Seq("v")),
+      Seq.empty, Seq("v"))
+    assert(gold.as[(Long, Long)].collect() === Array((3L, 90L)))
+    // silver's log remembers which bronze commits it embodies
+    assert(Snapshots.lastTag(spark, silver) === Some(2L))
+  }
+
   test("streaming CDC upsert: merge per batch, fresh-checkpoint rerun is a no-op") {
     val base = tmpDir("snap_ups")
     val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
