@@ -126,6 +126,53 @@ object ServingBench {
         Some(lit("1997-12-31").cast("timestamp")))
       pruned.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    // q184's serve stage: a plain-SQL range aggregate over a PREBUILT
+    // snapshot table — what a user pays per query once the table
+    // exists: the snap.` ` resolution, the planning-time stats prune,
+    // and the candidate-file scan (the q173-q186 registered queries
+    // all pay table CONSTRUCTION inside their timing; this is the
+    // steady-state read).
+    "serve05_snapshot_sql" -> ((s, dir) => {
+      import graft.etl.Snapshots
+      val root = ctx("snapsql", dir) { root =>
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_shipdate", "l_returnflag",
+            "l_quantity", "l_extendedprice")
+        Snapshots.commitWithStats(s,
+          li.repartitionByRange(16, col("l_orderkey"))
+            .sortWithinPartitions("l_orderkey"), s"$root/t",
+          Seq("l_orderkey"))
+      }
+      graft.plans.SnapshotSql.sql(s,
+        s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q
+           |FROM snap.`$root/t`
+           |WHERE l_orderkey BETWEEN 1000 AND 3000
+           |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // q173's serve stage: the change-feed read between two PREBUILT
+    // versions — cost ∝ churned files (the merge rewrote a key-local
+    // handful), never the table; the registered q173 pays two table
+    // builds + an optimize inside its timing.
+    "serve06_change_feed" -> ((s, dir) => {
+      import graft.etl.Snapshots
+      val root = ctx("cdf", dir) { root =>
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        Snapshots.commitWithStats(s,
+          o.repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"), s"$root/t",
+          Seq("o_orderkey"))
+        Snapshots.merge(s,
+          o.filter(col("o_orderkey") <= 500L)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+          s"$root/t", "o_orderkey", Seq("o_orderkey"))
+      }
+      Snapshots.changes(s, s"$root/t", 1L, 2L).df
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
     })
   )
 }

@@ -51,7 +51,7 @@ object Snapshots {
 
   private def versionsDir(root: String) = new Path(root, "_versions")
 
-  private def versionFile(root: String, v: Long) =
+  private[etl] def versionFile(root: String, v: Long) =
     new Path(versionsDir(root), f"v$v%08d.json")
 
   private val VFILE = """v(\d{8})\.json""".r
@@ -135,6 +135,23 @@ object Snapshots {
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  /** DESCRIBE HISTORY for the snapshot tier: one row per committed
+    * version — (version, layout kind, logical row count, idempotency
+    * tag, merge-on-read vector present, constraint count) — derived
+    * from the version files ALONE (one tiny JSON read per retained
+    * version, the [[lastTag]] cost model; no data opened). The audit
+    * surface every table format exposes; here it is exact because
+    * every writer records `n_rows` at publish time.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val m = versionMeta(spark, root, v)
+      (v, if (m.dataDir.isDefined) "dir" else "manifest", m.nRows,
+        m.tag, m.dv.isDefined, m.constraints.size)
+    }.toDF("version", "layout", "n_rows", "tag", "has_dv", "n_constraints")
+  }
+
   private def dataDirOf(spark: SparkSession, root: String, v: Long): String =
     versionMeta(spark, root, v).dataDir.getOrElse(throw new IllegalStateException(
       s"version $v of $root is a manifest version — use filesOfVersion"))
@@ -168,7 +185,7 @@ object Snapshots {
       v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons))
   }
 
-  private def jsonEsc(s: String): String =
+  private[etl] def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   private def extras(tag: Option[Long], schema: Option[String],
@@ -224,7 +241,7 @@ object Snapshots {
     * writers like [[optimize]]/[[merge]]/[[append]] conflict-check at
     * exactly readVersion+1 instead).
     */
-  private def publishNext(spark: SparkSession, root: String,
+  private[etl] def publishNext(spark: SparkSession, root: String,
                           mkBody: Long => String): Long = {
     var v = latestVersion(spark, root).getOrElse(0L) + 1
     var attempts = 0
@@ -253,7 +270,7 @@ object Snapshots {
     * `FileSystem.rename` already fails when the destination exists
     * and stays the promote step.
     */
-  private def tryPublish(spark: SparkSession, root: String, v: Long,
+  private[etl] def tryPublish(spark: SparkSession, root: String, v: Long,
                          body: String): Boolean = {
     val vf = versionFile(root, v)
     val f = fs(spark, vf)

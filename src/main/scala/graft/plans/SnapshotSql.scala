@@ -19,7 +19,15 @@ import graft.etl.Snapshots
   *   SELECT ... FROM snap.`/data/orders`                      -- latest
   *   SELECT ... FROM snap.`/data/orders` VERSION AS OF 3      -- pinned
   *   SELECT ... FROM snap.`/data/orders` TIMESTAMP AS OF '..' -- as-of
+  *   SELECT ... FROM snap.`/data/cat::fact`                   -- catalog
+  *   SELECT ... FROM snap.`/data/cat::fact` VERSION AS OF 2   -- cat ver
   * }}}
+  *
+  * The `<catRoot>::<name>` form reads a table THROUGH a
+  * [[graft.etl.Catalog]] pin — the consistent cross-table snapshot —
+  * and `VERSION AS OF` on it travels the CATALOG (the pin set is the
+  * unit of consistency). All forms plan through the same skipping
+  * scan.
   *
   * The rule is injected by [[graft.GraftExtensions]] (plain
   * `spark.sql` in any session built with the extensions), and
@@ -38,20 +46,53 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case RelationTimeTravel(u: UnresolvedRelation, ts, v) if isSnap(u) =>
-      val root = rootOf(u)
-      val version = v.map(parseVersion)
-        .orElse(ts.map(t => Snapshots.versionAsOf(spark, root, tsMillis(t))))
-      scanPlan(root, version)
+      rootOf(u) match {
+        case Left(root) =>
+          val version = v.map(parseVersion).orElse(
+            ts.map(t => Snapshots.versionAsOf(spark, root, tsMillis(t))))
+          scanPlan(root, version)
+        case Right((cat, name)) =>
+          // time travel on a catalog relation travels the CATALOG —
+          // the pin set is the unit of consistency, so "this table at
+          // catalog version 3" is the meaningful historical read
+          require(ts.isEmpty,
+            "snap: catalog relations time-travel by catalog VERSION AS OF")
+          val pin = pinOf(cat, name, v.map(parseVersion))
+          scanPlan(pin.root, Some(pin.version))
+      }
     case u: UnresolvedRelation if isSnap(u) =>
-      scanPlan(rootOf(u), None)
+      rootOf(u) match {
+        case Left(root) => scanPlan(root, None)
+        case Right((cat, name)) =>
+          val pin = pinOf(cat, name, None)
+          scanPlan(pin.root, Some(pin.version))
+      }
   }
+
+  private def pinOf(cat: String, name: String,
+                    catV: Option[Long]): graft.etl.Catalog.Pin =
+    graft.etl.Catalog.pins(spark, cat, catV).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$cat: no table '$name' in catalog version " +
+          catV.map(_.toString).getOrElse("latest")))
 
   private def isSnap(u: UnresolvedRelation): Boolean = {
     val parts = u.multipartIdentifier
     parts.length == 2 && parts.head.equalsIgnoreCase("snap")
   }
 
-  private def rootOf(u: UnresolvedRelation): String = u.multipartIdentifier(1)
+  /** Left(tableRoot) for a plain snapshot relation, Right((catRoot,
+    * tableName)) for a catalog relation `snap.\`<cat>::<name>\`` —
+    * the consistent cross-table read ([[graft.etl.Catalog]]) in SQL.
+    */
+  private def rootOf(u: UnresolvedRelation): Either[String, (String, String)] = {
+    val id = u.multipartIdentifier(1)
+    id.split("::", 2) match {
+      case Array(cat, name) if name.nonEmpty && id.contains("::") =>
+        Right((cat, name))
+      case _ => Left(id)
+    }
+  }
 
   private def parseVersion(s: String): Long =
     try s.toLong

@@ -1393,6 +1393,101 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q188 — DESCRIBE HISTORY (Snapshots.history — the audit surface
+    // every table format exposes, derived from the version files
+    // ALONE: one tiny JSON read per retained version, no data
+    // opened). The scenario walks the writer vocabulary — a stats
+    // commit, a copy-on-write append, a merge-on-read delete, a
+    // metadata-only rollback, an ADD CONSTRAINT — and the history
+    // must report each version's layout kind, EXACT logical row
+    // count (writers record n_rows at publish), vector presence, and
+    // policy count. Values replay every n_rows from the base table.
+    "q188_snapshot_history" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q188").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      Snapshots.append(s,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 200000000L),
+        root, Seq("o_orderkey"))
+      Snapshots.deleteWhere(s, root, col("o_orderkey") % 7 === 2)
+      Snapshots.rollback(s, root, to = 1L)
+      Snapshots.addConstraint(s, root, "status_known",
+        "o_orderstatus IN ('F','O','P')")
+      Snapshots.history(s, root)
+        .select("version", "layout", "n_rows", "has_dv", "n_constraints")
+        .orderBy("version")
+    }),
+
+    // q187 — CROSS-TABLE TRANSACTIONAL CATALOG (etl/Catalog — the
+    // Nessie/lakeFS atomic-pin pattern over the snapshot logs): fact
+    // and dim land as independent table commits, but readers resolve
+    // BOTH through one catalog version whose single rename pins the
+    // pair — the star-schema consistency single-table logs cannot
+    // give. The scenario: a coordinated write appends fact AND dim
+    // then publishes catalog v2; an in-flight fact-only append (its
+    // dim rows not yet loaded) stays UNPINNED. consistent_join pins
+    // zero orphan facts through the catalog read; raw_would_orphan
+    // pins that the raw latest fact WOULD orphan against the pinned
+    // dim (the danger the catalog removes); time_travel_ok pins the
+    // v1 pair restoring state A with one fetch. Values replay the
+    // pinned-state star join.
+    "q187_catalog_txn" -> ((s, dir) => {
+      import graft.etl.Catalog
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      val base = java.nio.file.Files.createTempDirectory("graft_q187").toString
+      val fact = s"$base/fact"; val dim = s"$base/dim"
+      val cat = s"$base/cat"
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 1000L)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), fact, Seq("l_orderkey"))
+      Snapshots.commitWithStats(s,
+        o.filter(col("o_orderkey") <= 1000L)
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), dim, Seq("o_orderkey"))
+      Catalog.commit(s, cat, Map(
+        "fact" -> Catalog.Pin(fact, 1L), "dim" -> Catalog.Pin(dim, 1L)))
+      // the coordinated write: both tables, then ONE atomic pin flip
+      Snapshots.append(s, li.filter(
+        col("l_orderkey") > 1000L && col("l_orderkey") <= 2000L),
+        fact, Seq("l_orderkey"))
+      Snapshots.append(s, o.filter(
+        col("o_orderkey") > 1000L && col("o_orderkey") <= 2000L),
+        dim, Seq("o_orderkey"))
+      Catalog.commit(s, cat, Map(
+        "fact" -> Catalog.Pin(fact, 2L), "dim" -> Catalog.Pin(dim, 2L)),
+        expectedLatest = Some(1L))
+      // in-flight fact-only append: committed to the TABLE, unpinned
+      Snapshots.append(s, li.filter(col("l_orderkey") > 2000L),
+        fact, Seq("l_orderkey"))
+      val cFact = Catalog.read(s, cat, "fact")
+      val cDim = Catalog.read(s, cat, "dim")
+      val consistent = cFact.join(cDim,
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0L
+      val rawWouldOrphan = Snapshots.read(s, fact).join(cDim,
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count() > 0L
+      val ttOk = Catalog.read(s, cat, "fact", Some(1L)).count() ==
+        li.filter(col("l_orderkey") <= 1000L).count() &&
+        Catalog.read(s, cat, "dim", Some(1L)).count() ==
+          o.filter(col("o_orderkey") <= 1000L).count()
+      cFact.join(cDim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag", "o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("consistent_join", lit(consistent))
+        .withColumn("raw_would_orphan", lit(rawWouldOrphan))
+        .withColumn("time_travel_ok", lit(ttOk))
+        .orderBy("l_returnflag", "o_orderstatus")
+    }),
+
     // q150 — STREAMING spike alerting behind the oracle gate: the
     // exact-integer running-baseline fold (Stateful.spikeAlerts,
     // batch sibling of q93's trailing-window detector) computed by
@@ -2069,6 +2164,36 @@ object EtlQueries {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1 AND 400 AND l_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q188: the audit log replayed — every version's exact logical
+    // row count from the base table; a writer mis-recording n_rows,
+    // a lost vector flag, or a constraint not riding the log breaks
+    "q188_snapshot_history" ->
+      """WITH base AS (SELECT o_orderkey FROM orders),
+        |app AS (SELECT o_orderkey + 200000000 AS o_orderkey
+        |        FROM base WHERE o_orderkey % 5 = 0),
+        |t2 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |d AS (SELECT COUNT(*) AS del FROM t2 WHERE o_orderkey % 7 = 2)
+        |SELECT CAST(1 AS BIGINT) AS version, 'dir' AS layout,
+        |       (SELECT COUNT(*) FROM base) AS n_rows,
+        |       FALSE AS has_dv, 0 AS n_constraints
+        |UNION ALL SELECT 2, 'manifest', (SELECT COUNT(*) FROM t2), FALSE, 0
+        |UNION ALL SELECT 3, 'manifest',
+        |       (SELECT COUNT(*) FROM t2) - (SELECT del FROM d), TRUE, 0
+        |UNION ALL SELECT 4, 'dir', (SELECT COUNT(*) FROM base), FALSE, 0
+        |UNION ALL SELECT 5, 'dir', (SELECT COUNT(*) FROM base), FALSE, 1
+        |ORDER BY version""".stripMargin,
+    // q187: the catalog-pinned star join replayed — the pinned state
+    // is keys ≤ 2000 on BOTH sides; a torn pin set (new facts × old
+    // dims or the in-flight fact leak) changes the rows
+    "q187_catalog_txn" ->
+      """SELECT l_returnflag, o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS consistent_join, TRUE AS raw_would_orphan,
+        |  TRUE AS time_travel_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey <= 2000
+        |GROUP BY 1, 2 ORDER BY l_returnflag, o_orderstatus""".stripMargin,
     // q186: the gold rollup replayed straight from the base table —
     // a stale hop (bronze→silver or silver→gold), a duplicate
     // version, or a lost late batch all hash-break

@@ -125,6 +125,55 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(got === Array(("legacy", 20L), ("web", 10L)))
   }
 
+  test("a conjunctive box predicate intersects both columns' prunes (the z-order payoff)") {
+    val root = tmpDir("sqlsnap_box")
+    // v = 2*id is monotone with the clustering key, so each file
+    // carries tight ranges on BOTH stats columns
+    val t = (1 to 400).map(i => (i.toLong, 2L * i)).toDF("id", "v")
+    graft.etl.Snapshots.commitWithStats(spark,
+      t.repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      root, Seq("id", "v"))
+    val (df, idx) = graft.etl.Snapshots.sqlScan(spark, root)
+    // id alone admits files 1-2; v alone admits files 1-3; the box
+    // must open their INTERSECTION, and the values must be exact
+    val got = df.filter(col("id") <= 100L && col("v").between(150L, 260L))
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(got === ((26L, (75 to 100).map(_.toLong).sum)))
+    val (kept, total) = idx.lastScan.get
+    assert(total === 8 && kept <= 2, s"box opened $kept of $total files")
+  }
+
+  test("catalog relations in SQL: consistent pinned reads; VERSION AS OF travels the catalog") {
+    import graft.etl.Catalog
+    val base = tmpDir("sqlsnap_cat")
+    val (f, d, c) = (s"$base/f", s"$base/d", s"$base/cat")
+    graft.etl.Snapshots.commit(spark, ids(1, 10).toDF("k", "s"), f)
+    graft.etl.Snapshots.commit(spark,
+      (1 to 10).map(i => (i.toLong, s"d$i")).toDF("k", "name"), d)
+    Catalog.commit(spark, c, Map(
+      "fact" -> Catalog.Pin(f, 1L), "dim" -> Catalog.Pin(d, 1L)))
+    graft.etl.Snapshots.commit(spark, ids(1, 20).toDF("k", "s"), f)
+    graft.etl.Snapshots.commit(spark,
+      (1 to 20).map(i => (i.toLong, s"d$i")).toDF("k", "name"), d)
+    Catalog.commit(spark, c, Map(
+      "fact" -> Catalog.Pin(f, 2L), "dim" -> Catalog.Pin(d, 2L)))
+    // an in-flight fact-only commit stays invisible through the catalog
+    graft.etl.Snapshots.commit(spark, ids(1, 35).toDF("k", "s"), f)
+    val got = spark.sql(
+      s"""SELECT count(*) AS n FROM snap.`$c::fact` a
+         |JOIN snap.`$c::dim` b ON a.k = b.k""".stripMargin)
+      .as[Long].head()
+    assert(got === 20L)
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n FROM snap.`$c::fact` VERSION AS OF 1")
+      .as[Long].head()
+    assert(v1 === 10L)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snap.`$c::nope`").collect()
+    }
+    assert(err.getMessage.contains("no table 'nope'"))
+  }
+
   test("canHit translation: And keeps the provable half; Or requires both") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType

@@ -825,6 +825,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(got === Array(("x", 2L, 41L), ("y", 2L, 60L)))
   }
 
+  test("history is metadata-only and exact per version") {
+    val root = tmpDir("snap_hist")
+    Snapshots.commit(spark, df(4), root)
+    Snapshots.append(spark, Seq((9L, "r9")).toDF("id", "s"), root,
+      tag = Some(42L))
+    Snapshots.deleteWhere(spark, root, col("id") === 2L)
+    Snapshots.addConstraint(spark, root, "id_pos", "id > 0")
+    val h = Snapshots.history(spark, root)
+      .as[(Long, String, Long, Option[Long], Boolean, Int)]
+      .collect().toSeq
+    assert(h === Seq(
+      (1L, "dir", 4L, None, false, 0),
+      (2L, "manifest", 5L, Some(42L), false, 0),
+      (3L, "manifest", 4L, None, true, 0),
+      (4L, "manifest", 4L, None, true, 1)))
+  }
+
   test("the change feed composes transitively: a derived table's log drives a second fold") {
     val base = tmpDir("snap_cdf_chain")
     val bronze = s"$base/b"; val silver = s"$base/s"
