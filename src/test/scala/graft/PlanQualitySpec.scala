@@ -371,6 +371,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("codes"), plan.take(2000))
   }
 
+  test("q184: the snapshot SQL scan keeps pushdown, pruning, and the custom index") {
+    // the SQL-table-format claim made physical: the scan's LOCATION
+    // is the SnapshotFileIndex (manifest-listed, stats-skipping),
+    // the user's predicate reaches PushedFilters (parquet row-group
+    // skipping UNDER the file-level skip), and ReadSchema carries
+    // only the referenced columns (column pruning survives the
+    // custom relation)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmpDir("q184plan")
+    val t = (1 to 100).map(i => (i.toLong, s"s$i", i * 2.0))
+      .toDF("id", "s", "v")
+    graft.etl.Snapshots.commitWithStats(spark,
+      t.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val df = graft.plans.SnapshotSql.sql(spark,
+      s"SELECT sum(v) AS sv FROM snap.`$root` WHERE id >= 50")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SnapshotFileIndex"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(id,50)"),
+      s"predicate not pushed to the parquet reader\n${p.take(2000)}")
+    val rs = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rs.exists(r => r.contains("id") && r.contains("v") && !r.contains("s:")),
+      s"column pruning lost through the custom relation: $rs")
+  }
+
   test("q155: the pruned scan opens only the candidate files") {
     // the data-skipping claim made physical: the pruned read's scan
     // node holds exactly the stats-selected file list, not the full
