@@ -120,9 +120,80 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
 /** SQL entry point for sessions built WITHOUT the extensions (the
   * driver's plain session): parse, apply [[ResolveSnapshotTable]]
   * once, hand the rewritten tree to the normal analyzer.
+  *
+  * DML routes to the snapshot writers — each statement maps to the
+  * commit shape that survives at 100 TB:
+  *
+  * {{{
+  *   INSERT INTO snap.`/t` SELECT ...            -- copy-on-write append
+  *   INSERT OVERWRITE snap.`/t` SELECT ...       -- full-replace commit
+  *   DELETE FROM snap.`/t` WHERE <pred>          -- merge-on-read vector
+  * }}}
+  *
+  * INSERT enforces the table's logged CHECK constraints and schema
+  * (positional column matching, SQL's default); DELETE writes a
+  * deletion vector and ZERO data files ([[Snapshots.deleteWhere]]).
+  * Both return a one-row frame (`version`, `n_rows`) — the commit
+  * receipt. Catalog relations (`<cat>::<name>`) are read-only views
+  * of pinned state and refuse DML.
   */
 object SnapshotSql {
-  def sql(spark: SparkSession, sqlText: String): DataFrame =
-    GraftShim.ofRows(spark,
-      ResolveSnapshotTable(spark)(GraftShim.parsePlan(spark, sqlText)))
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement}
+
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    GraftShim.parsePlan(spark, sqlText) match {
+      case i: InsertIntoStatement => runInsert(spark, i)
+      case d: DeleteFromTable => runDelete(spark, d)
+      case other =>
+        GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(other))
+    }
+  }
+
+  private def tableRootOf(spark: SparkSession, plan: LogicalPlan,
+                          op: String): String = plan match {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("snap") =>
+      val id = u.multipartIdentifier(1)
+      require(!id.contains("::"),
+        s"snap: catalog relations are read-only pinned views — $op the " +
+          "underlying table and publish a new catalog version")
+      id
+    case _ => throw new IllegalArgumentException(
+      s"snap: $op targets must be snap.`<root>` relations")
+  }
+
+  private def receipt(spark: SparkSession, version: Long,
+                      nRows: Long): DataFrame = {
+    import spark.implicits._
+    Seq((version, nRows)).toDF("version", "n_rows")
+  }
+
+  private def runInsert(spark: SparkSession,
+                        i: InsertIntoStatement): DataFrame = {
+    val root = tableRootOf(spark, i.table, "INSERT")
+    require(i.userSpecifiedCols.isEmpty,
+      "snap: INSERT column lists are not supported — match the table schema")
+    val data0 = GraftShim.ofRows(spark,
+      ResolveSnapshotTable(spark)(i.query))
+    val names = Snapshots.read(spark, root).schema.fieldNames
+    require(data0.columns.length == names.length,
+      s"snap: INSERT arity ${data0.columns.length} != table arity ${names.length}")
+    // SQL INSERT matches by POSITION unless BY NAME — rename to the
+    // table's schema so the writer's drift check compares like names
+    val data = if (i.byName) data0 else data0.toDF(names.toIndexedSeq: _*)
+    val v =
+      if (i.overwrite) Snapshots.commit(spark, data, root)
+      else Snapshots.append(spark, data, root)
+    receipt(spark, v, Snapshots.versionMeta(spark, root, v).nRows)
+  }
+
+  private def runDelete(spark: SparkSession,
+                        d: DeleteFromTable): DataFrame = {
+    val root = tableRootOf(spark, d.table, "DELETE")
+    // the parsed condition resolves against the table read at
+    // analysis time (unresolved attrs/functions, the col() shape)
+    val r = Snapshots.deleteWhere(spark, root, GraftShim.column(d.condition))
+    receipt(spark, r.version, r.rowsDeleted)
+  }
 }

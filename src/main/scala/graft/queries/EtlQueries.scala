@@ -1393,6 +1393,54 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q189 — SQL DML over the snapshot tier (SnapshotSql INSERT /
+    // DELETE routing): INSERT INTO snap.` ` SELECT — reading the
+    // SNAPSHOT ITSELF as the source — lands as a copy-on-write
+    // append (constraints + schema enforced, positional matching);
+    // DELETE FROM ... WHERE lands as a merge-on-read deletion vector
+    // — zero data files rewritten, the only affordable shape for a
+    // scattered-predicate delete at 100 TB. insert_receipt /
+    // delete_receipt pin the commit receipts (version + rows);
+    // delete_zero_rewrite pins via the history that the delete
+    // version is the SAME manifest carrying a vector. Values replay
+    // base ∪ self-insert − delete under the final SQL read.
+    "q189_snapshot_dml" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q189").toString
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 1000L)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      val ins = SnapshotSql.sql(s,
+        s"""INSERT INTO snap.`$root`
+           |SELECT l_orderkey + 3000000, l_returnflag, l_quantity,
+           |       l_extendedprice
+           |FROM snap.`$root` WHERE l_orderkey % 3 = 0""".stripMargin)
+        .head()
+      val del = SnapshotSql.sql(s,
+        s"DELETE FROM snap.`$root` WHERE l_orderkey % 10 = 3").head()
+      val nBase = li.filter(col("l_orderkey") <= 1000L).count()
+      val nIns = li.filter(
+        col("l_orderkey") <= 1000L && col("l_orderkey") % 3 === 0).count()
+      val insOk = ins.getLong(0) == 2L && ins.getLong(1) == nBase + nIns
+      val delOk = del.getLong(0) == 3L && del.getLong(1) > 0L
+      val h3 = Snapshots.history(s, root).filter(col("version") === 3L)
+        .select("layout", "has_dv").head()
+      val zeroRewrite = h3.getString(0) == "manifest" && h3.getBoolean(1)
+      SnapshotSql.sql(s,
+        s"""SELECT l_returnflag, count(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           |FROM snap.`$root` GROUP BY l_returnflag""".stripMargin)
+        .withColumn("insert_receipt", lit(insOk))
+        .withColumn("delete_receipt", lit(delOk))
+        .withColumn("delete_zero_rewrite", lit(zeroRewrite))
+        .orderBy("l_returnflag")
+    }),
+
     // q188 — DESCRIBE HISTORY (Snapshots.history — the audit surface
     // every table format exposes, derived from the version files
     // ALONE: one tiny JSON read per retained version, no data
@@ -2163,6 +2211,25 @@ object EtlQueries {
         |  TRUE AS files_pruned, TRUE AS version_pinned
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1 AND 400 AND l_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q189: base ∪ self-insert − delete replayed under the final SQL
+    // read — a misrouted INSERT, a resurrected deleted row, or a
+    // positional-match slip changes the rows
+    "q189_snapshot_dml" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 1000),
+        |ins AS (
+        |  SELECT l_orderkey + 3000000 AS l_orderkey, l_returnflag,
+        |         l_quantity, l_extendedprice
+        |  FROM base WHERE l_orderkey % 3 = 0),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS insert_receipt, TRUE AS delete_receipt,
+        |  TRUE AS delete_zero_rewrite
+        |FROM t WHERE l_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // q188: the audit log replayed — every version's exact logical
     // row count from the base table; a writer mis-recording n_rows,

@@ -174,6 +174,44 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("no table 'nope'"))
   }
 
+  test("SQL DML: INSERT appends copy-on-write, OVERWRITE replaces, DELETE writes a vector") {
+    import graft.etl.Snapshots
+    val root = tmpDir("sqlsnap_dml")
+    clustered(root, 100)
+    val ins = SnapshotSql.sql(spark,
+      s"INSERT INTO snap.`$root` SELECT id + 1000, concat('x', s) FROM snap.`$root`")
+      .as[(Long, Long)].head()
+    assert(ins === ((2L, 200L)))
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`").as[Long].head() === 200L)
+    // DELETE: zero data files rewritten — a vector version
+    val del = SnapshotSql.sql(spark,
+      s"DELETE FROM snap.`$root` WHERE id % 10 = 0")
+      .as[(Long, Long)].head()
+    assert(del._1 === 3L && del._2 === 20L)
+    val h = Snapshots.history(spark, root).orderBy("version")
+      .as[(Long, String, Long, Option[Long], Boolean, Int)].collect()
+    assert(h(2) === ((3L, "manifest", 180L, None, true, 0)))
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`").as[Long].head() === 180L)
+    // OVERWRITE: a full-replace commit
+    val ow = SnapshotSql.sql(spark,
+      s"INSERT OVERWRITE snap.`$root` SELECT id, s FROM snap.`$root` WHERE id <= 5")
+      .as[(Long, Long)].head()
+    assert(ow === ((4L, 5L)))
+    assert(spark.sql(s"SELECT sum(id) FROM snap.`$root`").as[Long].head() === 15L)
+    // INSERT enforces the logged CHECK constraints
+    Snapshots.addConstraint(spark, root, "id_pos", "id > 0")
+    val err = intercept[Exception] {
+      SnapshotSql.sql(spark,
+        s"INSERT INTO snap.`$root` SELECT -1 AS id, 'bad' AS s")
+    }
+    assert(err.getMessage.contains("id_pos"), err.getMessage)
+    // catalog relations refuse DML
+    val err2 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"DELETE FROM snap.`/x::fact` WHERE 1 = 1")
+    }
+    assert(err2.getMessage.contains("read-only"))
+  }
+
   test("canHit translation: And keeps the provable half; Or requires both") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType
