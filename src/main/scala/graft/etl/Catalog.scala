@@ -40,8 +40,12 @@ object Catalog {
     */
   final case class Pin(root: String, version: Long)
 
+  // escape-aware groups: commit writes name/root through
+  // Snapshots.jsonEsc, so a quote or backslash in either must
+  // round-trip (the constraints parser in Snapshots.versionMeta uses
+  // the same shape)
   private val PinRe =
-    """\{"name":"([^"]+)","root":"([^"]+)","version":(\d+)\}""".r
+    """\{"name":"((?:[^"\\]|\\.)*)","root":"((?:[^"\\]|\\.)*)","version":(\d+)\}""".r
 
   /** Publish a catalog version pinning `pins` atomically. Every
     * pinned (root, version) must already be committed — the catalog
@@ -102,7 +106,58 @@ object Catalog {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     PinRe.findAllMatchIn(bodyStr).map(m =>
-      m.group(1) -> Pin(m.group(2), m.group(3).toLong)).toMap
+      Snapshots.unesc(m.group(1)) ->
+        Pin(Snapshots.unesc(m.group(2)), m.group(3).toLong)).toMap
+  }
+
+  /** The MULTI-TABLE TRANSACTION helper — stage N table commits,
+    * then flip the pin set atomically: `stage` runs ONCE (its table
+    * commits are durable snapshot versions regardless of what the
+    * catalog does next), its returned pins are MERGED over the
+    * current pin map, and the merged set publishes with
+    * `expectedLatest` lost-update protection. A racing catalog
+    * commit costs one tiny re-read + re-publish of the pin map —
+    * never a table re-write and never a torn pin set: every retry
+    * re-merges the staged pins over the FRESH current map, so
+    * neither this writer's tables nor the racer's pins are lost.
+    * This is the one-call form of the q187 pattern (write fact AND
+    * dim, then one atomic flip) — the transaction every star-schema
+    * writer wants.
+    *
+    * Failure model: if `stage` throws, nothing was pinned (any table
+    * versions it already committed are durable but unpinned —
+    * harmless, invisible through the catalog, reclaimable by each
+    * table's own vacuum). If the process dies between `stage` and
+    * the publish, same state.
+    */
+  def writeAndPin(spark: SparkSession, catRoot: String,
+                  maxAttempts: Int = 100)
+                 (stage: => Map[String, Pin]): Long = {
+    val staged = stage
+    require(staged.nonEmpty, "writeAndPin: stage produced no pins")
+    // validate ONCE that every staged pin is a committed version, so
+    // a retry loop can treat any commit failure as a lost race
+    staged.foreach { case (name, p) =>
+      val vf = Snapshots.versionFile(p.root, p.version)
+      require(vf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(vf),
+        s"writeAndPin '$name': ${p.root} has no committed version ${p.version}")
+    }
+    var attempts = 0
+    while (true) {
+      val cur = Snapshots.latestVersion(spark, catRoot)
+      val merged = cur.map(v => pins(spark, catRoot, Some(v)))
+        .getOrElse(Map.empty) ++ staged
+      try return commit(spark, catRoot, merged,
+        expectedLatest = Some(cur.getOrElse(0L)))
+      catch {
+        case e: IllegalArgumentException =>
+          attempts += 1
+          if (attempts >= maxAttempts) throw new IllegalStateException(
+            s"$catRoot: writeAndPin lost $attempts catalog races", e)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Read table `name` AT ITS PINNED VERSION through catalog version

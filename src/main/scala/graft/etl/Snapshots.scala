@@ -85,7 +85,8 @@ object Snapshots {
                          nRows: Long, tag: Option[Long],
                          schemaDdl: Option[String] = None,
                          dv: Option[String] = None,
-                         constraints: Seq[(String, String)] = Nil) {
+                         constraints: Seq[(String, String)] = Nil,
+                         parts: Seq[String] = Nil) {
     /** Stable identifier of the version's file LAYOUT — the key the
       * per-version stats index is stored under. A rollback republishes
       * the same layout id, so its stats are reused with zero work.
@@ -121,6 +122,12 @@ object Snapshots {
     val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     val dv = """"dv":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+    // partition column names are identifiers (no quotes/brackets), so
+    // the non-greedy bracket group is unambiguous
+    val parts = """"parts":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(pm => unesc(pm.group(1))).toSeq)
+      .getOrElse(Nil)
     // constraints is serialized LAST, so the greedy group ends at the
     // array's own closing bracket even when an expr contains ']'
     val cons = """"constraints":\[(.*)\]""".r.findFirstMatchIn(body)
@@ -129,10 +136,10 @@ object Snapshots {
           .findAllMatchIn(am.group(1))
           .map(cm => (unesc(cm.group(1)), unesc(cm.group(2)))).toSeq
       }.getOrElse(Nil)
-    VMeta(dir, man, n, tag, schema, dv, cons)
+    VMeta(dir, man, n, tag, schema, dv, cons, parts)
   }
 
-  private def unesc(s: String): String =
+  private[etl] def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** DESCRIBE HISTORY for the snapshot tier: one row per committed
@@ -170,19 +177,22 @@ object Snapshots {
     * contract Delta's commit protocol gives on a transaction-log
     * conflict with no data conflict.
     */
-  def commit(spark: SparkSession, df: DataFrame, root: String): Long = {
+  def commit(spark: SparkSession, df: DataFrame, root: String,
+             partitionBy: Seq[String] = Nil): Long = {
     // a full-replace commit still writes ROWS into a constrained
     // table — same CHECK gate as append (no-op on a fresh table)
     val cons = constraintsOf(spark, root)
     requireSatisfied(df, cons, "commit")
-    val (dataDir, nRows) = writeDataDir(spark, df, root)
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not a column of the batch"))
+    val (dataDir, nRows) = writeDataDir(spark, df, root, partitionBy)
     // schema-in-the-log from the first commit: every later reader —
     // and every append's schema check — plans from the version
     // metadata instead of sampling parquet footers
     val ddl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     publishNext(spark, root,
-      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons))
+      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons, partitionBy))
   }
 
   private[etl] def jsonEsc(s: String): String =
@@ -190,10 +200,14 @@ object Snapshots {
 
   private def extras(tag: Option[Long], schema: Option[String],
                      dv: Option[String] = None,
-                     cons: Seq[(String, String)] = Nil): String =
+                     cons: Seq[(String, String)] = Nil,
+                     parts: Seq[String] = Nil): String =
     tag.map(t => s""","tag":$t""").getOrElse("") +
       schema.map(d => s""","schema":"${jsonEsc(d)}"""").getOrElse("") +
       dv.map(d => s""","dv":"$d"""").getOrElse("") +
+      (if (parts.isEmpty) ""
+       else ""","parts":[""" +
+         parts.map(p => s""""${jsonEsc(p)}"""").mkString(",") + "]") +
       (if (cons.isEmpty) ""
        else ""","constraints":[""" + cons.map { case (n, e) =>
          s"""{"name":"${jsonEsc(n)}","expr":"${jsonEsc(e)}"}"""
@@ -202,36 +216,59 @@ object Snapshots {
   private def dirBody(v: Long, dataDir: String, nRows: Long,
                       tag: Option[Long], schema: Option[String] = None,
                       dv: Option[String] = None,
-                      cons: Seq[(String, String)] = Nil): String =
-    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema, dv, cons)}}"""
+                      cons: Seq[(String, String)] = Nil,
+                      parts: Seq[String] = Nil): String =
+    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema, dv, cons, parts)}}"""
 
   private def manBody(v: Long, manifest: String, nRows: Long,
                       tag: Option[Long], schema: Option[String] = None,
                       dv: Option[String] = None,
-                      cons: Seq[(String, String)] = Nil): String =
-    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons)}}"""
+                      cons: Seq[(String, String)] = Nil,
+                      parts: Seq[String] = Nil): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts)}}"""
 
   private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
-    case Some(d) => dirBody(v, d, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints)
+    case Some(d) =>
+      dirBody(v, d, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints, m.parts)
     case None =>
-      manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints)
+      manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl, m.dv,
+        m.constraints, m.parts)
   }
+
+  /** Path key a partition column is laid out under. The partition
+    * value is DUPLICATED into this path-only column at write time
+    * (the data files keep every original column — "hybrid" layout),
+    * so every explicit-file-list consumer (manifest reads, CDF,
+    * merge rewrites, shallow clones) stays correct with no partition
+    * reconstruction, while the `k=v` dirs give the planner exact
+    * first-line partition pruning from path metadata alone
+    * ([[graft.plans.SnapshotFileIndex]]). Cost: the partition column
+    * stored twice — bytes in the files (RLE'd to ~nothing for the
+    * low-cardinality columns partitioning is for) plus the dir name.
+    */
+  private[graft] def partKey(c: String): String = s"__p_$c"
 
   /** Write `df` into a fresh writer-unique data dir under `root`;
     * returns (relative data dir, row count). n_rows rides the write
     * itself (Observation = a named accumulator over the rows the
     * writer actually emits) — no second listing + count job over
-    * what, at target scale, is millions of fresh files.
+    * what, at target scale, is millions of fresh files. With `parts`
+    * set the dir is laid out Hive-style on the duplicated partition
+    * keys (see [[partKey]]).
     */
   private def writeDataDir(spark: SparkSession, df: DataFrame,
-                           root: String): (String, Long) = {
+                           root: String,
+                           parts: Seq[String] = Nil): (String, Long) = {
     val dataDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     val dataPath = new Path(root, dataDir)
     val obs = org.apache.spark.sql.Observation(
       s"graft_commit_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.observe(obs, org.apache.spark.sql.functions.count(
+    val out = parts.foldLeft(df)((d, c) => d.withColumn(partKey(c), col(c)))
+      .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(dataPath.toString)
+      .write.mode("overwrite")
+    (if (parts.isEmpty) out else out.partitionBy(parts.map(partKey): _*))
+      .parquet(dataPath.toString)
     (dataDir, obs.get("n_rows").asInstanceOf[Long])
   }
 
@@ -377,9 +414,9 @@ object Snapshots {
     m.manifest match {
       case Some(man) => readManifest(spark, root, man)
       case None =>
-        val dir = m.dataDir.get
-        StatsIndex.listDataFiles(spark, new Path(root, dir).toString)
-          .map(abs => s"$dir/${normPath(abs).split('/').last}")
+        // relOf keeps intermediate `k=v` segments of partitioned dirs
+        StatsIndex.listDataFiles(spark, new Path(root, m.dataDir.get).toString)
+          .map(abs => relOf(spark, root, abs))
     }
 
   /** The version's data files as absolute paths. */
@@ -406,8 +443,12 @@ object Snapshots {
       spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
       .getOrElse(spark.read)
     val raw = m.dataDir match {
-      case Some(d) => reader.parquet(new Path(root, d).toString)
-      case None =>
+      // a partitioned dir reads by EXPLICIT file list: a dir read
+      // would partition-discover the `__p_*=` path keys into extra
+      // columns, and the data files already carry every real column
+      case Some(d) if m.parts.isEmpty =>
+        reader.parquet(new Path(root, d).toString)
+      case _ =>
         val files = relFilesOf(spark, root, m)
           .map(rel => new Path(root, rel).toString)
         require(files.nonEmpty, s"version $v of $root has an empty manifest")
@@ -595,34 +636,56 @@ object Snapshots {
     ChangeScan(df, cs.filesRead, cs.filesFrom, cs.filesTo)
   }
 
+  /** TIMESTAMP-ADDRESSED change data feed — Delta's
+    * `table_changes(..., startingTimestamp, endingTimestamp)` shape:
+    * each bound resolves to the largest version committed AT OR
+    * BEFORE it through the version log's own mtimes
+    * ([[versionAsOf]] — two directory listings, no file contents),
+    * then the diff is the usual file-granular [[changes]]. "What
+    * changed since yesterday 09:00" without the consumer tracking
+    * version numbers.
+    */
+  def changesAsOf(spark: SparkSession, root: String,
+                  fromTsMillis: Long, toTsMillis: Long): ChangeScan =
+    changes(spark, root, versionAsOf(spark, root, fromTsMillis),
+      versionAsOf(spark, root, toTsMillis))
+
   // --- file lineage: which commit introduced each row ---
 
   /** METADATA-ONLY file lineage for `version`: each of its data
-    * files mapped to the version that FIRST referenced it — one
-    * manifest/listing read per retained version, no data opened.
-    * The audit primitive behind [[readWithLineage]].
+    * files mapped to the version that FIRST referenced it. The
+    * aggregation is a SPARK PLAN, not a driver loop: each MANIFEST
+    * version's file list is read as a distributed text source (one
+    * line = one file), dir versions contribute their (per-dir
+    * bounded) listing, and `groupBy(file).min(version)` folds the
+    * union — at 10⁶ files × 10² retained versions the 10⁸ (file,
+    * version) pairs shuffle on executors instead of mutating a
+    * driver map. The audit primitive behind [[readWithLineage]].
     */
   def fileLineage(spark: SparkSession, root: String,
                   version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{length, min => minCol, trim}
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
-    val first = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    versions(spark, root).filter(_ <= v).foreach { vi =>
-      relFilesOf(spark, root, versionMeta(spark, root, vi)).foreach { rel =>
-        if (!first.contains(rel)) first.update(rel, vi)
+    val vs = versions(spark, root)
+    require(vs.contains(v), s"$root has no committed version $v")
+    val perVersion = vs.filter(_ <= v).map { vi =>
+      val m = versionMeta(spark, root, vi)
+      val files = m.manifest match {
+        case Some(man) =>
+          spark.read.text(new Path(root, man).toString)
+            .select(trim(col("value")).as("file"))
+            .filter(length(col("file")) > 0)
+        case None =>
+          spark.createDataset(relFilesOf(spark, root, m))(
+            org.apache.spark.sql.Encoders.STRING).toDF("file")
       }
+      files.withColumn("version", lit(vi))
     }
-    val cur = relFilesOf(spark, root, versionMeta(spark, root, v)).toSet
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      first.iterator.filter(kv => cur(kv._1))
-        .map { case (f, vi) => org.apache.spark.sql.Row(f, vi) }
-        .toList.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("file",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("since_version",
-          org.apache.spark.sql.types.LongType))))
+    val cur = perVersion.last.select("file")
+    perVersion.reduce(_ unionByName _)
+      .groupBy("file").agg(minCol("version").as("since_version"))
+      .join(cur, Seq("file"), "left_semi")
   }
 
   /** Read `version` with a `_commit_version` AUDIT column — the
@@ -693,7 +756,7 @@ object Snapshots {
     val ddl = m.schemaDdl.getOrElse(org.apache.spark.sql.types.StructType(
       read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
     val nv = publishNext(spark, dstRoot, n =>
-      manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints))
+      manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints, m.parts))
     val sp = statsPath(srcRoot, m.layoutId)
     if (fs(spark, sp).exists(sp))
       Load.writeAtomic(spark, spark.read.parquet(sp.toString),
@@ -767,15 +830,29 @@ object Snapshots {
     -1L // unreachable
   }
 
-  /** `ALTER TABLE ... DROP CONSTRAINT` — metadata-only. */
+  /** `ALTER TABLE ... DROP CONSTRAINT` — metadata-only. A
+    * STATE-DEPENDENT writer like [[addConstraint]]: the published
+    * body re-records the read version's entire metadata (file list,
+    * n_rows, dv), so it must land at EXACTLY readVersion+1 — a
+    * publishNext retry past a concurrent commit would republish the
+    * stale file list as the new latest and silently drop that
+    * commit's rows. A lost race re-reads and retries.
+    */
   def dropConstraint(spark: SparkSession, root: String, name: String): Long = {
-    val v = latestVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"$root has no committed versions"))
-    val m = versionMeta(spark, root, v)
-    require(m.constraints.exists(_._1 == name),
-      s"$root has no constraint named $name")
-    publishNext(spark, root, nv => bodyOf(nv,
-      m.copy(tag = None, constraints = m.constraints.filterNot(_._1 == name))))
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      require(m.constraints.exists(_._1 == name),
+        s"$root has no constraint named $name")
+      if (tryPublish(spark, root, v + 1, bodyOf(v + 1,
+          m.copy(tag = None, constraints = m.constraints.filterNot(_._1 == name)))))
+        return v + 1
+      attempts += 1
+      require(attempts < 100, s"$root: dropConstraint lost $attempts races")
+    }
+    -1L // unreachable
   }
 
   /** What an expectations-gated append did. */
@@ -802,7 +879,7 @@ object Snapshots {
     if (cons.isEmpty) {
       val before = latestVersion(spark, root)
         .map(v => versionMeta(spark, root, v).nRows).getOrElse(0L)
-      val v = appendUnchecked(spark, df, root, statsCols, tag, false)
+      val v = appendUnchecked(spark, df, root, statsCols, tag, false, Nil)
       return ExpectResult(v, versionMeta(spark, root, v).nRows - before, 0L)
     }
     val flagged = df.withColumn("_violation",
@@ -819,7 +896,7 @@ object Snapshots {
     val good = flagged.filter(col("_violation") === "").drop("_violation")
     val before = latestVersion(spark, root)
       .map(v => versionMeta(spark, root, v).nRows).getOrElse(0L)
-    val v = appendUnchecked(spark, good, root, statsCols, tag, false)
+    val v = appendUnchecked(spark, good, root, statsCols, tag, false, cons)
     ExpectResult(v, versionMeta(spark, root, v).nRows - before, badN)
   }
 
@@ -939,6 +1016,101 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  /** What a merge-on-read UPDATE did: the new version, the rows it
+    * rewrote, and the deletion-vector size the version now carries.
+    * Zero PRE-EXISTING data files are rewritten — that is the point.
+    */
+  final case class MorUpdateResult(version: Long, rowsUpdated: Long,
+                                   dvRowsTotal: Long)
+
+  /** MERGE-ON-READ `UPDATE ... SET ... WHERE pred` (Delta's
+    * DV-based UPDATE): the matched rows' old positions join the
+    * deletion vector and their REWRITTEN images land in one fresh
+    * dir the new version's manifest adds — every pre-existing data
+    * file carries by reference, so an arbitrary-predicate update
+    * scattered across a 100 TB keyspace costs one predicate scan
+    * plus a churn-sized write, never a table rewrite (the
+    * copy-on-write [[merge]] remains the right tool when updates are
+    * key-localized against a clustered layout — it keeps files
+    * dense; THIS is the tool when they are not).
+    *
+    * One scan: the matched LOGICAL rows (prior vector applied — a
+    * row already deleted never resurrects as an update) land in a
+    * scratch dir WITH their (file, pos) identity; both the new
+    * vector and the rewritten rows derive from that churn-sized
+    * frame, so the table is read once. Assignments cast back to the
+    * column's logged type (files stay schema-exact) and face the
+    * table's CHECK constraints like any written rows. Row count is
+    * unchanged by construction. Publishes at readVersion+1 with the
+    * usual conflict check; a no-match update publishes nothing.
+    */
+  def updateWhere(spark: SparkSession, root: String, pred: Column,
+                  set: Seq[(String, Column)]): MorUpdateResult = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val schema = schemaOf(spark, root, v, m)
+      val setMap = set.toMap
+      setMap.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"updateWhere: $c is not a column of $root"))
+      val files = relFilesOf(spark, root, m)
+        .map(rel => new Path(root, rel).toString)
+      val prior = dvOf(spark, root, m)
+      val priorN = m.dv.map(_ => prior.count()).getOrElse(0L)
+      val scratch = s"data/u-${java.util.UUID.randomUUID().toString.take(13)}"
+      val scratchPath = new Path(root, scratch)
+      def dropScratch(): Unit = fs(spark, scratchPath).delete(scratchPath, true)
+      val matched = spark.read.schema(schema).parquet(files: _*)
+        .withColumn("__file", relFileCol(rootPathOf(spark, root)))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(prior.select(col("file").as("__file"), col("pos").as("__pos")),
+          Seq("__file", "__pos"), "left_anti")
+        .filter(coalesce(pred, lit(false)))
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_upd_${java.util.UUID.randomUUID().toString.take(8)}")
+      matched.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(scratchPath.toString)
+      val nUpd = obs.get("n").asInstanceOf[Long]
+      if (nUpd == 0L) {
+        dropScratch()
+        return MorUpdateResult(v, 0L, priorN)
+      }
+      val scr = spark.read.parquet(scratchPath.toString)
+      val updated = scr.select(schema.fields.toSeq.map { f =>
+        setMap.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+      try requireSatisfied(updated, m.constraints, "updateWhere")
+      catch { case e: Throwable => dropScratch(); throw e }
+      val (freshDir, freshRows) = writeDataDir(spark, updated, root, m.parts)
+      val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+      prior.unionByName(scr.select(col("__file").as("file"),
+          col("__pos").as("pos")))
+        .write.mode("overwrite").parquet(new Path(root, dvRel).toString)
+      val freshRel = listFreshRel(spark, root, freshDir)
+      val man = writeManifest(spark, root,
+        relFilesOf(spark, root, m) ++ freshRel)
+      if (tryPublish(spark, root, v + 1,
+          manBody(v + 1, man, m.nRows, None, m.schemaDdl, Some(dvRel),
+            m.constraints, m.parts))) {
+        dropScratch()
+        return MorUpdateResult(v + 1, freshRows, priorN + nUpd)
+      }
+      // lost the race: drop our own orphans and recompute against the
+      // new latest (the scratch frame is stale too)
+      dropScratch()
+      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
+      attempts += 1
+      require(attempts < 100, s"$root: updateWhere lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // --- copy-on-write writers: append / merge / deleteRange ---
 
   /** What a copy-on-write commit did: the new version, how many of
@@ -954,7 +1126,7 @@ object Snapshots {
   private def listFreshRel(spark: SparkSession, root: String,
                            dataDir: String): Seq[String] =
     StatsIndex.listDataFiles(spark, new Path(root, dataDir).toString)
-      .map(abs => s"$dataDir/${normPath(abs).split('/').last}")
+      .map(abs => relOf(spark, root, abs))
 
   /** METADATA-ONLY append: publish a new version whose file list is
     * the previous version's files (by reference — nothing copied or
@@ -981,20 +1153,35 @@ object Snapshots {
              evolveSchema: Boolean = false): Long = {
     // write-time CHECK enforcement: one predicate pass over the
     // BATCH, before any data lands ([[addConstraint]])
-    requireSatisfied(df, constraintsOf(spark, root), "append batch")
-    appendUnchecked(spark, df, root, statsCols, tag, evolveSchema)
+    val cons = constraintsOf(spark, root)
+    requireSatisfied(df, cons, "append batch")
+    appendUnchecked(spark, df, root, statsCols, tag, evolveSchema, cons)
   }
 
   /** [[append]] minus the constraint gate — the path
     * [[appendWithExpectations]] takes after it has already split the
     * batch (re-validating the clean half would be a wasted pass).
+    * `checkedCons` is the constraint set the batch WAS validated
+    * against: if a concurrent ADD CONSTRAINT lands between that
+    * validation and the publish, the retry loop detects the changed
+    * set and re-validates against the delta — never recording a
+    * constraint on a version whose own batch was not checked
+    * against it.
     */
   private def appendUnchecked(spark: SparkSession, df: DataFrame, root: String,
                               statsCols: Seq[String], tag: Option[Long],
-                              evolveSchema: Boolean): Long = {
+                              evolveSchema: Boolean,
+                              checkedCons: Seq[(String, String)]): Long = {
     import org.apache.spark.sql.types.StructType
-    val (freshDir, freshRows) = writeDataDir(spark, df, root)
+    // the table's partition layout rides every append (parts are fixed
+    // at table creation); a racing full-replace that changes the
+    // layout only costs the fresh files their path-pruning precision —
+    // the planner keeps files without the `k=v` segment conservatively
+    val tableParts = latestVersion(spark, root)
+      .map(v => versionMeta(spark, root, v).parts).getOrElse(Nil)
+    val (freshDir, freshRows) = writeDataDir(spark, df, root, tableParts)
     val freshRel = listFreshRel(spark, root, freshDir)
+    var checked = checkedCons
     var attempts = 0
     while (true) {
       val prior = latestVersion(spark, root)
@@ -1003,6 +1190,20 @@ object Snapshots {
           val m = versionMeta(spark, root, v)
           (relFilesOf(spark, root, m), m.nRows, Some(m))
         case None => (Seq.empty[String], 0L, None)
+      }
+      // constraint-set drift check (see doc): a concurrently added
+      // constraint re-validates the batch before it can be recorded
+      val consNow = priorMeta.map(_.constraints).getOrElse(Nil)
+      if (consNow != checked) {
+        val added = consNow.filterNot(checked.contains)
+        try requireSatisfied(df, added, "append batch (constraint added concurrently)")
+        catch {
+          case e: Throwable =>
+            fs(spark, new Path(root, freshDir))
+              .delete(new Path(root, freshDir), true)
+            throw e
+        }
+        checked = consNow
       }
       // schema-in-the-log: the new version records its schema so
       // reads never sample footers. ADD-only evolution: new df
@@ -1038,8 +1239,8 @@ object Snapshots {
       // and the fresh files have no deleted positions
       if (tryPublish(spark, root, v,
           manBody(v, man, oldRows + freshRows, tag, Some(ddl),
-            priorMeta.flatMap(_.dv),
-            priorMeta.map(_.constraints).getOrElse(Nil)))) {
+            priorMeta.flatMap(_.dv), consNow,
+            priorMeta.map(_.parts).getOrElse(Nil)))) {
         if (statsCols.nonEmpty) {
           val freshStats = StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols)
@@ -1168,7 +1369,7 @@ object Snapshots {
             spark.read.schema(tableSchema).parquet(touchedList: _*), dvPrior)
           .join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upd)
-      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
+      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root, m.parts)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       // the table schema rides the log forward — dropping it here
@@ -1179,7 +1380,7 @@ object Snapshots {
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
-            tag, Some(ddl), dvCarry, m.constraints))) {
+            tag, Some(ddl), dvCarry, m.constraints, m.parts))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -1257,14 +1458,14 @@ object Snapshots {
         else applyDv(spark, root,
             spark.read.schema(tableSchema).parquet(touchedList: _*), dvPrior)
           .filter(!coalesce(del, lit(false)))
-      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root)
+      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root, m.parts)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
-            None, Some(ddl), dvCarry, m.constraints))) {
+            None, Some(ddl), dvCarry, m.constraints, m.parts))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -1306,8 +1507,9 @@ object Snapshots {
     * snapshots by construction are not.
     */
   def commitWithStats(spark: SparkSession, df: DataFrame, root: String,
-                      cols: Seq[String]): Long = {
-    val v = commit(spark, df, root)
+                      cols: Seq[String],
+                      partitionBy: Seq[String] = Nil): Long = {
+    val v = commit(spark, df, root, partitionBy)
     ensureStats(spark, root, versionMeta(spark, root, v), cols)
     v
   }
@@ -1343,71 +1545,126 @@ object Snapshots {
     spark.read.parquet(sp.toString)
   }
 
-  /** Delta-OPTIMIZE for the snapshot tier: rewrite the LATEST
-    * version's data into ⌈bytes/targetBytes⌉ files and publish the
-    * compacted layout as a NEW version — data identical, history
-    * intact (the small-file version stays readable until [[vacuum]]
-    * reclaims it), and multi-writer safe with a real conflict check:
-    * the compacted layout publishes at EXACTLY readVersion+1, so a
-    * concurrent commit landing after the read makes the publish lose
-    * — the stale rewrite is discarded and the NEW latest re-compacts
-    * (never shadowed). [[Load.compact]] is the
-    * in-place form for plain tables; snapshot data dirs are
-    * immutable, so HERE compaction must be a new version — which is
-    * exactly what makes it safe to run while readers time-travel.
-    * With `statsCols` set the compacted version gets its skipping
-    * index like any [[commitWithStats]] commit (fewer, larger files
-    * ⇒ the same stats table prunes with coarser granularity —
-    * re-cluster via [[Load.writeClustered]]/[[ZOrder]] upstream when
-    * range-tightness matters more than file count).
+  /** Delta-OPTIMIZE for the snapshot tier — SELECTIVE: compact the
+    * SMALL-FILE TAIL, not the table. The version's file list splits
+    * by size from listing metadata ([[fileStatusesOf]] — one listing
+    * RPC per parent dir, never a per-file round trip): files below
+    * `targetBytes`, plus every file the version's deletion vector
+    * names (so OPTIMIZE still materializes merge-on-read deletes
+    * away — Delta's REORG ... APPLY (PURGE)), are rewritten into
+    * ⌈debtBytes/targetBytes⌉ files; every FULL-SIZE clean file is
+    * carried into the new version BY REFERENCE through the manifest
+    * — never read, never copied. A daily OPTIMIZE on a 100 TB table
+    * therefore costs O(yesterday's small-file debt), not a 100 TB
+    * rewrite, which is the only affordable maintenance shape at
+    * target scale. When nothing needs work (no debt, no vector), the
+    * call publishes NOTHING and returns the current version with
+    * `filesRewritten = 0`.
+    *
+    * `clusterBy` switches to OPTIMIZE ... ZORDER-lite semantics: a
+    * FULL re-cluster of the version (re-clustering is global by
+    * definition — micro-batch accretion scrambled every file's
+    * range, so tight disjoint ranges require rewriting them all;
+    * same cost model as Delta's ZORDER). With `statsCols` set the
+    * new version's skipping index reuses the carried files' stats
+    * rows VERBATIM and rebuilds only the fresh dir ([[merge]]'s
+    * incremental maintenance).
+    *
+    * Data identical, history intact (the small-file version stays
+    * readable until [[vacuum]] reclaims it), and multi-writer safe
+    * with a real conflict check: the compacted layout is a function
+    * of the version it READ, so it publishes at EXACTLY
+    * readVersion+1 — a concurrent commit landing after the read
+    * makes the publish lose, the stale rewrite is discarded (own
+    * orphans deleted eagerly), and the NEW latest re-compacts.
     */
   def optimize(spark: SparkSession, root: String,
                targetBytes: Long = 128L * 1024 * 1024,
                statsCols: Seq[String] = Nil,
-               clusterBy: Seq[String] = Nil): Long = {
-    // Optimistic CONFLICT CHECK, not just optimistic publish: a
-    // compaction's data is a function of the version it read, so if a
-    // concurrent ingest commit lands after we read `v`, publishing the
-    // compaction at any later number would SHADOW that commit (the new
-    // latest = a compaction of pre-ingest data). Delta's OPTIMIZE
-    // conflict-checks for the same reason. The check is made atomic by
-    // publishing at EXACTLY v+1 with create-exclusive semantics: if
-    // v+1 exists, someone committed after our read — our rewrite is
-    // stale, so we drop it and re-compact the new latest. The stale
-    // dir is deleted eagerly (it is this writer's own orphan).
+               clusterBy: Seq[String] = Nil): CowResult = {
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
-      // total bytes of the version's OWN file list (a manifest version
-      // spans several dirs — sum its files, not any one dir)
-      val files = relFilesOf(spark, root, m).map(rel => new Path(root, rel))
-      val f = fs(spark, new Path(root))
-      val bytes = files.map(p => f.getFileStatus(p).getLen).sum
-      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val df0 = read(spark, root, Some(v))
-      // OPTIMIZE ... ZORDER-lite: re-CLUSTER while compacting, so the
-      // rewritten files carry tight disjoint ranges and the version's
-      // stats index prunes range reads again after micro-batch
-      // accretion scrambled the layout
+      val rels = relFilesOf(spark, root, m)
+      val statuses = fileStatusesOf(spark, root, rels)
+      // dv-carrying files must rewrite regardless of size — their
+      // logical read drops the vector's rows, materializing it away
+      val dvFiles: Set[String] =
+        if (m.dv.isEmpty) Set.empty
+        else dvOf(spark, root, m).select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+      val withRel = statuses.map(st => (relOf(spark, root, st.getPath.toString), st))
+      val (touched, carried) =
+        if (clusterBy.nonEmpty) (withRel, Seq.empty[(String, org.apache.hadoop.fs.FileStatus)])
+        else withRel.partition { case (rel, st) =>
+          st.getLen < targetBytes || dvFiles.contains(rel)
+        }
+      // a single small file with no vector has no debt to merge —
+      // rewriting it buys nothing; publish nothing
+      if (touched.isEmpty ||
+          (touched.size == 1 && dvFiles.isEmpty && clusterBy.isEmpty))
+        return CowResult(v, 0, withRel.size, 0L)
+      val touchedRel = touched.map(_._1).sorted
+      val carriedRel = carried.map(_._1).sorted
+      val debtBytes = touched.map(_._2.getLen).sum
+      val nFiles = math.max(1, math.ceil(debtBytes.toDouble / targetBytes).toInt)
+      val schema = schemaOf(spark, root, v, m)
+      // touched files read LOGICALLY (vector rows must not resurrect);
+      // every dv file is in the touched set, so the new version
+      // carries NO vector
+      val df0 = applyDv(spark, root,
+        spark.read.schema(schema)
+          .parquet(touchedRel.map(rel => new Path(root, rel).toString): _*),
+        dvOf(spark, root, m))
       val df =
         if (clusterBy.isEmpty) df0.repartition(nFiles)
         else df0.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
-      val (dataDir, nRows) = writeDataDir(spark, df, root)
+      val (freshDir, freshRows) = writeDataDir(spark, df, root, m.parts)
       val ddl = m.schemaDdl // compaction preserves the logged schema
-      if (tryPublish(spark, root, v + 1,
-          dirBody(v + 1, dataDir, nRows, None, ddl, None, m.constraints))) {
-        if (statsCols.nonEmpty)
-          ensureStats(spark, root, versionMeta(spark, root, v + 1), statsCols)
-        return v + 1
+      val freshRel = listFreshRel(spark, root, freshDir)
+      // logical rows are untouched by construction: carried files have
+      // no vector entries, and the rewrite only re-binned the rest
+      val (manOpt, body) =
+        if (carriedRel.isEmpty)
+          (None, dirBody(v + 1, freshDir, m.nRows, None, ddl, None,
+            m.constraints, m.parts))
+        else {
+          val man = writeManifest(spark, root, carriedRel ++ freshRel)
+          (Some(man), manBody(v + 1, man, m.nRows, None, ddl, None,
+            m.constraints, m.parts))
+        }
+      if (tryPublish(spark, root, v + 1, body)) {
+        if (statsCols.nonEmpty) {
+          val newMeta = versionMeta(spark, root, v + 1)
+          if (carriedRel.isEmpty) ensureStats(spark, root, newMeta, statsCols)
+          else {
+            // carried stats rows reused verbatim; only the fresh dir scans
+            val stats = statsOf(spark, root, m, statsCols)
+            val carriedAbs = spark.createDataset(carriedRel.map(rel =>
+                normPath(new Path(root, rel).toString)))(
+              org.apache.spark.sql.Encoders.STRING).toDF("__cf")
+            val carriedStats = stats.join(carriedAbs,
+              org.apache.spark.sql.functions.regexp_replace(
+                stats("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
+            Load.writeAtomic(spark,
+              carriedStats.unionByName(StatsIndex.build(spark,
+                new Path(root, freshDir).toString, statsCols)),
+              statsPath(root, newMeta.layoutId).toString)
+          }
+        }
+        return CowResult(v + 1, touchedRel.size,
+          touchedRel.size + carriedRel.size, freshRows)
       }
-      fs(spark, new Path(root, dataDir)).delete(new Path(root, dataDir), true)
+      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      manOpt.foreach(man =>
+        fs(spark, new Path(root, man)).delete(new Path(root, man), false))
       attempts += 1
       require(attempts < 100, s"$root: optimize lost $attempts commit races")
     }
-    -1L // unreachable
+    throw new IllegalStateException("unreachable")
   }
 
   /** Time-travel read THROUGH the version's stats index: the file
@@ -1433,11 +1690,11 @@ object Snapshots {
     def logical(df: DataFrame): DataFrame =
       m.dv.map(_ => applyDv(spark, root, df, dvOf(spark, root, m))).getOrElse(df)
     m.dataDir match {
-      case Some(d) =>
+      case Some(d) if m.parts.isEmpty =>
         val (df, nRead, nTotal) =
           StatsIndex.prunedRead(spark, new Path(root, d).toString, stats, c, lo, hi)
         (logical(df), nRead, nTotal)
-      case None =>
+      case _ =>
         // manifest layout: the candidate list comes straight from the
         // stats rows (whose `file` URIs are the manifest's files);
         // there is no single base dir, and snapshot data is flat, so
@@ -1494,7 +1751,7 @@ object Snapshots {
     val idx = new graft.plans.SnapshotFileIndex(spark,
       new Path(rootPathOf(spark, root)),
       fileStatusesOf(spark, root, rels),
-      statsTableOf(spark, root, v))
+      statsTableOf(spark, root, v), m.parts)
     val raw = GraftShim.ofRows(spark,
       GraftShim.parquetScanPlan(spark, idx, schema))
     val df = m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m)))
@@ -1525,10 +1782,19 @@ object Snapshots {
     * dirs from crashed commits that never published.
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
-             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
+             orphanGraceMs: Long = 24L * 3600 * 1000,
+             protectedVersions: Set[Long] = Set.empty): Unit = {
     require(keepLast >= 1)
     val all = versions(spark, root)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    // protectedVersions ENFORCES the catalog/clone retention contract
+    // (the doc-comment rule at [[graft.etl.Catalog]]): pass
+    // `Catalog.pinnedVersions(...)` and a routine vacuum can no
+    // longer silently break historical catalog reads or live shallow
+    // clones — a pinned old version survives any keepLast.
+    val keepSet = all.takeRight(keepLast).toSet ++
+      protectedVersions.filter(all.contains)
+    val keep = all.filter(keepSet)
+    val drop = all.filterNot(keepSet)
     val keepMetas = keep.map(versionMeta(spark, root, _))
     // a kept version pins its data dirs: a dir version pins its one
     // dir; a manifest version pins EVERY dir it references files in

@@ -42,17 +42,50 @@ final class SnapshotFileIndex(
     spark: SparkSession,
     root: Path,
     fileStatuses: Seq[FileStatus],
-    stats: Option[DataFrame]) extends FileIndex {
+    stats: Option[DataFrame],
+    partCols: Seq[String] = Nil) extends FileIndex {
 
   /** (files kept, files total) of the most recent planning pass —
     * the prune pin specs and queries assert on.
     */
   @volatile var lastScan: Option[(Int, Int)] = None
 
+  /** Files kept by PARTITION pruning alone in the most recent pass
+    * (before any stats evaluation) — pins that the first-line prune
+    * fired independently of the stats index.
+    */
+  @volatile var lastPartitionKept: Option[Int] = None
+
   private val statCols: Set[String] =
     stats.map(_.columns.toSeq.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSet).getOrElse(Set.empty)
+
+  /** Per-file partition values parsed ONCE from the `__p_<col>=<v>`
+    * path segments the snapshot writers lay partitioned data out
+    * under ([[graft.etl.Snapshots.partKey]]). `None` = the Hive null
+    * marker; a file missing a column's segment entirely (a layout
+    * written before the table was partitioned, or a racing
+    * re-layout) is absent from the inner map and is always KEPT —
+    * pruning degrades, never breaks.
+    */
+  private val partValsByFile: Map[Path, Map[String, Option[String]]] =
+    if (partCols.isEmpty) Map.empty
+    else {
+      val wanted = partCols.map(c => s"__p_$c" -> c).toMap
+      fileStatuses.map { st =>
+        val segs = st.getPath.toUri.getPath.split('/')
+        val vals = segs.iterator.flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) Iterator.empty
+          else wanted.get(seg.take(i)).map { c =>
+            val raw = SnapshotFileIndex.unescapePath(seg.drop(i + 1))
+            c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+          }.iterator
+        }.toMap
+        st.getPath -> vals
+      }.toMap
+    }
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -68,18 +101,35 @@ final class SnapshotFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // FIRST-LINE partition pruning: exact path-value checks, zero
+    // stats-table work — the cheapest prune runs first, then the
+    // stats index only evaluates over its survivors. The partition
+    // column is a DATA column here (hybrid layout — the files carry
+    // it), so the planner pushes its predicates in dataFilters.
+    val afterPart =
+      if (partCols.isEmpty || dataFilters.isEmpty) fileStatuses
+      else {
+        val checks = dataFilters.flatMap(
+          SnapshotFileIndex.partCanHit(_, partCols.toSet))
+        if (checks.isEmpty) fileStatuses
+        else fileStatuses.filter { f =>
+          val vals = partValsByFile.getOrElse(f.getPath, Map.empty)
+          checks.forall(_(vals))
+        }
+      }
+    if (partCols.nonEmpty) lastPartitionKept = Some(afterPart.size)
     val kept = stats match {
       case Some(st) if dataFilters.nonEmpty && statCols.nonEmpty =>
         val conds = dataFilters.flatMap(SnapshotFileIndex.canHit(_, statCols))
-        if (conds.isEmpty) fileStatuses
+        if (conds.isEmpty) afterPart
         else {
           val hit = st.filter(conds.reduce(_ && _)).select("file")
             .collect().iterator
             .map(r => SnapshotFileIndex.normPath(r.getString(0))).toSet
-          fileStatuses.filter(f =>
+          afterPart.filter(f =>
             hit.contains(SnapshotFileIndex.normPath(f.getPath.toString)))
         }
-      case _ => fileStatuses
+      case _ => afterPart
     }
     lastScan = Some((kept.size, fileStatuses.size))
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
@@ -94,6 +144,99 @@ object SnapshotFileIndex {
     */
   private[graft] def normPath(s: String): String =
     s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  /** Spark's own partition-path unescaping — the exact inverse of
+    * what the parquet writer applied to the `k=v` segment.
+    */
+  private[graft] def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** Types whose Cast-to-string rendering is EXACTLY the partition
+    * path encoding Spark writes (PartitioningUtils builds the path
+    * fragment from Cast(col, StringType)); a literal of any other
+    * type (timestamps — zone/format sensitive; decimals, floats —
+    * representation drift) translates to no check, so its files are
+    * kept conservatively: a wrong prune would lose rows, a kept file
+    * only costs a scan.
+    */
+  private val pathSafe: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, IntegerType, LongType, ShortType, ByteType,
+      BooleanType, DateType)
+  }
+
+  /** Render a literal exactly as a partition path records it. */
+  private def pathValue(l: Literal): Option[String] =
+    if (l.value == null || !pathSafe.contains(l.dataType)) None
+    else Option(org.apache.spark.sql.catalyst.expressions.Cast(
+      l, org.apache.spark.sql.types.StringType, Some("UTC")).eval(null))
+      .map(_.toString)
+
+  private type PartVals = Map[String, Option[String]]
+
+  /** Translate one pushed data filter into a per-file check over the
+    * parsed partition values, or None when the shape is not provably
+    * decidable from them (→ caller keeps every file). A file whose
+    * inner map is MISSING the column (pre-partitioning layout)
+    * always passes — conservative by construction, like [[canHit]].
+    */
+  private[graft] def partCanHit(e: Expression,
+                                partCols: Set[String]): Option[PartVals => Boolean] = {
+    def name(x: Expression): Option[String] = x match {
+      case a: Attribute if partCols(a.name) => Some(a.name)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, l: Literal) => for (c <- name(a); v <- pathValue(l))
+        yield (vals: PartVals) => vals.get(c).forall(_.contains(v))
+      case EqualTo(l: Literal, a) => partCanHit(EqualTo(a, l), partCols)
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        partCanHit(EqualTo(a, l), partCols)
+      case EqualNullSafe(l: Literal, a) if l.value != null =>
+        partCanHit(EqualTo(a, l), partCols)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        name(a).flatMap { c =>
+          val rendered = vs.collect { case l: Literal => pathValue(l) }
+          // any untranslatable member keeps everything (sound)
+          if (rendered.exists(_.isEmpty)) None
+          else {
+            val set = rendered.flatten.toSet
+            Some((vals: PartVals) => vals.get(c) match {
+              case Some(Some(v)) => set(v)
+              case Some(None) => false // null never passes IN
+              case None => true
+            })
+          }
+        }
+      case InSet(a, hset) if hset.nonEmpty && hset.size <= 256 =>
+        name(a).flatMap { c =>
+          val rendered = hset.toSeq.filter(_ != null)
+            .map(v => pathValue(Literal(v, a.dataType)))
+          if (rendered.exists(_.isEmpty)) None
+          else {
+            val set = rendered.flatten.toSet
+            Some((vals: PartVals) => vals.get(c) match {
+              case Some(Some(v)) => set(v)
+              case Some(None) => false
+              case None => true
+            })
+          }
+        }
+      case IsNull(a) => name(a).map(c => (vals: PartVals) =>
+        vals.get(c).forall(_.isEmpty))
+      case IsNotNull(a) => name(a).map(c => (vals: PartVals) =>
+        vals.get(c).forall(_.nonEmpty))
+      case And(l, r) =>
+        (partCanHit(l, partCols), partCanHit(r, partCols)) match {
+          case (Some(a), Some(b)) => Some(v => a(v) && b(v))
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) => for {
+        a <- partCanHit(l, partCols); b <- partCanHit(r, partCols)
+      } yield (v: PartVals) => a(v) || b(v)
+      case _ => None
+    }
+  }
 
   /** Translate one pushed data filter into a can-hit condition over
     * the stats table, or None when the shape is not provably

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -128,22 +128,36 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
   *   INSERT INTO snap.`/t` SELECT ...            -- copy-on-write append
   *   INSERT OVERWRITE snap.`/t` SELECT ...       -- full-replace commit
   *   DELETE FROM snap.`/t` WHERE <pred>          -- merge-on-read vector
+  *   UPDATE snap.`/t` SET c = e WHERE <pred>     -- merge-on-read update
+  *   MERGE INTO snap.`/t` USING src ON t.k = src.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *            -- copy-on-write upsert
   * }}}
   *
   * INSERT enforces the table's logged CHECK constraints and schema
-  * (positional column matching, SQL's default); DELETE writes a
-  * deletion vector and ZERO data files ([[Snapshots.deleteWhere]]).
-  * Both return a one-row frame (`version`, `n_rows`) — the commit
-  * receipt. Catalog relations (`<cat>::<name>`) are read-only views
-  * of pinned state and refuse DML.
+  * (positional column matching, SQL's default); DELETE and UPDATE
+  * write a deletion vector (plus, for UPDATE, one churn-sized fresh
+  * dir) and rewrite ZERO pre-existing data files
+  * ([[Snapshots.deleteWhere]] / [[Snapshots.updateWhere]]); MERGE is
+  * the stats-targeted copy-on-write upsert ([[Snapshots.merge]] —
+  * the reference's `ON CONFLICT DO UPDATE` sink semantic, REF
+  * main.py:50) restricted to the upsert shape (equality key, UPDATE
+  * SET * / INSERT *) — richer clause sets refuse loudly rather than
+  * guess. Every verb returns a one-row commit receipt. Catalog
+  * relations (`<cat>::<name>`) are read-only views of pinned state
+  * and refuse DML.
   */
 object SnapshotSql {
-  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+    InsertIntoStatement, InsertStarAction, MergeIntoTable, SubqueryAlias,
+    UpdateStarAction, UpdateTable}
 
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     GraftShim.parsePlan(spark, sqlText) match {
       case i: InsertIntoStatement => runInsert(spark, i)
       case d: DeleteFromTable => runDelete(spark, d)
+      case u: UpdateTable => runUpdate(spark, u)
+      case m: MergeIntoTable => runMerge(spark, m)
       case other =>
         GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(other))
     }
@@ -151,6 +165,8 @@ object SnapshotSql {
 
   private def tableRootOf(spark: SparkSession, plan: LogicalPlan,
                           op: String): String = plan match {
+    // DML targets may carry an alias (MERGE INTO snap.`/t` t)
+    case SubqueryAlias(_, child) => tableRootOf(spark, child, op)
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("snap") =>
@@ -174,6 +190,12 @@ object SnapshotSql {
     val root = tableRootOf(spark, i.table, "INSERT")
     require(i.userSpecifiedCols.isEmpty,
       "snap: INSERT column lists are not supported — match the table schema")
+    // a silently dropped static partition value would corrupt the
+    // write — refuse until PARTITION routing exists (partition values
+    // travel as ordinary columns of the SELECT in this tier)
+    require(i.partitionSpec.isEmpty,
+      "snap: INSERT ... PARTITION is not supported — supply the " +
+        "partition column as a SELECT column")
     val data0 = GraftShim.ofRows(spark,
       ResolveSnapshotTable(spark)(i.query))
     val names = Snapshots.read(spark, root).schema.fieldNames
@@ -193,7 +215,82 @@ object SnapshotSql {
     val root = tableRootOf(spark, d.table, "DELETE")
     // the parsed condition resolves against the table read at
     // analysis time (unresolved attrs/functions, the col() shape)
-    val r = Snapshots.deleteWhere(spark, root, GraftShim.column(d.condition))
+    val r = Snapshots.deleteWhere(spark, root,
+      GraftShim.column(stripQualifiers(d.condition)))
     receipt(spark, r.version, r.rowsDeleted)
+  }
+
+  /** Single-table DML conditions/assignments may qualify columns with
+    * the target's alias (`t.price`); the writer evaluates them
+    * against a bare one-table frame, so qualifiers drop to the last
+    * name part.
+    */
+  private def stripQualifiers(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+      UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+
+  /** `UPDATE snap.\`/t\` SET c = e, ... [WHERE pred]` → the
+    * merge-on-read [[Snapshots.updateWhere]]: zero pre-existing data
+    * files rewritten; receipt = (version, rows_updated).
+    */
+  private def runUpdate(spark: SparkSession, u: UpdateTable): DataFrame = {
+    import spark.implicits._
+    val root = tableRootOf(spark, u.table, "UPDATE")
+    val set = u.assignments.map { a =>
+      val name = a.key match {
+        case attr: UnresolvedAttribute => attr.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"snap: UPDATE SET targets must be plain columns, got $other")
+      }
+      name -> GraftShim.column(stripQualifiers(a.value))
+    }
+    val cond = u.condition.map(c => GraftShim.column(stripQualifiers(c)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val r = Snapshots.updateWhere(spark, root, cond, set)
+    Seq((r.version, r.rowsUpdated)).toDF("version", "rows_updated")
+  }
+
+  /** `MERGE INTO snap.\`/t\` USING src ON t.k = src.k WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the UPSERT
+    * shape (the reference's single sink semantic) routed to the
+    * stats-targeted copy-on-write [[Snapshots.merge]]. Any richer
+    * clause set (conditional actions, column-wise assignments,
+    * DELETE clauses, NOT MATCHED BY SOURCE) refuses loudly — a
+    * half-guessed merge on a 100 TB table is worse than no merge.
+    * Receipt = (version, files_rewritten, files_total,
+    * rows_written): the bounded-rewrite scale contract, per commit.
+    */
+  private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
+    import spark.implicits._
+    val root = tableRootOf(spark, m.targetTable, "MERGE")
+    require(m.notMatchedBySourceActions.isEmpty,
+      "snap: MERGE supports the upsert shape — no WHEN NOT MATCHED BY SOURCE")
+    require(!m.withSchemaEvolution,
+      "snap: MERGE WITH SCHEMA EVOLUTION is not supported")
+    m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => ()
+      case other => throw new IllegalArgumentException(
+        "snap: MERGE needs exactly WHEN MATCHED THEN UPDATE SET * " +
+          s"(unconditional), got $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case other => throw new IllegalArgumentException(
+        "snap: MERGE needs exactly WHEN NOT MATCHED THEN INSERT * " +
+          s"(unconditional), got $other")
+    }
+    val key = m.mergeCondition match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last == r.nameParts.last => l.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "snap: MERGE ON must be target.<key> = source.<key> " +
+          s"(one equality, same column name), got $other")
+    }
+    val src = GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(m.sourceTable))
+    val r = Snapshots.merge(spark, src, root, key, statsCols = Seq(key))
+    Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))
+      .toDF("version", "files_rewritten", "files_total", "rows_written")
   }
 }

@@ -498,7 +498,7 @@ object EtlQueries {
         o.filter(col("o_orderkey") % 97 =!= 0).repartition(48),
         root, Seq("o_orderkey"))
       val v2 = Snapshots.optimize(s, root,
-        targetBytes = 1L << 30, statsCols = Seq("o_orderkey"))
+        targetBytes = 1L << 30, statsCols = Seq("o_orderkey")).version
       val before = Snapshots.read(s, root, Some(v1))
       val after = Snapshots.read(s, root, Some(v2))
       val filesBefore = before.select(input_file_name()).distinct().count()
@@ -775,7 +775,7 @@ object EtlQueries {
         .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
       val r = Snapshots.merge(s, upd, root, "o_orderkey", Seq("o_orderkey"))
       val cs = Snapshots.changes(s, root, v1, r.version)
-      val vOpt = Snapshots.optimize(s, root)
+      val vOpt = Snapshots.optimize(s, root).version
       val optZero = Snapshots.changes(s, root, r.version, vOpt).df.count() == 0L
       cs.df.groupBy("_change_type", "o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -882,7 +882,7 @@ object EtlQueries {
       val prunedOk = pr.count() ==
         latest.filter(col("l_shipdate").between(lo, hi)).count() &&
         nRead < nTotal
-      val vOpt = Snapshots.optimize(s, root)
+      val vOpt = Snapshots.optimize(s, root).version
       val opt = Snapshots.read(s, root, Some(vOpt))
       val matClean = Snapshots.versionMeta(s, root, vOpt).dv.isEmpty &&
         opt.exceptAll(latest).count() == 0L &&
@@ -1439,6 +1439,291 @@ object EtlQueries {
         .withColumn("delete_receipt", lit(delOk))
         .withColumn("delete_zero_rewrite", lit(zeroRewrite))
         .orderBy("l_returnflag")
+    }),
+
+    // q190 — SELECTIVE OPTIMIZE (the round-11 scale-killer fix):
+    // compaction targets the SMALL-FILE TAIL from listing metadata
+    // (one RPC per parent dir), rewrites ONLY it, and carries every
+    // full-size file into the new version BY REFERENCE through the
+    // manifest — O(small-file debt), never O(table). The scenario is
+    // the daily shape: a 2-file full-size base accretes 4 tiny
+    // append files; OPTIMIZE must rewrite exactly the 4 (+1 fresh
+    // out), keep the 2 big files byte-identical BY PATH, preserve
+    // the data bit-for-bit, reuse the carried stats rows (the pruned
+    // read still bites), and a second OPTIMIZE with no new debt must
+    // publish NOTHING. Values replay base ∪ appends from the table.
+    "q190_selective_optimize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q190").toString
+      Snapshots.commitWithStats(s,
+        li.repartitionByRange(2, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      (1 to 4).foreach { b =>
+        Snapshots.append(s,
+          li.filter(col("l_orderkey") === 1L)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(b * 10000000L)),
+          root, Seq("l_orderkey"))
+      }
+      val beforeFiles = Snapshots.filesOfVersion(s, root, 5L).toSet
+      val before = Snapshots.read(s, root)
+      val r = Snapshots.optimize(s, root, targetBytes = 32L * 1024,
+        statsCols = Seq("l_orderkey"))
+      val afterFiles = Snapshots.filesOfVersion(s, root, r.version).toSet
+      val after = Snapshots.read(s, root, Some(r.version))
+      val selective = r.filesRewritten == 4 && r.filesTotal == 6
+      val carried = beforeFiles.intersect(afterFiles).size == 2
+      val identical = before.exceptAll(after).isEmpty &&
+        after.exceptAll(before).isEmpty
+      val r2 = Snapshots.optimize(s, root, targetBytes = 32L * 1024)
+      val noop = r2.version == r.version && r2.filesRewritten == 0
+      val (_, nRead, nTotal) = Snapshots.readPruned(
+        s, root, Some(r.version), "l_orderkey",
+        Some(lit(1L)), Some(lit(1000L)))
+      after.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("rewrite_selective", lit(selective))
+        .withColumn("big_files_carried", lit(carried))
+        .withColumn("data_identical", lit(identical))
+        .withColumn("second_optimize_noop", lit(noop))
+        .withColumn("stats_survive", lit(nRead > 0 && nRead < nTotal))
+        .orderBy("l_returnflag")
+    }),
+
+    // q191 — SQL MERGE INTO (SnapshotSql → Snapshots.merge): the
+    // reference's single sink semantic — `ON CONFLICT DO UPDATE`
+    // upsert (REF main.py:50) — now complete in SQL. The statement
+    // routes to the stats-targeted copy-on-write merge, so the
+    // receipt's files_rewritten pins the scale contract per commit:
+    // a key-localized update batch rewrites a bounded, nonzero
+    // fraction of the 12-file clustered layout while every untouched
+    // file carries by reference. Values replay the upsert
+    // row-for-row in DuckDB (anti-join + union, the q168 oracle).
+    "q191_snapshot_sql_merge" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q191").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      o.filter(col("o_orderkey") <= 300L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("I").as("o_orderstatus"), col("o_totalprice")))
+        .createOrReplaceTempView("q191_src")
+      val rec = SnapshotSql.sql(s,
+        s"""MERGE INTO snap.`$root` t USING q191_src u
+           |ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val receiptOk = rec.getLong(0) == 2L && rec.getLong(3) > 0L
+      val bounded = rec.getInt(1) > 0 && rec.getInt(1) < rec.getInt(2)
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("merge_receipt", lit(receiptOk))
+        .withColumn("rewrite_bounded", lit(bounded))
+        .withColumn("history_intact",
+          lit(Snapshots.versions(s, root) == Seq(1L, 2L)))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q192 — SQL UPDATE (SnapshotSql → Snapshots.updateWhere): a
+    // merge-on-read update — matched rows' OLD positions join the
+    // deletion vector, their rewritten images land in ONE fresh dir,
+    // and every pre-existing data file carries by reference
+    // (zero_prior_rewrite pins old-files ⊆ new-files via the
+    // manifest) — the only affordable shape for a scattered-
+    // predicate update at 100 TB. Row count is unchanged
+    // (rows_stable); the receipt pins the exact matched count.
+    // Values replay the SET arithmetic in DuckDB.
+    "q192_snapshot_sql_update" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q192").toString
+      Snapshots.commitWithStats(s,
+        li.repartitionByRange(6, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      val beforeFiles = Snapshots.filesOfVersion(s, root, 1L).toSet
+      val rec = SnapshotSql.sql(s,
+        s"""UPDATE snap.`$root`
+           |SET l_quantity = l_quantity + 5.0,
+           |    l_extendedprice = l_extendedprice * 2.0
+           |WHERE l_orderkey % 10 = 3""".stripMargin).head()
+      val expect = li.filter(col("l_orderkey") % 10 === 3).count()
+      val receiptOk = rec.getLong(0) == 2L && rec.getLong(1) == expect
+      val afterFiles = Snapshots.filesOfVersion(s, root, 2L).toSet
+      val zeroPrior = beforeFiles.subsetOf(afterFiles)
+      val m2 = Snapshots.versionMeta(s, root, 2L)
+      SnapshotSql.sql(s,
+        s"""SELECT l_returnflag, count(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           |FROM snap.`$root` GROUP BY l_returnflag""".stripMargin)
+        .withColumn("update_receipt", lit(receiptOk))
+        .withColumn("zero_prior_rewrite", lit(zeroPrior))
+        .withColumn("vector_carried", lit(m2.dv.isDefined))
+        .withColumn("rows_stable", lit(m2.nRows == li.count()))
+        .orderBy("l_returnflag")
+    }),
+
+    // q193 — PARTITIONED SNAPSHOT TABLE: the table format declares a
+    // partition column in the log; data lands under `__p_k=v` dirs
+    // while the files still carry every column (hybrid layout), so
+    // explicit-file consumers (CDF, merge, clone) stay correct and
+    // the planner gets FIRST-LINE partition pruning from path values
+    // alone — before, and composing with, min/max stats skipping
+    // (partition_pruned pins one of three status partitions kept;
+    // stats_compose pins the orderkey range pruning files INSIDE the
+    // surviving partition). Appends inherit the layout
+    // (append_keeps_layout). Values replay the filtered aggregate.
+    "q193_partitioned_snapshot" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q193").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+      val v2 = Snapshots.append(s,
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 300000000L),
+        root, Seq("o_orderkey"))
+      val keepsLayout = Snapshots.filesOfVersion(s, root, v2)
+        .diff(Snapshots.filesOfVersion(s, root, 1L))
+        .forall(_.contains("__p_o_orderstatus="))
+      val (df, idx) = Snapshots.sqlScan(s, root)
+      df.filter(col("o_orderstatus") === "F" && col("o_orderkey") <= 3000L)
+        .agg(count(lit(1))).head()
+      val partKept = idx.lastPartitionKept.getOrElse(-1)
+      val (kept, total) = idx.lastScan.getOrElse((-1, -1))
+      Snapshots.read(s, root)
+        .filter(col("o_orderkey") <= 3000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("partition_pruned", lit(partKept > 0 && partKept < total))
+        .withColumn("stats_compose", lit(kept > 0 && kept < partKept))
+        .withColumn("append_keeps_layout", lit(keepsLayout))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q194 — CATALOG TRANSACTION HELPER (Catalog.writeAndPin — the
+    // one-call form of q187's coordinated write): stage fact AND dim
+    // commits in one closure, flip both pins atomically with
+    // lost-update protection, MERGING over concurrent pins; a stage
+    // that throws pins NOTHING (its table commits stay durable but
+    // invisible — failed_stage_pins_nothing). vacuum_honors_pins
+    // closes the retention loop: the table vacuum passes
+    // Catalog.pinnedVersions as protectedVersions, so reclaiming to
+    // keepLast=1 CANNOT break the catalog's historical reads.
+    // Values replay the pinned-state star join.
+    "q194_catalog_txn_helper" -> ((s, dir) => {
+      import graft.etl.Catalog
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      val base = java.nio.file.Files.createTempDirectory("graft_q194").toString
+      val fact = s"$base/fact"; val dim = s"$base/dim"
+      val cat = s"$base/cat"
+      Snapshots.commitWithStats(s,
+        li.filter(col("l_orderkey") <= 500L)
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), fact, Seq("l_orderkey"))
+      Snapshots.commitWithStats(s,
+        o.filter(col("o_orderkey") <= 500L)
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), dim, Seq("o_orderkey"))
+      Catalog.commit(s, cat, Map(
+        "fact" -> Catalog.Pin(fact, 1L), "dim" -> Catalog.Pin(dim, 1L)))
+      val cv = Catalog.writeAndPin(s, cat) {
+        val fv = Snapshots.append(s,
+          li.filter(col("l_orderkey") > 500L && col("l_orderkey") <= 1000L),
+          fact, Seq("l_orderkey"))
+        val dv = Snapshots.append(s,
+          o.filter(col("o_orderkey") > 500L && col("o_orderkey") <= 1000L),
+          dim, Seq("o_orderkey"))
+        Map("fact" -> Catalog.Pin(fact, fv), "dim" -> Catalog.Pin(dim, dv))
+      }
+      val failed =
+        try {
+          Catalog.writeAndPin(s, cat) {
+            Snapshots.append(s, li.filter(col("l_orderkey") === 1L)
+              .withColumn("l_orderkey", lit(900000000L)),
+              fact, Seq("l_orderkey"))
+            throw new RuntimeException("stage fails AFTER a table commit")
+          }
+          false
+        } catch { case _: RuntimeException => true }
+      val pinsNow = Catalog.pins(s, cat)
+      val flipped = cv == 2L && pinsNow == Map(
+        "fact" -> Catalog.Pin(fact, 2L), "dim" -> Catalog.Pin(dim, 2L))
+      // retention contract ENFORCED: keepLast=1 would drop v1/v2, but
+      // the pinned set protects them — historical catalog reads live
+      Snapshots.vacuum(s, fact, keepLast = 1, orphanGraceMs = 0,
+        protectedVersions = Catalog.pinnedVersions(s, cat, fact))
+      val histOk = Catalog.read(s, cat, "fact", Some(1L)).count() ==
+        li.filter(col("l_orderkey") <= 500L).count()
+      Catalog.read(s, cat, "fact")
+        .join(Catalog.read(s, cat, "dim"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_quantity")).as("sum_qty"))
+        .withColumn("txn_flipped", lit(flipped))
+        .withColumn("failed_stage_pins_nothing", lit(failed))
+        .withColumn("vacuum_honors_pins", lit(histOk))
+        .orderBy("o_orderstatus", "l_returnflag")
+    }),
+
+    // q195 — TIMESTAMP-ADDRESSED change data feed
+    // (Snapshots.changesAsOf): both bounds resolve through the
+    // version log's commit-file mtimes (two directory listings, no
+    // contents read) and the diff is the usual file-granular churn —
+    // "what changed since yesterday 09:00" without the consumer
+    // tracking version numbers. matches_version_addressed pins
+    // ts-addressed ≡ version-addressed row-for-row;
+    // empty_self_diff pins the degenerate bound; churn_bounded pins
+    // the carried files never opening. Values replay the appended
+    // batch.
+    "q195_changes_by_timestamp" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q195").toString
+      val v1 = Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      val t1 = new java.io.File(s"$root/_versions", f"v$v1%08d.json")
+        .lastModified
+      val v2 = Snapshots.append(s,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            lit("A").as("o_orderstatus"), col("o_totalprice")),
+        root, Seq("o_orderkey"))
+      val t2 = new java.io.File(s"$root/_versions", f"v$v2%08d.json")
+        .lastModified
+      val byTs = Snapshots.changesAsOf(s, root, t1, t2)
+      val byV = Snapshots.changes(s, root, v1, v2)
+      val same = byTs.df.exceptAll(byV.df).isEmpty &&
+        byV.df.exceptAll(byTs.df).isEmpty
+      val emptySelf = Snapshots.changesAsOf(s, root, t1, t1).df.count() == 0L
+      byTs.df.groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("matches_version_addressed", lit(same))
+        .withColumn("empty_self_diff", lit(emptySelf))
+        .withColumn("churn_bounded",
+          lit(byTs.filesRead < byTs.filesFrom + byTs.filesTo))
+        .orderBy("_change_type", "o_orderstatus")
     }),
 
     // q188 — DESCRIBE HISTORY (Snapshots.history — the audit surface
@@ -2212,6 +2497,105 @@ object EtlQueries {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1 AND 400 AND l_orderkey % 10 <> 3
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q190: base ∪ the four shifted appends — a dropped carried file,
+    // a lost tiny file, or a double-compacted row all hash-break; the
+    // flags pin the selective contract (4-of-6 rewrite, carried big
+    // files byte-identical by path, no-op second pass)
+    "q190_selective_optimize" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |one AS (SELECT * FROM base WHERE l_orderkey = 1),
+        |app AS (
+        |  SELECT l_orderkey + 10000000 AS l_orderkey, l_returnflag,
+        |         l_quantity, l_extendedprice FROM one
+        |  UNION ALL SELECT l_orderkey + 20000000, l_returnflag,
+        |         l_quantity, l_extendedprice FROM one
+        |  UNION ALL SELECT l_orderkey + 30000000, l_returnflag,
+        |         l_quantity, l_extendedprice FROM one
+        |  UNION ALL SELECT l_orderkey + 40000000, l_returnflag,
+        |         l_quantity, l_extendedprice FROM one),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS rewrite_selective, TRUE AS big_files_carried,
+        |  TRUE AS data_identical, TRUE AS second_optimize_noop,
+        |  TRUE AS stats_survive
+        |FROM t GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q191: the SQL MERGE upsert replayed row-for-row (anti-join +
+    // union — the q168 oracle through the SQL route); flags pin the
+    // receipt and the bounded rewrite
+    "q191_snapshot_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS merge_receipt, TRUE AS rewrite_bounded,
+        |  TRUE AS history_intact
+        |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q192: the SET arithmetic replayed as a CASE — a resurrected old
+    // row, a double-applied update, or a lost unmatched row all
+    // hash-break the sums
+    "q192_snapshot_sql_update" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_orderkey % 10 = 3 THEN l_quantity + 5.0
+        |         ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN l_orderkey % 10 = 3 THEN l_extendedprice * 2.0
+        |         ELSE l_extendedprice END AS l_extendedprice
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS update_receipt, TRUE AS zero_prior_rewrite,
+        |  TRUE AS vector_carried, TRUE AS rows_stable
+        |FROM t GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q193: the filtered aggregate from the base table (the appended
+    // +3e8 keys fall outside the filter); the flags pin partition
+    // pruning firing FIRST and stats composing inside the survivor
+    "q193_partitioned_snapshot" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS partition_pruned, TRUE AS stats_compose,
+        |  TRUE AS append_keeps_layout
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q194: the pinned-state star join (both tables at their ≤1000
+    // appended state); a torn pin set, a lost staged commit, or a
+    // vacuum breaking the pinned history all flip a flag or the rows
+    "q194_catalog_txn_helper" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey <= 1000),
+        |d AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey <= 1000)
+        |SELECT o_orderstatus, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  TRUE AS txn_flipped, TRUE AS failed_stage_pins_nothing,
+        |  TRUE AS vacuum_honors_pins
+        |FROM f JOIN d ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, l_returnflag""".stripMargin,
+    // q195: the appended batch as the full insert-side change feed;
+    // ts-addressed ≡ version-addressed is pinned by the flag
+    "q195_changes_by_timestamp" ->
+      """SELECT 'insert' AS _change_type, 'A' AS o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS matches_version_addressed, TRUE AS empty_self_diff,
+        |  TRUE AS churn_bounded
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
     // q189: base ∪ self-insert − delete replayed under the final SQL
     // read — a misrouted INSERT, a resurrected deleted row, or a
     // positional-match slip changes the rows

@@ -212,6 +212,98 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(err2.getMessage.contains("read-only"))
   }
 
+  test("SQL UPDATE routes to the merge-on-read writer: zero pre-existing rewrites") {
+    val root = tmpDir("sqlsnap_upd")
+    clustered(root, 100)
+    val before = Snapshots.filesOfVersion(spark, root, 1L).toSet
+    val r = SnapshotSql.sql(spark,
+      s"UPDATE snap.`$root` SET s = concat(s, '-u') WHERE id % 10 = 3")
+      .as[(Long, Long)].head()
+    assert(r === ((2L, 10L)))
+    val after = Snapshots.filesOfVersion(spark, root, 2L).toSet
+    assert(before.subsetOf(after), "UPDATE must carry every old file by reference")
+    assert(Snapshots.versionMeta(spark, root, 2L).dv.isDefined)
+    val rows = spark.sql(s"SELECT id, s FROM snap.`$root` WHERE id IN (3, 4)")
+      .as[(Long, String)].collect().toMap
+    assert(rows(3L) === "r3-u" && rows(4L) === "r4")
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
+      .as[Long].head() === 100L)
+    // alias-qualified columns resolve; unconditional UPDATE works
+    val r2 = SnapshotSql.sql(spark,
+      s"UPDATE snap.`$root` AS t SET t.s = upper(t.s) WHERE t.id = 1")
+      .as[(Long, Long)].head()
+    assert(r2 === ((3L, 1L)))
+  }
+
+  test("SQL MERGE INTO routes the upsert shape to the stats-targeted merge") {
+    val root = tmpDir("sqlsnap_merge")
+    clustered(root, 400)
+    // source: updates for a key-local slice plus brand-new keys
+    ids(1, 30).withColumn("s", concat(col("s"), lit("-m")))
+      .unionByName(ids(9001, 9005))
+      .createOrReplaceTempView("merge_src")
+    val r = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(r._1 === 2L)
+    assert(r._2 > 0 && r._2 < r._3, s"rewrite must be bounded: $r")
+    val got = spark.sql(
+      s"SELECT id, s FROM snap.`$root` WHERE id IN (1, 31, 9001)")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "r1-m", 31L -> "r31", 9001L -> "r9001"))
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
+      .as[Long].head() === 405L)
+    // non-upsert clause sets refuse loudly instead of guessing
+    val err = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(err.getMessage.contains("UPDATE SET *"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"""MERGE INTO snap.`$root` t USING merge_src s
+           |ON t.id = s.id AND t.id > 5
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(err2.getMessage.contains("one equality"), err2.getMessage)
+  }
+
+  test("INSERT ... PARTITION refuses instead of dropping the static value") {
+    val root = tmpDir("sqlsnap_inspart")
+    Snapshots.commit(spark,
+      Seq((1L, "g0", "a")).toDF("id", "grp", "s"), root,
+      partitionBy = Seq("grp"))
+    val err = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"INSERT INTO snap.`$root` PARTITION (grp='g1') SELECT 2, 'b'")
+    }
+    assert(err.getMessage.contains("PARTITION"), err.getMessage)
+  }
+
+  test("SQL over a partitioned snapshot: path pruning fires through plain WHERE") {
+    val root = tmpDir("sqlsnap_part")
+    val base = (1L to 3000L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "s")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"), partitionBy = Seq("grp"))
+    val (df, idx) = Snapshots.sqlScan(spark, root)
+    val n = df.filter(col("grp") === "g2").agg(count(lit(1)))
+      .head().getLong(0)
+    assert(n === 1000L)
+    assert(idx.lastPartitionKept === Some(4),
+      s"one of three partitions survives: ${idx.lastPartitionKept}")
+    // and the session-SQL path prunes identically
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM snap.`$root` WHERE grp = 'g2' AND id <= 500")
+      .as[Long].head()
+    assert(viaSql === base.filter(col("grp") === "g2" && col("id") <= 500).count())
+  }
+
   test("canHit translation: And keeps the provable half; Or requires both") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType

@@ -201,9 +201,11 @@ class SnapshotsSpec extends SparkSpec {
     def nFiles(v: Long) = Snapshots.read(spark, root, Some(v))
       .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
     assert(nFiles(v1) === 20L)
-    val v2 = Snapshots.optimize(spark, root,
+    val r2 = Snapshots.optimize(spark, root,
       targetBytes = 1L << 30, statsCols = Seq("id"))
+    val v2 = r2.version
     assert(v2 === v1 + 1)
+    assert(r2.filesRewritten === 20 && r2.filesTotal === 20)
     assert(nFiles(v2) === 1L)
     // bit-identical data, both directions
     val a = Snapshots.read(spark, root, Some(v1))
@@ -243,8 +245,13 @@ class SnapshotsSpec extends SparkSpec {
     val optimizer = new Thread(() =>
       try {
         barrier.await()
-        (1 to 3).foreach(_ =>
-          optVs.add(Snapshots.optimize(spark, root, targetBytes = 1L << 30)))
+        (1 to 3).foreach { _ =>
+          // only versions optimize actually PUBLISHED carry its
+          // data-identity invariant (a no-op returns the current
+          // version, which may be a concurrent commit's)
+          val r = Snapshots.optimize(spark, root, targetBytes = 1L << 30)
+          if (r.filesRewritten > 0) optVs.add(r.version)
+        }
       } catch { case t: Throwable => errors.add(t) })
     committer.start(); optimizer.start()
     committer.join(180000); optimizer.join(180000)
@@ -551,7 +558,7 @@ class SnapshotsSpec extends SparkSpec {
       spark, root, None, "id", Some(lit(1000L)), Some(lit(1010L)))
     assert(beforeRead === beforeTotal, "interleaved layout should not prune")
     val v = Snapshots.optimize(spark, root, targetBytes = 16L * 1024,
-      statsCols = Seq("id"), clusterBy = Seq("id"))
+      statsCols = Seq("id"), clusterBy = Seq("id")).version
     val (pr, afterRead, afterTotal) = Snapshots.readPruned(
       spark, root, Some(v), "id", Some(lit(1000L)), Some(lit(1010L)))
     assert(pr.count() === 11L)
@@ -606,7 +613,7 @@ class SnapshotsSpec extends SparkSpec {
   test("changes: optimize and rollback-to-from net to zero change rows") {
     val root = tmpDir("snap_cdf_opt")
     Snapshots.commit(spark, df(20).repartition(4), root)
-    val vOpt = Snapshots.optimize(spark, root, targetBytes = 1L << 30)
+    val vOpt = Snapshots.optimize(spark, root, targetBytes = 1L << 30).version
     assert(Snapshots.changes(spark, root, 1L, vOpt).df.count() === 0L)
     Snapshots.commit(spark, df(3), root) // a "bad" overwrite
     val vRb = Snapshots.rollback(spark, root, to = vOpt)
@@ -673,7 +680,7 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows.head === ((1L, "UPD")))
     assert(Snapshots.versionMeta(spark, root, r.version).dv.isDefined)
     // optimize materializes everything away
-    val vOpt = Snapshots.optimize(spark, root)
+    val vOpt = Snapshots.optimize(spark, root).version
     assert(Snapshots.versionMeta(spark, root, vOpt).dv.isEmpty)
     assert(Snapshots.read(spark, root, Some(vOpt)).orderBy("id")
       .as[(Long, String)].collect().map(_._1) === rows.map(_._1))
@@ -1013,29 +1020,278 @@ class SnapshotsSpec extends SparkSpec {
       "survivors of the rewritten file carry the rewrite version; the untouched append file keeps v2")
   }
 
-  test("fileLineage is metadata-only: zero Spark jobs") {
+  test("fileLineage is metadata-only: a plan over the log, no data file opened") {
     val root = tmpDir("snap_lin_jobs")
     Snapshots.commit(spark, df(4), root)
     Snapshots.append(spark, Seq((10L, "a")).toDF("id", "s"), root)
-    def jobsIn(group: String)(body: => Unit): Int = {
-      spark.sparkContext.setJobGroup(group, group)
-      try body finally spark.sparkContext.clearJobGroup()
-      var last = -1
-      var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-      var spins = 0
-      while (n != last && spins < 50) {
-        last = n; Thread.sleep(100)
-        n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-        spins += 1
-      }
-      n
-    }
-    var rows: Array[org.apache.spark.sql.Row] = Array.empty
-    assert(jobsIn("snap_lineage_probe") {
-      rows = Snapshots.fileLineage(spark, root).collect()
-    } === 0, "lineage derivation must read manifests only (driver FS IO); " +
-      "collect over the local relation launches no job")
+    val lin = Snapshots.fileLineage(spark, root)
+    // the (file, version) pairs come from manifest TEXT reads and
+    // per-dir listings — the aggregation is a distributed plan (it
+    // must hold at 10⁶ files × 10² versions), but no PARQUET data
+    // file may open in deriving it
+    val physical = lin.queryExecution.executedPlan.toString()
+    assert(!physical.toLowerCase.contains("parquet"),
+      s"lineage plan opened data files:\n$physical")
+    val rows = lin.collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(1)).toSet === Set(1L, 2L))
+  }
+
+  test("fileLineage holds at many files x many versions (distributed fold)") {
+    import spark.implicits._
+    val root = tmpDir("snap_lin_scale")
+    // 16 versions x 12-file batches: 12 + 24 + ... files of history —
+    // the shape that melts a driver-side map fold but is trivial for
+    // the groupBy(file).min(version) plan
+    Snapshots.commit(spark,
+      (1L to 120L).map(i => (i, s"r$i")).toDF("id", "s").repartition(12), root)
+    (2 to 16).foreach { b =>
+      Snapshots.append(spark,
+        (1L to 120L).map(i => (b * 1000L + i, s"r$i")).toDF("id", "s")
+          .repartition(12), root)
+    }
+    val lin = Snapshots.fileLineage(spark, root)
+    val byVersion = lin.groupBy("since_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byVersion.keySet === (1L to 16L).toSet)
+    assert(byVersion.values.forall(_ === 12L),
+      s"each version introduced exactly its 12 files: $byVersion")
+    assert(lin.count() === 16L * 12L)
+  }
+
+  // --- selective OPTIMIZE: compact the small-file tail, not the table ---
+
+  test("optimize is selective: full-size files carry by reference, only debt rewrites") {
+    import spark.implicits._
+    val root = tmpDir("snap_opt_sel")
+    // two FULL-SIZE files plus six tiny append batches — the daily
+    // micro-batch accretion shape
+    Snapshots.commitWithStats(spark,
+      (1L to 60000L).map(i => (i, s"row-with-some-padding-$i"))
+        .toDF("id", "s").repartitionByRange(2, col("id"))
+        .sortWithinPartitions("id"),
+      root, Seq("id"))
+    (1 to 6).foreach { b =>
+      Snapshots.append(spark,
+        Seq((100000L + b, s"tiny$b")).toDF("id", "s").coalesce(1),
+        root, Seq("id"))
+    }
+    val before = Snapshots.read(spark, root)
+    val beforeFiles = Snapshots.filesOfVersion(spark, root, 7L)
+    val sizes = beforeFiles.map(p =>
+      new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else s"file:$p").getPath).length())
+    val target = 64L * 1024
+    val nBig = sizes.count(_ >= target)
+    val nSmall = sizes.count(_ < target)
+    assert(nBig === 2 && nSmall === 6, s"layout drifted: $sizes")
+    val r = Snapshots.optimize(spark, root, targetBytes = target,
+      statsCols = Seq("id"))
+    // ONLY the small tail rewrote; the big files are carried verbatim
+    assert(r.filesRewritten === nSmall)
+    assert(r.filesTotal === nBig + nSmall)
+    val afterFiles = Snapshots.filesOfVersion(spark, root, r.version)
+    val carried = beforeFiles.toSet.intersect(afterFiles.toSet)
+    assert(carried.size === nBig,
+      s"big files must carry by path: kept ${carried.size} of $nBig")
+    assert(afterFiles.size === nBig + 1, "six tiny files compact into one")
+    // data identical both ways
+    val after = Snapshots.read(spark, root, Some(r.version))
+    assert(before.exceptAll(after).count() === 0L &&
+      after.exceptAll(before).count() === 0L)
+    // the skipping index survives: carried rows verbatim + fresh build
+    val (pr, nRead, nTotal) = Snapshots.readPruned(
+      spark, root, Some(r.version), "id", Some(lit(1L)), Some(lit(10L)))
+    assert(pr.count() === 10L)
+    assert(nRead < nTotal)
+    // a second OPTIMIZE finds one sub-target file and no vector:
+    // nothing to merge, NOTHING published
+    val r2 = Snapshots.optimize(spark, root, targetBytes = target)
+    assert(r2.version === r.version && r2.filesRewritten === 0)
+    assert(Snapshots.latestVersion(spark, root) === Some(r.version))
+  }
+
+  test("optimize with a vector rewrites dv files regardless of size") {
+    import spark.implicits._
+    val root = tmpDir("snap_opt_dv")
+    Snapshots.commitWithStats(spark,
+      (1L to 60000L).map(i => (i, s"row-with-some-padding-$i"))
+        .toDF("id", "s").repartitionByRange(2, col("id"))
+        .sortWithinPartitions("id"),
+      root, Seq("id"))
+    val d = Snapshots.deleteWhere(spark, root, col("id") === 7L)
+    assert(d.rowsDeleted === 1L)
+    val logical = Snapshots.read(spark, root)
+    val r = Snapshots.optimize(spark, root, targetBytes = 64L * 1024)
+    // only the dv-carrying file rewrote; the clean big file carried
+    assert(r.filesRewritten === 1 && r.filesTotal === 2)
+    val m = Snapshots.versionMeta(spark, root, r.version)
+    assert(m.dv.isEmpty, "optimize materializes the vector away")
+    val after = Snapshots.read(spark, root, Some(r.version))
+    assert(logical.exceptAll(after).count() === 0L &&
+      after.exceptAll(logical).count() === 0L)
+    assert(m.nRows === 59999L)
+  }
+
+  // --- merge-on-read UPDATE ---
+
+  test("updateWhere rewrites zero pre-existing files; reads see the update") {
+    import spark.implicits._
+    val root = tmpDir("snap_upd")
+    Snapshots.commitWithStats(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val beforeFiles = Snapshots.filesOfVersion(spark, root, 1L).toSet
+    val r = Snapshots.updateWhere(spark, root, col("id") % 10 === 3,
+      Seq("s" -> concat(col("s"), lit("-UPD"))))
+    assert(r.version === 2L && r.rowsUpdated === 10L)
+    // every pre-existing file carried by reference
+    val afterFiles = Snapshots.filesOfVersion(spark, root, 2L).toSet
+    assert(beforeFiles.subsetOf(afterFiles),
+      "updateWhere must never rewrite a pre-existing file")
+    assert((afterFiles -- beforeFiles).nonEmpty, "fresh dir carries the updates")
+    val m = Snapshots.versionMeta(spark, root, 2L)
+    assert(m.dv.isDefined && m.nRows === 100L)
+    val rows = Snapshots.read(spark, root).as[(Long, String)].collect().toMap
+    assert(rows.size === 100)
+    assert(rows(3L) === "r3-UPD" && rows(13L) === "r13-UPD")
+    assert(rows(4L) === "r4")
+    // old positions died by vector; no duplicates
+    assert(Snapshots.read(spark, root)
+      .groupBy("id").count().filter(col("count") > 1).count() === 0L)
+    // a no-match update publishes nothing
+    val r2 = Snapshots.updateWhere(spark, root, col("id") > 1000000L,
+      Seq("s" -> lit("x")))
+    assert(r2.version === 2L && r2.rowsUpdated === 0L)
+  }
+
+  test("updateWhere composes with prior deletes and honors constraints") {
+    import spark.implicits._
+    val root = tmpDir("snap_upd_dv")
+    Snapshots.commitWithStats(spark, df(20), root, Seq("id"))
+    Snapshots.addConstraint(spark, root, "s_nonempty", "length(s) > 0")
+    Snapshots.deleteWhere(spark, root, col("id") === 5L)
+    // the deleted row must NOT resurrect as an update
+    val r = Snapshots.updateWhere(spark, root, col("id") <= 6L,
+      Seq("s" -> upper(col("s"))))
+    assert(r.rowsUpdated === 5L, "id=5 is deleted; 1,2,3,4,6 update")
+    val rows = Snapshots.read(spark, root).as[(Long, String)].collect().toMap
+    assert(!rows.contains(5L))
+    assert(rows(6L) === "R6" && rows(7L) === "r7")
+    // an update violating a CHECK refuses and leaves the table intact
+    val vBefore = Snapshots.latestVersion(spark, root)
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, root, col("id") === 7L,
+        Seq("s" -> lit("")))
+    }
+    assert(Snapshots.latestVersion(spark, root) === vBefore)
+    assert(Snapshots.read(spark, root).as[(Long, String)]
+      .collect().toMap.apply(7L) === "r7")
+  }
+
+  // --- vacuum honors the catalog/clone retention contract ---
+
+  test("vacuum protectedVersions: a pinned old version survives keepLast") {
+    val root = tmpDir("snap_vac_prot")
+    Snapshots.commit(spark, df(3), root)  // v1 — "pinned"
+    Snapshots.commit(spark, df(5), root)  // v2 — unpinned
+    Snapshots.commit(spark, df(7), root)  // v3 — latest
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0,
+      protectedVersions = Set(1L))
+    assert(Snapshots.versions(spark, root) === Seq(1L, 3L),
+      "v1 is protected, v2 reclaims, v3 is retained")
+    assert(Snapshots.read(spark, root, Some(1L)).count() === 3L)
+    assert(Snapshots.read(spark, root).count() === 7L)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root, Some(2L)).count()
+    }
+  }
+
+  // --- timestamp-addressed CDF ---
+
+  test("changesAsOf resolves bounds through commit-file mtimes") {
+    import spark.implicits._
+    val root = tmpDir("snap_cdf_ts")
+    Snapshots.commit(spark, df(4), root)
+    Thread.sleep(1100)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Snapshots.append(spark, Seq((10L, "a"), (11L, "b")).toDF("id", "s"), root)
+    val t2 = System.currentTimeMillis()
+    val cs = Snapshots.changesAsOf(spark, root, t1, t2)
+    val rows = cs.df.orderBy("id").as[(Long, String, String)].collect()
+    assert(rows === Array((10L, "a", "insert"), (11L, "b", "insert")))
+    // both bounds before the append: empty diff of v1 with itself
+    assert(Snapshots.changesAsOf(spark, root, t1, t1).df.count() === 0L)
+  }
+
+  // --- partitioned snapshot tables ---
+
+  test("partitioned commit: reads stay exact, appends keep the layout, writers compose") {
+    import spark.implicits._
+    val root = tmpDir("snap_part")
+    val base = (1L to 90L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "s")
+    Snapshots.commit(spark, base, root, partitionBy = Seq("grp"))
+    assert(Snapshots.versionMeta(spark, root, 1L).parts === Seq("grp"))
+    // files land under __p_grp=<v> dirs AND still carry the column
+    val files = Snapshots.filesOfVersion(spark, root, 1L)
+    assert(files.forall(_.contains("__p_grp=")), s"unpartitioned layout: $files")
+    val got = Snapshots.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "grp", "s"),
+      "partition path keys must not leak as columns")
+    assert(got.exceptAll(base).count() === 0L &&
+      base.exceptAll(got).count() === 0L)
+    // append inherits the layout
+    Snapshots.append(spark,
+      Seq((1000L, "g7", "x")).toDF("id", "grp", "s"), root)
+    val v2files = Snapshots.filesOfVersion(spark, root, 2L)
+    assert(v2files.exists(_.contains("__p_grp=g7")))
+    assert(Snapshots.read(spark, root).count() === 91L)
+    // merge-on-read delete and CDF compose (explicit-file readers see
+    // the partition column because the files carry it)
+    Snapshots.deleteWhere(spark, root, col("grp") === "g7")
+    assert(Snapshots.read(spark, root).count() === 90L)
+    val cs = Snapshots.changes(spark, root, 1L, 3L)
+    assert(cs.df.count() === 0L, "append then delete of it nets to zero")
+  }
+
+  test("partitioned sqlScan: partition pruning fires first, stats skip on a second column") {
+    import spark.implicits._
+    val root = tmpDir("snap_part_prune")
+    val base = (1L to 9000L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "s")
+    // 3 partitions x 4 range-clustered files each
+    Snapshots.commit(spark,
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, partitionBy = Seq("grp"))
+    val m = Snapshots.versionMeta(spark, root, 1L)
+    // build the per-file stats for the id column (partitioned commit
+    // composes with the usual stats hook)
+    val (df0, idx0) = Snapshots.sqlScan(spark, root)
+    val total = idx0.inputFiles.length
+    assert(total === 12, s"expected 3x4 files, got $total")
+    // partition-only filter: NO stats table exists yet — any prune is
+    // the path-value check
+    df0.filter(col("grp") === "g1").agg(count(lit(1))).head()
+    assert(idx0.lastPartitionKept === Some(4),
+      s"partition pruning must keep exactly one partition: ${idx0.lastPartitionKept}")
+    assert(idx0.lastScan === Some((4, 12)))
+    // now with stats: both prunes compose — partition first, then
+    // id range stats inside the partition
+    val stats = graft.etl.StatsIndex.build(spark,
+      s"$root/data/${m.layoutId}", Seq("id"))
+    // persist under the layout's stats path; sqlScan picks it up
+    graft.etl.Load.writeAtomic(spark, stats,
+      s"$root/_stats/${m.layoutId}")
+    val (df1, idx1) = Snapshots.sqlScan(spark, root)
+    val n = df1.filter(col("grp") === "g1" && col("id") <= 700L)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(n === base.filter(col("grp") === "g1" && col("id") <= 700L).count())
+    assert(idx1.lastPartitionKept === Some(4))
+    val (kept, tot) = idx1.lastScan.get
+    assert(tot === 12 && kept < 4,
+      s"stats must prune inside the surviving partition: kept $kept")
   }
 }
