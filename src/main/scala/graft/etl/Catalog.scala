@@ -151,7 +151,15 @@ object Catalog {
       try return commit(spark, catRoot, merged,
         expectedLatest = Some(cur.getOrElse(0L)))
       catch {
-        case e: IllegalArgumentException =>
+        // ONLY the two race shapes retry ("catalog advanced past
+        // expected" / "lost the catalog publish race") — a
+        // validation failure (e.g. a current pin whose table version
+        // was vacuumed away) is a real error and must surface at
+        // once, not after 100 identical filesystem sweeps
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              (e.getMessage.contains("advanced to") ||
+                e.getMessage.contains("publish race")) =>
           attempts += 1
           if (attempts >= maxAttempts) throw new IllegalStateException(
             s"$catRoot: writeAndPin lost $attempts catalog races", e)

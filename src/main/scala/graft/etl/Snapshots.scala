@@ -183,16 +183,25 @@ object Snapshots {
     // table — same CHECK gate as append (no-op on a fresh table)
     val cons = constraintsOf(spark, root)
     requireSatisfied(df, cons, "commit")
-    partitionBy.foreach(c => require(df.columns.contains(c),
+    // the partition layout is a TABLE property: an overwrite that
+    // does not name one INHERITS the existing layout (Delta's
+    // semantics — otherwise a plain INSERT OVERWRITE would silently
+    // strip partitioning from the log for every later writer).
+    // Passing an explicit partitionBy redefines it.
+    val effParts =
+      if (partitionBy.nonEmpty) partitionBy
+      else latestVersion(spark, root)
+        .map(v => versionMeta(spark, root, v).parts).getOrElse(Nil)
+    effParts.foreach(c => require(df.columns.contains(c),
       s"partition column $c is not a column of the batch"))
-    val (dataDir, nRows) = writeDataDir(spark, df, root, partitionBy)
+    val (dataDir, nRows) = writeDataDir(spark, df, root, effParts)
     // schema-in-the-log from the first commit: every later reader —
     // and every append's schema check — plans from the version
     // metadata instead of sampling parquet footers
     val ddl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     publishNext(spark, root,
-      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons, partitionBy))
+      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons, effParts))
   }
 
   private[etl] def jsonEsc(s: String): String =
@@ -1173,21 +1182,27 @@ object Snapshots {
                               evolveSchema: Boolean,
                               checkedCons: Seq[(String, String)]): Long = {
     import org.apache.spark.sql.types.StructType
-    // the table's partition layout rides every append (parts are fixed
-    // at table creation); a racing full-replace that changes the
-    // layout only costs the fresh files their path-pruning precision —
-    // the planner keeps files without the `k=v` segment conservatively
-    val tableParts = latestVersion(spark, root)
-      .map(v => versionMeta(spark, root, v).parts).getOrElse(Nil)
+    // ONE metadata read resolves the partition layout (it must be
+    // known before the data write) AND seeds the first loop
+    // iteration — retries re-read. A racing full-replace that
+    // changes the layout only costs the fresh files their
+    // path-pruning precision — the planner keeps files without the
+    // `k=v` segment conservatively.
+    var cached: Option[(Long, VMeta)] = latestVersion(spark, root)
+      .map(v => (v, versionMeta(spark, root, v)))
+    val tableParts = cached.map(_._2.parts).getOrElse(Nil)
     val (freshDir, freshRows) = writeDataDir(spark, df, root, tableParts)
     val freshRel = listFreshRel(spark, root, freshDir)
     var checked = checkedCons
     var attempts = 0
     while (true) {
-      val prior = latestVersion(spark, root)
-      val (oldRel, oldRows, priorMeta) = prior match {
-        case Some(v) =>
-          val m = versionMeta(spark, root, v)
+      // first iteration reuses the pre-write read; retries re-read
+      val cur = cached.orElse(latestVersion(spark, root)
+        .map(v => (v, versionMeta(spark, root, v))))
+      cached = None
+      val prior = cur.map(_._1)
+      val (oldRel, oldRows, priorMeta) = cur match {
+        case Some((_, m)) =>
           (relFilesOf(spark, root, m), m.nRows, Some(m))
         case None => (Seq.empty[String], 0L, None)
       }
@@ -1639,16 +1654,23 @@ object Snapshots {
       if (tryPublish(spark, root, v + 1, body)) {
         if (statsCols.nonEmpty) {
           val newMeta = versionMeta(spark, root, v + 1)
+          val expectedCols = (Seq("file", "n_rows") ++ statsCols.flatMap(c =>
+            Seq(s"min_$c", s"max_$c", s"nulls_$c"))).toSet
+          val prior = statsOf(spark, root, m, statsCols)
           if (carriedRel.isEmpty) ensureStats(spark, root, newMeta, statsCols)
+          else if (prior.columns.toSet != expectedCols)
+            // the prior index was built for DIFFERENT columns — its
+            // rows cannot union with a fresh build; rebuild the whole
+            // layout instead of crashing after the publish landed
+            ensureStats(spark, root, newMeta, statsCols)
           else {
             // carried stats rows reused verbatim; only the fresh dir scans
-            val stats = statsOf(spark, root, m, statsCols)
             val carriedAbs = spark.createDataset(carriedRel.map(rel =>
                 normPath(new Path(root, rel).toString)))(
               org.apache.spark.sql.Encoders.STRING).toDF("__cf")
-            val carriedStats = stats.join(carriedAbs,
+            val carriedStats = prior.join(carriedAbs,
               org.apache.spark.sql.functions.regexp_replace(
-                stats("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
+                prior("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
             Load.writeAtomic(spark,
               carriedStats.unionByName(StatsIndex.build(spark,
                 new Path(root, freshDir).toString, statsCols)),
@@ -1802,10 +1824,16 @@ object Snapshots {
     // superseded files until the last version referencing it ages
     // out, bounded by retained history — Delta-without-file-granular-
     // vacuum semantics)
+    // pin the TOP-LEVEL data dir ("data/c-xxx"), not the file's
+    // immediate parent: a partitioned layout nests `__p_k=v` segments
+    // under it, and the reclaim loop below compares top-level names —
+    // pinning the nested parent would leave the whole dir "unkept"
+    // and a routine vacuum would delete a LIVE version's data
     val keepDirs = keepMetas.flatMap { m =>
       m.dataDir.map(Seq(_)).getOrElse(
-        relFilesOf(spark, root, m).map(rel =>
-          rel.split('/').dropRight(1).mkString("/")))
+        relFilesOf(spark, root, m)
+          .filter(_.startsWith("data/"))
+          .map(rel => rel.split('/').take(2).mkString("/")))
     }.toSet
     val keepManifests = keepMetas.flatMap(_.manifest).toSet
     val keepLayouts = keepMetas.map(_.layoutId).toSet

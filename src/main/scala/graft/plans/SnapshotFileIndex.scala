@@ -61,26 +61,30 @@ final class SnapshotFileIndex(
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSet).getOrElse(Set.empty)
 
-  /** Per-file partition values parsed ONCE from the `__p_<col>=<v>`
-    * path segments the snapshot writers lay partitioned data out
-    * under ([[graft.etl.Snapshots.partKey]]). `None` = the Hive null
-    * marker; a file missing a column's segment entirely (a layout
+  /** Per-file partition values parsed ONCE from the
+    * `__p_<col>=<v>` path segments the snapshot writers lay
+    * partitioned data out under ([[graft.etl.Snapshots.partKey]] —
+    * the single owner of the prefix contract). Only KNOWN values
+    * enter the map: the Hive default marker is AMBIGUOUS (Spark
+    * writes it for null AND for the empty string, and the hybrid
+    * layout's files genuinely carry `''` in the column), so marker
+    * segments — like files missing the segment entirely (a layout
     * written before the table was partitioned, or a racing
-    * re-layout) is absent from the inner map and is always KEPT —
+    * re-layout) — stay absent and their files are always KEPT:
     * pruning degrades, never breaks.
     */
-  private val partValsByFile: Map[Path, Map[String, Option[String]]] =
+  private val partValsByFile: Map[Path, Map[String, String]] =
     if (partCols.isEmpty) Map.empty
     else {
-      val wanted = partCols.map(c => s"__p_$c" -> c).toMap
+      val wanted = partCols.map(c => graft.etl.Snapshots.partKey(c) -> c).toMap
       fileStatuses.map { st =>
         val segs = st.getPath.toUri.getPath.split('/')
         val vals = segs.iterator.flatMap { seg =>
           val i = seg.indexOf('=')
           if (i <= 0) Iterator.empty
-          else wanted.get(seg.take(i)).map { c =>
+          else wanted.get(seg.take(i)).flatMap { c =>
             val raw = SnapshotFileIndex.unescapePath(seg.drop(i + 1))
-            c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(c -> raw)
           }.iterator
         }.toMap
         st.getPath -> vals
@@ -172,13 +176,18 @@ object SnapshotFileIndex {
       l, org.apache.spark.sql.types.StringType, Some("UTC")).eval(null))
       .map(_.toString)
 
-  private type PartVals = Map[String, Option[String]]
+  private type PartVals = Map[String, String]
 
   /** Translate one pushed data filter into a per-file check over the
     * parsed partition values, or None when the shape is not provably
     * decidable from them (→ caller keeps every file). A file whose
-    * inner map is MISSING the column (pre-partitioning layout)
-    * always passes — conservative by construction, like [[canHit]].
+    * inner map is MISSING the column — a pre-partitioning layout, a
+    * racing re-layout, or the ambiguous null/'' default marker —
+    * always passes: conservative by construction, like [[canHit]].
+    * IsNull prunes files with a KNOWN value (the hybrid layout
+    * guarantees every row in a `k=v` file carries exactly v, never
+    * null); IsNotNull deliberately translates to nothing because the
+    * default marker may hide non-null empty strings.
     */
   private[graft] def partCanHit(e: Expression,
                                 partCols: Set[String]): Option[PartVals => Boolean] = {
@@ -188,7 +197,7 @@ object SnapshotFileIndex {
     }
     e match {
       case EqualTo(a, l: Literal) => for (c <- name(a); v <- pathValue(l))
-        yield (vals: PartVals) => vals.get(c).forall(_.contains(v))
+        yield (vals: PartVals) => vals.get(c).forall(_ == v)
       case EqualTo(l: Literal, a) => partCanHit(EqualTo(a, l), partCols)
       case EqualNullSafe(a, l: Literal) if l.value != null =>
         partCanHit(EqualTo(a, l), partCols)
@@ -201,11 +210,7 @@ object SnapshotFileIndex {
           if (rendered.exists(_.isEmpty)) None
           else {
             val set = rendered.flatten.toSet
-            Some((vals: PartVals) => vals.get(c) match {
-              case Some(Some(v)) => set(v)
-              case Some(None) => false // null never passes IN
-              case None => true
-            })
+            Some((vals: PartVals) => vals.get(c).forall(set))
           }
         }
       case InSet(a, hset) if hset.nonEmpty && hset.size <= 256 =>
@@ -215,17 +220,11 @@ object SnapshotFileIndex {
           if (rendered.exists(_.isEmpty)) None
           else {
             val set = rendered.flatten.toSet
-            Some((vals: PartVals) => vals.get(c) match {
-              case Some(Some(v)) => set(v)
-              case Some(None) => false
-              case None => true
-            })
+            Some((vals: PartVals) => vals.get(c).forall(set))
           }
         }
       case IsNull(a) => name(a).map(c => (vals: PartVals) =>
-        vals.get(c).forall(_.isEmpty))
-      case IsNotNull(a) => name(a).map(c => (vals: PartVals) =>
-        vals.get(c).forall(_.nonEmpty))
+        !vals.contains(c))
       case And(l, r) =>
         (partCanHit(l, partCols), partCanHit(r, partCols)) match {
           case (Some(a), Some(b)) => Some(v => a(v) && b(v))

@@ -281,12 +281,18 @@ object SnapshotSql {
           s"(unconditional), got $other")
     }
     val key = m.mergeCondition match {
+      // the same fully-qualified reference on both sides (ON t.id =
+      // t.id — a typo for t.id = s.id) must refuse, not silently run
+      // an upsert; unqualified `ON id = id` stays legal (its only
+      // sane reading IS target.id = source.id)
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
           l: UnresolvedAttribute, r: UnresolvedAttribute)
-          if l.nameParts.last == r.nameParts.last => l.nameParts.last
+          if l.nameParts.last == r.nameParts.last &&
+            !(l.nameParts.length > 1 && l.nameParts == r.nameParts) =>
+        l.nameParts.last
       case other => throw new IllegalArgumentException(
         "snap: MERGE ON must be target.<key> = source.<key> " +
-          s"(one equality, same column name), got $other")
+          s"(one equality, same column name, distinct sides), got $other")
     }
     val src = GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(m.sourceTable))
     val r = Snapshots.merge(spark, src, root, key, statsCols = Seq(key))

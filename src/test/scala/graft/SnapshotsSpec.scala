@@ -1257,6 +1257,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(cs.df.count() === 0L, "append then delete of it nets to zero")
   }
 
+  test("vacuum on a partitioned table keeps live nested data dirs") {
+    import spark.implicits._
+    val root = tmpDir("snap_part_vac")
+    Snapshots.commit(spark,
+      (1L to 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"),
+      root, partitionBy = Seq("grp"))
+    Snapshots.append(spark, Seq((100L, "g9")).toDF("id", "grp"), root)
+    Snapshots.append(spark, Seq((101L, "g9")).toDF("id", "grp"), root)
+    // grace 0: an unpinned dir would reclaim IMMEDIATELY — the live
+    // manifest's partitioned dirs must survive
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0)
+    assert(Snapshots.read(spark, root).count() === 32L,
+      "vacuum deleted data a live manifest references")
+    assert(Snapshots.read(spark, root).filter(col("grp") === "g0").count() === 10L)
+  }
+
+  test("a full-replace commit inherits the table's partition layout") {
+    import spark.implicits._
+    val root = tmpDir("snap_part_inherit")
+    Snapshots.commit(spark,
+      (1L to 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"),
+      root, partitionBy = Seq("grp"))
+    // overwrite WITHOUT naming a layout: parts must ride forward
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "grp"), root)
+    assert(Snapshots.versionMeta(spark, root, 2L).parts === Seq("grp"))
+    assert(Snapshots.filesOfVersion(spark, root, 2L)
+      .forall(_.contains("__p_grp=")))
+    // an explicit partitionBy redefines it
+    Snapshots.commit(spark,
+      (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
+      root, partitionBy = Seq("id"))
+    assert(Snapshots.versionMeta(spark, root, 3L).parts === Seq("id"))
+  }
+
+  test("empty-string partition values are never pruned as null") {
+    import spark.implicits._
+    val root = tmpDir("snap_part_empty")
+    // Spark writes '' to the SAME default-partition dir as null —
+    // the path value is ambiguous, so the planner must keep the file
+    Snapshots.commit(spark,
+      Seq((1L, ""), (2L, "g1"), (3L, null)).toDF("id", "grp"),
+      root, partitionBy = Seq("grp"))
+    val (df, _) = Snapshots.sqlScan(spark, root)
+    assert(df.filter(col("grp") === "").select("id")
+      .as[Long].collect().toSeq === Seq(1L),
+      "the '' row was pruned away with the null marker")
+    assert(df.filter(col("grp").isNull).select("id")
+      .as[Long].collect().toSeq === Seq(3L))
+    assert(df.filter(col("grp") === "g1").select("id")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("partitioned sqlScan: partition pruning fires first, stats skip on a second column") {
     import spark.implicits._
     val root = tmpDir("snap_part_prune")
