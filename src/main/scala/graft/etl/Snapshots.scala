@@ -1500,6 +1500,163 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  /** PARTITION-SCOPED OVERWRITE — the "reload today's partition"
+    * operation (Hive/Spark's static `INSERT OVERWRITE ... PARTITION`,
+    * Delta's partition-scoped replaceWhere): replace exactly the rows
+    * of one partition value-tuple with `df`, as ONE atomic commit.
+    * The file split is decided from PATH VALUES alone:
+    *
+    *  - files whose `__p_k=v` segments prove they hold a DIFFERENT
+    *    partition carry into the new version BY REFERENCE — never
+    *    opened;
+    *  - files provably OF the replaced partition are DROPPED — never
+    *    opened either (their rows are exactly what the overwrite
+    *    replaces);
+    *  - files whose partition value is UNKNOWN (a pre-partitioning
+    *    layout, the ambiguous null/'' default marker) are rewritten
+    *    with the partition's rows filtered OUT — the conservative
+    *    remainder, usually empty on a cleanly partitioned table.
+    *
+    * So on a cleanly partitioned 100 TB table the reload costs the
+    * NEW data's write plus one manifest — `filesRewritten` is 0 and
+    * no pre-existing byte is read. Every row of `df` must belong to
+    * the replaced partition (validated in one batch pass — writing
+    * partition g1's reload into g2 must refuse, as replaceWhere
+    * does); the batch faces the table's CHECK constraints; a prior
+    * deletion vector carries for carried files and drops with
+    * dropped/rewritten ones (their positions die with the rewrite),
+    * exactly the [[deleteRange]] interplay. Publishes at
+    * readVersion+1 with the usual conflict check. Requires the
+    * version's stats index ([[commitWithStats]]) for exact carried
+    * row accounting — the same contract as [[merge]]/[[deleteRange]].
+    */
+  def replacePartition(spark: SparkSession, df: DataFrame, root: String,
+                       spec: Map[String, Column],
+                       statsCols: Seq[String]): CowResult = {
+    require(spec.nonEmpty, "replacePartition needs at least one partition value")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      spec.keys.foreach(c => require(m.parts.contains(c),
+        s"replacePartition: $c is not a partition column of $root (${m.parts})"))
+      val schema = schemaOf(spark, root, v, m)
+      require(df.columns.toSet == schema.fieldNames.toSet,
+        s"replacePartition batch schema ${df.columns.toSet} != table ${schema.fieldNames.toSet}")
+      val batch = df.select(schema.fieldNames.toSeq.map(col): _*)
+      requireSatisfied(batch, m.constraints, "replacePartition batch")
+      val pred = spec.map { case (c, value) => col(c) <=> value }.reduce(_ && _)
+      val stray = batch.filter(!coalesce(pred, lit(false))).count()
+      require(stray == 0L,
+        s"replacePartition: $stray batch rows fall OUTSIDE the replaced " +
+          s"partition ${spec.keys.mkString(",")} — refusing (replaceWhere contract)")
+      // spec values rendered exactly as the writer encoded them in
+      // the path (the same session Cast-to-string) — one 1-row local
+      // eval, no constraint on how the caller built the Column
+      val specCols = spec.toSeq
+      val renderedRow = spark.range(1).select(specCols.map { case (c, value) =>
+        value.cast(org.apache.spark.sql.types.StringType).as(c) }: _*).head()
+      val specPath: Map[String, Option[String]] = specCols.zipWithIndex.map {
+        case ((c, _), idx) => c -> Option(renderedRow.getString(idx))
+      }.toMap
+      // classify every file from its path segments
+      val rels = relFilesOf(spark, root, m)
+      def valOf(rel: String, c: String): Option[String] =
+        rel.split('/').iterator.flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0 || seg.take(i) != partKey(c)) Iterator.empty
+          else {
+            val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.drop(i + 1))
+            // the default marker is ambiguous (null or '') — unknown
+            if (raw == "__HIVE_DEFAULT_PARTITION__") Iterator.empty
+            else Iterator.single(raw)
+          }
+        }.nextOption()
+      // known-different on ANY spec column → carried; known-equal on
+      // ALL → dropped; anything else → rewritten conservatively.
+      // A null spec value never path-matches (the marker is unknown),
+      // so null-partition reloads rewrite the marker files — sound.
+      val (carriedRel, rest) = rels.partition { rel =>
+        spec.keys.exists(c => (valOf(rel, c), specPath(c)) match {
+          case (Some(fv), Some(sv)) => fv != sv
+          case _ => false
+        })
+      }
+      val (droppedRel, touchedRel) = rest.partition { rel =>
+        spec.keys.forall(c => (valOf(rel, c), specPath(c)) match {
+          case (Some(fv), Some(sv)) => fv == sv
+          case _ => false
+        })
+      }
+      val stats = statsOf(spark, root, m, statsCols)
+      requireStatsCoverage(spark, root, m, stats)
+      // metadata-sized semi join, never a driver-built isin literal
+      val carriedAbs = spark.createDataset(carriedRel.map(rel =>
+          normPath(new Path(root, rel).toString)))(
+        org.apache.spark.sql.Encoders.STRING).toDF("__cf")
+      val carriedStats = stats.join(carriedAbs,
+        org.apache.spark.sql.functions.regexp_replace(
+          stats("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
+      val carriedPhys =
+        if (carriedRel.isEmpty) 0L
+        else carriedStats.agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      // prior vector: carried files' entries ride forward; dropped and
+      // rewritten files' entries die with their files
+      val dvPrior = dvOf(spark, root, m)
+      val (dvCarry, dvCarryN) =
+        if (m.dv.isEmpty || carriedRel.isEmpty) (None, 0L)
+        else {
+          val relDf = spark.createDataset(carriedRel)(
+            org.apache.spark.sql.Encoders.STRING).toDF("file")
+          val kept = dvPrior.join(relDf, Seq("file"), "left_semi")
+          val n = kept.count()
+          if (n == 0L) (None, 0L)
+          else {
+            val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+            kept.write.mode("overwrite").parquet(new Path(root, dvRel).toString)
+            (Some(dvRel), n)
+          }
+        }
+      // conservative remainder: unknown-layout files rewritten with
+      // the replaced partition's rows filtered OUT (logical read)
+      val remainder =
+        if (touchedRel.isEmpty) batch.filter(lit(false))
+        else applyDv(spark, root,
+          spark.read.schema(schema).parquet(
+            touchedRel.map(rel => new Path(root, rel).toString): _*), dvPrior)
+          .filter(!coalesce(pred, lit(false)))
+      val (freshDir, freshRows) =
+        writeDataDir(spark, remainder.unionByName(batch), root, m.parts)
+      val freshRel = listFreshRel(spark, root, freshDir)
+      val man = writeManifest(spark, root, carriedRel ++ freshRel)
+      val ddl = org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(nullable = true))).toDDL
+      if (tryPublish(spark, root, v + 1,
+          manBody(v + 1, man, carriedPhys - dvCarryN + freshRows,
+            None, Some(ddl), dvCarry, m.constraints, m.parts))) {
+        // stats: carried rows verbatim + one build over the fresh dir
+        val newStats =
+          if (freshRel.isEmpty) carriedStats
+          else carriedStats.unionByName(StatsIndex.build(spark,
+            new Path(root, freshDir).toString, statsCols))
+        Load.writeAtomic(spark, newStats,
+          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+        return CowResult(v + 1, touchedRel.size,
+          carriedRel.size + droppedRel.size + touchedRel.size, freshRows)
+      }
+      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      dvCarry.foreach(d =>
+        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+      attempts += 1
+      require(attempts < 100,
+        s"$root: replacePartition lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // --- per-version data skipping (Snapshots × StatsIndex) ---
 
   /** Stats table location for a version's file LAYOUT — keyed by the

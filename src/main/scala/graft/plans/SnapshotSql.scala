@@ -190,12 +190,7 @@ object SnapshotSql {
     val root = tableRootOf(spark, i.table, "INSERT")
     require(i.userSpecifiedCols.isEmpty,
       "snap: INSERT column lists are not supported — match the table schema")
-    // a silently dropped static partition value would corrupt the
-    // write — refuse until PARTITION routing exists (partition values
-    // travel as ordinary columns of the SELECT in this tier)
-    require(i.partitionSpec.isEmpty,
-      "snap: INSERT ... PARTITION is not supported — supply the " +
-        "partition column as a SELECT column")
+    if (i.partitionSpec.nonEmpty) return runPartitionInsert(spark, i, root)
     val data0 = GraftShim.ofRows(spark,
       ResolveSnapshotTable(spark)(i.query))
     val names = Snapshots.read(spark, root).schema.fieldNames
@@ -208,6 +203,67 @@ object SnapshotSql {
       if (i.overwrite) Snapshots.commit(spark, data, root)
       else Snapshots.append(spark, data, root)
     receipt(spark, v, Snapshots.versionMeta(spark, root, v).nRows)
+  }
+
+  /** Static-partition INSERT (Hive/Spark's `PARTITION (k='v')`): the
+    * SELECT supplies the NON-partition columns positionally; each
+    * spec value fills its column as a cast literal. `INSERT INTO`
+    * appends; `INSERT OVERWRITE` routes to
+    * [[Snapshots.replacePartition]] — the atomic partition reload
+    * that carries every other partition's files by reference and, on
+    * a cleanly partitioned table, reads zero pre-existing bytes.
+    * Dynamic specs (a partition column without a value) refuse:
+    * dynamic-partition overwrite decides what to drop from the DATA,
+    * which is a different (and at 100 TB, dangerous) contract.
+    */
+  private def runPartitionInsert(spark: SparkSession, i: InsertIntoStatement,
+                                 root: String): DataFrame = {
+    require(!i.ifPartitionNotExists,
+      "snap: IF NOT EXISTS partition inserts are not supported")
+    i.partitionSpec.collect { case (c, None) => c } match {
+      case Seq() => ()
+      case dyn => throw new IllegalArgumentException(
+        s"snap: dynamic partition columns ${dyn.mkString(",")} are not " +
+          "supported — give each PARTITION column a literal value")
+    }
+    val v0 = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = Snapshots.versionMeta(spark, root, v0)
+    val schema = Snapshots.read(spark, root).schema
+    val spec: Map[String, org.apache.spark.sql.Column] =
+      i.partitionSpec.map { case (c, raw) =>
+        require(m.parts.contains(c),
+          s"snap: $c is not a partition column of $root (${m.parts})")
+        val f = schema.find(_.name == c).getOrElse(throw new
+            IllegalArgumentException(s"snap: unknown column $c"))
+        c -> org.apache.spark.sql.functions.lit(raw.get).cast(f.dataType)
+      }
+    val rest = schema.fieldNames.filterNot(spec.contains)
+    val data0 = GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(i.query))
+    require(data0.columns.length == rest.length,
+      s"snap: INSERT PARTITION arity ${data0.columns.length} != " +
+        s"non-partition arity ${rest.length}")
+    val data = spec.foldLeft(data0.toDF(rest.toIndexedSeq: _*)) {
+        case (d, (c, value)) => d.withColumn(c, value)
+      }
+      .select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    if (i.overwrite) {
+      // row accounting for carried files rides the stats index; an
+      // index built on ANY columns carries the needed n_rows, so
+      // reuse the table's existing index columns (or bootstrap one
+      // on the partition columns)
+      val statsCols = Snapshots.statsTableOf(spark, root, v0)
+        .map(_.columns.toSeq.collect {
+          case c if c.startsWith("min_") => c.stripPrefix("min_")
+        }).filter(_.nonEmpty).getOrElse(spec.keys.toSeq)
+      val r = Snapshots.replacePartition(spark, data, root, spec, statsCols)
+      import spark.implicits._
+      Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))
+        .toDF("version", "files_rewritten", "files_total", "rows_written")
+    } else {
+      val v = Snapshots.append(spark, data, root)
+      receipt(spark, v, Snapshots.versionMeta(spark, root, v).nRows)
+    }
   }
 
   private def runDelete(spark: SparkSession,

@@ -1493,6 +1493,44 @@ object EtlQueries {
         .orderBy("l_returnflag")
     }),
 
+    // q196 — PARTITION RELOAD (SQL `INSERT OVERWRITE ... PARTITION
+    // (k='v')` → Snapshots.replacePartition): the "reload today's
+    // partition" operation as ONE atomic commit — every OTHER
+    // partition's files carry by reference (others_carried_by_path),
+    // the replaced partition's files are DROPPED without being
+    // opened, and on this cleanly partitioned table the receipt pins
+    // files_rewritten == 0: zero pre-existing bytes read
+    // (zero_pre_existing_reads) — the only affordable daily-reload
+    // shape at 100 TB. Values replay non-F ∪ reloaded-F in DuckDB.
+    "q196_partition_reload" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q196").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+      val beforeOther = Snapshots.filesOfVersion(s, root, 1L)
+        .filterNot(_.contains("__p_o_orderstatus=F")).toSet
+      val rec = SnapshotSql.sql(s,
+        s"""INSERT OVERWRITE snap.`$root` PARTITION (o_orderstatus = 'F')
+           |SELECT o_orderkey + 5000000, o_totalprice + 50.0
+           |FROM snap.`$root` WHERE o_orderstatus = 'F'""".stripMargin).head()
+      val zeroReads = rec.getInt(1) == 0
+      val after = Snapshots.filesOfVersion(s, root, rec.getLong(0)).toSet
+      val carried = beforeOther.subsetOf(after)
+      val receiptOk = rec.getLong(0) == 2L &&
+        rec.getLong(3) == o.filter(col("o_orderstatus") === "F").count()
+      Snapshots.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("zero_pre_existing_reads", lit(zeroReads))
+        .withColumn("others_carried_by_path", lit(carried))
+        .withColumn("reload_receipt", lit(receiptOk))
+        .orderBy("o_orderstatus")
+    }),
+
     // q191 — SQL MERGE INTO (SnapshotSql → Snapshots.merge): the
     // reference's single sink semantic — `ON CONFLICT DO UPDATE`
     // upsert (REF main.py:50) — now complete in SQL. The statement
@@ -2523,6 +2561,21 @@ object EtlQueries {
         |  TRUE AS data_identical, TRUE AS second_optimize_noop,
         |  TRUE AS stats_survive
         |FROM t GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q196: non-F rows ∪ the reloaded F partition — a dropped carried
+    // file, a surviving stale F row, or a lost reload row all
+    // hash-break; flags pin the zero-read reload contract
+    "q196_partition_reload" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, 'F', o_totalprice + 50.0
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS zero_pre_existing_reads, TRUE AS others_carried_by_path,
+        |  TRUE AS reload_receipt
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // q191: the SQL MERGE upsert replayed row-for-row (anti-join +
     // union — the q168 oracle through the SQL route); flags pin the
     // receipt and the bounded rewrite

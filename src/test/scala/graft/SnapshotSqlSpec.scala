@@ -272,16 +272,65 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(err2.getMessage.contains("one equality"), err2.getMessage)
   }
 
-  test("INSERT ... PARTITION refuses instead of dropping the static value") {
+  test("static INSERT ... PARTITION fills the column; dynamic refuses") {
     val root = tmpDir("sqlsnap_inspart")
     Snapshots.commit(spark,
       Seq((1L, "g0", "a")).toDF("id", "grp", "s"), root,
       partitionBy = Seq("grp"))
+    SnapshotSql.sql(spark,
+      s"INSERT INTO snap.`$root` PARTITION (grp='g1') SELECT 2L, 'b'")
+    val rows = spark.sql(s"SELECT id, grp, s FROM snap.`$root` ORDER BY id")
+      .as[(Long, String, String)].collect()
+    assert(rows === Array((1L, "g0", "a"), (2L, "g1", "b")))
+    assert(Snapshots.filesOfVersion(spark, root, 2L)
+      .exists(_.contains("__p_grp=g1")))
+    // a spec column without a value is DYNAMIC partitioning — refuse
     val err = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
-        s"INSERT INTO snap.`$root` PARTITION (grp='g1') SELECT 2, 'b'")
+        s"INSERT INTO snap.`$root` PARTITION (grp) SELECT 3L, 'c'")
     }
-    assert(err.getMessage.contains("PARTITION"), err.getMessage)
+    assert(err.getMessage.contains("dynamic"), err.getMessage)
+    // a non-partition column in the spec refuses
+    val err2 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"INSERT INTO snap.`$root` PARTITION (s='x') SELECT 4L, 'g0'")
+    }
+    assert(err2.getMessage.contains("not a partition column"), err2.getMessage)
+  }
+
+  test("INSERT OVERWRITE ... PARTITION reloads one partition atomically, zero reads") {
+    val root = tmpDir("sqlsnap_rppart")
+    val base = (1L to 90L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "s")
+    Snapshots.commitWithStats(spark, base, root, Seq("id"),
+      partitionBy = Seq("grp"))
+    val beforeOther = Snapshots.filesOfVersion(spark, root, 1L)
+      .filterNot(_.contains("__p_grp=g1")).toSet
+    val rec = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (grp = 'g1')
+         |SELECT id + 1000, concat('new', s) FROM snap.`$root`
+         |WHERE grp = 'g1' AND id <= 10""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    // cleanly partitioned table: NOTHING pre-existing was read
+    assert(rec._1 === 2L && rec._2 === 0, s"expected zero rewrites: $rec")
+    assert(rec._4 === 4L, "g1 has ids 1,4,7,10 <= 10")
+    // every other partition's files carried by path
+    val after = Snapshots.filesOfVersion(spark, root, 2L).toSet
+    assert(beforeOther.subsetOf(after))
+    assert(!after.exists(f =>
+      f.contains("__p_grp=g1") && Snapshots.filesOfVersion(spark, root, 1L)
+        .contains(f)), "old g1 files must be dropped")
+    val got = spark.sql(
+      s"SELECT count(*), sum(CASE WHEN grp = 'g1' THEN 1 ELSE 0 END) " +
+        s"FROM snap.`$root`").as[(Long, Long)].head()
+    assert(got === ((64L, 4L)), "60 other-partition rows + 4 reloaded")
+    // a batch row OUTSIDE the replaced partition refuses
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.replacePartition(spark,
+        Seq((999L, "g2", "x")).toDF("id", "grp", "s"), root,
+        Map("grp" -> lit("g1")), Seq("id"))
+    }
+    assert(err.getMessage.contains("OUTSIDE"), err.getMessage)
   }
 
   test("SQL over a partitioned snapshot: path pruning fires through plain WHERE") {
