@@ -81,12 +81,61 @@ object Snapshots {
     * (the streaming ingest records its micro-batch id here — see
     * [[lastTag]]).
     */
+  /** A bucket layout recorded in the version log — the table
+    * property that makes repeated large-large joins and aggregations
+    * on a stable key SHUFFLE-FREE: every data file of a bucketed
+    * version holds exactly the rows whose `pmod(murmur3(cols), n)`
+    * equals the file's bucket tag, so the SQL scan
+    * ([[sqlScan]] → `HadoopFsRelation.bucketSpec`) reports
+    * `HashPartitioning(cols, n)` to the planner and
+    * EnsureRequirements elides the exchange on both join sides (and
+    * the sort too, while a bucket has a single sorted file). At
+    * 100 TB this is the difference between re-shuffling the fact
+    * table on every query and never shuffling it at all; pick `n`
+    * for the target scale (buckets are the scan's parallelism when
+    * the bucketed plan wins — Spark auto-disables the bucketed scan
+    * for queries it cannot help).
+    */
+  final case class Bucketing(n: Int, cols: Seq[String],
+                             sort: Seq[String] = Nil) {
+    require(n > 0, s"bucket count must be positive, got $n")
+    require(cols.nonEmpty, "bucketing needs at least one column")
+  }
+
+  /** COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (Delta's
+    * column-mapping 'name' mode): the log records how the PHYSICAL
+    * parquet field names (what the immutable files carry) present as
+    * the LOGICAL schema readers see, so renaming or dropping a
+    * column on a 100 TB table is one tiny version publish — zero
+    * bytes rewritten, and time travel shows each version under the
+    * names IT had. `renames` maps physical→logical for renamed
+    * columns; `dropped` lists physical names hidden from every read
+    * (the bytes stay in old files, invisible; new files simply omit
+    * them). [[materializeMapping]] bakes a mapping into a full
+    * rewrite when a writer needs identity (the Delta REORG shape).
+    */
+  final case class ColMap(renames: Seq[(String, String)] = Nil,
+                          dropped: Seq[String] = Nil) {
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+    /** Logical name of a physical field — None when dropped. */
+    def logicalOf(phys: String): Option[String] =
+      if (dropped.contains(phys)) None
+      else Some(renames.collectFirst { case (p, l) if p == phys => l }
+        .getOrElse(phys))
+    /** Physical field behind a logical name. */
+    def physicalOf(logical: String): String =
+      renames.collectFirst { case (p, l) if l == logical => p }
+        .getOrElse(logical)
+  }
+
   final case class VMeta(dataDir: Option[String], manifest: Option[String],
                          nRows: Long, tag: Option[Long],
                          schemaDdl: Option[String] = None,
                          dv: Option[String] = None,
                          constraints: Seq[(String, String)] = Nil,
-                         parts: Seq[String] = Nil) {
+                         parts: Seq[String] = Nil,
+                         bucket: Option[Bucketing] = None,
+                         colmap: ColMap = ColMap()) {
     /** Stable identifier of the version's file LAYOUT — the key the
       * per-version stats index is stored under. A rollback republishes
       * the same layout id, so its stats are reused with zero work.
@@ -128,6 +177,24 @@ object Snapshots {
       .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
         .map(pm => unesc(pm.group(1))).toSeq)
       .getOrElse(Nil)
+    // bucket cols are identifiers too; the object shape is fixed by
+    // [[extras]], so the anchored literal keys are unambiguous
+    val bucket = """"bucket":\{"n":(\d+),"cols":\[([^\]]*)\],"sort":\[([^\]]*)\]\}""".r
+      .findFirstMatchIn(body).map { bm =>
+        def names(s: String): Seq[String] =
+          """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(s)
+            .map(nm => unesc(nm.group(1))).toSeq
+        Bucketing(bm.group(1).toInt, names(bm.group(2)), names(bm.group(3)))
+      }
+    val colmap = """"colmap":\{"renames":\[([^\]]*)\],"dropped":\[([^\]]*)\]\}""".r
+      .findFirstMatchIn(body).map { cmMatch =>
+        val rn = """\{"p":"((?:[^"\\]|\\.)*)","l":"((?:[^"\\]|\\.)*)"\}""".r
+          .findAllMatchIn(cmMatch.group(1))
+          .map(rm => (unesc(rm.group(1)), unesc(rm.group(2)))).toSeq
+        val dr = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(cmMatch.group(2))
+          .map(dm => unesc(dm.group(1))).toSeq
+        ColMap(rn, dr)
+      }.getOrElse(ColMap())
     // constraints is serialized LAST, so the greedy group ends at the
     // array's own closing bracket even when an expr contains ']'
     val cons = """"constraints":\[(.*)\]""".r.findFirstMatchIn(body)
@@ -136,7 +203,7 @@ object Snapshots {
           .findAllMatchIn(am.group(1))
           .map(cm => (unesc(cm.group(1)), unesc(cm.group(2)))).toSeq
       }.getOrElse(Nil)
-    VMeta(dir, man, n, tag, schema, dv, cons, parts)
+    VMeta(dir, man, n, tag, schema, dv, cons, parts, bucket, colmap)
   }
 
   private[etl] def unesc(s: String): String =
@@ -178,30 +245,36 @@ object Snapshots {
     * conflict with no data conflict.
     */
   def commit(spark: SparkSession, df: DataFrame, root: String,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             bucketBy: Option[Bucketing] = None): Long = {
     // a full-replace commit still writes ROWS into a constrained
     // table — same CHECK gate as append (no-op on a fresh table)
     val cons = constraintsOf(spark, root)
     requireSatisfied(df, cons, "commit")
-    // the partition layout is a TABLE property: an overwrite that
-    // does not name one INHERITS the existing layout (Delta's
-    // semantics — otherwise a plain INSERT OVERWRITE would silently
-    // strip partitioning from the log for every later writer).
-    // Passing an explicit partitionBy redefines it.
+    // the partition AND bucket layouts are TABLE properties: an
+    // overwrite that does not name one INHERITS the existing layout
+    // (Delta's semantics — otherwise a plain INSERT OVERWRITE would
+    // silently strip the layout from the log for every later
+    // writer). Passing an explicit partitionBy/bucketBy redefines it
+    // — and a full replace is the ONE commit shape that may, since
+    // it rewrites every file into the new layout.
+    val priorMeta = latestVersion(spark, root)
+      .map(v => versionMeta(spark, root, v))
     val effParts =
       if (partitionBy.nonEmpty) partitionBy
-      else latestVersion(spark, root)
-        .map(v => versionMeta(spark, root, v).parts).getOrElse(Nil)
+      else priorMeta.map(_.parts).getOrElse(Nil)
+    val effBucket = bucketBy.orElse(priorMeta.flatMap(_.bucket))
     effParts.foreach(c => require(df.columns.contains(c),
       s"partition column $c is not a column of the batch"))
-    val (dataDir, nRows) = writeDataDir(spark, df, root, effParts)
+    val (dataDir, nRows) = writeDataDir(spark, df, root, effParts, effBucket)
     // schema-in-the-log from the first commit: every later reader —
     // and every append's schema check — plans from the version
     // metadata instead of sampling parquet footers
     val ddl = org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
     publishNext(spark, root,
-      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons, effParts))
+      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, cons,
+        effParts, effBucket))
   }
 
   private[etl] def jsonEsc(s: String): String =
@@ -210,13 +283,28 @@ object Snapshots {
   private def extras(tag: Option[Long], schema: Option[String],
                      dv: Option[String] = None,
                      cons: Seq[(String, String)] = Nil,
-                     parts: Seq[String] = Nil): String =
+                     parts: Seq[String] = Nil,
+                     bucket: Option[Bucketing] = None,
+                     colmap: ColMap = ColMap()): String =
     tag.map(t => s""","tag":$t""").getOrElse("") +
       schema.map(d => s""","schema":"${jsonEsc(d)}"""").getOrElse("") +
       dv.map(d => s""","dv":"$d"""").getOrElse("") +
       (if (parts.isEmpty) ""
        else ""","parts":[""" +
          parts.map(p => s""""${jsonEsc(p)}"""").mkString(",") + "]") +
+      bucket.map { b =>
+        def arr(cs: Seq[String]) =
+          cs.map(c => s""""${jsonEsc(c)}"""").mkString(",")
+        s""","bucket":{"n":${b.n},"cols":[${arr(b.cols)}],"sort":[${arr(b.sort)}]}"""
+      }.getOrElse("") +
+      (if (colmap.isIdentity) ""
+       else {
+         val rn = colmap.renames.map { case (p, l) =>
+           s"""{"p":"${jsonEsc(p)}","l":"${jsonEsc(l)}"}"""
+         }.mkString(",")
+         val dr = colmap.dropped.map(d => s""""${jsonEsc(d)}"""").mkString(",")
+         s""","colmap":{"renames":[$rn],"dropped":[$dr]}"""
+       }) +
       (if (cons.isEmpty) ""
        else ""","constraints":[""" + cons.map { case (n, e) =>
          s"""{"name":"${jsonEsc(n)}","expr":"${jsonEsc(e)}"}"""
@@ -226,22 +314,27 @@ object Snapshots {
                       tag: Option[Long], schema: Option[String] = None,
                       dv: Option[String] = None,
                       cons: Seq[(String, String)] = Nil,
-                      parts: Seq[String] = Nil): String =
-    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema, dv, cons, parts)}}"""
+                      parts: Seq[String] = Nil,
+                      bucket: Option[Bucketing] = None,
+                      colmap: ColMap = ColMap()): String =
+    s"""{"version":$v,"data_dir":"$dataDir","n_rows":$nRows${extras(tag, schema, dv, cons, parts, bucket, colmap)}}"""
 
   private def manBody(v: Long, manifest: String, nRows: Long,
                       tag: Option[Long], schema: Option[String] = None,
                       dv: Option[String] = None,
                       cons: Seq[(String, String)] = Nil,
-                      parts: Seq[String] = Nil): String =
-    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts)}}"""
+                      parts: Seq[String] = Nil,
+                      bucket: Option[Bucketing] = None,
+                      colmap: ColMap = ColMap()): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts, bucket, colmap)}}"""
 
   private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
     case Some(d) =>
-      dirBody(v, d, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints, m.parts)
+      dirBody(v, d, m.nRows, m.tag, m.schemaDdl, m.dv, m.constraints,
+        m.parts, m.bucket, m.colmap)
     case None =>
       manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl, m.dv,
-        m.constraints, m.parts)
+        m.constraints, m.parts, m.bucket, m.colmap)
   }
 
   /** Path key a partition column is laid out under. The partition
@@ -267,18 +360,64 @@ object Snapshots {
     */
   private def writeDataDir(spark: SparkSession, df: DataFrame,
                            root: String,
-                           parts: Seq[String] = Nil): (String, Long) = {
+                           parts: Seq[String] = Nil,
+                           bucket: Option[Bucketing] = None): (String, Long) = {
     val dataDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     val dataPath = new Path(root, dataDir)
     val obs = org.apache.spark.sql.Observation(
       s"graft_commit_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = parts.foldLeft(df)((d, c) => d.withColumn(partKey(c), col(c)))
+    // bucketed layout: the explicit-count hash repartition places each
+    // row at pmod(murmur3(cols), n) — EXACTLY Spark's bucket-id
+    // function — so the writing task's partition index IS the row's
+    // bucket id and [[tagBucketFiles]] can stamp it into the file
+    // name afterwards. The explicit count keeps AQE from coalescing
+    // the shuffle (bucket identity is positional).
+    val shaped = bucket match {
+      case Some(b) =>
+        (b.cols ++ b.sort).distinct.foreach(c =>
+          require(df.columns.contains(c),
+            s"bucket column $c is not a column of the batch"))
+        val rep = df.repartition(b.n, b.cols.map(col): _*)
+        if (b.sort.isEmpty) rep
+        else rep.sortWithinPartitions(b.sort.map(col): _*)
+      case None => df
+    }
+    val out = parts.foldLeft(shaped)((d, c) => d.withColumn(partKey(c), col(c)))
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_rows"))
       .write.mode("overwrite")
     (if (parts.isEmpty) out else out.partitionBy(parts.map(partKey): _*))
       .parquet(dataPath.toString)
+    bucket.foreach(_ => tagBucketFiles(spark, dataPath))
     (dataDir, obs.get("n_rows").asInstanceOf[Long])
+  }
+
+  /** Stamp a freshly written dir's part files with Spark's bucket tag
+    * (`part-00007-<uuid>-c000.snappy.parquet` →
+    * `part-00007-<uuid>-c000_00007.snappy.parquet`): the writer task's
+    * partition index is the bucket id (see [[writeDataDir]]), and the
+    * scan side parses the `_(\d+)` suffix back with the built-in
+    * BucketingUtils convention. One rename RPC per file — bounded by
+    * n × partition dirs (the layout), never by data volume.
+    */
+  private def tagBucketFiles(spark: SparkSession, dir: Path): Unit = {
+    val f = fs(spark, dir)
+    val PartRe = "^part-(\\d+)-.*".r
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) name match {
+        case PartRe(id) =>
+          val dot = name.indexOf('.')
+          val tagged =
+            if (dot < 0) f"${name}_${id.toInt}%05d"
+            else f"${name.substring(0, dot)}_${id.toInt}%05d${name.substring(dot)}"
+          require(f.rename(st.getPath, new Path(st.getPath.getParent, tagged)),
+            s"failed to stamp bucket tag on $name")
+        case _ => ()
+      }
+    }
   }
 
   /** Publish a version body at the next free version number, retrying
@@ -765,7 +904,8 @@ object Snapshots {
     val ddl = m.schemaDdl.getOrElse(org.apache.spark.sql.types.StructType(
       read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
     val nv = publishNext(spark, dstRoot, n =>
-      manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints, m.parts))
+      manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints,
+        m.parts, m.bucket))
     val sp = statsPath(srcRoot, m.layoutId)
     if (fs(spark, sp).exists(sp))
       Load.writeAtomic(spark, spark.read.parquet(sp.toString),
@@ -1094,7 +1234,8 @@ object Snapshots {
       }: _*)
       try requireSatisfied(updated, m.constraints, "updateWhere")
       catch { case e: Throwable => dropScratch(); throw e }
-      val (freshDir, freshRows) = writeDataDir(spark, updated, root, m.parts)
+      val (freshDir, freshRows) =
+        writeDataDir(spark, updated, root, m.parts, m.bucket)
       val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
       prior.unionByName(scr.select(col("__file").as("file"),
           col("__pos").as("pos")))
@@ -1104,7 +1245,7 @@ object Snapshots {
         relFilesOf(spark, root, m) ++ freshRel)
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, m.nRows, None, m.schemaDdl, Some(dvRel),
-            m.constraints, m.parts))) {
+            m.constraints, m.parts, m.bucket))) {
         dropScratch()
         return MorUpdateResult(v + 1, freshRows, priorN + nUpd)
       }
@@ -1191,7 +1332,9 @@ object Snapshots {
     var cached: Option[(Long, VMeta)] = latestVersion(spark, root)
       .map(v => (v, versionMeta(spark, root, v)))
     val tableParts = cached.map(_._2.parts).getOrElse(Nil)
-    val (freshDir, freshRows) = writeDataDir(spark, df, root, tableParts)
+    val tableBucket = cached.flatMap(_._2.bucket)
+    val (freshDir, freshRows) =
+      writeDataDir(spark, df, root, tableParts, tableBucket)
     val freshRel = listFreshRel(spark, root, freshDir)
     var checked = checkedCons
     var attempts = 0
@@ -1205,6 +1348,20 @@ object Snapshots {
         case Some((_, m)) =>
           (relFilesOf(spark, root, m), m.nRows, Some(m))
         case None => (Seq.empty[String], 0L, None)
+      }
+      // bucket-layout drift is a CORRECTNESS hazard, not a precision
+      // loss like partition drift: the fresh files were shaped and
+      // tagged for the layout read before the write, and publishing
+      // them under a concurrently redefined layout would mis-bucket
+      // rows (a silently wrong shuffle-free join later). Refuse
+      // loudly — layout redefinition is a rare admin full-replace.
+      val bucketNow = priorMeta.flatMap(_.bucket)
+      if (bucketNow != tableBucket) {
+        fs(spark, new Path(root, freshDir))
+          .delete(new Path(root, freshDir), true)
+        throw new IllegalStateException(
+          s"$root: bucket layout changed concurrently " +
+            s"($tableBucket -> $bucketNow) — retry the append")
       }
       // constraint-set drift check (see doc): a concurrently added
       // constraint re-validates the batch before it can be recorded
@@ -1255,7 +1412,7 @@ object Snapshots {
       if (tryPublish(spark, root, v,
           manBody(v, man, oldRows + freshRows, tag, Some(ddl),
             priorMeta.flatMap(_.dv), consNow,
-            priorMeta.map(_.parts).getOrElse(Nil)))) {
+            priorMeta.map(_.parts).getOrElse(Nil), bucketNow))) {
         if (statsCols.nonEmpty) {
           val freshStats = StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols)
@@ -1384,7 +1541,8 @@ object Snapshots {
             spark.read.schema(tableSchema).parquet(touchedList: _*), dvPrior)
           .join(upd.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(upd)
-      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root, m.parts)
+      val (freshDir, freshRows) =
+        writeDataDir(spark, rewritten, root, m.parts, m.bucket)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       // the table schema rides the log forward — dropping it here
@@ -1395,7 +1553,7 @@ object Snapshots {
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
-            tag, Some(ddl), dvCarry, m.constraints, m.parts))) {
+            tag, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -1473,14 +1631,15 @@ object Snapshots {
         else applyDv(spark, root,
             spark.read.schema(tableSchema).parquet(touchedList: _*), dvPrior)
           .filter(!coalesce(del, lit(false)))
-      val (freshDir, freshRows) = writeDataDir(spark, rewritten, root, m.parts)
+      val (freshDir, freshRows) =
+        writeDataDir(spark, rewritten, root, m.parts, m.bucket)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
-            None, Some(ddl), dvCarry, m.constraints, m.parts))) {
+            None, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
         val newStats =
           if (freshRel.isEmpty) untouched
           else untouched.unionByName(StatsIndex.build(spark,
@@ -1628,14 +1787,15 @@ object Snapshots {
             touchedRel.map(rel => new Path(root, rel).toString): _*), dvPrior)
           .filter(!coalesce(pred, lit(false)))
       val (freshDir, freshRows) =
-        writeDataDir(spark, remainder.unionByName(batch), root, m.parts)
+        writeDataDir(spark, remainder.unionByName(batch), root, m.parts,
+          m.bucket)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, carriedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(
         schema.fields.map(_.copy(nullable = true))).toDDL
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, carriedPhys - dvCarryN + freshRows,
-            None, Some(ddl), dvCarry, m.constraints, m.parts))) {
+            None, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
         // stats: carried rows verbatim + one build over the fresh dir
         val newStats =
           if (freshRel.isEmpty) carriedStats
@@ -1790,11 +1950,21 @@ object Snapshots {
         spark.read.schema(schema)
           .parquet(touchedRel.map(rel => new Path(root, rel).toString): _*),
         dvOf(spark, root, m))
+      // a bucketed table compacts WITHIN the bucket layout: the
+      // rewrite re-bins by the bucket function inside writeDataDir
+      // (debt rows land back in their buckets), so the file-count
+      // lever is the layout's n, not debt/targetBytes — and a range
+      // re-cluster would scramble bucket identity, so it refuses
+      require(m.bucket.isEmpty || clusterBy.isEmpty,
+        s"$root is bucketed (${m.bucket.get}) — clusterBy would break " +
+          "bucket identity; redefine the layout with a full commit instead")
       val df =
-        if (clusterBy.isEmpty) df0.repartition(nFiles)
+        if (m.bucket.nonEmpty) df0
+        else if (clusterBy.isEmpty) df0.repartition(nFiles)
         else df0.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
-      val (freshDir, freshRows) = writeDataDir(spark, df, root, m.parts)
+      val (freshDir, freshRows) =
+        writeDataDir(spark, df, root, m.parts, m.bucket)
       val ddl = m.schemaDdl // compaction preserves the logged schema
       val freshRel = listFreshRel(spark, root, freshDir)
       // logical rows are untouched by construction: carried files have
@@ -1802,11 +1972,11 @@ object Snapshots {
       val (manOpt, body) =
         if (carriedRel.isEmpty)
           (None, dirBody(v + 1, freshDir, m.nRows, None, ddl, None,
-            m.constraints, m.parts))
+            m.constraints, m.parts, m.bucket))
         else {
           val man = writeManifest(spark, root, carriedRel ++ freshRel)
           (Some(man), manBody(v + 1, man, m.nRows, None, ddl, None,
-            m.constraints, m.parts))
+            m.constraints, m.parts, m.bucket))
         }
       if (tryPublish(spark, root, v + 1, body)) {
         if (statsCols.nonEmpty) {
@@ -1931,8 +2101,13 @@ object Snapshots {
       new Path(rootPathOf(spark, root)),
       fileStatusesOf(spark, root, rels),
       statsTableOf(spark, root, v), m.parts)
+    // a logged bucket layout surfaces as a real BucketSpec: the scan
+    // reports HashPartitioning(cols, n) and co-bucketed joins/aggs
+    // plan with no exchange (see [[Bucketing]])
+    val spec = m.bucket.map(b =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, b.cols, b.sort))
     val raw = GraftShim.ofRows(spark,
-      GraftShim.parquetScanPlan(spark, idx, schema))
+      GraftShim.parquetScanPlan(spark, idx, schema, spec))
     val df = m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m)))
       .getOrElse(raw)
     (df, idx)

@@ -152,8 +152,48 @@ object SnapshotSql {
     InsertIntoStatement, InsertStarAction, MergeIntoTable, SubqueryAlias,
     UpdateStarAction, UpdateTable}
 
-  def sql(spark: SparkSession, sqlText: String): DataFrame = {
-    GraftShim.parsePlan(spark, sqlText) match {
+  // Maintenance statements Spark's parser has no grammar for —
+  // matched lexically BEFORE parsePlan (the Delta pattern: Delta
+  // ships a parser extension for exactly these verbs). Anchored,
+  // case-insensitive keyword matches; the table root rides in
+  // backticks like every other snap relation.
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+snap\.`([^`]+)`\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+snap\.`([^`]+)`\s*""".r
+
+  /** SQL entry point: SELECT/time-travel plans through
+    * [[ResolveSnapshotTable]], DML routes to the snapshot writers
+    * (doc above), and the maintenance verbs — `OPTIMIZE [CLUSTER BY
+    * (...)]`, `VACUUM ... RETAIN n VERSIONS`, `RESTORE ... TO
+    * VERSION AS OF v`, `DESCRIBE HISTORY` — route to
+    * [[Snapshots.optimize]]/[[Snapshots.vacuum]]/
+    * [[Snapshots.rollback]]/[[Snapshots.history]], each returning a
+    * one-row receipt (or the history frame). RESTORE is
+    * metadata-only; VACUUM's receipt counts the version files it
+    * trimmed (data-dir reclaim honors the in-flight-commit grace
+    * window, exactly as the API call does).
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
+    case OptimizeRe(root, cluster) =>
+      runOptimize(spark, noCatalog(root, "OPTIMIZE"), Option(cluster))
+    case VacuumRe(root, n) => runVacuum(spark, noCatalog(root, "VACUUM"), n.toInt)
+    case RestoreRe(root, v) =>
+      runRestore(spark, noCatalog(root, "RESTORE"), v.toLong)
+    case HistoryRe(root) =>
+      // read-only: a catalog relation's history is its pinned root's
+      Snapshots.history(spark, root.split("::", 2) match {
+        case Array(cat, name) if root.contains("::") && name.nonEmpty =>
+          graft.etl.Catalog.pins(spark, cat, None).getOrElse(name,
+            throw new IllegalArgumentException(
+              s"$cat: no table '$name' in the latest catalog version")).root
+        case _ => root
+      })
+    case _ => GraftShim.parsePlan(spark, sqlText) match {
       case i: InsertIntoStatement => runInsert(spark, i)
       case d: DeleteFromTable => runDelete(spark, d)
       case u: UpdateTable => runUpdate(spark, u)
@@ -161,6 +201,40 @@ object SnapshotSql {
       case other =>
         GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(other))
     }
+  }
+
+  private def noCatalog(root: String, op: String): String = {
+    require(!root.contains("::"),
+      s"snap: catalog relations are read-only pinned views — $op the " +
+        "underlying table and publish a new catalog version")
+    root
+  }
+
+  private def runOptimize(spark: SparkSession, root: String,
+                          cluster: Option[String]): DataFrame = {
+    import spark.implicits._
+    val cols = cluster.toSeq.flatMap(_.split(',')).map(_.trim)
+      .filter(_.nonEmpty).map(_.stripPrefix("`").stripSuffix("`"))
+    val r = Snapshots.optimize(spark, root, clusterBy = cols)
+    Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))
+      .toDF("version", "files_rewritten", "files_total", "rows_written")
+  }
+
+  private def runVacuum(spark: SparkSession, root: String,
+                        keep: Int): DataFrame = {
+    import spark.implicits._
+    val before = Snapshots.versions(spark, root).size
+    Snapshots.vacuum(spark, root, keepLast = keep)
+    val after = Snapshots.versions(spark, root).size
+    Seq((after, before - after)).toDF("versions_retained", "versions_removed")
+  }
+
+  private def runRestore(spark: SparkSession, root: String,
+                         to: Long): DataFrame = {
+    import spark.implicits._
+    val v = Snapshots.rollback(spark, root, to)
+    Seq((v, to, Snapshots.versionMeta(spark, root, v).nRows))
+      .toDF("version", "restored_from", "n_rows")
   }
 
   private def tableRootOf(spark: SparkSession, plan: LogicalPlan,

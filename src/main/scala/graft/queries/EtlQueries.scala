@@ -1531,6 +1531,119 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q197 — BUCKETED SNAPSHOT TABLES ([[Snapshots.Bucketing]] in the
+    // version log → the SQL scan's real BucketSpec): both sides of
+    // the star join commit bucketed on their join key, so the SQL
+    // join AND the bucket-key aggregation plan with ZERO shuffle
+    // exchanges — the at-scale contract for repeated large-large
+    // joins (a 100 TB fact table re-shuffles on every query, or
+    // never; bucketing is "never"). Flags pin the shuffle-free join
+    // plan, the shuffle-free aggregation plan, and that every file
+    // of the APPENDED version still carries its bucket tag (the
+    // layout is a table property, inherited by every later writer).
+    // The appended batch's keys are offset beyond the dim's range,
+    // so values replay the plain join in DuckDB unchanged.
+    "q197_bucketed_snapshot" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      import graft.etl.Snapshots.Bucketing
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val base = java.nio.file.Files.createTempDirectory("graft_q197").toString
+      val oRoot = s"$base/orders"; val cRoot = s"$base/customer"
+      Snapshots.commit(s, o, oRoot,
+        bucketBy = Some(Bucketing(8, Seq("o_custkey"), Seq("o_custkey"))))
+      Snapshots.commit(s, c, cRoot,
+        bucketBy = Some(Bucketing(8, Seq("c_custkey"), Seq("c_custkey"))))
+      val v2 = Snapshots.append(s,
+        o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 10000000L), oRoot)
+      val TagRe = """.*_(\d+)\..*""".r
+      val tagged = Snapshots.filesOfVersion(s, oRoot, v2).forall(f =>
+        TagRe.findFirstIn(new org.apache.hadoop.fs.Path(f).getName).nonEmpty)
+      val joinSql =
+        s"""SELECT c_mktsegment, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$oRoot` o JOIN snap.`$cRoot` c
+           |ON o.o_custkey = c.c_custkey
+           |GROUP BY c_mktsegment""".stripMargin
+      // plan pins probe with broadcast off so the shuffle question is
+      // real (a broadcast join would dodge it, not answer it). The
+      // join pin is on the JOIN-ONLY plan: neither table shuffles to
+      // meet the other (the final mktsegment roll-up above it still
+      // exchanges its grouped handful of rows — that is the point:
+      // the 100 TB sides never move, only the aggregate does).
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (joinFree, aggFree) =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val jp = SnapshotSql.sql(s,
+            s"""SELECT o.o_custkey, c.c_mktsegment, o.o_totalprice
+               |FROM snap.`$oRoot` o JOIN snap.`$cRoot` c
+               |ON o.o_custkey = c.c_custkey""".stripMargin)
+            .queryExecution.executedPlan.toString
+          val ap = SnapshotSql.sql(s,
+            s"SELECT o_custkey, count(*) AS n FROM snap.`$oRoot` GROUP BY o_custkey")
+            .queryExecution.executedPlan.toString
+          (!jp.contains("Exchange hashpartitioning") &&
+            jp.contains("Bucketed: true"),
+            !ap.contains("Exchange hashpartitioning"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      SnapshotSql.sql(s, joinSql)
+        .withColumn("join_shuffle_free", lit(joinFree))
+        .withColumn("agg_shuffle_free", lit(aggFree))
+        .withColumn("append_keeps_tags", lit(tagged))
+        .orderBy("c_mktsegment")
+    }),
+
+    // q198 — SQL MAINTENANCE VERBS (SnapshotSql's lexical routing —
+    // the Delta parser-extension surface): the full table-keeping
+    // lifecycle in plain SQL statements. Three small commits →
+    // `OPTIMIZE` compacts the debt (receipt pins files_rewritten);
+    // `DESCRIBE HISTORY` shows every version; `RESTORE ... TO
+    // VERSION AS OF 2` is the metadata-only undo (receipt pins the
+    // restored row count); `VACUUM ... RETAIN 2 VERSIONS` trims the
+    // log while the restored state stays fully readable (the kept
+    // rollback version pins its referenced files through reclaim).
+    // Values replay the restored v2 state — the %3∈{0,1} slice —
+    // in DuckDB.
+    "q198_sql_maintenance" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q198").toString
+      Snapshots.commit(s, o.filter(col("o_orderkey") % 3 === 0)
+        .repartition(6), root)
+      Snapshots.append(s, o.filter(col("o_orderkey") % 3 === 1)
+        .repartition(5), root)
+      Snapshots.append(s, o.filter(col("o_orderkey") % 3 === 2)
+        .repartition(4), root)
+      val opt = SnapshotSql.sql(s, s"OPTIMIZE snap.`$root`").head()
+      val optimized = opt.getLong(0) == 4L && opt.getInt(1) > 0 &&
+        Snapshots.read(s, root).count() == o.count()
+      val hist = SnapshotSql.sql(s, s"DESCRIBE HISTORY snap.`$root`")
+      val histOk = hist.count() == 4L &&
+        hist.agg(sum("n_rows")).head().getLong(0) > 0L
+      val expect2 = o.filter(col("o_orderkey") % 3 <= 1).count()
+      val res = SnapshotSql.sql(s,
+        s"RESTORE TABLE snap.`$root` TO VERSION AS OF 2").head()
+      val restored = res.getLong(0) == 5L && res.getLong(2) == expect2
+      val vac = SnapshotSql.sql(s,
+        s"VACUUM snap.`$root` RETAIN 2 VERSIONS").head()
+      val vacuumed = vac.getInt(0) == 2 && vac.getInt(1) == 3 &&
+        Snapshots.versions(s, root) == Seq(4L, 5L) &&
+        Snapshots.read(s, root).count() == expect2
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("optimize_receipt", lit(optimized))
+        .withColumn("history_complete", lit(histOk))
+        .withColumn("restore_receipt", lit(restored))
+        .withColumn("vacuum_trims_keeps_data", lit(vacuumed))
+        .orderBy("o_orderstatus")
+    }),
+
     // q191 — SQL MERGE INTO (SnapshotSql → Snapshots.merge): the
     // reference's single sink semantic — `ON CONFLICT DO UPDATE`
     // upsert (REF main.py:50) — now complete in SQL. The statement
@@ -2623,6 +2736,26 @@ object EtlQueries {
         |  TRUE AS partition_pruned, TRUE AS stats_compose,
         |  TRUE AS append_keeps_layout
         |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q197: the plain star join — the appended batch's offset keys
+    // match no customer, so a mis-bucketed row (wrong-bucket join
+    // loss) or a lost/duplicated append row changes n/price_sum
+    "q197_bucketed_snapshot" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS join_shuffle_free, TRUE AS agg_shuffle_free,
+        |  TRUE AS append_keeps_tags
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // q198: the restored-v2 state — a wrong OPTIMIZE rewrite, a
+    // restore landing on the wrong version, or a vacuum reclaiming
+    // live data all change the rows (and flip their receipt flags)
+    "q198_sql_maintenance" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS optimize_receipt, TRUE AS history_complete,
+        |  TRUE AS restore_receipt, TRUE AS vacuum_trims_keeps_data
+        |FROM orders WHERE o_orderkey % 3 <= 1
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // q194: the pinned-state star join (both tables at their ≤1000
     // appended state); a torn pin set, a lost staged commit, or a

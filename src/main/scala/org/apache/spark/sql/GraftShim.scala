@@ -40,12 +40,14 @@ object GraftShim {
     * resolution.
     */
   def parquetScanPlan(spark: SparkSession, index: FileIndex,
-                      dataSchema: StructType): LogicalPlan = {
+                      dataSchema: StructType,
+                      bucketSpec: Option[catalyst.catalog.BucketSpec] = None)
+      : LogicalPlan = {
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty[String, String])(cs(spark))
     LogicalRelation(rel, isStreaming = false)

@@ -36,4 +36,133 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  // --- bucket layout in the SNAPSHOT table format ---
+
+  import graft.etl.Snapshots
+  import graft.etl.Snapshots.Bucketing
+  import graft.plans.SnapshotSql
+
+  private def noShuffle(df: org.apache.spark.sql.DataFrame,
+                        what: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"$what must plan without a shuffle exchange, got:\n${plan.take(4000)}")
+  }
+
+  test("snapshot bucket layout: every data file's rows hash to its tag") {
+    // bucket identity is CORRECTNESS at read time — the scan claims
+    // HashPartitioning(cols, n), so each file must hold exactly the
+    // rows whose pmod(murmur3(col), n) equals its parsed tag
+    val root = tmpDir("snap_bucket_id")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Snapshots.commit(spark, o, root,
+      bucketBy = Some(Bucketing(4, Seq("o_custkey"), Seq("o_custkey"))))
+    val v = Snapshots.latestVersion(spark, root).get
+    val files = Snapshots.filesOfVersion(spark, root, v)
+    assert(files.nonEmpty)
+    val TagRe = """.*_(\d+)\..*""".r
+    files.foreach { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      val tag = name match {
+        case TagRe(t) => t.toInt
+        case _ => fail(s"bucketed file $name carries no bucket tag")
+      }
+      val off = spark.read.parquet(f)
+        .filter(pmod(hash(col("o_custkey")), lit(4)) =!= lit(tag)).count()
+      assert(off === 0L, s"$name holds rows outside bucket $tag")
+    }
+    // and the logged layout round-trips
+    assert(Snapshots.versionMeta(spark, root, v).bucket ===
+      Some(Bucketing(4, Seq("o_custkey"), Seq("o_custkey"))))
+  }
+
+  test("co-bucketed snapshot tables join and aggregate with zero shuffles") {
+    val oRoot = tmpDir("snap_bucket_o")
+    val cRoot = tmpDir("snap_bucket_c")
+    Snapshots.commit(spark,
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      oRoot, bucketBy = Some(Bucketing(4, Seq("o_custkey"))))
+    Snapshots.commit(spark,
+      Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"),
+      cRoot, bucketBy = Some(Bucketing(4, Seq("c_custkey"))))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = SnapshotSql.sql(spark,
+        s"SELECT c.c_mktsegment, o.o_totalprice FROM snap.`$oRoot` o " +
+          s"JOIN snap.`$cRoot` c ON o.o_custkey = c.c_custkey")
+      noShuffle(joined, "co-bucketed snapshot join")
+      assert(joined.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "the scan must actually run bucketed, not merely shuffle-free")
+      // correct against the plain (unbucketed-plan) read
+      val expect = Snapshots.read(spark, oRoot)
+        .join(Snapshots.read(spark, cRoot),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === expect)
+      // aggregation on the bucket key: partial+final collapse, no
+      // exchange between them
+      val agg = SnapshotSql.sql(spark,
+        s"SELECT o_custkey, count(*) AS n FROM snap.`$oRoot` GROUP BY o_custkey")
+      noShuffle(agg, "group-by on the bucket key")
+      assert(agg.count() ===
+        Snapshots.read(spark, oRoot).select("o_custkey").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("append preserves the bucket layout; deletion vectors compose") {
+    val root = tmpDir("snap_bucket_app")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Snapshots.commit(spark, o.limit(50), root,
+      bucketBy = Some(Bucketing(4, Seq("o_custkey"))))
+    Snapshots.append(spark, o.limit(100), root) // inherits the layout
+    val v = Snapshots.latestVersion(spark, root).get
+    assert(Snapshots.versionMeta(spark, root, v).bucket.map(_.n) === Some(4))
+    val TagRe = """.*_(\d+)\..*""".r
+    Snapshots.filesOfVersion(spark, root, v).foreach { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      assert(TagRe.findFirstIn(name).nonEmpty,
+        s"appended file $name lost its bucket tag")
+    }
+    // a merge-on-read delete keeps the spec AND the logical rows right
+    val r = Snapshots.deleteWhere(spark, root, col("o_totalprice") < 1000.0)
+    val expect = o.limit(50).unionAll(o.limit(100))
+      .filter(!(col("o_totalprice") < 1000.0)).count()
+    val got = SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$root`").head().getLong(0)
+    assert(got === expect, s"post-delete logical count (dv v${r.version})")
+  }
+
+  test("optimize compacts within the bucket layout; clusterBy refuses") {
+    val root = tmpDir("snap_bucket_opt")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Snapshots.commit(spark, o.limit(40), root,
+      bucketBy = Some(Bucketing(2, Seq("o_custkey"))))
+    // small appends create per-bucket small-file debt
+    Snapshots.append(spark, o.limit(60), root)
+    Snapshots.append(spark, o.limit(80), root)
+    val before = Snapshots.read(spark, root).count()
+    val res = Snapshots.optimize(spark, root)
+    assert(res.filesRewritten > 0)
+    val v = Snapshots.latestVersion(spark, root).get
+    val TagRe = """.*_(\d+)\..*""".r
+    Snapshots.filesOfVersion(spark, root, v).foreach { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      val tag = name match {
+        case TagRe(t) => t.toInt
+        case _ => fail(s"compacted file $name carries no bucket tag")
+      }
+      val off = spark.read.parquet(f)
+        .filter(pmod(hash(col("o_custkey")), lit(2)) =!= lit(tag)).count()
+      assert(off === 0L, s"compaction mis-bucketed rows in $name")
+    }
+    assert(Snapshots.read(spark, root).count() === before)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.optimize(spark, root, clusterBy = Seq("o_totalprice"))
+    }
+    assert(e.getMessage.contains("bucketed"))
+  }
 }

@@ -353,6 +353,39 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(viaSql === base.filter(col("grp") === "g2" && col("id") <= 500).count())
   }
 
+  test("SQL maintenance verbs: OPTIMIZE, DESCRIBE HISTORY, RESTORE, VACUUM") {
+    import spark.implicits._
+    val root = tmpDir("snapsql_maint")
+    val base = (1L to 600L).map(i => (i, s"r$i")).toDF("id", "s")
+    Snapshots.commit(spark, base.filter($"id" <= 200).repartition(4), root)
+    Snapshots.append(spark, base.filter($"id" > 200 && $"id" <= 400)
+      .repartition(3), root)
+    Snapshots.append(spark, base.filter($"id" > 400).repartition(3), root)
+    // OPTIMIZE compacts the debt; data identity holds
+    val opt = SnapshotSql.sql(spark, s"OPTIMIZE snap.`$root`").head()
+    assert(opt.getLong(0) === 4L)
+    assert(opt.getInt(1) > 0)
+    assert(Snapshots.read(spark, root).count() === 600L)
+    // DESCRIBE HISTORY sees every version (catalog form resolves too)
+    assert(SnapshotSql.sql(spark, s"DESCRIBE HISTORY snap.`$root`").count() === 4L)
+    // RESTORE is the metadata-only undo
+    val res = SnapshotSql.sql(spark,
+      s"RESTORE TABLE snap.`$root` TO VERSION AS OF 1").head()
+    assert(res.getLong(0) === 5L && res.getLong(2) === 200L)
+    assert(Snapshots.read(spark, root).count() === 200L)
+    // VACUUM trims the log; the restored state stays readable
+    val vac = SnapshotSql.sql(spark,
+      s"VACUUM snap.`$root` RETAIN 2 VERSIONS").head()
+    assert(vac.getInt(0) === 2 && vac.getInt(1) === 3)
+    assert(Snapshots.versions(spark, root) === Seq(4L, 5L))
+    assert(Snapshots.read(spark, root).count() === 200L)
+    // mutating verbs refuse catalog relations
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"OPTIMIZE snap.`/cat::fact`")
+    }
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("canHit translation: And keeps the provable half; Or requires both") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType
