@@ -603,8 +603,12 @@ object Snapshots {
         reader.parquet(files: _*)
     }
     // merge-on-read: a version carrying a deletion vector applies it
-    // in the scan ([[deleteWhere]])
-    m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m))).getOrElse(raw)
+    // in the scan ([[deleteWhere]]); the column mapping presents the
+    // version's LOGICAL names on top ([[renameColumn]]/[[dropColumn]])
+    logicalProject(
+      m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m)))
+        .getOrElse(raw),
+      m.colmap)
   }
 
   /** `TIMESTAMP AS OF` time travel: the largest committed version
@@ -668,6 +672,141 @@ object Snapshots {
                        m: VMeta): org.apache.spark.sql.types.StructType =
     m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(read(spark, root, Some(v)).schema)
+
+  // --- column mapping (metadata-only RENAME/DROP COLUMN) ---
+
+  /** Present a physically-named frame under the mapping's logical
+    * names (renames aliased, dropped columns hidden); columns outside
+    * the mapping — including scratch `__*` identity columns — pass
+    * through. Identity mappings are a no-op, so unmapped tables keep
+    * their exact plans.
+    */
+  private def logicalProject(df: DataFrame, map: ColMap): DataFrame =
+    if (map.isIdentity) df
+    else df.select(df.columns.toSeq.flatMap(p =>
+      map.logicalOf(p).map(l => if (l == p) col(p) else col(p).as(l))): _*)
+
+  /** Rename a logically-named batch back to the physical field names
+    * the table's files carry — the write-side inverse of
+    * [[logicalProject]] (fresh files must stay mergeable with old
+    * ones under parquet by-name resolution).
+    */
+  private def toPhysical(df: DataFrame, map: ColMap): DataFrame =
+    if (map.isIdentity) df
+    else df.select(df.columns.toSeq.map { l =>
+      val p = map.physicalOf(l)
+      if (p == l) col(l) else col(l).as(p)
+    }: _*)
+
+  /** Refuse mapping operations on columns other layout/policy
+    * metadata references by name — a renamed partition column would
+    * desynchronize the `k=v` paths, a renamed bucket column the
+    * layout, a renamed constraint reference the write gate. All are
+    * resolvable by materializing first.
+    */
+  private def requireUnreferenced(m: VMeta, logical: String,
+                                  op: String): Unit = {
+    val phys = m.colmap.physicalOf(logical)
+    val names = Set(logical, phys)
+    require(!m.parts.exists(names), s"$op: $logical is a partition column")
+    require(!m.bucket.exists(b =>
+        (b.cols ++ b.sort).exists(names)),
+      s"$op: $logical is a bucket column")
+    val word = ("""\b(""" + names.map(java.util.regex.Pattern.quote)
+      .mkString("|") + """)\b""").r
+    m.constraints.foreach { case (n, e) =>
+      require(word.findFirstIn(e).isEmpty,
+        s"$op: $logical is referenced by constraint $n ($e) — drop it first")
+    }
+  }
+
+  /** METADATA-ONLY column rename (Delta column-mapping semantics):
+    * one tiny version publish — zero bytes of a 100 TB table move,
+    * and time travel keeps showing every older version under the
+    * names it had. Readers ([[read]]/[[sqlScan]]/[[changes]]/
+    * [[readPruned]]) present the logical names; [[append]] accepts
+    * logically-named batches and writes the physical names; the
+    * copy-on-write/merge-on-read REWRITERS refuse on a mapped table
+    * (their column-name contracts would silently ambiguate) until
+    * [[materializeMapping]] bakes the mapping in. Renaming back to
+    * the physical name removes the mapping entry. State-dependent
+    * publish at exactly readVersion+1 (the [[addConstraint]]
+    * discipline).
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    require(from != to, s"renameColumn: $from -> $to is a no-op")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val logical = logicalProjectNames(schemaOf(spark, root, v, m), m.colmap)
+      require(logical.contains(from), s"$root has no column $from")
+      require(!logical.contains(to), s"$root already has a column $to")
+      requireUnreferenced(m, from, "renameColumn")
+      val p = m.colmap.physicalOf(from)
+      val newMap = m.colmap.copy(renames =
+        m.colmap.renames.filterNot(_._1 == p) ++
+          (if (p == to) Nil else Seq(p -> to)))
+      if (tryPublish(spark, root, v + 1,
+          bodyOf(v + 1, m.copy(tag = None, colmap = newMap))))
+        return v + 1
+      attempts += 1
+      require(attempts < 100, s"$root: renameColumn lost $attempts races")
+    }
+    -1L // unreachable
+  }
+
+  /** METADATA-ONLY column drop: the bytes stay in the immutable old
+    * files, invisible to every read; new files simply omit the
+    * column. Same publish discipline and reference guards as
+    * [[renameColumn]]; [[vacuum]]-then-[[materializeMapping]] is the
+    * storage-reclaim path when the bytes must actually go (GDPR-
+    * grade erasure of a COLUMN is a rewrite by nature — the mapping
+    * makes the COMMON case, schema cleanup, free).
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val logical = logicalProjectNames(schemaOf(spark, root, v, m), m.colmap)
+      require(logical.contains(name), s"$root has no column $name")
+      require(logical.size > 1, s"cannot drop the last column of $root")
+      requireUnreferenced(m, name, "dropColumn")
+      val p = m.colmap.physicalOf(name)
+      val newMap = ColMap(m.colmap.renames.filterNot(_._1 == p),
+        m.colmap.dropped :+ p)
+      if (tryPublish(spark, root, v + 1,
+          bodyOf(v + 1, m.copy(tag = None, colmap = newMap))))
+        return v + 1
+      attempts += 1
+      require(attempts < 100, s"$root: dropColumn lost $attempts races")
+    }
+    -1L // unreachable
+  }
+
+  private def logicalProjectNames(
+      phys: org.apache.spark.sql.types.StructType,
+      map: ColMap): Seq[String] =
+    phys.fieldNames.toSeq.flatMap(map.logicalOf)
+
+  /** Bake the column mapping into the data: one full-replace commit
+    * of the logical view (files then carry the logical names
+    * physically; the new version's mapping is identity), unblocking
+    * the rewriting writers. Explicitly O(table) — the one
+    * mapping-related operation that costs anything, priced in the
+    * call name (Delta's REORG UPGRADE shape). No-op on an unmapped
+    * table.
+    */
+  def materializeMapping(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    if (versionMeta(spark, root, v).colmap.isIdentity) v
+    else commit(spark, read(spark, root), root)
+  }
 
   /** CHANGE DATA FEED between two committed versions — the "what
     * happened to the table since I last looked" read every
@@ -747,9 +886,14 @@ object Snapshots {
       removed = removed.unionByName(rowsAt(dvT.exceptAll(dvF)))
       added = added.unionByName(rowsAt(dvF.exceptAll(dvT)))
     }
-    val out = added.exceptAll(removed)
+    // the TO version's column mapping presents the change rows under
+    // the names current consumers see (Delta CDF's end-schema rule);
+    // the diff itself ran in physical names, which rename/drop never
+    // alter — a metadata-only mapping change between the versions
+    // fabricates zero change rows by construction
+    val out = logicalProject(added.exceptAll(removed), mTo.colmap)
         .withColumn("_change_type", lit("insert"))
-      .unionByName(removed.exceptAll(added)
+      .unionByName(logicalProject(removed.exceptAll(added), mTo.colmap)
         .withColumn("_change_type", lit("delete")))
     ChangeScan(out,
       (toSet -- fromSet).size + (fromSet -- toSet).size + dvChurnFiles,
@@ -865,6 +1009,8 @@ object Snapshots {
         lin.withColumnRenamed("file", "__file")), Seq("__file"), "left")
       .select(dataCols.map(col) :+
         col("since_version").as("_commit_version"): _*)
+      // lineage rides a physical read; present the logical names
+      .transform(df => logicalProject(df, m.colmap))
   }
 
   // --- shallow clone: zero-copy table fork ---
@@ -905,7 +1051,7 @@ object Snapshots {
       read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
     val nv = publishNext(spark, dstRoot, n =>
       manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints,
-        m.parts, m.bucket))
+        m.parts, m.bucket, m.colmap))
     val sp = statsPath(srcRoot, m.layoutId)
     if (fs(spark, sp).exists(sp))
       Load.writeAtomic(spark, spark.read.parquet(sp.toString),
@@ -1136,10 +1282,18 @@ object Snapshots {
         .map(rel => new Path(root, rel).toString)
       val prior = dvOf(spark, root, m)
       val priorN = m.dv.map(_ => prior.count()).getOrElse(0L)
-      val fresh = spark.read.schema(schema).parquet(files: _*)
+      // (file, pos) identity materializes BEFORE the logical
+      // projection (scan metadata is only resolvable on the scan
+      // output); the predicate evaluates over the LOGICAL view, so
+      // mapped tables delete by the names users see — the filter
+      // still pushes through the alias projection to the scan
+      val fresh = logicalProject(
+          spark.read.schema(schema).parquet(files: _*)
+            .withColumn("__gf", relFileCol(rootPathOf(spark, root)))
+            .withColumn("__gp", col("_metadata.row_index")),
+          m.colmap)
         .filter(coalesce(pred, lit(false)))
-        .select(relFileCol(rootPathOf(spark, root)).as("file"),
-          col("_metadata.row_index").as("pos"))
+        .select(col("__gf").as("file"), col("__gp").as("pos"))
         .join(prior, Seq("file", "pos"), "left_anti")
       val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
       val dvPath = new Path(root, dvRel).toString
@@ -1201,6 +1355,8 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
+        "materializeMapping before updateWhere")
       val schema = schemaOf(spark, root, v, m)
       val setMap = set.toMap
       setMap.keys.foreach(c => require(schema.fieldNames.contains(c),
@@ -1333,8 +1489,17 @@ object Snapshots {
       .map(v => (v, versionMeta(spark, root, v)))
     val tableParts = cached.map(_._2.parts).getOrElse(Nil)
     val tableBucket = cached.flatMap(_._2.bucket)
+    // column mapping: the batch arrives under LOGICAL names and the
+    // files must carry the PHYSICAL ones (parquet by-name resolution
+    // across old and new files). Stats columns map the same way.
+    // Mapping drift during the publish retry is harmless here —
+    // physical names never change, so the written files stay correct
+    // under any concurrent rename/drop.
+    val tableMap = cached.map(_._2.colmap).getOrElse(ColMap())
+    val dfPhys = toPhysical(df, tableMap)
+    val physStatsCols = statsCols.map(tableMap.physicalOf)
     val (freshDir, freshRows) =
-      writeDataDir(spark, df, root, tableParts, tableBucket)
+      writeDataDir(spark, dfPhys, root, tableParts, tableBucket)
     val freshRel = listFreshRel(spark, root, freshDir)
     var checked = checkedCons
     var attempts = 0
@@ -1387,17 +1552,40 @@ object Snapshots {
         m.schemaDdl.map(StructType.fromDDL)
           .getOrElse(read(spark, root, prior).schema))
       val newSchema = oldSchema match {
-        case None => df.schema
+        case None => dfPhys.schema
+        case Some(old) if !tableMap.isIdentity =>
+          // mapped table: the batch must match the LOGICAL schema —
+          // comparing physical names would let a batch under a
+          // column's STALE pre-rename name slip through (old logical
+          // == physical). The recorded schema keeps every physical
+          // field (dropped ones included — old files still carry
+          // them; re-adding their names is what materializeMapping
+          // unlocks).
+          require(!evolveSchema, "append: schema evolution on a " +
+            "column-mapped table — materializeMapping first")
+          val logNames = old.fields.flatMap(f =>
+            tableMap.logicalOf(f.name)).toSet
+          df.schema.fields.foreach { f =>
+            require(logNames.contains(f.name),
+              s"append batch column ${f.name} is not a table column " +
+                s"(logical schema: $logNames)")
+            val physType = old(tableMap.physicalOf(f.name)).dataType
+            require(physType == f.dataType,
+              s"append: column ${f.name} type ${f.dataType} != table $physType")
+          }
+          require(df.schema.size == logNames.size,
+            s"append batch schema ${df.columns.toSet} != table $logNames")
+          old
         case Some(old) =>
           val oldNames = old.fieldNames.toSet
-          df.schema.fields.filter(f => oldNames.contains(f.name)).foreach { f =>
+          dfPhys.schema.fields.filter(f => oldNames.contains(f.name)).foreach { f =>
             require(old(f.name).dataType == f.dataType,
               s"append: column ${f.name} type ${f.dataType} != table ${old(f.name).dataType}")
           }
-          val extra = df.schema.fields.filterNot(f => oldNames.contains(f.name))
+          val extra = dfPhys.schema.fields.filterNot(f => oldNames.contains(f.name))
           if (!evolveSchema)
-            require(extra.isEmpty && oldNames.size == df.schema.size,
-              s"append batch schema ${df.columns.toSet} != table $oldNames — " +
+            require(extra.isEmpty && oldNames.size == dfPhys.schema.size,
+              s"append batch schema ${dfPhys.columns.toSet} != table $oldNames — " +
                 "pass evolveSchema=true to ADD columns")
           StructType(old.fields ++ extra)
       }
@@ -1412,12 +1600,13 @@ object Snapshots {
       if (tryPublish(spark, root, v,
           manBody(v, man, oldRows + freshRows, tag, Some(ddl),
             priorMeta.flatMap(_.dv), consNow,
-            priorMeta.map(_.parts).getOrElse(Nil), bucketNow))) {
+            priorMeta.map(_.parts).getOrElse(Nil), bucketNow,
+            priorMeta.map(_.colmap).getOrElse(ColMap())))) {
         if (statsCols.nonEmpty) {
           val freshStats = StatsIndex.build(spark,
-            new Path(root, freshDir).toString, statsCols)
+            new Path(root, freshDir).toString, physStatsCols)
           val newStats = priorMeta match {
-            case Some(m) => statsOf(spark, root, m, statsCols)
+            case Some(m) => statsOf(spark, root, m, physStatsCols)
               .unionByName(freshStats)
             case None => freshStats
           }
@@ -1482,6 +1671,8 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
+        "materializeMapping before merge")
       val tableSchema = read(spark, root, Some(v)).schema
       val tableCols = tableSchema.fieldNames
       require(updates.columns.toSet == tableCols.toSet,
@@ -1595,6 +1786,8 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
+        "materializeMapping before deleteRange")
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
       val hit = StatsIndex.hitExpr(c, lo, hi)
@@ -1703,6 +1896,8 @@ object Snapshots {
       val schema = schemaOf(spark, root, v, m)
       require(df.columns.toSet == schema.fieldNames.toSet,
         s"replacePartition batch schema ${df.columns.toSet} != table ${schema.fieldNames.toSet}")
+      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
+        "materializeMapping before replacePartition")
       val batch = df.select(schema.fieldNames.toSeq.map(col): _*)
       requireSatisfied(batch, m.constraints, "replacePartition batch")
       val pred = spec.map { case (c, value) => col(c) <=> value }.reduce(_ && _)
@@ -1958,6 +2153,14 @@ object Snapshots {
       require(m.bucket.isEmpty || clusterBy.isEmpty,
         s"$root is bucketed (${m.bucket.get}) — clusterBy would break " +
           "bucket identity; redefine the layout with a full commit instead")
+      // selective compaction composes with a column mapping (it works
+      // in physical names end to end and republishes the map), but
+      // clusterBy takes USER column names — ambiguous on a mapped
+      // table, so it refuses like the other name-contract writers
+      require(clusterBy.isEmpty || m.colmap.isIdentity,
+        s"$root carries a column mapping — materializeMapping before " +
+          "a clusterBy OPTIMIZE")
+      val physStatsCols = statsCols.map(m.colmap.physicalOf)
       val df =
         if (m.bucket.nonEmpty) df0
         else if (clusterBy.isEmpty) df0.repartition(nFiles)
@@ -1972,24 +2175,24 @@ object Snapshots {
       val (manOpt, body) =
         if (carriedRel.isEmpty)
           (None, dirBody(v + 1, freshDir, m.nRows, None, ddl, None,
-            m.constraints, m.parts, m.bucket))
+            m.constraints, m.parts, m.bucket, m.colmap))
         else {
           val man = writeManifest(spark, root, carriedRel ++ freshRel)
           (Some(man), manBody(v + 1, man, m.nRows, None, ddl, None,
-            m.constraints, m.parts, m.bucket))
+            m.constraints, m.parts, m.bucket, m.colmap))
         }
       if (tryPublish(spark, root, v + 1, body)) {
         if (statsCols.nonEmpty) {
           val newMeta = versionMeta(spark, root, v + 1)
-          val expectedCols = (Seq("file", "n_rows") ++ statsCols.flatMap(c =>
+          val expectedCols = (Seq("file", "n_rows") ++ physStatsCols.flatMap(c =>
             Seq(s"min_$c", s"max_$c", s"nulls_$c"))).toSet
-          val prior = statsOf(spark, root, m, statsCols)
-          if (carriedRel.isEmpty) ensureStats(spark, root, newMeta, statsCols)
+          val prior = statsOf(spark, root, m, physStatsCols)
+          if (carriedRel.isEmpty) ensureStats(spark, root, newMeta, physStatsCols)
           else if (prior.columns.toSet != expectedCols)
             // the prior index was built for DIFFERENT columns — its
             // rows cannot union with a fresh build; rebuild the whole
             // layout instead of crashing after the publish landed
-            ensureStats(spark, root, newMeta, statsCols)
+            ensureStats(spark, root, newMeta, physStatsCols)
           else {
             // carried stats rows reused verbatim; only the fresh dir scans
             val carriedAbs = spark.createDataset(carriedRel.map(rel =>
@@ -2000,7 +2203,7 @@ object Snapshots {
                 prior("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
             Load.writeAtomic(spark,
               carriedStats.unionByName(StatsIndex.build(spark,
-                new Path(root, freshDir).toString, statsCols)),
+                new Path(root, freshDir).toString, physStatsCols)),
               statsPath(root, newMeta.layoutId).toString)
           }
         }
@@ -2038,26 +2241,30 @@ object Snapshots {
     // the vector applies on whatever survives it
     def logical(df: DataFrame): DataFrame =
       m.dv.map(_ => applyDv(spark, root, df, dvOf(spark, root, m))).getOrElse(df)
+    // the caller names the LOGICAL column; stats rows and file
+    // contents carry the physical one
+    val pc = m.colmap.physicalOf(c)
     m.dataDir match {
       case Some(d) if m.parts.isEmpty =>
         val (df, nRead, nTotal) =
-          StatsIndex.prunedRead(spark, new Path(root, d).toString, stats, c, lo, hi)
-        (logical(df), nRead, nTotal)
+          StatsIndex.prunedRead(spark, new Path(root, d).toString, stats, pc, lo, hi)
+        (logicalProject(logical(df), m.colmap), nRead, nTotal)
       case _ =>
         // manifest layout: the candidate list comes straight from the
         // stats rows (whose `file` URIs are the manifest's files);
         // there is no single base dir, and snapshot data is flat, so
         // the subset read needs no basePath
         val total = stats.select("file").count().toInt
-        val files = StatsIndex.candidateFiles(stats, c, lo, hi)
-        val bounded = Seq(lo.map(l => col(c) >= l), hi.map(h => col(c) <= h))
+        val files = StatsIndex.candidateFiles(stats, pc, lo, hi)
+        val bounded = Seq(lo.map(l => col(pc) >= l), hi.map(h => col(pc) <= h))
           .flatten.reduceOption(_ && _).getOrElse(lit(true))
         val reader = m.schemaDdl.map(d => spark.read.schema(
             org.apache.spark.sql.types.StructType.fromDDL(d)))
           .getOrElse(spark.read)
         val df =
           if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
-          else logical(reader.parquet(files: _*)).filter(bounded)
+          else logicalProject(logical(reader.parquet(files: _*))
+            .filter(bounded), m.colmap)
         (df, files.size, total)
     }
   }
@@ -2108,8 +2315,13 @@ object Snapshots {
       org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, b.cols, b.sort))
     val raw = GraftShim.ofRows(spark,
       GraftShim.parquetScanPlan(spark, idx, schema, spec))
-    val df = m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m)))
-      .getOrElse(raw)
+    // column mapping: SQL sees the logical names; predicates push
+    // through the alias projection to the physical scan, so stats
+    // skipping and parquet pushdown keep working on the file names
+    val df = logicalProject(
+      m.dv.map(_ => applyDv(spark, root, raw, dvOf(spark, root, m)))
+        .getOrElse(raw),
+      m.colmap)
     (df, idx)
   }
 

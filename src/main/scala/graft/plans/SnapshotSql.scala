@@ -165,6 +165,14 @@ object SnapshotSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+snap\.`([^`]+)`\s*""".r
+  private val RenameColRe =
+    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*""".r
+  private val DropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+COLUMN\s+`?(\w+)`?\s*""".r
+  private val AddConsRe =
+    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.*)\)\s*""".r
+  private val DropConsRe =
+    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+CONSTRAINT\s+`?(\w+)`?\s*""".r
 
   /** SQL entry point: SELECT/time-travel plans through
     * [[ResolveSnapshotTable]], DML routes to the snapshot writers
@@ -176,7 +184,12 @@ object SnapshotSql {
     * one-row receipt (or the history frame). RESTORE is
     * metadata-only; VACUUM's receipt counts the version files it
     * trimmed (data-dir reclaim honors the in-flight-commit grace
-    * window, exactly as the API call does).
+    * window, exactly as the API call does). `ALTER TABLE ... RENAME
+    * COLUMN / DROP COLUMN` route to the metadata-only column mapping
+    * ([[Snapshots.renameColumn]]/[[Snapshots.dropColumn]] — zero
+    * bytes rewritten at any table size), and `ALTER TABLE ... ADD
+    * CONSTRAINT name CHECK (...) / DROP CONSTRAINT name` to the
+    * logged CHECK-constraint tier.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
     case OptimizeRe(root, cluster) =>
@@ -184,6 +197,18 @@ object SnapshotSql {
     case VacuumRe(root, n) => runVacuum(spark, noCatalog(root, "VACUUM"), n.toInt)
     case RestoreRe(root, v) =>
       runRestore(spark, noCatalog(root, "RESTORE"), v.toLong)
+    case RenameColRe(root, from, to) =>
+      alterReceipt(spark, Snapshots.renameColumn(spark,
+        noCatalog(root, "ALTER TABLE"), from, to))
+    case DropColRe(root, name) =>
+      alterReceipt(spark, Snapshots.dropColumn(spark,
+        noCatalog(root, "ALTER TABLE"), name))
+    case AddConsRe(root, name, check) =>
+      alterReceipt(spark, Snapshots.addConstraint(spark,
+        noCatalog(root, "ALTER TABLE"), name, check))
+    case DropConsRe(root, name) =>
+      alterReceipt(spark, Snapshots.dropConstraint(spark,
+        noCatalog(root, "ALTER TABLE"), name))
     case HistoryRe(root) =>
       // read-only: a catalog relation's history is its pinned root's
       Snapshots.history(spark, root.split("::", 2) match {
@@ -201,6 +226,11 @@ object SnapshotSql {
       case other =>
         GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(other))
     }
+  }
+
+  private def alterReceipt(spark: SparkSession, v: Long): DataFrame = {
+    import spark.implicits._
+    Seq(v).toDF("version")
   }
 
   private def noCatalog(root: String, op: String): String = {

@@ -1644,6 +1644,54 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // q199 — METADATA-ONLY COLUMN MAPPING (Snapshots.renameColumn /
+    // dropColumn behind SQL ALTER TABLE): renaming and dropping
+    // columns on a 100 TB table is one tiny version publish — both
+    // flags pin that the new versions reference the SAME files as
+    // v1 (zero churn) — while every read path presents the logical
+    // names, time travel keeps each version's own names, SQL INSERT
+    // appends a logically-named batch into physically-named files,
+    // and DELETE's predicate resolves the renamed column. Values
+    // replay the post-rename lifecycle (append + delete) in DuckDB.
+    "q199_column_mapping" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q199").toString
+      Snapshots.commit(s, o, root)
+      SnapshotSql.sql(s,
+        s"ALTER TABLE snap.`$root` RENAME COLUMN o_totalprice TO price")
+      val renameZero = Snapshots.filesOfVersion(s, root, 2L) ==
+        Snapshots.filesOfVersion(s, root, 1L)
+      SnapshotSql.sql(s, s"ALTER TABLE snap.`$root` DROP COLUMN o_orderstatus")
+      val dropZero = Snapshots.filesOfVersion(s, root, 3L) ==
+        Snapshots.filesOfVersion(s, root, 1L)
+      val ttNames = SnapshotSql.sql(s,
+        s"SELECT * FROM snap.`$root` VERSION AS OF 1").columns.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      val ins = SnapshotSql.sql(s,
+        s"""INSERT INTO snap.`$root`
+           |SELECT o_orderkey + 5000000, o_totalprice + 10.0
+           |FROM snap.`$root` VERSION AS OF 1
+           |WHERE o_orderkey % 7 = 0""".stripMargin).head()
+      val appended = ins.getLong(0) == 4L
+      val expDel = Snapshots.read(s, root)
+        .filter(col("price") < 20000.0).count()
+      val del = SnapshotSql.sql(s,
+        s"DELETE FROM snap.`$root` WHERE price < 20000.0").head()
+      val deleted = del.getLong(0) == 5L && del.getLong(1) == expDel
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderkey % 10 AS k, count(*) AS n,
+           |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderkey % 10""".stripMargin)
+        .withColumn("rename_zero_churn", lit(renameZero))
+        .withColumn("drop_zero_churn", lit(dropZero))
+        .withColumn("time_travel_names", lit(ttNames))
+        .withColumn("logical_insert", lit(appended))
+        .withColumn("logical_delete", lit(deleted))
+        .orderBy("k")
+    }),
+
     // q191 — SQL MERGE INTO (SnapshotSql → Snapshots.merge): the
     // reference's single sink semantic — `ON CONFLICT DO UPDATE`
     // upsert (REF main.py:50) — now complete in SQL. The statement
@@ -2757,6 +2805,25 @@ object EtlQueries {
         |  TRUE AS restore_receipt, TRUE AS vacuum_trims_keeps_data
         |FROM orders WHERE o_orderkey % 3 <= 1
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q199: the post-rename lifecycle replayed — base ∪ the
+    // key-offset insert, minus the price-threshold delete; a rename
+    // that lost data, an insert routed under the wrong names, or a
+    // delete resolving the wrong column all change the rows
+    "q199_column_mapping" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders),
+        |app AS (
+        |  SELECT o_orderkey + 5000000 AS o_orderkey,
+        |    o_totalprice + 10.0 AS price
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT o_orderkey % 10 AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS rename_zero_churn, TRUE AS drop_zero_churn,
+        |  TRUE AS time_travel_names, TRUE AS logical_insert,
+        |  TRUE AS logical_delete
+        |FROM allr WHERE NOT (price < 20000.0)
+        |GROUP BY 1 ORDER BY k""".stripMargin,
     // q194: the pinned-state star join (both tables at their ≤1000
     // appended state); a torn pin set, a lost staged commit, or a
     // vacuum breaking the pinned history all flip a flag or the rows
