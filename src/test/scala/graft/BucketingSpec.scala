@@ -135,6 +135,60 @@ class BucketingSpec extends SparkSpec {
     assert(got === expect, s"post-delete logical count (dv v${r.version})")
   }
 
+  test("point predicates on the bucket key prune to one bucket") {
+    // the hash layout doubles as a point index: an equality predicate
+    // on the bucket column scans 1/n of the table with zero stats —
+    // SelectedBucketsCount pins Spark's own bucket pruning firing
+    // through the snapshot relation
+    val root = tmpDir("snap_bucket_prune")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val key = o.select("o_custkey").head().getLong(0)
+    Snapshots.commit(spark, o, root,
+      bucketBy = Some(Bucketing(8, Seq("o_custkey"))))
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val q = SnapshotSql.sql(spark,
+        s"SELECT * FROM snap.`$root` WHERE o_custkey = $key")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected one-bucket scan:\n${plan.take(3000)}")
+      assert(q.count() ===
+        Snapshots.read(spark, root).filter(col("o_custkey") === key).count())
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
+  test("streaming snapshot ingest inherits the bucket layout") {
+    import spark.implicits._
+    val base = tmpDir("snap_bucket_stream")
+    val staging = s"$base/staging"; val ckpt = s"$base/ckpt"
+    val root = s"$base/table"
+    Snapshots.commit(spark,
+      (1L to 40L).map(i => (i, i % 7)).toDF("id", "k"), root,
+      bucketBy = Some(Bucketing(4, Seq("k"))))
+    (41L to 90L).map(i => (i, i % 7)).toDF("id", "k")
+      .write.parquet(staging)
+    graft.streaming.Ingest.snapshotIngestAvailableNow(spark, staging, ckpt,
+      root, statsCols = Nil, schemaDDL = "id BIGINT, k BIGINT")
+    val v = Snapshots.latestVersion(spark, root).get
+    assert(Snapshots.read(spark, root).count() === 90L)
+    val TagRe = """.*_(\d+)\..*""".r
+    Snapshots.filesOfVersion(spark, root, v).foreach { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      val tag = name match {
+        case TagRe(t) => t.toInt
+        case _ => fail(s"streamed file $name carries no bucket tag")
+      }
+      val off = spark.read.parquet(f)
+        .filter(pmod(hash(col("k")), lit(4)) =!= lit(tag)).count()
+      assert(off === 0L, s"streamed rows mis-bucketed in $name")
+    }
+  }
+
   test("optimize compacts within the bucket layout; clusterBy refuses") {
     val root = tmpDir("snap_bucket_opt")
     val o = Tables.orders(spark, sf)
