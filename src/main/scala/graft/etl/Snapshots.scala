@@ -160,6 +160,17 @@ object Snapshots {
     val man = """"manifest":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
     if (dir.isEmpty == man.isEmpty)
       throw new IllegalStateException(s"$vf is not a version file")
+    // reader-version gate: a version whose correct interpretation
+    // requires a feature this library does not know must refuse, not
+    // silently mis-read (see [[SupportedFeatures]])
+    """"features":\[([^\]]*)\]""".r.findFirstMatchIn(body).foreach { fm =>
+      val demanded = """"([^"]+)"""".r.findAllMatchIn(fm.group(1))
+        .map(_.group(1)).toSet
+      val unknown = demanded -- SupportedFeatures
+      require(unknown.isEmpty,
+        s"$vf requires format features ${unknown.mkString(", ")} this " +
+          "reader does not support — upgrade the library to read this version")
+    }
     // missing n_rows is as malformed as a missing data_dir — a silent
     // -1 would be re-published verbatim by rollback into a version
     // file the \d+ regex can never re-parse
@@ -280,12 +291,32 @@ object Snapshots {
   private[etl] def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Format features THIS library understands. A version file lists
+    * the features its correct interpretation REQUIRES (`"features"`,
+    * derived in [[extras]] — never hand-passed): `dv` (ignoring the
+    * deletion vector resurrects deleted rows), `colmap` (ignoring
+    * the mapping presents dropped/renamed physical names), `bucket`
+    * (a writer ignoring the layout breaks bucket identity for every
+    * later shuffle-free read). [[versionMeta]] refuses a version
+    * demanding a feature outside this set — the Delta
+    * reader-version discipline: when a FUTURE writer adds a feature
+    * with correctness semantics, today's binary fails loudly
+    * instead of silently mis-reading the table.
+    */
+  private[etl] val SupportedFeatures: Set[String] = Set("dv", "colmap", "bucket")
+
   private def extras(tag: Option[Long], schema: Option[String],
                      dv: Option[String] = None,
                      cons: Seq[(String, String)] = Nil,
                      parts: Seq[String] = Nil,
                      bucket: Option[Bucketing] = None,
                      colmap: ColMap = ColMap()): String =
+    (Seq(dv.map(_ => "dv"), bucket.map(_ => "bucket"),
+        if (colmap.isIdentity) None else Some("colmap")).flatten match {
+      case Nil => ""
+      case fs => ""","features":[""" +
+        fs.map(f => s""""$f"""").mkString(",") + "]"
+    }) +
     tag.map(t => s""","tag":$t""").getOrElse("") +
       schema.map(d => s""","schema":"${jsonEsc(d)}"""").getOrElse("") +
       dv.map(d => s""","dv":"$d"""").getOrElse("") +

@@ -165,6 +165,12 @@ object SnapshotSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+snap\.`([^`]+)`\s*""".r
+  private val ShowPartsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+snap\.`([^`]+)`\s*""".r
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+TABLES\s+IN\s+snap\.`([^`]+)`\s*""".r
+  private val ChangesVerbRe =
+    """(?is)\s*DESCRIBE\s+CHANGES\s+snap\.`([^`]+)`\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*""".r
   private val RenameColRe =
     """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*""".r
   private val DropColRe =
@@ -197,6 +203,12 @@ object SnapshotSql {
     case VacuumRe(root, n) => runVacuum(spark, noCatalog(root, "VACUUM"), n.toInt)
     case RestoreRe(root, v) =>
       runRestore(spark, noCatalog(root, "RESTORE"), v.toLong)
+    case ShowPartsRe(root) =>
+      runShowPartitions(spark, noCatalog(root, "SHOW PARTITIONS"))
+    case ShowTablesRe(cat) => runShowTables(spark, cat)
+    case ChangesVerbRe(root, fromV, toV) =>
+      Snapshots.changes(spark, noCatalog(root, "DESCRIBE CHANGES"),
+        fromV.toLong, toV.toLong).df
     case RenameColRe(root, from, to) =>
       alterReceipt(spark, Snapshots.renameColumn(spark,
         noCatalog(root, "ALTER TABLE"), from, to))
@@ -231,6 +243,54 @@ object SnapshotSql {
   private def alterReceipt(spark: SparkSession, v: Long): DataFrame = {
     import spark.implicits._
     Seq(v).toDF("version")
+  }
+
+  /** `SHOW PARTITIONS` — the partition-value inventory from PATH
+    * metadata alone (one manifest/listing read, no data opened): one
+    * row per distinct value tuple, with its file count. Files whose
+    * path carries no value for a column (pre-partitioning layouts,
+    * the ambiguous null/'' default marker) surface it as NULL.
+    * Errors on an unpartitioned table, matching Spark's own verb.
+    */
+  private def runShowPartitions(spark: SparkSession,
+                                root: String): DataFrame = {
+    val v = Snapshots.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = Snapshots.versionMeta(spark, root, v)
+    require(m.parts.nonEmpty, s"SHOW PARTITIONS: $root is not partitioned")
+    val keys = m.parts.map(c => Snapshots.partKey(c) + "=")
+    val tuples = Snapshots.filesOfVersion(spark, root, v).map { f =>
+      val segs = f.split('/')
+      keys.map { k =>
+        segs.collectFirst {
+          case seg if seg.startsWith(k) =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.drop(k.length))
+        }.orNull
+      }
+    }
+    val rows = tuples.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case (vals, n) =>
+        org.apache.spark.sql.Row.fromSeq(vals :+ n)
+      }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      m.parts.map(c => StructField(c, StringType)) :+
+        StructField("n_files", LongType))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema).orderBy(m.parts.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** `SHOW TABLES IN snap.\`<catRoot>\`` — the catalog's pinned table
+    * set at its latest version (name, table root, pinned version).
+    */
+  private def runShowTables(spark: SparkSession, cat: String): DataFrame = {
+    import spark.implicits._
+    graft.etl.Catalog.pins(spark, cat, None).toSeq
+      .map { case (name, pin) => (name, pin.root, pin.version) }
+      .sortBy(_._1).toDF("name", "root", "version")
   }
 
   private def noCatalog(root: String, op: String): String = {

@@ -1692,6 +1692,39 @@ object EtlQueries {
         .orderBy("k")
     }),
 
+    // q200 — SQL METADATA VERBS: SHOW PARTITIONS (the partition
+    // inventory from path metadata alone — no data opened), SHOW
+    // TABLES IN (the catalog's pinned set), DESCRIBE CHANGES (the
+    // change feed as a statement). Values are the partition
+    // inventory itself; the flags pin the catalog listing and that
+    // the change feed replays exactly the appended batch with zero
+    // fabricated deletes.
+    "q200_sql_metadata" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q200").toString
+      val root = s"$base/t"; val cat = s"$base/cat"
+      Snapshots.commit(s, o, root, partitionBy = Seq("o_orderstatus"))
+      Snapshots.append(s, o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000L), root)
+      graft.etl.Catalog.commit(s, cat,
+        Map("orders" -> graft.etl.Catalog.Pin(root, 2L)))
+      val st = SnapshotSql.sql(s, s"SHOW TABLES IN snap.`$cat`").collect()
+      val tablesOk = st.length == 1 && st(0).getString(0) == "orders" &&
+        st(0).getLong(2) == 2L
+      val ch = SnapshotSql.sql(s, s"DESCRIBE CHANGES snap.`$root` FROM 1 TO 2")
+      val chOk = ch.filter(col("_change_type") === "insert").count() ==
+        o.filter(col("o_orderkey") % 5 === 0).count() &&
+        ch.filter(col("_change_type") === "delete").count() == 0L
+      SnapshotSql.sql(s, s"SHOW PARTITIONS snap.`$root`")
+        .groupBy("o_orderstatus")
+        .agg((min("n_files") > 0L).as("files_positive"))
+        .withColumn("show_tables_ok", lit(tablesOk))
+        .withColumn("changes_ok", lit(chOk))
+        .orderBy("o_orderstatus")
+    }),
+
     // q191 — SQL MERGE INTO (SnapshotSql → Snapshots.merge): the
     // reference's single sink semantic — `ON CONFLICT DO UPDATE`
     // upsert (REF main.py:50) — now complete in SQL. The statement
@@ -2824,6 +2857,14 @@ object EtlQueries {
         |  TRUE AS logical_delete
         |FROM allr WHERE NOT (price < 20000.0)
         |GROUP BY 1 ORDER BY k""".stripMargin,
+    // q200: the partition inventory is exactly the distinct statuses
+    // — a partition lost from the paths, a torn catalog pin, or a
+    // change feed fabricating rows flips a row or a flag
+    "q200_sql_metadata" ->
+      """SELECT o_orderstatus, TRUE AS files_positive,
+        |  TRUE AS show_tables_ok, TRUE AS changes_ok
+        |FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY o_orderstatus""".stripMargin,
     // q194: the pinned-state star join (both tables at their ≤1000
     // appended state); a torn pin set, a lost staged commit, or a
     // vacuum breaking the pinned history all flip a flag or the rows

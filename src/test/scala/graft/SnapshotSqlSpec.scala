@@ -386,6 +386,36 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("SQL metadata verbs: SHOW PARTITIONS, SHOW TABLES IN, DESCRIBE CHANGES") {
+    import spark.implicits._
+    val base = tmpDir("snapsql_meta")
+    val root = s"$base/t"; val cat = s"$base/cat"
+    val df = (1L to 90L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    Snapshots.commit(spark, df, root, partitionBy = Seq("grp"))
+    Snapshots.append(spark,
+      (91L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"), root)
+    val parts = SnapshotSql.sql(spark, s"SHOW PARTITIONS snap.`$root`")
+    assert(parts.columns.toSeq === Seq("grp", "n_files"))
+    assert(parts.select("grp").as[String].collect().sorted.toSeq ===
+      Seq("g0", "g1", "g2"))
+    assert(parts.agg(org.apache.spark.sql.functions.min("n_files"))
+      .head().getLong(0) >= 1L)
+    // unpartitioned tables refuse, like Spark's own verb
+    val flat = s"$base/flat"
+    Snapshots.commit(spark, df, flat)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"SHOW PARTITIONS snap.`$flat`")
+    }
+    assert(e.getMessage.contains("not partitioned"))
+    graft.etl.Catalog.commit(spark, cat,
+      Map("t" -> graft.etl.Catalog.Pin(root, 1L)))
+    val st = SnapshotSql.sql(spark, s"SHOW TABLES IN snap.`$cat`").collect()
+    assert(st.map(r => (r.getString(0), r.getLong(2))).toSeq === Seq(("t", 1L)))
+    val ch = SnapshotSql.sql(spark, s"DESCRIBE CHANGES snap.`$root` FROM 1 TO 2")
+    assert(ch.filter($"_change_type" === "insert").count() === 10L)
+    assert(ch.filter($"_change_type" === "delete").count() === 0L)
+  }
+
   test("canHit translation: And keeps the provable half; Or requires both") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType

@@ -1347,4 +1347,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(tot === 12 && kept < 4,
       s"stats must prune inside the surviving partition: kept $kept")
   }
+
+  test("format features gate: unknown-feature versions refuse loudly") {
+    val root = tmpDir("snap_feat")
+    val df = (1L to 20L).map(i => (i, s"r$i")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    // a version that USES a known feature parses and reads fine
+    Snapshots.deleteWhere(spark, root, col("id") === 1L)
+    assert(Snapshots.read(spark, root).count() === 19L)
+    // a version demanding a FUTURE feature refuses instead of
+    // silently mis-reading (the Delta reader-version discipline)
+    val vf = java.nio.file.Paths.get(root, "_versions", "v00000003.json")
+    java.nio.file.Files.write(vf,
+      """{"version":3,"data_dir":"data/ghost","n_rows":0,"features":["row_tracking_v9"]}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root)
+    }
+    assert(e.getMessage.contains("row_tracking_v9"))
+    assert(e.getMessage.contains("upgrade"))
+    // older versions stay readable — the gate is per-version
+    assert(Snapshots.read(spark, root, Some(1L)).count() === 20L)
+  }
 }
