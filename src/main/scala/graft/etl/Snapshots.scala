@@ -824,6 +824,47 @@ object Snapshots {
       map: ColMap): Seq[String] =
     phys.fieldNames.toSeq.flatMap(map.logicalOf)
 
+  /** METADATA-ONLY `ALTER TABLE ... ADD COLUMN` — the schema rides
+    * the log, so adding a nullable column is one version publish:
+    * every existing file surfaces it as NULL (parquet by-name
+    * resolution, the same mechanism as [[append]]'s ADD-only
+    * evolution — this is that evolution without a batch). Refuses a
+    * name colliding with any visible logical name, any physical
+    * field (a DROPPED physical name re-added would resurrect the
+    * old files' bytes under the new column — materialize first),
+    * or an unparseable type. State-dependent publish at exactly
+    * readVersion+1.
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                typeDdl: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val parsed = StructType.fromDDL(s"`$name` $typeDdl")
+    require(parsed.length == 1, s"addColumn: '$typeDdl' is not one type")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      val old = m.schemaDdl.map(StructType.fromDDL).getOrElse(
+        throw new IllegalStateException(
+          s"$root records no schema — commit once with this library first"))
+      require(!old.fieldNames.contains(name),
+        if (m.colmap.dropped.contains(name))
+          s"addColumn: $name is a dropped column's physical name — its " +
+            "bytes would resurrect; materializeMapping first"
+        else s"$root already has a column $name")
+      require(!logicalProjectNames(old, m.colmap).contains(name),
+        s"$root already has a column $name")
+      val ddl = StructType(old.fields :+ parsed.fields.head.copy(nullable = true)).toDDL
+      if (tryPublish(spark, root, v + 1,
+          bodyOf(v + 1, m.copy(tag = None, schemaDdl = Some(ddl)))))
+        return v + 1
+      attempts += 1
+      require(attempts < 100, s"$root: addColumn lost $attempts races")
+    }
+    -1L // unreachable
+  }
+
   /** Bake the column mapping into the data: one full-replace commit
     * of the logical view (files then carry the logical names
     * physically; the new version's mapping is identity), unblocking

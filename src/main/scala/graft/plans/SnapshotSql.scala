@@ -175,6 +175,8 @@ object SnapshotSql {
     """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*""".r
   private val DropColRe =
     """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+COLUMN\s+`?(\w+)`?\s*""".r
+  private val AddColRe =
+    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+COLUMN\s+`?(\w+)`?\s+([A-Za-z][A-Za-z0-9_]*(?:\s*\([0-9,\s]*\))?)\s*""".r
   private val AddConsRe =
     """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.*)\)\s*""".r
   private val DropConsRe =
@@ -215,6 +217,9 @@ object SnapshotSql {
     case DropColRe(root, name) =>
       alterReceipt(spark, Snapshots.dropColumn(spark,
         noCatalog(root, "ALTER TABLE"), name))
+    case AddColRe(root, name, typeDdl) =>
+      alterReceipt(spark, Snapshots.addColumn(spark,
+        noCatalog(root, "ALTER TABLE"), name, typeDdl))
     case AddConsRe(root, name, check) =>
       alterReceipt(spark, Snapshots.addConstraint(spark,
         noCatalog(root, "ALTER TABLE"), name, check))

@@ -117,6 +117,35 @@ class ColumnMappingSpec extends SparkSpec {
     assert(g.getMessage.contains("partition column"))
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; old files read NULL") {
+    val root = tmpDir("cm_addcol")
+    freshTable(root)
+    val v = SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` ADD COLUMN note STRING").head().getLong(0)
+    assert(v === 2L)
+    assert(Snapshots.filesOfVersion(spark, root, 2L) ===
+      Snapshots.filesOfVersion(spark, root, 1L), "must publish metadata only")
+    val df = Snapshots.read(spark, root)
+    assert(df.columns.toSeq === Seq("id", "name", "score", "note"))
+    assert(df.filter(col("note").isNull).count() === 100L)
+    Snapshots.append(spark,
+      (101L to 105L).map(i => (i, s"n$i", 1.0, "x"))
+        .toDF("id", "name", "score", "note"), root)
+    assert(Snapshots.read(spark, root).filter(col("note") === "x").count() === 5L)
+    // parameterized types parse; duplicates refuse
+    SnapshotSql.sql(spark, s"ALTER TABLE snap.`$root` ADD COLUMN amt DECIMAL(10,2)")
+    intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, root, "note", "STRING")
+    }
+    // a dropped column's physical name refuses re-add (bytes would
+    // resurrect from the old files)
+    Snapshots.dropColumn(spark, root, "name")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, root, "name", "STRING")
+    }
+    assert(e.getMessage.contains("resurrect"))
+  }
+
   test("SQL ALTER TABLE verbs: RENAME/DROP COLUMN, ADD/DROP CONSTRAINT") {
     val root = tmpDir("cm_sql")
     freshTable(root)
