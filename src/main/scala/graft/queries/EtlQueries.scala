@@ -1467,13 +1467,25 @@ object EtlQueries {
           root, Seq("l_orderkey"))
       }
       val beforeFiles = Snapshots.filesOfVersion(s, root, 5L).toSet
+      // the debt is MEASURED, not assumed: the number of appended
+      // small files varies with scan parallelism (an append's write
+      // can emit a task-split empty sibling), and the contract is
+      // "rewritten == exactly the under-threshold tail, big files
+      // carried by reference" regardless of how the tail was laid
+      val smallCount = beforeFiles.count { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen < 32L * 1024
+      }
       val before = Snapshots.read(s, root)
       val r = Snapshots.optimize(s, root, targetBytes = 32L * 1024,
         statsCols = Seq("l_orderkey"))
       val afterFiles = Snapshots.filesOfVersion(s, root, r.version).toSet
       val after = Snapshots.read(s, root, Some(r.version))
-      val selective = r.filesRewritten == 4 && r.filesTotal == 6
-      val carried = beforeFiles.intersect(afterFiles).size == 2
+      val selective = smallCount >= 4 && r.filesRewritten == smallCount &&
+        r.filesTotal == beforeFiles.size
+      val carried = beforeFiles.intersect(afterFiles).size ==
+        beforeFiles.size - smallCount && smallCount < beforeFiles.size
       val identical = before.exceptAll(after).isEmpty &&
         after.exceptAll(before).isEmpty
       val r2 = Snapshots.optimize(s, root, targetBytes = 32L * 1024)

@@ -54,7 +54,12 @@ def parse_check_lines(text):
     return out
 
 
-def bench_medians(path):
+def bench_medians(path, key="median"):
+    """Per-query seconds from a Bench detail log. key="median" is the
+    warm-median default; key="cold" reads each query's first-iteration
+    time instead — pass it (via --cold) when ONE of the two logs was a
+    single-iteration run, so the ratio compares cold-to-cold rather
+    than conflating warm-up with data scale."""
     last = None
     for line in open(path):
         line = line.strip()
@@ -67,7 +72,7 @@ def bench_medians(path):
     # registered queries ever share a prefix (a silent dict overwrite
     # would attach a ratio to the wrong query)
     out = {}
-    for k, v in json.loads(last)["median"].items():
+    for k, v in json.loads(last)[key].items():
         short = k.split("_")[0]
         if short in out:
             raise SystemExit(
@@ -115,6 +120,9 @@ def main():
                     help="Verify out dir from the SMALL-SF run; when given, "
                          "per-query rows_out_small is recorded so output "
                          "growth (vs plan-shape growth) is machine-decomposable")
+    ap.add_argument("--cold", action="store_true",
+                    help="ratio from per-query COLD times instead of warm "
+                         "medians — use when one log is single-iteration")
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -142,8 +150,9 @@ def main():
     finally:
         shutil.move(backup, oracle_path)
 
-    small = bench_medians(args.small_bench) if args.small_bench else {}
-    big = bench_medians(args.big_bench) if args.big_bench else {}
+    key = "cold" if args.cold else "median"
+    small = bench_medians(args.small_bench, key) if args.small_bench else {}
+    big = bench_medians(args.big_bench, key) if args.big_bench else {}
 
     registered = sorted(
         d for d in os.listdir(args.out_dir)
@@ -189,6 +198,7 @@ def main():
             v["oracle"] == "component-check" for v in queries.values()),
         "suite_ratio": (round(big_total / small_total, 2)
                         if small_total and big_total else None),
+        "ratio_basis": key,
         "worst_ratio": max(ratios) if ratios else None,
         "queries": queries,
     }
