@@ -60,6 +60,7 @@ object Snapshots {
     * version log — no file contents read).
     */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
+    fullListings.incrementAndGet()
     val dir = versionsDir(root)
     val f = fs(spark, dir)
     if (!f.exists(dir)) Seq.empty
@@ -68,8 +69,69 @@ object Snapshots {
     }.sorted
   }
 
-  def latestVersion(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).lastOption
+  /** Test-observable counter of FULL version-log listings — the spec
+    * hook proving the hot path ([[latestVersion]]) stays O(1) as the
+    * log grows (see [[latestVersion]]'s floor).
+    */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** The LISTING FLOOR — Delta's `_last_checkpoint` shape: every
+    * successful publish best-effort overwrites `_versions/
+    * _latest_hint` with its version number, so the hottest metadata
+    * read (`latestVersion`, on the path of EVERY read and every
+    * commit) costs one tiny read plus a few existence probes instead
+    * of listing the whole log. A version-per-micro-batch stream
+    * (q171's shape) grows the log without bound; without the floor
+    * every append pays an O(#commits) listing.
+    *
+    * Probing forward from the hint is CORRECT because version
+    * numbers above any once-latest version are contiguous: every
+    * publish lands at latest+1 ([[publishNext]] / the
+    * readVersion+1 writers), so gaps only ever come from [[vacuum]]
+    * deleting BELOW the retained tail — and vacuum refreshes the
+    * hint to the true latest BEFORE deleting anything. A missing /
+    * unparseable / vacuumed-away hint falls back to the full
+    * listing, never to a wrong answer.
+    */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val hf = hintFile(root)
+    val f = fs(spark, hf)
+    val hinted = readHint(f, hf).filter(h => f.exists(versionFile(root, h)))
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (f.exists(versionFile(root, v + 1))) v += 1
+        Some(v)
+      case None => versions(spark, root).lastOption
+    }
+  }
+
+  private def hintFile(root: String) = new Path(versionsDir(root), "_latest_hint")
+
+  private def readHint(f: FileSystem, hf: Path): Option[Long] =
+    try {
+      if (!f.exists(hf)) None
+      else {
+        val in = f.open(hf)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val t = body.trim
+        if (t.nonEmpty && t.forall(_.isDigit)) Some(t.toLong) else None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Best-effort floor refresh — a failed write costs the NEXT reader
+    * a probe walk (or, eventually, one full listing), never
+    * correctness. Concurrent writers may interleave (a later hint
+    * briefly overwritten by an earlier one); the probe walks forward
+    * past any regression.
+    */
+  private def writeHint(f: FileSystem, root: String, v: Long): Unit =
+    try {
+      val out = f.create(hintFile(root), true)
+      try out.write(v.toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Version metadata. Exactly one of `dataDir` / `manifest` is set:
     * a WHOLE-DIR version ([[commit]]/[[optimize]] — the snapshot is
@@ -100,7 +162,24 @@ object Snapshots {
                              sort: Seq[String] = Nil) {
     require(n > 0, s"bucket count must be positive, got $n")
     require(cols.nonEmpty, "bucketing needs at least one column")
+    (cols ++ sort).foreach(requireLoggable(_, "bucket column"))
   }
+
+  /** Reject identifiers the version-log's array parser cannot
+    * round-trip: the `cols`/`parts`/`colmap` arrays are read back
+    * with a `[^\]]*` group, so a literal ']' inside a name (legal in
+    * Spark via backticks) would serialize fine but silently truncate
+    * the parse on read — a dropped column's bytes resurrecting, or a
+    * bucket layout degrading to None so a later append writes
+    * untagged files into a tagged layout. Refusing at the API
+    * boundary keeps the log format simple AND round-trip-exact.
+    * Newlines are rejected for the same reason (the log is one line;
+    * [[jsonEsc]] does not escape them).
+    */
+  private[etl] def requireLoggable(name: String, what: String): Unit =
+    require(!name.exists(ch => ch == ']' || ch == '\n' || ch == '\r'),
+      s"$what '$name' contains ']' or a line break — the version-log " +
+        "parser cannot round-trip it; rename the column first")
 
   /** COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (Delta's
     * column-mapping 'name' mode): the log records how the PHYSICAL
@@ -231,9 +310,21 @@ object Snapshots {
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(spark, root).map { v =>
-      val m = versionMeta(spark, root, v)
-      (v, if (m.dataDir.isDefined) "dir" else "manifest", m.nRows,
-        m.tag, m.dv.isDefined, m.constraints.size)
+      // the audit verb stays usable after a partial format downgrade:
+      // a version demanding an unknown format feature cannot be READ
+      // (the reader-version gate), but its history ROW is still
+      // honest metadata — Delta keeps DESCRIBE HISTORY viewable past
+      // its own reader-version gate for the same reason
+      try {
+        val m = versionMeta(spark, root, v)
+        (v, if (m.dataDir.isDefined) "dir" else "manifest", m.nRows,
+          m.tag, m.dv.isDefined, m.constraints.size)
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("requires format features") =>
+          (v, "unsupported(features)", -1L, None: Option[Long], false, 0)
+      }
     }.toDF("version", "layout", "n_rows", "tag", "has_dv", "n_constraints")
   }
 
@@ -277,6 +368,7 @@ object Snapshots {
     val effBucket = bucketBy.orElse(priorMeta.flatMap(_.bucket))
     effParts.foreach(c => require(df.columns.contains(c),
       s"partition column $c is not a column of the batch"))
+    effParts.foreach(requireLoggable(_, "partition column"))
     val (dataDir, nRows) = writeDataDir(spark, df, root, effParts, effBucket)
     // schema-in-the-log from the first commit: every later reader —
     // and every append's schema check — plans from the version
@@ -434,11 +526,23 @@ object Snapshots {
   private def tagBucketFiles(spark: SparkSession, dir: Path): Unit = {
     val f = fs(spark, dir)
     val PartRe = "^part-(\\d+)-.*".r
-    val it = f.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
+    val TaggedRe = "^[^.]*_\\d{5}(?:\\..*)?$".r
+    // materialize the FULL listing before any rename: paged listings
+    // (HDFS/S3A RemoteIterator) can resurface a renamed entry or
+    // throw FileNotFoundException on a stale page if the dir mutates
+    // mid-iteration — a double-stamp or a failed write after the
+    // data landed
+    val all = {
+      val it = f.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    all.foreach { st =>
       val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet")) name match {
+      if (st.isFile && name.endsWith(".parquet") &&
+          TaggedRe.findFirstIn(name).isEmpty) name match {
         case PartRe(id) =>
           val dot = name.indexOf('.')
           val tagged =
@@ -497,24 +601,29 @@ object Snapshots {
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    if (f.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(vf.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false); false // lost the race — caller retries at v+1
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          // file:// mounts without hard-link support (some network /
-          // overlay filesystems): fall back to the rename promote with
-          // an exists re-check — a narrower race window than link(2)'s
-          // EEXIST guarantee, but never a spuriously failing commit
-          renamePromote(f, tmp, vf)
-      }
-    } else renamePromote(f, tmp, vf)
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(vf.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false // lost the race — caller retries at v+1
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // file:// mounts without hard-link support (some network /
+            // overlay filesystems): fall back to the rename promote with
+            // an exists re-check — a narrower race window than link(2)'s
+            // EEXIST guarantee, but never a spuriously failing commit
+            renamePromote(f, tmp, vf)
+        }
+      } else renamePromote(f, tmp, vf)
+    // every successful publish refreshes the listing floor — the ONE
+    // funnel all writers share (see [[latestVersion]])
+    if (won) writeHint(f, root, v)
+    won
   }
 
   /** HDFS-style promote: `FileSystem.rename` fails when the
@@ -767,6 +876,7 @@ object Snapshots {
   def renameColumn(spark: SparkSession, root: String,
                    from: String, to: String): Long = {
     require(from != to, s"renameColumn: $from -> $to is a no-op")
+    requireLoggable(to, "renameColumn target")
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
@@ -838,6 +948,7 @@ object Snapshots {
   def addColumn(spark: SparkSession, root: String, name: String,
                 typeDdl: String): Long = {
     import org.apache.spark.sql.types.StructType
+    requireLoggable(name, "addColumn name")
     val parsed = StructType.fromDDL(s"`$name` $typeDdl")
     require(parsed.length == 1, s"addColumn: '$typeDdl' is not one type")
     var attempts = 0
@@ -1733,6 +1844,31 @@ object Snapshots {
     * the new latest). The new version's stats index reuses the
     * untouched files' rows verbatim and rebuilds only the fresh dir.
     */
+  /** Bucket-aware refinement of merge file targeting: when the table
+    * is bucketed on EXACTLY the merge key, a key's candidate files
+    * are named by its bucket id directly — `pmod(hash(key), n)` is
+    * both Spark's bucket function and [[writeDataDir]]'s layout
+    * placement, so a file whose `_NNNNN` tag is outside the update
+    * keys' bucket-id set provably contains no update key, whatever
+    * its min/max range says. Composes WITH the range targeting (both
+    * are sound negatives); untagged files stay conservative. At
+    * scale this makes a skew-heavy update batch (one hot key range
+    * spanning every file's [min,max]) still touch only its buckets.
+    */
+  private def bucketPrune(keys: DataFrame, touched: DataFrame,
+                          bucket: Option[Bucketing],
+                          key: String): DataFrame = bucket match {
+    case Some(b) if b.cols == Seq(key) =>
+      import org.apache.spark.sql.functions.{hash, pmod, regexp_extract}
+      val hitIds = keys
+        .select(pmod(hash(col("__mk")), lit(b.n)).as("__bid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val bid = regexp_extract(col("file"), "_(\\d+)\\.[^/]*$", 1)
+      touched.filter(bid === "" ||
+        bid.cast("int").isin(hitIds.map(i => i: Any): _*))
+    case _ => touched
+  }
+
   def merge(spark: SparkSession, updates: DataFrame, root: String,
             key: String, statsCols: Seq[String],
             tag: Option[Long] = None): CowResult = {
@@ -1766,10 +1902,11 @@ object Snapshots {
             stats.select(col("file"), col(s"min_$key"), col(s"max_$key"))),
           col("__mk") >= col(s"min_$key") && col("__mk") <= col(s"max_$key"))
         .select("file")
-      val touchedDf = ranged.unionByName(
+      val touchedDf = bucketPrune(k,
+        ranged.unionByName(
           stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
             .select("file"))
-        .distinct()
+        .distinct(), m.bucket, key)
       val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
       val touchedList = touchedDf.collect().map(_.getString(0)).sorted
       val untouchedPhysRows = untouched
@@ -1834,6 +1971,214 @@ object Snapshots {
         fs(spark, new Path(root, d)).delete(new Path(root, d), true))
       attempts += 1
       require(attempts < 100, s"$root: merge lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One `WHEN MATCHED` clause of a [[mergeClauses]] call, evaluated
+    * in declaration order (SQL MERGE semantics: first clause whose
+    * condition holds wins; a row matching no clause is KEPT). The
+    * condition sees BOTH sides through their statement aliases
+    * (`t.price < u.price`); `set = None` is `UPDATE SET *` (the
+    * source row becomes the new image), `set = Some(...)` replaces
+    * the named columns with expressions over both aliases.
+    */
+  sealed trait MatchedClause { def cond: Option[Column] }
+  final case class MatchedUpdate(cond: Option[Column],
+                                 set: Option[Seq[(String, Column)]])
+      extends MatchedClause
+  final case class MatchedDelete(cond: Option[Column]) extends MatchedClause
+
+  /** What a clause-form merge did: the bounded-rewrite receipt plus
+    * the per-action row accounting.
+    */
+  final case class MergeClausesResult(version: Long, filesRewritten: Int,
+                                      filesTotal: Int, rowsUpdated: Long,
+                                      rowsDeleted: Long, rowsInserted: Long)
+
+  /** General `MERGE INTO` — [[merge]]'s upsert generalized to the
+    * full conditional clause vocabulary (Delta's MERGE semantics):
+    *
+    * {{{
+    *   WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
+    *   WHEN MATCHED [AND pred] THEN DELETE
+    *   WHEN NOT MATCHED [AND pred] THEN INSERT *
+    * }}}
+    *
+    * The SCALE CONTRACT is [[merge]]'s, unchanged: file targeting by
+    * the update keys against the per-file min/max stats (broadcast,
+    * one pass over the source, the table itself never shuffles),
+    * refined by bucket ids on a key-bucketed table
+    * ([[bucketPrune]]); every file that cannot contain a source key
+    * carries into the new version BY REFERENCE. Matched rows
+    * evaluate the clauses in order — first condition that holds
+    * wins, no clause → the row is kept; unmatched source rows insert
+    * when the insert clause (and its condition) admits them. NULL
+    * keys never match on either side (they insert / survive — the
+    * [[merge]] rule); duplicate source keys multiply like a
+    * multi-match SQL MERGE, so sources should be key-distinct.
+    * Updated and inserted images face the table's CHECK constraints;
+    * the row accounting in the receipt costs two churn-sized count
+    * passes (never table-sized). Publishes at readVersion+1 with the
+    * usual conflict check.
+    *
+    * `targetAlias`/`sourceAlias` are the STATEMENT aliases clause
+    * conditions refer to (`MERGE INTO t ... USING u`): conditions
+    * resolve against the joined (target-alias × source-alias) frame,
+    * exactly as the SQL analyzer would.
+    */
+  def mergeClauses(spark: SparkSession, source: DataFrame, root: String,
+                   key: String, statsCols: Seq[String],
+                   targetAlias: String, sourceAlias: String,
+                   matched: Seq[MatchedClause],
+                   insertCond: Option[Option[Column]],
+                   tag: Option[Long] = None): MergeClausesResult = {
+    require(statsCols.contains(key),
+      s"merge key $key must be a stats column for file targeting")
+    require(matched.nonEmpty || insertCond.nonEmpty,
+      "mergeClauses needs at least one WHEN clause")
+    require(targetAlias != sourceAlias,
+      s"target and source aliases must differ, both are '$targetAlias'")
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
+        "materializeMapping before merge")
+      val tableSchema = read(spark, root, Some(v)).schema
+      val tableCols = tableSchema.fieldNames.toSeq
+      require(source.columns.toSet == tableCols.toSet,
+        s"source schema ${source.columns.toSet} != table ${tableCols.toSet}")
+      val src = source.select(tableCols.map(col): _*)
+      val stats = statsOf(spark, root, m, statsCols)
+      requireStatsCoverage(spark, root, m, stats)
+      // file targeting — identical to [[merge]]
+      val k = src.select(col(key).as("__mk"))
+        .filter(col("__mk").isNotNull).distinct()
+      val ranged = k.join(
+          org.apache.spark.sql.functions.broadcast(
+            stats.select(col("file"), col(s"min_$key"), col(s"max_$key"))),
+          col("__mk") >= col(s"min_$key") && col("__mk") <= col(s"max_$key"))
+        .select("file")
+      val touchedDf = bucketPrune(k,
+        ranged.unionByName(
+          stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
+            .select("file"))
+        .distinct(), m.bucket, key)
+      val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
+      val touchedList = touchedDf.collect().map(_.getString(0)).sorted
+      val untouchedPhysRows = untouched
+        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+      val untouchedRel = untouched.select("file").collect()
+        .map(r => relOf(spark, root, r.getString(0))).sorted
+      val dvPrior = dvOf(spark, root, m)
+      val (dvCarry, dvCarryN) =
+        if (m.dv.isEmpty) (None, 0L)
+        else {
+          val relDf = spark.createDataset(untouchedRel.toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("file")
+          val kept = dvPrior.join(relDf, Seq("file"), "left_semi")
+          val n = kept.count()
+          if (n == 0L) (None, 0L)
+          else {
+            val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+            kept.write.mode("overwrite")
+              .parquet(new Path(root, dvRel).toString)
+            (Some(dvRel), n)
+          }
+        }
+      // clause evaluation over the (touched × source) join — both
+      // sides presented under their statement aliases so conditions
+      // and assignments resolve exactly as the SQL analyzer would
+      val touchedRows =
+        if (touchedList.isEmpty)
+          read(spark, root, Some(v)).filter(lit(false))
+            .select(tableCols.map(col): _*)
+        else applyDv(spark, root,
+          spark.read.schema(tableSchema).parquet(touchedList.toSeq: _*),
+          dvPrior).select(tableCols.map(col): _*)
+      val tgtA = touchedRows.alias(targetAlias)
+      val srcA = src.alias(sourceAlias)
+      val joined = tgtA.join(srcA,
+        col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
+      // first matching clause wins: action i+1 = clause i, 0 = keep
+      val actionCol = matched.zipWithIndex.reverse.foldLeft(lit(0)) {
+        case (acc, (cl, i)) =>
+          org.apache.spark.sql.functions.when(
+            cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
+      }
+      val updateIds = matched.zipWithIndex.collect {
+        case (_: MatchedUpdate, i) => i + 1 }
+      val deleteIds = matched.zipWithIndex.collect {
+        case (_: MatchedDelete, i) => i + 1 }
+      val classified = joined.withColumn("__ma", actionCol)
+      val nUpd =
+        if (updateIds.isEmpty) 0L
+        else classified.filter(col("__ma").isin(updateIds: _*)).count()
+      val nDel =
+        if (deleteIds.isEmpty) 0L
+        else classified.filter(col("__ma").isin(deleteIds: _*)).count()
+      // per-column image: update clauses in order, else keep target
+      def image(c: org.apache.spark.sql.types.StructField): Column =
+        matched.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
+          val img = u.set match {
+            case None => col(s"$sourceAlias.${c.name}").cast(c.dataType)
+            case Some(assigns) => assigns.collectFirst {
+              case (n, e) if n == c.name => e.cast(c.dataType)
+            }.getOrElse(col(s"$targetAlias.${c.name}"))
+          }
+          (i + 1, img)
+        }.foldRight(col(s"$targetAlias.${c.name}")) { case ((id, img), acc) =>
+          org.apache.spark.sql.functions.when(col("__ma") === id, img)
+            .otherwise(acc)
+        }.as(c.name)
+      val matchedOut = classified
+        .filter(if (deleteIds.isEmpty) lit(true)
+                else !col("__ma").isin(deleteIds: _*))
+        .select(tableSchema.fields.toSeq.map(image): _*)
+      val keptTgt = touchedRows.join(
+          src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
+          "left_anti")
+        .select(tableCols.map(col): _*)
+      val inserted = insertCond match {
+        case None => src.filter(lit(false))
+        case Some(cond) =>
+          srcA.join(touchedRows.select(col(key).as("__tk")),
+            col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
+            .filter(cond.getOrElse(lit(true)))
+            .select(tableCols.map(col): _*)
+      }
+      val nIns = inserted.count()
+      // only the NEW images face the CHECK gate (kept rows passed at
+      // their own write time) — churn-sized, like everything here
+      requireSatisfied(matchedOut.unionByName(inserted), m.constraints,
+        "merge clauses")
+      val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
+      val (freshDir, freshRows) =
+        writeDataDir(spark, rewritten, root, m.parts, m.bucket)
+      val freshRel = listFreshRel(spark, root, freshDir)
+      val man = writeManifest(spark, root, untouchedRel ++ freshRel)
+      val ddl = org.apache.spark.sql.types.StructType(
+        tableSchema.fields.map(_.copy(nullable = true))).toDDL
+      if (tryPublish(spark, root, v + 1,
+          manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
+            tag, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
+        val newStats =
+          if (freshRel.isEmpty) untouched
+          else untouched.unionByName(StatsIndex.build(spark,
+            new Path(root, freshDir).toString, statsCols))
+        Load.writeAtomic(spark, newStats,
+          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+        return MergeClausesResult(v + 1, touchedList.length,
+          touchedList.length + untouchedRel.length, nUpd, nDel, nIns)
+      }
+      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      dvCarry.foreach(d =>
+        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+      attempts += 1
+      require(attempts < 100, s"$root: mergeClauses lost $attempts commit races")
     }
     throw new IllegalStateException("unreachable")
   }
@@ -2057,32 +2402,132 @@ object Snapshots {
         writeDataDir(spark, remainder.unionByName(batch), root, m.parts,
           m.bucket)
       val freshRel = listFreshRel(spark, root, freshDir)
-      val man = writeManifest(spark, root, carriedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(
         schema.fields.map(_.copy(nullable = true))).toDDL
-      if (tryPublish(spark, root, v + 1,
-          manBody(v + 1, man, carriedPhys - dvCarryN + freshRows,
-            None, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
-        // stats: carried rows verbatim + one build over the fresh dir
-        val newStats =
-          if (freshRel.isEmpty) carriedStats
-          else carriedStats.unionByName(StatsIndex.build(spark,
-            new Path(root, freshDir).toString, statsCols))
-        Load.writeAtomic(spark, newStats,
-          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
-        return CowResult(v + 1, touchedRel.size,
-          carriedRel.size + droppedRel.size + touchedRel.size, freshRows)
+      // deterministic race injection for the OCC specs: fires ONCE,
+      // between this writer's staging and its first publish attempt
+      racePublishHook.foreach { h => racePublishHook = None; h() }
+      // PARTITION-AWARE OCC: publish, and on a lost race try to
+      // RE-BASE the manifest onto the new latest instead of
+      // re-staging the whole write. Two reloads of DISJOINT
+      // partitions — the commonest concurrent shape (yesterday's and
+      // today's daily reloads racing) — both commit with ONE staged
+      // write each: the loser re-classifies the new latest's file
+      // list by path; when every change between its read version and
+      // the new latest is provably of OTHER partitions (and schema /
+      // layout / constraints / vector are unchanged), its fresh dir
+      // is still exactly the replaced partition's new content, so
+      // only the tiny manifest (and the churn-sized dv carry)
+      // rebuild. Anything else — a concurrent write INTO the
+      // replaced partition, a layout change, vector churn — falls
+      // back to the full re-stage, which re-reads and re-validates
+      // (Delta's conflict-checker admits exactly the same
+      // disjoint-file commits).
+      var basedOn = (v, carriedRel, carriedStats, carriedPhys,
+        dvCarry, dvCarryN)
+      var rebasing = true
+      while (rebasing) {
+        val (bv, bCarried, bStats, bPhys, bDvCarry, bDvCarryN) = basedOn
+        val man = writeManifest(spark, root, bCarried ++ freshRel)
+        if (tryPublish(spark, root, bv + 1,
+            manBody(bv + 1, man, bPhys - bDvCarryN + freshRows,
+              None, Some(ddl), bDvCarry, m.constraints, m.parts, m.bucket))) {
+          // stats: carried rows verbatim + one build over the fresh dir
+          val newStats =
+            if (freshRel.isEmpty) bStats
+            else bStats.unionByName(StatsIndex.build(spark,
+              new Path(root, freshDir).toString, statsCols))
+          Load.writeAtomic(spark, newStats,
+            statsPath(root, versionMeta(spark, root, bv + 1).layoutId).toString)
+          return CowResult(bv + 1, touchedRel.size,
+            bCarried.size + droppedRel.size + touchedRel.size, freshRows)
+        }
+        fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+        attempts += 1
+        require(attempts < 100,
+          s"$root: replacePartition lost $attempts commit races")
+        rebasing = false
+        val v2 = latestVersion(spark, root).getOrElse(bv)
+        if (v2 > bv) {
+          val m2 = versionMeta(spark, root, v2)
+          val compatible = m2.parts == m.parts && m2.bucket == m.bucket &&
+            m2.colmap.isIdentity && m2.constraints == m.constraints &&
+            m2.schemaDdl == m.schemaDdl && m2.dv == m.dv
+          if (compatible) {
+            val rels2 = relFilesOf(spark, root, m2)
+            val (carried2, rest2) = rels2.partition { rel =>
+              spec.keys.exists(c => (valOf(rel, c), specPath(c)) match {
+                case (Some(fv), Some(sv)) => fv != sv
+                case _ => false
+              })
+            }
+            val (dropped2, touched2) = rest2.partition { rel =>
+              spec.keys.forall(c => (valOf(rel, c), specPath(c)) match {
+                case (Some(fv), Some(sv)) => fv == sv
+                case _ => false
+              })
+            }
+            val stats2 = statsTableOf(spark, root, v2)
+            val covered = stats2.exists(st =>
+              st.select("file").distinct().count() == rels2.size)
+            if (touched2.toSet == touchedRel.toSet &&
+                dropped2.toSet == droppedRel.toSet && covered) {
+              val st2 = stats2.get
+              val carried2Abs = spark.createDataset(carried2.map(rel =>
+                  normPath(new Path(root, rel).toString)))(
+                org.apache.spark.sql.Encoders.STRING).toDF("__cf")
+              val carried2Stats = st2.join(carried2Abs,
+                org.apache.spark.sql.functions.regexp_replace(
+                  st2("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
+              val phys2 =
+                if (carried2.isEmpty) 0L
+                else carried2Stats.agg(coalesce(sum("n_rows"), lit(0L)))
+                  .head().getLong(0)
+              val (dvCarry2, dvCarryN2) =
+                if (m2.dv.isEmpty || carried2.isEmpty) (None, 0L)
+                else {
+                  val relDf = spark.createDataset(carried2)(
+                    org.apache.spark.sql.Encoders.STRING).toDF("file")
+                  val kept = dvPrior.join(relDf, Seq("file"), "left_semi")
+                  val n = kept.count()
+                  if (n == 0L) (None, 0L)
+                  else {
+                    val dvRel = s"dv/d-${java.util.UUID.randomUUID().toString.take(13)}"
+                    kept.write.mode("overwrite")
+                      .parquet(new Path(root, dvRel).toString)
+                    (Some(dvRel), n)
+                  }
+                }
+              bDvCarry.foreach(d =>
+                fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+              basedOn = (v2, carried2, carried2Stats, phys2,
+                dvCarry2, dvCarryN2)
+              rebases.incrementAndGet()
+              rebasing = true
+            }
+          }
+        }
       }
+      // conflict shape — full re-stage against the new latest
       fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
-      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
-      dvCarry.foreach(d =>
+      basedOn._5.foreach(d =>
         fs(spark, new Path(root, d)).delete(new Path(root, d), true))
-      attempts += 1
-      require(attempts < 100,
-        s"$root: replacePartition lost $attempts commit races")
+      restages.incrementAndGet()
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Test-observable OCC counters: manifest re-bases vs full
+    * re-stages in [[replacePartition]]'s conflict handling.
+    */
+  private[graft] val rebases = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val restages = new java.util.concurrent.atomic.AtomicLong
+
+  /** Spec-only deterministic race injection: runs ONCE, inside the
+    * next [[replacePartition]] call, after its staging write and
+    * before its first publish attempt.
+    */
+  private[graft] var racePublishHook: Option[() => Unit] = None
 
   // --- per-version data skipping (Snapshots × StatsIndex) ---
 
@@ -2107,8 +2552,9 @@ object Snapshots {
     */
   def commitWithStats(spark: SparkSession, df: DataFrame, root: String,
                       cols: Seq[String],
-                      partitionBy: Seq[String] = Nil): Long = {
-    val v = commit(spark, df, root, partitionBy)
+                      partitionBy: Seq[String] = Nil,
+                      bucketBy: Option[Bucketing] = None): Long = {
+    val v = commit(spark, df, root, partitionBy, bucketBy)
     ensureStats(spark, root, versionMeta(spark, root, v), cols)
     v
   }
@@ -2180,7 +2626,13 @@ object Snapshots {
   def optimize(spark: SparkSession, root: String,
                targetBytes: Long = 128L * 1024 * 1024,
                statsCols: Seq[String] = Nil,
-               clusterBy: Seq[String] = Nil): CowResult = {
+               clusterBy: Seq[String] = Nil,
+               clusterDebtOnly: Boolean = false): CowResult = {
+    require(!clusterDebtOnly || clusterBy.nonEmpty,
+      "clusterDebtOnly needs clusterBy columns")
+    require(!clusterDebtOnly || statsCols.contains(clusterBy.head),
+      s"clusterDebtOnly targets files through per-file stats on " +
+        s"'${clusterBy.headOption.getOrElse("")}' — include it in statsCols")
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
@@ -2195,10 +2647,68 @@ object Snapshots {
         else dvOf(spark, root, m).select("file").distinct()
           .collect().map(_.getString(0)).toSet
       val withRel = statuses.map(st => (relOf(spark, root, st.getPath.toString), st))
-      val (touched, carried) =
-        if (clusterBy.nonEmpty) (withRel, Seq.empty[(String, org.apache.hadoop.fs.FileStatus)])
+      // debt-only re-clustering needs HYSTERESIS to converge: its
+      // output files size at debtBytes/⌈debtBytes/target⌉ — just
+      // UNDER the target — so a full-target debt threshold would
+      // re-classify them as debt forever. Half the target (Delta's
+      // minFileSize shape) makes one pass terminal: outputs ≥
+      // target/2 are clean. Plain selective compaction keeps the
+      // full threshold (its convergence is the single-output guard).
+      val debtBytes0 = if (clusterDebtOnly) targetBytes / 2 else targetBytes
+      val (touched0, carried0) =
+        if (clusterBy.nonEmpty && !clusterDebtOnly)
+          (withRel, Seq.empty[(String, org.apache.hadoop.fs.FileStatus)])
         else withRel.partition { case (rel, st) =>
-          st.getLen < targetBytes || dvFiles.contains(rel)
+          st.getLen < debtBytes0 || dvFiles.contains(rel)
+        }
+      // INCREMENTAL RE-CLUSTER ("z-order the debt" — Delta's
+      // incremental-ZORDER shape): rewrite the debt files PLUS the
+      // minimal set of full-size files whose cluster-key range
+      // overlaps the debt's ranges, publish everything else by
+      // reference. Accreted micro-batches usually land in a narrow
+      // key band (today's keys), so the overlap set is a few files
+      // out of millions — the debt re-clusters into tight disjoint
+      // ranges without paying the full-table ZORDER. Files the stats
+      // cannot bound (null min/max) join the rewrite conservatively;
+      // pre-existing overlap BETWEEN carried files is preserved, not
+      // worsened (only a full re-cluster removes it).
+      val (touched, carried) =
+        if (!clusterDebtOnly || touched0.isEmpty) (touched0, carried0)
+        else {
+          val ckey = clusterBy.head
+          val stats = statsOf(spark, root, m, statsCols)
+          requireStatsCoverage(spark, root, m, stats)
+          val ranges: Map[String, (Any, Any)] = stats
+            .select(col("file"), col(s"min_$ckey"), col(s"max_$ckey"))
+            .collect().map(r => (relOf(spark, root, r.getString(0)),
+              (r.get(1), r.get(2)))).toMap
+          def cmp(a: Any, b: Any): Int =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+          // merge the debt files' ranges into disjoint spans
+          val debtSpans = touched0.flatMap { case (rel, _) =>
+            ranges.get(rel) match {
+              case Some((mn, mx)) if mn != null && mx != null => Some((mn, mx))
+              case _ => None
+            }
+          }.sortWith((x, y) => cmp(x._1, y._1) < 0)
+            .foldLeft(List.empty[(Any, Any)]) {
+              case ((smn, smx) :: tail, (mn, mx)) if cmp(mn, smx) <= 0 =>
+                (smn, if (cmp(mx, smx) > 0) mx else smx) :: tail
+              case (acc, span) => span :: acc
+            }
+          val debtUnbounded = touched0.exists { case (rel, _) =>
+            ranges.get(rel).forall(r => r._1 == null || r._2 == null)
+          }
+          val (overlap, clean) = carried0.partition { case (rel, _) =>
+            debtUnbounded || (ranges.get(rel) match {
+              case Some((mn, mx)) if mn != null && mx != null =>
+                debtSpans.exists { case (dmn, dmx) =>
+                  cmp(mn, dmx) <= 0 && cmp(dmn, mx) <= 0
+                }
+              case _ => true // unbounded full file: conservative rewrite
+            })
+          }
+          (touched0 ++ overlap, clean)
         }
       // a single small file with no vector has no debt to merge —
       // rewriting it buys nothing; publish nothing
@@ -2429,10 +2939,58 @@ object Snapshots {
     // `Catalog.pinnedVersions(...)` and a routine vacuum can no
     // longer silently break historical catalog reads or live shallow
     // clones — a pinned old version survives any keepLast.
-    val keepSet = all.takeRight(keepLast).toSet ++
-      protectedVersions.filter(all.contains)
+    vacuumKeep(spark, root, all,
+      all.takeRight(keepLast).toSet ++ protectedVersions.filter(all.contains),
+      orphanGraceMs)
+  }
+
+  /** TIME-BASED retention (`VACUUM ... RETAIN n HOURS` — what
+    * operators actually configure): keep every version committed
+    * WITHIN the horizon — the commit-file mtime clock
+    * [[versionAsOf]] already travels by — plus, always, the latest
+    * (a quiet table must stay readable at any retention). A version
+    * whose mtime equals the horizon exactly SURVIVES (inclusive
+    * bound — "retain 168 hours" means 168 hours stays readable).
+    * Same reclaim semantics as [[vacuum]], including the
+    * `protectedVersions` pin contract and the in-flight-commit
+    * orphan grace.
+    */
+  def vacuumRetainMs(spark: SparkSession, root: String, retainMs: Long,
+                     orphanGraceMs: Long = 24L * 3600 * 1000,
+                     protectedVersions: Set[Long] = Set.empty,
+                     nowMs: Option[Long] = None): Unit = {
+    require(retainMs >= 0, s"negative retention $retainMs")
+    val dir = versionsDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return
+    // nowMs pins the horizon for deterministic retention jobs (and
+    // the boundary spec); production callers omit it
+    val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - retainMs
+    val stamped = f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VFILE(n) => Some((n.toLong, st.getModificationTime))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    if (stamped.isEmpty) return
+    val all = stamped.map(_._1)
+    val keepSet = stamped.collect { case (v, ts) if ts >= cutoff => v }.toSet ++
+      Set(all.last) ++ protectedVersions.filter(all.contains)
+    vacuumKeep(spark, root, all, keepSet, orphanGraceMs)
+  }
+
+  private def vacuumKeep(spark: SparkSession, root: String,
+                         all: Seq[Long], keepSet: Set[Long],
+                         orphanGraceMs: Long): Unit = {
     val keep = all.filter(keepSet)
     val drop = all.filterNot(keepSet)
+    // refresh the listing floor BEFORE creating gaps: a protected
+    // version below the retained tail may survive with its successor
+    // deleted, and a stale hint pointing at it would make the probe
+    // walk stop early — with a fresh hint at the true latest, probes
+    // during and after the reclaim stay exact
+    if (all.nonEmpty)
+      writeHint(fs(spark, versionsDir(root)), root, all.max)
     val keepMetas = keep.map(versionMeta(spark, root, _))
     // a kept version pins its data dirs: a dir version pins its one
     // dir; a manifest version pins EVERY dir it references files in

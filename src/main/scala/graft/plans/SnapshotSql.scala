@@ -160,7 +160,21 @@ object SnapshotSql {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+snap\.`([^`]+)`\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*""".r
+    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*""".r
+  // CREATE TABLE ... AS SELECT — the missing BIRTH verb of the SQL
+  // lifecycle: the layout clauses mirror Spark's own CTAS grammar
+  // (PARTITIONED BY for the path layout, CLUSTERED BY ... [SORTED
+  // BY ...] INTO n BUCKETS for the shuffle-free bucket layout)
+  private val CreateRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+snap\.`([^`]+)`\s*""" +
+      """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?""" +
+      """(?:CLUSTERED\s+BY\s*\(([^)]*)\)\s*""" +
+      """(?:SORTED\s+BY\s*\(([^)]*)\)\s*)?INTO\s+(\d+)\s+BUCKETS\s*)?""" +
+      """AS\s+(.+)""").r
+  // CREATE TABLE ... SHALLOW CLONE — the zero-copy fork as SQL
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+snap\.`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
+      """snap\.`([^`]+)`\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""").r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val HistoryRe =
@@ -171,16 +185,35 @@ object SnapshotSql {
     """(?is)\s*SHOW\s+TABLES\s+IN\s+snap\.`([^`]+)`\s*""".r
   private val ChangesVerbRe =
     """(?is)\s*DESCRIBE\s+CHANGES\s+snap\.`([^`]+)`\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*""".r
+  // column/constraint identifiers: either a backtick-quoted name
+  // (any non-backtick chars — matching Spark's own identifier
+  // grammar) or a bare word; [[unquote]] strips the ticks after the
+  // match, so `odd name!` and plain names route identically
+  private val Id = """(`[^`]+`|\w+)"""
   private val RenameColRe =
-    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+RENAME\s+COLUMN\s+""" +
+      Id + """\s+TO\s+""" + Id + """\s*""").r
   private val DropColRe =
-    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+COLUMN\s+`?(\w+)`?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+COLUMN\s+""" +
+      Id + """\s*""").r
+  // the type is everything after the name — addColumn delegates its
+  // validation to StructType.fromDDL, so ARRAY<...>/MAP/STRUCT/
+  // DECIMAL forms all work and a bad type surfaces the DDL parser's
+  // own diagnostic, not an unrelated Spark parse error
   private val AddColRe =
-    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+COLUMN\s+`?(\w+)`?\s+([A-Za-z][A-Za-z0-9_]*(?:\s*\([0-9,\s]*\))?)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+COLUMN\s+""" +
+      Id + """\s+(\S.*?)\s*""").r
   private val AddConsRe =
-    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.*)\)\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
+      Id + """\s+CHECK\s*\((.*)\)\s*""").r
   private val DropConsRe =
-    """(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+CONSTRAINT\s+`?(\w+)`?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+DROP\s+CONSTRAINT\s+""" +
+      Id + """\s*""").r
+
+  private def unquote(id: String): String =
+    if (id.length >= 2 && id.startsWith("`") && id.endsWith("`"))
+      id.substring(1, id.length - 1)
+    else id
 
   /** SQL entry point: SELECT/time-travel plans through
     * [[ResolveSnapshotTable]], DML routes to the snapshot writers
@@ -199,10 +232,25 @@ object SnapshotSql {
     * CONSTRAINT name CHECK (...) / DROP CONSTRAINT name` to the
     * logged CHECK-constraint tier.
     */
-  def sql(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    // the verb regexes are FULL-string matches, so a trailing ';'
+    // (every SQL console's habit) must strip before matching or the
+    // statement silently falls through to Spark's parser and dies
+    // with an unrelated error
+    sqlVerb(spark, sqlText.replaceFirst("[;\\s]+$", ""))
+
+  private def sqlVerb(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
+    case CloneRe(dst, src, ver) =>
+      runClone(spark, noCatalog(dst, "CREATE TABLE"),
+        noCatalog(src, "SHALLOW CLONE"), Option(ver).map(_.toLong))
+    case CreateRe(root, parts, cluster, sorted, buckets, select) =>
+      runCreate(spark, noCatalog(root, "CREATE TABLE"), Option(parts),
+        Option(cluster), Option(sorted), Option(buckets).map(_.toInt), select)
     case OptimizeRe(root, cluster) =>
       runOptimize(spark, noCatalog(root, "OPTIMIZE"), Option(cluster))
-    case VacuumRe(root, n) => runVacuum(spark, noCatalog(root, "VACUUM"), n.toInt)
+    case VacuumRe(root, n, unit) =>
+      runVacuum(spark, noCatalog(root, "VACUUM"), n.toInt,
+        unit.equalsIgnoreCase("HOURS"))
     case RestoreRe(root, v) =>
       runRestore(spark, noCatalog(root, "RESTORE"), v.toLong)
     case ShowPartsRe(root) =>
@@ -213,19 +261,19 @@ object SnapshotSql {
         fromV.toLong, toV.toLong).df
     case RenameColRe(root, from, to) =>
       alterReceipt(spark, Snapshots.renameColumn(spark,
-        noCatalog(root, "ALTER TABLE"), from, to))
+        noCatalog(root, "ALTER TABLE"), unquote(from), unquote(to)))
     case DropColRe(root, name) =>
       alterReceipt(spark, Snapshots.dropColumn(spark,
-        noCatalog(root, "ALTER TABLE"), name))
+        noCatalog(root, "ALTER TABLE"), unquote(name)))
     case AddColRe(root, name, typeDdl) =>
       alterReceipt(spark, Snapshots.addColumn(spark,
-        noCatalog(root, "ALTER TABLE"), name, typeDdl))
+        noCatalog(root, "ALTER TABLE"), unquote(name), typeDdl))
     case AddConsRe(root, name, check) =>
       alterReceipt(spark, Snapshots.addConstraint(spark,
-        noCatalog(root, "ALTER TABLE"), name, check))
+        noCatalog(root, "ALTER TABLE"), unquote(name), check))
     case DropConsRe(root, name) =>
       alterReceipt(spark, Snapshots.dropConstraint(spark,
-        noCatalog(root, "ALTER TABLE"), name))
+        noCatalog(root, "ALTER TABLE"), unquote(name)))
     case HistoryRe(root) =>
       // read-only: a catalog relation's history is its pinned root's
       Snapshots.history(spark, root.split("::", 2) match {
@@ -316,12 +364,56 @@ object SnapshotSql {
   }
 
   private def runVacuum(spark: SparkSession, root: String,
-                        keep: Int): DataFrame = {
+                        keep: Int, hours: Boolean): DataFrame = {
     import spark.implicits._
     val before = Snapshots.versions(spark, root).size
-    Snapshots.vacuum(spark, root, keepLast = keep)
+    if (hours)
+      Snapshots.vacuumRetainMs(spark, root, keep * 3600L * 1000L)
+    else Snapshots.vacuum(spark, root, keepLast = keep)
     val after = Snapshots.versions(spark, root).size
     Seq((after, before - after)).toDF("versions_retained", "versions_removed")
+  }
+
+  private def splitCols(s: Option[String]): Seq[String] =
+    s.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map(unquote)
+
+  /** `CREATE TABLE snap.\`/t\` [PARTITIONED BY (...)] [CLUSTERED BY
+    * (...) [SORTED BY (...)] INTO n BUCKETS] AS SELECT ...` — the
+    * SQL lifecycle's birth verb: the SELECT plans through the same
+    * snapshot resolution as every other statement (so a table can be
+    * born FROM another snapshot table, version-pinned included), and
+    * the layout clauses land in the version log exactly as the Scala
+    * [[Snapshots.commit]] records them — partition columns prune
+    * from paths, the bucket layout makes co-bucketed joins
+    * shuffle-free, and every later INSERT inherits both. Refuses an
+    * existing table (CREATE, not CREATE OR REPLACE — a silent
+    * replace of a 100 TB table is not a default anyone wants).
+    * Receipt = (version, n_rows).
+    */
+  private def runCreate(spark: SparkSession, root: String,
+                        parts: Option[String], cluster: Option[String],
+                        sorted: Option[String], buckets: Option[Int],
+                        select: String): DataFrame = {
+    require(Snapshots.latestVersion(spark, root).isEmpty,
+      s"CREATE TABLE: $root already has committed versions")
+    require(cluster.isEmpty == buckets.isEmpty,
+      "CREATE TABLE: CLUSTERED BY needs INTO n BUCKETS")
+    val data = sql(spark, select)
+    val bucketing = buckets.map(n =>
+      Snapshots.Bucketing(n, splitCols(cluster), splitCols(sorted)))
+    val v = Snapshots.commit(spark, data, root, splitCols(parts), bucketing)
+    receipt(spark, v, Snapshots.versionMeta(spark, root, v).nRows)
+  }
+
+  /** `CREATE TABLE snap.\`dst\` SHALLOW CLONE snap.\`src\` [VERSION
+    * AS OF v]` — the zero-copy fork ([[Snapshots.cloneShallow]]) as
+    * a statement. Receipt = (version, n_rows) of the clone.
+    */
+  private def runClone(spark: SparkSession, dst: String, src: String,
+                       version: Option[Long]): DataFrame = {
+    val v = Snapshots.cloneShallow(spark, src, dst, version)
+    receipt(spark, v, Snapshots.versionMeta(spark, dst, v).nRows)
   }
 
   private def runRestore(spark: SparkSession, root: String,
@@ -476,35 +568,35 @@ object SnapshotSql {
     Seq((r.version, r.rowsUpdated)).toDF("version", "rows_updated")
   }
 
-  /** `MERGE INTO snap.\`/t\` USING src ON t.k = src.k WHEN MATCHED
-    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the UPSERT
-    * shape (the reference's single sink semantic) routed to the
-    * stats-targeted copy-on-write [[Snapshots.merge]]. Any richer
-    * clause set (conditional actions, column-wise assignments,
-    * DELETE clauses, NOT MATCHED BY SOURCE) refuses loudly — a
-    * half-guessed merge on a 100 TB table is worse than no merge.
-    * Receipt = (version, files_rewritten, files_total,
-    * rows_written): the bounded-rewrite scale contract, per commit.
+  /** `MERGE INTO snap.\`/t\` t USING src u ON t.k = u.k ...` — the
+    * full conditional clause vocabulary:
+    *
+    * {{{
+    *   WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
+    *   WHEN MATCHED [AND pred] THEN DELETE
+    *   WHEN NOT MATCHED [AND pred] THEN INSERT *
+    * }}}
+    *
+    * The bare upsert shape (unconditional UPDATE SET * + INSERT *)
+    * routes to the stats-targeted copy-on-write [[Snapshots.merge]]
+    * with its exact receipt; any richer clause set routes to
+    * [[Snapshots.mergeClauses]] — same file targeting, clause
+    * evaluation in declaration order — returning (version,
+    * files_rewritten, files_total, rows_updated, rows_deleted,
+    * rows_inserted). Shapes outside that vocabulary (column-list
+    * INSERT, NOT MATCHED BY SOURCE, schema evolution) refuse loudly
+    * — a half-guessed merge on a 100 TB table is worse than no
+    * merge.
     */
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+      UpdateAction}
     import spark.implicits._
     val root = tableRootOf(spark, m.targetTable, "MERGE")
     require(m.notMatchedBySourceActions.isEmpty,
-      "snap: MERGE supports the upsert shape — no WHEN NOT MATCHED BY SOURCE")
+      "snap: MERGE does not support WHEN NOT MATCHED BY SOURCE")
     require(!m.withSchemaEvolution,
       "snap: MERGE WITH SCHEMA EVOLUTION is not supported")
-    m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => ()
-      case other => throw new IllegalArgumentException(
-        "snap: MERGE needs exactly WHEN MATCHED THEN UPDATE SET * " +
-          s"(unconditional), got $other")
-    }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
-      case other => throw new IllegalArgumentException(
-        "snap: MERGE needs exactly WHEN NOT MATCHED THEN INSERT * " +
-          s"(unconditional), got $other")
-    }
     val key = m.mergeCondition match {
       // the same fully-qualified reference on both sides (ON t.id =
       // t.id — a typo for t.id = s.id) must refuse, not silently run
@@ -520,8 +612,58 @@ object SnapshotSql {
           s"(one equality, same column name, distinct sides), got $other")
     }
     val src = GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(m.sourceTable))
-    val r = Snapshots.merge(spark, src, root, key, statsCols = Seq(key))
-    Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))
-      .toDF("version", "files_rewritten", "files_total", "rows_written")
+    val isPlainUpsert =
+      m.matchedActions == Seq(UpdateStarAction(None)) &&
+        m.notMatchedActions == Seq(InsertStarAction(None))
+    if (isPlainUpsert) {
+      val r = Snapshots.merge(spark, src, root, key, statsCols = Seq(key))
+      Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))
+        .toDF("version", "files_rewritten", "files_total", "rows_written")
+    } else {
+      val matched: Seq[Snapshots.MatchedClause] = m.matchedActions.map {
+        case UpdateStarAction(cond) =>
+          Snapshots.MatchedUpdate(cond.map(GraftShim.column), None)
+        case UpdateAction(cond, assigns, _) =>
+          Snapshots.MatchedUpdate(cond.map(GraftShim.column),
+            Some(assigns.map { a =>
+              val name = a.key match {
+                case attr: UnresolvedAttribute => attr.nameParts.last
+                case other => throw new IllegalArgumentException(
+                  s"snap: MERGE SET targets must be plain columns, got $other")
+              }
+              name -> GraftShim.column(a.value)
+            }))
+        case DeleteAction(cond) =>
+          Snapshots.MatchedDelete(cond.map(GraftShim.column))
+        case other => throw new IllegalArgumentException(
+          s"snap: unsupported WHEN MATCHED action $other")
+      }
+      val insert = m.notMatchedActions match {
+        case Seq() => None
+        case Seq(InsertStarAction(cond)) =>
+          Some(cond.map(GraftShim.column))
+        case other => throw new IllegalArgumentException(
+          "snap: MERGE inserts must be one WHEN NOT MATCHED [AND pred] " +
+            s"THEN INSERT *, got $other")
+      }
+      val r = Snapshots.mergeClauses(spark, src, root, key, Seq(key),
+        aliasOf(m.targetTable, "t"), aliasOf(m.sourceTable, "u"),
+        matched, insert)
+      Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsUpdated,
+          r.rowsDeleted, r.rowsInserted))
+        .toDF("version", "files_rewritten", "files_total", "rows_updated",
+          "rows_deleted", "rows_inserted")
+    }
   }
+
+  /** The statement alias of a DML side (`MERGE INTO snap.\`/t\` t`)
+    * — clause conditions resolve through it; a side written without
+    * an alias gets `fallback` (conditions must then use unqualified
+    * or fallback-qualified names).
+    */
+  private def aliasOf(plan: LogicalPlan, fallback: String): String =
+    plan match {
+      case SubqueryAlias(id, _) => id.name
+      case _ => fallback
+    }
 }

@@ -2198,6 +2198,219 @@ object EtlQueries {
         .groupBy(col("component").cast("long").as("cluster_id"))
         .agg(sum("members").as("n_members"), sum("probes").as("n_probes"))
         .orderBy("cluster_id")
+    }),
+
+    // q201 — SQL CREATE TABLE AS SELECT (SnapshotSql's birth verb —
+    // the one statement the q198 lifecycle lacked): a PARTITIONED +
+    // CLUSTERED-INTO-BUCKETS table born in pure SQL, appended via
+    // INSERT. Pins: the CTAS receipt (version 1, exact rows); SHOW
+    // PARTITIONS sees every status from path metadata; the bucket
+    // layout is REAL — the bucket-key aggregation plans with zero
+    // exchanges over a `Bucketed: true` scan; and the INSERT's fresh
+    // files inherit BOTH layouts (partition-pathed AND bucket-tagged
+    // — a table property, not a write option). Values replay
+    // base ∪ insert in DuckDB.
+    "q201_sql_create_table" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("q201_orders")
+      val base = java.nio.file.Files.createTempDirectory("graft_q201").toString
+      val root = s"$base/t"
+      val rec = SnapshotSql.sql(s,
+        s"""CREATE TABLE snap.`$root`
+           |PARTITIONED BY (o_orderstatus)
+           |CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS
+           |AS SELECT * FROM q201_orders""".stripMargin).head()
+      val created = rec.getLong(0) == 1L && rec.getLong(1) == o.count()
+      val ins = SnapshotSql.sql(s,
+        s"""INSERT INTO snap.`$root`
+           |SELECT o_orderkey + 7000000, o_custkey + 10000000,
+           |       o_orderstatus, o_totalprice + 5.0
+           |FROM q201_orders WHERE o_orderkey % 9 = 0""".stripMargin).head()
+      val fresh = Snapshots.filesOfVersion(s, root, 2L)
+        .diff(Snapshots.filesOfVersion(s, root, 1L))
+      val inherits = ins.getLong(0) == 2L && fresh.nonEmpty &&
+        fresh.forall(f => f.contains("__p_o_orderstatus=") &&
+          "_(\\d+)\\.".r.findFirstIn(
+            new org.apache.hadoop.fs.Path(f).getName).nonEmpty)
+      val nStatuses = o.select("o_orderstatus").distinct().count()
+      val partsOk = SnapshotSql.sql(s,
+        s"SHOW PARTITIONS snap.`$root`").count() == nStatuses
+      val ap = SnapshotSql.sql(s,
+        s"SELECT o_custkey, count(*) AS n FROM snap.`$root` GROUP BY o_custkey")
+        .queryExecution.executedPlan.toString
+      val bucketReal = ap.contains("Bucketed: true") &&
+        !ap.contains("Exchange hashpartitioning")
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("ctas_receipt", lit(created))
+        .withColumn("insert_inherits_layout", lit(inherits))
+        .withColumn("partitions_from_paths", lit(partsOk))
+        .withColumn("bucket_layout_real", lit(bucketReal))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q202 — SQL MERGE WITH CONDITIONAL CLAUSES (SnapshotSql →
+    // Snapshots.mergeClauses): the reference's quarantine-reprocess
+    // job (REF main.py:119 — re-validate, update the fixable rows,
+    // drop the rest) is semantically a conditional merge-and-delete;
+    // this statement form now exists. First clause wins per matched
+    // row: cheap orders get the price bump, expensive ones DELETE;
+    // unmatched source rows insert only where the condition admits.
+    // The receipt pins the bounded rewrite (files_rewritten <
+    // files_total — same stats targeting as the upsert) and the
+    // EXACT per-action counts. Values replay the clause algebra
+    // row-for-row in DuckDB.
+    "q202_sql_merge_clauses" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q202").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(12, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      o.filter(col("o_orderkey") <= 400L)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          lit(10.0).as("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+        .createOrReplaceTempView("q202_src")
+      val rec = SnapshotSql.sql(s,
+        s"""MERGE INTO snap.`$root` t USING q202_src u
+           |ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED AND t.o_totalprice < 100000.0
+           |  THEN UPDATE SET o_totalprice = t.o_totalprice + u.o_totalprice
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND u.o_totalprice > 50000.0 THEN INSERT *""".stripMargin)
+        .head()
+      val matchedCheap = o.filter(col("o_orderkey") <= 400L &&
+        col("o_totalprice") < 100000.0).count()
+      val matchedRich = o.filter(col("o_orderkey") <= 400L &&
+        col("o_totalprice") >= 100000.0).count()
+      val insertable = o.filter(col("o_orderkey") % 500 === 0 &&
+        col("o_totalprice") > 50000.0).count()
+      val receiptOk = rec.getLong(0) == 2L &&
+        rec.getLong(3) == matchedCheap && rec.getLong(4) == matchedRich &&
+        rec.getLong(5) == insertable
+      val bounded = rec.getInt(1) > 0 && rec.getInt(1) < rec.getInt(2)
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("clause_receipt", lit(receiptOk))
+        .withColumn("rewrite_bounded", lit(bounded))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q203 — BUCKET-TARGETED MERGE (Snapshots.bucketPrune inside the
+    // merge file targeting): on a table bucketed on the merge key, an
+    // update key's candidate files are NAMED by its bucket id —
+    // pmod(hash(key), n) is both Spark's bucket function and the
+    // layout's placement — so a merge whose keys hash to a few
+    // buckets opens ONLY those buckets' files, however wide the
+    // per-file [min,max] ranges are (a hash layout scrambles ranges,
+    // so range targeting alone would rewrite everything; the flags
+    // pin exactly that separation). Skew-proof at 100 TB: a hot-key
+    // update batch touches its buckets, never the table. Values
+    // replay the upsert in DuckDB.
+    "q203_bucket_merge" -> ((s, dir) => {
+      import graft.etl.Snapshots.Bucketing
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val root = java.nio.file.Files.createTempDirectory("graft_q203").toString
+      Snapshots.commitWithStats(s, c, root, Seq("c_custkey"),
+        bucketBy = Some(Bucketing(8, Seq("c_custkey"), Seq("c_custkey"))))
+      // a FIXED key set (not a modulus) so the hit-bucket count stays
+      // < n at every scale factor — the pin is scale-portable
+      val updates = c.filter(col("c_custkey").isin(3L, 502L, 1001L))
+        .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      val hitIds = updates
+        .select(pmod(hash(col("c_custkey")), lit(8)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val TagRe = ".*_(\\d+)\\.[^/]*$".r
+      val hitFiles = Snapshots.filesOfVersion(s, root, 1L).count {
+        case TagRe(t) => hitIds.contains(t.toInt)
+        case _ => true
+      }
+      val r = Snapshots.merge(s, updates, root, "c_custkey",
+        Seq("c_custkey"))
+      val exact = r.filesRewritten == hitFiles
+      val bounded = hitIds.size < 8 && r.filesRewritten < r.filesTotal
+      Snapshots.read(s, root).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("c_acctbal")).as("bal_sum"))
+        .withColumn("opens_hit_buckets_only", lit(exact))
+        .withColumn("rewrite_bounded", lit(bounded))
+        .orderBy("c_mktsegment")
+    }),
+
+    // q204 — INCREMENTAL RE-CLUSTER ("z-order the debt"): clusterBy
+    // OPTIMIZE no longer forces a full rewrite — with clusterDebtOnly
+    // the rewrite set is the small-file debt PLUS the minimal
+    // key-range-overlapping full files (per-file min/max stats name
+    // them), everything else publishes by reference. Micro-batch
+    // accretion lands in a narrow key band, so a daily re-cluster of
+    // a 100 TB table costs O(debt + its band), not a table rewrite.
+    // Pins: rewrite ⊂ table and ⊇ the measured debt; carried files
+    // byte-identical by path; data bit-identical; a second debt-only
+    // pass publishes NOTHING; and skipping still bites on both a
+    // far range and the re-clustered band. Values replay
+    // base ∪ debt-batch in DuckDB.
+    "q204_incremental_zorder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q204").toString
+      Snapshots.commitWithStats(s,
+        li.repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), root, Seq("l_orderkey"))
+      Snapshots.append(s,
+        li.filter(col("l_orderkey") <= 500L).repartition(2),
+        root, Seq("l_orderkey"))
+      val beforeFiles = Snapshots.filesOfVersion(s, root, 2L).toSet
+      // the engine's debt threshold in this mode is HALF the target
+      // (convergence hysteresis) — measure with the same bound
+      val smallCount = beforeFiles.count { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen < 16L * 1024
+      }
+      val before = Snapshots.read(s, root)
+      val r = Snapshots.optimize(s, root, targetBytes = 32L * 1024,
+        statsCols = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"),
+        clusterDebtOnly = true)
+      val afterFiles = Snapshots.filesOfVersion(s, root, r.version).toSet
+      val after = Snapshots.read(s, root, Some(r.version))
+      val subset = r.filesRewritten < beforeFiles.size &&
+        r.filesRewritten >= smallCount && smallCount >= 2
+      val carried = beforeFiles.intersect(afterFiles).size ==
+        beforeFiles.size - r.filesRewritten
+      val identical = before.exceptAll(after).isEmpty &&
+        after.exceptAll(before).isEmpty
+      val r2 = Snapshots.optimize(s, root, targetBytes = 32L * 1024,
+        statsCols = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"),
+        clusterDebtOnly = true)
+      val noop = r2.version == r.version && r2.filesRewritten == 0
+      val (_, farRead, farTotal) = Snapshots.readPruned(s, root,
+        Some(r.version), "l_orderkey",
+        Some(lit(50000L)), Some(lit(51000L)))
+      val (_, bandRead, _) = Snapshots.readPruned(s, root,
+        Some(r.version), "l_orderkey", Some(lit(1L)), Some(lit(100L)))
+      after.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .withColumn("rewrite_subset", lit(subset))
+        .withColumn("carried_by_path", lit(carried))
+        .withColumn("data_identical", lit(identical))
+        .withColumn("second_pass_noop", lit(noop))
+        .withColumn("skip_preserved",
+          lit(farRead < farTotal && bandRead < farTotal))
+        .orderBy("l_returnflag")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -3043,7 +3256,75 @@ object EtlQueries {
         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
         |       COUNT(*) AS n_members,
         |       CAST(SUM(CASE WHEN node >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_probes
-        |FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin
+        |FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // q201: base ∪ the %9 insert — a CTAS that lost rows, an INSERT
+    // routed past the layout, or a mis-bucketed row (wrong-bucket
+    // agg) changes n/price_sum; flags pin birth receipt + layouts
+    "q201_sql_create_table" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 7000000, o_custkey + 10000000,
+        |         o_orderstatus, o_totalprice + 5.0
+        |  FROM orders WHERE o_orderkey % 9 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS ctas_receipt, TRUE AS insert_inherits_layout,
+        |  TRUE AS partitions_from_paths, TRUE AS bucket_layout_real
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q202: the clause algebra replayed row-for-row — matched-cheap
+    // updates, matched-rich deletes, condition-filtered inserts; a
+    // clause applied out of order, a lost kept row, or a double
+    // update all hash-break
+    "q202_sql_merge_clauses" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |kept AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey <= 400 AND o_totalprice < 100000.0
+        |         THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  WHERE NOT (o_orderkey <= 400 AND o_totalprice >= 100000.0)),
+        |ins AS (
+        |  SELECT o_orderkey + 200000000 AS o_orderkey,
+        |         'N' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 500 = 0 AND o_totalprice > 50000.0),
+        |t AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS clause_receipt, TRUE AS rewrite_bounded
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q203: the three-key upsert — a lost update, a wrong-bucket
+    // write, or a carried file dropped by the bucket pruning all
+    // change bal_sum; the flags pin the hit-buckets-only rewrite
+    "q203_bucket_merge" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey IN (3, 502, 1001)
+        |         THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum,
+        |  TRUE AS opens_hit_buckets_only, TRUE AS rewrite_bounded
+        |FROM t GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // q204: base ∪ the ≤500 debt batch — an incremental re-cluster
+    // that lost or duplicated a row (debt or carried side) breaks the
+    // sums; the flags pin the bounded rewrite and preserved skipping
+    "q204_incremental_zorder" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 500)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS rewrite_subset, TRUE AS carried_by_path,
+        |  TRUE AS data_identical, TRUE AS second_pass_noop,
+        |  TRUE AS skip_preserved
+        |FROM t GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

@@ -219,4 +219,42 @@ class BucketingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bucketed"))
   }
+
+  test("merge on a key-bucketed table opens only the hit buckets' files") {
+    import spark.implicits._
+    val root = tmpDir("bucket_merge")
+    val n = 8
+    val base = (1L to 4000L).map(i => (i, i * 1.0)).toDF("id", "v")
+    Snapshots.commitWithStats(spark, base, root, Seq("id"),
+      bucketBy = Some(Snapshots.Bucketing(n, Seq("id"), Seq("id"))))
+    // updates hit THREE keys — every file's [min,max] spans the whole
+    // keyspace (hash layout scrambles ranges), so range targeting
+    // alone would rewrite everything; bucket ids name the candidates
+    val keys = Seq(17L, 1900L, 3333L)
+    val updates = keys.map(k => (k, -1.0)).toDF("id", "v")
+    val hitIds = updates.select(pmod(hash(col("id")), lit(n))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val TagRe = ".*_(\\d+)\\.[^/]*$".r
+    val filesOfBuckets = Snapshots.filesOfVersion(spark, root, 1L).count { f =>
+      f match { case TagRe(t) => hitIds.contains(t.toInt); case _ => true }
+    }
+    val r = Snapshots.merge(spark, updates, root, "id", Seq("id"))
+    assert(r.filesRewritten === filesOfBuckets,
+      s"merge must open exactly the hit buckets' files: " +
+        s"${r.filesRewritten} vs $filesOfBuckets of ${r.filesTotal}")
+    assert(r.filesRewritten < r.filesTotal)
+    // values: updates applied, everything else intact
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 4000L)
+    assert(after.filter(col("v") === -1.0).select("id").as[Long]
+      .collect().toSet === keys.toSet)
+    // the appended version keeps the layout, so a second merge still
+    // bucket-targets (accreted multi-file buckets included)
+    Snapshots.append(spark, Seq((5000L, 5.0)).toDF("id", "v"), root, Seq("id"))
+    val r2 = Snapshots.merge(spark,
+      Seq((17L, -2.0)).toDF("id", "v"), root, "id", Seq("id"))
+    assert(r2.filesRewritten < r2.filesTotal)
+    assert(Snapshots.read(spark, root).filter(col("id") === 17L)
+      .select("v").head().getDouble(0) === -2.0)
+  }
 }

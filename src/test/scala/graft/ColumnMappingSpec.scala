@@ -165,4 +165,36 @@ class ColumnMappingSpec extends SparkSpec {
     Snapshots.append(spark, Seq((999L, -5.0)).toDF("id", "points"), root)
     assert(Snapshots.read(spark, root).count() === 101L)
   }
+
+  test("verb lexing is console-robust: trailing ';', backticked names, complex types") {
+    val root = tmpDir("cm_lex")
+    freshTable(root)
+    // trailing semicolon must not fall through to Spark's parser
+    assert(SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` RENAME COLUMN score TO points;")
+      .head().getLong(0) === 2L)
+    // backtick-quoted identifiers with non-word chars route correctly
+    SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` RENAME COLUMN `points` TO `points usd`")
+    assert(spark.sql(s"SELECT * FROM snap.`$root`").columns.toSeq ===
+      Seq("id", "name", "points usd"))
+    SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` RENAME COLUMN `points usd` TO points")
+    // ADD COLUMN delegates type validation to StructType.fromDDL, so
+    // complex types work and a bad type gets the DDL parser's own error
+    SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` ADD COLUMN tags ARRAY<STRING>;")
+    SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` ADD COLUMN price DECIMAL(12, 2)")
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(
+      graft.etl.Snapshots.versionMeta(spark, root,
+        graft.etl.Snapshots.latestVersion(spark, root).get).schemaDdl.get)
+    assert(sch("tags").dataType.typeName === "array")
+    assert(sch("price").dataType.typeName === "decimal(12,2)")
+    intercept[Exception] {
+      SnapshotSql.sql(spark, s"ALTER TABLE snap.`$root` ADD COLUMN bad NOTATYPE")
+    }
+    // maintenance verbs tolerate the trailing ';' too
+    assert(SnapshotSql.sql(spark, s"DESCRIBE HISTORY snap.`$root`;").count() >= 4L)
+  }
 }

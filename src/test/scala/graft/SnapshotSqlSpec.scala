@@ -255,13 +255,14 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(got === Map(1L -> "r1-m", 31L -> "r31", 9001L -> "r9001"))
     assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
       .as[Long].head() === 405L)
-    // non-upsert clause sets refuse loudly instead of guessing
+    // clause shapes outside the vocabulary refuse loudly
     val err = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
         s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
-    assert(err.getMessage.contains("UPDATE SET *"), err.getMessage)
+    assert(err.getMessage.contains("NOT MATCHED BY SOURCE"), err.getMessage)
     val err2 = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
         s"""MERGE INTO snap.`$root` t USING merge_src s
@@ -414,6 +415,110 @@ class SnapshotSqlSpec extends SparkSpec {
     val ch = SnapshotSql.sql(spark, s"DESCRIBE CHANGES snap.`$root` FROM 1 TO 2")
     assert(ch.filter($"_change_type" === "insert").count() === 10L)
     assert(ch.filter($"_change_type" === "delete").count() === 0L)
+  }
+
+  test("CREATE TABLE AS SELECT: birth in SQL, layout clauses land in the log") {
+    val base = tmpDir("sqlsnap_ctas")
+    val root = s"$base/t"
+    ids(1, 200).createOrReplaceTempView("ctas_src")
+    val rec = SnapshotSql.sql(spark,
+      s"CREATE TABLE snap.`$root` AS SELECT id, s FROM ctas_src;").head()
+    assert((rec.getLong(0), rec.getLong(1)) === ((1L, 200L)))
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`").head().getLong(0) === 200L)
+    // CREATE refuses an existing table
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"CREATE TABLE snap.`$root` AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+    // partitioned + bucketed birth: both layouts recorded and inherited
+    val pt = s"$base/pt"
+    SnapshotSql.sql(spark,
+      s"""CREATE TABLE snap.`$pt`
+         |PARTITIONED BY (grp)
+         |CLUSTERED BY (id) SORTED BY (id) INTO 4 BUCKETS
+         |AS SELECT id, s, CAST(id % 3 AS STRING) AS grp FROM ctas_src""".stripMargin)
+    val m = Snapshots.versionMeta(spark, pt, 1L)
+    assert(m.parts === Seq("grp"))
+    assert(m.bucket === Some(Snapshots.Bucketing(4, Seq("id"), Seq("id"))))
+    // INSERT inherits: new files are partition-pathed and bucket-tagged
+    SnapshotSql.sql(spark,
+      s"""INSERT INTO snap.`$pt`
+         |SELECT id + 1000, s, CAST(id % 3 AS STRING) FROM ctas_src""".stripMargin)
+    val fresh = Snapshots.filesOfVersion(spark, pt, 2L)
+      .diff(Snapshots.filesOfVersion(spark, pt, 1L))
+    assert(fresh.nonEmpty && fresh.forall(f =>
+      f.contains("__p_grp=") && "_(\\d+)\\.".r.findFirstIn(
+        new org.apache.hadoop.fs.Path(f).getName).nonEmpty))
+    assert(SnapshotSql.sql(spark, s"SHOW PARTITIONS snap.`$pt`").count() === 3L)
+    // a table born FROM another snapshot table, version-pinned
+    val fork = s"$base/fork"
+    SnapshotSql.sql(spark,
+      s"CREATE TABLE snap.`$fork` AS SELECT * FROM snap.`$pt` VERSION AS OF 1")
+    assert(Snapshots.read(spark, fork).count() === 200L)
+  }
+
+  test("CREATE TABLE SHALLOW CLONE: zero-copy fork as a statement") {
+    val base = tmpDir("sqlsnap_clone")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    clustered(src, 300)
+    Snapshots.append(spark, ids(301, 400), src, Seq("id"))
+    val rec = SnapshotSql.sql(spark,
+      s"CREATE TABLE snap.`$dst` SHALLOW CLONE snap.`$src` VERSION AS OF 1")
+      .head()
+    assert((rec.getLong(0), rec.getLong(1)) === ((1L, 300L)))
+    // the clone references the source's files in place — no data copied
+    assert(Snapshots.filesOfVersion(spark, dst, 1L).toSet ===
+      Snapshots.filesOfVersion(spark, src, 1L).toSet)
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$dst`").head().getLong(0) === 300L)
+  }
+
+  test("MERGE with conditional clauses: MATCHED-AND-UPDATE, MATCHED-AND-DELETE") {
+    val root = tmpDir("sqlsnap_merge_clauses")
+    clustered(root, 400)
+    ids(381, 420).withColumn("s", lit("src"))
+      .createOrReplaceTempView("mc_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING mc_src u
+         |ON t.id = u.id
+         |WHEN MATCHED AND t.id % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET s = concat(t.s, '+', u.s)
+         |WHEN NOT MATCHED AND u.id <= 410 THEN INSERT *""".stripMargin).head()
+    // receipt: (version, files_rewritten, files_total, rows_updated,
+    // rows_deleted, rows_inserted)
+    assert(rec.getLong(0) === 2L)
+    assert(rec.getInt(1) > 0 && rec.getInt(1) < rec.getInt(2),
+      "clause merge keeps the bounded-rewrite contract")
+    assert(rec.getLong(3) === 10L) // odd ids 381..399 matched-update
+    assert(rec.getLong(4) === 10L) // even ids 382..400 matched-delete
+    assert(rec.getLong(5) === 10L) // 401..410 inserted
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 400L - 10L + 10L)
+    assert(after.filter($"id" === 382L).count() === 0L)
+    assert(after.filter($"id" === 381L).select("s").head().getString(0) === "r381+src")
+    assert(after.filter($"id" === 405L).select("s").head().getString(0) === "src")
+    assert(after.filter($"id" === 415L).count() === 0L, "insert condition filters")
+    // rows untouched by any clause survive verbatim
+    assert(after.filter($"id" === 5L).select("s").head().getString(0) === "r5")
+  }
+
+  test("VACUUM RETAIN n HOURS routes to time-based retention") {
+    val root = tmpDir("sqlsnap_vac_hours")
+    clustered(root, 50)
+    Snapshots.append(spark, ids(51, 60), root)
+    Snapshots.append(spark, ids(61, 70), root)
+    // age v1/v2 beyond a 1-hour horizon; v3 stays fresh
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val now = System.currentTimeMillis()
+    Seq(1, 2).foreach { v =>
+      f.setTimes(new org.apache.hadoop.fs.Path(
+        s"$root/_versions/" + f"v$v%08d.json"), now - 2 * 3600L * 1000L, -1)
+    }
+    val rec = SnapshotSql.sql(spark,
+      s"VACUUM snap.`$root` RETAIN 1 HOURS").head()
+    assert((rec.getInt(0), rec.getInt(1)) === ((1, 2)))
+    assert(Snapshots.versions(spark, root) === Seq(3L))
+    assert(Snapshots.read(spark, root).count() === 70L)
   }
 
   test("canHit translation: And keeps the provable half; Or requires both") {

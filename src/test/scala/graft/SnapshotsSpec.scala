@@ -1368,5 +1368,257 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("upgrade"))
     // older versions stay readable — the gate is per-version
     assert(Snapshots.read(spark, root, Some(1L)).count() === 20L)
+    // the AUDIT verb stays usable past the gate: the unreadable
+    // version surfaces as a marked row instead of killing the whole
+    // history (Delta keeps DESCRIBE HISTORY viewable the same way)
+    val hist = Snapshots.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(3L) === "unsupported(features)")
+    assert(hist(1L) === "dir" && hist(2L) === "dir")
+  }
+
+  test("names the version-log parser cannot round-trip refuse at the API") {
+    val root = tmpDir("snap_loggable")
+    val df = (1L to 10L).map(i => (i, s"r$i")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    // a ']' inside a logged identifier would serialize fine but
+    // silently truncate the [^\]]* array parse on read — colmap
+    // degrading to identity (dropped bytes resurrecting), bucket
+    // parsing to None (untagged files into a tagged layout)
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, root, "s", "s]x")
+    }
+    assert(e1.getMessage.contains("round-trip"))
+    intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, root, "a]b", "STRING")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.Bucketing(4, Seq("k]0"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.Bucketing(4, Seq("k"), Seq("s]ort"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, df.withColumn("p]1", col("s")), root,
+        partitionBy = Seq("p]1"))
+    }
+    // newlines break the one-line log the same way
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, root, "s", "a\nb")
+    }
+    // nothing above published: the table is untouched
+    assert(Snapshots.versions(spark, root) === Seq(1L))
+  }
+
+  test("mergeClauses: conditional update, delete, insert — first clause wins") {
+    import Snapshots.{MatchedDelete, MatchedUpdate}
+    val root = tmpDir("snap_mc")
+    val base = (1L to 400L).map(i => (i, s"s${i % 4}", i * 1.0))
+      .toDF("id", "status", "amount")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    // source: ids 1..40 (matched) + 1001..1010 (unmatched)
+    val src = (1L to 40L).map(i => (i, "upd", i * 10.0))
+      .++((1001L to 1010L).map(i => (i, "new", 1.0)))
+      .toDF("id", "status", "amount")
+    val r = Snapshots.mergeClauses(spark, src, root, "id", Seq("id"),
+      "t", "u",
+      Seq(
+        // first clause wins: ids % 10 == 0 delete, the rest update
+        MatchedDelete(Some(expr("u.id % 10 = 0"))),
+        MatchedUpdate(Some(expr("t.amount < 30.0")),
+          Some(Seq("amount" -> expr("t.amount + u.amount")))),
+        MatchedUpdate(None, None)), // SET * for the remaining matched
+      Some(Some(expr("u.id % 2 = 1"))))
+    assert(r.version === 2L)
+    assert(r.rowsDeleted === 4L)   // 10,20,30,40
+    assert(r.rowsUpdated === 36L)  // the other matched ids
+    assert(r.rowsInserted === 5L)  // odd ids of 1001..1010
+    assert(r.filesRewritten > 0 && r.filesRewritten < r.filesTotal,
+      s"bounded rewrite expected, got ${r.filesRewritten}/${r.filesTotal}")
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 400L - 4L + 5L)
+    // deleted
+    assert(after.filter(col("id").isin(10L, 20L, 30L, 40L)).count() === 0L)
+    // assignment clause: t.amount < 30 → amount += u.amount (id<30, not %10)
+    assert(after.filter(col("id") === 7L).select("amount", "status")
+      .head() === org.apache.spark.sql.Row(77.0, "s3"))
+    // SET * clause: matched, amount >= 30, not deleted (e.g. id 33)
+    assert(after.filter(col("id") === 33L).select("amount", "status")
+      .head() === org.apache.spark.sql.Row(330.0, "upd"))
+    // conditional insert: 1001 in, 1002 out
+    assert(after.filter(col("id") === 1001L).count() === 1L)
+    assert(after.filter(col("id") === 1002L).count() === 0L)
+    // untouched rows survive verbatim
+    assert(after.filter(col("id") === 399L).select("amount").head()
+      .getDouble(0) === 399.0)
+  }
+
+  test("replacePartition: disjoint reloads REBASE — one staged write each") {
+    val root = tmpDir("snap_occ_rebase")
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}", i * 1.0))
+      .toDF("id", "grp", "x")
+    Snapshots.commitWithStats(spark,
+      df.repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"), partitionBy = Seq("grp"))
+    val reload = (g: String, bump: Double) => df.filter(col("grp") === g)
+      .withColumn("x", col("x") + lit(bump))
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    // between writer-A's staging and its publish, writer-B reloads a
+    // DISJOINT partition and wins the version race
+    var bResult: Option[Snapshots.CowResult] = None
+    Snapshots.racePublishHook = Some(() => {
+      bResult = Some(Snapshots.replacePartition(spark, reload("g1", 1000.0),
+        root, Map("grp" -> lit("g1")), Seq("id")))
+    })
+    val a = Snapshots.replacePartition(spark, reload("g2", 2000.0),
+      root, Map("grp" -> lit("g2")), Seq("id"))
+    assert(bResult.get.version === 2L)
+    assert(a.version === 3L, "the loser must land at the rebased version")
+    assert(Snapshots.rebases.get() === rb0 + 1, "one manifest re-base")
+    assert(Snapshots.restages.get() === rs0, "zero re-staged writes")
+    // both reloads applied, g0 untouched
+    val after = Snapshots.read(spark, root)
+    assert(after.filter(col("grp") === "g0" && col("x") > 500.0).count() === 0L)
+    assert(after.filter(col("grp") === "g1").agg(min("x")).head().getDouble(0) > 1000.0)
+    assert(after.filter(col("grp") === "g2").agg(min("x")).head().getDouble(0) > 2000.0)
+    assert(after.count() === 300L)
+    // B's fresh files carried by reference into A's manifest
+    val v2Fresh = Snapshots.filesOfVersion(spark, root, 2L)
+      .filterNot(Snapshots.filesOfVersion(spark, root, 1L).toSet)
+    assert(v2Fresh.nonEmpty &&
+      v2Fresh.forall(Snapshots.filesOfVersion(spark, root, 3L).toSet))
+    // stats survive the rebase: the pruned read still bites
+    val (_, nRead, nTotal) = Snapshots.readPruned(spark, root, None,
+      "id", Some(lit(1L)), Some(lit(50L)))
+    assert(nRead < nTotal)
+  }
+
+  test("replacePartition: a conflicting write into the SAME partition re-stages") {
+    val root = tmpDir("snap_occ_conflict")
+    val df = (1L to 200L).map(i => (i, s"g${i % 2}", i * 1.0))
+      .toDF("id", "grp", "x")
+    Snapshots.commitWithStats(spark,
+      df.repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"), partitionBy = Seq("grp"))
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    // the racer APPENDS INTO the partition A is replacing — a true
+    // conflict: A must re-stage against the new latest, and its
+    // replace must win over the concurrent append's rows
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark,
+        Seq((9001L, "g1", 9.0)).toDF("id", "grp", "x"), root, Seq("id"))
+    })
+    val a = Snapshots.replacePartition(spark,
+      df.filter(col("grp") === "g1").withColumn("x", col("x") + lit(5000.0)),
+      root, Map("grp" -> lit("g1")), Seq("id"))
+    assert(a.version === 3L)
+    assert(Snapshots.restages.get() === rs0 + 1, "conflict must re-stage")
+    assert(Snapshots.rebases.get() === rb0)
+    val after = Snapshots.read(spark, root)
+    // the replace REPLACED the partition — the racer's g1 row is gone
+    assert(after.filter(col("id") === 9001L).count() === 0L)
+    assert(after.filter(col("grp") === "g1").count() === 100L)
+    assert(after.filter(col("grp") === "g1").agg(min("x")).head()
+      .getDouble(0) > 5000.0)
+  }
+
+  test("latestVersion reads through the hint floor — no full listings on the hot path") {
+    val root = tmpDir("snap_hint")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (2 to 25).foreach(_ => Snapshots.append(spark, df, root))
+    val c0 = Snapshots.fullListings.get()
+    (1 to 10).foreach(_ =>
+      assert(Snapshots.latestVersion(spark, root) === Some(25L)))
+    assert(Snapshots.fullListings.get() === c0,
+      "latestVersion must not list the whole version log")
+    // a STALE hint probes forward to the true latest (never early-stops)
+    val hintP = java.nio.file.Paths.get(root, "_versions", "_latest_hint")
+    java.nio.file.Files.write(hintP, "3".getBytes("UTF-8"))
+    assert(Snapshots.latestVersion(spark, root) === Some(25L))
+    // a corrupt hint falls back to the listing, never a wrong answer
+    java.nio.file.Files.write(hintP, "not-a-number".getBytes("UTF-8"))
+    assert(Snapshots.latestVersion(spark, root) === Some(25L))
+    // a deleted hint falls back too — and the next commit restores it
+    java.nio.file.Files.delete(hintP)
+    assert(Snapshots.latestVersion(spark, root) === Some(25L))
+    Snapshots.append(spark, df, root)
+    assert(java.nio.file.Files.exists(hintP))
+    val c1 = Snapshots.fullListings.get()
+    assert(Snapshots.latestVersion(spark, root) === Some(26L))
+    assert(Snapshots.fullListings.get() === c1)
+    // vacuum refreshes the floor before creating gaps
+    Snapshots.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(Snapshots.latestVersion(spark, root) === Some(26L))
+    assert(Snapshots.versions(spark, root) === Seq(25L, 26L))
+    // a hint pointing at a vacuumed version falls back to the listing
+    java.nio.file.Files.write(hintP, "5".getBytes("UTF-8"))
+    assert(Snapshots.latestVersion(spark, root) === Some(26L))
+  }
+
+  test("vacuumRetainMs: time-based retention, horizon boundary inclusive") {
+    val root = tmpDir("snap_vac_hours")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    (1 to 5).foreach { _ =>
+      if (Snapshots.latestVersion(spark, root).isEmpty)
+        Snapshots.commit(spark, df, root)
+      else Snapshots.append(spark, df, root)
+    }
+    // pin the commit clock: v1 oldest (now-5h) .. v5 newest (now-1h)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val now = System.currentTimeMillis()
+    (1 to 5).foreach { v =>
+      f.setTimes(new org.apache.hadoop.fs.Path(
+          s"$root/_versions/" + f"v$v%08d.json"),
+        now - (6 - v) * 3600L * 1000L, -1)
+    }
+    // horizon lands EXACTLY on v3's mtime: v3 survives (inclusive
+    // bound), v1/v2 drop
+    Snapshots.vacuumRetainMs(spark, root, 3 * 3600L * 1000L,
+      orphanGraceMs = 0L, nowMs = Some(now))
+    assert(Snapshots.versions(spark, root) === Seq(3L, 4L, 5L))
+    assert(Snapshots.read(spark, root).count() === 5L,
+      "the latest version must stay fully readable")
+    // a zero horizon still keeps the latest — a quiet table must
+    // stay readable at any retention
+    Snapshots.vacuumRetainMs(spark, root, 0L, orphanGraceMs = 0L)
+    assert(Snapshots.versions(spark, root) === Seq(5L))
+    assert(Snapshots.read(spark, root).count() === 5L)
+  }
+
+  test("incremental re-cluster: only the debt plus its overlapping range rewrites") {
+    val root = tmpDir("snap_zinc")
+    // incompressible payload so file sizes are predictable: 8 tight
+    // id-clustered full files well above the target, debt well below
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .select(col("id"), sha2(col("id").cast("string"), 256).as("s"))
+    Snapshots.commitWithStats(spark,
+      rows(1L, 100000L).repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id"),
+      root, Seq("id"))
+    // fresh debt lands in a NARROW key band (today's keys): ids 1..2000
+    Snapshots.append(spark, rows(1L, 2000L).repartition(3), root, Seq("id"))
+    val before = Snapshots.read(spark, root)
+    val total = Snapshots.filesOfVersion(spark, root, 2L).size
+    val r = Snapshots.optimize(spark, root, targetBytes = 128L * 1024,
+      statsCols = Seq("id"), clusterBy = Seq("id"), clusterDebtOnly = true)
+    assert(r.version === 3L)
+    // the debt band overlaps only the low-id full file(s): rewrite ⊂ table
+    assert(r.filesRewritten < total,
+      s"incremental re-cluster must not rewrite the table: ${r.filesRewritten}/$total")
+    assert(r.filesRewritten >= 3, "the debt itself must rewrite")
+    val after = Snapshots.read(spark, root, Some(3L))
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty)
+    // skip effectiveness: a high-id range away from the debt still prunes
+    val (_, nRead, nTotal) = Snapshots.readPruned(spark, root, Some(3L),
+      "id", Some(lit(90000L)), Some(lit(95000L)))
+    assert(nRead < nTotal)
+    // and the re-clustered band prunes tightly too
+    val (_, nRead2, _) = Snapshots.readPruned(spark, root, Some(3L),
+      "id", Some(lit(500L)), Some(lit(600L)))
+    assert(nRead2 < nTotal)
   }
 }
