@@ -129,9 +129,14 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
   *   INSERT OVERWRITE snap.`/t` SELECT ...       -- full-replace commit
   *   DELETE FROM snap.`/t` WHERE <pred>          -- merge-on-read vector
   *   UPDATE snap.`/t` SET c = e WHERE <pred>     -- merge-on-read update
-  *   MERGE INTO snap.`/t` USING src ON t.k = src.k
-  *     WHEN MATCHED THEN UPDATE SET *
-  *     WHEN NOT MATCHED THEN INSERT *            -- copy-on-write upsert
+  *   MERGE INTO snap.`/t` t USING src u ON t.k = u.k
+  *     WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
+  *     WHEN MATCHED [AND pred] THEN DELETE
+  *     WHEN NOT MATCHED [AND pred] THEN INSERT * -- copy-on-write merge
+  *   CREATE TABLE snap.`/t` [PARTITIONED BY (...)]
+  *     [CLUSTERED BY (...) [SORTED BY (...)] INTO n BUCKETS]
+  *     AS SELECT ...                             -- the birth verb
+  *   CREATE TABLE snap.`/d` SHALLOW CLONE snap.`/s` [VERSION AS OF v]
   * }}}
   *
   * INSERT enforces the table's logged CHECK constraints and schema
@@ -139,13 +144,13 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
   * write a deletion vector (plus, for UPDATE, one churn-sized fresh
   * dir) and rewrite ZERO pre-existing data files
   * ([[Snapshots.deleteWhere]] / [[Snapshots.updateWhere]]); MERGE is
-  * the stats-targeted copy-on-write upsert ([[Snapshots.merge]] —
-  * the reference's `ON CONFLICT DO UPDATE` sink semantic, REF
-  * main.py:50) restricted to the upsert shape (equality key, UPDATE
-  * SET * / INSERT *) — richer clause sets refuse loudly rather than
-  * guess. Every verb returns a one-row commit receipt. Catalog
-  * relations (`<cat>::<name>`) are read-only views of pinned state
-  * and refuse DML.
+  * the stats-targeted copy-on-write merge — the bare upsert shape
+  * routes to [[Snapshots.merge]] (the reference's `ON CONFLICT DO
+  * UPDATE` sink semantic, REF main.py:50), conditional clause sets
+  * to [[Snapshots.mergeClauses]]; shapes outside the vocabulary
+  * refuse loudly rather than guess. Every verb returns a one-row
+  * commit receipt. Catalog relations (`<cat>::<name>`) are read-only
+  * views of pinned state and refuse DML.
   */
 object SnapshotSql {
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
