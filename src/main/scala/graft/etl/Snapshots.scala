@@ -228,7 +228,13 @@ object Snapshots {
     * the version files are written by this object, so the field shape
     * is fixed.
     */
+  /** Test-observable counter of version-file reads — the spec hook
+    * pinning [[lastTag]]'s early-stop cost model.
+    */
+  private[graft] val metaReads = new java.util.concurrent.atomic.AtomicLong
+
   def versionMeta(spark: SparkSession, root: String, v: Long): VMeta = {
+    metaReads.incrementAndGet()
     val vf = versionFile(root, v)
     val f = fs(spark, vf)
     require(f.exists(vf), s"$root has no committed version $v")
@@ -713,6 +719,21 @@ object Snapshots {
     relFilesOf(spark, root, m).map(rel => new Path(root, rel).toString)
   }
 
+  /** The table's current LOGICAL schema from the version log alone —
+    * no data file opened, so it works on a freshly created
+    * still-empty table (the CREATE-then-INSERT workflow).
+    */
+  def tableSchema(spark: SparkSession,
+                  root: String): org.apache.spark.sql.types.StructType = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    val phys = schemaOf(spark, root, v, m)
+    org.apache.spark.sql.types.StructType(
+      phys.fields.flatMap(f => m.colmap.logicalOf(f.name)
+        .map(l => f.copy(name = l))))
+  }
+
   /** Read the table at `version` (default: latest). Old versions
     * remain readable after later commits — the time-travel read.
     * Manifest versions read exactly their file list (untouched files
@@ -739,8 +760,15 @@ object Snapshots {
       case _ =>
         val files = relFilesOf(spark, root, m)
           .map(rel => new Path(root, rel).toString)
-        require(files.nonEmpty, s"version $v of $root has an empty manifest")
-        reader.parquet(files: _*)
+        if (files.isEmpty) {
+          // a freshly created empty table (zero-row CTAS / SHOW CREATE
+          // replay) is READABLE as its logged schema, not an error
+          require(m.schemaDdl.isDefined,
+            s"version $v of $root has an empty manifest and no logged schema")
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl.get))
+        } else reader.parquet(files: _*)
     }
     // merge-on-read: a version carrying a deletion vector applies it
     // in the scan ([[deleteWhere]]); the column mapping presents the
@@ -789,14 +817,23 @@ object Snapshots {
   /** The largest idempotency tag any committed version carries —
     * the streaming ingest's replay guard ([[append]]'s `tag` records
     * the micro-batch id; a crash-replayed or fresh-checkpoint-replayed
-    * batch sees its id already committed and skips). One tiny JSON
-    * read per version — metadata bounded by retained history.
+    * batch sees its id already committed and skips).
+    *
+    * DESCENDING walk with early stop: the guard runs INSIDE every
+    * micro-batch, so on a version-per-batch table (q171's shape) an
+    * O(history) read here compounds to O(N²) over a stream's
+    * lifetime. The newest tagged version provably carries the
+    * maximum because the guard protocol is self-enforcing — a tagged
+    * writer only appends when `lastTag < tag`, so committed tags
+    * strictly increase with version number — and maintenance
+    * versions (rollback/optimize/alter) carry no tag and are
+    * skipped. Cost: one log listing + the untagged suffix's version
+    * reads (usually zero), not the whole history.
     */
-  def lastTag(spark: SparkSession, root: String): Option[Long] = {
-    val tags = versions(spark, root)
-      .flatMap(v => versionMeta(spark, root, v).tag)
-    if (tags.isEmpty) None else Some(tags.max)
-  }
+  def lastTag(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).reverseIterator
+      .map(v => versionMeta(spark, root, v).tag)
+      .collectFirst { case Some(t) => t }
 
   // --- change data feed: file-granular version diff ---
 
@@ -2885,7 +2922,6 @@ object Snapshots {
     val m = versionMeta(spark, root, v)
     val schema = schemaOf(spark, root, v, m)
     val rels = relFilesOf(spark, root, m)
-    require(rels.nonEmpty, s"version $v of $root has an empty manifest")
     val idx = new graft.plans.SnapshotFileIndex(spark,
       new Path(rootPathOf(spark, root)),
       fileStatusesOf(spark, root, rels),
@@ -2912,7 +2948,7 @@ object Snapshots {
     * (at a million-file manifest that is the difference between a
     * listing and a day of metadata calls).
     */
-  private def fileStatusesOf(spark: SparkSession, root: String,
+  private[graft] def fileStatusesOf(spark: SparkSession, root: String,
                              rels: Seq[String])
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val byDir = rels.map(rel => new Path(root, rel)).groupBy(_.getParent)
@@ -2921,6 +2957,66 @@ object Snapshots {
       fs(spark, dir).listStatus(dir).filter(st => want(st.getPath.getName))
         .sortBy(_.getPath.getName)
     }
+  }
+
+  /** `DESCRIBE DETAIL` — the one-row operational summary every table
+    * format exposes (Delta's verb): latest version, logical rows,
+    * file count and total bytes (listing metadata via
+    * [[fileStatusesOf]] — one RPC per parent dir, no data opened),
+    * the declared layouts, and the policy counts. The numbers an
+    * operator checks before sizing a job against the table.
+    */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    val statuses = fileStatusesOf(spark, root, relFilesOf(spark, root, m))
+    Seq((root, v, m.nRows, statuses.size, statuses.map(_.getLen).sum,
+        m.parts.mkString(","),
+        m.bucket.map(b => s"${b.cols.mkString(",")} INTO ${b.n} BUCKETS")
+          .getOrElse(""),
+        m.constraints.size, m.dv.isDefined,
+        if (m.dataDir.isDefined) "dir" else "manifest"))
+      .toDF("location", "version", "n_rows", "num_files", "size_bytes",
+        "partition_columns", "bucket_spec", "n_constraints", "has_dv",
+        "layout")
+  }
+
+  /** `SHOW CREATE TABLE` — the table's logical definition as an
+    * EXECUTABLE statement script: one `CREATE TABLE snap.\`root\`
+    * ... AS SELECT` carrying the logical schema and both layout
+    * clauses, followed by one `ALTER TABLE ... ADD CONSTRAINT` per
+    * logged CHECK constraint. Running the emitted script against a
+    * fresh root reproduces the table's schema, layouts, and policy —
+    * the round-trip the spec pins.
+    */
+  def createTableStmts(spark: SparkSession, root: String): Seq[String] = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    val schema = schemaOf(spark, root, v, m)
+    val logical = org.apache.spark.sql.types.StructType(
+      schema.fields.flatMap(f =>
+        m.colmap.logicalOf(f.name).map(l => f.copy(name = l))))
+    val cols = logical.fields.map(f =>
+      s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
+    val partsClause =
+      if (m.parts.isEmpty) ""
+      else s"\nPARTITIONED BY (${m.parts.map(c => s"`$c`").mkString(", ")})"
+    val bucketClause = m.bucket.map { b =>
+      val sorted =
+        if (b.sort.isEmpty) ""
+        else s" SORTED BY (${b.sort.map(c => s"`$c`").mkString(", ")})"
+      s"\nCLUSTERED BY (${b.cols.map(c => s"`$c`").mkString(", ")})" +
+        sorted + s" INTO ${b.n} BUCKETS"
+    }.getOrElse("")
+    val create = s"CREATE TABLE snap.`$root`$partsClause$bucketClause" +
+      s"\nAS SELECT $cols FROM (SELECT 1 AS __one) WHERE 1 = 0"
+    val cons = m.constraints.map { case (n, e) =>
+      s"ALTER TABLE snap.`$root` ADD CONSTRAINT `$n` CHECK ($e)"
+    }
+    create +: cons
   }
 
   /** Reclaim storage: keep the last `keepLast` versions (and

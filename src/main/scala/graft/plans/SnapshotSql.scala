@@ -184,6 +184,10 @@ object SnapshotSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+snap\.`([^`]+)`\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+snap\.`([^`]+)`\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+snap\.`([^`]+)`\s*""".r
   private val ShowPartsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+snap\.`([^`]+)`\s*""".r
   private val ShowTablesRe =
@@ -279,6 +283,10 @@ object SnapshotSql {
     case DropConsRe(root, name) =>
       alterReceipt(spark, Snapshots.dropConstraint(spark,
         noCatalog(root, "ALTER TABLE"), unquote(name)))
+    case DetailRe(root) =>
+      runDetail(spark, noCatalog(root, "DESCRIBE DETAIL"))
+    case ShowCreateRe(root) =>
+      runShowCreate(spark, noCatalog(root, "SHOW CREATE TABLE"))
     case HistoryRe(root) =>
       // read-only: a catalog relation's history is its pinned root's
       Snapshots.history(spark, root.split("::", 2) match {
@@ -454,21 +462,65 @@ object SnapshotSql {
   private def runInsert(spark: SparkSession,
                         i: InsertIntoStatement): DataFrame = {
     val root = tableRootOf(spark, i.table, "INSERT")
-    require(i.userSpecifiedCols.isEmpty,
-      "snap: INSERT column lists are not supported — match the table schema")
-    if (i.partitionSpec.nonEmpty) return runPartitionInsert(spark, i, root)
+    if (i.partitionSpec.nonEmpty) {
+      require(i.userSpecifiedCols.isEmpty,
+        "snap: INSERT column lists do not combine with PARTITION specs")
+      return runPartitionInsert(spark, i, root)
+    }
     val data0 = GraftShim.ofRows(spark,
       ResolveSnapshotTable(spark)(i.query))
-    val names = Snapshots.read(spark, root).schema.fieldNames
-    require(data0.columns.length == names.length,
-      s"snap: INSERT arity ${data0.columns.length} != table arity ${names.length}")
-    // SQL INSERT matches by POSITION unless BY NAME — rename to the
-    // table's schema so the writer's drift check compares like names
-    val data = if (i.byName) data0 else data0.toDF(names.toIndexedSeq: _*)
+    // the schema comes from the LOG (logical names), so INSERT works
+    // on a freshly created still-empty table too
+    val schema = Snapshots.tableSchema(spark, root)
+    val data =
+      if (i.userSpecifiedCols.nonEmpty) {
+        // `INSERT INTO t (a, b) SELECT ...` — the SELECT supplies the
+        // named columns positionally; unnamed table columns fill with
+        // NULL (SQL's rule); named values cast to the column's logged
+        // type (ANSI store assignment)
+        val names = i.userSpecifiedCols
+        names.foreach(c => require(schema.fieldNames.contains(c),
+          s"snap: $c is not a column of $root"))
+        require(names.distinct.size == names.size,
+          s"snap: duplicate INSERT columns in ${names.mkString(", ")}")
+        require(data0.columns.length == names.length,
+          s"snap: INSERT supplies ${data0.columns.length} columns for " +
+            s"${names.length} named")
+        val named = data0.toDF(names: _*)
+        named.select(schema.fields.toSeq.map { f =>
+          if (names.contains(f.name))
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+              .as(f.name)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+            .as(f.name)
+        }: _*)
+      } else {
+        val names = schema.fieldNames
+        require(data0.columns.length == names.length,
+          s"snap: INSERT arity ${data0.columns.length} != table arity ${names.length}")
+        // SQL INSERT matches by POSITION unless BY NAME — rename to the
+        // table's schema so the writer's drift check compares like names
+        if (i.byName) data0 else data0.toDF(names.toIndexedSeq: _*)
+      }
     val v =
       if (i.overwrite) Snapshots.commit(spark, data, root)
       else Snapshots.append(spark, data, root)
     receipt(spark, v, Snapshots.versionMeta(spark, root, v).nRows)
+  }
+
+  /** `DESCRIBE DETAIL` — the one-row operational summary
+    * ([[Snapshots.detail]]): version, rows, files, bytes, layouts,
+    * policy counts. Listing metadata only.
+    */
+  private def runDetail(spark: SparkSession, root: String): DataFrame =
+    Snapshots.detail(spark, root)
+
+  /** `SHOW CREATE TABLE` — one row per statement of the executable
+    * re-creation script ([[Snapshots.createTableStmts]]).
+    */
+  private def runShowCreate(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Snapshots.createTableStmts(spark, root).toDF("stmt")
   }
 
   /** Static-partition INSERT (Hive/Spark's `PARTITION (k='v')`): the

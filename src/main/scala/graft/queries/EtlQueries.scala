@@ -2411,6 +2411,69 @@ object EtlQueries {
         .withColumn("skip_preserved",
           lit(farRead < farTotal && bandRead < farTotal))
         .orderBy("l_returnflag")
+    }),
+
+    // q205 — TABLE INTROSPECTION VERBS + column-list INSERT:
+    // `DESCRIBE DETAIL` is the one-row operational summary (version,
+    // exact logical rows, file count/bytes from listing metadata,
+    // declared layouts, policy counts — what an operator checks
+    // before sizing a job); `SHOW CREATE TABLE` emits an EXECUTABLE
+    // re-creation script, and the strongest pin replays it against a
+    // fresh root: schema, partition layout, bucket layout, and the
+    // CHECK constraint all reproduce, and the recreated (initially
+    // EMPTY) table immediately accepts INSERTs — including
+    // `INSERT INTO t (a, b) SELECT ...` with SQL's unnamed-columns-
+    // get-NULL rule. Values replay base ∪ the col-list batch.
+    "q205_sql_table_detail" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("q205_orders")
+      val base = java.nio.file.Files.createTempDirectory("graft_q205").toString
+      val root = s"$base/t"; val re = s"$base/re"
+      SnapshotSql.sql(s,
+        s"""CREATE TABLE snap.`$root`
+           |PARTITIONED BY (o_orderstatus)
+           |CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS
+           |AS SELECT * FROM q205_orders""".stripMargin)
+      SnapshotSql.sql(s,
+        s"ALTER TABLE snap.`$root` ADD CONSTRAINT price_pos CHECK (o_totalprice > 0.0)")
+      val det = SnapshotSql.sql(s, s"DESCRIBE DETAIL snap.`$root`").head()
+      val detailOk = det.getLong(1) == 2L && det.getLong(2) == o.count() &&
+        det.getInt(3) > 0 && det.getLong(4) > 0L &&
+        det.getString(5) == "o_orderstatus" &&
+        det.getString(6) == "o_custkey INTO 8 BUCKETS" &&
+        det.getInt(7) == 1 && !det.getBoolean(8)
+      val stmts = SnapshotSql.sql(s, s"SHOW CREATE TABLE snap.`$root`")
+        .collect().map(_.getString(0))
+      stmts.map(_.replace(s"snap.`$root`", s"snap.`$re`"))
+        .foreach(st => SnapshotSql.sql(s, st))
+      val mRe = Snapshots.versionMeta(s, re,
+        Snapshots.latestVersion(s, re).get)
+      val recreated = stmts.length == 2 &&
+        Snapshots.tableSchema(s, re) == Snapshots.tableSchema(s, root) &&
+        mRe.parts == Seq("o_orderstatus") &&
+        mRe.bucket == Some(graft.etl.Snapshots.Bucketing(
+          8, Seq("o_custkey"), Seq("o_custkey"))) &&
+        mRe.constraints.map(_._1) == Seq("price_pos") &&
+        Snapshots.read(s, re).count() == 0L
+      SnapshotSql.sql(s, s"INSERT INTO snap.`$re` SELECT * FROM q205_orders")
+      val ins = SnapshotSql.sql(s,
+        s"""INSERT INTO snap.`$re` (o_orderkey, o_totalprice)
+           |SELECT o_orderkey + 9000000, o_totalprice + 1.0
+           |FROM q205_orders WHERE o_orderkey % 11 = 0""".stripMargin).head()
+      // re's history: v1 CTAS, v2 replayed constraint, v3 full
+      // INSERT, v4 the col-list INSERT
+      val colListOk = ins.getLong(0) == 4L &&
+        ins.getLong(1) == o.count() + o.filter(col("o_orderkey") % 11 === 0).count()
+      SnapshotSql.sql(s,
+        s"""SELECT coalesce(o_orderstatus, 'none') AS status, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$re` GROUP BY coalesce(o_orderstatus, 'none')""".stripMargin)
+        .withColumn("detail_ok", lit(detailOk))
+        .withColumn("show_create_reproduces", lit(recreated))
+        .withColumn("col_list_insert_ok", lit(colListOk))
+        .orderBy("status")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -3324,7 +3387,21 @@ object EtlQueries {
         |  TRUE AS rewrite_subset, TRUE AS carried_by_path,
         |  TRUE AS data_identical, TRUE AS second_pass_noop,
         |  TRUE AS skip_preserved
-        |FROM t GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // q205: base ∪ the col-list batch (unnamed columns NULL — the
+    // 'none' status group); a torn recreation, a lost NULL-filled
+    // column, or a detail miscount flips a flag or the sums
+    "q205_sql_table_detail" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT NULL, o_totalprice + 1.0 FROM orders
+        |  WHERE o_orderkey % 11 = 0)
+        |SELECT coalesce(o_orderstatus, 'none') AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS detail_ok, TRUE AS show_create_reproduces,
+        |  TRUE AS col_list_insert_ok
+        |FROM t GROUP BY 1 ORDER BY status""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

@@ -501,6 +501,73 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(after.filter($"id" === 5L).select("s").head().getString(0) === "r5")
   }
 
+  test("DESCRIBE DETAIL + SHOW CREATE TABLE; the emitted script reproduces the table") {
+    val base = tmpDir("sqlsnap_detail")
+    val root = s"$base/t"
+    ids(1, 100).withColumn("grp", (col("id") % 2).cast("string"))
+      .createOrReplaceTempView("dt_src")
+    SnapshotSql.sql(spark,
+      s"""CREATE TABLE snap.`$root`
+         |PARTITIONED BY (grp)
+         |CLUSTERED BY (id) SORTED BY (id) INTO 4 BUCKETS
+         |AS SELECT * FROM dt_src""".stripMargin)
+    SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` ADD CONSTRAINT pos CHECK (id > 0)")
+    val det = SnapshotSql.sql(spark, s"DESCRIBE DETAIL snap.`$root`").head()
+    assert(det.getString(0) === root)
+    assert(det.getLong(1) === 2L)
+    assert(det.getLong(2) === 100L)
+    assert(det.getInt(3) > 0 && det.getLong(4) > 0L)
+    assert(det.getString(5) === "grp")
+    assert(det.getString(6) === "id INTO 4 BUCKETS")
+    assert(det.getInt(7) === 1 && !det.getBoolean(8))
+    // the emitted script is EXECUTABLE: replaying it against a fresh
+    // root reproduces schema, both layouts, and the policy
+    val stmts = SnapshotSql.sql(spark, s"SHOW CREATE TABLE snap.`$root`")
+      .as[String].collect()
+    assert(stmts.length === 2)
+    val re = s"$base/re"
+    stmts.map(_.replace(s"snap.`$root`", s"snap.`$re`"))
+      .foreach(st => SnapshotSql.sql(spark, st))
+    assert(Snapshots.tableSchema(spark, re) === Snapshots.tableSchema(spark, root))
+    val m = Snapshots.versionMeta(spark, re,
+      Snapshots.latestVersion(spark, re).get)
+    assert(m.parts === Seq("grp"))
+    assert(m.bucket === Some(Snapshots.Bucketing(4, Seq("id"), Seq("id"))))
+    assert(m.constraints.map(_._1) === Seq("pos"))
+    // the recreated EMPTY table is readable and accepts INSERT
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.`$re`")
+      .head().getLong(0) === 0L)
+    SnapshotSql.sql(spark, s"INSERT INTO snap.`$re` SELECT * FROM dt_src")
+    assert(Snapshots.read(spark, re).count() === 100L)
+    // and its replayed constraint enforces
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark,
+        Seq((-5L, "x", "1")).toDF("id", "s", "grp"), re)
+    }
+  }
+
+  test("INSERT with a column list fills unnamed columns with NULL") {
+    val root = tmpDir("sqlsnap_collist")
+    Snapshots.commit(spark,
+      Seq((1L, "a", 1.5)).toDF("id", "s", "x"), root)
+    val rec = SnapshotSql.sql(spark,
+      s"INSERT INTO snap.`$root` (x, id) SELECT 9.5, 77").head()
+    assert(rec.getLong(0) === 2L)
+    val got = Snapshots.read(spark, root).filter($"id" === 77L).head()
+    assert(got.isNullAt(1) && got.getDouble(2) === 9.5)
+    // unknown / duplicate / arity-mismatched lists refuse
+    intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"INSERT INTO snap.`$root` (nope) SELECT 1")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"INSERT INTO snap.`$root` (id, id) SELECT 1, 2")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"INSERT INTO snap.`$root` (id, x) SELECT 1")
+    }
+  }
+
   test("VACUUM RETAIN n HOURS routes to time-based retention") {
     val root = tmpDir("sqlsnap_vac_hours")
     clustered(root, 50)

@@ -1558,6 +1558,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, root) === Some(26L))
   }
 
+  test("lastTag stops at the newest tagged version — O(1) version reads per guard check") {
+    val root = tmpDir("snap_lasttag")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    // 20 tagged appends (the version-per-micro-batch shape), then two
+    // untagged maintenance-style versions on top
+    (1 to 20).foreach(b => Snapshots.append(spark, df, root, tag = Some(b.toLong)))
+    Snapshots.rollback(spark, root, 21L)
+    val m0 = Snapshots.metaReads.get()
+    assert(Snapshots.lastTag(spark, root) === Some(20L))
+    val reads = Snapshots.metaReads.get() - m0
+    assert(reads <= 3,
+      s"lastTag must stop at the newest tagged version, read $reads version files")
+    // a replayed batch still skips (the guard semantics are unchanged)
+    assert(Snapshots.lastTag(spark, root).exists(_ >= 20L))
+    // untagged-only history answers None without error
+    val bare = tmpDir("snap_lasttag_bare")
+    Snapshots.commit(spark, df, bare)
+    assert(Snapshots.lastTag(spark, bare) === None)
+  }
+
   test("vacuumRetainMs: time-based retention, horizon boundary inclusive") {
     val root = tmpDir("snap_vac_hours")
     val df = Seq((1L, "a")).toDF("id", "s")
