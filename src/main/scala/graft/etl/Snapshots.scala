@@ -116,9 +116,15 @@ object Snapshots {
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
         val t = body.trim
-        if (t.nonEmpty && t.forall(_.isDigit)) Some(t.toLong) else None
+        // ASCII digits only and a length bound: Char.isDigit admits
+        // Unicode digits toLong rejects, and an overflowing all-digit
+        // string would throw — ANY unreadable hint must mean
+        // "fall back to the listing", never an exception
+        if (t.nonEmpty && t.length <= 18 &&
+            t.forall(c => c >= '0' && c <= '9')) Some(t.toLong)
+        else None
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Best-effort floor refresh — a failed write costs the NEXT reader
     * a probe walk (or, eventually, one full listing), never
@@ -813,6 +819,22 @@ object Snapshots {
     val m = versionMeta(spark, root, to)
     publishNext(spark, root, v => bodyOf(v, m.copy(tag = None)))
   }
+
+  /** Make [[lastTag]]'s early-stop invariant REAL at the write
+    * boundary: a tagged commit must carry a tag STRICTLY above every
+    * committed one. Without this, a zombie writer racing its
+    * restarted replacement could land tags out of version order and
+    * the newest-tagged-version read would under-report — re-running
+    * a batch the guard exists to skip. The check composes with the
+    * readVersion+1 publish: a tagged competitor landing between this
+    * check and the publish fails the publish, and the retry
+    * re-checks.
+    */
+  private def requireTagMonotonic(spark: SparkSession, root: String,
+                                  tag: Option[Long], what: String): Unit =
+    tag.foreach(t => require(!lastTag(spark, root).exists(_ >= t),
+      s"$root: $what tag $t is not newer than the last committed tag " +
+        "— a replayed or out-of-order batch (check lastTag before writing)"))
 
   /** The largest idempotency tag any committed version carries —
     * the streaming ingest's replay guard ([[append]]'s `tag` records
@@ -1724,6 +1746,16 @@ object Snapshots {
     var checked = checkedCons
     var attempts = 0
     while (true) {
+      // tag monotonicity enforced at the write boundary (see
+      // [[requireTagMonotonic]]) — re-checked on every retry, so the
+      // readVersion+1 publish makes check-then-commit atomic
+      try requireTagMonotonic(spark, root, tag, "append")
+      catch {
+        case e: Throwable =>
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          throw e
+      }
       // first iteration reuses the pre-write read; retries re-read
       val cur = cached.orElse(latestVersion(spark, root)
         .map(v => (v, versionMeta(spark, root, v))))
@@ -1897,6 +1929,11 @@ object Snapshots {
                           key: String): DataFrame = bucket match {
     case Some(b) if b.cols == Seq(key) =>
       import org.apache.spark.sql.functions.{hash, pmod, regexp_extract}
+      // `keys` must already carry the table key's EXACT logged type
+      // (the callers cast the source to the table schema): murmur3
+      // hashes an INT and a LONG of the same value differently, so a
+      // dtype drift here would prune the WRONG buckets — a silently
+      // lost update
       val hitIds = keys
         .select(pmod(hash(col("__mk")), lit(b.n)).as("__bid"))
         .distinct().collect().map(_.getInt(0)).toSeq
@@ -1922,10 +1959,17 @@ object Snapshots {
       val tableCols = tableSchema.fieldNames
       require(updates.columns.toSet == tableCols.toSet,
         s"updates schema ${updates.columns.toSet} != table ${tableCols.toSet}")
+      requireTagMonotonic(spark, root, tag, "merge")
       // MERGE writes rows too: the update batch faces the same CHECK
       // gate as an append (one pass over the batch)
       requireSatisfied(updates, m.constraints, "merge updates")
-      val upd = updates.select(tableCols.map(col): _*)
+      // cast to the table's EXACT logged types: a name-matching batch
+      // with drifted types (Int vs Long) would otherwise (a) hash to
+      // the wrong buckets in [[bucketPrune]] and (b) widen the
+      // rewrite through the union into files the logged schema DDL
+      // cannot read back
+      val upd = updates.select(tableSchema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
       // touched = files whose [min,max] can contain SOME update key,
@@ -2055,9 +2099,11 @@ object Snapshots {
     * [[merge]] rule); duplicate source keys multiply like a
     * multi-match SQL MERGE, so sources should be key-distinct.
     * Updated and inserted images face the table's CHECK constraints;
-    * the row accounting in the receipt costs two churn-sized count
-    * passes (never table-sized). Publishes at readVersion+1 with the
-    * usual conflict check.
+    * the receipt's row accounting costs one aggregate plus one
+    * anti-join count over PERSISTED churn-sized frames (the touched
+    * parquet files and the source scan each run once, never
+    * table-sized). Publishes at readVersion+1 with the usual
+    * conflict check.
     *
     * `targetAlias`/`sourceAlias` are the STATEMENT aliases clause
     * conditions refer to (`MERGE INTO t ... USING u`): conditions
@@ -2087,7 +2133,24 @@ object Snapshots {
       val tableCols = tableSchema.fieldNames.toSeq
       require(source.columns.toSet == tableCols.toSet,
         s"source schema ${source.columns.toSet} != table ${tableCols.toSet}")
-      val src = source.select(tableCols.map(col): _*)
+      requireTagMonotonic(spark, root, tag, "mergeClauses")
+      // SET targets must name real columns — matched with Spark's
+      // case-insensitive resolution, and validated HERE so a typo'd
+      // assignment errors instead of silently keeping the old value
+      // while the receipt counts the row as updated
+      matched.foreach {
+        case MatchedUpdate(_, Some(assigns)) => assigns.foreach { case (n, _) =>
+          require(tableCols.exists(_.equalsIgnoreCase(n)),
+            s"merge SET target $n is not a column of $root " +
+              s"(${tableCols.mkString(", ")})")
+        }
+        case _ => ()
+      }
+      // cast to the table's EXACT logged types (see [[merge]]): wrong
+      // bucket hashes and union-widened unreadable files both start
+      // as a silent dtype drift
+      val src = source.select(tableSchema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
       // file targeting — identical to [[merge]]
@@ -2128,72 +2191,88 @@ object Snapshots {
       // clause evaluation over the (touched × source) join — both
       // sides presented under their statement aliases so conditions
       // and assignments resolve exactly as the SQL analyzer would
-      val touchedRows =
+      // the churn-sized inputs are read by the count/check passes AND
+      // the final write — persist them so the touched parquet files
+      // and the source scan run ONCE, not once per pass
+      val touchedRows = (
         if (touchedList.isEmpty)
           read(spark, root, Some(v)).filter(lit(false))
             .select(tableCols.map(col): _*)
         else applyDv(spark, root,
           spark.read.schema(tableSchema).parquet(touchedList.toSeq: _*),
           dvPrior).select(tableCols.map(col): _*)
-      val tgtA = touchedRows.alias(targetAlias)
-      val srcA = src.alias(sourceAlias)
-      val joined = tgtA.join(srcA,
-        col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
-      // first matching clause wins: action i+1 = clause i, 0 = keep
-      val actionCol = matched.zipWithIndex.reverse.foldLeft(lit(0)) {
-        case (acc, (cl, i)) =>
-          org.apache.spark.sql.functions.when(
-            cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
-      }
-      val updateIds = matched.zipWithIndex.collect {
-        case (_: MatchedUpdate, i) => i + 1 }
-      val deleteIds = matched.zipWithIndex.collect {
-        case (_: MatchedDelete, i) => i + 1 }
-      val classified = joined.withColumn("__ma", actionCol)
-      val nUpd =
-        if (updateIds.isEmpty) 0L
-        else classified.filter(col("__ma").isin(updateIds: _*)).count()
-      val nDel =
-        if (deleteIds.isEmpty) 0L
-        else classified.filter(col("__ma").isin(deleteIds: _*)).count()
-      // per-column image: update clauses in order, else keep target
-      def image(c: org.apache.spark.sql.types.StructField): Column =
-        matched.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
-          val img = u.set match {
-            case None => col(s"$sourceAlias.${c.name}").cast(c.dataType)
-            case Some(assigns) => assigns.collectFirst {
-              case (n, e) if n == c.name => e.cast(c.dataType)
-            }.getOrElse(col(s"$targetAlias.${c.name}"))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val srcP = src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (freshDir, freshRows, nUpd, nDel, nIns) = try {
+        val tgtA = touchedRows.alias(targetAlias)
+        val srcA = srcP.alias(sourceAlias)
+        val joined = tgtA.join(srcA,
+          col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
+        // first matching clause wins: action i+1 = clause i, 0 = keep
+        val actionCol = matched.zipWithIndex.reverse.foldLeft(lit(0)) {
+          case (acc, (cl, i)) =>
+            org.apache.spark.sql.functions.when(
+              cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
+        }
+        val updateIds = matched.zipWithIndex.collect {
+          case (_: MatchedUpdate, i) => i + 1 }
+        val deleteIds = matched.zipWithIndex.collect {
+          case (_: MatchedDelete, i) => i + 1 }
+        val classified = joined.withColumn("__ma", actionCol)
+        def inIds(ids: Seq[Int]): Column =
+          if (ids.isEmpty) lit(false) else col("__ma").isin(ids: _*)
+        // one aggregate pass yields both matched-action counts
+        val acts =
+          if (matched.isEmpty) (0L, 0L)
+          else {
+            val r = classified.agg(
+              coalesce(sum(org.apache.spark.sql.functions
+                .when(inIds(updateIds), 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(org.apache.spark.sql.functions
+                .when(inIds(deleteIds), 1L).otherwise(0L)), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
           }
-          (i + 1, img)
-        }.foldRight(col(s"$targetAlias.${c.name}")) { case ((id, img), acc) =>
-          org.apache.spark.sql.functions.when(col("__ma") === id, img)
-            .otherwise(acc)
-        }.as(c.name)
-      val matchedOut = classified
-        .filter(if (deleteIds.isEmpty) lit(true)
-                else !col("__ma").isin(deleteIds: _*))
-        .select(tableSchema.fields.toSeq.map(image): _*)
-      val keptTgt = touchedRows.join(
-          src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
-          "left_anti")
-        .select(tableCols.map(col): _*)
-      val inserted = insertCond match {
-        case None => src.filter(lit(false))
-        case Some(cond) =>
-          srcA.join(touchedRows.select(col(key).as("__tk")),
-            col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
-            .filter(cond.getOrElse(lit(true)))
-            .select(tableCols.map(col): _*)
+        // per-column image: update clauses in order, else keep target
+        def image(c: org.apache.spark.sql.types.StructField): Column =
+          matched.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
+            val img = u.set match {
+              case None => col(s"$sourceAlias.${c.name}").cast(c.dataType)
+              case Some(assigns) => assigns.collectFirst {
+                case (n, e) if n.equalsIgnoreCase(c.name) => e.cast(c.dataType)
+              }.getOrElse(col(s"$targetAlias.${c.name}"))
+            }
+            (i + 1, img)
+          }.foldRight(col(s"$targetAlias.${c.name}")) { case ((id, img), acc) =>
+            org.apache.spark.sql.functions.when(col("__ma") === id, img)
+              .otherwise(acc)
+          }.as(c.name)
+        val matchedOut = classified
+          .filter(!inIds(deleteIds))
+          .select(tableSchema.fields.toSeq.map(image): _*)
+        val keptTgt = touchedRows.join(
+            srcP.select(col(key).as("__mk2")), col(key) === col("__mk2"),
+            "left_anti")
+          .select(tableCols.map(col): _*)
+        val inserted = insertCond match {
+          case None => srcP.filter(lit(false))
+          case Some(cond) =>
+            srcA.join(touchedRows.select(col(key).as("__tk")),
+              col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
+              .filter(cond.getOrElse(lit(true)))
+              .select(tableCols.map(col): _*)
+        }
+        val nI = if (insertCond.isEmpty) 0L else inserted.count()
+        // only the NEW images face the CHECK gate (kept rows passed at
+        // their own write time) — churn-sized, like everything here
+        requireSatisfied(matchedOut.unionByName(inserted), m.constraints,
+          "merge clauses")
+        val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
+        val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
+        (fd, fr, acts._1, acts._2, nI)
+      } finally {
+        touchedRows.unpersist()
+        srcP.unpersist()
       }
-      val nIns = inserted.count()
-      // only the NEW images face the CHECK gate (kept rows passed at
-      // their own write time) — churn-sized, like everything here
-      requireSatisfied(matchedOut.unionByName(inserted), m.constraints,
-        "merge clauses")
-      val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
-      val (freshDir, freshRows) =
-        writeDataDir(spark, rewritten, root, m.parts, m.bucket)
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(

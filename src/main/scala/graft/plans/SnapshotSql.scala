@@ -410,8 +410,6 @@ object SnapshotSql {
                         select: String): DataFrame = {
     require(Snapshots.latestVersion(spark, root).isEmpty,
       s"CREATE TABLE: $root already has committed versions")
-    require(cluster.isEmpty == buckets.isEmpty,
-      "CREATE TABLE: CLUSTERED BY needs INTO n BUCKETS")
     val data = sql(spark, select)
     val bucketing = buckets.map(n =>
       Snapshots.Bucketing(n, splitCols(cluster), splitCols(sorted)))
@@ -478,9 +476,13 @@ object SnapshotSql {
         // named columns positionally; unnamed table columns fill with
         // NULL (SQL's rule); named values cast to the column's logged
         // type (ANSI store assignment)
-        val names = i.userSpecifiedCols
-        names.foreach(c => require(schema.fieldNames.contains(c),
-          s"snap: $c is not a column of $root"))
+        // resolve the user's names CASE-INSENSITIVELY (Spark's
+        // default resolution everywhere else) to the schema's
+        // canonical spelling
+        val names = i.userSpecifiedCols.map(c =>
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"snap: $c is not a column of $root")))
         require(names.distinct.size == names.size,
           s"snap: duplicate INSERT columns in ${names.mkString(", ")}")
         require(data0.columns.length == names.length,

@@ -220,6 +220,26 @@ class BucketingSpec extends SparkSpec {
     assert(e.getMessage.contains("bucketed"))
   }
 
+  test("merge casts drifted key dtypes to the table type before bucket hashing") {
+    import spark.implicits._
+    val root = tmpDir("bucket_dtype")
+    Snapshots.commitWithStats(spark,
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "v"), root, Seq("id"),
+      bucketBy = Some(Snapshots.Bucketing(8, Seq("id"), Seq("id"))))
+    // an INT-typed key column: murmur3 hashes 17:Int and 17L
+    // differently, so an uncast batch would prune the WRONG bucket —
+    // the stale row carried, the update appended as a duplicate
+    val updates = Seq((17, -1.0)).toDF("id", "v")
+    val r = Snapshots.merge(spark, updates, root, "id", Seq("id"))
+    assert(r.filesRewritten === 1)
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 1000L, "stale row replaced, not duplicated")
+    assert(after.filter(col("id") === 17L).select("v").as[Double]
+      .collect().toSeq === Seq(-1.0))
+    // and the committed files stay readable under the logged schema
+    assert(after.agg(sum("id")).head().getLong(0) === (1L to 1000L).sum)
+  }
+
   test("merge on a key-bucketed table opens only the hit buckets' files") {
     import spark.implicits._
     val root = tmpDir("bucket_merge")

@@ -1579,6 +1579,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.lastTag(spark, bare) === None)
   }
 
+  test("tagged writes enforce strictly increasing tags at the write boundary") {
+    val root = tmpDir("snap_tag_mono")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    Snapshots.append(spark, df, root, tag = Some(5L))
+    // a replayed (equal) or out-of-order (smaller) tag refuses — the
+    // invariant lastTag's early-stop read relies on is enforced, not
+    // assumed
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(spark, df, root, tag = Some(5L))
+    }
+    assert(e.getMessage.contains("not newer"))
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, df, root, tag = Some(4L))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, df, root, "id", Seq("id"), tag = Some(5L))
+    }
+    // the refused appends leave no partial state
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L))
+    // a newer tag proceeds
+    Snapshots.append(spark, df, root, tag = Some(6L))
+    assert(Snapshots.lastTag(spark, root) === Some(6L))
+  }
+
   test("vacuumRetainMs: time-based retention, horizon boundary inclusive") {
     val root = tmpDir("snap_vac_hours")
     val df = Seq((1L, "a")).toDF("id", "s")
