@@ -96,7 +96,8 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val hf = hintFile(root)
     val f = fs(spark, hf)
-    val hinted = readHint(f, hf).filter(h => f.exists(versionFile(root, h)))
+    val hinted = readHint(f, hf).map(_._1)
+      .filter(h => f.exists(versionFile(root, h)))
     hinted match {
       case Some(h) =>
         var v = h
@@ -108,21 +109,39 @@ object Snapshots {
 
   private def hintFile(root: String) = new Path(versionsDir(root), "_latest_hint")
 
-  private def readHint(f: FileSystem, hf: Path): Option[Long] =
+  /** The hint is the CHECKPOINT SEAM (Delta's `_last_checkpoint`
+    * shape), now carrying aggregate state beyond the version floor:
+    * `"<version>"` (floor only) or `"<version> <tag>"` — the second
+    * field asserting "the largest idempotency tag any version at or
+    * below `version` carries is EXACTLY `tag`". The claim is stable
+    * once written (version files are immutable and tags only appear
+    * at publish time), so even a DELAYED hint write deposits a true
+    * statement — [[lastTag]] reads the claim plus the contiguous
+    * tail's version files instead of listing the whole log, which is
+    * what keeps the per-micro-batch replay guard O(1) on a
+    * version-per-batch stream (q171's shape at 10⁵ commits).
+    */
+  private def readHint(f: FileSystem, hf: Path): Option[(Long, Option[Long])] =
     try {
       if (!f.exists(hf)) None
       else {
         val in = f.open(hf)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        val t = body.trim
         // ASCII digits only and a length bound: Char.isDigit admits
         // Unicode digits toLong rejects, and an overflowing all-digit
         // string would throw — ANY unreadable hint must mean
         // "fall back to the listing", never an exception
-        if (t.nonEmpty && t.length <= 18 &&
-            t.forall(c => c >= '0' && c <= '9')) Some(t.toLong)
-        else None
+        def num(t: String): Option[Long] =
+          if (t.nonEmpty && t.length <= 18 &&
+              t.forall(c => c >= '0' && c <= '9')) Some(t.toLong)
+          else None
+        body.trim.split(' ') match {
+          case Array(v) => num(v).map(n => (n, None))
+          case Array(v, t) => for (vn <- num(v); tn <- num(t))
+            yield (vn, Some(tn))
+          case _ => None
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -130,14 +149,21 @@ object Snapshots {
     * a probe walk (or, eventually, one full listing), never
     * correctness. Concurrent writers may interleave (a later hint
     * briefly overwritten by an earlier one); the probe walks forward
-    * past any regression.
+    * past any regression. Catches NonFatal, not just IOException: the
+    * refresh runs AFTER a won publish, and an exotic filesystem error
+    * here must never surface an already-committed publish as a
+    * failure (an untagged caller retrying would double-commit).
+    * Returns whether the write landed ([[vacuumKeep]] must know).
     */
-  private def writeHint(f: FileSystem, root: String, v: Long): Unit =
+  private def writeHint(f: FileSystem, root: String, v: Long,
+                        tag: Option[Long] = None): Boolean =
     try {
       val out = f.create(hintFile(root), true)
-      try out.write(v.toString.getBytes("UTF-8"))
+      try out.write((v.toString + tag.map(t => s" $t").getOrElse(""))
+        .getBytes("UTF-8"))
       finally out.close()
-    } catch { case _: java.io.IOException => () }
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Version metadata. Exactly one of `dataDir` / `manifest` is set:
     * a WHOLE-DIR version ([[commit]]/[[optimize]] — the snapshot is
@@ -220,7 +246,8 @@ object Snapshots {
                          constraints: Seq[(String, String)] = Nil,
                          parts: Seq[String] = Nil,
                          bucket: Option[Bucketing] = None,
-                         colmap: ColMap = ColMap()) {
+                         colmap: ColMap = ColMap(),
+                         tombstone: Boolean = false) {
     /** Stable identifier of the version's file LAYOUT — the key the
       * per-version stats index is stored under. A rollback republishes
       * the same layout id, so its stats are reused with zero work.
@@ -254,6 +281,7 @@ object Snapshots {
     // reader-version gate: a version whose correct interpretation
     // requires a feature this library does not know must refuse, not
     // silently mis-read (see [[SupportedFeatures]])
+    var tombstone = false
     """"features":\[([^\]]*)\]""".r.findFirstMatchIn(body).foreach { fm =>
       val demanded = """"([^"]+)"""".r.findAllMatchIn(fm.group(1))
         .map(_.group(1)).toSet
@@ -261,6 +289,7 @@ object Snapshots {
       require(unknown.isEmpty,
         s"$vf requires format features ${unknown.mkString(", ")} this " +
           "reader does not support — upgrade the library to read this version")
+      tombstone = demanded.contains("tombstone")
     }
     // missing n_rows is as malformed as a missing data_dir — a silent
     // -1 would be re-published verbatim by rollback into a version
@@ -305,39 +334,137 @@ object Snapshots {
           .findAllMatchIn(am.group(1))
           .map(cm => (unesc(cm.group(1)), unesc(cm.group(2)))).toSeq
       }.getOrElse(Nil)
-    VMeta(dir, man, n, tag, schema, dv, cons, parts, bucket, colmap)
+    VMeta(dir, man, n, tag, schema, dv, cons, parts, bucket, colmap,
+      tombstone)
   }
+
+  /** Refuse an operation on a DROPPED table (latest version is a
+    * tombstone — see [[dropTable]]). Pre-drop versions stay readable
+    * by explicit version until [[vacuum]] reclaims them; RESTORE
+    * (rollback to a pre-drop version) is the undrop.
+    */
+  private def requireLive(m: VMeta, root: String, op: String): Unit =
+    require(!m.tombstone,
+      s"$op: $root is DROPPED (tombstone at the latest version) — " +
+        "RESTORE to a pre-drop version, or CREATE [OR REPLACE] it anew")
 
   private[etl] def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  // --- aggregate history checkpoint: O(tail) audit reads ---
+
+  /** One version's rolled-up audit row — everything [[history]] and
+    * [[fileLineage]] need without re-opening the version file.
+    * `ref` is the layout reference (data dir or manifest, root-
+    * relative); `layout` is `dir`/`manifest`/`unsupported(features)`.
+    */
+  private final case class CkptRow(v: Long, layout: String, ref: String,
+                                   nRows: Long, tag: Option[Long],
+                                   hasDv: Boolean, nCons: Int)
+
+  private def ckptFile(root: String) = new Path(versionsDir(root), "_ckpt")
+
+  private def rowOf(spark: SparkSession, root: String, v: Long): CkptRow =
+    // the audit verbs stay usable after a partial format downgrade:
+    // a version demanding an unknown format feature cannot be READ
+    // (the reader-version gate), but its history ROW is still honest
+    // metadata — Delta keeps DESCRIBE HISTORY viewable past its own
+    // reader-version gate for the same reason
+    try {
+      val m = versionMeta(spark, root, v)
+      CkptRow(v,
+        if (m.tombstone) "tombstone"
+        else if (m.dataDir.isDefined) "dir" else "manifest",
+        m.dataDir.orElse(m.manifest).get, m.nRows, m.tag,
+        m.dv.isDefined, m.constraints.size)
+    } catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("requires format features") =>
+        CkptRow(v, "unsupported(features)", "", -1L, None, false, 0)
+    }
+
+  private val CkptLineRe =
+    ("""\{"v":(\d+),"layout":"(dir|manifest|tombstone)","ref":"([^"]*)",""" +
+      """"n_rows":(-?\d+)(?:,"tag":(\d+))?,"dv":(0|1),"n_cons":(\d+)\}""").r
+
+  /** Read the rolled-up rows — per-LINE tolerant: a torn or
+    * unparseable line is simply absent from the map (its version
+    * re-derives from the version file), never an error.
+    */
+  private def readCkpt(f: FileSystem, root: String): Map[Long, CkptRow] =
+    try {
+      val cf = ckptFile(root)
+      if (!f.exists(cf)) Map.empty
+      else {
+        val in = f.open(cf)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        body.split('\n').iterator.flatMap {
+          case CkptLineRe(v, layout, ref, n, tag, dv, nc) =>
+            Iterator.single(v.toLong -> CkptRow(v.toLong, layout, ref,
+              n.toLong, Option(tag).map(_.toLong), dv == "1", nc.toInt))
+          case _ => Iterator.empty
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Best-effort rewrite (a failed write costs the next audit call
+    * its tail reads again, never correctness — the rows are pure
+    * derivations of immutable version files, so last-writer-wins
+    * between concurrent audits is safe).
+    */
+  private def writeCkpt(f: FileSystem, root: String,
+                        rows: Seq[CkptRow]): Unit =
+    try {
+      val body = rows.sortBy(_.v).map { r =>
+        s"""{"v":${r.v},"layout":"${r.layout}","ref":"${r.ref}",""" +
+          s""""n_rows":${r.nRows}${r.tag.map(t => s""","tag":$t""")
+            .getOrElse("")},"dv":${if (r.hasDv) 1 else 0},"n_cons":${r.nCons}}"""
+      }.mkString("\n")
+      val out = f.create(ckptFile(root), true)
+      try out.write(body.getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The audit rows for every listed version — ONE checkpoint read
+    * plus version-file reads for just the uncheckpointed TAIL
+    * (Delta's checkpoint+tail shape: [[history]]/[[fileLineage]] on a
+    * 10⁵-commit log read one file, not 10⁵). Self-maintaining: any
+    * derived tail rows extend the checkpoint (and vacuumed versions'
+    * rows prune out) on the way back, so the next audit is O(1).
+    * Unsupported-feature rows are never checkpointed — a library
+    * upgrade that learns the feature must re-derive them honestly.
+    */
+  private def historyRows(spark: SparkSession, root: String): Seq[CkptRow] = {
+    val listed = versions(spark, root)
+    val listedSet = listed.toSet
+    val f = fs(spark, ckptFile(root))
+    val ckpt = readCkpt(f, root)
+    var derived = false
+    val rows = listed.map(v => ckpt.getOrElse(v, {
+      derived = true; rowOf(spark, root, v)
+    }))
+    if (derived || ckpt.keysIterator.exists(k => !listedSet.contains(k)))
+      writeCkpt(f, root,
+        rows.filter(_.layout != "unsupported(features)"))
+    rows
+  }
+
   /** DESCRIBE HISTORY for the snapshot tier: one row per committed
     * version — (version, layout kind, logical row count, idempotency
     * tag, merge-on-read vector present, constraint count) — derived
-    * from the version files ALONE (one tiny JSON read per retained
-    * version, the [[lastTag]] cost model; no data opened). The audit
+    * from the version log ALONE (no data opened), read through the
+    * aggregate checkpoint ([[historyRows]]): one checkpoint read plus
+    * the uncheckpointed tail, not O(#versions) file reads. The audit
     * surface every table format exposes; here it is exact because
     * every writer records `n_rows` at publish time.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    versions(spark, root).map { v =>
-      // the audit verb stays usable after a partial format downgrade:
-      // a version demanding an unknown format feature cannot be READ
-      // (the reader-version gate), but its history ROW is still
-      // honest metadata — Delta keeps DESCRIBE HISTORY viewable past
-      // its own reader-version gate for the same reason
-      try {
-        val m = versionMeta(spark, root, v)
-        (v, if (m.dataDir.isDefined) "dir" else "manifest", m.nRows,
-          m.tag, m.dv.isDefined, m.constraints.size)
-      } catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("requires format features") =>
-          (v, "unsupported(features)", -1L, None: Option[Long], false, 0)
-      }
-    }.toDF("version", "layout", "n_rows", "tag", "has_dv", "n_constraints")
+    historyRows(spark, root)
+      .map(r => (r.v, r.layout, r.nRows, r.tag, r.hasDv, r.nCons))
+      .toDF("version", "layout", "n_rows", "tag", "has_dv", "n_constraints")
   }
 
   private def dataDirOf(spark: SparkSession, root: String, v: Long): String =
@@ -374,6 +501,9 @@ object Snapshots {
     // it rewrites every file into the new layout.
     val priorMeta = latestVersion(spark, root)
       .map(v => versionMeta(spark, root, v))
+    // a plain full replace must not silently revive a DROPPED table —
+    // that is CREATE [OR REPLACE]'s explicit job
+    priorMeta.foreach(requireLive(_, root, "commit"))
     val effParts =
       if (partitionBy.nonEmpty) partitionBy
       else priorMeta.map(_.parts).getOrElse(Nil)
@@ -392,6 +522,97 @@ object Snapshots {
         effParts, effBucket))
   }
 
+  /** EXCLUSIVE birth verb (`CREATE TABLE` semantics): commit `df` as
+    * the table's FIRST version — published at exactly version 1 (or
+    * the tombstone's successor when reviving a dropped table), so two
+    * racing CREATEs can never both "succeed" with the loser silently
+    * landing as a full replace: exactly one wins the version slot,
+    * the other refuses loudly and deletes its staged dir. No layout
+    * inheritance — a CREATE fully defines its table. Unlike
+    * [[commit]]'s publishNext, the publish here NEVER retries at the
+    * next number: the retry is precisely the silent replace the verb
+    * promises not to do.
+    */
+  def create(spark: SparkSession, df: DataFrame, root: String,
+             partitionBy: Seq[String] = Nil,
+             bucketBy: Option[Bucketing] = None): Long = {
+    val prior = latestVersion(spark, root)
+    val priorMeta = prior.map(v => versionMeta(spark, root, v))
+    require(priorMeta.forall(_.tombstone),
+      s"CREATE TABLE: $root already has committed versions — " +
+        "use CREATE OR REPLACE to replace it")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not a column of the batch"))
+    partitionBy.foreach(requireLoggable(_, "partition column"))
+    val (dataDir, nRows) = writeDataDir(spark, df, root, partitionBy, bucketBy)
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+    val target = prior.getOrElse(0L) + 1
+    fireRaceHook()
+    if (!tryPublish(spark, root, target,
+        dirBody(target, dataDir, nRows, None, Some(ddl), None, Nil,
+          partitionBy, bucketBy))) {
+      fs(spark, new Path(root, dataDir)).delete(new Path(root, dataDir), true)
+      throw new IllegalStateException(
+        s"CREATE TABLE: $root was created concurrently (version $target " +
+          "is already committed) — a CREATE never replaces; re-read or " +
+          "use CREATE OR REPLACE")
+    }
+    target
+  }
+
+  /** `CREATE OR REPLACE TABLE` — a FULL-REPLACE commit that works on
+    * a live, dropped, or not-yet-existing table: history is preserved
+    * (old versions stay time-travel-readable until [[vacuum]]), and
+    * the statement REDEFINES the table — layouts come from the call
+    * alone (no inheritance) and prior CHECK constraints do not carry
+    * (the replace defines a new table in place, Delta's semantics).
+    * The re-runnable form of a CTAS pipeline.
+    */
+  def replaceTable(spark: SparkSession, df: DataFrame, root: String,
+                   partitionBy: Seq[String] = Nil,
+                   bucketBy: Option[Bucketing] = None): Long = {
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not a column of the batch"))
+    partitionBy.foreach(requireLoggable(_, "partition column"))
+    val (dataDir, nRows) = writeDataDir(spark, df, root, partitionBy, bucketBy)
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+    publishNext(spark, root,
+      v => dirBody(v, dataDir, nRows, None, Some(ddl), None, Nil,
+        partitionBy, bucketBy))
+  }
+
+  /** `DROP TABLE` — a TOMBSTONE version: metadata-only death, exactly
+    * like every other lifecycle verb here. The tombstone is an empty
+    * manifest version demanding the `tombstone` format feature, so
+    * (a) every read and write verb on the latest refuses loudly
+    * ([[requireLive]]) rather than seeing an empty table, (b) an
+    * OLDER library refuses too (the reader-version gate) instead of
+    * mis-reading, (c) pre-drop versions stay explicitly readable and
+    * RESTORE (rollback to one) is the undrop, and (d) physical
+    * reclaim is the EXISTING vacuum machinery — the tombstone pins no
+    * data, so `vacuum(keepLast = 1)` reclaims everything below it.
+    */
+  def dropTable(spark: SparkSession, root: String): Long = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      require(!versionMeta(spark, root, v).tombstone,
+        s"DROP TABLE: $root is already dropped")
+      val man = writeManifest(spark, root, Nil)
+      if (tryPublish(spark, root, v + 1,
+          manBody(v + 1, man, 0L, None, None, None, Nil, Nil, None,
+            ColMap(), tombstone = true)))
+        return v + 1
+      fs(spark, new Path(root, man)).delete(new Path(root, man), false)
+      attempts += 1
+      require(attempts < 100, s"$root: dropTable lost $attempts races")
+    }
+    -1L // unreachable
+  }
+
   private[etl] def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
@@ -407,16 +628,19 @@ object Snapshots {
     * with correctness semantics, today's binary fails loudly
     * instead of silently mis-reading the table.
     */
-  private[etl] val SupportedFeatures: Set[String] = Set("dv", "colmap", "bucket")
+  private[etl] val SupportedFeatures: Set[String] =
+    Set("dv", "colmap", "bucket", "tombstone")
 
   private def extras(tag: Option[Long], schema: Option[String],
                      dv: Option[String] = None,
                      cons: Seq[(String, String)] = Nil,
                      parts: Seq[String] = Nil,
                      bucket: Option[Bucketing] = None,
-                     colmap: ColMap = ColMap()): String =
+                     colmap: ColMap = ColMap(),
+                     tombstone: Boolean = false): String =
     (Seq(dv.map(_ => "dv"), bucket.map(_ => "bucket"),
-        if (colmap.isIdentity) None else Some("colmap")).flatten match {
+        if (colmap.isIdentity) None else Some("colmap"),
+        if (tombstone) Some("tombstone") else None).flatten match {
       case Nil => ""
       case fs => ""","features":[""" +
         fs.map(f => s""""$f"""").mkString(",") + "]"
@@ -460,8 +684,9 @@ object Snapshots {
                       cons: Seq[(String, String)] = Nil,
                       parts: Seq[String] = Nil,
                       bucket: Option[Bucketing] = None,
-                      colmap: ColMap = ColMap()): String =
-    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts, bucket, colmap)}}"""
+                      colmap: ColMap = ColMap(),
+                      tombstone: Boolean = false): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts, bucket, colmap, tombstone)}}"""
 
   private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
     case Some(d) =>
@@ -469,7 +694,7 @@ object Snapshots {
         m.parts, m.bucket, m.colmap)
     case None =>
       manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl, m.dv,
-        m.constraints, m.parts, m.bucket, m.colmap)
+        m.constraints, m.parts, m.bucket, m.colmap, m.tombstone)
   }
 
   /** Path key a partition column is laid out under. The partition
@@ -633,8 +858,29 @@ object Snapshots {
         }
       } else renamePromote(f, tmp, vf)
     // every successful publish refreshes the listing floor — the ONE
-    // funnel all writers share (see [[latestVersion]])
-    if (won) writeHint(f, root, v)
+    // funnel all writers share (see [[latestVersion]]) — and, when
+    // the max-tag-at-this-version is exactly known, the tag
+    // checkpoint [[lastTag]] reads
+    if (won) {
+      val prior = readHint(f, hintFile(root))
+      // a hint at or past this version is fresher — leave it (its
+      // claim already covers this publish; overwriting would only
+      // regress the floor)
+      if (!prior.exists(_._1 >= v)) {
+        // a TAGGED publish knows the new max exactly (the tag-
+        // monotonicity gate ran against this very version slot); an
+        // untagged one carries the prior claim forward only when the
+        // prior hint is the immediately preceding version — any gap
+        // could hide a tagged commit, so the tag field drops and
+        // [[lastTag]] degrades to the listing walk until the next
+        // tagged publish re-seeds it
+        val ownTag = """"tag":(\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong)
+        val hintTag = ownTag.orElse(
+          prior.collect { case (h, t) if h == v - 1 => t }.flatten)
+        writeHint(f, root, v, hintTag)
+      }
+    }
     won
   }
 
@@ -734,6 +980,7 @@ object Snapshots {
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "tableSchema")
     val phys = schemaOf(spark, root, v, m)
     org.apache.spark.sql.types.StructType(
       phys.fields.flatMap(f => m.colmap.logicalOf(f.name)
@@ -750,6 +997,7 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "read")
     // schema-in-the-log (Delta-style): a version that RECORDS its
     // schema is read with it — no footer sampling/merging at plan
     // time, and files written BEFORE a schema evolution surface the
@@ -841,21 +1089,45 @@ object Snapshots {
     * the micro-batch id; a crash-replayed or fresh-checkpoint-replayed
     * batch sees its id already committed and skips).
     *
-    * DESCENDING walk with early stop: the guard runs INSIDE every
-    * micro-batch, so on a version-per-batch table (q171's shape) an
-    * O(history) read here compounds to O(N²) over a stream's
-    * lifetime. The newest tagged version provably carries the
-    * maximum because the guard protocol is self-enforcing — a tagged
-    * writer only appends when `lastTag < tag`, so committed tags
-    * strictly increase with version number — and maintenance
-    * versions (rollback/optimize/alter) carry no tag and are
-    * skipped. Cost: one log listing + the untagged suffix's version
-    * reads (usually zero), not the whole history.
+    * CHECKPOINT + TAIL (the Delta `_last_checkpoint` read shape): the
+    * guard runs INSIDE every micro-batch — twice, as the replay guard
+    * and again in [[requireTagMonotonic]] — so on a version-per-batch
+    * table (q171's shape at 10⁵ commits) even one full log LISTING
+    * per batch compounds. The hint file's tag claim ("max tag ≤ h is
+    * exactly t", maintained by every publish — see [[readHint]])
+    * answers the warm path with ZERO listings and zero version reads;
+    * only the contiguous tail above the hint (usually empty — every
+    * publish refreshes it) reads its version files, because versions
+    * above a once-latest are contiguous (the [[latestVersion]]
+    * argument). A missing/bare/corrupt hint falls back to the
+    * descending listing walk with its early stop at the newest tagged
+    * version (committed tags strictly increase with version number —
+    * the guard protocol is self-enforcing, [[requireTagMonotonic]]).
+    *
+    * One deliberate asymmetry: the checkpointed claim SURVIVES a
+    * vacuum of the tagged version itself (the listing walk would
+    * forget it) — strictly safer for a replay guard, which wants the
+    * max tag ever committed.
     */
-  def lastTag(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).reverseIterator
-      .map(v => versionMeta(spark, root, v).tag)
-      .collectFirst { case Some(t) => t }
+  def lastTag(spark: SparkSession, root: String): Option[Long] = {
+    val hf = hintFile(root)
+    val f = fs(spark, hf)
+    readHint(f, hf) match {
+      case Some((h, Some(t))) if f.exists(versionFile(root, h)) =>
+        var v = h
+        var best = t
+        while (f.exists(versionFile(root, v + 1))) {
+          v += 1
+          versionMeta(spark, root, v).tag.foreach(tt =>
+            if (tt > best) best = tt)
+        }
+        Some(best)
+      case _ =>
+        versions(spark, root).reverseIterator
+          .map(v => versionMeta(spark, root, v).tag)
+          .collectFirst { case Some(t) => t }
+    }
+  }
 
   // --- change data feed: file-granular version diff ---
 
@@ -941,11 +1213,16 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "renameColumn")
       val logical = logicalProjectNames(schemaOf(spark, root, v, m), m.colmap)
       require(logical.contains(from), s"$root has no column $from")
       require(!logical.contains(to), s"$root already has a column $to")
       requireUnreferenced(m, from, "renameColumn")
       val p = m.colmap.physicalOf(from)
+      // the PHYSICAL side lands in the colmap array too — a physical
+      // field named with ']' (legal in a commit) would truncate the
+      // parse on read and silently mis-map; refuse at the boundary
+      requireLoggable(p, "renameColumn source (physical name)")
       val newMap = m.colmap.copy(renames =
         m.colmap.renames.filterNot(_._1 == p) ++
           (if (p == to) Nil else Seq(p -> to)))
@@ -972,11 +1249,16 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "dropColumn")
       val logical = logicalProjectNames(schemaOf(spark, root, v, m), m.colmap)
       require(logical.contains(name), s"$root has no column $name")
       require(logical.size > 1, s"cannot drop the last column of $root")
       requireUnreferenced(m, name, "dropColumn")
       val p = m.colmap.physicalOf(name)
+      // same round-trip guard as renameColumn: a ']' in the recorded
+      // physical name would truncate the dropped-array parse on read
+      // and the column's bytes would silently resurrect
+      requireLoggable(p, "dropColumn target (physical name)")
       val newMap = ColMap(m.colmap.renames.filterNot(_._1 == p),
         m.colmap.dropped :+ p)
       if (tryPublish(spark, root, v + 1,
@@ -1015,6 +1297,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "addColumn")
       val old = m.schemaDdl.map(StructType.fromDDL).getOrElse(
         throw new IllegalStateException(
           s"$root records no schema — commit once with this library first"))
@@ -1081,6 +1364,10 @@ object Snapshots {
     require(fromV <= toV, s"changes: from $fromV > to $toV")
     val mFrom = versionMeta(spark, root, fromV)
     val mTo = versionMeta(spark, root, toV)
+    // a tombstone endpoint has no schema and no rows — a diff against
+    // it is not a change feed, it is a dropped table; refuse loudly
+    requireLive(mFrom, root, "changes(from)")
+    requireLive(mTo, root, "changes(to)")
     val fromRel = relFilesOf(spark, root, mFrom)
     val toRel = relFilesOf(spark, root, mTo)
     val fromSet = fromRel.toSet
@@ -1201,20 +1488,30 @@ object Snapshots {
     import org.apache.spark.sql.functions.{length, min => minCol, trim}
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
-    val vs = versions(spark, root)
-    require(vs.contains(v), s"$root has no committed version $v")
-    val perVersion = vs.filter(_ <= v).map { vi =>
-      val m = versionMeta(spark, root, vi)
-      val files = m.manifest match {
-        case Some(man) =>
-          spark.read.text(new Path(root, man).toString)
+    // layout refs ride the aggregate checkpoint ([[historyRows]]):
+    // the per-version metadata is one checkpoint read + tail, not
+    // O(#versions) version-file reads
+    val rows = historyRows(spark, root)
+    require(rows.exists(_.v == v), s"$root has no committed version $v")
+    val perVersion = rows.filter(_.v <= v).map { r =>
+      val files = r.layout match {
+        case "manifest" =>
+          spark.read.text(new Path(root, r.ref).toString)
             .select(trim(col("value")).as("file"))
             .filter(length(col("file")) > 0)
-        case None =>
-          spark.createDataset(relFilesOf(spark, root, m))(
+        case "dir" =>
+          spark.createDataset(
+            StatsIndex.listDataFiles(spark, new Path(root, r.ref).toString)
+              .map(abs => relOf(spark, root, abs)))(
             org.apache.spark.sql.Encoders.STRING).toDF("file")
+        case "tombstone" =>
+          spark.createDataset(Seq.empty[String])(
+            org.apache.spark.sql.Encoders.STRING).toDF("file")
+        case other => throw new IllegalStateException(
+          s"fileLineage: version ${r.v} of $root is $other — upgrade the " +
+            "library to read this version")
       }
-      files.withColumn("version", lit(vi))
+      files.withColumn("version", lit(r.v))
     }
     val cur = perVersion.last.select("file")
     perVersion.reduce(_ unionByName _)
@@ -1236,6 +1533,7 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "readWithLineage")
     val schema = schemaOf(spark, root, v, m)
     val dataCols = schema.fieldNames.toSeq
     val files = relFilesOf(spark, root, m)
@@ -1282,6 +1580,7 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, srcRoot)).getOrElse(
       throw new IllegalArgumentException(s"$srcRoot has no committed versions"))
     val m = versionMeta(spark, srcRoot, v)
+    requireLive(m, srcRoot, "cloneShallow source")
     require(m.dv.isEmpty,
       s"shallow clone of a deletion-vector version: optimize $srcRoot " +
         "first (materializes the vector)")
@@ -1291,9 +1590,19 @@ object Snapshots {
     val man = writeManifest(spark, dstRoot, absFiles)
     val ddl = m.schemaDdl.getOrElse(org.apache.spark.sql.types.StructType(
       read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
-    val nv = publishNext(spark, dstRoot, n =>
-      manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints,
-        m.parts, m.bucket, m.colmap))
+    // a CREATE-shaped verb publishes at EXACTLY version 1 — racing
+    // clones/creates must yield one winner and one loud refusal,
+    // never a silent replace (the publishNext retry would be one)
+    val nv = 1L
+    fireRaceHook()
+    if (!tryPublish(spark, dstRoot, nv,
+        manBody(nv, man, m.nRows, None, Some(ddl), None, m.constraints,
+          m.parts, m.bucket, m.colmap))) {
+      fs(spark, new Path(dstRoot, man)).delete(new Path(dstRoot, man), false)
+      throw new IllegalStateException(
+        s"SHALLOW CLONE: $dstRoot was created concurrently — refusing " +
+          "to replace it")
+    }
     val sp = statsPath(srcRoot, m.layoutId)
     if (fs(spark, sp).exists(sp))
       Load.writeAtomic(spark, spark.read.parquet(sp.toString),
@@ -1349,6 +1658,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "addConstraint")
       require(!m.constraints.exists(_._1 == name),
         s"$root already has a constraint named $name")
       val bad = read(spark, root, Some(v))
@@ -1381,6 +1691,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "dropConstraint")
       require(m.constraints.exists(_._1 == name),
         s"$root has no constraint named $name")
       if (tryPublish(spark, root, v + 1, bodyOf(v + 1,
@@ -1412,6 +1723,13 @@ object Snapshots {
                              quarantineDir: String,
                              statsCols: Seq[String] = Nil,
                              tag: Option[Long] = None): ExpectResult = {
+    // the tag gate runs BEFORE any side effect: a zombie-replayed
+    // tagged batch must leave the quarantine dir untouched too, not
+    // just the table — otherwise every replay of a refused batch
+    // appends duplicate violation rows. One O(1) lastTag read
+    // (re-checked at the commit boundary inside appendUnchecked for
+    // the race window, as always).
+    requireTagMonotonic(spark, root, tag, "appendWithExpectations")
     val cons = constraintsOf(spark, root)
     if (cons.isEmpty) {
       val before = latestVersion(spark, root)
@@ -1519,6 +1837,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "deleteWhere")
       val schema = schemaOf(spark, root, v, m)
       val files = relFilesOf(spark, root, m)
         .map(rel => new Path(root, rel).toString)
@@ -1597,6 +1916,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "updateWhere")
       require(m.colmap.isIdentity, s"$root carries a column mapping — " +
         "materializeMapping before updateWhere")
       val schema = schemaOf(spark, root, v, m)
@@ -1729,6 +2049,7 @@ object Snapshots {
     // `k=v` segment conservatively.
     var cached: Option[(Long, VMeta)] = latestVersion(spark, root)
       .map(v => (v, versionMeta(spark, root, v)))
+    cached.foreach(c => requireLive(c._2, root, "append"))
     val tableParts = cached.map(_._2.parts).getOrElse(Nil)
     val tableBucket = cached.flatMap(_._2.bucket)
     // column mapping: the batch arrives under LOGICAL names and the
@@ -1943,6 +2264,39 @@ object Snapshots {
     case _ => touched
   }
 
+  /** Source-key sanity in ONE churn-sized aggregate pass: (a) the
+    * cast to the table's logged key type must not null out any
+    * non-null key — merge/mergeClauses cast with a plain (non-ANSI)
+    * cast, and an uncastable key silently becoming NULL would turn an
+    * update row into a null-key insert, a lost update; (b) when
+    * `refuseDups`, duplicate non-null keys (post-cast) refuse loudly —
+    * a matched target row joined to N source rows would be emitted N
+    * times through the clause evaluation, silently multiplying table
+    * rows (Delta's MERGE raises on multi-match for the same reason).
+    */
+  private def requireKeySane(source: DataFrame, key: String,
+                             keyType: org.apache.spark.sql.types.DataType,
+                             refuseDups: Boolean, what: String): Unit = {
+    import org.apache.spark.sql.functions.{count_distinct, count, when}
+    // try_cast, not cast: under ANSI (the session default) a plain
+    // cast would THROW mid-aggregate on the first bad value — this
+    // check exists to refuse EARLY and count exactly, and to stay a
+    // guard under non-ANSI sessions where cast silently nulls
+    val ck = col(key).try_cast(keyType)
+    val r = source.agg(
+      coalesce(sum(when(col(key).isNotNull && ck.isNull, 1L)
+        .otherwise(0L)), lit(0L)),
+      count(ck), count_distinct(ck)).head()
+    require(r.getLong(0) == 0L,
+      s"$what: ${r.getLong(0)} source rows carry a '$key' value that " +
+        s"does not cast to the table's $keyType — a silently NULLed key " +
+        "would turn an update into an insert; fix the source dtype")
+    require(!refuseDups || r.getLong(1) == r.getLong(2),
+      s"$what: source has ${r.getLong(1) - r.getLong(2)} duplicate " +
+        s"'$key' keys — a multi-matched target row would be emitted once " +
+        "per duplicate; de-duplicate the source first")
+  }
+
   def merge(spark: SparkSession, updates: DataFrame, root: String,
             key: String, statsCols: Seq[String],
             tag: Option[Long] = None): CowResult = {
@@ -1953,6 +2307,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "merge")
       require(m.colmap.isIdentity, s"$root carries a column mapping — " +
         "materializeMapping before merge")
       val tableSchema = read(spark, root, Some(v)).schema
@@ -1967,7 +2322,11 @@ object Snapshots {
       // with drifted types (Int vs Long) would otherwise (a) hash to
       // the wrong buckets in [[bucketPrune]] and (b) widen the
       // rewrite through the union into files the logged schema DDL
-      // cannot read back
+      // cannot read back. The cast must be LOSSLESS on the key
+      // (duplicates stay allowed here — they all insert, the
+      // documented multi-match semantics).
+      requireKeySane(updates, key, tableSchema(key).dataType,
+        refuseDups = false, "merge")
       val upd = updates.select(tableSchema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
       val stats = statsOf(spark, root, m, statsCols)
@@ -2032,6 +2391,7 @@ object Snapshots {
       // silently vanishes
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
+      fireRaceHook()
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
             tag, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
@@ -2044,16 +2404,91 @@ object Snapshots {
         return CowResult(v + 1, touchedList.size,
           touchedList.size + untouchedRel.size, freshRows)
       }
-      // lost the race: this rewrite is stale against the new latest —
-      // drop our own orphans and redo
-      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      // lost the race: first try the generalized OCC re-base
+      // ([[rebaseDelta]]) — a file-disjoint interleaved commit keeps
+      // this staged rewrite and rebuilds only the tiny manifest
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
-      dvCarry.foreach(d =>
-        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
       attempts += 1
       require(attempts < 100, s"$root: merge lost $attempts commit races")
+      val removedRel = touchedList.map(f => relOf(spark, root, f)).toSet
+      val rowsDelta = untouchedPhysRows - dvCarryN + freshRows - m.nRows
+      val rebased = publishRebased(spark, root, v, m, removedRel, statsCols,
+        addedKeyOverlap(k, key), freshDir, freshRel, rowsDelta,
+        dvCarry, tag, Some(ddl), "merge", () => {
+          attempts += 1
+          require(attempts < 100, s"$root: merge lost $attempts commit races")
+        })
+      rebased match {
+        case Some((nv, carried2)) =>
+          return CowResult(nv, touchedList.size,
+            touchedList.size + carried2.size, freshRows)
+        case None =>
+          // conflict shape — full re-stage against the new latest
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          dvCarry.foreach(d =>
+            fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+          restages.incrementAndGet()
+      }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  private def fireRaceHook(): Unit =
+    racePublishHook.foreach { h => racePublishHook = None; h() }
+
+  /** The shared re-base-and-publish loop of the manifest-delta
+    * losers ([[merge]]/[[mergeClauses]]/[[deleteRange]]/[[optimize]]):
+    * while [[rebaseDelta]] admits the interleaved state, publish the
+    * staged delta on top of it (manifest = new latest's files −
+    * removed + fresh; rows compose additively; the already-written dv
+    * carry rides as-is). Maintains the skipping index exactly like
+    * the first-attempt path (carried rows transplanted verbatim +
+    * one build over the fresh dir). Returns (version, carriedRel) on
+    * success; None → the caller re-stages. Tagged writers re-check
+    * tag monotonicity against the rebased state; a refusal cleans the
+    * staged orphans before it propagates (the caller never runs).
+    */
+  private def publishRebased(spark: SparkSession, root: String,
+      readV: Long, m: VMeta, removedRel: Set[String],
+      physStatsCols: Seq[String], addedConflicts: DataFrame => Boolean,
+      freshDir: String, freshRel: Seq[String],
+      rowsDelta: Long, dv: Option[String], tag: Option[Long],
+      ddl: Option[String], what: String,
+      bumpAttempt: () => Unit): Option[(Long, Seq[String])] = {
+    while (true) {
+      val based = rebaseDelta(spark, root, readV, m, removedRel,
+        physStatsCols, addedConflicts)
+      if (based.isEmpty) return None
+      val (v2, carried2, stats2, rows2) = based.get
+      try requireTagMonotonic(spark, root, tag, what)
+      catch {
+        case e: Throwable =>
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          dv.foreach(d =>
+            fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+          throw e
+      }
+      val man2 = writeManifest(spark, root, carried2 ++ freshRel)
+      if (tryPublish(spark, root, v2 + 1,
+          manBody(v2 + 1, man2, rows2 + rowsDelta, tag, ddl, dv,
+            m.constraints, m.parts, m.bucket, m.colmap))) {
+        if (physStatsCols.nonEmpty) {
+          val newStats =
+            if (freshRel.isEmpty) stats2.get
+            else stats2.get.unionByName(StatsIndex.build(spark,
+              new Path(root, freshDir).toString, physStatsCols))
+          Load.writeAtomic(spark, newStats,
+            statsPath(root, versionMeta(spark, root, v2 + 1).layoutId).toString)
+        }
+        rebases.incrementAndGet()
+        return Some((v2 + 1, carried2))
+      }
+      fs(spark, new Path(root, man2)).delete(new Path(root, man2), false)
+      bumpAttempt()
+    }
+    None // unreachable
   }
 
   /** One `WHEN MATCHED` clause of a [[mergeClauses]] call, evaluated
@@ -2084,9 +2519,23 @@ object Snapshots {
     *   WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
     *   WHEN MATCHED [AND pred] THEN DELETE
     *   WHEN NOT MATCHED [AND pred] THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND pred] THEN UPDATE SET c = e | DELETE
     * }}}
     *
-    * The SCALE CONTRACT is [[merge]]'s, unchanged: file targeting by
+    * `notMatchedBySource` is the DIMENSION-SYNC shape (expire/delete
+    * target rows absent from the feed — the reference's quarantine
+    * cleanup in its full form, REF README.md:119): it evaluates on
+    * target rows with NO source match, so it is inherently O(table) —
+    * the targeting honestly admits every file and the receipt reports
+    * the full rewrite (filesRewritten == filesTotal). Conditions and
+    * SET expressions there may reference TARGET columns only, and
+    * UPDATE needs explicit assignments (no source row for SET *).
+    *
+    * The source may carry a COLUMN SUBSET of the table (key
+    * included): UPDATE SET * updates the carried columns only, INSERT
+    * * NULL-fills the missing ones; extra columns refuse.
+    *
+    * The SCALE CONTRACT otherwise is [[merge]]'s, unchanged: file targeting by
     * the update keys against the per-file min/max stats (broadcast,
     * one pass over the source, the table itself never shuffles),
     * refined by bucket ids on a key-bucketed table
@@ -2115,30 +2564,52 @@ object Snapshots {
                    targetAlias: String, sourceAlias: String,
                    matched: Seq[MatchedClause],
                    insertCond: Option[Option[Column]],
+                   notMatchedBySource: Seq[MatchedClause] = Nil,
                    tag: Option[Long] = None): MergeClausesResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
-    require(matched.nonEmpty || insertCond.nonEmpty,
+    require(matched.nonEmpty || insertCond.nonEmpty ||
+        notMatchedBySource.nonEmpty,
       "mergeClauses needs at least one WHEN clause")
     require(targetAlias != sourceAlias,
       s"target and source aliases must differ, both are '$targetAlias'")
+    // WHEN NOT MATCHED BY SOURCE clauses see no source row: UPDATE
+    // needs explicit assignments (SET * is meaningless) and both
+    // forms may reference TARGET columns only
+    notMatchedBySource.foreach {
+      case MatchedUpdate(_, None) => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs SET assignments — " +
+          "there is no source row for UPDATE SET *")
+      case _ => ()
+    }
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "mergeClauses")
       require(m.colmap.isIdentity, s"$root carries a column mapping — " +
         "materializeMapping before merge")
       val tableSchema = read(spark, root, Some(v)).schema
       val tableCols = tableSchema.fieldNames.toSeq
-      require(source.columns.toSet == tableCols.toSet,
-        s"source schema ${source.columns.toSet} != table ${tableCols.toSet}")
+      // COLUMN-SUBSET sources (the real upsert-feed shape: (key,
+      // changed-cols) only): the source may carry any subset of the
+      // table's columns as long as the key rides along — UPDATE SET *
+      // updates only the carried columns (the rest keep their target
+      // values) and INSERT * NULL-fills the missing ones (the
+      // column-list INSERT rule). Extra columns still refuse loudly.
+      val srcColSet = source.columns.toSet
+      require(srcColSet.subsetOf(tableCols.toSet),
+        s"source columns ${(srcColSet -- tableCols.toSet).mkString(", ")} " +
+          s"are not columns of $root (${tableCols.mkString(", ")})")
+      require(srcColSet.contains(key),
+        s"merge key $key is missing from the source columns")
       requireTagMonotonic(spark, root, tag, "mergeClauses")
       // SET targets must name real columns — matched with Spark's
       // case-insensitive resolution, and validated HERE so a typo'd
       // assignment errors instead of silently keeping the old value
       // while the receipt counts the row as updated
-      matched.foreach {
+      (matched ++ notMatchedBySource).foreach {
         case MatchedUpdate(_, Some(assigns)) => assigns.foreach { case (n, _) =>
           require(tableCols.exists(_.equalsIgnoreCase(n)),
             s"merge SET target $n is not a column of $root " +
@@ -2148,12 +2619,25 @@ object Snapshots {
       }
       // cast to the table's EXACT logged types (see [[merge]]): wrong
       // bucket hashes and union-widened unreadable files both start
-      // as a silent dtype drift
-      val src = source.select(tableSchema.fields.toSeq.map(f =>
+      // as a silent dtype drift. The key cast must be lossless AND
+      // the source key-distinct — a multi-matched target row would be
+      // emitted once per duplicate through the clause join, silently
+      // multiplying table rows (Delta's MERGE raises on multi-match)
+      requireKeySane(source, key, tableSchema(key).dataType,
+        refuseDups = true, "mergeClauses")
+      val srcFields = tableSchema.fields.toSeq.filter(f =>
+        srcColSet.contains(f.name))
+      val src = source.select(srcFields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
-      // file targeting — identical to [[merge]]
+      // file targeting — identical to [[merge]]. EXCEPT with
+      // WHEN NOT MATCHED BY SOURCE clauses: those evaluate on target
+      // rows ABSENT from the source, which any file can hold, so the
+      // statement is honestly O(table) — every file is a candidate
+      // and the receipt reports the full rewrite truthfully
+      // (filesRewritten == filesTotal). That is the inherent cost of
+      // the dimension-sync shape; no stats pruning can bound it.
       val k = src.select(col(key).as("__mk"))
         .filter(col("__mk").isNotNull).distinct()
       val ranged = k.join(
@@ -2161,11 +2645,13 @@ object Snapshots {
             stats.select(col("file"), col(s"min_$key"), col(s"max_$key"))),
           col("__mk") >= col(s"min_$key") && col("__mk") <= col(s"max_$key"))
         .select("file")
-      val touchedDf = bucketPrune(k,
-        ranged.unionByName(
-          stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
-            .select("file"))
-        .distinct(), m.bucket, key)
+      val touchedDf =
+        if (notMatchedBySource.nonEmpty) stats.select("file")
+        else bucketPrune(k,
+          ranged.unionByName(
+            stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
+              .select("file"))
+          .distinct(), m.bucket, key)
       val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
       val touchedList = touchedDf.collect().map(_.getString(0)).sorted
       val untouchedPhysRows = untouched
@@ -2232,11 +2718,16 @@ object Snapshots {
                 .when(inIds(deleteIds), 1L).otherwise(0L)), lit(0L))).head()
             (r.getLong(0), r.getLong(1))
           }
-        // per-column image: update clauses in order, else keep target
+        // per-column image: update clauses in order, else keep target.
+        // UPDATE SET * on a column-subset source updates only the
+        // carried columns — the rest keep their target values
         def image(c: org.apache.spark.sql.types.StructField): Column =
           matched.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
             val img = u.set match {
-              case None => col(s"$sourceAlias.${c.name}").cast(c.dataType)
+              case None =>
+                if (srcColSet.contains(c.name))
+                  col(s"$sourceAlias.${c.name}").cast(c.dataType)
+                else col(s"$targetAlias.${c.name}")
               case Some(assigns) => assigns.collectFirst {
                 case (n, e) if n.equalsIgnoreCase(c.name) => e.cast(c.dataType)
               }.getOrElse(col(s"$targetAlias.${c.name}"))
@@ -2249,26 +2740,77 @@ object Snapshots {
         val matchedOut = classified
           .filter(!inIds(deleteIds))
           .select(tableSchema.fields.toSeq.map(image): _*)
-        val keptTgt = touchedRows.join(
+        // target rows ABSENT from the source: plain kept rows, or —
+        // with WHEN NOT MATCHED BY SOURCE clauses — the dimension-sync
+        // evaluation (first clause whose condition holds wins: UPDATE
+        // rewrites from target columns alone, DELETE drops; no clause
+        // → kept). Conditions resolve through the target alias only.
+        val keptBase = touchedRows.alias(targetAlias).join(
             srcP.select(col(key).as("__mk2")), col(key) === col("__mk2"),
             "left_anti")
-          .select(tableCols.map(col): _*)
+        val (keptTgt, nmbsUpd, nmbsDel) =
+          if (notMatchedBySource.isEmpty)
+            (keptBase.select(tableCols.map(col): _*), 0L, 0L)
+          else {
+            val nAction = notMatchedBySource.zipWithIndex.reverse
+              .foldLeft(lit(0)) { case (acc, (cl, i)) =>
+                org.apache.spark.sql.functions.when(
+                  cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
+              }
+            val updIds = notMatchedBySource.zipWithIndex.collect {
+              case (_: MatchedUpdate, i) => i + 1 }
+            val delIds = notMatchedBySource.zipWithIndex.collect {
+              case (_: MatchedDelete, i) => i + 1 }
+            val cls = keptBase.withColumn("__na", nAction)
+            def inN(ids: Seq[Int]): Column =
+              if (ids.isEmpty) lit(false) else col("__na").isin(ids: _*)
+            val r = cls.agg(
+              coalesce(sum(org.apache.spark.sql.functions
+                .when(inN(updIds), 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(org.apache.spark.sql.functions
+                .when(inN(delIds), 1L).otherwise(0L)), lit(0L))).head()
+            def nImage(c: org.apache.spark.sql.types.StructField): Column =
+              notMatchedBySource.zipWithIndex.collect {
+                case (u: MatchedUpdate, i) =>
+                  val img = u.set.get.collectFirst {
+                    case (n, e) if n.equalsIgnoreCase(c.name) =>
+                      e.cast(c.dataType)
+                  }.getOrElse(col(s"$targetAlias.${c.name}"))
+                  (i + 1, img)
+              }.foldRight(col(s"$targetAlias.${c.name}")) {
+                case ((id, img), acc) =>
+                  org.apache.spark.sql.functions.when(col("__na") === id, img)
+                    .otherwise(acc)
+              }.as(c.name)
+            (cls.filter(!inN(delIds))
+              .select(tableSchema.fields.toSeq.map(nImage): _*),
+              r.getLong(0), r.getLong(1))
+          }
+        // INSERT * on a column-subset source NULL-fills the columns
+        // the source does not carry (the column-list INSERT rule)
         val inserted = insertCond match {
-          case None => srcP.filter(lit(false))
+          case None => touchedRows.filter(lit(false))
+            .select(tableCols.map(col): _*)
           case Some(cond) =>
             srcA.join(touchedRows.select(col(key).as("__tk")),
               col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
               .filter(cond.getOrElse(lit(true)))
-              .select(tableCols.map(col): _*)
+              .select(tableSchema.fields.toSeq.map(f =>
+                if (srcColSet.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)): _*)
         }
         val nI = if (insertCond.isEmpty) 0L else inserted.count()
         // only the NEW images face the CHECK gate (kept rows passed at
-        // their own write time) — churn-sized, like everything here
-        requireSatisfied(matchedOut.unionByName(inserted), m.constraints,
-          "merge clauses")
+        // their own write time) — churn-sized, like everything here;
+        // with NOT MATCHED BY SOURCE updates the kept side carries new
+        // images too, and the statement is O(table) anyway
+        requireSatisfied(
+          if (nmbsUpd == 0L) matchedOut.unionByName(inserted)
+          else matchedOut.unionByName(inserted).unionByName(keptTgt),
+          m.constraints, "merge clauses")
         val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
         val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
-        (fd, fr, acts._1, acts._2, nI)
+        (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, nI)
       } finally {
         touchedRows.unpersist()
         srcP.unpersist()
@@ -2277,6 +2819,7 @@ object Snapshots {
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
+      fireRaceHook()
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
             tag, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
@@ -2289,12 +2832,37 @@ object Snapshots {
         return MergeClausesResult(v + 1, touchedList.length,
           touchedList.length + untouchedRel.length, nUpd, nDel, nIns)
       }
-      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      // lost the race — generalized OCC re-base before re-staging
+      // (see [[merge]]; same soundness gates, clause semantics ride
+      // the staged rewrite unchanged)
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
-      dvCarry.foreach(d =>
-        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
       attempts += 1
       require(attempts < 100, s"$root: mergeClauses lost $attempts commit races")
+      val removedRel = touchedList.map(f => relOf(spark, root, f)).toSet
+      val rowsDelta = untouchedPhysRows - dvCarryN + freshRows - m.nRows
+      // a NOT-MATCHED-BY-SOURCE statement read the WHOLE table: any
+      // interleaved added file holds rows it never evaluated, so a
+      // re-base is never sound — always re-stage
+      val rebased = publishRebased(spark, root, v, m, removedRel, statsCols,
+        if (notMatchedBySource.nonEmpty) (_: DataFrame) => true
+        else addedKeyOverlap(k, key),
+        freshDir, freshRel, rowsDelta,
+        dvCarry, tag, Some(ddl), "mergeClauses", () => {
+          attempts += 1
+          require(attempts < 100,
+            s"$root: mergeClauses lost $attempts commit races")
+        })
+      rebased match {
+        case Some((nv, carried2)) =>
+          return MergeClausesResult(nv, touchedList.length,
+            touchedList.length + carried2.length, nUpd, nDel, nIns)
+        case None =>
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          dvCarry.foreach(d =>
+            fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+          restages.incrementAndGet()
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -2319,6 +2887,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "deleteRange")
       require(m.colmap.isIdentity, s"$root carries a column mapping — " +
         "materializeMapping before deleteRange")
       val stats = statsOf(spark, root, m, statsCols)
@@ -2363,6 +2932,7 @@ object Snapshots {
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       val ddl = org.apache.spark.sql.types.StructType(
         tableSchema.fields.map(_.copy(nullable = true))).toDDL
+      fireRaceHook()
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
             None, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
@@ -2375,12 +2945,34 @@ object Snapshots {
         return CowResult(v + 1, touchedList.size,
           touchedList.size + untouchedRel.size, freshRows)
       }
-      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      // lost the race — generalized OCC re-base (see [[merge]]): an
+      // interleaved added file may not intersect the deleted range
+      // (its rows would have faced this delete), conservative on
+      // null stats via the same hitExpr as the targeting itself
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
-      dvCarry.foreach(d =>
-        fs(spark, new Path(root, d)).delete(new Path(root, d), true))
       attempts += 1
       require(attempts < 100, s"$root: delete lost $attempts commit races")
+      val removedRel = touchedList.map(f => relOf(spark, root, f)).toSet
+      val rowsDelta = untouchedPhysRows - dvCarryN + freshRows - m.nRows
+      val rebased = publishRebased(spark, root, v, m, removedRel, statsCols,
+        added => added.filter(StatsIndex.hitExpr(c, lo, hi))
+          .limit(1).count() > 0,
+        freshDir, freshRel, rowsDelta, dvCarry, None, Some(ddl),
+        "deleteRange", () => {
+          attempts += 1
+          require(attempts < 100, s"$root: delete lost $attempts commit races")
+        })
+      rebased match {
+        case Some((nv, carried2)) =>
+          return CowResult(nv, touchedList.size,
+            touchedList.size + carried2.size, freshRows)
+        case None =>
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          dvCarry.foreach(d =>
+            fs(spark, new Path(root, d)).delete(new Path(root, d), true))
+          restages.incrementAndGet()
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -2424,6 +3016,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "replacePartition")
       spec.keys.foreach(c => require(m.parts.contains(c),
         s"replacePartition: $c is not a partition column of $root (${m.parts})"))
       val schema = schemaOf(spark, root, v, m)
@@ -2634,10 +3227,115 @@ object Snapshots {
   }
 
   /** Test-observable OCC counters: manifest re-bases vs full
-    * re-stages in [[replacePartition]]'s conflict handling.
+    * re-stages across ALL the manifest-delta writers' conflict
+    * handling ([[replacePartition]], [[merge]], [[mergeClauses]],
+    * [[deleteRange]], [[optimize]]).
     */
   private[graft] val rebases = new java.util.concurrent.atomic.AtomicLong
   private[graft] val restages = new java.util.concurrent.atomic.AtomicLong
+
+  /** GENERALIZED OCC RE-BASE for the manifest-delta writers (the
+    * [[replacePartition]] machinery, generalized): a loser of the
+    * readVersion+1 publish race whose delta is provably DISJOINT
+    * from the interleaved commits re-bases its manifest onto the new
+    * latest — one tiny manifest rewrite — instead of deleting its
+    * staged data and re-running the whole body. The commonest real
+    * collision (a nightly OPTIMIZE racing a streaming append) then
+    * costs both writers one staged write each, exactly Delta's
+    * conflict-checker outcome for file-disjoint commits.
+    *
+    * A re-base is sound iff ALL of:
+    *  - the new latest is METADATA-COMPATIBLE: schema, partition and
+    *    bucket layouts, column mapping, constraints, and the deletion
+    *    vector reference are unchanged (a changed vector could hide
+    *    deletes on files we carry; an interleaved writer that touched
+    *    the vector always changes its reference);
+    *  - every file OUR delta removes is still present in the new
+    *    latest (the interleaver did not rewrite what we read and
+    *    replaced);
+    *  - the files the interleaver ADDED provably cannot interact
+    *    with our delta — `addedConflicts` inspects their stats rows
+    *    (for a keyed merge: no added file's key range covers any of
+    *    our source keys, the same min/max logic as file targeting,
+    *    so a concurrent insert of OUR key re-stages instead of
+    *    silently duplicating; for a layout-only optimize: never).
+    *  - when the writer maintains a skipping index, the new latest
+    *    HAS one, covering its files with the same columns (its
+    *    carried rows transplant verbatim; anything else re-stages
+    *    and self-heals as today).
+    *
+    * Returns (newLatest, carriedRel, carriedStats, newLatestRows);
+    * the caller publishes at newLatest+1 with `carriedRel ++ its own
+    * freshRel`, row count `newLatestRows + its own rows delta` (the
+    * deltas compose because the file sets are disjoint), and its
+    * ALREADY-WRITTEN dv carry (still exact: the vector is unchanged
+    * and the interleaver's fresh files carry no entries). None →
+    * fall back to the always-correct full re-stage.
+    */
+  private def rebaseDelta(spark: SparkSession, root: String,
+                          readV: Long, m: VMeta,
+                          removedRel: Set[String],
+                          physStatsCols: Seq[String],
+                          addedConflicts: DataFrame => Boolean)
+      : Option[(Long, Seq[String], Option[DataFrame], Long)] = {
+    val v2 = latestVersion(spark, root) match {
+      case Some(v) if v > readV => v
+      case _ => return None
+    }
+    val m2 = versionMeta(spark, root, v2)
+    val compatible = m2.parts == m.parts && m2.bucket == m.bucket &&
+      m2.colmap == m.colmap && m2.constraints == m.constraints &&
+      m2.schemaDdl == m.schemaDdl && m2.dv == m.dv
+    if (!compatible) return None
+    val rels2 = relFilesOf(spark, root, m2)
+    val rels2Set = rels2.toSet
+    if (!removedRel.forall(rels2Set)) return None
+    val carried2 = rels2.filterNot(removedRel).sorted
+    val statsRestricted =
+      if (physStatsCols.isEmpty) None
+      else {
+        val expected = (Seq("file", "n_rows") ++ physStatsCols.flatMap(c =>
+          Seq(s"min_$c", s"max_$c", s"nulls_$c"))).toSet
+        statsTableOf(spark, root, v2) match {
+          case Some(st) if st.columns.toSet == expected &&
+              st.select("file").distinct().count() == rels2.size =>
+            // the interleaver's ADDED files (not in our read version)
+            // face the conflict predicate; null-stats files stay
+            // conservative (the predicate sees them and must conflict)
+            val removedAbs = removedRel.map(rel =>
+              normPath(new Path(root, rel).toString))
+            val readAbs = relFilesOf(spark, root, m).map(rel =>
+              normPath(new Path(root, rel).toString)).toSet
+            val normFile = org.apache.spark.sql.functions.regexp_replace(
+              st("file"), SchemeRe.regex, "/")
+            val knownDf = spark.createDataset(
+                (readAbs ++ removedAbs).toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("__kf")
+            val added = st.join(knownDf, normFile === col("__kf"), "left_anti")
+            if (addedConflicts(added)) return None
+            val carriedDf = spark.createDataset(carried2.map(rel =>
+                normPath(new Path(root, rel).toString)))(
+              org.apache.spark.sql.Encoders.STRING).toDF("__cf")
+            Some(st.join(carriedDf, normFile === col("__cf"), "left_semi"))
+          case _ => return None
+        }
+      }
+    Some((v2, carried2, statsRestricted, m2.nRows))
+  }
+
+  /** [[rebaseDelta]] conflict predicate for a KEYED merge: an added
+    * file conflicts when its [min,max] range on the merge key could
+    * contain any source key (or its stats are unbounded — null
+    * min/max means "could be anything", including an all-null-key
+    * file, which is harmless but indistinguishable; conservative).
+    */
+  private def addedKeyOverlap(keys: DataFrame, key: String)
+      (added: DataFrame): Boolean =
+    added.join(org.apache.spark.sql.functions.broadcast(keys),
+        col(s"min_$key").isNull || col(s"max_$key").isNull ||
+          (col("__mk") >= col(s"min_$key") && col("__mk") <= col(s"max_$key")),
+        "left_semi")
+      .limit(1).count() > 0
 
   /** Spec-only deterministic race injection: runs ONCE, inside the
     * next [[replacePartition]] call, after its staging write and
@@ -2754,6 +3452,7 @@ object Snapshots {
       val v = latestVersion(spark, root).getOrElse(
         throw new IllegalArgumentException(s"$root has no committed versions"))
       val m = versionMeta(spark, root, v)
+      requireLive(m, root, "optimize")
       val rels = relFilesOf(spark, root, m)
       val statuses = fileStatusesOf(spark, root, rels)
       // dv-carrying files must rewrite regardless of size — their
@@ -2879,6 +3578,7 @@ object Snapshots {
           (Some(man), manBody(v + 1, man, m.nRows, None, ddl, None,
             m.constraints, m.parts, m.bucket, m.colmap))
         }
+      fireRaceHook()
       if (tryPublish(spark, root, v + 1, body)) {
         if (statsCols.nonEmpty) {
           val newMeta = versionMeta(spark, root, v + 1)
@@ -2908,11 +3608,33 @@ object Snapshots {
         return CowResult(v + 1, touchedRel.size,
           touchedRel.size + carriedRel.size, freshRows)
       }
-      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      // lost the race — generalized OCC re-base: the commonest real
+      // collision is a streaming append landing during a nightly
+      // OPTIMIZE, and the compacted rewrite is layout-only (an
+      // interleaved added file never conflicts semantically — it is
+      // simply next pass's debt), so both commit with ONE staged
+      // write each instead of the loser re-reading and re-writing
+      // the whole debt set
       manOpt.foreach(man =>
         fs(spark, new Path(root, man)).delete(new Path(root, man), false))
       attempts += 1
       require(attempts < 100, s"$root: optimize lost $attempts commit races")
+      val rebased = publishRebased(spark, root, v, m, touchedRel.toSet,
+        physStatsCols, _ => false, freshDir, freshRel, 0L, None, None,
+        m.schemaDdl, "optimize", () => {
+          attempts += 1
+          require(attempts < 100,
+            s"$root: optimize lost $attempts commit races")
+        })
+      rebased match {
+        case Some((nv, carried2)) =>
+          return CowResult(nv, touchedRel.size,
+            touchedRel.size + carried2.size, freshRows)
+        case None =>
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          restages.incrementAndGet()
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -2929,6 +3651,7 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "readPruned")
     val sp = statsPath(root, m.layoutId)
     require(fs(spark, sp).exists(sp),
       s"version $v of $root has no stats index — commit via commitWithStats")
@@ -2999,6 +3722,7 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "sqlScan")
     val schema = schemaOf(spark, root, v, m)
     val rels = relFilesOf(spark, root, m)
     val idx = new graft.plans.SnapshotFileIndex(spark,
@@ -3050,6 +3774,7 @@ object Snapshots {
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "DESCRIBE DETAIL")
     val statuses = fileStatusesOf(spark, root, relFilesOf(spark, root, m))
     Seq((root, v, m.nRows, statuses.size, statuses.map(_.getLen).sum,
         m.parts.mkString(","),
@@ -3074,6 +3799,7 @@ object Snapshots {
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
+    requireLive(m, root, "createTableStmts")
     val schema = schemaOf(spark, root, v, m)
     val logical = org.apache.spark.sql.types.StructType(
       schema.fields.flatMap(f =>
@@ -3163,9 +3889,31 @@ object Snapshots {
     // version below the retained tail may survive with its successor
     // deleted, and a stale hint pointing at it would make the probe
     // walk stop early — with a fresh hint at the true latest, probes
-    // during and after the reclaim stay exact
-    if (all.nonEmpty)
-      writeHint(fs(spark, versionsDir(root)), root, all.max)
+    // during and after the reclaim stay exact. The refresh preserves
+    // the TAG claim too ([[lastTag]]'s checkpoint): computed before
+    // any version file is deleted, so the walk is still exact, and
+    // the replay guard keeps the max tag even after its version ages
+    // out. This refresh is NOT best-effort like the publish-path one:
+    // deleting versions above a surviving protected version with a
+    // stale hint in place would make [[latestVersion]]'s forward
+    // probe stop early and a later publish could recreate a vacuumed
+    // slot BELOW the true latest, corrupting log order — so a failed
+    // write deletes the hint (forcing the full-listing fallback), and
+    // if even that fails the reclaim ABORTS with nothing deleted.
+    if (all.nonEmpty && drop.nonEmpty) {
+      val vf = fs(spark, versionsDir(root))
+      val fresh = readHint(vf, hintFile(root)).contains(
+        (all.max, lastTag(spark, root))) ||
+        writeHint(vf, root, all.max, lastTag(spark, root))
+      if (!fresh) {
+        val gone =
+          try !vf.exists(hintFile(root)) || vf.delete(hintFile(root), true)
+          catch { case scala.util.control.NonFatal(_) => false }
+        require(gone, s"$root: vacuum could neither refresh nor remove " +
+          "the _latest_hint — aborting the reclaim (a stale hint plus " +
+          "version-file gaps would corrupt latestVersion)")
+      }
+    }
     val keepMetas = keep.map(versionMeta(spark, root, _))
     // a kept version pins its data dirs: a dir version pins its one
     // dir; a manifest version pins EVERY dir it references files in

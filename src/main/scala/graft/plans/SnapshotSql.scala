@@ -133,11 +133,18 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
   *     WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
   *     WHEN MATCHED [AND pred] THEN DELETE
   *     WHEN NOT MATCHED [AND pred] THEN INSERT * -- copy-on-write merge
-  *   CREATE TABLE snap.`/t` [PARTITIONED BY (...)]
+  *     WHEN NOT MATCHED BY SOURCE [AND pred]
+  *       THEN UPDATE SET c = e | DELETE          -- dimension sync, O(table)
+  *   CREATE [OR REPLACE] TABLE snap.`/t` [PARTITIONED BY (...)]
   *     [CLUSTERED BY (...) [SORTED BY (...)] INTO n BUCKETS]
-  *     AS SELECT ...                             -- the birth verb
+  *     AS SELECT ...         -- birth (exclusive) / re-runnable replace
   *   CREATE TABLE snap.`/d` SHALLOW CLONE snap.`/s` [VERSION AS OF v]
+  *   DROP TABLE snap.`/t`                        -- tombstone death
   * }}}
+  *
+  * MERGE sources may carry a COLUMN SUBSET of the table (key
+  * included): UPDATE SET * updates the carried columns only and
+  * INSERT * NULL-fills the rest.
   *
   * INSERT enforces the table's logged CHECK constraints and schema
   * (positional column matching, SQL's default); DELETE and UPDATE
@@ -171,15 +178,19 @@ object SnapshotSql {
   // (PARTITIONED BY for the path layout, CLUSTERED BY ... [SORTED
   // BY ...] INTO n BUCKETS for the shuffle-free bucket layout)
   private val CreateRe =
-    ("""(?is)\s*CREATE\s+TABLE\s+snap\.`([^`]+)`\s*""" +
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+snap\.`([^`]+)`\s*""" +
       """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?""" +
       """(?:CLUSTERED\s+BY\s*\(([^)]*)\)\s*""" +
       """(?:SORTED\s+BY\s*\(([^)]*)\)\s*)?INTO\s+(\d+)\s+BUCKETS\s*)?""" +
       """AS\s+(.+)""").r
   // CREATE TABLE ... SHALLOW CLONE — the zero-copy fork as SQL
   private val CloneRe =
-    ("""(?is)\s*CREATE\s+TABLE\s+snap\.`([^`]+)`\s+SHALLOW\s+CLONE\s+""" +
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+snap\.`([^`]+)`\s+""" +
+      """SHALLOW\s+CLONE\s+""" +
       """snap\.`([^`]+)`\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?""").r
+  // DROP TABLE — the tombstone death verb (Snapshots.dropTable)
+  private val DropTableRe =
+    """(?is)\s*DROP\s+TABLE\s+snap\.`([^`]+)`\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val HistoryRe =
@@ -249,12 +260,18 @@ object SnapshotSql {
     sqlVerb(spark, sqlText.replaceFirst("[;\\s]+$", ""))
 
   private def sqlVerb(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
-    case CloneRe(dst, src, ver) =>
+    case CloneRe(orReplace, dst, src, ver) =>
+      require(orReplace == null,
+        "snap: CREATE OR REPLACE ... SHALLOW CLONE is not supported — " +
+          "DROP TABLE the destination first, then CLONE")
       runClone(spark, noCatalog(dst, "CREATE TABLE"),
         noCatalog(src, "SHALLOW CLONE"), Option(ver).map(_.toLong))
-    case CreateRe(root, parts, cluster, sorted, buckets, select) =>
-      runCreate(spark, noCatalog(root, "CREATE TABLE"), Option(parts),
-        Option(cluster), Option(sorted), Option(buckets).map(_.toInt), select)
+    case CreateRe(orReplace, root, parts, cluster, sorted, buckets, select) =>
+      runCreate(spark, noCatalog(root, "CREATE TABLE"), orReplace != null,
+        Option(parts), Option(cluster), Option(sorted),
+        Option(buckets).map(_.toInt), select)
+    case DropTableRe(root) =>
+      runDrop(spark, noCatalog(root, "DROP TABLE"))
     case OptimizeRe(root, cluster) =>
       runOptimize(spark, noCatalog(root, "OPTIMIZE"), Option(cluster))
     case VacuumRe(root, n, unit) =>
@@ -405,16 +422,34 @@ object SnapshotSql {
     * Receipt = (version, n_rows).
     */
   private def runCreate(spark: SparkSession, root: String,
+                        orReplace: Boolean,
                         parts: Option[String], cluster: Option[String],
                         sorted: Option[String], buckets: Option[Int],
                         select: String): DataFrame = {
-    require(Snapshots.latestVersion(spark, root).isEmpty,
-      s"CREATE TABLE: $root already has committed versions")
     val data = sql(spark, select)
     val bucketing = buckets.map(n =>
       Snapshots.Bucketing(n, splitCols(cluster), splitCols(sorted)))
-    val v = Snapshots.commit(spark, data, root, splitCols(parts), bucketing)
+    // CREATE publishes at EXACTLY the first free slot and fails if
+    // taken (Snapshots.create — racing CREATEs can never silently
+    // become a replace); OR REPLACE is the explicit full-replace verb
+    // (re-runnable CTAS pipelines, revives a dropped table, old
+    // versions stay time-travel-readable until VACUUM)
+    val v =
+      if (orReplace)
+        Snapshots.replaceTable(spark, data, root, splitCols(parts), bucketing)
+      else Snapshots.create(spark, data, root, splitCols(parts), bucketing)
     receipt(spark, v, Snapshots.versionMeta(spark, root, v).nRows)
+  }
+
+  /** `DROP TABLE snap.\`/t\`` — the tombstone death verb
+    * ([[Snapshots.dropTable]]): metadata-only; reads/writes on the
+    * latest refuse from here on, pre-drop versions stay readable and
+    * RESTORE undrops, VACUUM reclaims the bytes. Receipt = the
+    * tombstone version.
+    */
+  private def runDrop(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Seq(Snapshots.dropTable(spark, root)).toDF("tombstone_version")
   }
 
   /** `CREATE TABLE snap.\`dst\` SHALLOW CLONE snap.\`src\` [VERSION
@@ -652,8 +687,6 @@ object SnapshotSql {
       UpdateAction}
     import spark.implicits._
     val root = tableRootOf(spark, m.targetTable, "MERGE")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "snap: MERGE does not support WHEN NOT MATCHED BY SOURCE")
     require(!m.withSchemaEvolution,
       "snap: MERGE WITH SCHEMA EVOLUTION is not supported")
     val key = m.mergeCondition match {
@@ -671,9 +704,35 @@ object SnapshotSql {
           s"(one equality, same column name, distinct sides), got $other")
     }
     val src = GraftShim.ofRows(spark, ResolveSnapshotTable(spark)(m.sourceTable))
+    // WHEN NOT MATCHED BY SOURCE — the dimension-sync clauses
+    // (conditions/assignments reference target columns only; UPDATE
+    // needs explicit SET — no source row exists for SET *)
+    val nmbs: Seq[Snapshots.MatchedClause] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, assigns, _) =>
+        Snapshots.MatchedUpdate(cond.map(GraftShim.column),
+          Some(assigns.map { a =>
+            val name = a.key match {
+              case attr: UnresolvedAttribute => attr.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"snap: MERGE SET targets must be plain columns, got $other")
+            }
+            name -> GraftShim.column(a.value)
+          }))
+      case DeleteAction(cond) =>
+        Snapshots.MatchedDelete(cond.map(GraftShim.column))
+      case other => throw new IllegalArgumentException(
+        "snap: WHEN NOT MATCHED BY SOURCE supports UPDATE SET c = e " +
+          s"and DELETE, got $other")
+    }
+    // the bare upsert fast path needs the FULL table schema (it
+    // replaces whole rows); a column-subset source routes to the
+    // clause form, whose UPDATE keeps unnamed columns
     val isPlainUpsert =
       m.matchedActions == Seq(UpdateStarAction(None)) &&
-        m.notMatchedActions == Seq(InsertStarAction(None))
+        m.notMatchedActions == Seq(InsertStarAction(None)) &&
+        nmbs.isEmpty &&
+        src.columns.toSet ==
+          Snapshots.tableSchema(spark, root).fieldNames.toSet
     if (isPlainUpsert) {
       val r = Snapshots.merge(spark, src, root, key, statsCols = Seq(key))
       Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))
@@ -707,7 +766,7 @@ object SnapshotSql {
       }
       val r = Snapshots.mergeClauses(spark, src, root, key, Seq(key),
         aliasOf(m.targetTable, "t"), aliasOf(m.sourceTable, "u"),
-        matched, insert)
+        matched, insert, nmbs)
       Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsUpdated,
           r.rowsDeleted, r.rowsInserted))
         .toDF("version", "files_rewritten", "files_total", "rows_updated",

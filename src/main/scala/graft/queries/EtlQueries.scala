@@ -2474,6 +2474,117 @@ object EtlQueries {
         .withColumn("show_create_reproduces", lit(recreated))
         .withColumn("col_list_insert_ok", lit(colListOk))
         .orderBy("status")
+    }),
+
+    // q206 — MERGE WHEN NOT MATCHED BY SOURCE + COLUMN-SUBSET SOURCE
+    // (the dimension-sync statement, the reference's S8 quarantine
+    // cleanup in its full form — REF README.md:119): the feed carries
+    // only (key, price); matched rows take the feed's price and KEEP
+    // their status (subset SET *), rows ABSENT from the feed expire
+    // (conditional UPDATE over target columns) or DELETE. Honest
+    // scale contract: the statement is O(table) by nature — the
+    // receipt pins files_rewritten == files_total, no fake pruning.
+    // Exact per-action counts; values replay the sync algebra in
+    // DuckDB.
+    "q206_sql_merge_not_matched_by_source" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q206").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      // the real feed shape: key + changed column only (no status)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+        .createOrReplaceTempView("q206_src")
+      val rec = SnapshotSql.sql(s,
+        s"""MERGE INTO snap.`$root` t USING q206_src u
+           |ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 100000.0
+           |  THEN UPDATE SET o_orderstatus = 'X'
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+      val matchedN = o.filter(col("o_orderkey") % 3 === 0).count()
+      val expiredN = o.filter(col("o_orderkey") % 3 =!= 0 &&
+        col("o_totalprice") < 100000.0).count()
+      val deletedN = o.filter(col("o_orderkey") % 3 =!= 0 &&
+        col("o_totalprice") >= 100000.0).count()
+      val receiptOk = rec.getLong(0) == 2L &&
+        rec.getLong(3) == matchedN + expiredN &&
+        rec.getLong(4) == deletedN && rec.getLong(5) == 0L
+      val honest = rec.getInt(1) == rec.getInt(2) && rec.getInt(2) > 0
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("sync_receipt", lit(receiptOk))
+        .withColumn("full_scan_honest", lit(honest))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q207 — SQL TABLE LIFECYCLE: CREATE refuses an existing table
+    // (exclusive publish at exactly v1 — racing CREATEs can never
+    // silently replace), CREATE OR REPLACE converges on re-run with
+    // history intact (time travel to the original survives), DROP
+    // TABLE tombstones (reads refuse loudly, pre-drop versions stay
+    // readable), RESTORE undrops, and VACUUM on a dropped table
+    // reclaims every data dir through the existing machinery. Values
+    // replay the final (OR-REPLACE'd, restored) state in DuckDB.
+    "q207_sql_table_lifecycle" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.createOrReplaceTempView("q207_orders")
+      val base = java.nio.file.Files.createTempDirectory("graft_q207").toString
+      val root = s"$base/t"; val scratch = s"$base/x"
+      SnapshotSql.sql(s,
+        s"CREATE TABLE snap.`$root` AS SELECT * FROM q207_orders")
+      val createRefuses =
+        try { SnapshotSql.sql(s,
+          s"CREATE TABLE snap.`$root` AS SELECT * FROM q207_orders"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("already has committed versions") }
+      (1 to 2).foreach { _ =>
+        SnapshotSql.sql(s,
+          s"""CREATE OR REPLACE TABLE snap.`$root`
+             |AS SELECT * FROM q207_orders WHERE o_orderkey % 4 = 0""".stripMargin)
+      }
+      val subsetN = o.filter(col("o_orderkey") % 4 === 0).count()
+      val converges = Snapshots.latestVersion(s, root).contains(3L) &&
+        SnapshotSql.sql(s, s"SELECT count(*) AS n FROM snap.`$root`")
+          .head().getLong(0) == subsetN &&
+        SnapshotSql.sql(s,
+          s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 1")
+          .head().getLong(0) == o.count()
+      SnapshotSql.sql(s, s"DROP TABLE snap.`$root`")
+      val dropRefuses =
+        try { SnapshotSql.sql(s, s"SELECT * FROM snap.`$root`").collect(); false }
+        catch { case e: Exception => e.getMessage.contains("DROPPED") }
+      val preDropReadable = SnapshotSql.sql(s,
+        s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 3")
+        .head().getLong(0) == subsetN
+      SnapshotSql.sql(s, s"RESTORE snap.`$root` TO VERSION AS OF 3")
+      // a second, sacrificial table proves physical reclaim: drop it
+      // and vacuum to the tombstone — every data dir goes
+      SnapshotSql.sql(s,
+        s"CREATE TABLE snap.`$scratch` AS SELECT * FROM q207_orders")
+      SnapshotSql.sql(s, s"DROP TABLE snap.`$scratch`")
+      Snapshots.vacuum(s, scratch, keepLast = 1, orphanGraceMs = 0L)
+      val dataDir = new java.io.File(s"$scratch/data")
+      val reclaims = !dataDir.exists() ||
+        dataDir.listFiles().forall(_.getName.startsWith("."))
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("create_refuses_existing", lit(createRefuses))
+        .withColumn("or_replace_converges", lit(converges))
+        .withColumn("drop_refuses_reads", lit(dropRefuses))
+        .withColumn("predrops_readable", lit(preDropReadable))
+        .withColumn("restore_undrops_vacuum_reclaims", lit(reclaims))
+        .orderBy("o_orderstatus")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -3401,7 +3512,36 @@ object EtlQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
         |  TRUE AS detail_ok, TRUE AS show_create_reproduces,
         |  TRUE AS col_list_insert_ok
-        |FROM t GROUP BY 1 ORDER BY status""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY status""".stripMargin,
+    // q206: the dimension-sync algebra replayed row-for-row — matched
+    // rows take the feed price but KEEP their status (column-subset
+    // SET *), absent cheap rows expire to 'X', absent rich rows
+    // delete; a resurrected deleted row, a lost status, or an
+    // expiration applied to a matched row all hash-break
+    "q206_sql_merge_not_matched_by_source" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_totalprice < 100000.0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS sync_receipt, TRUE AS full_scan_honest
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q207: the final lifecycle state is the OR-REPLACE'd subset,
+    // restored after the drop — a CREATE that silently replaced, a
+    // replace that appended instead, or a restore of the wrong
+    // version all change the sums; the flags pin the refusals and
+    // the physical reclaim
+    "q207_sql_table_lifecycle" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS create_refuses_existing, TRUE AS or_replace_converges,
+        |  TRUE AS drop_refuses_reads, TRUE AS predrops_readable,
+        |  TRUE AS restore_undrops_vacuum_reclaims
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

@@ -255,14 +255,17 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(got === Map(1L -> "r1-m", 31L -> "r31", 9001L -> "r9001"))
     assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
       .as[Long].head() === 405L)
-    // clause shapes outside the vocabulary refuse loudly
+    // clause shapes outside the vocabulary refuse loudly — BEFORE any
+    // table work (a column-list INSERT action is not supported)
     val err = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
         s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
            |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""".stripMargin)
     }
-    assert(err.getMessage.contains("NOT MATCHED BY SOURCE"), err.getMessage)
+    assert(err.getMessage.contains("INSERT *"), err.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
+      .as[Long].head() === 405L, "the refusal must not mutate the table")
     val err2 = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
         s"""MERGE INTO snap.`$root` t USING merge_src s
@@ -566,6 +569,111 @@ class SnapshotSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark, s"INSERT INTO snap.`$root` (id, x) SELECT 1")
     }
+  }
+
+  test("CREATE OR REPLACE + DROP TABLE: the full SQL lifecycle converges on re-run") {
+    val root = tmpDir("sqlsnap_lifecycle")
+    ids(1, 30).createOrReplaceTempView("lc_src")
+    SnapshotSql.sql(spark,
+      s"CREATE TABLE snap.`$root` AS SELECT * FROM lc_src")
+    // a re-run CTAS refuses (CREATE never replaces)…
+    val e = intercept[Exception] {
+      SnapshotSql.sql(spark,
+        s"CREATE TABLE snap.`$root` AS SELECT * FROM lc_src")
+    }
+    assert(e.getMessage.contains("already has committed versions"))
+    // …while the OR REPLACE pipeline CONVERGES on re-run
+    (1 to 2).foreach { _ =>
+      SnapshotSql.sql(spark,
+        s"""CREATE OR REPLACE TABLE snap.`$root`
+           |PARTITIONED BY (s)
+           |AS SELECT id, s FROM lc_src WHERE id <= 10""".stripMargin)
+    }
+    assert(SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$root`").head().getLong(0) === 10L)
+    // old versions stay readable until vacuumed (time travel intact)
+    assert(SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 1")
+      .head().getLong(0) === 30L)
+    assert(Snapshots.versionMeta(spark, root,
+      Snapshots.latestVersion(spark, root).get).parts === Seq("s"))
+    // DROP TABLE: tombstone; SELECT refuses; pre-drop versions remain
+    val tomb = SnapshotSql.sql(spark, s"DROP TABLE snap.`$root`").head()
+    assert(tomb.getLong(0) === 4L)
+    assert(intercept[Exception] {
+      SnapshotSql.sql(spark, s"SELECT * FROM snap.`$root`").collect()
+    }.getMessage.contains("DROPPED"))
+    assert(SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$root` VERSION AS OF 3")
+      .head().getLong(0) === 10L)
+    // RESTORE is the undrop
+    SnapshotSql.sql(spark,
+      s"RESTORE snap.`$root` TO VERSION AS OF 3")
+    assert(SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$root`").head().getLong(0) === 10L)
+    // drop again; CREATE revives; VACUUM reclaims the dead bytes
+    SnapshotSql.sql(spark, s"DROP TABLE snap.`$root`")
+    SnapshotSql.sql(spark,
+      s"CREATE TABLE snap.`$root` AS SELECT id FROM lc_src WHERE id = 1")
+    assert(SnapshotSql.sql(spark,
+      s"SELECT * FROM snap.`$root`").columns.toSeq === Seq("id"))
+    SnapshotSql.sql(spark, s"DROP TABLE snap.`$root`")
+    SnapshotSql.sql(spark, s"VACUUM snap.`$root` RETAIN 1 VERSIONS")
+    assert(Snapshots.versions(spark, root).size === 1)
+    // the SQL verb honors the in-flight-commit orphan grace (24h);
+    // eager reclaim is the API call with grace 0 — the dirs then go
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    val dataDir = new java.io.File(s"$root/data")
+    assert(!dataDir.exists() ||
+      dataDir.listFiles().forall(_.getName.startsWith(".")),
+      "vacuum to the tombstone must reclaim every data dir")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the dimension-sync statement") {
+    val root = tmpDir("sqlsnap_nmbs")
+    Snapshots.commitWithStats(spark,
+      (1L to 60L).map(i => (i, i * 1.0, "live")).toDF("id", "x", "status")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    (1L to 20L).map(i => (i, i * 2.0, "live")).toDF("id", "x", "status")
+      .createOrReplaceTempView("nmbs_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING nmbs_src u
+         |ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.id <= 40 THEN UPDATE SET status = 'expired'
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).head()
+    // receipt: (version, rewritten, total, updated, deleted, inserted)
+    assert(rec.getLong(3) === 20L + 20L)
+    assert(rec.getLong(4) === 20L)
+    assert(rec.getLong(5) === 0L)
+    assert(rec.getInt(1) === rec.getInt(2), "honest full-scan receipt")
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 40L)
+    assert(after.filter(col("status") === "expired").count() === 20L)
+    assert(after.filter(col("id") === 10L).head().getDouble(1) === 20.0)
+  }
+
+  test("MERGE with a column-subset source: SET * keeps unnamed columns, INSERT NULL-fills") {
+    val root = tmpDir("sqlsnap_subset")
+    Snapshots.commitWithStats(spark,
+      (1L to 40L).map(i => (i, i * 1.0, s"s$i")).toDF("id", "x", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    Seq((5L, 500.0), (7777L, 7.0)).toDF("id", "x")
+      .createOrReplaceTempView("subset_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING subset_src u
+         |ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    // subset source routes to the clause writer (6-column receipt)
+    assert(rec.length === 6 && rec.getLong(3) === 1L && rec.getLong(5) === 1L)
+    val after = Snapshots.read(spark, root)
+    val u = after.filter(col("id") === 5L).head()
+    assert(u.getDouble(1) === 500.0 && u.getString(2) === "s5")
+    val i = after.filter(col("id") === 7777L).head()
+    assert(i.getDouble(1) === 7.0 && i.isNullAt(2))
   }
 
   test("VACUUM RETAIN n HOURS routes to time-based retention") {

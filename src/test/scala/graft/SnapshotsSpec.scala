@@ -1524,6 +1524,303 @@ class SnapshotsSpec extends SparkSpec {
       .getDouble(0) > 5000.0)
   }
 
+  test("create publishes at EXACTLY v1 — racing CREATEs yield one winner + one loud refusal") {
+    val root = tmpDir("snap_create")
+    val a = Seq((1L, "a")).toDF("id", "s")
+    assert(Snapshots.create(spark, a, root) === 1L)
+    // a second CREATE refuses up front
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.create(spark, a, root)
+    }
+    assert(e1.getMessage.contains("already has committed versions"))
+    // the RACE window (winner lands between the loser's check and its
+    // publish): the loser must refuse loudly — never land at v2 as a
+    // silent full replace (the old publishNext behavior)
+    val root2 = tmpDir("snap_create_race")
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.create(spark, Seq((9L, "winner")).toDF("id", "s"), root2)
+    })
+    val e2 = intercept[IllegalStateException] {
+      Snapshots.create(spark, Seq((1L, "loser")).toDF("id", "s"), root2)
+    }
+    assert(e2.getMessage.contains("created concurrently"))
+    assert(Snapshots.versions(spark, root2) === Seq(1L))
+    assert(Snapshots.read(spark, root2).head().getString(1) === "winner")
+    // the loser's staged dir is cleaned up (no orphan awaiting vacuum)
+    val dirs = new java.io.File(s"$root2/data").listFiles().map(_.getName)
+    assert(dirs.length === 1, dirs.mkString(","))
+    // same exclusivity for SHALLOW CLONE
+    val dst = tmpDir("snap_clone_race")
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.commit(spark, Seq((8L, "x")).toDF("id", "s"), dst)
+    })
+    intercept[IllegalStateException] {
+      Snapshots.cloneShallow(spark, root, dst)
+    }
+    assert(Snapshots.read(spark, dst).head().getLong(0) === 8L)
+  }
+
+  test("DROP TABLE: tombstone death — reads/writes refuse, RESTORE undrops, vacuum reclaims") {
+    val root = tmpDir("snap_drop")
+    Snapshots.commit(spark, df(5), root)
+    Snapshots.append(spark, df(3), root)
+    val tomb = Snapshots.dropTable(spark, root)
+    assert(tomb === 3L)
+    // latest reads and every write verb refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root)
+    }.getMessage.contains("DROPPED"))
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, df(1), root)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, df(1), root)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.tableSchema(spark, root)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.dropTable(spark, root) // double drop
+    }
+    // pre-drop versions stay explicitly readable (time travel)
+    assert(Snapshots.read(spark, root, Some(2L)).count() === 8L)
+    // the audit surface shows the tombstone honestly
+    val h = Snapshots.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq === Seq("dir", "manifest", "tombstone"))
+    assert(h.last.getLong(2) === 0L)
+    // RESTORE (rollback to a pre-drop version) is the undrop
+    val revived = Snapshots.rollback(spark, root, 2L)
+    assert(Snapshots.read(spark, root).count() === 8L)
+    // CREATE refuses on the revived (live) table again
+    intercept[IllegalArgumentException] {
+      Snapshots.create(spark, df(1), root)
+    }
+    // drop again, then CREATE revives as the tombstone's successor
+    Snapshots.dropTable(spark, root)
+    val reborn = Snapshots.create(spark,
+      Seq((42L, 1.0)).toDF("k", "v"), root)
+    assert(reborn === revived + 2)
+    assert(Snapshots.read(spark, root).columns.toSeq === Seq("k", "v"))
+    // death then physical reclaim through the EXISTING vacuum: drop
+    // and vacuum to the tombstone — every data dir goes
+    Snapshots.dropTable(spark, root)
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    val dataDir = new java.io.File(s"$root/data")
+    assert(!dataDir.exists() || dataDir.listFiles().isEmpty,
+      "a vacuumed tombstone must reclaim every data dir")
+  }
+
+  test("replaceTable: CREATE OR REPLACE semantics — redefines in place, history intact") {
+    val root = tmpDir("snap_or_replace")
+    Snapshots.commit(spark, df(5), root, partitionBy = Nil)
+    Snapshots.addConstraint(spark, root, "id_pos", "id > 0")
+    // the replace REDEFINES: new schema, new layout, prior constraints
+    // do not carry (it is a new table in place)
+    val v = Snapshots.replaceTable(spark,
+      (1L to 10L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("id", "grp", "x"),
+      root, partitionBy = Seq("grp"))
+    assert(v === 3L)
+    assert(Snapshots.constraintsOf(spark, root).isEmpty)
+    assert(Snapshots.versionMeta(spark, root, v).parts === Seq("grp"))
+    // history preserved: the old shape stays readable
+    assert(Snapshots.read(spark, root, Some(1L)).columns.toSeq === Seq("id", "s"))
+    // works on a DROPPED table too (the revive shape)
+    Snapshots.dropTable(spark, root)
+    val v2 = Snapshots.replaceTable(spark, df(2), root)
+    assert(Snapshots.read(spark, root).count() === 2L)
+    assert(v2 === 5L)
+  }
+
+  test("mergeClauses: WHEN NOT MATCHED BY SOURCE — dimension sync, honest full scan") {
+    val root = tmpDir("snap_nmbs")
+    val base = (1L to 100L).map(i => (i, i * 1.0, "live")).toDF("id", "x", "status")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    // feed carries ids 1..40 plus a new id 500; target rows 41..100
+    // are ABSENT from the feed: 41..60 expire (cond), 61..100 delete
+    val src = ((1L to 40L).map(i => (i, i * 2.0, "live")) :+ ((500L, 5.0, "live")))
+      .toDF("id", "x", "status")
+    val r = Snapshots.mergeClauses(spark, src, root, "id", Seq("id"),
+      "t", "u",
+      matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None),
+      notMatchedBySource = Seq(
+        Snapshots.MatchedUpdate(Some(col("t.id") <= 60L),
+          Some(Seq("status" -> lit("expired")))),
+        Snapshots.MatchedDelete(None)))
+    assert(r.rowsUpdated === 40L + 20L, "matched updates + expirations")
+    assert(r.rowsDeleted === 40L)
+    assert(r.rowsInserted === 1L)
+    // the honest receipt: every file rewrote (O(table) by nature)
+    assert(r.filesRewritten === r.filesTotal)
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 61L)
+    assert(after.filter(col("status") === "expired").count() === 20L)
+    assert(after.filter(col("id") === 20L).head().getDouble(1) === 40.0)
+    assert(after.filter(col("id") > 60L && col("id") < 500L).count() === 0L)
+    // NMBS UPDATE without SET refuses (no source row for SET *)
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, src, root, "id", Seq("id"), "t", "u",
+        matched = Nil, insertCond = None,
+        notMatchedBySource = Seq(Snapshots.MatchedUpdate(None, None)))
+    }
+  }
+
+  test("mergeClauses: column-subset source — SET * keeps unnamed columns, INSERT * NULL-fills") {
+    val root = tmpDir("snap_subset")
+    val base = (1L to 50L).map(i => (i, i * 1.0, s"s$i")).toDF("id", "x", "s")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    // the real upsert-feed shape: (key, changed-col) only
+    val feed = Seq((7L, 700.0), (9000L, 9.0)).toDF("id", "x")
+    val r = Snapshots.mergeClauses(spark, feed, root, "id", Seq("id"),
+      "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None))
+    assert(r.rowsUpdated === 1L && r.rowsInserted === 1L)
+    assert(r.filesRewritten < r.filesTotal, "subset merge stays stats-targeted")
+    val after = Snapshots.read(spark, root)
+    val u = after.filter(col("id") === 7L).head()
+    assert(u.getDouble(1) === 700.0 && u.getString(2) === "s7",
+      "unnamed columns keep their target values on UPDATE")
+    val i = after.filter(col("id") === 9000L).head()
+    assert(i.getDouble(1) === 9.0 && i.isNullAt(2),
+      "unnamed columns NULL-fill on INSERT")
+    // an extra (non-table) source column still refuses loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark,
+        Seq((1L, 1.0)).toDF("id", "nope"), root, "id", Seq("id"),
+        "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None))
+    }
+    // and a key-less source refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark,
+        Seq(1.0).toDF("x"), root, "id", Seq("id"),
+        "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None))
+    }
+  }
+
+  test("OCC re-base: a streaming append racing OPTIMIZE — both commit, zero re-staged writes") {
+    val root = tmpDir("snap_occ_opt")
+    val rows = (n: Int, off: Long) =>
+      (1 to n).map(i => (i + off, s"r$i")).toDF("id", "s")
+    Snapshots.commit(spark, rows(2000, 0L).repartition(1), root)
+    (1 to 3).foreach(k => Snapshots.append(spark, rows(50, 10000L * k), root))
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    // between the optimize's staged compaction and its publish, a
+    // tagged streaming micro-batch lands — the commonest collision
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark, rows(40, 90000L), root, tag = Some(99L))
+    })
+    val r = Snapshots.optimize(spark, root, targetBytes = 1L * 1024 * 1024)
+    assert(r.version === 6L, "the loser lands at the rebased version")
+    assert(Snapshots.rebases.get() === rb0 + 1, "one manifest re-base")
+    assert(Snapshots.restages.get() === rs0,
+      "the optimize must NOT re-read and re-write its debt set")
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 2000L + 150L + 40L)
+    // the racer's batch is intact AND carried by reference
+    assert(after.filter(col("id") > 90000L).count() === 40L)
+    val v5Fresh = Snapshots.filesOfVersion(spark, root, 5L)
+      .filterNot(Snapshots.filesOfVersion(spark, root, 4L).toSet)
+    assert(v5Fresh.nonEmpty &&
+      v5Fresh.forall(Snapshots.filesOfVersion(spark, root, 6L).toSet))
+    // the replay guard still sees the racer's tag
+    assert(Snapshots.lastTag(spark, root) === Some(99L))
+  }
+
+  test("OCC re-base: merge racing a key-disjoint append — both commit, stats intact") {
+    val root = tmpDir("snap_occ_merge")
+    val base = (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark,
+        (5000L to 5010L).map(i => (i, 0.0)).toDF("id", "x"),
+        root, statsCols = Seq("id"))
+    })
+    val updates = (10L to 20L).map(i => (i, i * 100.0)).toDF("id", "x")
+    val r = Snapshots.merge(spark, updates, root, "id", Seq("id"))
+    assert(r.version === 3L)
+    assert(Snapshots.rebases.get() === rb0 + 1)
+    assert(Snapshots.restages.get() === rs0)
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 1011L)
+    assert(after.filter(col("id") === 15L).head().getDouble(1) === 1500.0)
+    assert(after.filter(col("id") === 5005L).count() === 1L)
+    // the rebased skipping index covers EVERY file (racer's included):
+    // a follow-up merge's coverage gate passes and pruning still bites
+    val r2 = Snapshots.merge(spark,
+      Seq((999L, 9.0)).toDF("id", "x"), root, "id", Seq("id"))
+    assert(r2.filesRewritten < r2.filesTotal)
+    val (_, nRead, nTotal) = Snapshots.readPruned(spark, root, None,
+      "id", Some(lit(1L)), Some(lit(9L)))
+    assert(nRead < nTotal)
+  }
+
+  test("OCC re-base: an interleaved insert of the SAME key re-stages (no silent duplicate)") {
+    val root = tmpDir("snap_occ_samekey")
+    val base = (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    // the racer appends a row with key 15 — INSIDE the merge's key set:
+    // a re-base would leave that row un-merged (a duplicate key); the
+    // added-file overlap gate must force the full re-stage instead
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark, Seq((15L, -1.0)).toDF("id", "x"),
+        root, statsCols = Seq("id"))
+    })
+    val updates = (10L to 20L).map(i => (i, i * 100.0)).toDF("id", "x")
+    val r = Snapshots.merge(spark, updates, root, "id", Seq("id"))
+    assert(r.version === 3L)
+    assert(Snapshots.restages.get() === rs0 + 1, "same-key race must re-stage")
+    assert(Snapshots.rebases.get() === rb0)
+    val after = Snapshots.read(spark, root)
+    // the re-staged merge saw the racer's row: exactly ONE key-15 row,
+    // carrying the update
+    assert(after.filter(col("id") === 15L).count() === 1L)
+    assert(after.filter(col("id") === 15L).head().getDouble(1) === 1500.0)
+    assert(after.count() === 1000L)
+  }
+
+  test("OCC re-base: deleteRange racing an out-of-range append re-bases; in-range re-stages") {
+    val root = tmpDir("snap_occ_del")
+    val base = (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val rb0 = Snapshots.rebases.get()
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark, Seq((8000L, 8.0)).toDF("id", "x"),
+        root, statsCols = Seq("id"))
+    })
+    val r = Snapshots.deleteRange(spark, root, "id",
+      Some(lit(1L)), Some(lit(50L)), Seq("id"))
+    assert(r.version === 3L && Snapshots.rebases.get() === rb0 + 1)
+    assert(Snapshots.read(spark, root).count() === 951L)
+    // in-range racer: its row would have faced the delete — re-stage
+    val rs0 = Snapshots.restages.get()
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark, Seq((75L, 7.5)).toDF("id", "x"),
+        root, statsCols = Seq("id"))
+    })
+    val r2 = Snapshots.deleteRange(spark, root, "id",
+      Some(lit(60L)), Some(lit(90L)), Seq("id"))
+    assert(Snapshots.restages.get() === rs0 + 1)
+    val after = Snapshots.read(spark, root)
+    assert(after.filter(col("id") === 75L).count() === 0L,
+      "the re-staged delete must see (and delete) the racer's in-range row")
+    assert(after.count() === 951L - 31L)
+    assert(after.filter(col("id") === 8000L).count() === 1L)
+  }
+
   test("latestVersion reads through the hint floor — no full listings on the hot path") {
     val root = tmpDir("snap_hint")
     val df = Seq((1L, "a")).toDF("id", "s")
@@ -1577,6 +1874,162 @@ class SnapshotsSpec extends SparkSpec {
     val bare = tmpDir("snap_lasttag_bare")
     Snapshots.commit(spark, df, bare)
     assert(Snapshots.lastTag(spark, bare) === None)
+  }
+
+  test("lastTag through the tag checkpoint: O(1) — zero listings AND zero version reads") {
+    val root = tmpDir("snap_tag_ckpt")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (1 to 30).foreach(b => Snapshots.append(spark, df, root, tag = Some(b.toLong)))
+    // the warm path (hint refreshed by the last publish): the per-
+    // micro-batch replay guard costs NO log listing and NO version-
+    // file read — the structural fix for the q171 shape at 10⁵ commits
+    val l0 = Snapshots.fullListings.get(); val m0 = Snapshots.metaReads.get()
+    (1 to 10).foreach(_ => assert(Snapshots.lastTag(spark, root) === Some(30L)))
+    assert(Snapshots.fullListings.get() === l0,
+      "lastTag must not list the log on the warm path")
+    assert(Snapshots.metaReads.get() === m0,
+      "lastTag must not read version files on the warm path")
+    // UNTAGGED publishes carry the claim forward (rollback, optimize)
+    Snapshots.rollback(spark, root, 31L)
+    val m1 = Snapshots.metaReads.get()
+    assert(Snapshots.lastTag(spark, root) === Some(30L))
+    assert(Snapshots.metaReads.get() === m1)
+    // a STALE hint (delayed writer) reads only the tail above it
+    val hintP = java.nio.file.Paths.get(root, "_versions", "_latest_hint")
+    java.nio.file.Files.write(hintP, "29 28".getBytes("UTF-8"))
+    val m2 = Snapshots.metaReads.get()
+    assert(Snapshots.lastTag(spark, root) === Some(30L))
+    assert(Snapshots.metaReads.get() - m2 <= 3, "tail reads only")
+    // a BARE hint (no tag claim) falls back to the early-stop walk —
+    // correct, just not O(1)
+    java.nio.file.Files.write(hintP, "32".getBytes("UTF-8"))
+    assert(Snapshots.lastTag(spark, root) === Some(30L))
+    // a corrupt hint falls back to the listing walk
+    java.nio.file.Files.write(hintP, "29 nope".getBytes("UTF-8"))
+    assert(Snapshots.lastTag(spark, root) === Some(30L))
+    assert(Snapshots.latestVersion(spark, root) === Some(32L))
+    // the claim survives vacuuming the tagged versions themselves —
+    // strictly safer for a replay guard (the listing would forget)
+    Snapshots.append(spark, df, root, tag = Some(31L))
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(Snapshots.lastTag(spark, root) === Some(31L))
+  }
+
+  test("history/fileLineage read the aggregate checkpoint + tail, not O(N) version files") {
+    val root = tmpDir("snap_hist_ckpt")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (1 to 12).foreach(b => Snapshots.append(spark, df, root, tag = Some(b.toLong)))
+    // first audit derives and checkpoints
+    val h1 = Snapshots.history(spark, root).collect()
+    assert(h1.length === 13)
+    // second audit: ONE checkpoint read, zero version-file reads
+    val m0 = Snapshots.metaReads.get()
+    val h2 = Snapshots.history(spark, root).collect()
+    assert(Snapshots.metaReads.get() === m0,
+      "history must read the checkpoint, not the version files")
+    assert(h2.map(_.getLong(0)).toSeq === (1L to 13L))
+    assert(h2.map(r => Option(r.get(3))).count(_.isDefined) === 12)
+    // a new commit is the TAIL: exactly its own version file reads
+    Snapshots.append(spark, df, root, tag = Some(13L))
+    val m1 = Snapshots.metaReads.get()
+    assert(Snapshots.history(spark, root).count() === 14)
+    assert(Snapshots.metaReads.get() - m1 <= 2, "tail-only derivation")
+    // fileLineage rides the same checkpoint
+    val m2 = Snapshots.metaReads.get()
+    val lin = Snapshots.fileLineage(spark, root)
+    assert(lin.agg(max("since_version")).head().getLong(0) === 14L)
+    assert(lin.agg(min("since_version")).head().getLong(0) === 1L)
+    assert(Snapshots.metaReads.get() === m2,
+      "fileLineage must read the checkpoint, not the version files")
+    // vacuumed versions' rows prune out of the audit (and the ckpt)
+    Snapshots.vacuum(spark, root, keepLast = 3, orphanGraceMs = 0L)
+    assert(Snapshots.history(spark, root).collect().map(_.getLong(0)).toSeq
+      === Seq(12L, 13L, 14L))
+    // a corrupt checkpoint re-derives, never errors
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_versions", "_ckpt"),
+      "garbage\n{\"v\":broken".getBytes("UTF-8"))
+    assert(Snapshots.history(spark, root).count() === 3)
+  }
+
+  test("appendWithExpectations: a replayed tagged batch leaves the quarantine untouched") {
+    val root = tmpDir("snap_exp_replay")
+    val q = tmpDir("snap_exp_replay_q")
+    Snapshots.commit(spark, Seq((1L, 10.0)).toDF("id", "x"), root)
+    Snapshots.addConstraint(spark, root, "x_pos", "x >= 0.0")
+    val batch = Seq((2L, 5.0), (3L, -1.0)).toDF("id", "x")
+    val r1 = Snapshots.appendWithExpectations(spark, batch, root, q,
+      tag = Some(7L))
+    assert(r1.rowsAppended === 1L && r1.rowsQuarantined === 1L)
+    val qCount = spark.read.parquet(q).count()
+    assert(qCount === 1L)
+    // the zombie replay (same tag) refuses BEFORE writing anything —
+    // table AND quarantine unchanged
+    intercept[IllegalArgumentException] {
+      Snapshots.appendWithExpectations(spark, batch, root, q, tag = Some(7L))
+    }
+    assert(spark.read.parquet(q).count() === qCount,
+      "a refused replay must not duplicate quarantine rows")
+    assert(Snapshots.read(spark, root).count() === 2L)
+  }
+
+  test("vacuum aborts rather than reclaim past an unrefreshable hint") {
+    val root = tmpDir("snap_vac_hint")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (1 to 4).foreach(_ => Snapshots.append(spark, df, root))
+    // make the hint unwritable-as-a-file: a directory squatting on its
+    // path fails writeHint — vacuum's fallback DELETES it (forcing the
+    // full-listing fallback) and proceeds
+    val hintP = java.nio.file.Paths.get(root, "_versions", "_latest_hint")
+    java.nio.file.Files.delete(hintP)
+    java.nio.file.Files.createDirectory(hintP)
+    Snapshots.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(Snapshots.versions(spark, root) === Seq(4L, 5L))
+    assert(Snapshots.latestVersion(spark, root) === Some(5L))
+    assert(!java.nio.file.Files.isDirectory(hintP),
+      "the squatting dir must be removed so later publishes can refresh")
+  }
+
+  test("merge refuses a source whose key does not cast losslessly") {
+    val root = tmpDir("snap_keycast")
+    Snapshots.commitWithStats(spark,
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x"), root, Seq("id"))
+    // string keys that DO cast pass through; one uncastable key refuses
+    val bad = Seq(("7", 700.0), ("oops", 0.0)).toDF("id", "x")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, bad, root, "id", Seq("id"))
+    }
+    assert(e.getMessage.contains("does not cast"))
+    val ok = Seq(("7", 700.0)).toDF("id", "x")
+    Snapshots.merge(spark, ok, root, "id", Seq("id"))
+    assert(Snapshots.read(spark, root).filter(col("id") === 7L)
+      .head().getDouble(1) === 700.0)
+  }
+
+  test("mergeClauses refuses duplicate source keys (multi-match would multiply rows)") {
+    val root = tmpDir("snap_dupkeys")
+    Snapshots.commitWithStats(spark,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x"), root, Seq("id"))
+    val dup = Seq((5L, 1.0), (5L, 2.0), (6L, 3.0)).toDF("id", "x")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, dup, root, "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // the table is untouched by the refusal
+    assert(Snapshots.read(spark, root).count() === 20L)
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // duplicate NULL keys stay legal — they never match, each inserts
+    val nulls = Seq((Option.empty[Long], 1.0), (Option.empty[Long], 2.0))
+      .toDF("id", "x")
+    val r = Snapshots.mergeClauses(spark, nulls, root, "id", Seq("id"),
+      "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None))
+    assert(r.rowsInserted === 2L)
   }
 
   test("tagged writes enforce strictly increasing tags at the write boundary") {
