@@ -1507,9 +1507,10 @@ object Snapshots {
         case "tombstone" =>
           spark.createDataset(Seq.empty[String])(
             org.apache.spark.sql.Encoders.STRING).toDF("file")
-        case other => throw new IllegalStateException(
-          s"fileLineage: version ${r.v} of $root is $other — upgrade the " +
-            "library to read this version")
+        case _ => throw new IllegalArgumentException(
+          s"fileLineage: version ${r.v} of $root requires format features " +
+            "this reader does not support — upgrade the library to read " +
+            "this version")
       }
       files.withColumn("version", lit(r.v))
     }
@@ -1584,16 +1585,21 @@ object Snapshots {
     require(m.dv.isEmpty,
       s"shallow clone of a deletion-vector version: optimize $srcRoot " +
         "first (materializes the vector)")
-    require(latestVersion(spark, dstRoot).isEmpty,
+    // like [[create]], cloning into a DROPPED root revives it at the
+    // tombstone's successor — DROP TABLE then SHALLOW CLONE is the
+    // documented way to re-point a previously-used destination
+    val dstPrior = latestVersion(spark, dstRoot)
+    require(dstPrior.map(pv => versionMeta(spark, dstRoot, pv))
+        .forall(_.tombstone),
       s"$dstRoot already has committed versions")
     val absFiles = filesOfVersion(spark, srcRoot, v).map(normPath)
     val man = writeManifest(spark, dstRoot, absFiles)
     val ddl = m.schemaDdl.getOrElse(org.apache.spark.sql.types.StructType(
       read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
-    // a CREATE-shaped verb publishes at EXACTLY version 1 — racing
-    // clones/creates must yield one winner and one loud refusal,
-    // never a silent replace (the publishNext retry would be one)
-    val nv = 1L
+    // a CREATE-shaped verb publishes at EXACTLY the first free slot —
+    // racing clones/creates must yield one winner and one loud
+    // refusal, never a silent replace (a publishNext retry would be one)
+    val nv = dstPrior.getOrElse(0L) + 1
     fireRaceHook()
     if (!tryPublish(spark, dstRoot, nv,
         manBody(nv, man, m.nRows, None, Some(ddl), None, m.constraints,
@@ -2077,10 +2083,18 @@ object Snapshots {
             .delete(new Path(root, freshDir), true)
           throw e
       }
-      // first iteration reuses the pre-write read; retries re-read
+      // first iteration reuses the pre-write read; retries re-read.
+      // A concurrent DROP TABLE landing mid-retry refuses HERE (with
+      // the staged dir cleaned up) — not deep inside the schema path
+      // under a misleading verb name
       val cur = cached.orElse(latestVersion(spark, root)
         .map(v => (v, versionMeta(spark, root, v))))
       cached = None
+      cur.map(_._2).filter(_.tombstone).foreach { mm =>
+        fs(spark, new Path(root, freshDir))
+          .delete(new Path(root, freshDir), true)
+        requireLive(mm, root, "append")
+      }
       val prior = cur.map(_._1)
       val (oldRel, oldRows, priorMeta) = cur match {
         case Some((_, m)) =>
@@ -2505,6 +2519,55 @@ object Snapshots {
       extends MatchedClause
   final case class MatchedDelete(cond: Option[Column]) extends MatchedClause
 
+  /** First-clause-wins evaluation plan shared by the MATCHED and
+    * NOT-MATCHED-BY-SOURCE sides of [[mergeClauses]] (one copy of the
+    * fold, the id sets, the count aggregate, and the per-column image
+    * builder — the two sides differ ONLY in how `UPDATE SET *`
+    * renders, which `star` supplies). `idCol` holds the action id
+    * (clause i fires as i+1, 0 = keep).
+    */
+  private final case class ClausePlan(clauses: Seq[MatchedClause],
+                                      idCol: String, targetAlias: String,
+                                      star: org.apache.spark.sql.types.StructField => Column) {
+    /** Action id under first-clause-wins. */
+    val action: Column = clauses.zipWithIndex.reverse.foldLeft(lit(0)) {
+      case (acc, (cl, i)) =>
+        org.apache.spark.sql.functions.when(
+          cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
+    }
+    private val updIds = clauses.zipWithIndex.collect {
+      case (_: MatchedUpdate, i) => i + 1 }
+    private val delIds = clauses.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => i + 1 }
+    private def in(ids: Seq[Int]): Column =
+      if (ids.isEmpty) lit(false) else col(idCol).isin(ids: _*)
+    def updates: Column = in(updIds)
+    def deletes: Column = in(delIds)
+    /** One aggregate pass yields both action counts. */
+    def counts(classified: DataFrame): (Long, Long) = {
+      val r = classified.agg(
+        coalesce(sum(org.apache.spark.sql.functions
+          .when(updates, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(org.apache.spark.sql.functions
+          .when(deletes, 1L).otherwise(0L)), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    /** Per-column image: update clauses in order, else keep target. */
+    def image(c: org.apache.spark.sql.types.StructField): Column =
+      clauses.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
+        val img = u.set match {
+          case None => star(c)
+          case Some(assigns) => assigns.collectFirst {
+            case (n, e) if n.equalsIgnoreCase(c.name) => e.cast(c.dataType)
+          }.getOrElse(col(s"$targetAlias.${c.name}"))
+        }
+        (i + 1, img)
+      }.foldRight(col(s"$targetAlias.${c.name}")) { case ((id, img), acc) =>
+        org.apache.spark.sql.functions.when(col(idCol) === id, img)
+          .otherwise(acc)
+      }.as(c.name)
+  }
+
   /** What a clause-form merge did: the bounded-rewrite receipt plus
     * the per-action row accounting.
     */
@@ -2694,97 +2757,45 @@ object Snapshots {
         val srcA = srcP.alias(sourceAlias)
         val joined = tgtA.join(srcA,
           col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
-        // first matching clause wins: action i+1 = clause i, 0 = keep
-        val actionCol = matched.zipWithIndex.reverse.foldLeft(lit(0)) {
-          case (acc, (cl, i)) =>
-            org.apache.spark.sql.functions.when(
-              cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
-        }
-        val updateIds = matched.zipWithIndex.collect {
-          case (_: MatchedUpdate, i) => i + 1 }
-        val deleteIds = matched.zipWithIndex.collect {
-          case (_: MatchedDelete, i) => i + 1 }
-        val classified = joined.withColumn("__ma", actionCol)
-        def inIds(ids: Seq[Int]): Column =
-          if (ids.isEmpty) lit(false) else col("__ma").isin(ids: _*)
-        // one aggregate pass yields both matched-action counts
+        // the matched side: UPDATE SET * takes the source's carried
+        // columns (subset sources keep the rest from the target)
+        val mPlan = ClausePlan(matched, "__ma", targetAlias,
+          c => if (srcColSet.contains(c.name))
+            col(s"$sourceAlias.${c.name}").cast(c.dataType)
+          else col(s"$targetAlias.${c.name}"))
+        val classified = joined.withColumn("__ma", mPlan.action)
         val acts =
-          if (matched.isEmpty) (0L, 0L)
-          else {
-            val r = classified.agg(
-              coalesce(sum(org.apache.spark.sql.functions
-                .when(inIds(updateIds), 1L).otherwise(0L)), lit(0L)),
-              coalesce(sum(org.apache.spark.sql.functions
-                .when(inIds(deleteIds), 1L).otherwise(0L)), lit(0L))).head()
-            (r.getLong(0), r.getLong(1))
-          }
-        // per-column image: update clauses in order, else keep target.
-        // UPDATE SET * on a column-subset source updates only the
-        // carried columns — the rest keep their target values
-        def image(c: org.apache.spark.sql.types.StructField): Column =
-          matched.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
-            val img = u.set match {
-              case None =>
-                if (srcColSet.contains(c.name))
-                  col(s"$sourceAlias.${c.name}").cast(c.dataType)
-                else col(s"$targetAlias.${c.name}")
-              case Some(assigns) => assigns.collectFirst {
-                case (n, e) if n.equalsIgnoreCase(c.name) => e.cast(c.dataType)
-              }.getOrElse(col(s"$targetAlias.${c.name}"))
-            }
-            (i + 1, img)
-          }.foldRight(col(s"$targetAlias.${c.name}")) { case ((id, img), acc) =>
-            org.apache.spark.sql.functions.when(col("__ma") === id, img)
-              .otherwise(acc)
-          }.as(c.name)
+          if (matched.isEmpty) (0L, 0L) else mPlan.counts(classified)
         val matchedOut = classified
-          .filter(!inIds(deleteIds))
-          .select(tableSchema.fields.toSeq.map(image): _*)
+          .filter(!mPlan.deletes)
+          .select(tableSchema.fields.toSeq.map(mPlan.image): _*)
         // target rows ABSENT from the source: plain kept rows, or —
         // with WHEN NOT MATCHED BY SOURCE clauses — the dimension-sync
         // evaluation (first clause whose condition holds wins: UPDATE
         // rewrites from target columns alone, DELETE drops; no clause
-        // → kept). Conditions resolve through the target alias only.
+        // → kept). Conditions resolve through the target alias only;
+        // SET * there was refused at validation, so the star renderer
+        // is unreachable.
         val keptBase = touchedRows.alias(targetAlias).join(
             srcP.select(col(key).as("__mk2")), col(key) === col("__mk2"),
             "left_anti")
-        val (keptTgt, nmbsUpd, nmbsDel) =
+        val (keptTgt, nmbsChecked, nmbsUpd, nmbsDel) =
           if (notMatchedBySource.isEmpty)
-            (keptBase.select(tableCols.map(col): _*), 0L, 0L)
+            (keptBase.select(tableCols.map(col): _*), None, 0L, 0L)
           else {
-            val nAction = notMatchedBySource.zipWithIndex.reverse
-              .foldLeft(lit(0)) { case (acc, (cl, i)) =>
-                org.apache.spark.sql.functions.when(
-                  cl.cond.getOrElse(lit(true)), lit(i + 1)).otherwise(acc)
-              }
-            val updIds = notMatchedBySource.zipWithIndex.collect {
-              case (_: MatchedUpdate, i) => i + 1 }
-            val delIds = notMatchedBySource.zipWithIndex.collect {
-              case (_: MatchedDelete, i) => i + 1 }
-            val cls = keptBase.withColumn("__na", nAction)
-            def inN(ids: Seq[Int]): Column =
-              if (ids.isEmpty) lit(false) else col("__na").isin(ids: _*)
-            val r = cls.agg(
-              coalesce(sum(org.apache.spark.sql.functions
-                .when(inN(updIds), 1L).otherwise(0L)), lit(0L)),
-              coalesce(sum(org.apache.spark.sql.functions
-                .when(inN(delIds), 1L).otherwise(0L)), lit(0L))).head()
-            def nImage(c: org.apache.spark.sql.types.StructField): Column =
-              notMatchedBySource.zipWithIndex.collect {
-                case (u: MatchedUpdate, i) =>
-                  val img = u.set.get.collectFirst {
-                    case (n, e) if n.equalsIgnoreCase(c.name) =>
-                      e.cast(c.dataType)
-                  }.getOrElse(col(s"$targetAlias.${c.name}"))
-                  (i + 1, img)
-              }.foldRight(col(s"$targetAlias.${c.name}")) {
-                case ((id, img), acc) =>
-                  org.apache.spark.sql.functions.when(col("__na") === id, img)
-                    .otherwise(acc)
-              }.as(c.name)
-            (cls.filter(!inN(delIds))
-              .select(tableSchema.fields.toSeq.map(nImage): _*),
-              r.getLong(0), r.getLong(1))
+            val nPlan = ClausePlan(notMatchedBySource, "__na", targetAlias,
+              _ => throw new IllegalStateException(
+                "unreachable: NOT MATCHED BY SOURCE SET * refused upstream"))
+            val cls = keptBase.withColumn("__na", nPlan.action)
+            val (u, d) = nPlan.counts(cls)
+            val kept = cls.filter(!nPlan.deletes)
+              .select(tableSchema.fields.toSeq.map(nPlan.image): _*)
+            // the constraint gate sees only the UPDATED kept images —
+            // unmodified kept rows passed at their own write time, and
+            // re-checking them would cost a full-table predicate pass
+            val checked = cls.filter(nPlan.updates)
+              .select(tableSchema.fields.toSeq.map(nPlan.image): _*)
+            (kept, Some(checked), u, d)
           }
         // INSERT * on a column-subset source NULL-fills the columns
         // the source does not carry (the column-list INSERT rule)
@@ -2801,12 +2812,12 @@ object Snapshots {
         }
         val nI = if (insertCond.isEmpty) 0L else inserted.count()
         // only the NEW images face the CHECK gate (kept rows passed at
-        // their own write time) — churn-sized, like everything here;
-        // with NOT MATCHED BY SOURCE updates the kept side carries new
-        // images too, and the statement is O(table) anyway
+        // their own write time) — churn-sized, like everything here:
+        // NOT-MATCHED-BY-SOURCE updates contribute exactly their
+        // updated images, never the whole kept side
         requireSatisfied(
-          if (nmbsUpd == 0L) matchedOut.unionByName(inserted)
-          else matchedOut.unionByName(inserted).unionByName(keptTgt),
+          nmbsChecked.foldLeft(matchedOut.unionByName(inserted))(
+            _ unionByName _),
           m.constraints, "merge clauses")
         val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
         val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
@@ -3302,14 +3313,14 @@ object Snapshots {
             // the interleaver's ADDED files (not in our read version)
             // face the conflict predicate; null-stats files stay
             // conservative (the predicate sees them and must conflict)
-            val removedAbs = removedRel.map(rel =>
-              normPath(new Path(root, rel).toString))
+            // removedRel ⊆ the read version's files by construction,
+            // so the read list alone names every file the added-set
+            // anti-join must exclude
             val readAbs = relFilesOf(spark, root, m).map(rel =>
-              normPath(new Path(root, rel).toString)).toSet
+              normPath(new Path(root, rel).toString))
             val normFile = org.apache.spark.sql.functions.regexp_replace(
               st("file"), SchemeRe.regex, "/")
-            val knownDf = spark.createDataset(
-                (readAbs ++ removedAbs).toSeq)(
+            val knownDf = spark.createDataset(readAbs)(
               org.apache.spark.sql.Encoders.STRING).toDF("__kf")
             val added = st.join(knownDf, normFile === col("__kf"), "left_anti")
             if (addedConflicts(added)) return None
@@ -3902,9 +3913,10 @@ object Snapshots {
     // if even that fails the reclaim ABORTS with nothing deleted.
     if (all.nonEmpty && drop.nonEmpty) {
       val vf = fs(spark, versionsDir(root))
+      val tagClaim = lastTag(spark, root)
       val fresh = readHint(vf, hintFile(root)).contains(
-        (all.max, lastTag(spark, root))) ||
-        writeHint(vf, root, all.max, lastTag(spark, root))
+        (all.max, tagClaim)) ||
+        writeHint(vf, root, all.max, tagClaim)
       if (!fresh) {
         val gone =
           try !vf.exists(hintFile(root)) || vf.delete(hintFile(root), true)

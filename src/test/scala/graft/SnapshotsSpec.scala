@@ -1610,6 +1610,25 @@ class SnapshotsSpec extends SparkSpec {
       "a vacuumed tombstone must reclaim every data dir")
   }
 
+  test("shallow clone revives a dropped destination (DROP then CLONE works)") {
+    val src = tmpDir("snap_clone_src")
+    val dst = tmpDir("snap_clone_dst")
+    Snapshots.commit(spark, df(5), src)
+    Snapshots.commit(spark, df(2), dst)
+    // a LIVE destination still refuses…
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneShallow(spark, src, dst)
+    }
+    // …but DROP TABLE then CLONE re-points the root (the documented
+    // path for re-using a destination)
+    Snapshots.dropTable(spark, dst)
+    val v = Snapshots.cloneShallow(spark, src, dst)
+    assert(v === 3L, "the clone lands at the tombstone's successor")
+    assert(Snapshots.read(spark, dst).count() === 5L)
+    // pre-drop destination history stays readable
+    assert(Snapshots.read(spark, dst, Some(1L)).count() === 2L)
+  }
+
   test("replaceTable: CREATE OR REPLACE semantics — redefines in place, history intact") {
     val root = tmpDir("snap_or_replace")
     Snapshots.commit(spark, df(5), root, partitionBy = Nil)
