@@ -1577,7 +1577,8 @@ object Snapshots {
     * root.
     */
   def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
-                   version: Option[Long] = None): Long = {
+                   version: Option[Long] = None,
+                   orReplace: Boolean = false): Long = {
     val v = version.orElse(latestVersion(spark, srcRoot)).getOrElse(
       throw new IllegalArgumentException(s"$srcRoot has no committed versions"))
     val m = versionMeta(spark, srcRoot, v)
@@ -1587,28 +1588,43 @@ object Snapshots {
         "first (materializes the vector)")
     // like [[create]], cloning into a DROPPED root revives it at the
     // tombstone's successor — DROP TABLE then SHALLOW CLONE is the
-    // documented way to re-point a previously-used destination
+    // documented way to re-point a previously-used destination; with
+    // `orReplace` (CREATE OR REPLACE ... SHALLOW CLONE) the clone is
+    // a full-replace version over ANY destination state — history
+    // preserved, the re-runnable re-point
     val dstPrior = latestVersion(spark, dstRoot)
-    require(dstPrior.map(pv => versionMeta(spark, dstRoot, pv))
-        .forall(_.tombstone),
-      s"$dstRoot already has committed versions")
+    require(orReplace ||
+        dstPrior.map(pv => versionMeta(spark, dstRoot, pv))
+          .forall(_.tombstone),
+      s"$dstRoot already has committed versions — use CREATE OR " +
+        "REPLACE ... SHALLOW CLONE to re-point it")
     val absFiles = filesOfVersion(spark, srcRoot, v).map(normPath)
     val man = writeManifest(spark, dstRoot, absFiles)
     val ddl = m.schemaDdl.getOrElse(org.apache.spark.sql.types.StructType(
       read(spark, srcRoot, Some(v)).schema.fields.map(_.copy(nullable = true))).toDDL)
-    // a CREATE-shaped verb publishes at EXACTLY the first free slot —
-    // racing clones/creates must yield one winner and one loud
-    // refusal, never a silent replace (a publishNext retry would be one)
-    val nv = dstPrior.getOrElse(0L) + 1
-    fireRaceHook()
-    if (!tryPublish(spark, dstRoot, nv,
-        manBody(nv, man, m.nRows, None, Some(ddl), None, m.constraints,
-          m.parts, m.bucket, m.colmap))) {
-      fs(spark, new Path(dstRoot, man)).delete(new Path(dstRoot, man), false)
-      throw new IllegalStateException(
-        s"SHALLOW CLONE: $dstRoot was created concurrently — refusing " +
-          "to replace it")
-    }
+    val nv =
+      if (orReplace)
+        // the replace verb takes any next slot (publishNext semantics)
+        publishNext(spark, dstRoot, n =>
+          manBody(n, man, m.nRows, None, Some(ddl), None, m.constraints,
+            m.parts, m.bucket, m.colmap))
+      else {
+        // a CREATE-shaped verb publishes at EXACTLY the first free
+        // slot — racing clones/creates must yield one winner and one
+        // loud refusal, never a silent replace (a publishNext retry
+        // would be one)
+        val slot = dstPrior.getOrElse(0L) + 1
+        fireRaceHook()
+        if (!tryPublish(spark, dstRoot, slot,
+            manBody(slot, man, m.nRows, None, Some(ddl), None, m.constraints,
+              m.parts, m.bucket, m.colmap))) {
+          fs(spark, new Path(dstRoot, man)).delete(new Path(dstRoot, man), false)
+          throw new IllegalStateException(
+            s"SHALLOW CLONE: $dstRoot was created concurrently — refusing " +
+              "to replace it")
+        }
+        slot
+      }
     val sp = statsPath(srcRoot, m.layoutId)
     if (fs(spark, sp).exists(sp))
       Load.writeAtomic(spark, spark.read.parquet(sp.toString),
@@ -2528,7 +2544,8 @@ object Snapshots {
     */
   private final case class ClausePlan(clauses: Seq[MatchedClause],
                                       idCol: String, targetAlias: String,
-                                      star: org.apache.spark.sql.types.StructField => Column) {
+                                      star: org.apache.spark.sql.types.StructField => Column,
+                                      base: org.apache.spark.sql.types.StructField => Column) {
     /** Action id under first-clause-wins. */
     val action: Column = clauses.zipWithIndex.reverse.foldLeft(lit(0)) {
       case (acc, (cl, i)) =>
@@ -2552,17 +2569,19 @@ object Snapshots {
           .when(deletes, 1L).otherwise(0L)), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    /** Per-column image: update clauses in order, else keep target. */
+    /** Per-column image: update clauses in order, else the BASE (the
+      * target's value for a pre-existing column; NULL for a column
+      * the target's files do not carry yet — schema evolution). */
     def image(c: org.apache.spark.sql.types.StructField): Column =
       clauses.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
         val img = u.set match {
           case None => star(c)
           case Some(assigns) => assigns.collectFirst {
             case (n, e) if n.equalsIgnoreCase(c.name) => e.cast(c.dataType)
-          }.getOrElse(col(s"$targetAlias.${c.name}"))
+          }.getOrElse(base(c))
         }
         (i + 1, img)
-      }.foldRight(col(s"$targetAlias.${c.name}")) { case ((id, img), acc) =>
+      }.foldRight(base(c)) { case ((id, img), acc) =>
         org.apache.spark.sql.functions.when(col(idCol) === id, img)
           .otherwise(acc)
       }.as(c.name)
@@ -2628,7 +2647,8 @@ object Snapshots {
                    matched: Seq[MatchedClause],
                    insertCond: Option[Option[Column]],
                    notMatchedBySource: Seq[MatchedClause] = Nil,
-                   tag: Option[Long] = None): MergeClausesResult = {
+                   tag: Option[Long] = None,
+                   evolveSchema: Boolean = false): MergeClausesResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
     require(matched.nonEmpty || insertCond.nonEmpty ||
@@ -2662,11 +2682,30 @@ object Snapshots {
       // values) and INSERT * NULL-fills the missing ones (the
       // column-list INSERT rule). Extra columns still refuse loudly.
       val srcColSet = source.columns.toSet
-      require(srcColSet.subsetOf(tableCols.toSet),
-        s"source columns ${(srcColSet -- tableCols.toSet).mkString(", ")} " +
-          s"are not columns of $root (${tableCols.mkString(", ")})")
+      // MERGE WITH SCHEMA EVOLUTION (Delta's ADD-only semantics):
+      // source columns outside the table extend the logged schema as
+      // nullable fields — matched UPDATE SET * and INSERT * fill
+      // them from the source, every other row (kept target rows AND
+      // the untouched files carried by reference) surfaces NULL via
+      // the schema-in-the-log read. Without the flag, extra columns
+      // refuse as before (silent feed drift is a bug, not evolution).
+      val extraFields = source.schema.fields.toSeq
+        .filter(f => !tableCols.contains(f.name))
+      if (!evolveSchema)
+        require(extraFields.isEmpty,
+          s"source columns ${(srcColSet -- tableCols.toSet).mkString(", ")} " +
+            s"are not columns of $root (${tableCols.mkString(", ")}) — " +
+            "pass evolveSchema / WITH SCHEMA EVOLUTION to ADD them")
+      else extraFields.foreach(f => require(
+        !tableCols.exists(_.equalsIgnoreCase(f.name)),
+        s"schema evolution: source column ${f.name} case-collides with " +
+          "an existing table column"))
       require(srcColSet.contains(key),
         s"merge key $key is missing from the source columns")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        tableSchema.fields ++ extraFields.map(_.copy(nullable = true)))
+      val outCols = outSchema.fieldNames.toSeq
+      val tableColSet = tableCols.toSet
       requireTagMonotonic(spark, root, tag, "mergeClauses")
       // SET targets must name real columns — matched with Spark's
       // case-insensitive resolution, and validated HERE so a typo'd
@@ -2674,9 +2713,9 @@ object Snapshots {
       // while the receipt counts the row as updated
       (matched ++ notMatchedBySource).foreach {
         case MatchedUpdate(_, Some(assigns)) => assigns.foreach { case (n, _) =>
-          require(tableCols.exists(_.equalsIgnoreCase(n)),
+          require(outCols.exists(_.equalsIgnoreCase(n)),
             s"merge SET target $n is not a column of $root " +
-              s"(${tableCols.mkString(", ")})")
+              s"(${outCols.mkString(", ")})")
         }
         case _ => ()
       }
@@ -2688,7 +2727,7 @@ object Snapshots {
       // multiplying table rows (Delta's MERGE raises on multi-match)
       requireKeySane(source, key, tableSchema(key).dataType,
         refuseDups = true, "mergeClauses")
-      val srcFields = tableSchema.fields.toSeq.filter(f =>
+      val srcFields = outSchema.fields.toSeq.filter(f =>
         srcColSet.contains(f.name))
       val src = source.select(srcFields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -2758,17 +2797,23 @@ object Snapshots {
         val joined = tgtA.join(srcA,
           col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
         // the matched side: UPDATE SET * takes the source's carried
-        // columns (subset sources keep the rest from the target)
+        // columns (subset sources keep the rest from the target; an
+        // evolved column's base is NULL — the target's files never
+        // carried it)
+        val colBase = (c: org.apache.spark.sql.types.StructField) =>
+          if (tableColSet.contains(c.name)) col(s"$targetAlias.${c.name}")
+          else lit(null).cast(c.dataType)
         val mPlan = ClausePlan(matched, "__ma", targetAlias,
           c => if (srcColSet.contains(c.name))
             col(s"$sourceAlias.${c.name}").cast(c.dataType)
-          else col(s"$targetAlias.${c.name}"))
+          else colBase(c),
+          colBase)
         val classified = joined.withColumn("__ma", mPlan.action)
         val acts =
           if (matched.isEmpty) (0L, 0L) else mPlan.counts(classified)
         val matchedOut = classified
           .filter(!mPlan.deletes)
-          .select(tableSchema.fields.toSeq.map(mPlan.image): _*)
+          .select(outSchema.fields.toSeq.map(mPlan.image): _*)
         // target rows ABSENT from the source: plain kept rows, or —
         // with WHEN NOT MATCHED BY SOURCE clauses — the dimension-sync
         // evaluation (first clause whose condition holds wins: UPDATE
@@ -2781,32 +2826,36 @@ object Snapshots {
             "left_anti")
         val (keptTgt, nmbsChecked, nmbsUpd, nmbsDel) =
           if (notMatchedBySource.isEmpty)
-            (keptBase.select(tableCols.map(col): _*), None, 0L, 0L)
+            (keptBase.select(outSchema.fields.toSeq.map(f =>
+              colBase(f).as(f.name)): _*), None, 0L, 0L)
           else {
             val nPlan = ClausePlan(notMatchedBySource, "__na", targetAlias,
               _ => throw new IllegalStateException(
-                "unreachable: NOT MATCHED BY SOURCE SET * refused upstream"))
+                "unreachable: NOT MATCHED BY SOURCE SET * refused upstream"),
+              colBase)
             val cls = keptBase.withColumn("__na", nPlan.action)
             val (u, d) = nPlan.counts(cls)
             val kept = cls.filter(!nPlan.deletes)
-              .select(tableSchema.fields.toSeq.map(nPlan.image): _*)
+              .select(outSchema.fields.toSeq.map(nPlan.image): _*)
             // the constraint gate sees only the UPDATED kept images —
             // unmodified kept rows passed at their own write time, and
             // re-checking them would cost a full-table predicate pass
             val checked = cls.filter(nPlan.updates)
-              .select(tableSchema.fields.toSeq.map(nPlan.image): _*)
+              .select(outSchema.fields.toSeq.map(nPlan.image): _*)
             (kept, Some(checked), u, d)
           }
         // INSERT * on a column-subset source NULL-fills the columns
         // the source does not carry (the column-list INSERT rule)
         val inserted = insertCond match {
           case None => touchedRows.filter(lit(false))
-            .select(tableCols.map(col): _*)
+            .select(outSchema.fields.toSeq.map(f =>
+              if (tableColSet.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)): _*)
           case Some(cond) =>
             srcA.join(touchedRows.select(col(key).as("__tk")),
               col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
               .filter(cond.getOrElse(lit(true)))
-              .select(tableSchema.fields.toSeq.map(f =>
+              .select(outSchema.fields.toSeq.map(f =>
                 if (srcColSet.contains(f.name)) col(f.name)
                 else lit(null).cast(f.dataType).as(f.name)): _*)
         }
@@ -2828,8 +2877,11 @@ object Snapshots {
       }
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
+      // the EVOLVED schema rides the log — untouched files carried by
+      // reference surface the new columns as NULL (by-name parquet
+      // resolution), exactly append's ADD-only evolution
       val ddl = org.apache.spark.sql.types.StructType(
-        tableSchema.fields.map(_.copy(nullable = true))).toDDL
+        outSchema.fields.map(_.copy(nullable = true))).toDDL
       fireRaceHook()
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,

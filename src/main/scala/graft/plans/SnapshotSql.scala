@@ -138,13 +138,17 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
   *   CREATE [OR REPLACE] TABLE snap.`/t` [PARTITIONED BY (...)]
   *     [CLUSTERED BY (...) [SORTED BY (...)] INTO n BUCKETS]
   *     AS SELECT ...         -- birth (exclusive) / re-runnable replace
-  *   CREATE TABLE snap.`/d` SHALLOW CLONE snap.`/s` [VERSION AS OF v]
+  *   CREATE [OR REPLACE] TABLE snap.`/d` SHALLOW CLONE snap.`/s`
+  *     [VERSION AS OF v]     -- zero-copy fork; OR REPLACE re-points
   *   DROP TABLE snap.`/t`                        -- tombstone death
   * }}}
   *
   * MERGE sources may carry a COLUMN SUBSET of the table (key
   * included): UPDATE SET * updates the carried columns only and
-  * INSERT * NULL-fills the rest.
+  * INSERT * NULL-fills the rest. `MERGE WITH SCHEMA EVOLUTION`
+  * accepts NEW source columns — they extend the logged schema as
+  * nullable fields (ADD-only), filled by the matched updates and
+  * inserts, NULL everywhere else.
   *
   * INSERT enforces the table's logged CHECK constraints and schema
   * (positional column matching, SQL's default); DELETE and UPDATE
@@ -261,11 +265,9 @@ object SnapshotSql {
 
   private def sqlVerb(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
     case CloneRe(orReplace, dst, src, ver) =>
-      require(orReplace == null,
-        "snap: CREATE OR REPLACE ... SHALLOW CLONE is not supported — " +
-          "DROP TABLE the destination first, then CLONE")
       runClone(spark, noCatalog(dst, "CREATE TABLE"),
-        noCatalog(src, "SHALLOW CLONE"), Option(ver).map(_.toLong))
+        noCatalog(src, "SHALLOW CLONE"), Option(ver).map(_.toLong),
+        orReplace != null)
     case CreateRe(orReplace, root, parts, cluster, sorted, buckets, select) =>
       runCreate(spark, noCatalog(root, "CREATE TABLE"), orReplace != null,
         Option(parts), Option(cluster), Option(sorted),
@@ -457,8 +459,9 @@ object SnapshotSql {
     * a statement. Receipt = (version, n_rows) of the clone.
     */
   private def runClone(spark: SparkSession, dst: String, src: String,
-                       version: Option[Long]): DataFrame = {
-    val v = Snapshots.cloneShallow(spark, src, dst, version)
+                       version: Option[Long],
+                       orReplace: Boolean = false): DataFrame = {
+    val v = Snapshots.cloneShallow(spark, src, dst, version, orReplace)
     receipt(spark, v, Snapshots.versionMeta(spark, dst, v).nRows)
   }
 
@@ -687,8 +690,6 @@ object SnapshotSql {
       UpdateAction}
     import spark.implicits._
     val root = tableRootOf(spark, m.targetTable, "MERGE")
-    require(!m.withSchemaEvolution,
-      "snap: MERGE WITH SCHEMA EVOLUTION is not supported")
     val key = m.mergeCondition match {
       // the same fully-qualified reference on both sides (ON t.id =
       // t.id — a typo for t.id = s.id) must refuse, not silently run
@@ -730,7 +731,7 @@ object SnapshotSql {
     val isPlainUpsert =
       m.matchedActions == Seq(UpdateStarAction(None)) &&
         m.notMatchedActions == Seq(InsertStarAction(None)) &&
-        nmbs.isEmpty &&
+        nmbs.isEmpty && !m.withSchemaEvolution &&
         src.columns.toSet ==
           Snapshots.tableSchema(spark, root).fieldNames.toSet
     if (isPlainUpsert) {
@@ -766,7 +767,7 @@ object SnapshotSql {
       }
       val r = Snapshots.mergeClauses(spark, src, root, key, Seq(key),
         aliasOf(m.targetTable, "t"), aliasOf(m.sourceTable, "u"),
-        matched, insert, nmbs)
+        matched, insert, nmbs, evolveSchema = m.withSchemaEvolution)
       Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsUpdated,
           r.rowsDeleted, r.rowsInserted))
         .toDF("version", "files_rewritten", "files_total", "rows_updated",

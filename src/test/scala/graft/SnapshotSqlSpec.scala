@@ -676,6 +676,56 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(i.getDouble(1) === 7.0 && i.isNullAt(2))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: the statement extends the table schema") {
+    val root = tmpDir("sqlsnap_evo")
+    Snapshots.commitWithStats(spark,
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "x")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    Seq((3L, 300.0, "gold"), (9999L, 9.0, "silver"))
+      .toDF("id", "x", "tier").createOrReplaceTempView("evo_src")
+    // without the clause the extra column refuses
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"""MERGE INTO snap.`$root` t USING evo_src u ON t.id = u.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO snap.`$root` t
+         |USING evo_src u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(rec.getLong(3) === 1L && rec.getLong(5) === 1L)
+    val after = SnapshotSql.sql(spark,
+      s"SELECT tier, count(*) AS n FROM snap.`$root` GROUP BY tier ORDER BY tier NULLS FIRST")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(after === Seq((None, 29L), (Some("gold"), 1L), (Some("silver"), 1L)))
+  }
+
+  test("CREATE OR REPLACE ... SHALLOW CLONE re-points a live destination") {
+    val base = tmpDir("sqlsnap_clone_rp")
+    val (s1, s2, dst) = (s"$base/s1", s"$base/s2", s"$base/d")
+    Snapshots.commit(spark, ids(1, 10), s1)
+    Snapshots.commit(spark, ids(1, 25), s2)
+    SnapshotSql.sql(spark,
+      s"CREATE TABLE snap.`$dst` SHALLOW CLONE snap.`$s1`")
+    // plain CLONE refuses the live destination…
+    intercept[Exception] {
+      SnapshotSql.sql(spark,
+        s"CREATE TABLE snap.`$dst` SHALLOW CLONE snap.`$s2`")
+    }
+    // …OR REPLACE re-points it, history intact
+    SnapshotSql.sql(spark,
+      s"CREATE OR REPLACE TABLE snap.`$dst` SHALLOW CLONE snap.`$s2`")
+    assert(SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$dst`").head().getLong(0) === 25L)
+    assert(SnapshotSql.sql(spark,
+      s"SELECT count(*) AS n FROM snap.`$dst` VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+  }
+
   test("VACUUM RETAIN n HOURS routes to time-based retention") {
     val root = tmpDir("sqlsnap_vac_hours")
     clustered(root, 50)

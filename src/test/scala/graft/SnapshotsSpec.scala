@@ -1722,6 +1722,45 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("mergeClauses: WITH SCHEMA EVOLUTION — new source columns extend the logged schema") {
+    val root = tmpDir("snap_evo_merge")
+    val base = (1L to 60L).map(i => (i, i * 1.0)).toDF("id", "x")
+    Snapshots.commitWithStats(spark,
+      base.repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val feed = Seq((5L, 500.0, "eu"), (7000L, 7.0, "us")).toDF("id", "x", "region")
+    // without the flag, an extra column refuses loudly (feed drift)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, feed, root, "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None))
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    val r = Snapshots.mergeClauses(spark, feed, root, "id", Seq("id"),
+      "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None), evolveSchema = true)
+    assert(r.rowsUpdated === 1L && r.rowsInserted === 1L)
+    assert(r.filesRewritten < r.filesTotal,
+      "evolution keeps the stats-targeted bounded rewrite")
+    val after = Snapshots.read(spark, root)
+    assert(after.columns.toSeq === Seq("id", "x", "region"))
+    // matched row carries the new column; untouched-file rows (carried
+    // BY REFERENCE, never rewritten) surface NULL via the logged schema
+    assert(after.filter(col("id") === 5L).head().getString(2) === "eu")
+    assert(after.filter(col("id") === 7000L).head().getString(2) === "us")
+    assert(after.filter(col("region").isNull).count() === 59L)
+    assert(after.count() === 61L)
+    // pre-evolution versions still read under THEIR schema
+    assert(Snapshots.read(spark, root, Some(1L)).columns.toSeq === Seq("id", "x"))
+    // a case-colliding "new" column refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, Seq((1L, "Y")).toDF("id", "X"), root,
+        "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = None, evolveSchema = true)
+    }
+  }
+
   test("OCC re-base: a streaming append racing OPTIMIZE — both commit, zero re-staged writes") {
     val root = tmpDir("snap_occ_opt")
     val rows = (n: Int, off: Long) =>
