@@ -880,6 +880,15 @@ object Snapshots {
           prior.collect { case (h, t) if h == v - 1 => t }.flatten)
         writeHint(f, root, v, hintTag)
       }
+      // CHECKPOINT CADENCE (Delta's every-N-commits shape): every
+      // 64th version folds the log into the audit checkpoint, so even
+      // a table that never ran an audit pays O(≤64 tail) on its FIRST
+      // history/fileLineage call instead of O(#commits) — amortized
+      // one tail meta read per commit. Best-effort like the hint: a
+      // failure costs the next audit its tail reads, never a commit.
+      if (v % 64 == 0)
+        try historyRows(spark, root)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     won
   }

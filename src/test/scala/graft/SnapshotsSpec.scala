@@ -2012,6 +2012,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.history(spark, root).count() === 3)
   }
 
+  test("the audit checkpoint is maintained on the commit path every 64 versions") {
+    val root = tmpDir("snap_ckpt_cadence")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (2 to 70).foreach(_ => Snapshots.append(spark, df, root))
+    // the 64th publish folded versions 1..64 into _ckpt — a table
+    // that NEVER ran an audit still pays only the tail on its first
+    // history call, not O(#commits) version-file reads
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_versions", "_ckpt")))
+    val m0 = Snapshots.metaReads.get()
+    assert(Snapshots.history(spark, root).count() === 70L)
+    val reads = Snapshots.metaReads.get() - m0
+    assert(reads <= 8,
+      s"first audit must read checkpoint + tail, read $reads version files")
+  }
+
   test("appendWithExpectations: a replayed tagged batch leaves the quarantine untouched") {
     val root = tmpDir("snap_exp_replay")
     val q = tmpDir("snap_exp_replay_q")
