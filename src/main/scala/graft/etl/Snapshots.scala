@@ -138,8 +138,13 @@ object Snapshots {
           else None
         body.trim.split(' ') match {
           case Array(v) => num(v).map(n => (n, None))
-          case Array(v, t) => for (vn <- num(v); tn <- num(t))
-            yield (vn, Some(tn))
+          // the floor parses INDEPENDENTLY of the tag: an unreadable
+          // tag field (e.g. a legal 19-digit Long) drops only the
+          // claim — losing the floor too would send every
+          // latestVersion call to a full listing, and tagged
+          // publishes rewriting the same unreadable hint would make
+          // that degradation permanent
+          case Array(v, t) => num(v).map(vn => (vn, num(t)))
           case _ => None
         }
       }
@@ -869,15 +874,28 @@ object Snapshots {
       if (!prior.exists(_._1 >= v)) {
         // a TAGGED publish knows the new max exactly (the tag-
         // monotonicity gate ran against this very version slot); an
-        // untagged one carries the prior claim forward only when the
-        // prior hint is the immediately preceding version — any gap
-        // could hide a tagged commit, so the tag field drops and
-        // [[lastTag]] degrades to the listing walk until the next
-        // tagged publish re-seeds it
+        // untagged one carries the prior claim forward directly when
+        // the prior hint is the immediately preceding version, and
+        // through a BOUNDED PROBE of the gap versions' own tags when
+        // it lags further behind (≤64 tiny reads, off the warm path)
+        // — a mixed tagged/untagged writer workload keeps the O(1)
+        // replay guard instead of re-paying listings until the next
+        // tagged publish. An unreadable gap version or a wider gap
+        // drops the claim (never a wrong one); [[lastTag]] then
+        // degrades to the listing walk until a tagged publish
+        // re-seeds it.
         val ownTag = """"tag":(\d+)""".r.findFirstMatchIn(body)
           .map(_.group(1).toLong)
-        val hintTag = ownTag.orElse(
-          prior.collect { case (h, t) if h == v - 1 => t }.flatten)
+        val hintTag = ownTag.orElse(prior match {
+          case Some((h, Some(t))) if h == v - 1 => Some(t)
+          case Some((h, Some(t))) if h < v - 1 && v - 1 - h <= 64 =>
+            try {
+              val gapTags = ((h + 1) until v).flatMap(gv =>
+                versionMeta(spark, root, gv).tag)
+              Some((gapTags :+ t).max)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        })
         writeHint(f, root, v, hintTag)
       }
       // CHECKPOINT CADENCE (Delta's every-N-commits shape): every
@@ -984,12 +1002,16 @@ object Snapshots {
     * no data file opened, so it works on a freshly created
     * still-empty table (the CREATE-then-INSERT workflow).
     */
-  def tableSchema(spark: SparkSession,
-                  root: String): org.apache.spark.sql.types.StructType = {
+  def tableSchema(spark: SparkSession, root: String,
+                  op: String = "tableSchema")
+      : org.apache.spark.sql.types.StructType = {
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
-    requireLive(m, root, "tableSchema")
+    // `op` names the CALLING verb in the tombstone refusal — a MERGE
+    // probing the schema of a dropped table must refuse as MERGE,
+    // not under this helper's name
+    requireLive(m, root, op)
     val phys = schemaOf(spark, root, v, m)
     org.apache.spark.sql.types.StructType(
       phys.fields.flatMap(f => m.colmap.logicalOf(f.name)
@@ -1992,22 +2014,93 @@ object Snapshots {
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root,
         relFilesOf(spark, root, m) ++ freshRel)
+      fireRaceHook()
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, m.nRows, None, m.schemaDdl, Some(dvRel),
             m.constraints, m.parts, m.bucket))) {
         dropScratch()
         return MorUpdateResult(v + 1, freshRows, priorN + nUpd)
       }
-      // lost the race: drop our own orphans and recompute against the
-      // new latest (the scratch frame is stale too)
-      dropScratch()
-      fs(spark, new Path(root, freshDir)).delete(new Path(root, freshDir), true)
+      // lost the race — UPDATE's OCC re-base (the one manifest-delta
+      // writer the generalized [[rebaseDelta]] left out; a predicate
+      // update racing a streaming append is the same collision class)
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
-      fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
       attempts += 1
       require(attempts < 100, s"$root: updateWhere lost $attempts commit races")
+      rebaseUpdateWhere(spark, root, v, m, pred, schema, freshRel, dvRel,
+        () => {
+          attempts += 1
+          require(attempts < 100,
+            s"$root: updateWhere lost $attempts commit races")
+        }) match {
+        case Some(nv) =>
+          dropScratch()
+          return MorUpdateResult(nv, freshRows, priorN + nUpd)
+        case None =>
+          // conflict shape — drop our own orphans and recompute
+          // against the new latest (the scratch frame is stale too)
+          dropScratch()
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
+          restages.incrementAndGet()
+      }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** [[updateWhere]]'s OCC re-base: the staged churn-sized rewrite
+    * stays valid on the interleaved latest iff (a) the interleaver is
+    * METADATA-COMPATIBLE (schema/layouts/colmap/constraints AND the
+    * deletion-vector reference unchanged — our new vector extends
+    * that exact prior) and only ADDED files (every file the update
+    * read is still present: the staged dv positions and rewritten
+    * images reference them), and (b) no added file holds a row the
+    * update predicate MATCHES — the rebased commit serializes AFTER
+    * the interleaver, so a matching row it never evaluated would
+    * break write-serializability (Delta's conflict checker refuses
+    * the same shape). The added files are the interleaver's churn, so
+    * the predicate check is one bounded scan of exactly those files,
+    * never the table. A disjoint interleave costs this writer one
+    * tiny manifest rewrite instead of re-running the whole body.
+    */
+  private def rebaseUpdateWhere(spark: SparkSession, root: String,
+      readV: Long, m: VMeta, pred: Column,
+      schema: org.apache.spark.sql.types.StructType,
+      freshRel: Seq[String], dvRel: String,
+      bumpAttempt: () => Unit): Option[Long] = {
+    while (true) {
+      val v2 = latestVersion(spark, root) match {
+        case Some(x) if x > readV => x
+        case _ => return None
+      }
+      val m2 = versionMeta(spark, root, v2)
+      val compatible = !m2.tombstone && m2.parts == m.parts &&
+        m2.bucket == m.bucket && m2.colmap == m.colmap &&
+        m2.constraints == m.constraints && m2.schemaDdl == m.schemaDdl &&
+        m2.dv == m.dv
+      if (!compatible) return None
+      val rels2 = relFilesOf(spark, root, m2)
+      val relsRead = relFilesOf(spark, root, m).toSet
+      if (!relsRead.forall(rels2.toSet)) return None
+      val added = rels2.filterNot(relsRead)
+      if (added.nonEmpty) {
+        val addedAbs = added.map(rel => new Path(root, rel).toString)
+        val hits = spark.read.schema(schema).parquet(addedAbs: _*)
+          .filter(coalesce(pred, lit(false))).limit(1).count()
+        if (hits > 0) return None
+      }
+      val man2 = writeManifest(spark, root, rels2 ++ freshRel)
+      if (tryPublish(spark, root, v2 + 1,
+          manBody(v2 + 1, man2, m2.nRows, None, m.schemaDdl, Some(dvRel),
+            m.constraints, m.parts, m.bucket))) {
+        rebases.incrementAndGet()
+        return Some(v2 + 1)
+      }
+      fs(spark, new Path(root, man2)).delete(new Path(root, man2), false)
+      bumpAttempt()
+    }
+    None // unreachable
   }
 
   // --- copy-on-write writers: append / merge / deleteRange ---
@@ -2341,6 +2434,21 @@ object Snapshots {
             tag: Option[Long] = None): CowResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
+    // persist the SOURCE PLAN once, before any pass: the constraint
+    // gate, the key-sanity aggregate, the file targeting, and the
+    // rewrite each read the batch — for a view-backed or computed
+    // source those were four evaluations of the source plan per
+    // statement. Churn-sized by the merge contract, so caching it is
+    // bounded; unpersisted on every exit path.
+    val updRaw = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeBody(spark, updRaw, root, key, statsCols, tag)
+    finally updRaw.unpersist()
+  }
+
+  private def mergeBody(spark: SparkSession, updates: DataFrame, root: String,
+                        key: String, statsCols: Seq[String],
+                        tag: Option[Long]): CowResult = {
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
@@ -2636,8 +2744,11 @@ object Snapshots {
     * wins, no clause → the row is kept; unmatched source rows insert
     * when the insert clause (and its condition) admits them. NULL
     * keys never match on either side (they insert / survive — the
-    * [[merge]] rule); duplicate source keys multiply like a
-    * multi-match SQL MERGE, so sources should be key-distinct.
+    * [[merge]] rule); duplicate source keys REFUSE when the
+    * statement has MATCHED clauses (a multi-matched target row would
+    * rewrite once per duplicate — Delta's multi-match error), and
+    * are legal otherwise (matched targets keep exactly once,
+    * unmatched duplicates each insert).
     * Updated and inserted images face the table's CHECK constraints;
     * the receipt's row accounting costs one aggregate plus one
     * anti-join count over PERSISTED churn-sized frames (the touched
@@ -2674,6 +2785,25 @@ object Snapshots {
           "there is no source row for UPDATE SET *")
       case _ => ()
     }
+    // persist the SOURCE PLAN once, before any pass (see [[merge]]):
+    // the key-sanity aggregate, the file targeting, the clause
+    // counts, and the rewrite all read from the one materialized
+    // frame — never re-evaluating a view-backed source's plan
+    val srcRaw = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeClausesBody(spark, srcRaw, root, key, statsCols, targetAlias,
+      sourceAlias, matched, insertCond, notMatchedBySource, tag, evolveSchema)
+    finally srcRaw.unpersist()
+  }
+
+  private def mergeClausesBody(spark: SparkSession, source: DataFrame,
+                   root: String, key: String, statsCols: Seq[String],
+                   targetAlias: String, sourceAlias: String,
+                   matched: Seq[MatchedClause],
+                   insertCond: Option[Option[Column]],
+                   notMatchedBySource: Seq[MatchedClause],
+                   tag: Option[Long],
+                   evolveSchema: Boolean): MergeClausesResult = {
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
@@ -2730,12 +2860,17 @@ object Snapshots {
       }
       // cast to the table's EXACT logged types (see [[merge]]): wrong
       // bucket hashes and union-widened unreadable files both start
-      // as a silent dtype drift. The key cast must be lossless AND
-      // the source key-distinct — a multi-matched target row would be
-      // emitted once per duplicate through the clause join, silently
-      // multiplying table rows (Delta's MERGE raises on multi-match)
+      // as a silent dtype drift. The key cast must be lossless; with
+      // MATCHED clauses the source must also be key-distinct — a
+      // multi-matched target row would be emitted once per duplicate
+      // through the clause join, silently multiplying table rows
+      // (Delta's MERGE raises on multi-match for the same reason). An
+      // insert-only / dimension-sync merge tolerates duplicates: its
+      // matched rows keep via a semi-join and its NMBS/insert sides
+      // anti-join, none of which can multiply (unmatched duplicate
+      // keys each insert — SQL MERGE's documented multi-row insert)
       requireKeySane(source, key, tableSchema(key).dataType,
-        refuseDups = true, "mergeClauses")
+        refuseDups = matched.nonEmpty, "mergeClauses")
       val srcFields = outSchema.fields.toSeq.filter(f =>
         srcColSet.contains(f.name))
       val src = source.select(srcFields.map(f =>
@@ -2799,10 +2934,11 @@ object Snapshots {
           spark.read.schema(tableSchema).parquet(touchedList.toSeq: _*),
           dvPrior).select(tableCols.map(col): _*)
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val srcP = src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // `src` is a cheap cast over the persisted raw source — every
+      // pass below reads cached partitions, never the source plan
       val (freshDir, freshRows, nUpd, nDel, nIns) = try {
         val tgtA = touchedRows.alias(targetAlias)
-        val srcA = srcP.alias(sourceAlias)
+        val srcA = src.alias(sourceAlias)
         val joined = tgtA.join(srcA,
           col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
         // the matched side: UPDATE SET * takes the source's carried
@@ -2820,9 +2956,20 @@ object Snapshots {
         val classified = joined.withColumn("__ma", mPlan.action)
         val acts =
           if (matched.isEmpty) (0L, 0L) else mPlan.counts(classified)
-        val matchedOut = classified
-          .filter(!mPlan.deletes)
-          .select(outSchema.fields.toSeq.map(mPlan.image): _*)
+        // with NO matched clauses, matched target rows are plain
+        // kept rows — keep them via a SEMI-join (one copy per target
+        // row, whatever the source's key multiplicity) instead of the
+        // inner clause join, which would emit one copy per duplicate
+        // source key
+        val matchedOut =
+          if (matched.isEmpty)
+            tgtA.join(src.select(col(key).as("__mk3")),
+                col(s"$targetAlias.$key") === col("__mk3"), "left_semi")
+              .select(outSchema.fields.toSeq.map(f =>
+                colBase(f).cast(f.dataType).as(f.name)): _*)
+          else classified
+            .filter(!mPlan.deletes)
+            .select(outSchema.fields.toSeq.map(mPlan.image): _*)
         // target rows ABSENT from the source: plain kept rows, or —
         // with WHEN NOT MATCHED BY SOURCE clauses — the dimension-sync
         // evaluation (first clause whose condition holds wins: UPDATE
@@ -2831,7 +2978,7 @@ object Snapshots {
         // SET * there was refused at validation, so the star renderer
         // is unreachable.
         val keptBase = touchedRows.alias(targetAlias).join(
-            srcP.select(col(key).as("__mk2")), col(key) === col("__mk2"),
+            src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
             "left_anti")
         val (keptTgt, nmbsChecked, nmbsUpd, nmbsDel) =
           if (notMatchedBySource.isEmpty)
@@ -2880,10 +3027,7 @@ object Snapshots {
         val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
         val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
         (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, nI)
-      } finally {
-        touchedRows.unpersist()
-        srcP.unpersist()
-      }
+      } finally touchedRows.unpersist()
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
       // the EVOLVED schema rides the log — untouched files carried by

@@ -727,13 +727,16 @@ object SnapshotSql {
     }
     // the bare upsert fast path needs the FULL table schema (it
     // replaces whole rows); a column-subset source routes to the
-    // clause form, whose UPDATE keeps unnamed columns
+    // clause form, whose UPDATE keeps unnamed columns. The cheap
+    // clause-shape checks run FIRST so only an already-plain-shaped
+    // statement pays the schema probe's metadata read, and the probe
+    // names MERGE in its tombstone refusal
     val isPlainUpsert =
       m.matchedActions == Seq(UpdateStarAction(None)) &&
         m.notMatchedActions == Seq(InsertStarAction(None)) &&
         nmbs.isEmpty && !m.withSchemaEvolution &&
         src.columns.toSet ==
-          Snapshots.tableSchema(spark, root).fieldNames.toSet
+          Snapshots.tableSchema(spark, root, "MERGE").fieldNames.toSet
     if (isPlainUpsert) {
       val r = Snapshots.merge(spark, src, root, key, statsCols = Seq(key))
       Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsWritten))

@@ -12,6 +12,18 @@ class SnapshotsSpec extends SparkSpec {
 
   private def df(n: Int) = (1 to n).map(i => (i.toLong, s"r$i")).toDF("id", "s")
 
+  /** Overwrite the hint through the HADOOP FS (crc sidecar updated) —
+    * the shape a real delayed/odd writeHint leaves behind; a plain
+    * NIO write would skew the checksum and make the hint unreadable,
+    * testing the corrupt-fallback path instead.
+    */
+  private def writeHintVia(root: String, s: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_versions/_latest_hint")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
   test("commit/read round-trip; versions increment; latest wins") {
     val root = tmpDir("snap_rt")
     assert(Snapshots.versions(spark, root).isEmpty)
@@ -2194,5 +2206,120 @@ class SnapshotsSpec extends SparkSpec {
     val (_, nRead2, _) = Snapshots.readPruned(spark, root, Some(3L),
       "id", Some(lit(500L)), Some(lit(600L)))
     assert(nRead2 < nTotal)
+  }
+
+  test("OCC re-base: updateWhere racing a predicate-disjoint append — both commit, zero re-staged writes") {
+    val root = tmpDir("snap_occ_upd")
+    Snapshots.commit(spark,
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "x"), root)
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    // the racer's rows cannot satisfy the update predicate: the
+    // staged churn-sized rewrite stays valid and only the tiny
+    // manifest re-publishes — neither writer re-runs its body
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark, Seq((5000L, 50.0)).toDF("id", "x"), root)
+    })
+    val r = Snapshots.updateWhere(spark, root,
+      col("id").between(10L, 20L), Seq("x" -> (col("x") * 100.0)))
+    assert(r.version === 3L, "the loser lands at the rebased version")
+    assert(r.rowsUpdated === 11L)
+    assert(Snapshots.rebases.get() === rb0 + 1, "one manifest re-base")
+    assert(Snapshots.restages.get() === rs0, "zero re-staged writes")
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 1001L)
+    assert(after.filter(col("id") === 15L).head().getDouble(1) === 1500.0)
+    assert(after.filter(col("id") === 5000L).count() === 1L,
+      "the racer's batch must ride the rebased manifest")
+    assert(after.filter(col("id") === 500L).head().getDouble(1) === 500.0)
+    // an OVERLAPPING racer (its row matches the predicate) re-stages:
+    // the update must behave as if it ran AFTER the interleaver, so
+    // the racer's matching row faces the predicate too
+    val rs1 = Snapshots.restages.get(); val rb1 = Snapshots.rebases.get()
+    Snapshots.racePublishHook = Some(() => {
+      Snapshots.append(spark, Seq((75L, 7.5)).toDF("id", "x"), root)
+    })
+    val r2 = Snapshots.updateWhere(spark, root,
+      col("id").between(60L, 90L), Seq("x" -> (col("x") * 100.0)))
+    assert(Snapshots.restages.get() === rs1 + 1, "overlap must re-stage")
+    assert(Snapshots.rebases.get() === rb1)
+    assert(r2.rowsUpdated === 32L,
+      "the re-staged update must see (and update) the racer's in-range row")
+    val seventyFive = Snapshots.read(spark, root)
+      .filter(col("id") === 75L).collect().map(_.getDouble(1)).sorted
+    assert(seventyFive.toSeq === Seq(750.0, 7500.0))
+  }
+
+  test("hint floor survives an unreadable tag field (claim drops, floor stays)") {
+    val root = tmpDir("snap_hint_tagbad")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (1 to 10).foreach(b => Snapshots.append(spark, df, root, tag = Some(b.toLong)))
+    // a 19-digit tag is a legal Long but fails the 18-digit parse
+    // bound: ONLY the claim may drop — losing the floor too would
+    // send every latestVersion call to a full listing, permanently
+    // (tagged publishes keep rewriting the same unreadable hint).
+    // Written through the Hadoop FS — exactly how writeHint itself
+    // would deposit an over-long tag (NIO would skew the crc sidecar)
+    writeHintVia(root, "11 1230000000000000000")
+    val l0 = Snapshots.fullListings.get()
+    assert(Snapshots.latestVersion(spark, root) === Some(11L))
+    assert(Snapshots.fullListings.get() === l0,
+      "the version floor must survive an unreadable tag")
+    assert(Snapshots.lastTag(spark, root) === Some(10L),
+      "the claim drops but the walk stays correct")
+  }
+
+  test("an untagged publish carries the tag claim across a bounded hint gap") {
+    val root = tmpDir("snap_tag_gap")
+    val df = Seq((1L, "a")).toDF("id", "s")
+    Snapshots.commit(spark, df, root)
+    (1 to 8).foreach(b => Snapshots.append(spark, df, root, tag = Some(b.toLong)))
+    // simulate a delayed hint writer: the claim is stuck four
+    // versions back (max tag ≤ v5 is 4)
+    writeHintVia(root, "5 4")
+    // an UNTAGGED publish probes the ≤gap versions' own tags instead
+    // of dropping the claim — a mixed tagged/untagged writer workload
+    // keeps the O(1) replay guard
+    Snapshots.rollback(spark, root, 9L)
+    val l0 = Snapshots.fullListings.get(); val m0 = Snapshots.metaReads.get()
+    (1 to 5).foreach(_ => assert(Snapshots.lastTag(spark, root) === Some(8L)))
+    assert(Snapshots.fullListings.get() === l0,
+      "the carried claim must keep lastTag listing-free")
+    assert(Snapshots.metaReads.get() === m0,
+      "the carried claim must keep lastTag read-free")
+  }
+
+  test("insert-only mergeClauses tolerates duplicate source keys (no matched clause can multiply)") {
+    val root = tmpDir("snap_dup_insonly")
+    Snapshots.commitWithStats(spark,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "x"), root, Seq("id"))
+    // duplicate keys: one pair MATCHES a target row (kept exactly
+    // once — the semi-join path), one pair is unmatched (each copy
+    // inserts — SQL MERGE's multi-row insert)
+    val dup = Seq((5L, 501.0), (5L, 502.0), (20L, 201.0), (20L, 202.0))
+      .toDF("id", "x")
+    val r = Snapshots.mergeClauses(spark, dup, root, "id", Seq("id"),
+      "t", "u", matched = Nil, insertCond = Some(None))
+    assert(r.rowsInserted === 2L && r.rowsUpdated === 0L)
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 12L)
+    assert(after.filter(col("id") === 5L).count() === 1L,
+      "a multi-matched target row must be kept exactly once")
+    assert(after.filter(col("id") === 5L).head().getDouble(1) === 5.0,
+      "an insert-only merge never rewrites matched rows")
+    assert(after.filter(col("id") === 20L).count() === 2L)
+    // a dimension-sync (NMBS) statement with duplicate source keys is
+    // legal too — its matched side keeps via the same semi-join
+    val r2 = Snapshots.mergeClauses(spark, dup, root, "id", Seq("id"),
+      "t", "u", matched = Nil, insertCond = None,
+      notMatchedBySource = Seq(Snapshots.MatchedUpdate(None,
+        Some(Seq("x" -> lit(-1.0))))))
+    assert(r2.rowsUpdated === 9L, "targets 1..10 minus the matched 5")
+    val after2 = Snapshots.read(spark, root)
+    assert(after2.count() === 12L)
+    assert(after2.filter(col("id") === 5L).count() === 1L)
+    assert(after2.filter(col("x") === -1.0).count() === 9L,
+      "only the unmatched originals sync; both matched id-20 rows keep")
+    assert(after2.filter(col("id") === 20L).count() === 2L)
   }
 }
