@@ -2717,7 +2717,7 @@ object Snapshots {
     * {{{
     *   WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
     *   WHEN MATCHED [AND pred] THEN DELETE
-    *   WHEN NOT MATCHED [AND pred] THEN INSERT *
+    *   WHEN NOT MATCHED [AND pred] THEN INSERT * | INSERT (cols) VALUES (...)
     *   WHEN NOT MATCHED BY SOURCE [AND pred] THEN UPDATE SET c = e | DELETE
     * }}}
     *
@@ -2732,7 +2732,14 @@ object Snapshots {
     *
     * The source may carry a COLUMN SUBSET of the table (key
     * included): UPDATE SET * updates the carried columns only, INSERT
-    * * NULL-fills the missing ones; extra columns refuse.
+    * * NULL-fills the missing ones; extra columns refuse. An explicit
+    * `insertSet` (the column-list insert) builds inserted rows from
+    * its expressions and NULL-fills unnamed columns. With
+    * `evolveSchema`, NEW source columns extend the logged schema
+    * (ADD-only) and shared columns whose source type is a LOSSLESS
+    * WIDENING of the logged type widen it (int→long, float→double,
+    * decimal growth — [[isLosslessWidening]]); pre-widening files
+    * read up through the widened logged schema.
     *
     * The SCALE CONTRACT otherwise is [[merge]]'s, unchanged: file targeting by
     * the update keys against the per-file min/max stats (broadcast,
@@ -2768,7 +2775,9 @@ object Snapshots {
                    insertCond: Option[Option[Column]],
                    notMatchedBySource: Seq[MatchedClause] = Nil,
                    tag: Option[Long] = None,
-                   evolveSchema: Boolean = false): MergeClausesResult = {
+                   evolveSchema: Boolean = false,
+                   insertSet: Option[Seq[(String, Column)]] = None)
+      : MergeClausesResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
     require(matched.nonEmpty || insertCond.nonEmpty ||
@@ -2776,6 +2785,18 @@ object Snapshots {
       "mergeClauses needs at least one WHEN clause")
     require(targetAlias != sourceAlias,
       s"target and source aliases must differ, both are '$targetAlias'")
+    // the COLUMN-LIST insert (`INSERT (cols) VALUES (exprs)` — the
+    // shape generated SQL tools emit): named columns take their
+    // expressions (over the source alias), unnamed table columns
+    // NULL-fill, exactly the column-list INSERT rule
+    require(insertSet.isEmpty || insertCond.nonEmpty,
+      "insert assignments need a WHEN NOT MATCHED ... THEN INSERT clause")
+    insertSet.foreach { assigns =>
+      require(assigns.nonEmpty, "INSERT (cols) VALUES needs columns")
+      val names = assigns.map(_._1.toLowerCase)
+      require(names.distinct.size == names.size,
+        s"duplicate INSERT columns in ${assigns.map(_._1).mkString(", ")}")
+    }
     // WHEN NOT MATCHED BY SOURCE clauses see no source row: UPDATE
     // needs explicit assignments (SET * is meaningless) and both
     // forms may reference TARGET columns only
@@ -2792,8 +2813,33 @@ object Snapshots {
     val srcRaw = source.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeClausesBody(spark, srcRaw, root, key, statsCols, targetAlias,
-      sourceAlias, matched, insertCond, notMatchedBySource, tag, evolveSchema)
+      sourceAlias, matched, insertCond, notMatchedBySource, tag,
+      evolveSchema, insertSet)
     finally srcRaw.unpersist()
+  }
+
+  /** Lossless type widenings the schema-evolution gate admits
+    * (Delta's type-widening feature set, restricted to conversions
+    * the parquet readers perform): the integral chain, float→double,
+    * int-or-smaller→double (53-bit mantissa covers 32-bit ints
+    * exactly), and decimal precision/scale growth that loses neither
+    * integer digits nor fraction digits. Everything else — narrowing,
+    * long→double, string↔number — is lossy or ambiguous and refuses.
+    */
+  private def isLosslessWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
   }
 
   private def mergeClausesBody(spark: SparkSession, source: DataFrame,
@@ -2803,7 +2849,8 @@ object Snapshots {
                    insertCond: Option[Option[Column]],
                    notMatchedBySource: Seq[MatchedClause],
                    tag: Option[Long],
-                   evolveSchema: Boolean): MergeClausesResult = {
+                   evolveSchema: Boolean,
+                   insertSet: Option[Seq[(String, Column)]]): MergeClausesResult = {
     var attempts = 0
     while (true) {
       val v = latestVersion(spark, root).getOrElse(
@@ -2841,8 +2888,44 @@ object Snapshots {
           "an existing table column"))
       require(srcColSet.contains(key),
         s"merge key $key is missing from the source columns")
+      // TYPE WIDENING (Delta's second evolution axis): with the flag,
+      // a shared column whose SOURCE type is a lossless widening of
+      // the logged type widens the logged schema — the commonest real
+      // feed drift after new-column (an int key becoming long).
+      // Carried files keep their narrower physical type and read up
+      // through the widened logged schema (the parquet readers
+      // perform exactly the admitted conversions); anything lossy
+      // refuses with the module's usual discipline. Partition/bucket
+      // columns never widen: existing files were PLACED under hashes/
+      // paths of the narrow type, and a re-typed key would silently
+      // mis-bucket (a wrong shuffle-free join later).
+      val widened: Map[String, org.apache.spark.sql.types.DataType] =
+        if (!evolveSchema) Map.empty
+        else source.schema.fields.toSeq.flatMap { f =>
+          tableSchema.fields.find(_.name == f.name) match {
+            case Some(tf) if tf.dataType != f.dataType =>
+              require(isLosslessWidening(tf.dataType, f.dataType),
+                s"schema evolution: source column ${f.name} is " +
+                  s"${f.dataType.simpleString} but the table logs " +
+                  s"${tf.dataType.simpleString} — only lossless widenings " +
+                  "(integral chain, float->double, decimal growth) evolve; " +
+                  "a lossy type change needs an explicit rewrite")
+              require(!m.parts.contains(f.name) &&
+                  !m.bucket.exists(_.cols.contains(f.name)),
+                s"schema evolution: cannot widen ${f.name} — it is a " +
+                  "partition/bucket column (existing files were laid out " +
+                  "under the narrower type)")
+              Some(f.name -> f.dataType)
+            case _ => None
+          }
+        }.toMap
+      // the table schema with widenings applied — what target files
+      // read AS and what the new version logs for the shared columns
+      val tableSchemaW = org.apache.spark.sql.types.StructType(
+        tableSchema.fields.map(f => widened.get(f.name)
+          .map(t => f.copy(dataType = t)).getOrElse(f)))
       val outSchema = org.apache.spark.sql.types.StructType(
-        tableSchema.fields ++ extraFields.map(_.copy(nullable = true)))
+        tableSchemaW.fields ++ extraFields.map(_.copy(nullable = true)))
       val outCols = outSchema.fieldNames.toSeq
       val tableColSet = tableCols.toSet
       requireTagMonotonic(spark, root, tag, "mergeClauses")
@@ -2858,6 +2941,12 @@ object Snapshots {
         }
         case _ => ()
       }
+      // column-list INSERT targets validate the same way
+      insertSet.foreach(_.foreach { case (n, _) =>
+        require(outCols.exists(_.equalsIgnoreCase(n)),
+          s"merge INSERT column $n is not a column of $root " +
+            s"(${outCols.mkString(", ")})")
+      })
       // cast to the table's EXACT logged types (see [[merge]]): wrong
       // bucket hashes and union-widened unreadable files both start
       // as a silent dtype drift. The key cast must be lossless; with
@@ -2869,7 +2958,7 @@ object Snapshots {
       // matched rows keep via a semi-join and its NMBS/insert sides
       // anti-join, none of which can multiply (unmatched duplicate
       // keys each insert — SQL MERGE's documented multi-row insert)
-      requireKeySane(source, key, tableSchema(key).dataType,
+      requireKeySane(source, key, tableSchemaW(key).dataType,
         refuseDups = matched.nonEmpty, "mergeClauses")
       val srcFields = outSchema.fields.toSeq.filter(f =>
         srcColSet.contains(f.name))
@@ -2926,12 +3015,16 @@ object Snapshots {
       // the churn-sized inputs are read by the count/check passes AND
       // the final write — persist them so the touched parquet files
       // and the source scan run ONCE, not once per pass
+      // touched files read under the WIDENED shared-column schema —
+      // the parquet readers up-convert the narrow physical types, so
+      // every image below is already widened (no mixed-type unions)
       val touchedRows = (
         if (touchedList.isEmpty)
           read(spark, root, Some(v)).filter(lit(false))
-            .select(tableCols.map(col): _*)
+            .select(tableSchemaW.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)
         else applyDv(spark, root,
-          spark.read.schema(tableSchema).parquet(touchedList.toSeq: _*),
+          spark.read.schema(tableSchemaW).parquet(touchedList.toSeq: _*),
           dvPrior).select(tableCols.map(col): _*)
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // `src` is a cheap cast over the persisted raw source — every
@@ -3001,7 +3094,20 @@ object Snapshots {
             (kept, Some(checked), u, d)
           }
         // INSERT * on a column-subset source NULL-fills the columns
-        // the source does not carry (the column-list INSERT rule)
+        // the source does not carry; an explicit column list
+        // (`INSERT (cols) VALUES (exprs)`) takes each named column's
+        // expression (over the source alias) and NULL-fills the rest
+        // — both are the column-list INSERT rule
+        val insertImage = (f: org.apache.spark.sql.types.StructField) =>
+          insertSet match {
+            case Some(assigns) => assigns.collectFirst {
+              case (n, e) if n.equalsIgnoreCase(f.name) =>
+                e.cast(f.dataType).as(f.name)
+            }.getOrElse(lit(null).cast(f.dataType).as(f.name))
+            case None =>
+              if (srcColSet.contains(f.name)) col(f.name).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+          }
         val inserted = insertCond match {
           case None => touchedRows.filter(lit(false))
             .select(outSchema.fields.toSeq.map(f =>
@@ -3011,9 +3117,7 @@ object Snapshots {
             srcA.join(touchedRows.select(col(key).as("__tk")),
               col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
               .filter(cond.getOrElse(lit(true)))
-              .select(outSchema.fields.toSeq.map(f =>
-                if (srcColSet.contains(f.name)) col(f.name)
-                else lit(null).cast(f.dataType).as(f.name)): _*)
+              .select(outSchema.fields.toSeq.map(insertImage): _*)
         }
         val nI = if (insertCond.isEmpty) 0L else inserted.count()
         // only the NEW images face the CHECK gate (kept rows passed at
@@ -4075,11 +4179,22 @@ object Snapshots {
   def vacuumRetainMs(spark: SparkSession, root: String, retainMs: Long,
                      orphanGraceMs: Long = 24L * 3600 * 1000,
                      protectedVersions: Set[Long] = Set.empty,
-                     nowMs: Option[Long] = None): Unit = {
+                     nowMs: Option[Long] = None): Unit =
+    retainKeep(spark, root, retainMs, protectedVersions, nowMs).foreach {
+      case (all, keepSet) => vacuumKeep(spark, root, all, keepSet, orphanGraceMs)
+    }
+
+  /** The (allVersions, keepSet) a time-based retention resolves to —
+    * shared by [[vacuumRetainMs]] and its DRY RUN preview. None when
+    * the table has no version log.
+    */
+  private def retainKeep(spark: SparkSession, root: String, retainMs: Long,
+                         protectedVersions: Set[Long],
+                         nowMs: Option[Long]): Option[(Seq[Long], Set[Long])] = {
     require(retainMs >= 0, s"negative retention $retainMs")
     val dir = versionsDir(root)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) return
+    if (!f.exists(dir)) return None
     // nowMs pins the horizon for deterministic retention jobs (and
     // the boundary spec); production callers omit it
     val cutoff = nowMs.getOrElse(System.currentTimeMillis()) - retainMs
@@ -4089,17 +4204,58 @@ object Snapshots {
         case _ => None
       }
     }.sortBy(_._1)
-    if (stamped.isEmpty) return
+    if (stamped.isEmpty) return None
     val all = stamped.map(_._1)
     val keepSet = stamped.collect { case (v, ts) if ts >= cutoff => v }.toSet ++
       Set(all.last) ++ protectedVersions.filter(all.contains)
-    vacuumKeep(spark, root, all, keepSet, orphanGraceMs)
+    Some((all, keepSet))
+  }
+
+  /** `VACUUM ... DRY RUN` (count-based retention): one row per
+    * artifact the same [[vacuum]] would delete — dropped version
+    * files, unreferenced data dirs / manifests / deletion vectors
+    * past the orphan grace, and their layouts' stats tables — with
+    * NOTHING mutated (not even the hint refresh; a preview must be
+    * side-effect-free). The first thing an operator wants before a
+    * reclaim on a 100 TB table.
+    */
+  def vacuumDryRun(spark: SparkSession, root: String, keepLast: Int,
+                   orphanGraceMs: Long = 24L * 3600 * 1000,
+                   protectedVersions: Set[Long] = Set.empty): DataFrame = {
+    require(keepLast >= 1)
+    val all = versions(spark, root)
+    planFrame(spark, vacuumPlanOf(spark, root, all,
+      all.takeRight(keepLast).toSet ++ protectedVersions.filter(all.contains),
+      orphanGraceMs))
+  }
+
+  /** [[vacuumDryRun]]'s time-based twin — previews
+    * [[vacuumRetainMs]].
+    */
+  def vacuumDryRunRetainMs(spark: SparkSession, root: String, retainMs: Long,
+                           orphanGraceMs: Long = 24L * 3600 * 1000,
+                           protectedVersions: Set[Long] = Set.empty,
+                           nowMs: Option[Long] = None): DataFrame =
+    retainKeep(spark, root, retainMs, protectedVersions, nowMs) match {
+      case Some((all, keepSet)) =>
+        planFrame(spark, vacuumPlanOf(spark, root, all, keepSet, orphanGraceMs))
+      case None => planFrame(spark, VacuumPlan(Nil, Nil, Nil, Nil, Nil))
+    }
+
+  private def planFrame(spark: SparkSession, p: VacuumPlan): DataFrame = {
+    import spark.implicits._
+    val rows =
+      p.dropVersions.map(v => ("version", f"_versions/v$v%08d.json")) ++
+        p.dataDirs.map(("data_dir", _)) ++
+        p.manifests.map(("manifest", _)) ++
+        p.dvs.map(("dv", _)) ++
+        p.statsIds.map(id => ("stats", s"_stats/$id"))
+    rows.sortBy(r => (r._1, r._2)).toDF("kind", "path")
   }
 
   private def vacuumKeep(spark: SparkSession, root: String,
                          all: Seq[Long], keepSet: Set[Long],
                          orphanGraceMs: Long): Unit = {
-    val keep = all.filter(keepSet)
     val drop = all.filterNot(keepSet)
     // refresh the listing floor BEFORE creating gaps: a protected
     // version below the retained tail may survive with its successor
@@ -4131,6 +4287,41 @@ object Snapshots {
           "version-file gaps would corrupt latestVersion)")
       }
     }
+    val plan = vacuumPlanOf(spark, root, all, keepSet, orphanGraceMs)
+    val f = fs(spark, new Path(root))
+    plan.dropVersions.foreach(v => f.delete(versionFile(root, v), false))
+    plan.dataDirs.foreach { rel =>
+      f.delete(new Path(root, rel), true)
+      // a reclaimed dir's skipping index is dead weight too
+      f.delete(statsPath(root, rel.stripPrefix("data/")), true)
+    }
+    plan.manifests.foreach { rel =>
+      f.delete(new Path(root, rel), false)
+      f.delete(statsPath(root, rel.split('/').last.stripSuffix(".txt")), true)
+    }
+    plan.dvs.foreach(rel => f.delete(new Path(root, rel), true))
+    plan.statsIds.foreach(id => f.delete(statsPath(root, id), true))
+  }
+
+  /** The reclaim set a [[vacuumKeep]] with these inputs would delete
+    * — computed with nothing mutated, so the DRY RUN preview and the
+    * real reclaim share ONE decision path and can never drift.
+    * `statsIds` lists existing stats tables only (a preview must not
+    * report phantom files); the apply side additionally clears the
+    * (possibly absent) stats of every dropped dir/manifest, a no-op
+    * when absent.
+    */
+  private final case class VacuumPlan(dropVersions: Seq[Long],
+                                      dataDirs: Seq[String],
+                                      manifests: Seq[String],
+                                      dvs: Seq[String],
+                                      statsIds: Seq[String])
+
+  private def vacuumPlanOf(spark: SparkSession, root: String,
+                           all: Seq[Long], keepSet: Set[Long],
+                           orphanGraceMs: Long): VacuumPlan = {
+    val keep = all.filter(keepSet)
+    val drop = all.filterNot(keepSet)
     val keepMetas = keep.map(versionMeta(spark, root, _))
     // a kept version pins its data dirs: a dir version pins its one
     // dir; a manifest version pins EVERY dir it references files in
@@ -4152,7 +4343,6 @@ object Snapshots {
     val keepManifests = keepMetas.flatMap(_.manifest).toSet
     val keepLayouts = keepMetas.map(_.layoutId).toSet
     val f = fs(spark, new Path(root))
-    drop.foreach(v => f.delete(versionFile(root, v), false))
     // an unreferenced dir younger than the grace window may be an
     // IN-FLIGHT commit (data written, version not yet published) —
     // deleting it would corrupt the concurrent writer. Delta's
@@ -4161,45 +4351,50 @@ object Snapshots {
     // orphanGraceMs = 0 restores eager reclaim for offline cleanup.
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dataRoot = new Path(root, "data")
-    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-      val rel = s"data/${st.getPath.getName}"
-      if (!keepDirs.contains(rel) && st.getModificationTime <= cutoff) {
-        f.delete(st.getPath, true)
-        // a reclaimed dir's skipping index is dead weight too
-        f.delete(statsPath(root, rel.stripPrefix("data/")), true)
-      }
-    }
+    val dirDrops =
+      if (!f.exists(dataRoot)) Seq.empty[String]
+      else f.listStatus(dataRoot).toSeq.map(st =>
+          (s"data/${st.getPath.getName}", st.getModificationTime))
+        .collect { case (rel, ts)
+            if !keepDirs.contains(rel) && ts <= cutoff => rel }
     // dropped/orphaned manifests (and their layouts' stats) reclaim
     // under the same grace rule as data dirs
     val manRoot = new Path(root, "manifests")
-    if (f.exists(manRoot)) f.listStatus(manRoot).foreach { st =>
-      val rel = s"manifests/${st.getPath.getName}"
-      if (!st.getPath.getName.startsWith(".") &&
-          !keepManifests.contains(rel) && st.getModificationTime <= cutoff) {
-        f.delete(st.getPath, false)
-        f.delete(statsPath(root,
-          st.getPath.getName.stripSuffix(".txt")), true)
+    val manDrops =
+      if (!f.exists(manRoot)) Seq.empty[String]
+      else f.listStatus(manRoot).toSeq.collect {
+        case st if !st.getPath.getName.startsWith(".") &&
+            !keepManifests.contains(s"manifests/${st.getPath.getName}") &&
+            st.getModificationTime <= cutoff =>
+          s"manifests/${st.getPath.getName}"
       }
-    }
     // deletion vectors pin like manifests: kept versions' vectors
     // stay, dropped/orphaned ones reclaim under the same grace rule
     val keepDvs = keepMetas.flatMap(_.dv).toSet
     val dvRoot = new Path(root, "dv")
-    if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { st =>
-      val rel = s"dv/${st.getPath.getName}"
-      if (!st.getPath.getName.startsWith(".") &&
-          !keepDvs.contains(rel) && st.getModificationTime <= cutoff)
-        f.delete(st.getPath, true)
-    }
+    val dvDrops =
+      if (!f.exists(dvRoot)) Seq.empty[String]
+      else f.listStatus(dvRoot).toSeq.collect {
+        case st if !st.getPath.getName.startsWith(".") &&
+            !keepDvs.contains(s"dv/${st.getPath.getName}") &&
+            st.getModificationTime <= cutoff =>
+          s"dv/${st.getPath.getName}"
+      }
     // stats of dropped DIR layouts whose dir survived (still pinned by
     // a manifest) are still live only if the layout itself is kept
     val statsRoot = new Path(root, "_stats")
-    if (f.exists(statsRoot)) f.listStatus(statsRoot).foreach { st =>
-      val id = st.getPath.getName
-      val dirAlive = keepDirs.contains(s"data/$id")
-      if (!keepLayouts.contains(id) && !dirAlive &&
-          st.getModificationTime <= cutoff)
-        f.delete(st.getPath, true)
-    }
+    val statsLoose =
+      if (!f.exists(statsRoot)) Seq.empty[String]
+      else f.listStatus(statsRoot).toSeq.collect {
+        case st if !keepLayouts.contains(st.getPath.getName) &&
+            !keepDirs.contains(s"data/${st.getPath.getName}") &&
+            st.getModificationTime <= cutoff =>
+          st.getPath.getName
+      }
+    val statsCoupled = (dirDrops.map(_.stripPrefix("data/")) ++
+        manDrops.map(_.split('/').last.stripSuffix(".txt")))
+      .filter(id => f.exists(statsPath(root, id)))
+    VacuumPlan(drop, dirDrops, manDrops, dvDrops,
+      (statsCoupled ++ statsLoose).distinct)
   }
 }

@@ -165,8 +165,8 @@ case class ResolveSnapshotTable(spark: SparkSession) extends Rule[LogicalPlan] {
   */
 object SnapshotSql {
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-    InsertIntoStatement, InsertStarAction, MergeIntoTable, SubqueryAlias,
-    UpdateStarAction, UpdateTable}
+    InsertAction, InsertIntoStatement, InsertStarAction, MergeIntoTable,
+    SubqueryAlias, UpdateStarAction, UpdateTable}
 
   // Maintenance statements Spark's parser has no grammar for —
   // matched lexically BEFORE parsePlan (the Delta pattern: Delta
@@ -176,7 +176,7 @@ object SnapshotSql {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+snap\.`([^`]+)`\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*""".r
+    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*(DRY\s+RUN\s*)?""".r
   // CREATE TABLE ... AS SELECT — the missing BIRTH verb of the SQL
   // lifecycle: the layout clauses mirror Spark's own CTAS grammar
   // (PARTITIONED BY for the path layout, CLUSTERED BY ... [SORTED
@@ -197,6 +197,10 @@ object SnapshotSql {
     """(?is)\s*DROP\s+TABLE\s+snap\.`([^`]+)`\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  // RESTORE by wall clock — resolved against commit-file mtimes
+  // (Snapshots.versionAsOf), the same clock SQL time travel reads
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?snap\.`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+snap\.`([^`]+)`\s*""".r
   private val DetailRe =
@@ -276,11 +280,14 @@ object SnapshotSql {
       runDrop(spark, noCatalog(root, "DROP TABLE"))
     case OptimizeRe(root, cluster) =>
       runOptimize(spark, noCatalog(root, "OPTIMIZE"), Option(cluster))
-    case VacuumRe(root, n, unit) =>
+    case VacuumRe(root, n, unit, dry) =>
       runVacuum(spark, noCatalog(root, "VACUUM"), n.toInt,
-        unit.equalsIgnoreCase("HOURS"))
+        unit.equalsIgnoreCase("HOURS"), dry != null)
     case RestoreRe(root, v) =>
       runRestore(spark, noCatalog(root, "RESTORE"), v.toLong)
+    case RestoreTsRe(root, ts) =>
+      val r = noCatalog(root, "RESTORE")
+      runRestore(spark, r, Snapshots.versionAsOf(spark, r, tsLitMillis(spark, ts)))
     case ShowPartsRe(root) =>
       runShowPartitions(spark, noCatalog(root, "SHOW PARTITIONS"))
     case ShowTablesRe(cat) => runShowTables(spark, cat)
@@ -395,15 +402,38 @@ object SnapshotSql {
       .toDF("version", "files_rewritten", "files_total", "rows_written")
   }
 
+  /** `TIMESTAMP AS OF '<literal>'` for the lexically-matched verbs:
+    * fold through Catalyst's own string→timestamp cast under the
+    * session time zone — the same resolution the SELECT-side
+    * time travel uses.
+    */
+  private def tsLitMillis(spark: SparkSession, s: String): Long = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val micros = Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(s),
+      TimestampType, Some(tz)).eval(null)
+    require(micros != null, s"snap: cannot read '$s' as a timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   private def runVacuum(spark: SparkSession, root: String,
-                        keep: Int, hours: Boolean): DataFrame = {
+                        keep: Int, hours: Boolean,
+                        dryRun: Boolean = false): DataFrame = {
     import spark.implicits._
-    val before = Snapshots.versions(spark, root).size
-    if (hours)
-      Snapshots.vacuumRetainMs(spark, root, keep * 3600L * 1000L)
-    else Snapshots.vacuum(spark, root, keepLast = keep)
-    val after = Snapshots.versions(spark, root).size
-    Seq((after, before - after)).toDF("versions_retained", "versions_removed")
+    if (dryRun) {
+      // the PREVIEW: what the same statement would reclaim, nothing
+      // mutated — one (kind, path) row per would-be-deleted artifact
+      if (hours)
+        Snapshots.vacuumDryRunRetainMs(spark, root, keep * 3600L * 1000L)
+      else Snapshots.vacuumDryRun(spark, root, keepLast = keep)
+    } else {
+      val before = Snapshots.versions(spark, root).size
+      if (hours)
+        Snapshots.vacuumRetainMs(spark, root, keep * 3600L * 1000L)
+      else Snapshots.vacuum(spark, root, keepLast = keep)
+      val after = Snapshots.versions(spark, root).size
+      Seq((after, before - after)).toDF("versions_retained", "versions_removed")
+    }
   }
 
   private def splitCols(s: Option[String]): Seq[String] =
@@ -671,7 +701,8 @@ object SnapshotSql {
     * {{{
     *   WHEN MATCHED [AND pred] THEN UPDATE SET * | SET c = e, ...
     *   WHEN MATCHED [AND pred] THEN DELETE
-    *   WHEN NOT MATCHED [AND pred] THEN INSERT *
+    *   WHEN NOT MATCHED [AND pred] THEN INSERT * | INSERT (cols) VALUES (...)
+    *   WHEN NOT MATCHED BY SOURCE [AND pred] THEN UPDATE SET c = e | DELETE
     * }}}
     *
     * The bare upsert shape (unconditional UPDATE SET * + INSERT *)
@@ -680,10 +711,9 @@ object SnapshotSql {
     * [[Snapshots.mergeClauses]] — same file targeting, clause
     * evaluation in declaration order — returning (version,
     * files_rewritten, files_total, rows_updated, rows_deleted,
-    * rows_inserted). Shapes outside that vocabulary (column-list
-    * INSERT, NOT MATCHED BY SOURCE, schema evolution) refuse loudly
-    * — a half-guessed merge on a 100 TB table is worse than no
-    * merge.
+    * rows_inserted). Shapes outside that vocabulary (multiple insert
+    * clauses, non-equality ON) refuse loudly — a half-guessed merge
+    * on a 100 TB table is worse than no merge.
     */
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
@@ -760,17 +790,31 @@ object SnapshotSql {
         case other => throw new IllegalArgumentException(
           s"snap: unsupported WHEN MATCHED action $other")
       }
-      val insert = m.notMatchedActions match {
-        case Seq() => None
+      // one insert clause, star or explicit column list — the
+      // column-list form (`INSERT (cols) VALUES (exprs)`, the shape
+      // generated SQL tools emit) routes its assignments through the
+      // NULL-fill machinery
+      val (insert, insertSet) = m.notMatchedActions match {
+        case Seq() => (None, None)
         case Seq(InsertStarAction(cond)) =>
-          Some(cond.map(GraftShim.column))
+          (Some(cond.map(GraftShim.column)), None)
+        case Seq(InsertAction(cond, assigns)) =>
+          (Some(cond.map(GraftShim.column)), Some(assigns.map { a =>
+            val name = a.key match {
+              case attr: UnresolvedAttribute => attr.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"snap: MERGE INSERT columns must be plain names, got $other")
+            }
+            name -> GraftShim.column(a.value)
+          }))
         case other => throw new IllegalArgumentException(
           "snap: MERGE inserts must be one WHEN NOT MATCHED [AND pred] " +
-            s"THEN INSERT *, got $other")
+            s"THEN INSERT * | INSERT (cols) VALUES (...), got $other")
       }
       val r = Snapshots.mergeClauses(spark, src, root, key, Seq(key),
         aliasOf(m.targetTable, "t"), aliasOf(m.sourceTable, "u"),
-        matched, insert, nmbs, evolveSchema = m.withSchemaEvolution)
+        matched, insert, nmbs, evolveSchema = m.withSchemaEvolution,
+        insertSet = insertSet)
       Seq((r.version, r.filesRewritten, r.filesTotal, r.rowsUpdated,
           r.rowsDeleted, r.rowsInserted))
         .toDF("version", "files_rewritten", "files_total", "rows_updated",

@@ -2572,9 +2572,14 @@ object EtlQueries {
         s"CREATE TABLE snap.`$scratch` AS SELECT * FROM q207_orders")
       SnapshotSql.sql(s, s"DROP TABLE snap.`$scratch`")
       Snapshots.vacuum(s, scratch, keepLast = 1, orphanGraceMs = 0L)
-      val dataDir = new java.io.File(s"$scratch/data")
-      val reclaims = !dataDir.exists() ||
-        dataDir.listFiles().forall(_.getName.startsWith("."))
+      // physical-reclaim pin through the Hadoop FileSystem API (the
+      // engine's own path layer): a java.io.File check would pass
+      // VACUOUSLY on any non-local filesystem — "does not exist"
+      // for the wrong reason
+      val dataPath = new org.apache.hadoop.fs.Path(s"$scratch/data")
+      val hfs = dataPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val reclaims = !hfs.exists(dataPath) ||
+        hfs.listStatus(dataPath).forall(_.getPath.getName.startsWith("."))
       SnapshotSql.sql(s,
         s"""SELECT o_orderstatus, count(*) AS n,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
@@ -2585,6 +2590,129 @@ object EtlQueries {
         .withColumn("predrops_readable", lit(preDropReadable))
         .withColumn("restore_undrops_vacuum_reclaims", lit(reclaims))
         .orderBy("o_orderstatus")
+    }),
+
+    // q208 — MERGE WHEN NOT MATCHED THEN INSERT (cols) VALUES (...):
+    // the explicit column-list insert (the shape generated SQL tools
+    // emit, Delta/ANSI MERGE grammar). The feed is a COLUMN SUBSET
+    // (key + price); matched rows take a conditional SET, inserted
+    // rows are BUILT from the VALUES expressions — key verbatim,
+    // status a literal, price doubled — with nothing NULL-guessed.
+    // The receipt pins exact per-action counts; values replay the
+    // whole algebra in DuckDB.
+    "q208_sql_merge_insert_values" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q208").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      // matched subset (every 5th key, a new price) + genuinely new
+      // keys far beyond the table's range (every 7th, offset)
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            col("o_totalprice")))
+        .createOrReplaceTempView("q208_src")
+      val rec = SnapshotSql.sql(s,
+        s"""MERGE INTO snap.`$root` t USING q208_src u
+           |ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice + 1.0
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+           |  o_totalprice) VALUES (u.o_orderkey, 'I', u.o_totalprice * 2.0)"""
+          .stripMargin).head()
+      val matchedN = o.filter(col("o_orderkey") % 5 === 0).count()
+      val insertedN = o.filter(col("o_orderkey") % 7 === 0).count()
+      val receiptOk = rec.getLong(3) == matchedN && rec.getLong(4) == 0L &&
+        rec.getLong(5) == insertedN
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q209 — TYPE-WIDENING EVOLUTION + RESTORE BY TIMESTAMP + VACUUM
+    // DRY RUN: the table is born with an INT key; a MERGE WITH SCHEMA
+    // EVOLUTION feed carries LONG keys (some beyond Int.MaxValue — a
+    // value the pre-widening schema cannot represent, so the widening
+    // is provably real, and DuckDB re-sums the keys to check it);
+    // RESTORE ... TO TIMESTAMP AS OF resolves against pinned commit
+    // mtimes (lands on the pre-widening version, then a version
+    // restore returns to the evolved state); VACUUM ... DRY RUN
+    // previews exactly the droppable version files and mutates
+    // NOTHING. Values replay in DuckDB; the three booleans pin the
+    // receipts.
+    "q209_sql_widening_lifecycle" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q209").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+        root, Seq("k"))
+      val baseN = o.count()
+      // the widening feed: matched updates (every 5th key) plus new
+      // LONG keys past Int.MaxValue (every 7th, offset 3e9)
+      o.filter(col("k") % 5 === 0)
+        .select(col("k").cast("bigint").as("k"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+        .unionByName(o.filter(col("k") % 7 === 0)
+          .select((col("k").cast("bigint") + lit(3000000000L)).as("k"),
+            (col("o_totalprice") * lit(2.0)).as("o_totalprice")))
+        .createOrReplaceTempView("q209_src")
+      val mrec = SnapshotSql.sql(s,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO snap.`$root` t
+           |USING q209_src u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      val widened = Snapshots.read(s, root).schema("k").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        mrec.getLong(3) == o.filter(col("k") % 5 === 0).count() &&
+        mrec.getLong(5) == o.filter(col("k") % 7 === 0).count()
+      // pin the commit clock (v1 two hours ago, v2 one hour ago) so
+      // the timestamp restore deterministically lands pre-widening
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      (1 to 2).foreach { v =>
+        hfs.setTimes(new org.apache.hadoop.fs.Path(
+            s"$root/_versions/" + f"v$v%08d.json"),
+          now - (3 - v) * 3600L * 1000L, -1)
+      }
+      val tz = s.conf.get("spark.sql.session.timeZone")
+      val ts = java.time.Instant.ofEpochMilli(now - 90L * 60 * 1000)
+        .atZone(java.time.ZoneId.of(tz))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val rrec = SnapshotSql.sql(s,
+        s"RESTORE TABLE snap.`$root` TO TIMESTAMP AS OF '$ts'").head()
+      val restoreOk = rrec.getLong(0) == 3L && rrec.getLong(1) == 1L &&
+        rrec.getLong(2) == baseN
+      // back to the evolved state for the final read
+      SnapshotSql.sql(s, s"RESTORE snap.`$root` TO VERSION AS OF 2")
+      val plan = SnapshotSql.sql(s,
+        s"VACUUM snap.`$root` RETAIN 2 VERSIONS DRY RUN").collect()
+      // keepLast=2 keeps v3+v4, whose layouts pin BOTH data layouts:
+      // the preview names exactly the two droppable version files and
+      // no data; and it deleted nothing
+      val previewOk = plan.map(r => (r.getString(0), r.getString(1))).toSeq
+        .sorted == Seq(("version", "_versions/v00000001.json"),
+          ("version", "_versions/v00000002.json")) &&
+        Snapshots.versions(s, root) == (1L to 4L)
+      SnapshotSql.sql(s,
+        s"""SELECT coalesce(o_orderstatus, 'none') AS status, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+           |  CAST(SUM(k) AS BIGINT) AS key_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("widened_to_long", lit(widened))
+        .withColumn("restore_ts_ok", lit(restoreOk))
+        .withColumn("dryrun_preview_ok", lit(previewOk))
+        .orderBy("status")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -3541,7 +3669,44 @@ object EtlQueries {
         |  TRUE AS drop_refuses_reads, TRUE AS predrops_readable,
         |  TRUE AS restore_undrops_vacuum_reclaims
         |FROM orders WHERE o_orderkey % 4 = 0
-        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q208: the column-list insert algebra replayed — matched rows
+    // take the conditional SET (status kept), inserted rows are the
+    // VALUES expressions exactly (status 'I', doubled price, offset
+    // key); a NULL-filled status or a star-shaped insert hash-breaks
+    "q208_sql_merge_insert_values" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', o_totalprice * 2.0
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS receipt_ok
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q209: the widening lifecycle's final state — matched updates,
+    // NULL-status inserts at keys past Int.MaxValue (key_sum proves
+    // the widened longs survived the log round-trip), pre-widening
+    // rows untouched; the booleans pin the restore and the preview
+    "q209_sql_widening_lifecycle" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT) + 3000000000, NULL,
+        |    o_totalprice * 2.0
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT coalesce(o_orderstatus, 'none') AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  TRUE AS widened_to_long, TRUE AS restore_ts_ok,
+        |  TRUE AS dryrun_preview_ok
+        |FROM t GROUP BY 1 ORDER BY status""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

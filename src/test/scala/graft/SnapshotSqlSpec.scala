@@ -256,12 +256,14 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
       .as[Long].head() === 405L)
     // clause shapes outside the vocabulary refuse loudly — BEFORE any
-    // table work (a column-list INSERT action is not supported)
+    // table work (MULTIPLE insert clauses are not supported; the
+    // single column-list INSERT form is — see its own spec)
     val err = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
         s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
            |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""".stripMargin)
+           |WHEN NOT MATCHED AND s.id > 9001 THEN INSERT *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(err.getMessage.contains("INSERT *"), err.getMessage)
     assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
@@ -704,6 +706,77 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(after === Seq((None, 29L), (Some("gold"), 1L), (Some("silver"), 1L)))
   }
 
+  test("MERGE WHEN NOT MATCHED THEN INSERT (cols) VALUES (...): the column-list insert") {
+    val root = tmpDir("sqlsnap_collist")
+    Snapshots.commitWithStats(spark,
+      (1L to 40L).map(i => (i, i * 1.0, s"s$i")).toDF("id", "x", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    Seq((5L, 500.0), (7777L, 7.0)).toDF("id", "x")
+      .createOrReplaceTempView("collist_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING collist_src u
+         |ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET x = u.x
+         |WHEN NOT MATCHED THEN INSERT (id, x) VALUES (u.id, u.x * 10.0)"""
+        .stripMargin).head()
+    assert(rec.getLong(3) === 1L && rec.getLong(5) === 1L)
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 41L)
+    val u = after.filter(col("id") === 5L).head()
+    assert(u.getDouble(1) === 500.0 && u.getString(2) === "s5")
+    // the inserted row takes the VALUES expressions; the unnamed
+    // column (s) NULL-fills — the column-list INSERT rule
+    val i = after.filter(col("id") === 7777L).head()
+    assert(i.getDouble(1) === 70.0 && i.isNullAt(2))
+    // an unknown insert column refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"""MERGE INTO snap.`$root` t USING collist_src u ON t.id = u.id
+           |WHEN NOT MATCHED THEN INSERT (nope) VALUES (u.x)""".stripMargin)
+    }
+    assert(e.getMessage.contains("not a column"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens lossless types (int key becomes long)") {
+    val root = tmpDir("sqlsnap_widen")
+    Snapshots.commitWithStats(spark,
+      (1 to 30).map(i => (i, i.toFloat)).toDF("id", "x")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    Seq((5L, 500.0), (9999999999L, 9.0)).toDF("id", "x")
+      .createOrReplaceTempView("widen_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO snap.`$root` t
+         |USING widen_src u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(rec.getLong(3) === 1L && rec.getLong(5) === 1L)
+    val after = Snapshots.read(spark, root)
+    import org.apache.spark.sql.types._
+    assert(after.schema("id").dataType === LongType)
+    assert(after.schema("x").dataType === DoubleType)
+    assert(after.count() === 31L)
+    // carried pre-widening files read up through the widened schema
+    assert(after.filter(col("id") === 20L).head().getDouble(1) === 20.0)
+    assert(after.filter(col("id") === 5L).head().getDouble(1) === 500.0)
+    assert(after.filter(col("id") === 9999999999L).count() === 1L)
+    // pre-widening versions keep their own logged schema
+    val v1 = Snapshots.read(spark, root, Some(1L))
+    assert(v1.schema("id").dataType === IntegerType)
+    assert(v1.schema("x").dataType === FloatType)
+    // a lossy type change still refuses, flag or no flag
+    Seq(("5", "oops")).toDF("id", "x").createOrReplaceTempView("widen_bad")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO snap.`$root` t
+           |USING widen_bad u ON t.id = u.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("lossless"))
+  }
+
   test("CREATE OR REPLACE ... SHALLOW CLONE re-points a live destination") {
     val base = tmpDir("sqlsnap_clone_rp")
     val (s1, s2, dst) = (s"$base/s1", s"$base/s2", s"$base/d")
@@ -724,6 +797,56 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(SnapshotSql.sql(spark,
       s"SELECT count(*) AS n FROM snap.`$dst` VERSION AS OF 1")
       .head().getLong(0) === 10L)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves by commit clock; VACUUM DRY RUN previews without mutating") {
+    val root = tmpDir("sqlsnap_ts_dry")
+    // full-replace commits: each version has its OWN dir, so dropped
+    // versions' dirs genuinely unpin (appends would carry them all)
+    Snapshots.commit(spark, ids(1, 10), root)
+    Snapshots.commit(spark, ids(1, 15), root)
+    Snapshots.commit(spark, ids(1, 20), root)
+    // pin the commit clock: v1 at now-3h, v2 at now-2h, v3 at now-1h
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val now = System.currentTimeMillis()
+    (1 to 3).foreach { v =>
+      f.setTimes(new org.apache.hadoop.fs.Path(
+          s"$root/_versions/" + f"v$v%08d.json"),
+        now - (4 - v) * 3600L * 1000L, -1)
+    }
+    // "90 minutes ago" lands between v2 and v3 → restore to v2's state
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val ts = java.time.Instant.ofEpochMilli(now - 90L * 60 * 1000)
+      .atZone(java.time.ZoneId.of(tz))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val rec = SnapshotSql.sql(spark,
+      s"RESTORE TABLE snap.`$root` TO TIMESTAMP AS OF '$ts'").head()
+    assert(rec.getLong(0) === 4L && rec.getLong(1) === 2L)
+    assert(Snapshots.read(spark, root).count() === 15L)
+    // DRY RUN: keepLast=2 keeps v3+v4; v4 re-points at v2's layout so
+    // v2's data dir is PINNED — only v1's dir (aged past the grace)
+    // and the two version files preview as reclaimable
+    val dir1 = Snapshots.filesOfVersion(spark, root, 1L).head
+      .split('/').dropRight(1).last
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$root/data/$dir1"),
+      now - 25L * 3600 * 1000, -1)
+    val plan = SnapshotSql.sql(spark,
+      s"VACUUM snap.`$root` RETAIN 2 VERSIONS DRY RUN")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(plan.filter(_._1 == "version").map(_._2).sorted ===
+      Seq("_versions/v00000001.json", "_versions/v00000002.json"))
+    assert(plan.filter(_._1 == "data_dir").map(_._2) === Seq(s"data/$dir1"))
+    // the preview mutated NOTHING
+    assert(Snapshots.versions(spark, root) === (1L to 4L))
+    assert(new java.io.File(s"$root/data/$dir1").exists())
+    // the real statement reclaims exactly what the preview listed
+    SnapshotSql.sql(spark, s"VACUUM snap.`$root` RETAIN 2 VERSIONS")
+    assert(Snapshots.versions(spark, root) === Seq(3L, 4L))
+    assert(!new java.io.File(s"$root/data/$dir1").exists())
+    assert(Snapshots.read(spark, root).count() === 15L,
+      "the restore target's pinned dir must survive the reclaim")
   }
 
   test("VACUUM RETAIN n HOURS routes to time-based retention") {

@@ -2289,6 +2289,54 @@ class SnapshotsSpec extends SparkSpec {
       "the carried claim must keep lastTag read-free")
   }
 
+  test("mergeClauses type widening: decimal growth round-trips; bucket columns refuse") {
+    val root = tmpDir("snap_widen_dec")
+    import org.apache.spark.sql.types._
+    Snapshots.commitWithStats(spark,
+      (1 to 20).map(i => (i, BigDecimal(i) + BigDecimal("0.25")))
+        .toDF("id", "d").select(col("id"),
+          col("d").cast(DecimalType(6, 2)).as("d"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    val srcW = Seq((5, BigDecimal("12345678.99")), (999, BigDecimal("1.00")))
+      .toDF("id", "d").select(col("id"),
+        col("d").cast(DecimalType(12, 2)).as("d"))
+    val r = Snapshots.mergeClauses(spark, srcW, root, "id", Seq("id"),
+      "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None), evolveSchema = true)
+    assert(r.rowsUpdated === 1L && r.rowsInserted === 1L)
+    val after = Snapshots.read(spark, root)
+    assert(after.schema("d").dataType === DecimalType(12, 2))
+    assert(after.count() === 21L)
+    assert(after.filter(col("id") === 5).head().getDecimal(1).toPlainString
+      === "12345678.99")
+    // a carried narrow file reads up through the widened decimal
+    assert(after.filter(col("id") === 15).head().getDecimal(1).toPlainString
+      === "15.25")
+    // a decimal change that LOSES fraction digits refuses
+    val lossy = Seq((5, BigDecimal("1"))).toDF("id", "d")
+      .select(col("id"), col("d").cast(DecimalType(12, 1)).as("d"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, lossy, root, "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("lossless"))
+    // a BUCKET column never widens: existing files were hashed under
+    // the narrow type and a widened key would silently mis-bucket
+    val broot = tmpDir("snap_widen_bkt")
+    Snapshots.commitWithStats(spark,
+      (1 to 20).map(i => (i, i * 1.0)).toDF("id", "x"),
+      broot, Seq("id"), bucketBy = Some(Snapshots.Bucketing(4, Seq("id"), Seq("id"))))
+    val eb = intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, Seq((5L, 1.0)).toDF("id", "x"),
+        broot, "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None), evolveSchema = true)
+    }
+    assert(eb.getMessage.contains("bucket"))
+  }
+
   test("insert-only mergeClauses tolerates duplicate source keys (no matched clause can multiply)") {
     val root = tmpDir("snap_dup_insonly")
     Snapshots.commitWithStats(spark,
