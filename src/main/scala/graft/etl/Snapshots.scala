@@ -2026,24 +2026,23 @@ object Snapshots {
       // update racing a streaming append is the same collision class)
       fs(spark, new Path(root, man)).delete(new Path(root, man), false)
       attempts += 1
-      require(attempts < 100, s"$root: updateWhere lost $attempts commit races")
       rebaseUpdateWhere(spark, root, v, m, pred, schema, freshRel, dvRel,
-        () => {
-          attempts += 1
-          require(attempts < 100,
-            s"$root: updateWhere lost $attempts commit races")
-        }) match {
+        () => { attempts += 1; attempts < 100 }) match {
         case Some(nv) =>
           dropScratch()
           return MorUpdateResult(nv, freshRows, priorN + nUpd)
         case None =>
-          // conflict shape — drop our own orphans and recompute
-          // against the new latest (the scratch frame is stale too)
+          // conflict shape (or attempts exhausted) — drop our own
+          // orphans FIRST, then refuse or recompute against the new
+          // latest (the scratch frame is stale too); exhaustion never
+          // strands staged dirs for the vacuum grace to mop up
           dropScratch()
           fs(spark, new Path(root, freshDir))
             .delete(new Path(root, freshDir), true)
           fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
           restages.incrementAndGet()
+          require(attempts < 100,
+            s"$root: updateWhere lost $attempts commit races")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -2068,7 +2067,7 @@ object Snapshots {
       readV: Long, m: VMeta, pred: Column,
       schema: org.apache.spark.sql.types.StructType,
       freshRel: Seq[String], dvRel: String,
-      bumpAttempt: () => Unit): Option[Long] = {
+      canRetry: () => Boolean): Option[Long] = {
     while (true) {
       val v2 = latestVersion(spark, root) match {
         case Some(x) if x > readV => x
@@ -2098,7 +2097,9 @@ object Snapshots {
         return Some(v2 + 1)
       }
       fs(spark, new Path(root, man2)).delete(new Path(root, man2), false)
-      bumpAttempt()
+      // exhaustion surfaces as None so the CALLER cleans its staged
+      // artifacts before refusing — a throw from here would strand them
+      if (!canRetry()) return None
     }
     None // unreachable
   }
@@ -2439,11 +2440,15 @@ object Snapshots {
     // rewrite each read the batch — for a view-backed or computed
     // source those were four evaluations of the source plan per
     // statement. Churn-sized by the merge contract, so caching it is
-    // bounded; unpersisted on every exit path.
-    val updRaw = updates.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded; unpersisted on every exit path. A source the CALLER
+    // already persisted is used as-is — unpersisting here would
+    // silently evict their shared cache entry.
+    val preCached =
+      updates.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val updRaw = if (preCached) updates
+      else updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeBody(spark, updRaw, root, key, statsCols, tag)
-    finally updRaw.unpersist()
+    finally if (!preCached) updRaw.unpersist()
   }
 
   private def mergeBody(spark: SparkSession, updates: DataFrame, root: String,
@@ -2809,13 +2814,17 @@ object Snapshots {
     // persist the SOURCE PLAN once, before any pass (see [[merge]]):
     // the key-sanity aggregate, the file targeting, the clause
     // counts, and the rewrite all read from the one materialized
-    // frame — never re-evaluating a view-backed source's plan
-    val srcRaw = source.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frame — never re-evaluating a view-backed source's plan. A
+    // caller-persisted source is used as-is (their cache, their
+    // lifecycle).
+    val preCached =
+      source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val srcRaw = if (preCached) source
+      else source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeClausesBody(spark, srcRaw, root, key, statsCols, targetAlias,
       sourceAlias, matched, insertCond, notMatchedBySource, tag,
       evolveSchema, insertSet)
-    finally srcRaw.unpersist()
+    finally if (!preCached) srcRaw.unpersist()
   }
 
   /** Lossless type widenings the schema-evolution gate admits
@@ -2904,18 +2913,27 @@ object Snapshots {
         else source.schema.fields.toSeq.flatMap { f =>
           tableSchema.fields.find(_.name == f.name) match {
             case Some(tf) if tf.dataType != f.dataType =>
-              require(isLosslessWidening(tf.dataType, f.dataType),
-                s"schema evolution: source column ${f.name} is " +
-                  s"${f.dataType.simpleString} but the table logs " +
-                  s"${tf.dataType.simpleString} — only lossless widenings " +
-                  "(integral chain, float->double, decimal growth) evolve; " +
-                  "a lossy type change needs an explicit rewrite")
-              require(!m.parts.contains(f.name) &&
-                  !m.bucket.exists(_.cols.contains(f.name)),
-                s"schema evolution: cannot widen ${f.name} — it is a " +
-                  "partition/bucket column (existing files were laid out " +
-                  "under the narrower type)")
-              Some(f.name -> f.dataType)
+              if (isLosslessWidening(tf.dataType, f.dataType)) {
+                require(!m.parts.contains(f.name) &&
+                    !m.bucket.exists(_.cols.contains(f.name)),
+                  s"schema evolution: cannot widen ${f.name} — it is a " +
+                    "partition/bucket column (existing files were laid out " +
+                    "under the narrower type)")
+                Some(f.name -> f.dataType)
+              } else {
+                // a NARROWER source column is not an evolution — it
+                // casts UP to the logged type losslessly, exactly as
+                // it would without the flag (an int producer keeps
+                // feeding a long-widened table); anything where
+                // neither direction is lossless refuses
+                require(isLosslessWidening(f.dataType, tf.dataType),
+                  s"schema evolution: source column ${f.name} is " +
+                    s"${f.dataType.simpleString} but the table logs " +
+                    s"${tf.dataType.simpleString} — only lossless widenings " +
+                    "(integral chain, float->double, decimal growth) evolve; " +
+                    "a lossy type change needs an explicit rewrite")
+                None
+              }
             case _ => None
           }
         }.toMap
@@ -4153,16 +4171,25 @@ object Snapshots {
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
              orphanGraceMs: Long = 24L * 3600 * 1000,
              protectedVersions: Set[Long] = Set.empty): Unit = {
-    require(keepLast >= 1)
     val all = versions(spark, root)
-    // protectedVersions ENFORCES the catalog/clone retention contract
-    // (the doc-comment rule at [[graft.etl.Catalog]]): pass
-    // `Catalog.pinnedVersions(...)` and a routine vacuum can no
-    // longer silently break historical catalog reads or live shallow
-    // clones — a pinned old version survives any keepLast.
-    vacuumKeep(spark, root, all,
-      all.takeRight(keepLast).toSet ++ protectedVersions.filter(all.contains),
+    vacuumKeep(spark, root, all, countKeep(all, keepLast, protectedVersions),
       orphanGraceMs)
+  }
+
+  /** The keepSet a count-based retention resolves to — ONE derivation
+    * shared by [[vacuum]] and its DRY RUN preview (like [[retainKeep]]
+    * for the time-based pair), so the preview can never drift from
+    * the reclaim. protectedVersions ENFORCES the catalog/clone
+    * retention contract (the doc-comment rule at
+    * [[graft.etl.Catalog]]): pass `Catalog.pinnedVersions(...)` and a
+    * routine vacuum can no longer silently break historical catalog
+    * reads or live shallow clones — a pinned old version survives any
+    * keepLast.
+    */
+  private def countKeep(all: Seq[Long], keepLast: Int,
+                        protectedVersions: Set[Long]): Set[Long] = {
+    require(keepLast >= 1)
+    all.takeRight(keepLast).toSet ++ protectedVersions.filter(all.contains)
   }
 
   /** TIME-BASED retention (`VACUUM ... RETAIN n HOURS` — what
@@ -4222,11 +4249,9 @@ object Snapshots {
   def vacuumDryRun(spark: SparkSession, root: String, keepLast: Int,
                    orphanGraceMs: Long = 24L * 3600 * 1000,
                    protectedVersions: Set[Long] = Set.empty): DataFrame = {
-    require(keepLast >= 1)
     val all = versions(spark, root)
     planFrame(spark, vacuumPlanOf(spark, root, all,
-      all.takeRight(keepLast).toSet ++ protectedVersions.filter(all.contains),
-      orphanGraceMs))
+      countKeep(all, keepLast, protectedVersions), orphanGraceMs))
   }
 
   /** [[vacuumDryRun]]'s time-based twin — previews

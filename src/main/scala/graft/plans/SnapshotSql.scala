@@ -409,9 +409,17 @@ object SnapshotSql {
     */
   private def tsLitMillis(spark: SparkSession, s: String): Long = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    val micros = Cast(
-      org.apache.spark.sql.catalyst.expressions.Literal(s),
-      TimestampType, Some(tz)).eval(null)
+    // under ANSI (the session default) the cast THROWS on a bad
+    // literal rather than returning null — catch both shapes so the
+    // operator sees the verb's own refusal, not a raw cast error
+    val micros =
+      try Cast(org.apache.spark.sql.catalyst.expressions.Literal(s),
+        TimestampType, Some(tz)).eval(null)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"snap: cannot read '$s' as a timestamp", e)
+      }
     require(micros != null, s"snap: cannot read '$s' as a timestamp")
     micros.asInstanceOf[Long] / 1000L
   }

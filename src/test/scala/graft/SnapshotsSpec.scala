@@ -2313,6 +2313,20 @@ class SnapshotsSpec extends SparkSpec {
     // a carried narrow file reads up through the widened decimal
     assert(after.filter(col("id") === 15).head().getDecimal(1).toPlainString
       === "15.25")
+    // a NARROWER source under the flag is NOT an evolution — it
+    // casts up to the logged type, exactly as without the flag (an
+    // int producer keeps feeding a long-widened table)
+    val narrow = Seq((7, BigDecimal("77.50"))).toDF("id", "d")
+      .select(col("id"), col("d").cast(DecimalType(6, 2)).as("d"))
+    val rn = Snapshots.mergeClauses(spark, narrow, root, "id", Seq("id"),
+      "t", "u", matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None), evolveSchema = true)
+    assert(rn.rowsUpdated === 1L)
+    val afterN = Snapshots.read(spark, root)
+    assert(afterN.schema("d").dataType === DecimalType(12, 2),
+      "a narrower feed must not regress the widened schema")
+    assert(afterN.filter(col("id") === 7).head().getDecimal(1).toPlainString
+      === "77.50")
     // a decimal change that LOSES fraction digits refuses
     val lossy = Seq((5, BigDecimal("1"))).toDF("id", "d")
       .select(col("id"), col("d").cast(DecimalType(12, 1)).as("d"))
