@@ -2184,7 +2184,29 @@ object Snapshots {
     // physical names never change, so the written files stay correct
     // under any concurrent rename/drop.
     val tableMap = cached.map(_._2.colmap).getOrElse(ColMap())
-    val dfPhys = toPhysical(df, tableMap)
+    val dfPhys0 = toPhysical(df, tableMap)
+    // a batch column LOSSLESSLY NARROWER than the logged type casts
+    // UP at the write boundary — an int producer keeps feeding a
+    // long-widened table (the merge-evolution counterpart); files
+    // stay schema-exact under the logged types. Anything else keeps
+    // the strict drift gate below. Must happen BEFORE the data write;
+    // a concurrent widening mid-retry still refuses there (strict
+    // equality against the CURRENT schema), never poisons files.
+    val dfPhys = cached.flatMap(_._2.schemaDdl)
+      .map(org.apache.spark.sql.types.StructType.fromDDL) match {
+      case Some(old) if tableMap.isIdentity &&
+          dfPhys0.schema.fields.exists(f =>
+            old.fieldNames.contains(f.name) &&
+              old(f.name).dataType != f.dataType &&
+              isLosslessWidening(f.dataType, old(f.name).dataType)) =>
+        dfPhys0.select(dfPhys0.schema.fields.toSeq.map { f =>
+          if (old.fieldNames.contains(f.name) &&
+              isLosslessWidening(f.dataType, old(f.name).dataType))
+            col(f.name).cast(old(f.name).dataType).as(f.name)
+          else col(f.name)
+        }: _*)
+      case _ => dfPhys0
+    }
     val physStatsCols = statsCols.map(tableMap.physicalOf)
     val (freshDir, freshRows) =
       writeDataDir(spark, dfPhys, root, tableParts, tableBucket)
@@ -2257,7 +2279,9 @@ object Snapshots {
       val oldSchema = priorMeta.map(m =>
         m.schemaDdl.map(StructType.fromDDL)
           .getOrElse(read(spark, root, prior).schema))
-      val newSchema = oldSchema match {
+      // a schema-drift refusal cleans the staged dir like the bucket/
+      // constraint refusals above — a refused append leaves no orphan
+      val newSchema = try oldSchema match {
         case None => dfPhys.schema
         case Some(old) if !tableMap.isIdentity =>
           // mapped table: the batch must match the LOGICAL schema —
@@ -2294,6 +2318,11 @@ object Snapshots {
               s"append batch schema ${dfPhys.columns.toSet} != table $oldNames — " +
                 "pass evolveSchema=true to ADD columns")
           StructType(old.fields ++ extra)
+      } catch {
+        case e: Throwable =>
+          fs(spark, new Path(root, freshDir))
+            .delete(new Path(root, freshDir), true)
+          throw e
       }
       // stored nullable: files from before an evolution genuinely
       // yield nulls for added columns

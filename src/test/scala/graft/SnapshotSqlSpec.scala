@@ -775,6 +775,23 @@ class SnapshotSqlSpec extends SparkSpec {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e.getMessage.contains("lossless"))
+    // the NARROW PRODUCER keeps working: an (int, float) batch appends
+    // to the widened (long, double) table — cast up at the write
+    // boundary, files schema-exact, values intact
+    val v = Snapshots.append(spark,
+      (100 to 102).map(i => (i, i.toFloat)).toDF("id", "x"), root)
+    val afterA = Snapshots.read(spark, root, Some(v))
+    assert(afterA.schema("id").dataType === LongType)
+    assert(afterA.filter(col("id") === 101L).head().getDouble(1) === 101.0)
+    assert(afterA.count() === 34L)
+    // a NON-widenable batch type still refuses, with no orphan left
+    val dirsBefore = new java.io.File(s"$root/data").listFiles().length
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark,
+        Seq(("oops", 1.0)).toDF("id", "x"), root)
+    }
+    assert(new java.io.File(s"$root/data").listFiles().length === dirsBefore,
+      "a refused append must not strand its staged dir")
   }
 
   test("CREATE OR REPLACE ... SHALLOW CLONE re-points a live destination") {
