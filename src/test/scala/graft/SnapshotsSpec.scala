@@ -2313,6 +2313,13 @@ class SnapshotsSpec extends SparkSpec {
     // a carried narrow file reads up through the widened decimal
     assert(after.filter(col("id") === 15).head().getDecimal(1).toPlainString
       === "15.25")
+    // the change feed composes ACROSS the widening boundary: both
+    // sides read under the TO version's widened schema (narrow v1
+    // files widen on read), so the diff frame is type-consistent
+    val ch = Snapshots.changes(spark, root, 1L, 2L).df
+    assert(ch.schema("d").dataType === DecimalType(12, 2))
+    assert(ch.filter(col("id") === 999).count() >= 1L,
+      "the widened insert must surface in the change feed")
     // a NARROWER source under the flag is NOT an evolution — it
     // casts up to the logged type, exactly as without the flag (an
     // int producer keeps feeding a long-widened table)
