@@ -2343,6 +2343,18 @@ class SnapshotsSpec extends SparkSpec {
         insertCond = Some(None), evolveSchema = true)
     }
     assert(e.getMessage.contains("lossless"))
+    // OPTIMIZE compacts the MIXED-WIDTH file set (narrow v1 files +
+    // widened fresh files) under the widened logged schema — the
+    // rewritten files are uniformly wide and values survive
+    val ro = Snapshots.optimize(spark, root, targetBytes = 64L * 1024 * 1024)
+    val afterO = Snapshots.read(spark, root)
+    assert(afterO.schema("d").dataType === DecimalType(12, 2))
+    assert(afterO.count() === 21L)
+    assert(afterO.filter(col("id") === 15).head().getDecimal(1).toPlainString
+      === "15.25")
+    assert(afterO.filter(col("id") === 5).head().getDecimal(1).toPlainString
+      === "12345678.99")
+    assert(ro.version > 0L)
     // a BUCKET column never widens: existing files were hashed under
     // the narrow type and a widened key would silently mis-bucket
     val broot = tmpDir("snap_widen_bkt")
