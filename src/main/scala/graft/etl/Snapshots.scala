@@ -128,13 +128,16 @@ object Snapshots {
         val in = f.open(hf)
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        // ASCII digits only and a length bound: Char.isDigit admits
-        // Unicode digits toLong rejects, and an overflowing all-digit
-        // string would throw — ANY unreadable hint must mean
-        // "fall back to the listing", never an exception
+        // ASCII digits only (Char.isDigit admits Unicode digits
+        // toLong rejects), then Try for the overflow edge — ANY
+        // unreadable field must mean "drop this field", never an
+        // exception. No length cap: [[writeHint]] emits any Long
+        // (up to 19 digits), and a cap here would write claims that
+        // can never be read back — a legal large tag permanently
+        // degrading lastTag to listing walks
         def num(t: String): Option[Long] =
-          if (t.nonEmpty && t.length <= 18 &&
-              t.forall(c => c >= '0' && c <= '9')) Some(t.toLong)
+          if (t.nonEmpty && t.forall(c => c >= '0' && c <= '9'))
+            scala.util.Try(t.toLong).toOption
           else None
         body.trim.split(' ') match {
           case Array(v) => num(v).map(n => (n, None))
@@ -1473,8 +1476,23 @@ object Snapshots {
                    toV: Long, key: String): ChangeScan = {
     import org.apache.spark.sql.functions.{max, when}
     val cs = changes(spark, root, fromV, toV)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    // null keys never pair, so their window partition is pure
+    // overhead — and `partitionBy(key)` alone would land EVERY
+    // null-key change row in ONE window partition (a null-heavy churn
+    // batch becoming a single straggler task). SALT the nulls with
+    // the reader partition id (materialized by the Project below, so
+    // the window partitions by a plain attribute): null keys scatter
+    // across as many window partitions as they were read from, while
+    // non-null keys keep salt 0 and pair exactly as before. One pass
+    // — splitting on isNotNull and unioning back would evaluate the
+    // churn diff plan twice.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key), col("__salt"))
     val df = cs.df
+      .withColumn("__salt",
+        when(col(key).isNull,
+          org.apache.spark.sql.functions.spark_partition_id())
+          .otherwise(lit(0)))
       .withColumn("__ins", max(when(col("_change_type") === "insert", 1)
         .otherwise(0)).over(w))
       .withColumn("__del", max(when(col("_change_type") === "delete", 1)
@@ -1484,7 +1502,7 @@ object Snapshots {
           when(col("_change_type") === "insert", "update_postimage")
             .otherwise("update_preimage"))
           .otherwise(col("_change_type")))
-      .drop("__ins", "__del")
+      .drop("__ins", "__del", "__salt")
     ChangeScan(df, cs.filesRead, cs.filesFrom, cs.filesTo)
   }
 
@@ -2040,9 +2058,12 @@ object Snapshots {
           fs(spark, new Path(root, freshDir))
             .delete(new Path(root, freshDir), true)
           fs(spark, new Path(root, dvRel)).delete(new Path(root, dvRel), true)
-          restages.incrementAndGet()
           require(attempts < 100,
             s"$root: updateWhere lost $attempts commit races")
+          // counted AFTER the exhaustion gate: an attempts-exhausted
+          // refusal never re-ran the body, so it must not inflate
+          // the re-stage metric
+          restages.incrementAndGet()
       }
     }
     throw new IllegalStateException("unreachable")

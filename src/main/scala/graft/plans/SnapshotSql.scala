@@ -175,8 +175,11 @@ object SnapshotSql {
   // backticks like every other snap relation.
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+snap\.`([^`]+)`\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?""".r
+  // DRY RUN must be WHITESPACE-separated from the unit keyword:
+  // with a bare `\s*` between them, 'RETAIN 2 VERSIONSDRY RUN'
+  // would parse as a valid dry-run statement instead of refusing
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*(DRY\s+RUN\s*)?""".r
+    """(?is)\s*VACUUM\s+snap\.`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(?:\s+(DRY\s+RUN))?\s*""".r
   // CREATE TABLE ... AS SELECT — the missing BIRTH verb of the SQL
   // lifecycle: the layout clauses mirror Spark's own CTAS grammar
   // (PARTITIONED BY for the path layout, CLUSTERED BY ... [SORTED
@@ -211,8 +214,13 @@ object SnapshotSql {
     """(?is)\s*SHOW\s+PARTITIONS\s+snap\.`([^`]+)`\s*""".r
   private val ShowTablesRe =
     """(?is)\s*SHOW\s+TABLES\s+IN\s+snap\.`([^`]+)`\s*""".r
+  // `KEYED BY k` upgrades the insert/delete vocabulary to the full
+  // CDF one (update_preimage/update_postimage) via Snapshots
+  // .changesKeyed — the SQL consumer reconstructing upserts no
+  // longer pairs rows by hand
   private val ChangesVerbRe =
-    """(?is)\s*DESCRIBE\s+CHANGES\s+snap\.`([^`]+)`\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*""".r
+    ("""(?is)\s*DESCRIBE\s+CHANGES\s+snap\.`([^`]+)`\s+FROM\s+(\d+)\s+""" +
+      """TO\s+(\d+)(?:\s+KEYED\s+BY\s+(`[^`]+`|\w+))?\s*""").r
   // column/constraint identifiers: either a backtick-quoted name
   // (any non-backtick chars — matching Spark's own identifier
   // grammar) or a bare word; [[unquote]] strips the ticks after the
@@ -291,9 +299,14 @@ object SnapshotSql {
     case ShowPartsRe(root) =>
       runShowPartitions(spark, noCatalog(root, "SHOW PARTITIONS"))
     case ShowTablesRe(cat) => runShowTables(spark, cat)
-    case ChangesVerbRe(root, fromV, toV) =>
-      Snapshots.changes(spark, noCatalog(root, "DESCRIBE CHANGES"),
-        fromV.toLong, toV.toLong).df
+    case ChangesVerbRe(root, fromV, toV, keyed) =>
+      val r = noCatalog(root, "DESCRIBE CHANGES")
+      Option(keyed) match {
+        case Some(k) =>
+          Snapshots.changesKeyed(spark, r, fromV.toLong, toV.toLong,
+            unquote(k)).df
+        case None => Snapshots.changes(spark, r, fromV.toLong, toV.toLong).df
+      }
     case RenameColRe(root, from, to) =>
       alterReceipt(spark, Snapshots.renameColumn(spark,
         noCatalog(root, "ALTER TABLE"), unquote(from), unquote(to)))

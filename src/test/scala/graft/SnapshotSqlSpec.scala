@@ -886,6 +886,43 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 70L)
   }
 
+  test("VACUUM DRY RUN requires whitespace before the keyword") {
+    val root = tmpDir("sqlsnap_vac_nospace")
+    clustered(root, 20)
+    Snapshots.append(spark, ids(21, 30), root)
+    // 'VERSIONSDRY RUN' must NOT parse as a valid dry-run statement —
+    // it falls through the verb regexes and dies in Spark's parser
+    intercept[Exception] {
+      SnapshotSql.sql(spark, s"VACUUM snap.`$root` RETAIN 2 VERSIONSDRY RUN")
+    }
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L),
+      "the malformed statement must reclaim nothing")
+    // the well-formed statement still routes to the preview
+    assert(SnapshotSql.sql(spark,
+      s"VACUUM snap.`$root` RETAIN 2 VERSIONS DRY RUN").columns.toSeq ===
+      Seq("kind", "path"))
+  }
+
+  test("DESCRIBE CHANGES ... KEYED BY lands the full CDF vocabulary in SQL") {
+    import spark.implicits._
+    val root = tmpDir("sqlsnap_keyed")
+    Snapshots.commitWithStats(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), root, Seq("id"))
+    Snapshots.merge(spark, Seq((1L, "A2"), (9L, "new")).toDF("id", "s"),
+      root, "id", Seq("id"))
+    val rows = SnapshotSql.sql(spark,
+      s"DESCRIBE CHANGES snap.`$root` FROM 1 TO 2 KEYED BY id")
+      .orderBy("id", "s").select("id", "s", "_change_type")
+      .as[(Long, String, String)].collect()
+    assert(rows === Array((1L, "A2", "update_postimage"),
+      (1L, "a", "update_preimage"), (9L, "new", "insert")),
+      "the upsert must reclassify as update_preimage/update_postimage in SQL")
+    // a backtick-quoted key routes identically
+    assert(SnapshotSql.sql(spark,
+      s"DESCRIBE CHANGES snap.`$root` FROM 1 TO 2 KEYED BY `id`")
+      .count() === 3L)
+  }
+
   test("canHit translation: And keeps the provable half; Or requires both") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType

@@ -824,6 +824,25 @@ class SnapshotsSpec extends SparkSpec {
       (Some(9L), "new", "insert")))
   }
 
+  test("changesKeyed scatters null keys instead of one window partition") {
+    val root = tmpDir("snap_cdf_nullsalt")
+    Snapshots.commitWithStats(spark,
+      Seq((Some(1L), "a")).toDF("id", "s").coalesce(1), root, Seq("id"))
+    // a null-HEAVY churn batch: every appended row has a null key
+    Snapshots.append(spark,
+      (1 to 100).map(i => (None: Option[Long], s"n$i")).toDF("id", "s"), root)
+    val df = Snapshots.changesKeyed(spark, root, 1L, 2L, "id").df
+    // plan pin: the window partitions by (key, __salt) — null keys
+    // scatter by reader partition instead of collapsing into ONE
+    // window partition (the straggler-task shape)
+    assert(df.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "the null-key scatter salt must ride the window partition spec")
+    // semantics unchanged: null keys never reclassify
+    assert(df.filter(col("id").isNull).select("_change_type").distinct()
+      .as[String].collect().toSeq === Seq("insert"))
+    assert(df.count() === 100L)
+  }
+
   test("deltaFromChanges maintains a rollup without re-reading the base table") {
     val root = tmpDir("snap_cdf_agg")
     val t = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L))
@@ -2254,16 +2273,25 @@ class SnapshotsSpec extends SparkSpec {
     val df = Seq((1L, "a")).toDF("id", "s")
     Snapshots.commit(spark, df, root)
     (1 to 10).foreach(b => Snapshots.append(spark, df, root, tag = Some(b.toLong)))
-    // a 19-digit tag is a legal Long but fails the 18-digit parse
-    // bound: ONLY the claim may drop — losing the floor too would
-    // send every latestVersion call to a full listing, permanently
-    // (tagged publishes keep rewriting the same unreadable hint).
-    // Written through the Hadoop FS — exactly how writeHint itself
-    // would deposit an over-long tag (NIO would skew the crc sidecar)
+    // a 19-digit tag is a legal Long: writeHint emits it, so readHint
+    // must round-trip it — a parse bound narrower than the writer's
+    // range would deposit claims that can never be read back,
+    // permanently degrading lastTag to listing walks. Written through
+    // the Hadoop FS — exactly how writeHint itself deposits (NIO
+    // would skew the crc sidecar)
     writeHintVia(root, "11 1230000000000000000")
     val l0 = Snapshots.fullListings.get()
     assert(Snapshots.latestVersion(spark, root) === Some(11L))
-    assert(Snapshots.fullListings.get() === l0,
+    assert(Snapshots.fullListings.get() === l0)
+    assert(Snapshots.lastTag(spark, root) === Some(1230000000000000000L),
+      "any tag writeHint can emit must read back as the claim")
+    // a GENUINELY unreadable tag (all-digit Long overflow): ONLY the
+    // claim may drop — losing the floor too would send every
+    // latestVersion call to a full listing
+    writeHintVia(root, "11 99999999999999999999")
+    val l1 = Snapshots.fullListings.get()
+    assert(Snapshots.latestVersion(spark, root) === Some(11L))
+    assert(Snapshots.fullListings.get() === l1,
       "the version floor must survive an unreadable tag")
     assert(Snapshots.lastTag(spark, root) === Some(10L),
       "the claim drops but the walk stays correct")
