@@ -1352,6 +1352,62 @@ object Snapshots {
     -1L // unreachable
   }
 
+  /** METADATA-ONLY `ALTER TABLE ... ALTER COLUMN c TYPE t` — explicit
+    * type widening (Delta's type-widening DDL): the migration-order
+    * statement that lets an operator widen the LOGGED schema *before*
+    * flipping producers, instead of waiting for a widening `MERGE
+    * WITH SCHEMA EVOLUTION` to do it as a side effect. Admits exactly
+    * [[isLosslessWidening]] (integral chain, float→double, decimal
+    * growth — the conversions the parquet readers perform when
+    * carried narrow files read up through the widened logged schema);
+    * anything lossy or ambiguous refuses. Partition/bucket columns
+    * refuse: existing files were PLACED under the narrow type's
+    * paths/hashes, and a re-typed key would silently mis-bucket.
+    * Zero bytes rewritten at any table size — one version publish;
+    * narrow producers keep appending via the write-boundary up-cast,
+    * wide producers start appending the moment this lands. Same-type
+    * is an idempotent no-op (returns the current version).
+    */
+  def alterColumnType(spark: SparkSession, root: String, name: String,
+                      typeDdl: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val parsed = StructType.fromDDL(s"`__t` $typeDdl")
+    require(parsed.length == 1, s"alterColumnType: '$typeDdl' is not one type")
+    val to = parsed.fields.head.dataType
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      requireLive(m, root, "alterColumnType")
+      val old = m.schemaDdl.map(StructType.fromDDL).getOrElse(
+        throw new IllegalStateException(
+          s"$root records no schema — commit once with this library first"))
+      require(logicalProjectNames(old, m.colmap).contains(name),
+        s"$root has no column $name")
+      val p = m.colmap.physicalOf(name)
+      val f = old.fields.find(_.name == p).getOrElse(
+        throw new IllegalStateException(s"$root: no physical field $p"))
+      if (f.dataType == to) return v
+      require(isLosslessWidening(f.dataType, to),
+        s"alterColumnType: ${f.dataType.simpleString} -> ${to.simpleString} " +
+          "is not a lossless widening (integral chain, float->double, " +
+          "decimal growth) — a lossy type change needs an explicit rewrite")
+      require(!m.parts.contains(p) && !m.parts.contains(name) &&
+          !m.bucket.exists(b => b.cols.contains(p) || b.cols.contains(name)),
+        s"alterColumnType: cannot widen $name — it is a partition/bucket " +
+          "column (existing files were laid out under the narrower type)")
+      val ddl = StructType(old.fields.map(x =>
+        if (x.name == p) x.copy(dataType = to) else x)).toDDL
+      if (tryPublish(spark, root, v + 1,
+          bodyOf(v + 1, m.copy(tag = None, schemaDdl = Some(ddl)))))
+        return v + 1
+      attempts += 1
+      require(attempts < 100, s"$root: alterColumnType lost $attempts races")
+    }
+    -1L // unreachable
+  }
+
   /** Bake the column mapping into the data: one full-replace commit
     * of the logical view (files then carry the logical names
     * physically; the new version's mapping is identity), unblocking

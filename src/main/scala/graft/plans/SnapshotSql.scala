@@ -239,6 +239,12 @@ object SnapshotSql {
   private val AddColRe =
     ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+COLUMN\s+""" +
       Id + """\s+(\S.*?)\s*""").r
+  // explicit type widening (Delta's ALTER COLUMN ... TYPE DDL) —
+  // metadata-only; Snapshots.alterColumnType admits exactly the
+  // lossless widenings and refuses partition/bucket columns
+  private val AlterColTypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
+      Id + """\s+TYPE\s+(\S.*?)\s*""").r
   private val AddConsRe =
     ("""(?is)\s*ALTER\s+TABLE\s+snap\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
       Id + """\s+CHECK\s*\((.*)\)\s*""").r
@@ -315,6 +321,9 @@ object SnapshotSql {
         noCatalog(root, "ALTER TABLE"), unquote(name)))
     case AddColRe(root, name, typeDdl) =>
       alterReceipt(spark, Snapshots.addColumn(spark,
+        noCatalog(root, "ALTER TABLE"), unquote(name), typeDdl))
+    case AlterColTypeRe(root, name, typeDdl) =>
+      alterReceipt(spark, Snapshots.alterColumnType(spark,
         noCatalog(root, "ALTER TABLE"), unquote(name), typeDdl))
     case AddConsRe(root, name, check) =>
       alterReceipt(spark, Snapshots.addConstraint(spark,

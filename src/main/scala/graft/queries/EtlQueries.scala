@@ -2713,6 +2713,60 @@ object EtlQueries {
         .withColumn("restore_ts_ok", lit(restoreOk))
         .withColumn("dryrun_preview_ok", lit(previewOk))
         .orderBy("status")
+    }),
+
+    // q210 — EXPLICIT TYPE-WIDENING DDL (`ALTER TABLE ... ALTER
+    // COLUMN k TYPE BIGINT`): the migration-ORDER statement q209's
+    // implicit merge-widening cannot express — widen the logged
+    // schema FIRST (metadata-only: the new version re-points the SAME
+    // layout, zero bytes rewritten at any table size), THEN flip the
+    // producer. A wide append lands keys past Int.MaxValue (provably
+    // unrepresentable pre-widening); a narrow INT producer keeps
+    // appending through the write-boundary up-cast. The booleans pin
+    // the metadata-only claim, the idempotent same-type no-op, and
+    // the lossy refusal; DuckDB re-sums the widened keys.
+    "q210_sql_alter_widen" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q210").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+        root, Seq("k"))
+      val layout1 = Snapshots.versionMeta(s, root, 1L).layoutId
+      val rec = SnapshotSql.sql(s,
+        s"ALTER TABLE snap.`$root` ALTER COLUMN k TYPE BIGINT").head()
+      val metadataOnly = rec.getLong(0) == 2L &&
+        Snapshots.versionMeta(s, root, 2L).layoutId == layout1 &&
+        Snapshots.read(s, root).schema("k").dataType ==
+          org.apache.spark.sql.types.LongType
+      // the WIDE producer: every 7th key re-lands past Int.MaxValue
+      Snapshots.append(s, o.filter(col("k") % 7 === 0)
+        .select((col("k").cast("bigint") + lit(3000000000L)).as("k"),
+          lit("W").as("o_orderstatus"),
+          (col("o_totalprice") * lit(2.0)).as("o_totalprice")), root)
+      // the NARROW producer keeps working: an INT-keyed batch up-casts
+      // at the write boundary (every 11th key re-lands offset, int-safe)
+      Snapshots.append(s, o.filter(col("k") % 11 === 0)
+        .select((col("k") + lit(1000000000)).as("k"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")), root)
+      // same-type re-widening is an idempotent no-op: no new version
+      val vBefore = Snapshots.versions(s, root).last
+      SnapshotSql.sql(s, s"ALTER TABLE snap.`$root` ALTER COLUMN k TYPE BIGINT")
+      val noopOk = Snapshots.versions(s, root).last == vBefore
+      val lossyRefused = scala.util.Try(SnapshotSql.sql(s,
+        s"ALTER TABLE snap.`$root` ALTER COLUMN o_totalprice TYPE INT"))
+        .failed.toOption.exists(_.getMessage.contains("lossless"))
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+           |  CAST(SUM(k) AS BIGINT) AS key_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("noop_idempotent", lit(noopOk))
+        .withColumn("lossy_refused", lit(lossyRefused))
+        .orderBy("o_orderstatus")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -3706,7 +3760,28 @@ object EtlQueries {
         |  CAST(SUM(k) AS BIGINT) AS key_sum,
         |  TRUE AS widened_to_long, TRUE AS restore_ts_ok,
         |  TRUE AS dryrun_preview_ok
-        |FROM t GROUP BY 1 ORDER BY status""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY status""".stripMargin,
+    // q210: the DDL-widening lifecycle's final state — original rows
+    // untouched, the wide producer's rows at keys past Int.MaxValue
+    // (key_sum proves the widened longs survived), the narrow
+    // producer's rows up-cast at the boundary; booleans pin the
+    // metadata-only commit, the no-op, and the lossy refusal
+    "q210_sql_alter_widen" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus,
+        |    o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT) + 3000000000, 'W',
+        |    o_totalprice * 2.0 FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT) + 1000000000, 'N',
+        |    o_totalprice FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  TRUE AS metadata_only, TRUE AS noop_idempotent,
+        |  TRUE AS lossy_refused
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

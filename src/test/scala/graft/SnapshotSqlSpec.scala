@@ -794,6 +794,61 @@ class SnapshotSqlSpec extends SparkSpec {
       "a refused append must not strand its staged dir")
   }
 
+  test("ALTER COLUMN TYPE: explicit widening DDL, metadata-only; lossy and layout columns refuse") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("sqlsnap_altertype")
+    Snapshots.commitWithStats(spark,
+      (1 to 40).map(i => (i, i.toFloat, i % 4)).toDF("k", "x", "p")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      root, Seq("k"), partitionBy = Seq("p"))
+    val layout0 = Snapshots.versionMeta(spark, root, 1L).layoutId
+    // the migration order the statement exists for: widen FIRST...
+    val rec = SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` ALTER COLUMN k TYPE BIGINT").head()
+    assert(rec.getLong(0) === 2L)
+    // metadata-only: the new version re-points the SAME layout
+    assert(Snapshots.versionMeta(spark, root, 2L).layoutId === layout0)
+    assert(Snapshots.tableSchema(spark, root)("k").dataType === LongType)
+    // ...then flip the producer: a wide batch appends a key the
+    // narrow type cannot represent; carried narrow files read up
+    Snapshots.append(spark,
+      Seq((3000000000L, 1.5f, 1)).toDF("k", "x", "p"), root)
+    assert(SnapshotSql.sql(spark,
+      s"SELECT CAST(SUM(k) AS BIGINT) AS s FROM snap.`$root`")
+      .head().getLong(0) === (1 to 40).map(_.toLong).sum + 3000000000L)
+    // the NARROW producer still works post-widening (write-boundary up-cast)
+    Snapshots.append(spark, Seq((41, 41.0f, 1)).toDF("k", "x", "p"), root)
+    assert(Snapshots.read(spark, root).count() === 42L)
+    // same-type is an idempotent no-op: no new version
+    assert(SnapshotSql.sql(spark,
+      s"ALTER TABLE snap.`$root` ALTER COLUMN k TYPE BIGINT")
+      .head().getLong(0) === 4L)
+    assert(Snapshots.versions(spark, root).last === 4L)
+    // lossy refusal (double -> int is a narrowing; float -> int too)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"ALTER TABLE snap.`$root` ALTER COLUMN x TYPE INT")
+    }
+    assert(e1.getMessage.contains("lossless"))
+    // partition-column refusal: files were laid out under the narrow type
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"ALTER TABLE snap.`$root` ALTER COLUMN p TYPE BIGINT")
+    }
+    assert(e2.getMessage.contains("partition/bucket"))
+    // bucket-column refusal: the bucket hashes were computed narrow
+    val broot = tmpDir("sqlsnap_altertype_b")
+    Snapshots.commit(spark, (1 to 20).map(i => (i, s"r$i")).toDF("id", "s"),
+      broot, bucketBy = Some(Snapshots.Bucketing(4, Seq("id"))))
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark, s"ALTER TABLE snap.`$broot` ALTER COLUMN id TYPE BIGINT")
+    }
+    assert(e3.getMessage.contains("partition/bucket"))
+    // float -> double widens (the non-key axis of the whitelist)
+    SnapshotSql.sql(spark, s"ALTER TABLE snap.`$root` ALTER COLUMN x TYPE DOUBLE")
+    assert(Snapshots.tableSchema(spark, root)("x").dataType === DoubleType)
+    assert(Snapshots.read(spark, root).filter(col("k") === 20L)
+      .head().getDouble(1) === 20.0)
+  }
+
   test("CREATE OR REPLACE ... SHALLOW CLONE re-points a live destination") {
     val base = tmpDir("sqlsnap_clone_rp")
     val (s1, s2, dst) = (s"$base/s1", s"$base/s2", s"$base/d")
