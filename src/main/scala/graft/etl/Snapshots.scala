@@ -255,7 +255,8 @@ object Snapshots {
                          parts: Seq[String] = Nil,
                          bucket: Option[Bucketing] = None,
                          colmap: ColMap = ColMap(),
-                         tombstone: Boolean = false) {
+                         tombstone: Boolean = false,
+                         copyRef: Option[String] = None) {
     /** Stable identifier of the version's file LAYOUT — the key the
       * per-version stats index is stored under. A rollback republishes
       * the same layout id, so its stats are reused with zero work.
@@ -342,8 +343,13 @@ object Snapshots {
           .findAllMatchIn(am.group(1))
           .map(cm => (unesc(cm.group(1)), unesc(cm.group(2)))).toSeq
       }.getOrElse(Nil)
+    // COPY INTO ledger ref — ignorable metadata (no feature gate: a
+    // reader unaware of it still reads every row correctly; only the
+    // copy-idempotency bookkeeping needs it)
+    val copyRef = """"copy":"([^"]+)"""".r.findFirstMatchIn(body)
+      .map(_.group(1))
     VMeta(dir, man, n, tag, schema, dv, cons, parts, bucket, colmap,
-      tombstone)
+      tombstone, copyRef)
   }
 
   /** Refuse an operation on a DROPPED table (latest version is a
@@ -368,7 +374,8 @@ object Snapshots {
     */
   private final case class CkptRow(v: Long, layout: String, ref: String,
                                    nRows: Long, tag: Option[Long],
-                                   hasDv: Boolean, nCons: Int)
+                                   hasDv: Boolean, nCons: Int,
+                                   copyRef: Option[String] = None)
 
   private def ckptFile(root: String) = new Path(versionsDir(root), "_ckpt")
 
@@ -384,7 +391,7 @@ object Snapshots {
         if (m.tombstone) "tombstone"
         else if (m.dataDir.isDefined) "dir" else "manifest",
         m.dataDir.orElse(m.manifest).get, m.nRows, m.tag,
-        m.dv.isDefined, m.constraints.size)
+        m.dv.isDefined, m.constraints.size, m.copyRef)
     } catch {
       case e: IllegalArgumentException
           if e.getMessage != null &&
@@ -392,9 +399,15 @@ object Snapshots {
         CkptRow(v, "unsupported(features)", "", -1L, None, false, 0)
     }
 
+  // the `copy` field is REQUIRED by this line shape (empty = none):
+  // pre-copy-era checkpoint lines deliberately fail the parse, so
+  // their versions re-derive from the version files (which DO carry
+  // the ref) and the next write re-checkpoints them in the new shape
+  // — a missed ref here would silently re-load already-copied files
   private val CkptLineRe =
     ("""\{"v":(\d+),"layout":"(dir|manifest|tombstone)","ref":"([^"]*)",""" +
-      """"n_rows":(-?\d+)(?:,"tag":(\d+))?,"dv":(0|1),"n_cons":(\d+)\}""").r
+      """"n_rows":(-?\d+)(?:,"tag":(\d+))?,"dv":(0|1),"n_cons":(\d+),""" +
+      """"copy":"([^"]*)"\}""").r
 
   /** Read the rolled-up rows — per-LINE tolerant: a torn or
     * unparseable line is simply absent from the map (its version
@@ -409,9 +422,10 @@ object Snapshots {
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
         body.split('\n').iterator.flatMap {
-          case CkptLineRe(v, layout, ref, n, tag, dv, nc) =>
+          case CkptLineRe(v, layout, ref, n, tag, dv, nc, cp) =>
             Iterator.single(v.toLong -> CkptRow(v.toLong, layout, ref,
-              n.toLong, Option(tag).map(_.toLong), dv == "1", nc.toInt))
+              n.toLong, Option(tag).map(_.toLong), dv == "1", nc.toInt,
+              Some(cp).filter(_.nonEmpty)))
           case _ => Iterator.empty
         }.toMap
       }
@@ -428,7 +442,8 @@ object Snapshots {
       val body = rows.sortBy(_.v).map { r =>
         s"""{"v":${r.v},"layout":"${r.layout}","ref":"${r.ref}",""" +
           s""""n_rows":${r.nRows}${r.tag.map(t => s""","tag":$t""")
-            .getOrElse("")},"dv":${if (r.hasDv) 1 else 0},"n_cons":${r.nCons}}"""
+            .getOrElse("")},"dv":${if (r.hasDv) 1 else 0},"n_cons":${r.nCons},""" +
+          s""""copy":"${r.copyRef.getOrElse("")}"}"""
       }.mkString("\n")
       val out = f.create(ckptFile(root), true)
       try out.write(body.getBytes("UTF-8"))
@@ -645,7 +660,8 @@ object Snapshots {
                      parts: Seq[String] = Nil,
                      bucket: Option[Bucketing] = None,
                      colmap: ColMap = ColMap(),
-                     tombstone: Boolean = false): String =
+                     tombstone: Boolean = false,
+                     copyRef: Option[String] = None): String =
     (Seq(dv.map(_ => "dv"), bucket.map(_ => "bucket"),
         if (colmap.isIdentity) None else Some("colmap"),
         if (tombstone) Some("tombstone") else None).flatten match {
@@ -672,6 +688,7 @@ object Snapshots {
          val dr = colmap.dropped.map(d => s""""${jsonEsc(d)}"""").mkString(",")
          s""","colmap":{"renames":[$rn],"dropped":[$dr]}"""
        }) +
+      copyRef.map(r => s""","copy":"${jsonEsc(r)}"""").getOrElse("") +
       (if (cons.isEmpty) ""
        else ""","constraints":[""" + cons.map { case (n, e) =>
          s"""{"name":"${jsonEsc(n)}","expr":"${jsonEsc(e)}"}"""
@@ -693,8 +710,9 @@ object Snapshots {
                       parts: Seq[String] = Nil,
                       bucket: Option[Bucketing] = None,
                       colmap: ColMap = ColMap(),
-                      tombstone: Boolean = false): String =
-    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts, bucket, colmap, tombstone)}}"""
+                      tombstone: Boolean = false,
+                      copyRef: Option[String] = None): String =
+    s"""{"version":$v,"manifest":"$manifest","n_rows":$nRows${extras(tag, schema, dv, cons, parts, bucket, colmap, tombstone, copyRef)}}"""
 
   private def bodyOf(v: Long, m: VMeta): String = m.dataDir match {
     case Some(d) =>
@@ -702,7 +720,8 @@ object Snapshots {
         m.parts, m.bucket, m.colmap)
     case None =>
       manBody(v, m.manifest.get, m.nRows, m.tag, m.schemaDdl, m.dv,
-        m.constraints, m.parts, m.bucket, m.colmap, m.tombstone)
+        m.constraints, m.parts, m.bucket, m.colmap, m.tombstone,
+        m.copyRef)
   }
 
   /** Path key a partition column is laid out under. The partition
@@ -959,6 +978,14 @@ object Snapshots {
     * millions of files this is ~100 MB of metadata, the same object
     * every scan plans with.
     */
+  /** Layout id a freshly-published manifest version resolves to
+    * ([[VMeta.layoutId]]'s manifest arm) — computed locally so a
+    * publisher indexing its own stats does not re-read the version
+    * file it just wrote.
+    */
+  private def manifestLayoutId(man: String): String =
+    man.stripPrefix("manifests/").stripSuffix(".txt")
+
   private def writeManifest(spark: SparkSession, root: String,
                             relFiles: Seq[String]): String = {
     val rel = s"manifests/m-${java.util.UUID.randomUUID().toString.take(13)}.txt"
@@ -1010,7 +1037,16 @@ object Snapshots {
       : org.apache.spark.sql.types.StructType = {
     val v = latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed versions"))
-    val m = versionMeta(spark, root, v)
+    tableSchemaOf(spark, root, v, versionMeta(spark, root, v), op)
+  }
+
+  /** [[tableSchema]] over an ALREADY-FETCHED (version, meta) pair —
+    * callers holding the meta (the SQL MERGE router's single probe)
+    * compute the logical schema without a second metadata read.
+    */
+  private[graft] def tableSchemaOf(spark: SparkSession, root: String,
+                                   v: Long, m: VMeta, op: String)
+      : org.apache.spark.sql.types.StructType = {
     // `op` names the CALLING verb in the tombstone refusal — a MERGE
     // probing the schema of a dropped table must refuse as MERGE,
     // not under this helper's name
@@ -2220,12 +2256,14 @@ object Snapshots {
     */
   def append(spark: SparkSession, df: DataFrame, root: String,
              statsCols: Seq[String] = Nil, tag: Option[Long] = None,
-             evolveSchema: Boolean = false): Long = {
+             evolveSchema: Boolean = false,
+             copyRef: Option[String] = None): Long = {
     // write-time CHECK enforcement: one predicate pass over the
     // BATCH, before any data lands ([[addConstraint]])
     val cons = constraintsOf(spark, root)
     requireSatisfied(df, cons, "append batch")
-    appendUnchecked(spark, df, root, statsCols, tag, evolveSchema, cons)
+    appendUnchecked(spark, df, root, statsCols, tag, evolveSchema, cons,
+      copyRef)
   }
 
   /** [[append]] minus the constraint gate — the path
@@ -2241,7 +2279,8 @@ object Snapshots {
   private def appendUnchecked(spark: SparkSession, df: DataFrame, root: String,
                               statsCols: Seq[String], tag: Option[Long],
                               evolveSchema: Boolean,
-                              checkedCons: Seq[(String, String)]): Long = {
+                              checkedCons: Seq[(String, String)],
+                              copyRef: Option[String] = None): Long = {
     import org.apache.spark.sql.types.StructType
     // ONE metadata read resolves the partition layout (it must be
     // known before the data write) AND seeds the first loop
@@ -2413,7 +2452,8 @@ object Snapshots {
           manBody(v, man, oldRows + freshRows, tag, Some(ddl),
             priorMeta.flatMap(_.dv), consNow,
             priorMeta.map(_.parts).getOrElse(Nil), bucketNow,
-            priorMeta.map(_.colmap).getOrElse(ColMap())))) {
+            priorMeta.map(_.colmap).getOrElse(ColMap()),
+            copyRef = copyRef))) {
         if (statsCols.nonEmpty) {
           val freshStats = StatsIndex.build(spark,
             new Path(root, freshDir).toString, physStatsCols)
@@ -2432,6 +2472,160 @@ object Snapshots {
       require(attempts < 100, s"$root: append lost $attempts commit races")
     }
     -1L // unreachable
+  }
+
+  /** What a COPY INTO did: the committed version (unchanged when
+    * everything was already loaded), the file-level split, and the
+    * loaded row count.
+    */
+  final case class CopyResult(version: Long, filesLoaded: Int,
+                              filesSkipped: Int, rowsLoaded: Long)
+
+  /** IDEMPOTENT batch file ingestion — Databricks' `COPY INTO`: load
+    * a folder of files into an existing table, skipping every file a
+    * previous COPY already loaded, so the statement is safely
+    * re-runnable (cron it; crashed runs just re-run). File identity
+    * is the normalized PATH (a modified file does not re-load —
+    * Delta's COPY contract; stage new data as new files).
+    *
+    * The idempotency state is a LEDGER protocol with commit-atomic
+    * validity:
+    *
+    *  - each COPY writes `_copy/c-<uuid>.txt` (one `path\tsize\tmtime`
+    *    line per loaded file) BEFORE publishing, and the commit's
+    *    version meta carries `"copy":"<ledger>"` — so a ledger counts
+    *    IFF a committed version references it. A crash between ledger
+    *    write and publish leaves an orphan that never counts (and is
+    *    reclaimed by vacuum past the orphan grace); a crash after
+    *    publish loses nothing.
+    *  - discovery costs ONE `_copy/` listing + the checkpoint+tail
+    *    history read ([[historyRows]], which now carries copy refs):
+    *    live versions' refs resolve their `c-` ledgers; `k-` ledgers
+    *    (see below) are all read.
+    *  - [[vacuum]] RENAMES a dropped version's `c-` ledger to `k-`
+    *    before deleting the version file — loaded-file state outlives
+    *    the commit that recorded it, exactly as Delta checkpoints
+    *    carry txn actions past log truncation. A table's rows loaded
+    *    at v5 are still present (carried by manifests) long after v5
+    *    ages out; re-loading them would be corruption, not hygiene.
+    *
+    * Reads ONLY the new files (never a loaded byte), store-assigns to
+    * the table's logged schema, and routes through [[append]] — the
+    * constraint gate, schema drift checks, stats maintenance, and OCC
+    * all apply unchanged. CSV/JSON read under the table schema with
+    * `options` (header, delimiter, ...); parquet must carry exactly
+    * the table's columns.
+    *
+    * Concurrency contract: idempotency is against COMMITTED state —
+    * run one COPY per table at a time (the cron/Airflow shape).
+    * TWO COPYs of the same folder racing each other can both read
+    * "not loaded" before either commits and both append (Delta's
+    * COPY INTO has the same single-runner expectation); racing a
+    * COPY against OTHER writers is fully safe — the append OCC
+    * serializes them.
+    */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+               format: String, options: Map[String, String] = Map.empty,
+               pattern: Option[String] = None): CopyResult = {
+    val fmt = format.toLowerCase
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"copyInto: unsupported FILEFORMAT $fmt (parquet, csv, json)")
+    val v0 = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root has no committed versions — COPY INTO loads into an " +
+          "existing table (CREATE it first)"))
+    val m0 = versionMeta(spark, root, v0)
+    requireLive(m0, root, "COPY INTO")
+    require(m0.colmap.isIdentity, s"$root carries a column mapping — " +
+      "materializeMapping before COPY INTO")
+    // one listing of the source (glob when a pattern narrows it)
+    val sp = new Path(srcDir)
+    val sf = fs(spark, sp)
+    val statuses = pattern match {
+      case Some(p) => Option(sf.globStatus(new Path(sp, p)))
+        .map(_.toSeq).getOrElse(Nil)
+      case None => if (sf.exists(sp)) sf.listStatus(sp).toSeq else Nil
+    }
+    val files = statuses
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => (normPath(st.getPath.toString), st.getLen,
+        st.getModificationTime))
+    val loaded = loadedCopyPaths(spark, root)
+    val fresh = files.filterNot(t => loaded.contains(t._1))
+    if (fresh.isEmpty)
+      return CopyResult(v0, 0, files.size, 0L)
+    val schema = schemaOf(spark, root, v0, m0)
+    val paths = fresh.map(_._1)
+    val raw = fmt match {
+      case "parquet" => spark.read.options(options).parquet(paths: _*)
+      case other => spark.read.format(other).options(options)
+        .schema(schema).load(paths: _*)
+    }
+    if (fmt == "parquet") {
+      require(raw.columns.toSet == schema.fieldNames.toSet,
+        s"copyInto: source columns ${raw.columns.toSet} != table " +
+          s"${schema.fieldNames.toSet}")
+    }
+    // store assignment to the logged types (ANSI: lossy runtime
+    // values refuse rather than corrupt)
+    val df = raw.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = df.count()
+      // ledger BEFORE publish; the commit's meta references it —
+      // ledger validity IS commit success (one atomic rename)
+      val ledgerRel =
+        s"_copy/c-${java.util.UUID.randomUUID().toString.take(13)}.txt"
+      val lp = new Path(root, ledgerRel)
+      val lf = fs(spark, lp)
+      val out = lf.create(lp, false)
+      try out.write(fresh.map { case (p, len, mt) => s"$p\t$len\t$mt" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // reuse the table's stats columns so the copy-on-write writers
+      // stay covered (same inheritance as the SQL partition insert)
+      val statsCols = statsTableOf(spark, root, v0)
+        .map(_.columns.toSeq.collect {
+          case c if c.startsWith("min_") => c.stripPrefix("min_")
+        }).getOrElse(Nil)
+      val v = append(spark, df, root, statsCols, copyRef = Some(ledgerRel))
+      CopyResult(v, fresh.size, files.size - fresh.size, nRows)
+    } finally df.unpersist()
+  }
+
+  /** Every source path any COMMITTED COPY has loaded: the permanent
+    * `k-` registry (vacuum-preserved ledgers of aged-out commits)
+    * plus the live versions' own `c-` ledgers, discovered through the
+    * checkpoint+tail history read. A `c-` ref whose file is gone was
+    * renamed to `k-` by a vacuum that did not finish deleting its
+    * version — the `k-` union already covers it.
+    */
+  private def loadedCopyPaths(spark: SparkSession, root: String)
+      : Set[String] = {
+    val copyDir = new Path(root, "_copy")
+    val f = fs(spark, copyDir)
+    val kept =
+      if (!f.exists(copyDir)) Seq.empty[String]
+      else f.listStatus(copyDir).toSeq
+        .filter(_.getPath.getName.startsWith("k-"))
+        .map(st => s"_copy/${st.getPath.getName}")
+    val live = historyRows(spark, root).flatMap(_.copyRef).distinct
+    (kept ++ live).flatMap(rel => readLedgerPaths(spark, root, rel)).toSet
+  }
+
+  private def readLedgerPaths(spark: SparkSession, root: String,
+                              rel: String): Seq[String] = {
+    val p = new Path(root, rel)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.split('\n').toSeq.filter(_.nonEmpty).map(_.split('\t')(0))
+    }
   }
 
   /** The copy-on-write writers split the version into touched +
@@ -2538,7 +2732,8 @@ object Snapshots {
 
   def merge(spark: SparkSession, updates: DataFrame, root: String,
             key: String, statsCols: Seq[String],
-            tag: Option[Long] = None): CowResult = {
+            tag: Option[Long] = None,
+            metaHint: Option[(Long, VMeta)] = None): CowResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
     // persist the SOURCE PLAN once, before any pass: the constraint
@@ -2553,22 +2748,33 @@ object Snapshots {
       updates.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val updRaw = if (preCached) updates
       else updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mergeBody(spark, updRaw, root, key, statsCols, tag)
+    try mergeBody(spark, updRaw, root, key, statsCols, tag, metaHint)
     finally if (!preCached) updRaw.unpersist()
   }
 
   private def mergeBody(spark: SparkSession, updates: DataFrame, root: String,
                         key: String, statsCols: Seq[String],
-                        tag: Option[Long]): CowResult = {
+                        tag: Option[Long],
+                        metaHint: Option[(Long, VMeta)]): CowResult = {
     var attempts = 0
+    // a caller that already probed the latest meta (the SQL router)
+    // passes it down: the FIRST attempt reuses it — one metadata read
+    // per statement — and a stale hint just loses the publish race,
+    // which re-reads fresh like any lost race
+    var hintLeft = metaHint
     while (true) {
-      val v = latestVersion(spark, root).getOrElse(
-        throw new IllegalArgumentException(s"$root has no committed versions"))
-      val m = versionMeta(spark, root, v)
+      val (v, m) = hintLeft match {
+        case Some(h) => hintLeft = None; h
+        case None =>
+          val lv = latestVersion(spark, root).getOrElse(
+            throw new IllegalArgumentException(
+              s"$root has no committed versions"))
+          (lv, versionMeta(spark, root, lv))
+      }
       requireLive(m, root, "merge")
       require(m.colmap.isIdentity, s"$root carries a column mapping — " +
         "materializeMapping before merge")
-      val tableSchema = read(spark, root, Some(v)).schema
+      val tableSchema = schemaOf(spark, root, v, m)
       val tableCols = tableSchema.fieldNames
       require(updates.columns.toSet == tableCols.toSet,
         s"updates schema ${updates.columns.toSet} != table ${tableCols.toSet}")
@@ -2658,7 +2864,7 @@ object Snapshots {
           else untouched.unionByName(StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols))
         Load.writeAtomic(spark, newStats,
-          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+          statsPath(root, manifestLayoutId(man)).toString)
         return CowResult(v + 1, touchedList.size,
           touchedList.size + untouchedRel.size, freshRows)
       }
@@ -2763,6 +2969,19 @@ object Snapshots {
       extends MatchedClause
   final case class MatchedDelete(cond: Option[Column]) extends MatchedClause
 
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause of a
+    * [[mergeClauses]] call. Clauses evaluate in declaration order
+    * with FIRST-MATCH-WINS (SQL MERGE's multi-insert rule): each
+    * unmatched source row takes the first clause whose condition
+    * holds; a row matching no clause is not inserted. `set = None`
+    * is `INSERT *` (carried source columns, NULL-fill the rest);
+    * `set = Some(...)` is the column-list `INSERT (cols) VALUES
+    * (exprs)` — named columns take their expressions (over the
+    * source alias), unnamed columns NULL-fill.
+    */
+  final case class InsertClause(cond: Option[Column],
+                                set: Option[Seq[(String, Column)]])
+
   /** First-clause-wins evaluation plan shared by the MATCHED and
     * NOT-MATCHED-BY-SOURCE sides of [[mergeClauses]] (one copy of the
     * fold, the id sets, the count aggregate, and the per-column image
@@ -2816,11 +3035,14 @@ object Snapshots {
   }
 
   /** What a clause-form merge did: the bounded-rewrite receipt plus
-    * the per-action row accounting.
+    * the per-action row accounting. `insertedPerClause` breaks
+    * `rowsInserted` down by insert clause in declaration order (the
+    * first-match-wins routing receipt; one entry per clause).
     */
   final case class MergeClausesResult(version: Long, filesRewritten: Int,
                                       filesTotal: Int, rowsUpdated: Long,
-                                      rowsDeleted: Long, rowsInserted: Long)
+                                      rowsDeleted: Long, rowsInserted: Long,
+                                      insertedPerClause: Seq[Long] = Nil)
 
   /** General `MERGE INTO` — [[merge]]'s upsert generalized to the
     * full conditional clause vocabulary (Delta's MERGE semantics):
@@ -2843,9 +3065,15 @@ object Snapshots {
     *
     * The source may carry a COLUMN SUBSET of the table (key
     * included): UPDATE SET * updates the carried columns only, INSERT
-    * * NULL-fills the missing ones; extra columns refuse. An explicit
+    * * NULL-fills the missing ones; extra columns refuse WHEN any
+    * star action could silently absorb them — a statement whose every
+    * action is explicit may carry source-only discriminator columns
+    * (the CDC-apply `_change_type` idiom). An explicit
     * `insertSet` (the column-list insert) builds inserted rows from
-    * its expressions and NULL-fills unnamed columns. With
+    * its expressions and NULL-fills unnamed columns; the general
+    * `inserts` list takes SEVERAL conditional insert clauses,
+    * evaluated first-match-wins in declaration order (SQL MERGE's
+    * multi-insert rule), with per-clause counts in the receipt. With
     * `evolveSchema`, NEW source columns extend the logged schema
     * (ADD-only) and shared columns whose source type is a LOSSLESS
     * WIDENING of the logged type widen it (int→long, float→double,
@@ -2887,27 +3115,36 @@ object Snapshots {
                    notMatchedBySource: Seq[MatchedClause] = Nil,
                    tag: Option[Long] = None,
                    evolveSchema: Boolean = false,
-                   insertSet: Option[Seq[(String, Column)]] = None)
+                   insertSet: Option[Seq[(String, Column)]] = None,
+                   inserts: Seq[InsertClause] = Nil,
+                   metaHint: Option[(Long, VMeta)] = None)
       : MergeClausesResult = {
     require(statsCols.contains(key),
       s"merge key $key must be a stats column for file targeting")
-    require(matched.nonEmpty || insertCond.nonEmpty ||
-        notMatchedBySource.nonEmpty,
-      "mergeClauses needs at least one WHEN clause")
     require(targetAlias != sourceAlias,
       s"target and source aliases must differ, both are '$targetAlias'")
+    // two spellings of the insert side: `inserts` is the general
+    // ORDERED clause list (first-match-wins); insertCond/insertSet is
+    // the single-clause sugar older callers use. Exactly one form.
+    require(inserts.isEmpty || (insertCond.isEmpty && insertSet.isEmpty),
+      "give ordered `inserts` OR the single insertCond/insertSet form")
+    require(insertSet.isEmpty || insertCond.nonEmpty,
+      "insert assignments need a WHEN NOT MATCHED ... THEN INSERT clause")
+    val ins: Seq[InsertClause] =
+      if (inserts.nonEmpty) inserts
+      else insertCond.map(c => InsertClause(c, insertSet)).toSeq
+    require(matched.nonEmpty || ins.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeClauses needs at least one WHEN clause")
     // the COLUMN-LIST insert (`INSERT (cols) VALUES (exprs)` — the
     // shape generated SQL tools emit): named columns take their
     // expressions (over the source alias), unnamed table columns
     // NULL-fill, exactly the column-list INSERT rule
-    require(insertSet.isEmpty || insertCond.nonEmpty,
-      "insert assignments need a WHEN NOT MATCHED ... THEN INSERT clause")
-    insertSet.foreach { assigns =>
+    ins.foreach(_.set.foreach { assigns =>
       require(assigns.nonEmpty, "INSERT (cols) VALUES needs columns")
       val names = assigns.map(_._1.toLowerCase)
       require(names.distinct.size == names.size,
         s"duplicate INSERT columns in ${assigns.map(_._1).mkString(", ")}")
-    }
+    })
     // WHEN NOT MATCHED BY SOURCE clauses see no source row: UPDATE
     // needs explicit assignments (SET * is meaningless) and both
     // forms may reference TARGET columns only
@@ -2928,8 +3165,8 @@ object Snapshots {
     val srcRaw = if (preCached) source
       else source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeClausesBody(spark, srcRaw, root, key, statsCols, targetAlias,
-      sourceAlias, matched, insertCond, notMatchedBySource, tag,
-      evolveSchema, insertSet)
+      sourceAlias, matched, ins, notMatchedBySource, tag, evolveSchema,
+      metaHint)
     finally if (!preCached) srcRaw.unpersist()
   }
 
@@ -2961,20 +3198,39 @@ object Snapshots {
                    root: String, key: String, statsCols: Seq[String],
                    targetAlias: String, sourceAlias: String,
                    matched: Seq[MatchedClause],
-                   insertCond: Option[Option[Column]],
+                   inserts: Seq[InsertClause],
                    notMatchedBySource: Seq[MatchedClause],
                    tag: Option[Long],
                    evolveSchema: Boolean,
-                   insertSet: Option[Seq[(String, Column)]]): MergeClausesResult = {
+                   metaHint: Option[(Long, VMeta)]): MergeClausesResult = {
+    // star actions take the source's carried columns BY NAME, so an
+    // unexpected extra source column is a silent feed drift there —
+    // but a statement whose every action is EXPLICIT (SET c = e,
+    // INSERT (cols) VALUES) references exactly what it names, and its
+    // extra source columns are plain clause-condition discriminators
+    // (the CDC-apply `_change_type` idiom; ANSI MERGE sources are
+    // arbitrary relations). Refuse extras only where they can bite.
+    val starUsed = matched.exists {
+      case MatchedUpdate(_, None) => true
+      case _ => false
+    } || inserts.exists(_.set.isEmpty)
     var attempts = 0
+    // first attempt reuses a caller-probed meta (see [[mergeBody]]) —
+    // one metadata read per statement; stale hints lose the race
+    var hintLeft = metaHint
     while (true) {
-      val v = latestVersion(spark, root).getOrElse(
-        throw new IllegalArgumentException(s"$root has no committed versions"))
-      val m = versionMeta(spark, root, v)
+      val (v, m) = hintLeft match {
+        case Some(h) => hintLeft = None; h
+        case None =>
+          val lv = latestVersion(spark, root).getOrElse(
+            throw new IllegalArgumentException(
+              s"$root has no committed versions"))
+          (lv, versionMeta(spark, root, lv))
+      }
       requireLive(m, root, "mergeClauses")
       require(m.colmap.isIdentity, s"$root carries a column mapping — " +
         "materializeMapping before merge")
-      val tableSchema = read(spark, root, Some(v)).schema
+      val tableSchema = schemaOf(spark, root, v, m)
       val tableCols = tableSchema.fieldNames.toSeq
       // COLUMN-SUBSET sources (the real upsert-feed shape: (key,
       // changed-cols) only): the source may carry any subset of the
@@ -2992,15 +3248,21 @@ object Snapshots {
       // refuse as before (silent feed drift is a bug, not evolution).
       val extraFields = source.schema.fields.toSeq
         .filter(f => !tableCols.contains(f.name))
-      if (!evolveSchema)
+      if (evolveSchema)
+        extraFields.foreach(f => require(
+          !tableCols.exists(_.equalsIgnoreCase(f.name)),
+          s"schema evolution: source column ${f.name} case-collides with " +
+            "an existing table column"))
+      else if (starUsed)
         require(extraFields.isEmpty,
           s"source columns ${(srcColSet -- tableCols.toSet).mkString(", ")} " +
             s"are not columns of $root (${tableCols.mkString(", ")}) — " +
-            "pass evolveSchema / WITH SCHEMA EVOLUTION to ADD them")
-      else extraFields.foreach(f => require(
-        !tableCols.exists(_.equalsIgnoreCase(f.name)),
-        s"schema evolution: source column ${f.name} case-collides with " +
-          "an existing table column"))
+            "pass evolveSchema / WITH SCHEMA EVOLUTION to ADD them, or " +
+            "use explicit SET / INSERT (cols) VALUES clauses to carry " +
+            "source-only discriminator columns")
+      // else: explicit-only statement — extra source columns ride the
+      // source alias for clause conditions/expressions and never
+      // enter the table schema or any image
       require(srcColSet.contains(key),
         s"merge key $key is missing from the source columns")
       // TYPE WIDENING (Delta's second evolution axis): with the flag,
@@ -3049,7 +3311,9 @@ object Snapshots {
         tableSchema.fields.map(f => widened.get(f.name)
           .map(t => f.copy(dataType = t)).getOrElse(f)))
       val outSchema = org.apache.spark.sql.types.StructType(
-        tableSchemaW.fields ++ extraFields.map(_.copy(nullable = true)))
+        tableSchemaW.fields ++
+          (if (evolveSchema) extraFields.map(_.copy(nullable = true))
+           else Nil))
       val outCols = outSchema.fieldNames.toSeq
       val tableColSet = tableCols.toSet
       requireTagMonotonic(spark, root, tag, "mergeClauses")
@@ -3065,12 +3329,12 @@ object Snapshots {
         }
         case _ => ()
       }
-      // column-list INSERT targets validate the same way
-      insertSet.foreach(_.foreach { case (n, _) =>
+      // column-list INSERT targets validate the same way, per clause
+      inserts.foreach(_.set.foreach(_.foreach { case (n, _) =>
         require(outCols.exists(_.equalsIgnoreCase(n)),
           s"merge INSERT column $n is not a column of $root " +
             s"(${outCols.mkString(", ")})")
-      })
+      }))
       // cast to the table's EXACT logged types (see [[merge]]): wrong
       // bucket hashes and union-widened unreadable files both start
       // as a silent dtype drift. The key cast must be lossless; with
@@ -3086,8 +3350,16 @@ object Snapshots {
         refuseDups = matched.nonEmpty, "mergeClauses")
       val srcFields = outSchema.fields.toSeq.filter(f =>
         srcColSet.contains(f.name))
+      // source-only discriminator columns (explicit-only statements)
+      // ride the projection UNCAST — clause conditions reference them
+      // through the source alias; they are in no image and no schema
+      val passThru =
+        if (evolveSchema) Nil
+        else source.schema.fields.toSeq
+          .filterNot(f => outSchema.fieldNames.contains(f.name))
+          .map(f => col(f.name))
       val src = source.select(srcFields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
+        col(f.name).cast(f.dataType).as(f.name)) ++ passThru: _*)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
       // file targeting — identical to [[merge]]. EXCEPT with
@@ -3153,7 +3425,7 @@ object Snapshots {
       ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // `src` is a cheap cast over the persisted raw source — every
       // pass below reads cached partitions, never the source plan
-      val (freshDir, freshRows, nUpd, nDel, nIns) = try {
+      val (freshDir, freshRows, nUpd, nDel, nIns, insPer) = try {
         val tgtA = touchedRows.alias(targetAlias)
         val srcA = src.alias(sourceAlias)
         val joined = tgtA.join(srcA,
@@ -3221,29 +3493,52 @@ object Snapshots {
         // the source does not carry; an explicit column list
         // (`INSERT (cols) VALUES (exprs)`) takes each named column's
         // expression (over the source alias) and NULL-fills the rest
-        // — both are the column-list INSERT rule
-        val insertImage = (f: org.apache.spark.sql.types.StructField) =>
-          insertSet match {
+        // — both are the column-list INSERT rule. Several clauses
+        // evaluate FIRST-MATCH-WINS (SQL MERGE's multi-insert rule):
+        // `__ic` routes each unmatched source row to the first clause
+        // whose condition holds; unrouted rows are not inserted.
+        def clauseImage(cl: InsertClause,
+                        f: org.apache.spark.sql.types.StructField): Column =
+          cl.set match {
             case Some(assigns) => assigns.collectFirst {
-              case (n, e) if n.equalsIgnoreCase(f.name) =>
-                e.cast(f.dataType).as(f.name)
-            }.getOrElse(lit(null).cast(f.dataType).as(f.name))
+              case (n, e) if n.equalsIgnoreCase(f.name) => e.cast(f.dataType)
+            }.getOrElse(lit(null).cast(f.dataType))
             case None =>
-              if (srcColSet.contains(f.name)) col(f.name).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
+              if (srcColSet.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType)
           }
-        val inserted = insertCond match {
-          case None => touchedRows.filter(lit(false))
-            .select(outSchema.fields.toSeq.map(f =>
-              if (tableColSet.contains(f.name)) col(f.name)
-              else lit(null).cast(f.dataType).as(f.name)): _*)
-          case Some(cond) =>
-            srcA.join(touchedRows.select(col(key).as("__tk")),
-              col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
-              .filter(cond.getOrElse(lit(true)))
-              .select(outSchema.fields.toSeq.map(insertImage): _*)
-        }
-        val nI = if (insertCond.isEmpty) 0L else inserted.count()
+        val (inserted, perClause) =
+          if (inserts.isEmpty)
+            (touchedRows.filter(lit(false))
+              .select(outSchema.fields.toSeq.map(f =>
+                if (tableColSet.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)): _*),
+              Seq.empty[Long])
+          else {
+            val route = inserts.zipWithIndex
+              .foldRight(lit(-1): Column) { case ((cl, i), acc) =>
+                org.apache.spark.sql.functions.when(
+                  cl.cond.getOrElse(lit(true)), lit(i)).otherwise(acc)
+              }
+            val routed = srcA.join(touchedRows.select(col(key).as("__tk")),
+                col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
+              .withColumn("__ic", route).filter(col("__ic") >= 0)
+            val image = (f: org.apache.spark.sql.types.StructField) =>
+              inserts.zipWithIndex
+                .foldRight(lit(null).cast(f.dataType): Column) {
+                  case ((cl, i), acc) =>
+                    org.apache.spark.sql.functions.when(
+                      col("__ic") === i, clauseImage(cl, f)).otherwise(acc)
+                }.as(f.name)
+            // one churn-sized aggregate yields the per-clause receipt
+            // (the first-match-wins routing, machine-checkable)
+            val cnts = routed.groupBy("__ic")
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            (routed.select(outSchema.fields.toSeq.map(image): _*),
+              inserts.indices.map(i => cnts.getOrElse(i, 0L)))
+          }
+        val nI = perClause.sum
         // only the NEW images face the CHECK gate (kept rows passed at
         // their own write time) — churn-sized, like everything here:
         // NOT-MATCHED-BY-SOURCE updates contribute exactly their
@@ -3254,7 +3549,7 @@ object Snapshots {
           m.constraints, "merge clauses")
         val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
         val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
-        (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, nI)
+        (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, nI, perClause)
       } finally touchedRows.unpersist()
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)
@@ -3272,9 +3567,10 @@ object Snapshots {
           else untouched.unionByName(StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols))
         Load.writeAtomic(spark, newStats,
-          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+          statsPath(root, manifestLayoutId(man)).toString)
         return MergeClausesResult(v + 1, touchedList.length,
-          touchedList.length + untouchedRel.length, nUpd, nDel, nIns)
+          touchedList.length + untouchedRel.length, nUpd, nDel, nIns,
+          insPer)
       }
       // lost the race — generalized OCC re-base before re-staging
       // (see [[merge]]; same soundness gates, clause semantics ride
@@ -3299,7 +3595,8 @@ object Snapshots {
       rebased match {
         case Some((nv, carried2)) =>
           return MergeClausesResult(nv, touchedList.length,
-            touchedList.length + carried2.length, nUpd, nDel, nIns)
+            touchedList.length + carried2.length, nUpd, nDel, nIns,
+            insPer)
         case None =>
           fs(spark, new Path(root, freshDir))
             .delete(new Path(root, freshDir), true)
@@ -3385,7 +3682,7 @@ object Snapshots {
           else untouched.unionByName(StatsIndex.build(spark,
             new Path(root, freshDir).toString, statsCols))
         Load.writeAtomic(spark, newStats,
-          statsPath(root, versionMeta(spark, root, v + 1).layoutId).toString)
+          statsPath(root, manifestLayoutId(man)).toString)
         return CowResult(v + 1, touchedList.size,
           touchedList.size + untouchedRel.size, freshRows)
       }
@@ -3455,21 +3752,10 @@ object Snapshots {
                        spec: Map[String, Column],
                        statsCols: Seq[String]): CowResult = {
     require(spec.nonEmpty, "replacePartition needs at least one partition value")
-    var attempts = 0
-    while (true) {
-      val v = latestVersion(spark, root).getOrElse(
-        throw new IllegalArgumentException(s"$root has no committed versions"))
-      val m = versionMeta(spark, root, v)
-      requireLive(m, root, "replacePartition")
-      spec.keys.foreach(c => require(m.parts.contains(c),
-        s"replacePartition: $c is not a partition column of $root (${m.parts})"))
-      val schema = schemaOf(spark, root, v, m)
-      require(df.columns.toSet == schema.fieldNames.toSet,
-        s"replacePartition batch schema ${df.columns.toSet} != table ${schema.fieldNames.toSet}")
-      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
-        "materializeMapping before replacePartition")
-      val batch = df.select(schema.fieldNames.toSeq.map(col): _*)
-      requireSatisfied(batch, m.constraints, "replacePartition batch")
+    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val batch = if (preCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
       val pred = spec.map { case (c, value) => col(c) <=> value }.reduce(_ && _)
       val stray = batch.filter(!coalesce(pred, lit(false))).count()
       require(stray == 0L,
@@ -3481,39 +3767,205 @@ object Snapshots {
       val specCols = spec.toSeq
       val renderedRow = spark.range(1).select(specCols.map { case (c, value) =>
         value.cast(org.apache.spark.sql.types.StringType).as(c) }: _*).head()
-      val specPath: Map[String, Option[String]] = specCols.zipWithIndex.map {
+      val tuple: Map[String, Option[String]] = specCols.zipWithIndex.map {
         case ((c, _), idx) => c -> Option(renderedRow.getString(idx))
       }.toMap
+      replaceTuplesBody(spark, batch, root, specCols.map(_._1), Seq(tuple),
+        rows => rows.filter(!coalesce(pred, lit(false))), statsCols,
+        "replacePartition")
+    } finally if (!preCached) batch.unpersist()
+  }
+
+  /** DYNAMIC partition overwrite — Spark's
+    * `partitionOverwriteMode=dynamic` / Hive's dynamic `INSERT
+    * OVERWRITE ... PARTITION (k)`: replace exactly the partition
+    * tuples PRESENT IN `df` (over `specCols`), all in ONE atomic
+    * commit. The replaced set derives from the DATA — one distinct
+    * aggregate over the batch's partition columns, capped by
+    * `maxPartitions` (Hive's dynamic-partition guard: a reload that
+    * silently touches a million partitions is a bug, not a load) —
+    * then each version file classifies by PATH VALUES against the
+    * whole set exactly as [[replacePartition]] does: files provably
+    * of another partition carry by reference, files provably of a
+    * replaced tuple drop, unknown-layout files rewrite with the
+    * replaced tuples' rows anti-joined OUT (row membership is by
+    * VALUE — null-safe — while file classification is by the
+    * rendered path string; the ambiguous null/'' marker stays
+    * conservative on both sides). An EMPTY batch replaces nothing and
+    * commits nothing (Spark's dynamic-mode contract — the no-op
+    * receipt reports the current version). Everything else —
+    * constraints, vector carry, stats accounting, the partition-aware
+    * OCC re-base for disjoint concurrent reloads — is the shared
+    * [[replaceTuplesBody]].
+    */
+  def replacePartitions(spark: SparkSession, df: DataFrame, root: String,
+                        specCols: Seq[String], statsCols: Seq[String],
+                        maxPartitions: Int = 1000): CowResult = {
+    require(specCols.nonEmpty,
+      "replacePartitions needs at least one partition column")
+    specCols.foreach(c => require(df.columns.contains(c),
+      s"replacePartitions: batch carries no column $c"))
+    val preCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val batch = if (preCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the statement's one driver-side collect: distinct partition
+      // tuples, typed (row membership is by value) alongside their
+      // session-Cast rendering (file classification matches what the
+      // path writer encoded) — partition-count-sized metadata
+      val tupleRows = batch.select(specCols.map(col) ++ specCols.map(c =>
+          col(c).cast(org.apache.spark.sql.types.StringType)
+            .as(s"__s_$c")): _*)
+        .distinct().collect().toSeq
+      require(tupleRows.length <= maxPartitions,
+        s"replacePartitions derives ${tupleRows.length} partitions from " +
+          s"the batch — above the $maxPartitions cap; raise maxPartitions " +
+          "if this reload really is that wide")
+      if (tupleRows.isEmpty) {
+        val v = latestVersion(spark, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"$root has no committed versions"))
+        val m = versionMeta(spark, root, v)
+        requireLive(m, root, "replacePartitions")
+        return CowResult(v, 0, relFilesOf(spark, root, m).size, 0)
+      }
+      val tuples = tupleRows.map(r => specCols.zipWithIndex.map {
+        case (c, i) => c -> Option(r.getString(specCols.length + i))
+      }.toMap)
+      // typed tuple frame for the remainder's null-safe anti-join —
+      // broadcast-sized by the cap, never a giant OR expression
+      val tupleSchema = org.apache.spark.sql.types.StructType(
+        specCols.map(c => batch.schema(batch.schema.fieldIndex(c))
+          .copy(name = s"__t_$c")))
+      val tupleDf = spark.createDataFrame(
+        java.util.Arrays.asList(tupleRows.map(r => org.apache.spark.sql.Row(
+          specCols.indices.map(r.get): _*)): _*), tupleSchema)
+      val cond = specCols.map(c => col(c) <=> col(s"__t_$c"))
+        .reduce(_ && _)
+      replaceTuplesBody(spark, batch, root, specCols, tuples,
+        rows => rows.join(
+            org.apache.spark.sql.functions.broadcast(tupleDf), cond,
+            "left_anti")
+          .select(rows.columns.toSeq.map(col): _*),
+        statsCols, "replacePartitions")
+    } finally if (!preCached) batch.unpersist()
+  }
+
+  /** Partition path value of `rel` for column `c` — None when the
+    * path proves nothing (no `k=v` segment, or the ambiguous null/''
+    * default marker).
+    */
+  private def pathValOf(rel: String, c: String): Option[String] =
+    rel.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0 || seg.take(i) != partKey(c)) Iterator.empty
+      else {
+        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(i + 1))
+        // the default marker is ambiguous (null or '') — unknown
+        if (raw == "__HIVE_DEFAULT_PARTITION__") Iterator.empty
+        else Iterator.single(raw)
+      }
+    }.nextOption()
+
+  /** Classify a version's file list against a REPLACED-TUPLE set from
+    * path segments alone: carried = proven different from EVERY tuple
+    * (some spec column's path value is known and differs); dropped =
+    * proven of SOME tuple (every spec column known and equal);
+    * anything else rewrites conservatively. A null/'' tuple value
+    * never path-matches (the marker is unknown), so null-partition
+    * reloads rewrite the marker files — sound.
+    */
+  private def classifyByTuples(rels: Seq[String], specCols: Seq[String],
+                               tuples: Seq[Map[String, Option[String]]])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    def provenDiff(rel: String, t: Map[String, Option[String]]): Boolean =
+      specCols.exists(c => (pathValOf(rel, c), t(c)) match {
+        case (Some(fv), Some(sv)) => fv != sv
+        case _ => false
+      })
+    def provenIn(rel: String, t: Map[String, Option[String]]): Boolean =
+      specCols.forall(c => (pathValOf(rel, c), t(c)) match {
+        case (Some(fv), Some(sv)) => fv == sv
+        case _ => false
+      })
+    val (carried, rest) =
+      rels.partition(rel => tuples.forall(t => provenDiff(rel, t)))
+    val (dropped, touched) =
+      rest.partition(rel => tuples.exists(t => provenIn(rel, t)))
+    (carried, dropped, touched)
+  }
+
+  /** Does the partition value-tuple hold any LIVE row? (The `INSERT
+    * OVERWRITE ... IF NOT EXISTS` probe.) Path-first: a file path-
+    * proven OF the tuple short-circuits to true when no deletion
+    * vector could have emptied it; otherwise only the tuple's own
+    * proven files plus the unknown-layout files scan with the value
+    * predicate, limit 1 — never the other partitions.
+    */
+  def partitionNonEmpty(spark: SparkSession, root: String,
+                        spec: Map[String, Column]): Boolean = {
+    require(spec.nonEmpty, "partitionNonEmpty needs at least one partition value")
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed versions"))
+    val m = versionMeta(spark, root, v)
+    requireLive(m, root, "partitionNonEmpty")
+    spec.keys.foreach(c => require(m.parts.contains(c),
+      s"partitionNonEmpty: $c is not a partition column of $root (${m.parts})"))
+    val specCols = spec.toSeq
+    val renderedRow = spark.range(1).select(specCols.map { case (c, value) =>
+      value.cast(org.apache.spark.sql.types.StringType).as(c) }: _*).head()
+    val tuple: Map[String, Option[String]] = specCols.zipWithIndex.map {
+      case ((c, _), idx) => c -> Option(renderedRow.getString(idx))
+    }.toMap
+    val rels = relFilesOf(spark, root, m)
+    val (_, droppedRel, touchedRel) =
+      classifyByTuples(rels, specCols.map(_._1), Seq(tuple))
+    if (m.dv.isEmpty && droppedRel.nonEmpty) return true
+    val candidates = droppedRel ++ touchedRel
+    if (candidates.isEmpty) return false
+    val pred = spec.map { case (c, value) => col(c) <=> value }.reduce(_ && _)
+    applyDv(spark, root,
+      spark.read.schema(schemaOf(spark, root, v, m)).parquet(
+        candidates.map(rel => new Path(root, rel).toString): _*),
+      dvOf(spark, root, m))
+      .filter(coalesce(pred, lit(false))).limit(1).count() > 0L
+  }
+
+  /** Shared body of [[replacePartition]] (one static tuple) and
+    * [[replacePartitions]] (the dynamic tuple set): validate against
+    * the live meta, classify the version's files by path, stage the
+    * batch plus the conservative remainder, publish with the
+    * partition-aware OCC re-base. `keepRemainder` filters a rewritten
+    * file's rows down to those OUTSIDE every replaced tuple — the two
+    * entries express membership differently (a spec-Column predicate
+    * vs a null-safe anti-join on the derived tuple frame).
+    */
+  private def replaceTuplesBody(spark: SparkSession, df: DataFrame,
+                                root: String, specCols: Seq[String],
+                                tuples: Seq[Map[String, Option[String]]],
+                                keepRemainder: DataFrame => DataFrame,
+                                statsCols: Seq[String],
+                                op: String): CowResult = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root has no committed versions"))
+      val m = versionMeta(spark, root, v)
+      requireLive(m, root, op)
+      specCols.foreach(c => require(m.parts.contains(c),
+        s"$op: $c is not a partition column of $root (${m.parts})"))
+      val schema = schemaOf(spark, root, v, m)
+      require(df.columns.toSet == schema.fieldNames.toSet,
+        s"$op batch schema ${df.columns.toSet} != table ${schema.fieldNames.toSet}")
+      require(m.colmap.isIdentity, s"$root carries a column mapping — " +
+        s"materializeMapping before $op")
+      val batch = df.select(schema.fieldNames.toSeq.map(col): _*)
+      requireSatisfied(batch, m.constraints, s"$op batch")
       // classify every file from its path segments
       val rels = relFilesOf(spark, root, m)
-      def valOf(rel: String, c: String): Option[String] =
-        rel.split('/').iterator.flatMap { seg =>
-          val i = seg.indexOf('=')
-          if (i <= 0 || seg.take(i) != partKey(c)) Iterator.empty
-          else {
-            val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .unescapePathName(seg.drop(i + 1))
-            // the default marker is ambiguous (null or '') — unknown
-            if (raw == "__HIVE_DEFAULT_PARTITION__") Iterator.empty
-            else Iterator.single(raw)
-          }
-        }.nextOption()
-      // known-different on ANY spec column → carried; known-equal on
-      // ALL → dropped; anything else → rewritten conservatively.
-      // A null spec value never path-matches (the marker is unknown),
-      // so null-partition reloads rewrite the marker files — sound.
-      val (carriedRel, rest) = rels.partition { rel =>
-        spec.keys.exists(c => (valOf(rel, c), specPath(c)) match {
-          case (Some(fv), Some(sv)) => fv != sv
-          case _ => false
-        })
-      }
-      val (droppedRel, touchedRel) = rest.partition { rel =>
-        spec.keys.forall(c => (valOf(rel, c), specPath(c)) match {
-          case (Some(fv), Some(sv)) => fv == sv
-          case _ => false
-        })
-      }
+      val (carriedRel, droppedRel, touchedRel) =
+        classifyByTuples(rels, specCols, tuples)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
       // metadata-sized semi join, never a driver-built isin literal
@@ -3544,13 +3996,12 @@ object Snapshots {
           }
         }
       // conservative remainder: unknown-layout files rewritten with
-      // the replaced partition's rows filtered OUT (logical read)
+      // the replaced tuples' rows filtered OUT (logical read)
       val remainder =
         if (touchedRel.isEmpty) batch.filter(lit(false))
-        else applyDv(spark, root,
+        else keepRemainder(applyDv(spark, root,
           spark.read.schema(schema).parquet(
-            touchedRel.map(rel => new Path(root, rel).toString): _*), dvPrior)
-          .filter(!coalesce(pred, lit(false)))
+            touchedRel.map(rel => new Path(root, rel).toString): _*), dvPrior))
       val (freshDir, freshRows) =
         writeDataDir(spark, remainder.unionByName(batch), root, m.parts,
           m.bucket)
@@ -3591,14 +4042,14 @@ object Snapshots {
             else bStats.unionByName(StatsIndex.build(spark,
               new Path(root, freshDir).toString, statsCols))
           Load.writeAtomic(spark, newStats,
-            statsPath(root, versionMeta(spark, root, bv + 1).layoutId).toString)
+            statsPath(root, manifestLayoutId(man)).toString)
           return CowResult(bv + 1, touchedRel.size,
             bCarried.size + droppedRel.size + touchedRel.size, freshRows)
         }
         fs(spark, new Path(root, man)).delete(new Path(root, man), false)
         attempts += 1
         require(attempts < 100,
-          s"$root: replacePartition lost $attempts commit races")
+          s"$root: $op lost $attempts commit races")
         rebasing = false
         val v2 = latestVersion(spark, root).getOrElse(bv)
         if (v2 > bv) {
@@ -3608,18 +4059,8 @@ object Snapshots {
             m2.schemaDdl == m.schemaDdl && m2.dv == m.dv
           if (compatible) {
             val rels2 = relFilesOf(spark, root, m2)
-            val (carried2, rest2) = rels2.partition { rel =>
-              spec.keys.exists(c => (valOf(rel, c), specPath(c)) match {
-                case (Some(fv), Some(sv)) => fv != sv
-                case _ => false
-              })
-            }
-            val (dropped2, touched2) = rest2.partition { rel =>
-              spec.keys.forall(c => (valOf(rel, c), specPath(c)) match {
-                case (Some(fv), Some(sv)) => fv == sv
-                case _ => false
-              })
-            }
+            val (carried2, dropped2, touched2) =
+              classifyByTuples(rels2, specCols, tuples)
             val stats2 = statsTableOf(spark, root, v2)
             val covered = stats2.exists(st =>
               st.select("file").distinct().count() == rels2.size)
@@ -4370,7 +4811,7 @@ object Snapshots {
     retainKeep(spark, root, retainMs, protectedVersions, nowMs) match {
       case Some((all, keepSet)) =>
         planFrame(spark, vacuumPlanOf(spark, root, all, keepSet, orphanGraceMs))
-      case None => planFrame(spark, VacuumPlan(Nil, Nil, Nil, Nil, Nil))
+      case None => planFrame(spark, VacuumPlan(Nil, Nil, Nil, Nil, Nil, Nil))
     }
 
   private def planFrame(spark: SparkSession, p: VacuumPlan): DataFrame = {
@@ -4380,7 +4821,8 @@ object Snapshots {
         p.dataDirs.map(("data_dir", _)) ++
         p.manifests.map(("manifest", _)) ++
         p.dvs.map(("dv", _)) ++
-        p.statsIds.map(id => ("stats", s"_stats/$id"))
+        p.statsIds.map(id => ("stats", s"_stats/$id")) ++
+        p.copyLedgers.map(("copy_ledger", _))
     rows.sortBy(r => (r._1, r._2)).toDF("kind", "path")
   }
 
@@ -4420,6 +4862,26 @@ object Snapshots {
     }
     val plan = vacuumPlanOf(spark, root, all, keepSet, orphanGraceMs)
     val f = fs(spark, new Path(root))
+    // a dropped version's COPY ledger outlives it: rename `c-` → `k-`
+    // (the permanent registry) BEFORE the version file goes —
+    // loaded-file state must survive log truncation, or a later COPY
+    // would re-load rows the table still carries
+    plan.dropVersions.foreach { v =>
+      scala.util.Try(versionMeta(spark, root, v)).toOption
+        .flatMap(_.copyRef).foreach { rel =>
+          val c = new Path(root, rel)
+          val name = c.getName
+          if (name.startsWith("c-") && f.exists(c)) {
+            val k = new Path(root, s"_copy/k-${name.stripPrefix("c-")}")
+            val preserved =
+              if (f.exists(k)) { f.delete(c, false); true }
+              else f.rename(c, k) || f.exists(k)
+            require(preserved,
+              s"$root: vacuum could not preserve COPY ledger $rel — " +
+                s"aborting before deleting version $v")
+          }
+        }
+    }
     plan.dropVersions.foreach(v => f.delete(versionFile(root, v), false))
     plan.dataDirs.foreach { rel =>
       f.delete(new Path(root, rel), true)
@@ -4432,6 +4894,7 @@ object Snapshots {
     }
     plan.dvs.foreach(rel => f.delete(new Path(root, rel), true))
     plan.statsIds.foreach(id => f.delete(statsPath(root, id), true))
+    plan.copyLedgers.foreach(rel => f.delete(new Path(root, rel), false))
   }
 
   /** The reclaim set a [[vacuumKeep]] with these inputs would delete
@@ -4446,7 +4909,8 @@ object Snapshots {
                                       dataDirs: Seq[String],
                                       manifests: Seq[String],
                                       dvs: Seq[String],
-                                      statsIds: Seq[String])
+                                      statsIds: Seq[String],
+                                      copyLedgers: Seq[String] = Nil)
 
   private def vacuumPlanOf(spark: SparkSession, root: String,
                            all: Seq[Long], keepSet: Set[Long],
@@ -4525,7 +4989,24 @@ object Snapshots {
     val statsCoupled = (dirDrops.map(_.stripPrefix("data/")) ++
         manDrops.map(_.split('/').last.stripSuffix(".txt")))
       .filter(id => f.exists(statsPath(root, id)))
+    // COPY ledgers: `k-` files are the permanent registry (never
+    // reclaimed); a `c-` file referenced by NO version — kept or
+    // dropped — is a crashed COPY's orphan and reclaims past the
+    // grace. A DROPPED version's referenced ledger is NOT in this
+    // list: the apply side renames it to `k-` instead of deleting.
+    val refdLedgers = (keepMetas.flatMap(_.copyRef) ++
+      drop.flatMap(v => scala.util.Try(versionMeta(spark, root, v))
+        .toOption.flatMap(_.copyRef))).toSet
+    val copyRoot = new Path(root, "_copy")
+    val copyDrops =
+      if (!f.exists(copyRoot)) Seq.empty[String]
+      else f.listStatus(copyRoot).toSeq.collect {
+        case st if st.getPath.getName.startsWith("c-") &&
+            !refdLedgers.contains(s"_copy/${st.getPath.getName}") &&
+            st.getModificationTime <= cutoff =>
+          s"_copy/${st.getPath.getName}"
+      }
     VacuumPlan(drop, dirDrops, manDrops, dvDrops,
-      (statsCoupled ++ statsLoose).distinct)
+      (statsCoupled ++ statsLoose).distinct, copyDrops)
   }
 }

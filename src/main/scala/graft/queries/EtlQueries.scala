@@ -2767,6 +2767,232 @@ object EtlQueries {
         .withColumn("noop_idempotent", lit(noopOk))
         .withColumn("lossy_refused", lit(lossyRefused))
         .orderBy("o_orderstatus")
+    }),
+
+    // q211 — MERGE with SEVERAL conditional WHEN NOT MATCHED insert
+    // clauses, first-match-wins (SQL MERGE's multi-insert rule; q208's
+    // sibling): unmatched feed rows route by predicate — high-value
+    // rows insert under clause 1 ('H', price verbatim), the rest fall
+    // to clause 2 ('L', halved). The receipt's per-clause breakdown
+    // column is pinned against independently computed route counts;
+    // values replay the whole routing algebra in DuckDB.
+    "q211_sql_merge_multi_insert" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q211").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, Seq("o_orderkey"))
+      o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            col("o_totalprice")))
+        .createOrReplaceTempView("q211_src")
+      val rec = SnapshotSql.sql(s,
+        s"""MERGE INTO snap.`$root` t USING q211_src u
+           |ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice + 1.0
+           |WHEN NOT MATCHED AND u.o_totalprice >= 150000.0 THEN INSERT
+           |  (o_orderkey, o_orderstatus, o_totalprice)
+           |  VALUES (u.o_orderkey, 'H', u.o_totalprice)
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_orderstatus, o_totalprice)
+           |  VALUES (u.o_orderkey, 'L', u.o_totalprice * 0.5)"""
+          .stripMargin).head()
+      val sevens = o.filter(col("o_orderkey") % 7 === 0)
+      val nH = sevens.filter(col("o_totalprice") >= 150000.0).count()
+      val nL = sevens.count() - nH
+      val receiptOk = rec.getLong(3) ==
+        o.filter(col("o_orderkey") % 5 === 0).count() &&
+        rec.getLong(5) == nH + nL &&
+        rec.getString(6) == s"$nH,$nL"
+      SnapshotSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+           |FROM snap.`$root` GROUP BY o_orderstatus""".stripMargin)
+        .withColumn("receipt_ok", lit(receiptOk))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q212 — STREAMING KEYED CHANGE-FEED APPLY (Ingest
+    // .snapshotCdcApplyAvailableNow — Delta's readChangeFeed → MERGE
+    // loop as one seam; q174's keyed sibling and q180's derived store
+    // WITHOUT the harness loop): the source takes an append, a
+    // row-level merge (updates + inserts), and a merge-on-read purge;
+    // the consumer tails the version log with checkpointed progress
+    // and applies each version's KEYED net changes to the derived
+    // table in one tagged commit — postimages/inserts upsert, deletes
+    // delete, churn-only. The run splits across a checkpoint RESUME
+    // (only the late commits flow) plus a fresh-checkpoint rerun that
+    // applies NOTHING (tag-skipped replay — versions_pinned would
+    // break on a double-apply). derived_equals_source pins the
+    // maintained table row-identical to the source's final state;
+    // values replay the full mutation algebra in DuckDB.
+    "q212_streaming_cdc_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q212").toString
+      val src = s"$base/src"; val dst = s"$base/dst"
+      Snapshots.commitWithStats(s,
+        o.filter(col("o_orderkey") <= 20000L)
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), src, Seq("o_orderkey"))
+      Snapshots.append(s, o.filter(
+        col("o_orderkey") > 20000L && col("o_orderkey") <= 40000L),
+        src, Seq("o_orderkey"))
+      // first consumer run: bootstrap (v1) + incremental apply (v2)
+      graft.streaming.Ingest.snapshotCdcApplyAvailableNow(s, src,
+        s"$base/chk", dst, "o_orderkey", Seq("o_orderkey"),
+        maxFilesPerTrigger = Some(1))
+      val resumeBase = Snapshots.versions(s, dst) == Seq(1L, 2L)
+      val baseRows = o.filter(col("o_orderkey") <= 40000L)
+      // v3: row-level merge — every 5th key re-prices, every 7th key
+      // inserts offset under status 'Z'
+      Snapshots.merge(s,
+        baseRows.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+          .unionByName(baseRows.filter(col("o_orderkey") % 7 === 0)
+            .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+              lit("Z").as("o_orderstatus"),
+              (col("o_totalprice") * lit(2.0)).as("o_totalprice"))),
+        src, "o_orderkey", Seq("o_orderkey"))
+      // v4: merge-on-read purge (zero file rewrites on the source)
+      Snapshots.deleteWhere(s, src, col("o_orderkey") % 10 === 3)
+      // checkpoint RESUME: exactly the two late commits apply
+      graft.streaming.Ingest.snapshotCdcApplyAvailableNow(s, src,
+        s"$base/chk", dst, "o_orderkey", Seq("o_orderkey"))
+      val resumed = resumeBase && Snapshots.versions(s, dst) == (1L to 4L) &&
+        Snapshots.lastTag(s, dst).contains(4L)
+      // fresh-checkpoint rerun: all versions re-deliver, all skip
+      graft.streaming.Ingest.snapshotCdcApplyAvailableNow(s, src,
+        s"$base/chk2", dst, "o_orderkey", Seq("o_orderkey"))
+      val noDouble = Snapshots.versions(s, dst) == (1L to 4L)
+      val srcF = Snapshots.read(s, src); val dstF = Snapshots.read(s, dst)
+      val equiv = srcF.exceptAll(dstF).count() == 0L &&
+        dstF.exceptAll(srcF).count() == 0L
+      dstF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("derived_equals_source", lit(equiv))
+        .withColumn("resume_incremental", lit(resumed))
+        .withColumn("replay_noop", lit(noDouble))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q213 — DYNAMIC PARTITION OVERWRITE + IF NOT EXISTS (Spark's
+    // `partitionOverwriteMode=dynamic` / Hive's `INSERT OVERWRITE ...
+    // PARTITION (k)` and `... IF NOT EXISTS`; q196's dynamic sibling):
+    // one statement replaces exactly the partition tuples PRESENT in
+    // its SELECT (F and P re-shift; O never mentioned, so its files
+    // carry by path — zero pre-existing bytes read, files_rewritten
+    // pinned 0); then `IF NOT EXISTS` on the live F partition SKIPS
+    // as a committed no-op (version unchanged), and on the absent Z
+    // partition proceeds. Values replay the whole reload algebra in
+    // DuckDB.
+    "q213_sql_dynamic_partition_overwrite" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_q213").toString
+      Snapshots.commitWithStats(s,
+        o.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+      val beforeO = Snapshots.filesOfVersion(s, root, 1L)
+        .filter(_.contains("__p_o_orderstatus=O")).toSet
+      // dynamic: the replaced set {F, P} derives from the data
+      val rec1 = SnapshotSql.sql(s,
+        s"""INSERT OVERWRITE snap.`$root` PARTITION (o_orderstatus)
+           |SELECT o_orderkey + 5000000, o_totalprice + 50.0, o_orderstatus
+           |FROM snap.`$root` WHERE o_orderstatus IN ('F', 'P')"""
+          .stripMargin).head()
+      val nFP = o.filter(col("o_orderstatus").isin("F", "P")).count()
+      val dynOk = rec1.getLong(0) == 2L && rec1.getInt(1) == 0 &&
+        rec1.getLong(3) == nFP
+      val carried = beforeO.subsetOf(
+        Snapshots.filesOfVersion(s, root, 2L).toSet)
+      // IF NOT EXISTS against the LIVE F partition: committed no-op
+      val rec2 = SnapshotSql.sql(s,
+        s"""INSERT OVERWRITE snap.`$root` PARTITION (o_orderstatus = 'F')
+           |IF NOT EXISTS
+           |SELECT o_orderkey + 7000000, o_totalprice
+           |FROM snap.`$root` WHERE o_orderstatus = 'O'""".stripMargin).head()
+      val skipped = rec2.getLong(0) == 2L && rec2.getLong(3) == 0L &&
+        Snapshots.latestVersion(s, root).contains(2L)
+      // ... and against the ABSENT Z partition: the insert proceeds
+      val rec3 = SnapshotSql.sql(s,
+        s"""INSERT OVERWRITE snap.`$root` PARTITION (o_orderstatus = 'Z')
+           |IF NOT EXISTS
+           |SELECT o_orderkey + 9000000, o_totalprice
+           |FROM snap.`$root` WHERE o_orderstatus = 'O'""".stripMargin).head()
+      val nO = o.filter(col("o_orderstatus") === "O").count()
+      val inserted = rec3.getLong(0) == 3L && rec3.getLong(3) == nO
+      Snapshots.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("dynamic_receipt", lit(dynOk))
+        .withColumn("others_carried_by_path", lit(carried))
+        .withColumn("ifnotexists_skipped", lit(skipped))
+        .withColumn("ifnotexists_inserted", lit(inserted))
+        .orderBy("o_orderstatus")
+    }),
+
+    // q214 — COPY INTO (Databricks' idempotent batch file load; the
+    // batch-SQL sibling of the q137 streaming ingest): a staged
+    // folder loads ONCE — the replay skips every file (ledger
+    // protocol: the commit's meta references the ledger, so a ledger
+    // counts iff its commit published); a second folder loads
+    // incrementally; and after VACUUM truncates the first COPY's
+    // commit out of the log, its ledger persists in the k- registry,
+    // so the replay STILL loads nothing — loaded-file state outlives
+    // the commit that recorded it, exactly as the table still carries
+    // those rows. Values replay the cumulative load in DuckDB.
+    "q214_sql_copy_into" -> ((s, dir) => {
+      import graft.plans.SnapshotSql
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Files.createTempDirectory("graft_q214").toString
+      val root = s"$base/t"; val stage1 = s"$base/in1"; val stage2 = s"$base/in2"
+      Snapshots.commitWithStats(s, o.filter(col("o_orderkey") <= 20000L),
+        root, Seq("o_orderkey"))
+      o.filter(col("o_orderkey") > 20000L && col("o_orderkey") <= 40000L)
+        .repartition(4).write.parquet(stage1)
+      o.filter(col("o_orderkey") > 40000L && col("o_orderkey") <= 50000L)
+        .repartition(2).write.parquet(stage2)
+      def nFiles(d: String) = new java.io.File(d).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val (c1, c2) = (nFiles(stage1), nFiles(stage2))
+      val n1 = o.filter(col("o_orderkey") > 20000L &&
+        col("o_orderkey") <= 40000L).count()
+      val n2 = o.filter(col("o_orderkey") > 40000L &&
+        col("o_orderkey") <= 50000L).count()
+      val r1 = SnapshotSql.sql(s,
+        s"COPY INTO snap.`$root` FROM '$stage1' FILEFORMAT = PARQUET").head()
+      val firstOk = r1.getLong(0) == 2L && r1.getInt(1) == c1 &&
+        r1.getLong(3) == n1
+      val r2 = SnapshotSql.sql(s,
+        s"COPY INTO snap.`$root` FROM '$stage1' FILEFORMAT = PARQUET").head()
+      val replayNoop = r2.getInt(1) == 0 && r2.getInt(2) == c1 &&
+        r2.getLong(3) == 0L && Snapshots.latestVersion(s, root).contains(2L)
+      val r3 = SnapshotSql.sql(s,
+        s"COPY INTO snap.`$root` FROM '$stage2' FILEFORMAT = PARQUET").head()
+      val incrOk = r3.getLong(0) == 3L && r3.getInt(1) == c2 &&
+        r3.getLong(3) == n2
+      Snapshots.vacuum(s, root, keepLast = 1, orphanGraceMs = 0L)
+      val r4 = SnapshotSql.sql(s,
+        s"COPY INTO snap.`$root` FROM '$stage1' FILEFORMAT = PARQUET").head()
+      val survives = r4.getInt(1) == 0 && r4.getInt(2) == c1
+      Snapshots.read(s, root).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("price_sum"))
+        .withColumn("first_copy_ok", lit(firstOk))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("incremental_ok", lit(incrOk))
+        .withColumn("survives_truncation", lit(survives))
+        .orderBy("o_orderstatus")
     }))
 
   private def f5(s: org.apache.spark.sql.SparkSession, dir: String, clean: Boolean) = {
@@ -3781,7 +4007,82 @@ object EtlQueries {
         |  CAST(SUM(k) AS BIGINT) AS key_sum,
         |  TRUE AS metadata_only, TRUE AS noop_idempotent,
         |  TRUE AS lossy_refused
-        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q211: the first-match-wins routing replayed — matched rows take
+    // the SET, unmatched rows split on the clause-1 predicate ('H'
+    // verbatim vs 'L' halved); a wrong clause order, a both-clauses
+    // double-insert, or a dropped no-clause row all hash-break
+    "q211_sql_merge_multi_insert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000,
+        |    CASE WHEN o_totalprice >= 150000.0 THEN 'H' ELSE 'L' END,
+        |    CASE WHEN o_totalprice >= 150000.0 THEN o_totalprice
+        |         ELSE o_totalprice * 0.5 END
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS receipt_ok
+        |FROM t GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q212: the derived table's final state = the source's full
+    // mutation algebra (merge re-prices and inserts, the purge drops
+    // every 10th-mod-3 key — offset keys included, since the offset
+    // preserves the modulus); a missed delete, a double-applied
+    // insert, or a stale update all hash-break
+    "q212_streaming_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey <= 40000),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'Z', o_totalprice * 2.0
+        |  FROM base WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS derived_equals_source, TRUE AS resume_incremental,
+        |  TRUE AS replay_noop
+        |FROM merged WHERE o_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q213: the dynamic reload algebra replayed — O rows untouched,
+    // F/P rows replaced by their shifted reload, the IF-NOT-EXISTS
+    // skip contributes NOTHING on F, the IF-NOT-EXISTS insert lands
+    // the Z partition; a partition the statement never mentioned
+    // being dropped, a double-applied skip, or a missed Z insert all
+    // hash-break
+    "q213_sql_dynamic_partition_overwrite" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice + 50.0
+        |  FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |  UNION ALL
+        |  SELECT o_orderkey + 9000000, 'Z', o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS dynamic_receipt, TRUE AS others_carried_by_path,
+        |  TRUE AS ifnotexists_skipped, TRUE AS ifnotexists_inserted
+        |FROM final GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // q214: the cumulative COPY load — seed + both staged folders,
+    // each exactly once; a double-loaded replay, a dropped staged file, or
+    // post-vacuum re-ingestion all hash-break (the flags pin the
+    // receipts; the values pin the data)
+    "q214_sql_copy_into" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum,
+        |  TRUE AS first_copy_ok, TRUE AS replay_noop,
+        |  TRUE AS incremental_ok, TRUE AS survives_truncation
+        |FROM orders WHERE o_orderkey <= 50000
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   )
 
   private def f5Sql(clean: Boolean): String = {

@@ -764,6 +764,99 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** STREAMING KEYED CHANGE-FEED apply — Delta's `readChangeFeed` →
+    * MERGE loop as ONE seam, maintaining a DERIVED snapshot table
+    * from a source table's keyed changes: the source version log is
+    * the stream ([[snapshotChangesAvailableNow]]'s tailing shape, the
+    * checkpointed file source), each version's KEYED net change frame
+    * ([[graft.etl.Snapshots.changesKeyed]] — churn-only, the base
+    * table never rescanned) applies to the destination in ONE commit:
+    * postimages and inserts UPSERT, deletes DELETE — the explicit-
+    * clause MERGE with `_change_type` riding the source as a
+    * discriminator column (preimages drop; the postimage carries the
+    * row's new state).
+    *
+    * Exactly-once: the SOURCE VERSION is the destination's
+    * idempotency tag, so a crash replay, a checkpoint resume, or a
+    * fresh-checkpoint rerun sees its version already applied and
+    * skips — the [[snapshotPipelineAvailableNow]] discipline, lifted
+    * from append-only feeds to full row-level mutation (the q180
+    * derived-store maintenance without the harness loop). The first
+    * consumed version BOOTSTRAPS the destination with the full
+    * snapshot.
+    *
+    * Contract: rows must be key-identified (the upsert contract —
+    * non-null keys, unique per version; null-key churn cannot be
+    * applied BY KEY and such feeds need the un-keyed pipeline). A gap
+    * in the consumed span (source history vacuumed past an unapplied
+    * version) refuses loudly rather than silently re-snapshotting.
+    * Per-version cost: the churn read + a stats-targeted merge that
+    * rewrites only the files the churn keys touch.
+    */
+  def snapshotCdcApplyAvailableNow(spark: SparkSession, srcRoot: String,
+                                   checkpointDir: String, dstRoot: String,
+                                   key: String, statsCols: Seq[String],
+                                   maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.text(s"$srcRoot/_versions")
+    val vre = """"version":(\d+)""".r
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snap = graft.etl.Snapshots
+        // version-log LINES — one tiny JSON string per commit,
+        // metadata bounded by commit rate, never data rows
+        val vs = batch.collect().toSeq
+          .flatMap(r => vre.findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
+          .sorted
+        // one log listing + one tag read per micro-batch, not per
+        // version — the tag then advances locally with each apply
+        val committed = snap.versions(spark, srcRoot).toSet
+        var last = snap.lastTag(spark, dstRoot)
+        vs.foreach { v =>
+          if (!last.exists(_ >= v)) {
+            if (snap.latestVersion(spark, dstRoot).isEmpty) {
+              snap.append(spark, snap.read(spark, srcRoot, Some(v)),
+                dstRoot, statsCols, tag = Some(v))
+              ()
+            } else {
+              require(committed.contains(v - 1),
+                s"$srcRoot: version ${v - 1} is gone from the log " +
+                  s"(vacuumed?) — cannot derive version $v's changes; " +
+                  "re-bootstrap the derived table")
+              val feed = snap.changesKeyed(spark, srcRoot, v - 1, v, key).df
+                .filter(col("_change_type") =!= "update_preimage")
+                .persist()
+              try {
+                val dataCols = feed.columns.toSeq
+                  .filterNot(_ == "_change_type")
+                snap.mergeClauses(spark, feed, dstRoot, key, statsCols,
+                  "t", "u",
+                  matched = Seq(
+                    snap.MatchedDelete(
+                      Some(col("u._change_type") === "delete")),
+                    snap.MatchedUpdate(
+                      Some(col("u._change_type") =!= "delete"),
+                      Some(dataCols.filterNot(_ == key)
+                        .map(c => c -> col(s"u.$c"))))),
+                  insertCond = None,
+                  inserts = Seq(snap.InsertClause(
+                    Some(col("u._change_type") =!= "delete"),
+                    Some(dataCols.map(c => c -> col(s"u.$c"))))),
+                  tag = Some(v))
+                ()
+              } finally feed.unpersist()
+            }
+            last = Some(v)
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING spike alerting behind a real AvailableNow run — the
     * q137/q139 runtime discipline applied to
     * [[Stateful.spikeAlerts]]: watch a folder of JSON-lines reading

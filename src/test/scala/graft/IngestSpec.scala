@@ -277,4 +277,47 @@ class IngestSpec extends SparkSpec {
     // the tombstone survived the late lower-versioned change
     assert(finalState.find(_._1 == 2L).get._3 === "D")
   }
+
+  test("snapshotCdcApplyAvailableNow: keyed change feed maintains a derived table, resume + no double-apply") {
+    import graft.etl.Snapshots
+    val base = tmpDir("graft_cdc_apply")
+    val src = s"$base/src"; val dst = s"$base/dst"; val chk = s"$base/chk"
+    Snapshots.commitWithStats(spark,
+      (1L to 10L).map(i => (i, i * 1.0, "base")).toDF("id", "x", "s")
+        .coalesce(1), src, Seq("id"))
+    Snapshots.append(spark,
+      (11L to 15L).map(i => (i, i * 1.0, "b2")).toDF("id", "x", "s"), src)
+    // first run: bootstrap (v1) + incremental apply (v2)
+    Ingest.snapshotCdcApplyAvailableNow(spark, src, chk, dst, "id",
+      Seq("id"), maxFilesPerTrigger = Some(1))
+    assert(Snapshots.versions(spark, dst) === Seq(1L, 2L))
+    assert(Snapshots.lastTag(spark, dst) === Some(2L))
+    def equiv(): Boolean = {
+      val s0 = Snapshots.read(spark, src); val d0 = Snapshots.read(spark, dst)
+      s0.exceptAll(d0).isEmpty && d0.exceptAll(s0).isEmpty
+    }
+    assert(equiv(), "the bootstrap + first apply must mirror the source")
+    // mid-range mutation: an upsert (update id=3, insert id=99) and a
+    // merge-on-read delete — the full change vocabulary
+    Snapshots.merge(spark,
+      Seq((3L, 333.0, "upd"), (99L, 9.0, "new")).toDF("id", "x", "s"),
+      src, "id", Seq("id"))
+    Snapshots.deleteWhere(spark, src, col("id") % 5 === 0)
+    // checkpoint RESUME: only v3/v4 flow (one dst commit per source
+    // version — 2 new versions, tags advance to 4)
+    Ingest.snapshotCdcApplyAvailableNow(spark, src, chk, dst, "id", Seq("id"))
+    assert(Snapshots.versions(spark, dst) === (1L to 4L))
+    assert(Snapshots.lastTag(spark, dst) === Some(4L))
+    assert(equiv(), "updates, inserts and deletes must all propagate")
+    assert(Snapshots.read(spark, dst).filter(col("id") === 3L)
+      .head().getDouble(1) === 333.0)
+    assert(Snapshots.read(spark, dst).filter(col("id") % 5 === 0).count() === 0L)
+    // fresh-checkpoint rerun: every version re-delivers, every apply
+    // SKIPS on its tag — zero new dst versions (no double-apply)
+    Ingest.snapshotCdcApplyAvailableNow(spark, src, s"$base/chk2", dst,
+      "id", Seq("id"))
+    assert(Snapshots.versions(spark, dst) === (1L to 4L),
+      "a replayed feed must not double-apply")
+    assert(equiv())
+  }
 }

@@ -255,19 +255,18 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(got === Map(1L -> "r1-m", 31L -> "r31", 9001L -> "r9001"))
     assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
       .as[Long].head() === 405L)
-    // clause shapes outside the vocabulary refuse loudly — BEFORE any
-    // table work (MULTIPLE insert clauses are not supported; the
-    // single column-list INSERT form is — see its own spec)
-    val err = intercept[IllegalArgumentException] {
-      SnapshotSql.sql(spark,
-        s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED AND s.id > 9001 THEN INSERT *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(err.getMessage.contains("INSERT *"), err.getMessage)
+    // MULTIPLE insert clauses are now first-class (first-match-wins —
+    // see the dedicated spec); here every source key already matches,
+    // so the multi-clause receipt pins zero inserts per clause and the
+    // statement is a pure idempotent update
+    val rMulti = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.id > 9001 THEN INSERT *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(rMulti.getLong(5) === 0L && rMulti.getString(6) === "0,0")
     assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
-      .as[Long].head() === 405L, "the refusal must not mutate the table")
+      .as[Long].head() === 405L, "an all-matched multi-insert merge must not grow the table")
     val err2 = intercept[IllegalArgumentException] {
       SnapshotSql.sql(spark,
         s"""MERGE INTO snap.`$root` t USING merge_src s
@@ -390,6 +389,199 @@ class SnapshotSqlSpec extends SparkSpec {
       SnapshotSql.sql(spark, s"OPTIMIZE snap.`/cat::fact`")
     }
     assert(e.getMessage.contains("read-only"))
+  }
+
+  test("INSERT OVERWRITE PARTITION (dynamic) replaces exactly the data's tuples") {
+    val root = tmpDir("sqlsnap_dynpart")
+    val base = (1L to 90L).map(i => (i, s"g${i % 3}", s"r$i"))
+      .toDF("id", "grp", "s")
+    Snapshots.commitWithStats(spark, base, root, Seq("id"),
+      partitionBy = Seq("grp"))
+    val beforeG0 = Snapshots.filesOfVersion(spark, root, 1L)
+      .filter(_.contains("__p_grp=g0")).toSet
+    // the reload carries g1 and g2 rows only → exactly those two
+    // tuples replace; g0 is never mentioned and never touched
+    val rec = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (grp)
+         |SELECT id + 1000, concat('new', s), grp FROM snap.`$root`
+         |WHERE grp IN ('g1', 'g2') AND id <= 10""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(rec._1 === 2L && rec._2 === 0,
+      s"clean layout: zero pre-existing rewrites, got $rec")
+    assert(rec._4 === 7L, "g1 holds 1,4,7,10 and g2 holds 2,5,8 below 10")
+    val after = Snapshots.filesOfVersion(spark, root, 2L).toSet
+    assert(beforeG0.subsetOf(after),
+      "the unmentioned partition's files must carry by path")
+    val got = spark.sql(
+      s"SELECT grp, count(*) FROM snap.`$root` GROUP BY grp ORDER BY grp")
+      .as[(String, Long)].collect()
+    assert(got === Array(("g0", 30L), ("g1", 4L), ("g2", 3L)))
+    // an empty SELECT replaces NOTHING — no commit (Spark's dynamic
+    // overwrite contract), the receipt reports the current version
+    val rec2 = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (grp)
+         |SELECT id, s, grp FROM snap.`$root` WHERE false""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(rec2._1 === 2L && rec2._4 === 0L)
+    assert(Snapshots.latestVersion(spark, root) === Some(2L))
+  }
+
+  test("mixed static+dynamic PARTITION spec replaces within the static slice") {
+    val root = tmpDir("sqlsnap_mixpart")
+    Snapshots.commitWithStats(spark,
+      Seq((1L, "d1", "h1", "a"), (2L, "d1", "h2", "b"),
+        (3L, "d2", "h1", "c")).toDF("id", "day", "hr", "s"),
+      root, Seq("id"), partitionBy = Seq("day", "hr"))
+    // day pinned static, hr dynamic: the batch holds only (d1,h2),
+    // so (d1,h1) and the whole d2 slice carry untouched
+    val rec = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (day = 'd1', hr)
+         |SELECT 20L, 'B', 'h2'""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(rec._1 === 2L && rec._2 === 0 && rec._4 === 1L)
+    val got = spark.sql(
+      s"SELECT id, day, hr FROM snap.`$root` ORDER BY id")
+      .as[(Long, String, String)].collect()
+    assert(got === Array((1L, "d1", "h1"), (3L, "d2", "h1"),
+      (20L, "d1", "h2")))
+  }
+
+  test("INSERT OVERWRITE IF NOT EXISTS: live partition skips, absent and DV-emptied insert") {
+    val root = tmpDir("sqlsnap_ine")
+    Snapshots.commitWithStats(spark,
+      Seq((1L, "g1", "a"), (2L, "g2", "b")).toDF("id", "grp", "s"),
+      root, Seq("id"), partitionBy = Seq("grp"))
+    // live partition: committed no-op — no new version
+    val r1 = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (grp = 'g1')
+         |IF NOT EXISTS SELECT 10L, 'x'""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(r1._1 === 1L && r1._4 === 0L)
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // absent partition: the insert proceeds
+    val r2 = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (grp = 'g3')
+         |IF NOT EXISTS SELECT 30L, 'z'""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(r2._1 === 2L && r2._4 === 1L)
+    // a DV-emptied partition holds no LIVE row — the probe must see
+    // through the deletion vector, not stop at the file's existence
+    Snapshots.deleteWhere(spark, root, col("grp") === "g2")
+    val r3 = SnapshotSql.sql(spark,
+      s"""INSERT OVERWRITE snap.`$root` PARTITION (grp = 'g2')
+         |IF NOT EXISTS SELECT 20L, 'y'""".stripMargin)
+      .as[(Long, Int, Int, Long)].head()
+    assert(r3._4 === 1L,
+      "a partition emptied by a deletion vector is NOT EXISTS")
+    val got = spark.sql(s"SELECT id, grp FROM snap.`$root` ORDER BY id")
+      .as[(Long, String)].collect()
+    assert(got === Array((1L, "g1"), (20L, "g2"), (30L, "g3")))
+    // IF NOT EXISTS needs a fully static spec — Spark's own parser
+    // refuses the dynamic combination before our gate even runs (the
+    // runPartitionInsert require is defense-in-depth behind it)
+    val err = intercept[
+      org.apache.spark.sql.catalyst.parser.ParseException] {
+      SnapshotSql.sql(spark,
+        s"""INSERT OVERWRITE snap.`$root` PARTITION (grp)
+           |IF NOT EXISTS SELECT 40L, 'q', 'g4'""".stripMargin)
+    }
+    assert(err.getMessage.toUpperCase.contains("IF NOT EXISTS"),
+      err.getMessage)
+  }
+
+  private def stageFile(df: org.apache.spark.sql.DataFrame, dir: String,
+                        name: String): String = {
+    val tmp = tmpDir("copy_stage_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toString
+  }
+
+  test("COPY INTO: idempotent file loads — new files only; replay skips; state survives vacuum") {
+    val root = tmpDir("sqlsnap_copy")
+    val stage = tmpDir("sqlsnap_copy_src")
+    Snapshots.commitWithStats(spark,
+      Seq((0L, "seed")).toDF("id", "s"), root, Seq("id"))
+    stageFile(Seq((1L, "a")).toDF("id", "s"), stage, "f1.parquet")
+    stageFile(Seq((2L, "b")).toDF("id", "s"), stage, "f2.parquet")
+    val r1 = SnapshotSql.sql(spark,
+      s"COPY INTO snap.`$root` FROM '$stage' FILEFORMAT = PARQUET")
+      .as[(Long, Int, Int, Long)].head()
+    assert(r1 === ((2L, 2, 0, 2L)))
+    // replay: every file already loaded — nothing commits
+    val r2 = SnapshotSql.sql(spark,
+      s"COPY INTO snap.`$root` FROM '$stage' FILEFORMAT = PARQUET")
+      .as[(Long, Int, Int, Long)].head()
+    assert(r2 === ((2L, 0, 2, 0L)))
+    assert(Snapshots.latestVersion(spark, root) === Some(2L))
+    // an ORPHAN ledger (a crashed COPY: ledger written, commit never
+    // published) must NOT count as loaded — f3 still loads
+    val f3 = s"$stage/f3.parquet"
+    val orphan = java.nio.file.Paths.get(root, "_copy", "c-orphan00test.txt")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.write(orphan, s"$f3\t0\t0".getBytes("UTF-8"))
+    stageFile(Seq((3L, "c")).toDF("id", "s"), stage, "f3.parquet")
+    val r3 = SnapshotSql.sql(spark,
+      s"COPY INTO snap.`$root` FROM '$stage' FILEFORMAT = PARQUET")
+      .as[(Long, Int, Int, Long)].head()
+    assert(r3 === ((3L, 1, 2, 1L)),
+      "an unreferenced ledger is a crashed COPY, not loaded state")
+    // the orphan reclaims via vacuum (grace 0 for the test); loaded
+    // state of REAL copy commits survives the same vacuum: dropped
+    // versions' ledgers rename into the permanent k- registry
+    val preview = Snapshots.vacuumDryRun(spark, root, keepLast = 1,
+      orphanGraceMs = 0L)
+    assert(preview.filter(col("kind") === "copy_ledger").as[(String, String)]
+      .collect().map(_._2).toSeq === Seq("_copy/c-orphan00test.txt"))
+    Snapshots.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    val copyDir = new java.io.File(root, "_copy")
+    val names = copyDir.listFiles().map(_.getName).toSet
+    assert(!names.contains("c-orphan00test.txt"), "orphan reclaimed")
+    assert(names.count(_.startsWith("k-")) === 1,
+      "the vacuumed copy commit's ledger must persist in the k- registry")
+    assert(names.count(_.startsWith("c-")) === 1,
+      "the LIVE copy commit keeps its own c- ledger")
+    val r4 = SnapshotSql.sql(spark,
+      s"COPY INTO snap.`$root` FROM '$stage' FILEFORMAT = PARQUET")
+      .as[(Long, Int, Int, Long)].head()
+    assert(r4._2 === 0 && r4._3 === 3,
+      "loaded-file state must survive log truncation")
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root`")
+      .as[Long].head() === 4L)
+  }
+
+  test("COPY INTO: CSV under the table schema with FORMAT_OPTIONS and PATTERN") {
+    val root = tmpDir("sqlsnap_copycsv")
+    val stage = tmpDir("sqlsnap_copycsv_src")
+    Snapshots.commitWithStats(spark,
+      Seq((0L, 0.5, "seed")).toDF("id", "x", "s"), root, Seq("id"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stage, "batch.csv"),
+      "id;x;s\n1;1.5;a\n2;2.5;b\n".getBytes("UTF-8"))
+    // a decoy the PATTERN must exclude
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stage, "notes.txt"),
+      "9;9.9;nope\n".getBytes("UTF-8"))
+    val r = SnapshotSql.sql(spark,
+      s"""COPY INTO snap.`$root` FROM '$stage' FILEFORMAT = CSV
+         |PATTERN = '*.csv'
+         |FORMAT_OPTIONS ('header' = 'true', 'sep' = ';')"""
+        .stripMargin).as[(Long, Int, Int, Long)].head()
+    assert(r === ((2L, 1, 0, 2L)))
+    val got = spark.sql(s"SELECT id, x, s FROM snap.`$root` ORDER BY id")
+      .as[(Long, Double, String)].collect()
+    assert(got === Array((0L, 0.5, "seed"), (1L, 1.5, "a"), (2L, 2.5, "b")))
+    // unsupported format refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"COPY INTO snap.`$root` FROM '$stage' FILEFORMAT = AVRO")
+    }
+    assert(err.getMessage.contains("FILEFORMAT"), err.getMessage)
   }
 
   test("SQL metadata verbs: SHOW PARTITIONS, SHOW TABLES IN, DESCRIBE CHANGES") {
@@ -738,6 +930,88 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("not a column"))
   }
 
+  test("MERGE with several NOT MATCHED insert clauses: first-match-wins routing") {
+    import spark.implicits._
+    val root = tmpDir("sqlsnap_multiins")
+    Snapshots.commitWithStats(spark,
+      (1L to 40L).map(i => (i, i * 1.0, "base")).toDF("id", "x", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"))
+    // unmatched rows: 100 (priced, matches clause 1), 200 (cheap,
+    // falls to clause 2), 300 (priced — clause ORDER must route it to
+    // clause 1 even though clause 2's condition also holds)
+    Seq((5L, 500.0), (100L, 50.0), (200L, 1.0), (300L, 99.0))
+      .toDF("id", "x").createOrReplaceTempView("multiins_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING multiins_src u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET x = u.x
+         |WHEN NOT MATCHED AND u.x >= 10.0
+         |  THEN INSERT (id, x, s) VALUES (u.id, u.x, 'priced')
+         |WHEN NOT MATCHED AND u.x < 1000.0
+         |  THEN INSERT (id, x, s) VALUES (u.id, 0.0, 'default')"""
+        .stripMargin).head()
+    // receipt: totals plus the per-clause breakdown column
+    assert(rec.getLong(3) === 1L && rec.getLong(5) === 3L)
+    assert(rec.getString(6) === "2,1",
+      "the receipt must pin per-clause insert counts in clause order")
+    val got = Snapshots.read(spark, root)
+      .filter(col("id") >= 100L).orderBy("id")
+      .as[(Long, Double, String)].collect()
+    assert(got === Array((100L, 50.0, "priced"), (200L, 0.0, "default"),
+      (300L, 99.0, "priced")),
+      "each unmatched row must take its FIRST passing clause")
+    // a row matching NO insert clause is simply not inserted
+    Seq((9999L, 1.0)).toDF("id", "x").createOrReplaceTempView("multiins_none")
+    val rec2 = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING multiins_none u ON t.id = u.id
+         |WHEN NOT MATCHED AND u.x > 100.0
+         |  THEN INSERT (id, x) VALUES (u.id, u.x)
+         |WHEN NOT MATCHED AND u.x > 50.0
+         |  THEN INSERT (id, x) VALUES (u.id, 0.0)""".stripMargin).head()
+    assert(rec2.getLong(5) === 0L && rec2.getString(6) === "0,0")
+    assert(Snapshots.read(spark, root).filter(col("id") === 9999L).count() === 0L)
+    // single-clause receipts keep their documented 6-column shape
+    val rec3 = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING multiins_none u ON t.id = u.id
+         |WHEN NOT MATCHED THEN INSERT (id, x) VALUES (u.id, u.x)"""
+        .stripMargin)
+    assert(rec3.columns.length === 6)
+  }
+
+  test("MERGE explicit clauses may carry source-only discriminator columns") {
+    import spark.implicits._
+    val root = tmpDir("sqlsnap_opcol")
+    Snapshots.commitWithStats(spark,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1),
+      root, Seq("id"))
+    // the CDC-apply idiom: the source carries an op column that is
+    // NOT a table column; every action is explicit, so it rides the
+    // source alias as a clause-condition discriminator
+    Seq((3L, 333.0, "U"), (7L, 0.0, "D"), (50L, 5.0, "U"))
+      .toDF("id", "x", "op").createOrReplaceTempView("opcol_src")
+    val rec = SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING opcol_src u ON t.id = u.id
+         |WHEN MATCHED AND u.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET x = u.x
+         |WHEN NOT MATCHED AND u.op <> 'D'
+         |  THEN INSERT (id, x) VALUES (u.id, u.x)""".stripMargin).head()
+    assert((rec.getLong(3), rec.getLong(4), rec.getLong(5)) === ((1L, 1L, 1L)))
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 20L)
+    assert(after.filter(col("id") === 3L).head().getDouble(1) === 333.0)
+    assert(after.filter(col("id") === 7L).count() === 0L)
+    assert(after.filter(col("id") === 50L).head().getDouble(1) === 5.0)
+    assert(!after.columns.contains("op"),
+      "a discriminator column must never enter the table schema")
+    // with a STAR action the same source still refuses (drift guard)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotSql.sql(spark,
+        s"""MERGE INTO snap.`$root` t USING opcol_src u ON t.id = u.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("not columns of"))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens lossless types (int key becomes long)") {
     val root = tmpDir("sqlsnap_widen")
     Snapshots.commitWithStats(spark,
@@ -976,6 +1250,36 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(SnapshotSql.sql(spark,
       s"DESCRIBE CHANGES snap.`$root` FROM 1 TO 2 KEYED BY `id`")
       .count() === 3L)
+  }
+
+  test("MERGE costs ONE version-metadata read per statement (probe reused by the body)") {
+    import spark.implicits._
+    val root = tmpDir("sqlsnap_onemeta")
+    Snapshots.commitWithStats(spark,
+      (1L to 100L).map(i => (i, i * 1.0, "base")).toDF("id", "x", "s")
+        .coalesce(1), root, Seq("id"))
+    Seq((3L, 30.0, "u"), (200L, 2.0, "n")).toDF("id", "x", "s")
+      .createOrReplaceTempView("onemeta_src")
+    // warm the lastTag hint path so the pin measures the statement,
+    // not first-touch cache effects
+    Snapshots.lastTag(spark, root)
+    // plain upsert route: the router's probe IS the body's meta
+    val m0 = Snapshots.metaReads.get()
+    SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING onemeta_src u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(Snapshots.metaReads.get() - m0 === 1L,
+      "a plain-upsert MERGE statement must read the version meta once")
+    // clause route: same single probe rides into mergeClauses
+    val m1 = Snapshots.metaReads.get()
+    SnapshotSql.sql(spark,
+      s"""MERGE INTO snap.`$root` t USING onemeta_src u ON t.id = u.id
+         |WHEN MATCHED AND u.x > 5.0 THEN UPDATE SET x = u.x + 1.0
+         |WHEN NOT MATCHED THEN INSERT (id, x) VALUES (u.id, u.x)"""
+        .stripMargin).head()
+    assert(Snapshots.metaReads.get() - m1 === 1L,
+      "a clause-form MERGE statement must read the version meta once")
   }
 
   test("canHit translation: And keeps the provable half; Or requires both") {

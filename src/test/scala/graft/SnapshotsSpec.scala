@@ -1555,6 +1555,72 @@ class SnapshotsSpec extends SparkSpec {
       .getDouble(0) > 5000.0)
   }
 
+  test("replacePartitions: cap, empty no-op, null tuple conservative by path but exact by value") {
+    val root = tmpDir("snap_dynpart")
+    val base = Seq((1L, "g1"), (2L, "g2"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "grp")
+    Snapshots.commitWithStats(spark, base, root, Seq("id"),
+      partitionBy = Seq("grp"))
+    // the dynamic-partition guard (Hive's): a reload wider than the
+    // cap refuses before touching anything
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.replacePartitions(spark,
+        Seq((10L, "g1"), (20L, "g2")).toDF("id", "grp"), root,
+        Seq("grp"), Seq("id"), maxPartitions = 1)
+    }
+    assert(err.getMessage.contains("cap"), err.getMessage)
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // empty batch: replaces nothing, commits nothing
+    val r0 = Snapshots.replacePartitions(spark, base.filter(lit(false)),
+      root, Seq("grp"), Seq("id"))
+    assert(r0.version === 1L && r0.rowsWritten === 0L)
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // a NULL dynamic tuple replaces the null partition BY VALUE; the
+    // path marker is ambiguous so no file classifies as provably
+    // different, and everything rewrites conservatively — values exact
+    val r1 = Snapshots.replacePartitions(spark,
+      Seq((30L, null.asInstanceOf[String])).toDF("id", "grp"), root,
+      Seq("grp"), Seq("id"))
+    assert(r1.version === 2L && r1.rowsWritten === 3L)
+    val got = Snapshots.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(got === Array((1L, "g1"), (2L, "g2"), (30L, null)))
+  }
+
+  test("replacePartitions: disjoint dynamic reloads REBASE through the shared OCC path") {
+    val root = tmpDir("snap_dynpart_occ")
+    val df = (1L to 120L).map(i => (i, s"g${i % 4}", i * 1.0))
+      .toDF("id", "grp", "x")
+    Snapshots.commitWithStats(spark,
+      df.repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      root, Seq("id"), partitionBy = Seq("grp"))
+    val rb0 = Snapshots.rebases.get(); val rs0 = Snapshots.restages.get()
+    // the racer dynamically reloads {g1}; A dynamically reloads
+    // {g2,g3} — disjoint tuple sets, so A re-bases: one staged write
+    // each, no re-stage
+    var bResult: Option[Snapshots.CowResult] = None
+    Snapshots.racePublishHook = Some(() => {
+      bResult = Some(Snapshots.replacePartitions(spark,
+        df.filter(col("grp") === "g1").withColumn("x", col("x") + 1000.0),
+        root, Seq("grp"), Seq("id")))
+    })
+    val a = Snapshots.replacePartitions(spark,
+      df.filter(col("grp").isin("g2", "g3"))
+        .withColumn("x", col("x") + 2000.0),
+      root, Seq("grp"), Seq("id"))
+    assert(bResult.map(_.version) === Some(2L) && a.version === 3L)
+    assert(Snapshots.rebases.get() === rb0 + 1, "disjoint tuples must re-base")
+    assert(Snapshots.restages.get() === rs0)
+    val after = Snapshots.read(spark, root)
+    assert(after.count() === 120L)
+    assert(after.filter(col("grp") === "g1").agg(min("x")).head()
+      .getDouble(0) > 1000.0)
+    assert(after.filter(col("grp").isin("g2", "g3")).agg(min("x")).head()
+      .getDouble(0) > 2000.0)
+    assert(after.filter(col("grp") === "g0").agg(max("x")).head()
+      .getDouble(0) < 1000.0, "the untouched partition keeps its rows")
+  }
+
   test("create publishes at EXACTLY v1 — racing CREATEs yield one winner + one loud refusal") {
     val root = tmpDir("snap_create")
     val a = Seq((1L, "a")).toDF("id", "s")
