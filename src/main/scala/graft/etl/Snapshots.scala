@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+import org.apache.spark.sql.functions.{abs, array_repeat, coalesce, col, explode, lit, sum, when}
 
 /** Versioned table snapshots with time travel — the Delta-lite
   * commit protocol over plain parquet dirs, completing the table-
@@ -1545,11 +1545,47 @@ object Snapshots {
     // the names current consumers see (Delta CDF's end-schema rule);
     // the diff itself ran in physical names, which rename/drop never
     // alter — a metadata-only mapping change between the versions
-    // fabricates zero change rows by construction
-    val out = logicalProject(added.exceptAll(removed), mTo.colmap)
-        .withColumn("_change_type", lit("insert"))
-      .unionByName(logicalProject(removed.exceptAll(added), mTo.colmap)
-        .withColumn("_change_type", lit("delete")))
+    // fabricates zero change rows by construction.
+    //
+    // Diff shape (r16 optimization): the common version steps are
+    // provably one-sided from the FILE SETS alone — an append-only
+    // step (no removed files, no vectors) has removed ≡ ∅, so the
+    // feed is exactly the added files with "insert" and needs NO
+    // aggregation at all (a pure churn scan, zero shuffles); dually
+    // for a pure file-drop step. Only a genuinely two-sided step
+    // (rewrite, vector churn) pays a diff — and then ONE ±1
+    // union-aggregate replaces the previous exceptAll PAIR, which
+    // evaluated both churn subplans twice and aggregated twice
+    // (Spark plans each exceptAll as union+aggregate+replicate of
+    // the same pair). Per distinct row, net>0 emits net "insert"
+    // copies and net<0 emits −net "delete" copies — the exact
+    // multiset the exceptAll pair produced.
+    val noDv = mFrom.dv.isEmpty && mTo.dv.isEmpty
+    val out =
+      if (noDv && fromRel.forall(toSet))
+        logicalProject(added, mTo.colmap)
+          .withColumn("_change_type", lit("insert"))
+      else if (noDv && toRel.forall(fromSet))
+        logicalProject(removed, mTo.colmap)
+          .withColumn("_change_type", lit("delete"))
+      else {
+        def fresh(base: String): String =
+          Iterator.iterate(base)(_ + "_").find(!dataCols.contains(_)).get
+        val w = fresh("__cdf_w"); val netC = fresh("__cdf_net")
+        val dupC = fresh("__cdf_dup")
+        val net = added.withColumn(w, lit(1L))
+          .unionByName(removed.withColumn(w, lit(-1L)))
+          .groupBy(dataCols.map(col): _*)
+          .agg(sum(col(w)).as(netC))
+          .filter(col(netC) =!= 0L)
+          .withColumn(dupC, explode(array_repeat(lit(1),
+            abs(col(netC)).cast("int"))))
+        // __cdf_* scratch columns pass through the mapping untouched
+        logicalProject(net, mTo.colmap)
+          .withColumn("_change_type",
+            when(col(netC) > 0L, "insert").otherwise("delete"))
+          .drop(netC, dupC)
+      }
     ChangeScan(out,
       (toSet -- fromSet).size + (fromSet -- toSet).size + dvChurnFiles,
       fromRel.size, toRel.size)

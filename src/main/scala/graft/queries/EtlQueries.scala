@@ -463,8 +463,7 @@ object EtlQueries {
         Seq("l_shipdate"), li.schema.toDDL, maxFilesPerTrigger = Some(1))
       val stats = Load.readTable(s, s"$base/stats")
       val rebuild = graft.etl.StatsIndex.build(s, s"$base/t", Seq("l_shipdate"))
-      val statsOk = stats.exceptAll(rebuild).isEmpty &&
-        rebuild.exceptAll(stats).isEmpty
+      val statsOk = sameMultiset(stats, rebuild)
       val (pruned, nRead, nTotal) = graft.etl.StatsIndex.prunedRead(
         s, s"$base/t", stats, "l_shipdate",
         Some(c1), Some(lit("1997-12-31").cast("timestamp")))
@@ -503,8 +502,7 @@ object EtlQueries {
       val after = Snapshots.read(s, root, Some(v2))
       val filesBefore = before.select(input_file_name()).distinct().count()
       val filesAfter = after.select(input_file_name()).distinct().count()
-      val identical = before.exceptAll(after).isEmpty &&
-        after.exceptAll(before).isEmpty
+      val identical = sameMultiset(before, after)
       val (pruned, nRead, nTotal) = Snapshots.readPruned(
         s, root, None, "o_orderkey", Some(lit(1L)), Some(lit(1500L)))
       pruned.groupBy("o_orderstatus")
@@ -832,8 +830,7 @@ object EtlQueries {
       val consumed = feed.filter(col("_change_type") === "insert")
         .drop("_change_type", "batch_v")
         .select(tbl.columns.map(col): _*)
-      val equiv = consumed.exceptAll(tbl).count() == 0L &&
-        tbl.exceptAll(consumed).count() == 0L
+      val equiv = sameMultiset(consumed, tbl)
       val noDel = feed.filter(col("_change_type") === "delete").count() == 0L
       feed.groupBy("batch_v", "l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -885,8 +882,7 @@ object EtlQueries {
       val vOpt = Snapshots.optimize(s, root).version
       val opt = Snapshots.read(s, root, Some(vOpt))
       val matClean = Snapshots.versionMeta(s, root, vOpt).dv.isEmpty &&
-        opt.exceptAll(latest).count() == 0L &&
-        latest.exceptAll(opt).count() == 0L
+        sameMultiset(opt, latest)
       latest.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           moneySum(col("l_quantity")).as("sum_qty"),
@@ -1083,8 +1079,7 @@ object EtlQueries {
           dims, vals).localCheckpoint()
       }
       val full = IncrementalAgg.recompute(Snapshots.read(s, root), dims, vals)
-      val exact = agg.exceptAll(full).count() == 0L &&
-        full.exceptAll(agg).count() == 0L
+      val exact = sameMultiset(agg, full)
       agg.withColumn("incremental_exact", lit(exact))
         .orderBy("o_orderstatus")
     }),
@@ -1129,8 +1124,7 @@ object EtlQueries {
           .localCheckpoint()
       }
       val rebuilt = sigOf(Snapshots.read(s, root))
-      val matches = store.exceptAll(rebuilt).count() == 0L &&
-        rebuilt.exceptAll(store).count() == 0L
+      val matches = sameMultiset(store, rebuilt)
       val forgotten = store.filter(col("doc_id") % 7 === 2).count() == 0L
       store.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -1170,7 +1164,7 @@ object EtlQueries {
         dst, "o_orderkey", Seq("o_orderkey"))
       val srcRead = Snapshots.read(s, src)
       val srcUntouched = Snapshots.versions(s, src) == Seq(1L) &&
-        srcRead.exceptAll(o).count() == 0L && o.exceptAll(srcRead).count() == 0L
+        sameMultiset(srcRead, o)
       Snapshots.read(s, dst)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -1226,8 +1220,7 @@ object EtlQueries {
         s"$base/chkB2", s"$base/silver", Seq("l_orderkey"), xform)
       val silver = Snapshots.read(s, s"$base/silver")
       val fromScratch = xform(Snapshots.read(s, s"$base/bronze"))
-      val exact = silver.exceptAll(fromScratch).count() == 0L &&
-        fromScratch.exceptAll(silver).count() == 0L
+      val exact = sameMultiset(silver, fromScratch)
       val v4 = Snapshots.versions(s, s"$base/silver") ==
         Seq(1L, 2L, 3L, 4L)
       silver.groupBy("l_returnflag")
@@ -1380,11 +1373,9 @@ object EtlQueries {
       catchUp()
       val silverDf = Snapshots.read(s, silver)
       val goldFull = IncrementalAgg.recompute(silverDf, dims, vals)
-      val goldExact = gold.exceptAll(goldFull).count() == 0L &&
-        goldFull.exceptAll(gold).count() == 0L
+      val goldExact = sameMultiset(gold, goldFull)
       val fromBronze = xform(Snapshots.read(s, bronze))
-      val silverExact = silverDf.exceptAll(fromBronze).count() == 0L &&
-        fromBronze.exceptAll(silverDf).count() == 0L
+      val silverExact = sameMultiset(silverDf, fromBronze)
       val v3 = Snapshots.versions(s, silver) == Seq(1L, 2L, 3L)
       gold
         .withColumn("gold_exact", lit(goldExact))
@@ -1486,8 +1477,7 @@ object EtlQueries {
         r.filesTotal == beforeFiles.size
       val carried = beforeFiles.intersect(afterFiles).size ==
         beforeFiles.size - smallCount && smallCount < beforeFiles.size
-      val identical = before.exceptAll(after).isEmpty &&
-        after.exceptAll(before).isEmpty
+      val identical = sameMultiset(before, after)
       val r2 = Snapshots.optimize(s, root, targetBytes = 32L * 1024)
       val noop = r2.version == r.version && r2.filesRewritten == 0
       val (_, nRead, nTotal) = Snapshots.readPruned(
@@ -1957,8 +1947,7 @@ object EtlQueries {
         .lastModified
       val byTs = Snapshots.changesAsOf(s, root, t1, t2)
       val byV = Snapshots.changes(s, root, v1, v2)
-      val same = byTs.df.exceptAll(byV.df).isEmpty &&
-        byV.df.exceptAll(byTs.df).isEmpty
+      val same = sameMultiset(byTs.df, byV.df)
       val emptySelf = Snapshots.changesAsOf(s, root, t1, t1).df.count() == 0L
       byTs.df.groupBy("_change_type", "o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -2389,8 +2378,7 @@ object EtlQueries {
         r.filesRewritten >= smallCount && smallCount >= 2
       val carried = beforeFiles.intersect(afterFiles).size ==
         beforeFiles.size - r.filesRewritten
-      val identical = before.exceptAll(after).isEmpty &&
-        after.exceptAll(before).isEmpty
+      val identical = sameMultiset(before, after)
       val r2 = Snapshots.optimize(s, root, targetBytes = 32L * 1024,
         statsCols = Seq("l_orderkey"), clusterBy = Seq("l_orderkey"),
         clusterDebtOnly = true)
@@ -2871,8 +2859,7 @@ object EtlQueries {
         s"$base/chk2", dst, "o_orderkey", Seq("o_orderkey"))
       val noDouble = Snapshots.versions(s, dst) == (1L to 4L)
       val srcF = Snapshots.read(s, src); val dstF = Snapshots.read(s, dst)
-      val equiv = srcF.exceptAll(dstF).count() == 0L &&
-        dstF.exceptAll(srcF).count() == 0L
+      val equiv = sameMultiset(srcF, dstF)
       dstF.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           moneySum(col("o_totalprice")).as("price_sum"))

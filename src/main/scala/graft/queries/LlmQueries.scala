@@ -265,10 +265,16 @@ object LlmQueries {
       val lens = graft.etl.Load.readTable(s, s"$root/len_v1")
         .unionByName(graft.etl.Load.readTable(s, s"$root/len_v2"))
       val full = Relevance.indexPostings(docs, "doc_id", "text")
+      // one ±1 union-aggregate instead of an exceptAll pair (each of
+      // which re-evaluates BOTH index plans); identical boolean
       val indexOk = broadcast(
-        posts.exceptAll(full).select(count(lit(1)).as("__a"))
-          .crossJoin(full.exceptAll(posts).select(count(lit(1)).as("__b")))
-          .select((col("__a") === 0L && col("__b") === 0L).as("index_ok")))
+        posts.withColumn("__ms_w", lit(1L))
+          .unionByName(full.select(posts.columns.map(col): _*)
+            .withColumn("__ms_w", lit(-1L)))
+          .groupBy(posts.columns.map(col): _*)
+          .agg(sum(col("__ms_w")).as("__ms_w"))
+          .agg(max(abs(col("__ms_w"))).as("__mx"))
+          .select((coalesce(col("__mx"), lit(0L)) === 0L).as("index_ok")))
       Relevance.bm25FromIndex(posts, lens, "doc_id",
           Seq("hash", "scan", "batch"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -922,8 +928,7 @@ object LlmQueries {
       }
       val corpus = Snapshots.read(s, root)
       val rebuilt = Pq.encode(corpus, "vec_id", "embedding", cents, p)
-      val matches = store.exceptAll(rebuilt).count() == 0L &&
-        rebuilt.exceptAll(store).count() == 0L
+      val matches = sameMultiset(store, rebuilt)
       val forgotten = store.filter(col("vec_id") % 11 === 5).count() == 0L
       val probes = emb.filter(col("vec_id") % 100 === 0)
       val served = Pq.indexTopK(cents, store, corpus, probes,

@@ -41,6 +41,29 @@ object QueryDefs {
   def moneyAvg(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1))
 
+  /** One-pass multiset equality: TRUE iff `a` and `b` hold exactly
+    * the same rows with the same multiplicities (columns matched by
+    * name; `b` must carry `a`'s columns). Replaces the
+    * `a.exceptAll(b).count==0 && b.exceptAll(a).count==0` pin shape —
+    * Spark plans EACH exceptAll as a ±1 union-aggregate-replicate of
+    * the PAIR, so the old shape evaluated both subplans twice and
+    * aggregated twice across two actions; this is one ±1
+    * union-aggregate and one limit-1 probe. Identical boolean: all
+    * per-row nets are 0 ⟺ both directed multiset differences are
+    * empty (grouping and set ops share NULL-safe / NaN-normalizing
+    * equality).
+    */
+  def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    val w = Iterator.iterate("__ms_w")(_ + "_").find(!cols.contains(_)).get
+    a.withColumn(w, lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn(w, lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(w)).as(w))
+      .filter(col(w) =!= 0L)
+      .isEmpty
+  }
+
   /** DuckDB fragment mirroring [[moneySum]]. */
   def oraSum(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"

@@ -634,6 +634,41 @@ class SnapshotsSpec extends SparkSpec {
     assert(cs.filesRead === 0 && cs.df.count() === 0L)
   }
 
+  test("changes: append-only fast path plans NO aggregate; replace diff " +
+    "replicates duplicate rows exactly like the exceptAll pair") {
+    // (r16) one-sided steps skip the diff aggregate outright; the
+    // two-sided ±1 union-aggregate must keep exceptAll's multiset
+    // semantics, including net replication of duplicate rows
+    val root = tmpDir("snap_cdf_net")
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), root)
+    Snapshots.append(spark, Seq((3L, "c")).toDF("id", "s").coalesce(1), root)
+    val app = Snapshots.changes(spark, root, 1L, 2L).df
+    assert(app.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "append-only diff must not aggregate")
+    assert(app.select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().sorted === Array((3L, "c", "insert")))
+    // full replace: v3 holds (1,a)x1 (drops one dup), (2,b)x3 (adds two),
+    // (4,d)x1 — net: delete one (1,a), insert two (2,b), insert (4,d)
+    Snapshots.commit(spark,
+      Seq((1L, "a"), (2L, "b"), (2L, "b"), (2L, "b"), (4L, "d"))
+        .toDF("id", "s").coalesce(1), root)
+    val got = Snapshots.changes(spark, root, 2L, 3L).df
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val before = Snapshots.read(spark, root, Some(2L))
+    val after = Snapshots.read(spark, root, Some(3L))
+    val want = (after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after)
+        .withColumn("_change_type", lit("delete"))))
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(got === want)
+    assert(got.count(_ == ((2L, "b", "insert"))) === 2)
+    assert(got.count(_ == ((3L, "c", "delete"))) === 1)
+  }
+
   test("deleteWhere: zero data files written, time travel intact, idempotent") {
     val root = tmpDir("snap_dv")
     Snapshots.commit(spark, df(10).repartition(3), root)
