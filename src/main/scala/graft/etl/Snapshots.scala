@@ -2672,7 +2672,10 @@ object Snapshots {
     */
   private def requireStatsCoverage(spark: SparkSession, root: String,
                                    m: VMeta, stats: DataFrame): Unit = {
-    val nStats = stats.select("file").distinct().count()
+    // the stats frame is a LocalRelation ([[statsOf]]): the projection
+    // folds and the collect is a driver handoff — no Spark job
+    val nStats = stats.select("file").collect().iterator
+      .map(_.getString(0)).toSet.size
     val nFiles = relFilesOf(spark, root, m).size
     require(nStats == nFiles,
       s"stats index covers $nStats files but version has $nFiles — " +
@@ -2847,12 +2850,21 @@ object Snapshots {
           stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
             .select("file"))
         .distinct(), m.bucket, key)
-      val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
       val touchedList = touchedDf.collect().map(_.getString(0)).sorted
-      val untouchedPhysRows = untouched
-        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
-      val untouchedRel = untouched.select("file").collect()
-        .map(r => relOf(spark, root, r.getString(0))).sorted
+      // the untouched complement, its row sum, and its carried stats
+      // rows all derive in the DRIVER from the one collected stats
+      // snapshot — previously an anti-join job + an aggregate job +
+      // a collect job (each with its own broadcast build)
+      val touchedSet = touchedList.toSet
+      val statRows = stats.collect()
+      val fIdx = stats.schema.fieldIndex("file")
+      val nIdx = stats.schema.fieldIndex("n_rows")
+      val untouchedRows = statRows.filterNot(r => touchedSet(r.getString(fIdx)))
+      val untouched = localStats(spark, stats.schema,
+        untouchedRows.toIndexedSeq)
+      val untouchedPhysRows = untouchedRows.map(_.getLong(nIdx)).sum
+      val untouchedRel = untouchedRows
+        .map(r => relOf(spark, root, r.getString(fIdx))).sorted
       // merge-on-read interplay: the rewrite reads touched files
       // LOGICALLY (their deletion-vector rows must not resurrect),
       // and the untouched files' vector entries ride into a new
@@ -3419,12 +3431,19 @@ object Snapshots {
             stats.filter(col(s"min_$key").isNull || col(s"max_$key").isNull)
               .select("file"))
           .distinct(), m.bucket, key)
-      val untouched = stats.join(touchedDf, Seq("file"), "left_anti")
       val touchedList = touchedDf.collect().map(_.getString(0)).sorted
-      val untouchedPhysRows = untouched
-        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
-      val untouchedRel = untouched.select("file").collect()
-        .map(r => relOf(spark, root, r.getString(0))).sorted
+      // driver-side untouched complement from the collected stats
+      // snapshot — see [[mergeBody]]
+      val touchedSet = touchedList.toSet
+      val statRows = stats.collect()
+      val fIdx = stats.schema.fieldIndex("file")
+      val nIdx = stats.schema.fieldIndex("n_rows")
+      val untouchedRows = statRows.filterNot(r => touchedSet(r.getString(fIdx)))
+      val untouched = localStats(spark, stats.schema,
+        untouchedRows.toIndexedSeq)
+      val untouchedPhysRows = untouchedRows.map(_.getLong(nIdx)).sum
+      val untouchedRel = untouchedRows
+        .map(r => relOf(spark, root, r.getString(fIdx))).sorted
       val dvPrior = dvOf(spark, root, m)
       val (dvCarry, dvCarryN) =
         if (m.dv.isEmpty) (None, 0L)
@@ -3670,13 +3689,17 @@ object Snapshots {
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
       val hit = StatsIndex.hitExpr(c, lo, hi)
+      // both filters fold over the localized stats (no jobs); the row
+      // sum derives in the driver — see [[mergeBody]]
       val untouched = stats.filter(!hit)
       val touchedList = stats.filter(hit)
         .select("file").collect().map(_.getString(0)).sorted
-      val untouchedPhysRows = untouched
-        .agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
-      val untouchedRel = untouched.select("file").collect()
-        .map(r => relOf(spark, root, r.getString(0))).sorted
+      val fIdx = stats.schema.fieldIndex("file")
+      val nIdx = stats.schema.fieldIndex("n_rows")
+      val untouchedRows = untouched.collect()
+      val untouchedPhysRows = untouchedRows.map(_.getLong(nIdx)).sum
+      val untouchedRel = untouchedRows
+        .map(r => relOf(spark, root, r.getString(fIdx))).sorted
       // same merge-on-read interplay as [[merge]]: touched files read
       // logically, untouched files' vector entries carry forward
       val dvPrior = dvOf(spark, root, m)
@@ -4004,16 +4027,20 @@ object Snapshots {
         classifyByTuples(rels, specCols, tuples)
       val stats = statsOf(spark, root, m, statsCols)
       requireStatsCoverage(spark, root, m, stats)
-      // metadata-sized semi join, never a driver-built isin literal
-      val carriedAbs = spark.createDataset(carriedRel.map(rel =>
-          normPath(new Path(root, rel).toString)))(
-        org.apache.spark.sql.Encoders.STRING).toDF("__cf")
-      val carriedStats = stats.join(carriedAbs,
-        org.apache.spark.sql.functions.regexp_replace(
-          stats("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
+      // driver-side carried split from the collected stats snapshot
+      // (see [[mergeBody]]) — previously a semi-join plus an
+      // aggregate job per statement
+      val carriedSet = carriedRel
+        .map(rel => normPath(new Path(root, rel).toString)).toSet
+      val statRows = stats.collect()
+      val fIdx = stats.schema.fieldIndex("file")
+      val nIdx = stats.schema.fieldIndex("n_rows")
+      val carriedRows = statRows
+        .filter(r => carriedSet(normPath(r.getString(fIdx))))
+      val carriedStats = localStats(spark, stats.schema,
+        carriedRows.toIndexedSeq)
       val carriedPhys =
-        if (carriedRel.isEmpty) 0L
-        else carriedStats.agg(coalesce(sum("n_rows"), lit(0L))).head().getLong(0)
+        if (carriedRel.isEmpty) 0L else carriedRows.map(_.getLong(nIdx)).sum
       // prior vector: carried files' entries ride forward; dropped and
       // rewritten files' entries die with their files
       val dvPrior = dvOf(spark, root, m)
@@ -4317,13 +4344,45 @@ object Snapshots {
     * the spot (self-heal for a crash between a publish and its stats
     * write; the derived table is also persisted so the heal pays
     * once).
+    *
+    * Returned LOCALIZED (r16): the rows are collected once and served
+    * as a LocalRelation. The table is file-count-sized METADATA — the
+    * same cardinality the copy-on-write writers already collect as
+    * file lists (untouchedRel et al.), the driver-side FileIndex
+    * contract — and every consumer runs several passes over it
+    * (coverage check, targeting broadcast, untouched complement,
+    * carried-stats rewrite). Against the parquet-backed frame each
+    * pass was its own Spark job plus a broadcast-exchange job; over a
+    * LocalRelation, projections/filters constant-fold
+    * (ConvertToLocalRelation), `collect()` is a direct row handoff
+    * with NO job, and a broadcast builds from the local rows without
+    * a child job. A statement that needs driver-side sums or splits
+    * computes them from [[statsRowsOf]] directly.
     */
   private def statsOf(spark: SparkSession, root: String, m: VMeta,
                       cols: Seq[String]): DataFrame = {
+    val (schema, rows) = statsRowsOf(spark, root, m, cols)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** [[statsOf]]'s collected form: (schema, rows), one stats-parquet
+    * read per call. File-count-sized metadata (see [[statsOf]]).
+    */
+  private def statsRowsOf(spark: SparkSession, root: String, m: VMeta,
+                          cols: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row]) = {
     val sp = statsPath(root, m.layoutId)
     ensureStats(spark, root, m, cols)
-    spark.read.parquet(sp.toString)
+    val df = spark.read.parquet(sp.toString)
+    (df.schema, df.collect())
   }
+
+  /** Local-relation frame over already-collected stats rows. */
+  private def localStats(spark: SparkSession,
+                         schema: org.apache.spark.sql.types.StructType,
+                         rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
   /** Delta-OPTIMIZE for the snapshot tier — SELECTIVE: compact the
     * SMALL-FILE TAIL, not the table. The version's file list splits
@@ -4513,13 +4572,16 @@ object Snapshots {
             // layout instead of crashing after the publish landed
             ensureStats(spark, root, newMeta, physStatsCols)
           else {
-            // carried stats rows reused verbatim; only the fresh dir scans
-            val carriedAbs = spark.createDataset(carriedRel.map(rel =>
-                normPath(new Path(root, rel).toString)))(
-              org.apache.spark.sql.Encoders.STRING).toDF("__cf")
-            val carriedStats = prior.join(carriedAbs,
-              org.apache.spark.sql.functions.regexp_replace(
-                prior("file"), SchemeRe.regex, "/") === col("__cf"), "left_semi")
+            // carried stats rows reused verbatim (driver-side split of
+            // the collected snapshot — see [[mergeBody]]); only the
+            // fresh dir scans
+            val carriedSet = carriedRel
+              .map(rel => normPath(new Path(root, rel).toString)).toSet
+            val fIdx = prior.schema.fieldIndex("file")
+            val carriedStats = localStats(spark, prior.schema,
+              prior.collect()
+                .filter(r => carriedSet(normPath(r.getString(fIdx))))
+                .toIndexedSeq)
             Load.writeAtomic(spark,
               carriedStats.unionByName(StatsIndex.build(spark,
                 new Path(root, freshDir).toString, physStatsCols)),
