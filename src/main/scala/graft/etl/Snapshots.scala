@@ -1207,7 +1207,14 @@ object Snapshots {
     * fraction (which at 100 TB is ~the whole table).
     */
   final case class ChangeScan(df: DataFrame, filesRead: Int,
-                              filesFrom: Int, filesTo: Int)
+                              filesFrom: Int, filesTo: Int,
+                              /** Set when the diff is PROVABLY all
+                                * one kind ("insert" / "delete") from
+                                * the file sets and vectors alone —
+                                * [[changesKeyed]] then skips its
+                                * pairing window outright (no pair can
+                                * exist), the append-only norm. */
+                              oneSided: Option[String] = None)
 
   private def schemaOf(spark: SparkSession, root: String, v: Long,
                        m: VMeta): org.apache.spark.sql.types.StructType =
@@ -1513,34 +1520,49 @@ object Snapshots {
       if (m.dv.isEmpty || rels.isEmpty) raw
       else applyDv(spark, root, raw, dvOf(spark, root, m))
     }
-    var added = readLogical(toRel.filterNot(fromSet), mTo)
-    var removed = readLogical(fromRel.filterNot(toSet), mFrom)
+    val added = readLogical(toRel.filterNot(fromSet), mTo)
+    val removed = readLogical(fromRel.filterNot(toSet), mFrom)
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").find(!dataCols.contains(_)).get
+    val w = fresh("__cdf_w")
     var dvChurnFiles = 0
     // carried files with VECTOR churn: a position deleted in `to`
     // but live in `from` is a delete; the reverse (rollback across a
     // merge-on-read delete) is an insert. Only the files the vector
-    // diff names are opened — dv churn, not table size.
-    if (mFrom.dv.isDefined || mTo.dv.isDefined) {
-      val carried = (fromSet & toSet).toSeq
-      val carriedDf = spark.createDataset(carried)(
-        org.apache.spark.sql.Encoders.STRING).toDF("file")
-      val dvF = dvOf(spark, root, mFrom).join(carriedDf, Seq("file"), "left_semi")
-      val dvT = dvOf(spark, root, mTo).join(carriedDf, Seq("file"), "left_semi")
-      def rowsAt(pos: DataFrame): DataFrame = {
-        val fl = pos.select("file").distinct().collect().map(_.getString(0))
+    // diff names are opened — dv churn, not table size. ONE pass
+    // (r16): vectors are position SETS, so a ±1 union-aggregate nets
+    // each churned position to +1 (deleted in from, live in to → the
+    // row comes back: insert) or −1 (deleted in to → delete); the
+    // churn files are then read ONCE and each matched row carries its
+    // sign straight into the final diff union — previously an
+    // exceptAll pair plus two reads of the churn files.
+    val dvTagged: Option[DataFrame] =
+      if (mFrom.dv.isEmpty && mTo.dv.isEmpty) None
+      // the SAME vector carried across the step (the append-on-a-
+      // dv-table norm): provably zero position churn, skip the diff
+      else if (mFrom.dv == mTo.dv) None
+      else {
+        val carried = (fromSet & toSet).toSeq
+        val carriedDf = spark.createDataset(carried)(
+          org.apache.spark.sql.Encoders.STRING).toDF("file")
+        val dvF = dvOf(spark, root, mFrom).join(carriedDf, Seq("file"), "left_semi")
+        val dvT = dvOf(spark, root, mTo).join(carriedDf, Seq("file"), "left_semi")
+        val posNet = dvF.withColumn(w, lit(1L))
+          .unionByName(dvT.withColumn(w, lit(-1L)))
+          .groupBy("file", "pos").agg(sum(col(w)).as(w))
+          .filter(col(w) =!= 0L)
+        val fl = posNet.select("file").distinct().collect().map(_.getString(0))
         dvChurnFiles += fl.length
-        if (fl.isEmpty) empty()
-        else spark.read.schema(schema)
+        if (fl.isEmpty) None
+        else Some(spark.read.schema(schema)
           .parquet(fl.map(rel => new Path(root, rel).toString).toSeq: _*)
           .withColumn("__file", relFileCol(rootPathOf(spark, root)))
           .withColumn("__pos", col("_metadata.row_index"))
-          .join(pos.select(col("file").as("__file"), col("pos").as("__pos")),
-            Seq("__file", "__pos"), "left_semi")
-          .select(dataCols.map(col): _*)
+          .join(posNet.select(col("file").as("__file"),
+            col("pos").as("__pos"), col(w)),
+            Seq("__file", "__pos"), "inner")
+          .select((dataCols.map(col) :+ col(w)): _*))
       }
-      removed = removed.unionByName(rowsAt(dvT.exceptAll(dvF)))
-      added = added.unionByName(rowsAt(dvF.exceptAll(dvT)))
-    }
     // the TO version's column mapping presents the change rows under
     // the names current consumers see (Delta CDF's end-schema rule);
     // the diff itself ran in physical names, which rename/drop never
@@ -1560,21 +1582,18 @@ object Snapshots {
     // the same pair). Per distinct row, net>0 emits net "insert"
     // copies and net<0 emits −net "delete" copies — the exact
     // multiset the exceptAll pair produced.
-    val noDv = mFrom.dv.isEmpty && mTo.dv.isEmpty
     val out =
-      if (noDv && fromRel.forall(toSet))
+      if (dvTagged.isEmpty && fromRel.forall(toSet))
         logicalProject(added, mTo.colmap)
           .withColumn("_change_type", lit("insert"))
-      else if (noDv && toRel.forall(fromSet))
+      else if (dvTagged.isEmpty && toRel.forall(fromSet))
         logicalProject(removed, mTo.colmap)
           .withColumn("_change_type", lit("delete"))
       else {
-        def fresh(base: String): String =
-          Iterator.iterate(base)(_ + "_").find(!dataCols.contains(_)).get
-        val w = fresh("__cdf_w"); val netC = fresh("__cdf_net")
-        val dupC = fresh("__cdf_dup")
-        val net = added.withColumn(w, lit(1L))
+        val netC = fresh("__cdf_net"); val dupC = fresh("__cdf_dup")
+        val base = added.withColumn(w, lit(1L))
           .unionByName(removed.withColumn(w, lit(-1L)))
+        val net = dvTagged.fold(base)(base.unionByName(_))
           .groupBy(dataCols.map(col): _*)
           .agg(sum(col(w)).as(netC))
           .filter(col(netC) =!= 0L)
@@ -1586,9 +1605,13 @@ object Snapshots {
             when(col(netC) > 0L, "insert").otherwise("delete"))
           .drop(netC, dupC)
       }
+    val oneSided =
+      if (dvTagged.isEmpty && fromRel.forall(toSet)) Some("insert")
+      else if (dvTagged.isEmpty && toRel.forall(fromSet)) Some("delete")
+      else None
     ChangeScan(out,
       (toSet -- fromSet).size + (fromSet -- toSet).size + dvChurnFiles,
-      fromRel.size, toRel.size)
+      fromRel.size, toRel.size, oneSided)
   }
 
   /** [[changes]] refined with a row-identity KEY — Delta CDF's full
@@ -1604,6 +1627,10 @@ object Snapshots {
                    toV: Long, key: String): ChangeScan = {
     import org.apache.spark.sql.functions.{max, when}
     val cs = changes(spark, root, fromV, toV)
+    // a provably one-sided diff (append-only step, pure drop) can
+    // hold no insert+delete pair — the reclassification is the
+    // identity, so skip the window (and its full-churn shuffle)
+    if (cs.oneSided.isDefined) return cs
     // null keys never pair, so their window partition is pure
     // overhead — and `partitionBy(key)` alone would land EVERY
     // null-key change row in ONE window partition (a null-heavy churn
@@ -3497,9 +3524,20 @@ object Snapshots {
             col(s"$sourceAlias.${c.name}").cast(c.dataType)
           else colBase(c),
           colBase)
-        val classified = joined.withColumn("__ma", mPlan.action)
-        val acts =
-          if (matched.isEmpty) (0L, 0L) else mPlan.counts(classified)
+        // (r16) action counts ride the WRITE job as observed metrics
+        // (CollectMetrics) instead of separate pre-write aggregates
+        // that re-evaluated the clause joins — read back after
+        // writeDataDir (or after the constraint gate, whichever
+        // action completes the plan first; the counts are identical).
+        // Filters never push through CollectMetrics, so the observe
+        // below the !deletes filter sees every matched row.
+        val obsM = if (matched.isEmpty) None else Some(
+          org.apache.spark.sql.Observation(
+            s"graft_mc_m_${java.util.UUID.randomUUID().toString.take(8)}"))
+        val classified0 = joined.withColumn("__ma", mPlan.action)
+        val classified = obsM.fold(classified0)(o => classified0.observe(o,
+          coalesce(sum(when(mPlan.updates, 1L).otherwise(0L)), lit(0L)).as("u"),
+          coalesce(sum(when(mPlan.deletes, 1L).otherwise(0L)), lit(0L)).as("d")))
         // with NO matched clauses, matched target rows are plain
         // kept rows — keep them via a SEMI-join (one copy per target
         // row, whatever the source's key multiplicity) instead of the
@@ -3524,17 +3562,22 @@ object Snapshots {
         val keptBase = touchedRows.alias(targetAlias).join(
             src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
             "left_anti")
-        val (keptTgt, nmbsChecked, nmbsUpd, nmbsDel) =
+        val (keptTgt, nmbsChecked, obsN) =
           if (notMatchedBySource.isEmpty)
             (keptBase.select(outSchema.fields.toSeq.map(f =>
-              colBase(f).as(f.name)): _*), None, 0L, 0L)
+              colBase(f).as(f.name)): _*), None, None)
           else {
             val nPlan = ClausePlan(notMatchedBySource, "__na", targetAlias,
               _ => throw new IllegalStateException(
                 "unreachable: NOT MATCHED BY SOURCE SET * refused upstream"),
               colBase)
-            val cls = keptBase.withColumn("__na", nPlan.action)
-            val (u, d) = nPlan.counts(cls)
+            val o = org.apache.spark.sql.Observation(
+              s"graft_mc_n_${java.util.UUID.randomUUID().toString.take(8)}")
+            val cls = keptBase.withColumn("__na", nPlan.action).observe(o,
+              coalesce(sum(when(nPlan.updates, 1L).otherwise(0L)), lit(0L))
+                .as("u"),
+              coalesce(sum(when(nPlan.deletes, 1L).otherwise(0L)), lit(0L))
+                .as("d"))
             val kept = cls.filter(!nPlan.deletes)
               .select(outSchema.fields.toSeq.map(nPlan.image): _*)
             // the constraint gate sees only the UPDATED kept images —
@@ -3542,7 +3585,7 @@ object Snapshots {
             // re-checking them would cost a full-table predicate pass
             val checked = cls.filter(nPlan.updates)
               .select(outSchema.fields.toSeq.map(nPlan.image): _*)
-            (kept, Some(checked), u, d)
+            (kept, Some(checked), Some(o))
           }
         // INSERT * on a column-subset source NULL-fills the columns
         // the source does not carry; an explicit column list
@@ -3562,22 +3605,30 @@ object Snapshots {
               if (srcColSet.contains(f.name)) col(f.name)
               else lit(null).cast(f.dataType)
           }
-        val (inserted, perClause) =
+        val (inserted, obsI) =
           if (inserts.isEmpty)
             (touchedRows.filter(lit(false))
               .select(outSchema.fields.toSeq.map(f =>
                 if (tableColSet.contains(f.name)) col(f.name)
                 else lit(null).cast(f.dataType).as(f.name)): _*),
-              Seq.empty[Long])
+              None)
           else {
             val route = inserts.zipWithIndex
               .foldRight(lit(-1): Column) { case ((cl, i), acc) =>
                 org.apache.spark.sql.functions.when(
                   cl.cond.getOrElse(lit(true)), lit(i)).otherwise(acc)
               }
+            // the per-clause receipt (first-match-wins routing,
+            // machine-checkable) rides the write as observed metrics
+            val o = org.apache.spark.sql.Observation(
+              s"graft_mc_i_${java.util.UUID.randomUUID().toString.take(8)}")
+            val cExprs = inserts.indices.map(i =>
+              coalesce(sum(when(col("__ic") === i, 1L).otherwise(0L)),
+                lit(0L)).as(s"c$i"))
             val routed = srcA.join(touchedRows.select(col(key).as("__tk")),
                 col(s"$sourceAlias.$key") === col("__tk"), "left_anti")
               .withColumn("__ic", route).filter(col("__ic") >= 0)
+              .observe(o, cExprs.head, cExprs.tail: _*)
             val image = (f: org.apache.spark.sql.types.StructField) =>
               inserts.zipWithIndex
                 .foldRight(lit(null).cast(f.dataType): Column) {
@@ -3585,15 +3636,8 @@ object Snapshots {
                     org.apache.spark.sql.functions.when(
                       col("__ic") === i, clauseImage(cl, f)).otherwise(acc)
                 }.as(f.name)
-            // one churn-sized aggregate yields the per-clause receipt
-            // (the first-match-wins routing, machine-checkable)
-            val cnts = routed.groupBy("__ic")
-              .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-            (routed.select(outSchema.fields.toSeq.map(image): _*),
-              inserts.indices.map(i => cnts.getOrElse(i, 0L)))
+            (routed.select(outSchema.fields.toSeq.map(image): _*), Some(o))
           }
-        val nI = perClause.sum
         // only the NEW images face the CHECK gate (kept rows passed at
         // their own write time) — churn-sized, like everything here:
         // NOT-MATCHED-BY-SOURCE updates contribute exactly their
@@ -3604,7 +3648,18 @@ object Snapshots {
           m.constraints, "merge clauses")
         val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
         val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
-        (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, nI, perClause)
+        // the observed metrics are available once ANY action ran the
+        // plan — the write above at the latest
+        val acts = obsM.map(o => (o.get("u").asInstanceOf[Long],
+          o.get("d").asInstanceOf[Long])).getOrElse((0L, 0L))
+        val (nmbsUpd, nmbsDel) = obsN.map(o =>
+          (o.get("u").asInstanceOf[Long], o.get("d").asInstanceOf[Long]))
+          .getOrElse((0L, 0L))
+        val perClause = obsI.map(o => inserts.indices
+          .map(i => o.get(s"c$i").asInstanceOf[Long]))
+          .getOrElse(Seq.empty[Long])
+        (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, perClause.sum,
+          perClause)
       } finally touchedRows.unpersist()
       val freshRel = listFreshRel(spark, root, freshDir)
       val man = writeManifest(spark, root, untouchedRel ++ freshRel)

@@ -863,19 +863,31 @@ class SnapshotsSpec extends SparkSpec {
     val root = tmpDir("snap_cdf_nullsalt")
     Snapshots.commitWithStats(spark,
       Seq((Some(1L), "a")).toDF("id", "s").coalesce(1), root, Seq("id"))
-    // a null-HEAVY churn batch: every appended row has a null key
+    // a null-HEAVY churn batch: every appended row has a null key.
+    // (r16) an append-only step is provably one-sided — no pair can
+    // exist, so the pairing window (and any straggler shape) is
+    // skipped OUTRIGHT: the plan carries no Window at all
     Snapshots.append(spark,
       (1 to 100).map(i => (None: Option[Long], s"n$i")).toDF("id", "s"), root)
     val df = Snapshots.changesKeyed(spark, root, 1L, 2L, "id").df
-    // plan pin: the window partitions by (key, __salt) — null keys
-    // scatter by reader partition instead of collapsing into ONE
-    // window partition (the straggler-task shape)
-    assert(df.queryExecution.optimizedPlan.toString.contains("__salt"),
-      "the null-key scatter salt must ride the window partition spec")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "one-sided feed must skip the pairing window")
     // semantics unchanged: null keys never reclassify
     assert(df.filter(col("id").isNull).select("_change_type").distinct()
       .as[String].collect().toSeq === Seq("insert"))
     assert(df.count() === 100L)
+    // a TWO-SIDED step (full replace: null-heavy churn both ways)
+    // still windows — and the null-key scatter salt rides the
+    // partition spec so nulls never collapse into ONE window partition
+    Snapshots.commit(spark,
+      ((1 to 100).map(i => (None: Option[Long], s"m$i")) :+
+        ((Some(2L): Option[Long], "b"))).toDF("id", "s"), root)
+    val df2 = Snapshots.changesKeyed(spark, root, 2L, 3L, "id").df
+    assert(df2.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "the null-key scatter salt must ride the window partition spec")
+    assert(df2.filter(col("id").isNull).select("_change_type").distinct()
+      .as[String].collect().toSeq.sorted === Seq("delete", "insert"))
   }
 
   test("deltaFromChanges maintains a rollup without re-reading the base table") {
