@@ -124,11 +124,16 @@ object Bench {
 
   /** The driver-facing headline line, extracted pure so BenchSpec can
     * pin the output contract: the ladder degrades precision, then
-    * caps the errors list, and — new, closing the round-5 advice gap
-    * — FINALLY drops the per-query map entirely (`queries:{}`,
-    * `queries_elided:N`), whose length is bounded by a constant plus
-    * |sfDir|, so no amount of query-count growth can push the line
-    * past the driver's stdout tail window again.
+    * caps the errors list, then — round-17 measurement fix: since
+    * round 12 the full map has NOT fit (221 queries x ~11 chars >
+    * the ~1900-char window), so every artifact since carried
+    * `queries:{}` and the driver lost all per-query comparison —
+    * keeps the MOST EXPENSIVE queries that fit (cost-descending
+    * greedy fill, `queries_elided:K` for the cheap tail, which is
+    * sub-second medians the 2-decimal rendering barely resolves
+    * anyway; full precision for every query stays on the detail
+    * line / BENCH_DETAIL.json). The totals-only form remains the
+    * final bound.
     */
   private[graft] def headlineLine(total: Double,
                                   medians: Seq[(String, Double)],
@@ -157,9 +162,24 @@ object Bench {
     }
     val totalsOnly =
       s"""{"metric":"total","value":${numAt(3)(total)},"unit":"sec","queries":{},"queries_elided":${medians.size},"iters":$iters,"errors":${errJson(0)},"sf":"$sfDir"}"""
+    // partial map: greedily keep entries in cost-descending order
+    // (NaN = failed sorts last; the errors list already names those)
+    // until the window is full; by construction the result fits.
+    def partial(dec: Int): String = {
+      val byCost = medians.sortBy { case (_, v) => if (v.isNaN) 0.0 else -v }
+      var budget = window - totalsOnly.length
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      byCost.foreach { case (k, v) =>
+        val entry = "\"" + shortKey(k) + "\":" + numAt(dec)(v)
+        val cost = entry.length + (if (kept.isEmpty) 0 else 1)
+        if (cost <= budget) { kept += entry; budget -= cost }
+      }
+      s"""{"metric":"total","value":${numAt(3)(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":${medians.size - kept.size},"iters":$iters,"errors":${errJson(0)},"sf":"$sfDir"}"""
+    }
     Seq((3, Int.MaxValue), (2, Int.MaxValue), (2, 5), (1, 3), (0, 0))
       .map { case (dec, cap) => headlineWith(dec, cap) }
       .find(_.length <= window)
+      .orElse(Some(partial(2)).filter(_.length <= window))
       .getOrElse(totalsOnly)
   }
 
@@ -207,6 +227,7 @@ object Bench {
     // heap) that the first timed query would otherwise pay for.
     graft.queries.PosQueries.clearCache()
     graft.llm.BarrierCache.sweep(spark)
+    graft.etl.Snapshots.clearStatsCache()
     spark.catalog.clearCache()
     System.gc()
     Thread.sleep(1000)

@@ -186,7 +186,7 @@ object Load {
     * aside; entry recovers a crashed predecessor (path missing but
     * aside present → restore).
     */
-  private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
+  private[etl] def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val prev = new org.apache.hadoop.fs.Path(path + "__prev")

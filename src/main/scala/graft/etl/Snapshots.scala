@@ -1830,9 +1830,25 @@ object Snapshots {
         slot
       }
     val sp = statsPath(srcRoot, m.layoutId)
-    if (fs(spark, sp).exists(sp))
-      Load.writeAtomic(spark, spark.read.parquet(sp.toString),
-        statsPath(dstRoot, versionMeta(spark, dstRoot, nv).layoutId).toString)
+    if (fs(spark, sp).exists(sp)) {
+      // stats dirs are immutable layout-keyed bytes: a driver-side
+      // file copy replaces the previous read-back-and-rewrite (a
+      // schema-inference job + a distributed write per clone)
+      val dstLayout = versionMeta(spark, dstRoot, nv).layoutId
+      val dp = statsPath(dstRoot, dstLayout)
+      val tmp = new Path(dp.toString + "__tmp")
+      val f = fs(spark, dp)
+      f.delete(tmp, true)
+      require(org.apache.hadoop.fs.FileUtil.copy(
+        fs(spark, sp), sp, f, tmp, false, true,
+        spark.sparkContext.hadoopConfiguration),
+        s"clone: failed to copy stats $sp -> $tmp")
+      Load.swap(spark, tmp.toString, dp.toString)
+      statsCacheGet(rootPathOf(spark, srcRoot), m.layoutId).foreach {
+        case (schema, rows) =>
+          statsCachePut(rootPathOf(spark, dstRoot), dstLayout, schema, rows)
+      }
+    }
     nv
   }
 
@@ -2518,15 +2534,20 @@ object Snapshots {
             priorMeta.map(_.colmap).getOrElse(ColMap()),
             copyRef = copyRef))) {
         if (statsCols.nonEmpty) {
-          val freshStats = StatsIndex.build(spark,
+          // one aggregation job over JUST the fresh dir; the prior
+          // rows come from the memoized snapshot and the union is a
+          // driver concat (previously a distributed unionByName write
+          // with its own schema-inference + pad-anti-join stage jobs)
+          val (fSchema, fRows) = StatsIndex.buildRows(spark,
             new Path(root, freshDir).toString, physStatsCols)
-          val newStats = priorMeta match {
-            case Some(m) => statsOf(spark, root, m, physStatsCols)
-              .unionByName(freshStats)
-            case None => freshStats
+          val (schema, rows) = priorMeta match {
+            case Some(m) =>
+              val (pSchema, pRows) = statsRowsOf(spark, root, m, physStatsCols)
+              unionStatsRows(pSchema, pRows, fSchema, fRows)
+            case None => (fSchema, fRows)
           }
-          Load.writeAtomic(spark, newStats,
-            statsPath(root, versionMeta(spark, root, v).layoutId).toString)
+          writeStatsRows(spark, root,
+            versionMeta(spark, root, v).layoutId, schema, rows)
         }
         return v
       }
@@ -2934,12 +2955,15 @@ object Snapshots {
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
             tag, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
-        val newStats =
-          if (freshRel.isEmpty) untouched
-          else untouched.unionByName(StatsIndex.build(spark,
-            new Path(root, freshDir).toString, statsCols))
-        Load.writeAtomic(spark, newStats,
-          statsPath(root, manifestLayoutId(man)).toString)
+        val (newStatsSchema, newStatsRows) =
+          if (freshRel.isEmpty) (stats.schema, untouchedRows)
+          else {
+            val (fSchema, fRows) = StatsIndex.buildRows(spark,
+              new Path(root, freshDir).toString, statsCols)
+            unionStatsRows(stats.schema, untouchedRows, fSchema, fRows)
+          }
+        writeStatsRows(spark, root, manifestLayoutId(man),
+          newStatsSchema, newStatsRows)
         return CowResult(v + 1, touchedList.size,
           touchedList.size + untouchedRel.size, freshRows)
       }
@@ -3014,12 +3038,17 @@ object Snapshots {
           manBody(v2 + 1, man2, rows2 + rowsDelta, tag, ddl, dv,
             m.constraints, m.parts, m.bucket, m.colmap))) {
         if (physStatsCols.nonEmpty) {
-          val newStats =
-            if (freshRel.isEmpty) stats2.get
-            else stats2.get.unionByName(StatsIndex.build(spark,
-              new Path(root, freshDir).toString, physStatsCols))
-          Load.writeAtomic(spark, newStats,
-            statsPath(root, versionMeta(spark, root, v2 + 1).layoutId).toString)
+          val base = stats2.get
+          val bRows = base.collect()
+          val (newSchema, newRows) =
+            if (freshRel.isEmpty) (base.schema, bRows)
+            else {
+              val (fSchema, fRows) = StatsIndex.buildRows(spark,
+                new Path(root, freshDir).toString, physStatsCols)
+              unionStatsRows(base.schema, bRows, fSchema, fRows)
+            }
+          writeStatsRows(spark, root,
+            versionMeta(spark, root, v2 + 1).layoutId, newSchema, newRows)
         }
         rebases.incrementAndGet()
         return Some((v2 + 1, carried2))
@@ -3672,12 +3701,15 @@ object Snapshots {
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
             tag, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
-        val newStats =
-          if (freshRel.isEmpty) untouched
-          else untouched.unionByName(StatsIndex.build(spark,
-            new Path(root, freshDir).toString, statsCols))
-        Load.writeAtomic(spark, newStats,
-          statsPath(root, manifestLayoutId(man)).toString)
+        val (newStatsSchema, newStatsRows) =
+          if (freshRel.isEmpty) (stats.schema, untouchedRows)
+          else {
+            val (fSchema, fRows) = StatsIndex.buildRows(spark,
+              new Path(root, freshDir).toString, statsCols)
+            unionStatsRows(stats.schema, untouchedRows, fSchema, fRows)
+          }
+        writeStatsRows(spark, root, manifestLayoutId(man),
+          newStatsSchema, newStatsRows)
         return MergeClausesResult(v + 1, touchedList.length,
           touchedList.length + untouchedRel.length, nUpd, nDel, nIns,
           insPer)
@@ -3791,12 +3823,15 @@ object Snapshots {
       if (tryPublish(spark, root, v + 1,
           manBody(v + 1, man, untouchedPhysRows - dvCarryN + freshRows,
             None, Some(ddl), dvCarry, m.constraints, m.parts, m.bucket))) {
-        val newStats =
-          if (freshRel.isEmpty) untouched
-          else untouched.unionByName(StatsIndex.build(spark,
-            new Path(root, freshDir).toString, statsCols))
-        Load.writeAtomic(spark, newStats,
-          statsPath(root, manifestLayoutId(man)).toString)
+        val (newStatsSchema, newStatsRows) =
+          if (freshRel.isEmpty) (stats.schema, untouchedRows)
+          else {
+            val (fSchema, fRows) = StatsIndex.buildRows(spark,
+              new Path(root, freshDir).toString, statsCols)
+            unionStatsRows(stats.schema, untouchedRows, fSchema, fRows)
+          }
+        writeStatsRows(spark, root, manifestLayoutId(man),
+          newStatsSchema, newStatsRows)
         return CowResult(v + 1, touchedList.size,
           touchedList.size + untouchedRel.size, freshRows)
       }
@@ -4155,12 +4190,16 @@ object Snapshots {
             manBody(bv + 1, man, bPhys - bDvCarryN + freshRows,
               None, Some(ddl), bDvCarry, m.constraints, m.parts, m.bucket))) {
           // stats: carried rows verbatim + one build over the fresh dir
-          val newStats =
-            if (freshRel.isEmpty) bStats
-            else bStats.unionByName(StatsIndex.build(spark,
-              new Path(root, freshDir).toString, statsCols))
-          Load.writeAtomic(spark, newStats,
-            statsPath(root, manifestLayoutId(man)).toString)
+          val bRows = bStats.collect()
+          val (newSchema, newRows) =
+            if (freshRel.isEmpty) (bStats.schema, bRows)
+            else {
+              val (fSchema, fRows) = StatsIndex.buildRows(spark,
+                new Path(root, freshDir).toString, statsCols)
+              unionStatsRows(bStats.schema, bRows, fSchema, fRows)
+            }
+          writeStatsRows(spark, root, manifestLayoutId(man),
+            newSchema, newRows)
           return CowResult(bv + 1, touchedRel.size,
             bCarried.size + droppedRel.size + touchedRel.size, freshRows)
         }
@@ -4357,6 +4396,137 @@ object Snapshots {
   private def statsPath(root: String, layoutId: String): Path =
     new Path(new Path(root, "_stats"), layoutId)
 
+  /** Process-level stats-snapshot memo: (rootAbs, layoutId) →
+    * (schema, collected rows). A layout's stats dir is written ONCE
+    * (writeAtomic swap under a layout-unique nonce) and never mutated,
+    * so cached rows cannot go stale; this converts the per-statement
+    * "re-read + re-collect the index this process just wrote" —
+    * a schema-inference job plus a collect job on every copy-on-write
+    * statement — into a driver map lookup. Bounded by entry count AND
+    * total cached rows so a million-file table cannot pin unbounded
+    * driver memory (the rows are the same file-count-sized metadata
+    * every statement materializes transiently anyway). In-process
+    * only: every run still derives the index from the parquet inputs.
+    */
+  private val statsCache = new java.util.LinkedHashMap[
+    (String, String),
+    (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](
+    16, 0.75f, true)
+  private val StatsCacheMaxEntries = 64
+  private val StatsCacheMaxRows = 1 << 22
+  private def statsCacheGet(root: String, layoutId: String)
+      : Option[(org.apache.spark.sql.types.StructType,
+                Array[org.apache.spark.sql.Row])] =
+    statsCache.synchronized { Option(statsCache.get((root, layoutId))) }
+  private def statsCachePut(root: String, layoutId: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row]): Unit =
+    statsCache.synchronized {
+      statsCache.put((root, layoutId), (schema, rows))
+      var total = 0L
+      val it = statsCache.values.iterator()
+      while (it.hasNext) total += it.next()._2.length
+      val evict = statsCache.entrySet().iterator()
+      while ((statsCache.size > StatsCacheMaxEntries ||
+          total > StatsCacheMaxRows) && evict.hasNext) {
+        total -= evict.next().getValue._2.length
+        evict.remove()
+      }
+    }
+  private[graft] def clearStatsCache(): Unit =
+    statsCache.synchronized { statsCache.clear() }
+
+  /** Persist a stats snapshot from its collected rows and remember it:
+    * ONE single-task local-relation write (the previous distributed
+    * write paid a schema-inference job plus AQE stage jobs for the pad
+    * anti-join per statement), and later statements' [[statsRowsOf]]
+    * serve from the memo with zero jobs and zero reads.
+    */
+  private def writeStatsRows(spark: SparkSession, root: String,
+      layoutId: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row]): Unit = {
+    Load.writeAtomic(spark,
+      localStats(spark, schema, rows.toIndexedSeq).coalesce(1),
+      statsPath(root, layoutId).toString)
+    statsCachePut(rootPathOf(spark, root), layoutId, schema, rows)
+  }
+
+  /** Driver-side twin of the previous `unionByName` over two stats
+    * snapshots: columns matched by name in `a`'s order, and a type
+    * mismatch reconciles through [[isLosslessWidening]] — exactly the
+    * drift the tier admits (a type-widening merge leaves the carried
+    * rows' min/max at the narrow type while the fresh build is wide).
+    * Values cast driver-side so the LocalRelation rows match the
+    * declared schema.
+    */
+  private def unionStatsRows(
+      aSchema: org.apache.spark.sql.types.StructType,
+      aRows: Array[org.apache.spark.sql.Row],
+      bSchema: org.apache.spark.sql.types.StructType,
+      bRows: Array[org.apache.spark.sql.Row])
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.types._
+    require(aSchema.fieldNames.toSet == bSchema.fieldNames.toSet,
+      s"stats union: columns ${aSchema.fieldNames.mkString(",")} != " +
+        bSchema.fieldNames.mkString(","))
+    val fields = aSchema.fields.map { af =>
+      val bf = bSchema(af.name)
+      val t =
+        if (af.dataType == bf.dataType) af.dataType
+        else if (isLosslessWidening(af.dataType, bf.dataType)) bf.dataType
+        else if (isLosslessWidening(bf.dataType, af.dataType)) af.dataType
+        else throw new IllegalStateException(
+          s"stats union: column ${af.name} is ${af.dataType.simpleString} " +
+            s"vs ${bf.dataType.simpleString} — no lossless widening")
+      StructField(af.name, t, nullable = true)
+    }
+    val target = StructType(fields)
+    def cast(v: Any, to: DataType): Any =
+      if (v == null) null else to match {
+        case LongType => v match {
+          case i: java.lang.Integer => i.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case x => x
+        }
+        case IntegerType => v match {
+          case s: java.lang.Short => s.intValue()
+          case b: java.lang.Byte => b.intValue()
+          case x => x
+        }
+        case ShortType => v match {
+          case b: java.lang.Byte => b.shortValue()
+          case x => x
+        }
+        case DoubleType => v match {
+          case f: java.lang.Float => f.doubleValue()
+          case i: java.lang.Integer => i.doubleValue()
+          case l: java.lang.Long => l.doubleValue()
+          case s: java.lang.Short => s.doubleValue()
+          case b: java.lang.Byte => b.doubleValue()
+          case x => x
+        }
+        case dt: DecimalType => v match {
+          case bd: java.math.BigDecimal => bd.setScale(dt.scale)
+          case bd: scala.math.BigDecimal => bd.setScale(dt.scale).bigDecimal
+          case x => x
+        }
+        case _ => v
+      }
+    def conv(rows: Array[org.apache.spark.sql.Row],
+             s: StructType): Array[org.apache.spark.sql.Row] =
+      if (s.fields.map(f => (f.name, f.dataType))
+          .sameElements(target.fields.map(f => (f.name, f.dataType)))) rows
+      else {
+        val idx = target.fields.map(f => (s.fieldIndex(f.name), f.dataType))
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(
+          idx.toIndexedSeq.map { case (i, t) => cast(r.get(i), t) }))
+      }
+    (target, conv(aRows, aSchema) ++ conv(bRows, bSchema))
+  }
+
   /** [[commit]] + build and persist the per-file min/max stats index
     * for the new version's data dir ([[StatsIndex]]) — the commit
     * hook that makes TIME-TRAVEL reads data-skipping-capable: old
@@ -4383,15 +4553,15 @@ object Snapshots {
   private def ensureStats(spark: SparkSession, root: String,
                           m: VMeta, cols: Seq[String]): Unit = {
     val sp = statsPath(root, m.layoutId)
-    if (!fs(spark, sp).exists(sp)) m.dataDir match {
-      case Some(d) =>
-        StatsIndex.buildAndSave(spark, new Path(root, d).toString,
-          cols, sp.toString)
-      case None =>
-        val files = relFilesOf(spark, root, m)
-          .map(rel => new Path(root, rel).toString)
-        Load.writeAtomic(spark,
-          StatsIndex.buildForFiles(spark, files, cols), sp.toString)
+    if (!fs(spark, sp).exists(sp)) {
+      val (schema, rows) = m.dataDir match {
+        case Some(d) =>
+          StatsIndex.buildRows(spark, new Path(root, d).toString, cols)
+        case None =>
+          StatsIndex.buildRowsForFiles(spark, relFilesOf(spark, root, m)
+            .map(rel => new Path(root, rel).toString), cols)
+      }
+      writeStatsRows(spark, root, m.layoutId, schema, rows)
     }
   }
 
@@ -4426,12 +4596,19 @@ object Snapshots {
   private def statsRowsOf(spark: SparkSession, root: String, m: VMeta,
                           cols: Seq[String])
       : (org.apache.spark.sql.types.StructType,
-         Array[org.apache.spark.sql.Row]) = {
-    val sp = statsPath(root, m.layoutId)
-    ensureStats(spark, root, m, cols)
-    val df = spark.read.parquet(sp.toString)
-    (df.schema, df.collect())
-  }
+         Array[org.apache.spark.sql.Row]) =
+    statsCacheGet(rootPathOf(spark, root), m.layoutId).getOrElse {
+      val sp = statsPath(root, m.layoutId)
+      ensureStats(spark, root, m, cols)
+      // a self-heal build above already populated the memo — re-check
+      // before paying the read
+      statsCacheGet(rootPathOf(spark, root), m.layoutId).getOrElse {
+        val df = spark.read.parquet(sp.toString)
+        val out = (df.schema, df.collect())
+        statsCachePut(rootPathOf(spark, root), m.layoutId, out._1, out._2)
+        out
+      }
+    }
 
   /** Local-relation frame over already-collected stats rows. */
   private def localStats(spark: SparkSession,
@@ -4619,9 +4796,9 @@ object Snapshots {
           val newMeta = versionMeta(spark, root, v + 1)
           val expectedCols = (Seq("file", "n_rows") ++ physStatsCols.flatMap(c =>
             Seq(s"min_$c", s"max_$c", s"nulls_$c"))).toSet
-          val prior = statsOf(spark, root, m, physStatsCols)
+          val (pSchema, pRows) = statsRowsOf(spark, root, m, physStatsCols)
           if (carriedRel.isEmpty) ensureStats(spark, root, newMeta, physStatsCols)
-          else if (prior.columns.toSet != expectedCols)
+          else if (pSchema.fieldNames.toSet != expectedCols)
             // the prior index was built for DIFFERENT columns — its
             // rows cannot union with a fresh build; rebuild the whole
             // layout instead of crashing after the publish landed
@@ -4632,15 +4809,14 @@ object Snapshots {
             // fresh dir scans
             val carriedSet = carriedRel
               .map(rel => normPath(new Path(root, rel).toString)).toSet
-            val fIdx = prior.schema.fieldIndex("file")
-            val carriedStats = localStats(spark, prior.schema,
-              prior.collect()
-                .filter(r => carriedSet(normPath(r.getString(fIdx))))
-                .toIndexedSeq)
-            Load.writeAtomic(spark,
-              carriedStats.unionByName(StatsIndex.build(spark,
-                new Path(root, freshDir).toString, physStatsCols)),
-              statsPath(root, newMeta.layoutId).toString)
+            val fIdx = pSchema.fieldIndex("file")
+            val carriedRows = pRows
+              .filter(r => carriedSet(normPath(r.getString(fIdx))))
+            val (fSchema, fRows) = StatsIndex.buildRows(spark,
+              new Path(root, freshDir).toString, physStatsCols)
+            val (nSchema, nRows) =
+              unionStatsRows(pSchema, carriedRows, fSchema, fRows)
+            writeStatsRows(spark, root, newMeta.layoutId, nSchema, nRows)
           }
         }
         return CowResult(v + 1, touchedRel.size,
@@ -4734,9 +4910,18 @@ object Snapshots {
     */
   def statsTableOf(spark: SparkSession, root: String,
                    v: Long): Option[DataFrame] = {
-    val sp = statsPath(root, versionMeta(spark, root, v).layoutId)
-    if (fs(spark, sp).exists(sp)) Some(spark.read.parquet(sp.toString))
-    else None
+    val layoutId = versionMeta(spark, root, v).layoutId
+    statsCacheGet(rootPathOf(spark, root), layoutId)
+      .map { case (schema, rows) => localStats(spark, schema, rows.toIndexedSeq) }
+      .orElse {
+        val sp = statsPath(root, layoutId)
+        if (fs(spark, sp).exists(sp)) {
+          val df = spark.read.parquet(sp.toString)
+          val out = (df.schema, df.collect())
+          statsCachePut(rootPathOf(spark, root), layoutId, out._1, out._2)
+          Some(localStats(spark, out._1, out._2.toIndexedSeq))
+        } else None
+      }
   }
 
   /** The version as a PLANNER-INTEGRATED scan: a parquet relation

@@ -140,6 +140,55 @@ object StatsIndex {
     padEmptyFiles(spark, statsFor(spark.read.parquet(files: _*), cols), files)
   }
 
+  /** [[build]] COLLECTED (r17): one aggregation job over the data,
+    * with the empty-file padding done on the collected rows against
+    * the driver-side listing — the DataFrame-shaped [[padEmptyFiles]]
+    * anti-join cost its own AQE stage jobs per build, for a join whose
+    * both sides are file-count-sized metadata the driver already
+    * holds. The snapshot tier consumes stats as collected rows anyway
+    * ([[graft.etl.Snapshots]]'s localized stats snapshots), so this is
+    * the collect it was already going to do, moved before the pad.
+    */
+  private[etl] def buildRows(spark: SparkSession, dataPath: String,
+                             cols: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row]) = {
+    require(cols.nonEmpty, "need at least one stats column")
+    padRows(statsFor(spark.read.parquet(dataPath), cols),
+      listDataFiles(spark, dataPath))
+  }
+
+  /** [[buildRows]] over an explicit file list. */
+  private[etl] def buildRowsForFiles(spark: SparkSession, files: Seq[String],
+                                     cols: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row]) = {
+    require(cols.nonEmpty, "need at least one stats column")
+    require(files.nonEmpty, "need at least one file")
+    padRows(statsFor(spark.read.parquet(files: _*), cols), files)
+  }
+
+  /** Driver-side twin of [[padEmptyFiles]]: same normalization, same
+    * padded-row shape (listing URI verbatim, n_rows = 0, null stats),
+    * over the collected aggregate instead of a DataFrame anti-join.
+    */
+  private def padRows(agg: DataFrame, files: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+         Array[org.apache.spark.sql.Row]) = {
+    val rows = agg.collect()
+    val schema = agg.schema
+    def norm(s: String): String = SchemeStrip.replaceFirstIn(s, "/")
+    val have = rows.iterator.map(r => norm(r.getString(0))).toSet
+    val pad = files.filterNot(f => have(norm(f))).map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        f +: schema.fields.toSeq.tail.map(sf =>
+          if (sf.name == "n_rows") 0L else null))
+    }
+    (schema, rows ++ pad)
+  }
+
+  private val SchemeStrip = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+".r
+
   /** [[build]] + persist the stats table beside the data (the
     * "index commit"). Returns the stats path.
     */

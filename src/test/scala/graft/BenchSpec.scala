@@ -36,9 +36,25 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.headlineLine(999.999, queries(1000), iters = 3,
       errs = errs, sfDir = "/root/testdata/sf1-generated/with/a/longer/path")
     assert(line.length <= 1900, s"len=${line.length}")
-    // totals-only step must say how many queries were elided
-    assert(line.contains("\"queries_elided\":1000"), line)
+    // partial step keeps the most expensive queries and says how many
+    // cheap-tail entries were elided
+    assert(line.contains("\"queries_elided\":"), line)
+    assert(line.contains("\"q1000\":"), line.take(300)) // costliest kept
+    assert(!line.contains("\"q001\":"), line.take(300)) // cheapest elided
     assert(line.contains("+50 more"), line)
+  }
+
+  test("oversized suite keeps a cost-descending partial per-query map") {
+    // 221 queries (the real round-16 suite size) cannot fit in full —
+    // the partial step must keep the expensive head at 2 decimals,
+    // elide only the cheap tail, and stay inside the window
+    val line = Bench.headlineLine(284.5, queries(221), iters = 3,
+      errs = Nil, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1850, s"len=${line.length}")
+    assert(line.contains("\"q221\":27.18"), line.take(300))
+    val elided = "\"queries_elided\":(\\d+)".r
+      .findFirstMatchIn(line).map(_.group(1).toInt)
+    assert(elided.exists(e => e > 0 && e < 120), s"elided=$elided")
   }
 
   test("duplicate short keys fail loudly instead of silently dropping a query") {

@@ -433,11 +433,16 @@ class SnapshotsSpec extends SparkSpec {
   test("copy-on-write refuses a stats index that does not cover the version") {
     val root = tmpDir("snap_cov")
     Snapshots.commitWithStats(spark, kv(1L to 100L, "a"), root, Seq("id"))
-    // corrupt the invariant: drop one file's stats row
+    // corrupt the invariant: drop one file's stats row. This simulates
+    // ANOTHER PROCESS having written a bad index — clear the in-process
+    // stats memo so the merge actually re-reads the corrupted dir (the
+    // memo is sound in-process because this library never rewrites a
+    // published layout's stats).
     val m = Snapshots.versionMeta(spark, root, 1L)
     val sp = s"$root/_stats/${m.layoutId}"
     val crippled = spark.read.parquet(sp).limit(2)
     graft.etl.Load.writeAtomic(spark, crippled, sp)
+    Snapshots.clearStatsCache()
     val ex = intercept[IllegalArgumentException] {
       Snapshots.merge(spark, Seq((1L, "U")).toDF("id", "s"),
         root, "id", Seq("id"))
