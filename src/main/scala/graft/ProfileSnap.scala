@@ -22,6 +22,8 @@ object ProfileSnap {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_FOC_V", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0s = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]

@@ -2817,6 +2817,7 @@ object Snapshots {
         "per duplicate; de-duplicate the source first")
   }
 
+
   def merge(spark: SparkSession, updates: DataFrame, root: String,
             key: String, statsCols: Seq[String],
             tag: Option[Long] = None,
@@ -3124,6 +3125,11 @@ object Snapshots {
       * target's value for a pre-existing column; NULL for a column
       * the target's files do not carry yet — schema evolution). */
     def image(c: org.apache.spark.sql.types.StructField): Column =
+      imageExpr(c).as(c.name)
+
+    /** [[image]] without the output alias — composable inside a
+      * larger CASE (the fused matched/kept projection). */
+    def imageExpr(c: org.apache.spark.sql.types.StructField): Column =
       clauses.zipWithIndex.collect { case (u: MatchedUpdate, i) =>
         val img = u.set match {
           case None => star(c)
@@ -3135,7 +3141,7 @@ object Snapshots {
       }.foldRight(base(c)) { case ((id, img), acc) =>
         org.apache.spark.sql.functions.when(col(idCol) === id, img)
           .otherwise(acc)
-      }.as(c.name)
+      }
   }
 
   /** What a clause-form merge did: the bounded-rewrite receipt plus
@@ -3539,8 +3545,6 @@ object Snapshots {
       val (freshDir, freshRows, nUpd, nDel, nIns, insPer) = try {
         val tgtA = touchedRows.alias(targetAlias)
         val srcA = src.alias(sourceAlias)
-        val joined = tgtA.join(srcA,
-          col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"), "inner")
         // the matched side: UPDATE SET * takes the source's carried
         // columns (subset sources keep the rest from the target; an
         // evolved column's base is NULL — the target's files never
@@ -3553,6 +3557,12 @@ object Snapshots {
             col(s"$sourceAlias.${c.name}").cast(c.dataType)
           else colBase(c),
           colBase)
+        val nPlanOpt =
+          if (notMatchedBySource.isEmpty) None
+          else Some(ClausePlan(notMatchedBySource, "__na", targetAlias,
+            _ => throw new IllegalStateException(
+              "unreachable: NOT MATCHED BY SOURCE SET * refused upstream"),
+            colBase))
         // (r16) action counts ride the WRITE job as observed metrics
         // (CollectMetrics) instead of separate pre-write aggregates
         // that re-evaluated the clause joins — read back after
@@ -3560,61 +3570,111 @@ object Snapshots {
         // action completes the plan first; the counts are identical).
         // Filters never push through CollectMetrics, so the observe
         // below the !deletes filter sees every matched row.
-        val obsM = if (matched.isEmpty) None else Some(
-          org.apache.spark.sql.Observation(
-            s"graft_mc_m_${java.util.UUID.randomUUID().toString.take(8)}"))
-        val classified0 = joined.withColumn("__ma", mPlan.action)
-        val classified = obsM.fold(classified0)(o => classified0.observe(o,
-          coalesce(sum(when(mPlan.updates, 1L).otherwise(0L)), lit(0L)).as("u"),
-          coalesce(sum(when(mPlan.deletes, 1L).otherwise(0L)), lit(0L)).as("d")))
-        // with NO matched clauses, matched target rows are plain
-        // kept rows — keep them via a SEMI-join (one copy per target
-        // row, whatever the source's key multiplicity) instead of the
-        // inner clause join, which would emit one copy per duplicate
-        // source key
-        val matchedOut =
-          if (matched.isEmpty)
-            tgtA.join(src.select(col(key).as("__mk3")),
-                col(s"$targetAlias.$key") === col("__mk3"), "left_semi")
-              .select(outSchema.fields.toSeq.map(f =>
-                colBase(f).cast(f.dataType).as(f.name)): _*)
-          else classified
-            .filter(!mPlan.deletes)
-            .select(outSchema.fields.toSeq.map(mPlan.image): _*)
-        // target rows ABSENT from the source: plain kept rows, or —
-        // with WHEN NOT MATCHED BY SOURCE clauses — the dimension-sync
-        // evaluation (first clause whose condition holds wins: UPDATE
-        // rewrites from target columns alone, DELETE drops; no clause
-        // → kept). Conditions resolve through the target alias only;
-        // SET * there was refused at validation, so the star renderer
-        // is unreachable.
-        val keptBase = touchedRows.alias(targetAlias).join(
-            src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
-            "left_anti")
-        val (keptTgt, nmbsChecked, obsN) =
-          if (notMatchedBySource.isEmpty)
-            (keptBase.select(outSchema.fields.toSeq.map(f =>
-              colBase(f).as(f.name)): _*), None, None)
-          else {
-            val nPlan = ClausePlan(notMatchedBySource, "__na", targetAlias,
-              _ => throw new IllegalStateException(
-                "unreachable: NOT MATCHED BY SOURCE SET * refused upstream"),
-              colBase)
+        //
+        // (r17) ONE pass over the touched rows: matched and kept rows
+        // both derive from a single LEFT OUTER clause join (source
+        // presence marker `__sp`) instead of an inner join PLUS an
+        // anti join — each touched row scans once, the source
+        // broadcasts once, and every matched/NMBS action count rides
+        // one CollectMetrics node. Sound exactly when source keys are
+        // DISTINCT (each target row meets at most one source row),
+        // which `requireKeySane(refuseDups = matched.nonEmpty)`
+        // guarantees on this path; with NO matched clauses duplicate
+        // source keys are legal and the duplicate-tolerant SEMI/ANTI
+        // shape below is kept instead.
+        //
+        // `matchedKept` = every surviving target-derived row (matched
+        // survivors + kept rows); `gateMatched`/`gateNmbs` = the CHECK
+        // gate's view (all matched survivors; only the UPDATED kept
+        // images — unmodified kept rows passed at their own write
+        // time); `counts()` reads (mUpd, mDel, nmbsUpd, nmbsDel) back
+        // from the observation(s) after the first completed action.
+        val (matchedKept, gateMatched, gateNmbs, counts) =
+          if (matched.isEmpty) {
+            // matched target rows are plain kept rows — a SEMI join
+            // (one copy per target row, whatever the source's key
+            // multiplicity); kept rows come from the ANTI side
+            val matchedOut =
+              tgtA.join(src.select(col(key).as("__mk3")),
+                  col(s"$targetAlias.$key") === col("__mk3"), "left_semi")
+                .select(outSchema.fields.toSeq.map(f =>
+                  colBase(f).cast(f.dataType).as(f.name)): _*)
+            val keptBase = touchedRows.alias(targetAlias).join(
+                src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
+                "left_anti")
+            val (keptTgt, nmbsChecked, obsN) = nPlanOpt match {
+              case None =>
+                (keptBase.select(outSchema.fields.toSeq.map(f =>
+                  colBase(f).as(f.name)): _*), None, None)
+              case Some(nPlan) =>
+                val o = org.apache.spark.sql.Observation(
+                  s"graft_mc_n_${java.util.UUID.randomUUID().toString.take(8)}")
+                val cls = keptBase.withColumn("__na", nPlan.action).observe(o,
+                  coalesce(sum(when(nPlan.updates, 1L).otherwise(0L)), lit(0L))
+                    .as("nu"),
+                  coalesce(sum(when(nPlan.deletes, 1L).otherwise(0L)), lit(0L))
+                    .as("nd"))
+                val kept = cls.filter(!nPlan.deletes)
+                  .select(outSchema.fields.toSeq.map(nPlan.image): _*)
+                val checked = cls.filter(nPlan.updates)
+                  .select(outSchema.fields.toSeq.map(nPlan.image): _*)
+                (kept, Some(checked), Some(o))
+            }
+            (matchedOut.unionByName(keptTgt), matchedOut, nmbsChecked,
+              () => {
+                val (nu, nd) = obsN.map(o => (o.get("nu").asInstanceOf[Long],
+                  o.get("nd").asInstanceOf[Long])).getOrElse((0L, 0L))
+                (0L, 0L, nu, nd)
+              })
+          } else {
+            val srcP = src.withColumn("__sp", lit(1))
+            val lo = tgtA.join(srcP.alias(sourceAlias),
+              col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"),
+              "left_outer")
+            val matchedF = col("__sp").isNotNull
+            // action ids evaluate only on their own side: an
+            // unconditional matched clause must not claim kept rows
+            // (whose source columns are all NULL), nor an NMBS clause
+            // a matched row
+            val acted0 = lo.withColumn("__ma",
+              when(matchedF, mPlan.action).otherwise(lit(0)))
+            val acted1 = nPlanOpt.fold(acted0)(np => acted0.withColumn("__na",
+              when(!matchedF, np.action).otherwise(lit(0))))
             val o = org.apache.spark.sql.Observation(
-              s"graft_mc_n_${java.util.UUID.randomUUID().toString.take(8)}")
-            val cls = keptBase.withColumn("__na", nPlan.action).observe(o,
-              coalesce(sum(when(nPlan.updates, 1L).otherwise(0L)), lit(0L))
-                .as("u"),
-              coalesce(sum(when(nPlan.deletes, 1L).otherwise(0L)), lit(0L))
-                .as("d"))
-            val kept = cls.filter(!nPlan.deletes)
-              .select(outSchema.fields.toSeq.map(nPlan.image): _*)
-            // the constraint gate sees only the UPDATED kept images —
-            // unmodified kept rows passed at their own write time, and
-            // re-checking them would cost a full-table predicate pass
-            val checked = cls.filter(nPlan.updates)
-              .select(outSchema.fields.toSeq.map(nPlan.image): _*)
-            (kept, Some(checked), Some(o))
+              s"graft_mc_m_${java.util.UUID.randomUUID().toString.take(8)}")
+            val exprs = Seq(
+              coalesce(sum(when(mPlan.updates, 1L).otherwise(0L)), lit(0L))
+                .as("mu"),
+              coalesce(sum(when(mPlan.deletes, 1L).otherwise(0L)), lit(0L))
+                .as("md")) ++
+              nPlanOpt.toSeq.flatMap(np => Seq(
+                coalesce(sum(when(np.updates, 1L).otherwise(0L)), lit(0L))
+                  .as("nu"),
+                coalesce(sum(when(np.deletes, 1L).otherwise(0L)), lit(0L))
+                  .as("nd")))
+            val acted = acted1.observe(o, exprs.head, exprs.tail: _*)
+            val dropped = nPlanOpt.fold(mPlan.deletes)(mPlan.deletes || _.deletes)
+            // a row that fired no clause images as BASE on either
+            // side, so with no NMBS clauses one plan serves both
+            val img = (f: org.apache.spark.sql.types.StructField) =>
+              nPlanOpt.fold(mPlan.image(f))(np =>
+                when(matchedF, mPlan.imageExpr(f))
+                  .otherwise(np.imageExpr(f)).as(f.name))
+            val survivors = acted.filter(!dropped)
+              .select(outSchema.fields.toSeq.map(img): _*)
+            val gateM = acted.filter(matchedF && !mPlan.deletes)
+              .select(outSchema.fields.toSeq.map(img): _*)
+            val gateN = nPlanOpt.map(np => acted.filter(np.updates)
+              .select(outSchema.fields.toSeq.map(img): _*))
+            (survivors, gateM, gateN,
+              () => {
+                val mu = o.get("mu").asInstanceOf[Long]
+                val md = o.get("md").asInstanceOf[Long]
+                val (nu, nd) = if (nPlanOpt.isEmpty) (0L, 0L)
+                  else (o.get("nu").asInstanceOf[Long],
+                    o.get("nd").asInstanceOf[Long])
+                (mu, md, nu, nd)
+              })
           }
         // INSERT * on a column-subset source NULL-fills the columns
         // the source does not carry; an explicit column list
@@ -3672,22 +3732,18 @@ object Snapshots {
         // NOT-MATCHED-BY-SOURCE updates contribute exactly their
         // updated images, never the whole kept side
         requireSatisfied(
-          nmbsChecked.foldLeft(matchedOut.unionByName(inserted))(
+          gateNmbs.foldLeft(gateMatched.unionByName(inserted))(
             _ unionByName _),
           m.constraints, "merge clauses")
-        val rewritten = matchedOut.unionByName(keptTgt).unionByName(inserted)
+        val rewritten = matchedKept.unionByName(inserted)
         val (fd, fr) = writeDataDir(spark, rewritten, root, m.parts, m.bucket)
         // the observed metrics are available once ANY action ran the
         // plan — the write above at the latest
-        val acts = obsM.map(o => (o.get("u").asInstanceOf[Long],
-          o.get("d").asInstanceOf[Long])).getOrElse((0L, 0L))
-        val (nmbsUpd, nmbsDel) = obsN.map(o =>
-          (o.get("u").asInstanceOf[Long], o.get("d").asInstanceOf[Long]))
-          .getOrElse((0L, 0L))
+        val (mUpd, mDel, nmbsUpd, nmbsDel) = counts()
         val perClause = obsI.map(o => inserts.indices
           .map(i => o.get(s"c$i").asInstanceOf[Long]))
           .getOrElse(Seq.empty[Long])
-        (fd, fr, acts._1 + nmbsUpd, acts._2 + nmbsDel, perClause.sum,
+        (fd, fr, mUpd + nmbsUpd, mDel + nmbsDel, perClause.sum,
           perClause)
       } finally touchedRows.unpersist()
       val freshRel = listFreshRel(spark, root, freshDir)
