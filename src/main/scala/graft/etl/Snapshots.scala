@@ -3590,15 +3590,41 @@ object Snapshots {
         // time); `counts()` reads (mUpd, mDel, nmbsUpd, nmbsDel) back
         // from the observation(s) after the first completed action.
         val (matchedKept, gateMatched, gateNmbs, counts) =
-          if (matched.isEmpty) {
-            // matched target rows are plain kept rows — a SEMI join
-            // (one copy per target row, whatever the source's key
-            // multiplicity); kept rows come from the ANTI side
+          if (matched.isEmpty || nPlanOpt.nonEmpty) {
+            // the r16 two-join shape, kept for exactly two cases:
+            // (a) NO matched clauses — duplicate source keys are
+            // legal, so matched target rows keep via a SEMI join (one
+            // copy per target row, whatever the source's key
+            // multiplicity); (b) WHEN NOT MATCHED BY SOURCE clauses —
+            // those bind against a SOURCE-FREE kept frame (the
+            // left-anti side) so a source-column reference fails
+            // analysis per the documented target-columns-only
+            // contract, and a bare target name resolves unambiguously
+            // (the fused left-outer frame below carries the source
+            // columns as NULLs, which would silently change both).
+            val obsM = if (matched.isEmpty) None else Some(
+              org.apache.spark.sql.Observation(
+                s"graft_mc_m_${java.util.UUID.randomUUID().toString.take(8)}"))
             val matchedOut =
-              tgtA.join(src.select(col(key).as("__mk3")),
-                  col(s"$targetAlias.$key") === col("__mk3"), "left_semi")
-                .select(outSchema.fields.toSeq.map(f =>
-                  colBase(f).cast(f.dataType).as(f.name)): _*)
+              if (matched.isEmpty)
+                tgtA.join(src.select(col(key).as("__mk3")),
+                    col(s"$targetAlias.$key") === col("__mk3"), "left_semi")
+                  .select(outSchema.fields.toSeq.map(f =>
+                    colBase(f).cast(f.dataType).as(f.name)): _*)
+              else {
+                val joined = tgtA.join(srcA,
+                  col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"),
+                  "inner")
+                val classified0 = joined.withColumn("__ma", mPlan.action)
+                val classified = obsM.fold(classified0)(o =>
+                  classified0.observe(o,
+                    coalesce(sum(when(mPlan.updates, 1L).otherwise(0L)),
+                      lit(0L)).as("mu"),
+                    coalesce(sum(when(mPlan.deletes, 1L).otherwise(0L)),
+                      lit(0L)).as("md")))
+                classified.filter(!mPlan.deletes)
+                  .select(outSchema.fields.toSeq.map(mPlan.image): _*)
+              }
             val keptBase = touchedRows.alias(targetAlias).join(
                 src.select(col(key).as("__mk2")), col(key) === col("__mk2"),
                 "left_anti")
@@ -3622,59 +3648,50 @@ object Snapshots {
             }
             (matchedOut.unionByName(keptTgt), matchedOut, nmbsChecked,
               () => {
+                val (mu, md) = obsM.map(o => (o.get("mu").asInstanceOf[Long],
+                  o.get("md").asInstanceOf[Long])).getOrElse((0L, 0L))
                 val (nu, nd) = obsN.map(o => (o.get("nu").asInstanceOf[Long],
                   o.get("nd").asInstanceOf[Long])).getOrElse((0L, 0L))
-                (0L, 0L, nu, nd)
+                (mu, md, nu, nd)
               })
           } else {
-            val srcP = src.withColumn("__sp", lit(1))
+            // (r17) the FUSED shape — matched clauses present, no
+            // NMBS: ONE LEFT OUTER clause join derives matched AND
+            // kept rows in a single pass over the touched rows
+            // (source presence marker), instead of an inner join PLUS
+            // an anti join; sound because the source is key-distinct
+            // here (requireKeySane(refuseDups = true) above). The
+            // presence-marker name must collide with NO column of
+            // either side (a source discriminator or target column
+            // literally named __sp would be silently clobbered or
+            // ambiguous otherwise).
+            val spCol = Iterator.iterate("__sp")(_ + "_").find(n =>
+              !src.columns.contains(n) && !touchedRows.columns.contains(n)).get
+            val srcP = src.withColumn(spCol, lit(1))
             val lo = tgtA.join(srcP.alias(sourceAlias),
               col(s"$targetAlias.$key") === col(s"$sourceAlias.$key"),
               "left_outer")
-            val matchedF = col("__sp").isNotNull
-            // action ids evaluate only on their own side: an
+            val matchedF = col(spCol).isNotNull
+            // the action id evaluates only on matched rows: an
             // unconditional matched clause must not claim kept rows
-            // (whose source columns are all NULL), nor an NMBS clause
-            // a matched row
+            // (whose source columns are all NULL); a row with action
+            // 0 images as BASE, so one image plan serves both sides
             val acted0 = lo.withColumn("__ma",
               when(matchedF, mPlan.action).otherwise(lit(0)))
-            val acted1 = nPlanOpt.fold(acted0)(np => acted0.withColumn("__na",
-              when(!matchedF, np.action).otherwise(lit(0))))
             val o = org.apache.spark.sql.Observation(
               s"graft_mc_m_${java.util.UUID.randomUUID().toString.take(8)}")
-            val exprs = Seq(
+            val acted = acted0.observe(o,
               coalesce(sum(when(mPlan.updates, 1L).otherwise(0L)), lit(0L))
                 .as("mu"),
               coalesce(sum(when(mPlan.deletes, 1L).otherwise(0L)), lit(0L))
-                .as("md")) ++
-              nPlanOpt.toSeq.flatMap(np => Seq(
-                coalesce(sum(when(np.updates, 1L).otherwise(0L)), lit(0L))
-                  .as("nu"),
-                coalesce(sum(when(np.deletes, 1L).otherwise(0L)), lit(0L))
-                  .as("nd")))
-            val acted = acted1.observe(o, exprs.head, exprs.tail: _*)
-            val dropped = nPlanOpt.fold(mPlan.deletes)(mPlan.deletes || _.deletes)
-            // a row that fired no clause images as BASE on either
-            // side, so with no NMBS clauses one plan serves both
-            val img = (f: org.apache.spark.sql.types.StructField) =>
-              nPlanOpt.fold(mPlan.image(f))(np =>
-                when(matchedF, mPlan.imageExpr(f))
-                  .otherwise(np.imageExpr(f)).as(f.name))
-            val survivors = acted.filter(!dropped)
-              .select(outSchema.fields.toSeq.map(img): _*)
+                .as("md"))
+            val survivors = acted.filter(!mPlan.deletes)
+              .select(outSchema.fields.toSeq.map(mPlan.image): _*)
             val gateM = acted.filter(matchedF && !mPlan.deletes)
-              .select(outSchema.fields.toSeq.map(img): _*)
-            val gateN = nPlanOpt.map(np => acted.filter(np.updates)
-              .select(outSchema.fields.toSeq.map(img): _*))
-            (survivors, gateM, gateN,
-              () => {
-                val mu = o.get("mu").asInstanceOf[Long]
-                val md = o.get("md").asInstanceOf[Long]
-                val (nu, nd) = if (nPlanOpt.isEmpty) (0L, 0L)
-                  else (o.get("nu").asInstanceOf[Long],
-                    o.get("nd").asInstanceOf[Long])
-                (mu, md, nu, nd)
-              })
+              .select(outSchema.fields.toSeq.map(mPlan.image): _*)
+            (survivors, gateM, None,
+              () => (o.get("mu").asInstanceOf[Long],
+                o.get("md").asInstanceOf[Long], 0L, 0L))
           }
         // INSERT * on a column-subset source NULL-fills the columns
         // the source does not carry; an explicit column list
@@ -4466,29 +4483,53 @@ object Snapshots {
     */
   private val statsCache = new java.util.LinkedHashMap[
     (String, String),
-    (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](
-    16, 0.75f, true)
+    (org.apache.spark.sql.types.StructType,
+     Array[org.apache.spark.sql.Row], Long)](16, 0.75f, true)
   private val StatsCacheMaxEntries = 64
-  private val StatsCacheMaxRows = 1 << 22
+  private val StatsCacheMaxBytes = 256L * 1024 * 1024
+  /** Approximate retained bytes of a stats row — strings/binaries
+    * dominate (wide min/max values on URL/UUID-ish columns), so the
+    * bound is BYTES-aware, not a row count a pathological row width
+    * could blow past.
+    */
+  private def approxRowBytes(r: org.apache.spark.sql.Row): Long = {
+    var i = 0; var b = 16L
+    while (i < r.length) {
+      r.get(i) match {
+        case s: String => b += 40L + 2L * s.length
+        case a: Array[Byte] => b += 24L + a.length
+        case null => b += 8L
+        case _ => b += 24L
+      }
+      i += 1
+    }
+    b
+  }
   private def statsCacheGet(root: String, layoutId: String)
       : Option[(org.apache.spark.sql.types.StructType,
                 Array[org.apache.spark.sql.Row])] =
-    statsCache.synchronized { Option(statsCache.get((root, layoutId))) }
+    statsCache.synchronized {
+      Option(statsCache.get((root, layoutId))).map(v => (v._1, v._2))
+    }
   private def statsCachePut(root: String, layoutId: String,
       schema: org.apache.spark.sql.types.StructType,
-      rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows: Array[org.apache.spark.sql.Row]): Unit = {
+    val bytes = rows.iterator.map(approxRowBytes).sum
+    // an entry too large to ever cache would just evict everything
+    if (bytes > StatsCacheMaxBytes / 2) return
     statsCache.synchronized {
-      statsCache.put((root, layoutId), (schema, rows))
+      statsCache.put((root, layoutId), (schema, rows, bytes))
       var total = 0L
       val it = statsCache.values.iterator()
-      while (it.hasNext) total += it.next()._2.length
+      while (it.hasNext) total += it.next()._3
       val evict = statsCache.entrySet().iterator()
       while ((statsCache.size > StatsCacheMaxEntries ||
-          total > StatsCacheMaxRows) && evict.hasNext) {
-        total -= evict.next().getValue._2.length
+          total > StatsCacheMaxBytes) && evict.hasNext) {
+        total -= evict.next().getValue._3
         evict.remove()
       }
     }
+  }
   private[graft] def clearStatsCache(): Unit =
     statsCache.synchronized { statsCache.clear() }
 
@@ -4922,10 +4963,20 @@ object Snapshots {
       throw new IllegalArgumentException(s"$root has no committed versions"))
     val m = versionMeta(spark, root, v)
     requireLive(m, root, "readPruned")
-    val sp = statsPath(root, m.layoutId)
-    require(fs(spark, sp).exists(sp),
-      s"version $v of $root has no stats index — commit via commitWithStats")
-    val stats = spark.read.parquet(sp.toString)
+    // serve the skipping index from the process memo when present
+    // (zero jobs, zero reads — see [[statsRowsOf]]); the candidate
+    // filter and count below then fold over a LocalRelation
+    val stats = statsCacheGet(rootPathOf(spark, root), m.layoutId)
+      .map { case (schema, rows) => localStats(spark, schema, rows.toIndexedSeq) }
+      .getOrElse {
+        val sp = statsPath(root, m.layoutId)
+        require(fs(spark, sp).exists(sp),
+          s"version $v of $root has no stats index — commit via commitWithStats")
+        val df = spark.read.parquet(sp.toString)
+        val out = (df.schema, df.collect())
+        statsCachePut(rootPathOf(spark, root), m.layoutId, out._1, out._2)
+        localStats(spark, out._1, out._2.toIndexedSeq)
+      }
     // merge-on-read composes with skipping: min/max prune on PHYSICAL
     // file contents, which over-approximate the logical rows (a
     // deletion vector only removes rows), so pruning stays sound and

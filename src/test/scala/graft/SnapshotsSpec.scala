@@ -1835,6 +1835,48 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("NMBS clauses bind to a source-free frame: source refs refuse, bare names resolve") {
+    // pins the r17 fusion's scope: statements WITH NOT MATCHED BY
+    // SOURCE clauses keep the r16 two-join shape, whose kept frame
+    // carries NO source columns — so a source-alias reference (or a
+    // bare source-only discriminator) fails analysis per the
+    // target-columns-only contract, instead of silently evaluating
+    // over NULLs on the fused left-outer frame; bare TARGET names
+    // keep resolving unambiguously
+    val root = tmpDir("snap_nmbs_bind")
+    Snapshots.commitWithStats(spark,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x"), root, Seq("id"))
+    val src = Seq((5L, 500.0)).toDF("id", "x")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshots.mergeClauses(spark, src, root, "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(None, None)),
+        insertCond = Some(None),
+        notMatchedBySource = Seq(
+          Snapshots.MatchedDelete(Some(col("u.x") > 0.0))))
+    }
+    // a source-only discriminator referenced by BARE name refuses too
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshots.mergeClauses(spark,
+        src.withColumn("flag", lit(1)), root, "id", Seq("id"), "t", "u",
+        matched = Seq(Snapshots.MatchedUpdate(Some(col("u.flag") === 1),
+          Some(Seq("x" -> col("u.x"))))),
+        insertCond = None,
+        notMatchedBySource = Seq(
+          Snapshots.MatchedDelete(Some(col("flag") === 1))))
+    }
+    // the refusals committed nothing
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // bare target-column names keep resolving
+    val r = Snapshots.mergeClauses(spark, src, root, "id", Seq("id"),
+      "t", "u",
+      matched = Seq(Snapshots.MatchedUpdate(None, None)),
+      insertCond = Some(None),
+      notMatchedBySource = Seq(
+        Snapshots.MatchedDelete(Some(col("id") > 18L))))
+    assert(r.rowsDeleted === 2L && r.rowsUpdated === 1L)
+    assert(Snapshots.read(spark, root).count() === 18L)
+  }
+
   test("mergeClauses: column-subset source — SET * keeps unnamed columns, INSERT * NULL-fills") {
     val root = tmpDir("snap_subset")
     val base = (1L to 50L).map(i => (i, i * 1.0, s"s$i")).toDF("id", "x", "s")
